@@ -123,7 +123,7 @@ object OracleCtes {
   /** memories CTE (embedding included; timestamp arithmetic is naive-UTC,
     * matching the Spark session's UTC timezone). */
   val memories: String =
-    """memories AS (
+    """memories AS MATERIALIZED (
       |  SELECT d.doc_id AS id, d.text, d.source, d.lang, d.n_chars,
       |    TIMESTAMP '2024-01-01 00:00:00' + to_seconds(d.doc_id * 25200) AS created_at,
       |    TIMESTAMP '2024-01-01 00:00:00' + to_seconds(d.doc_id * 25200) AS updated_at,
@@ -143,7 +143,7 @@ object OracleCtes {
   /** related_to edges CTE, both directions (mirrors Corpus links rule +
     * GraphOps bidirectional expansion). */
   val edges: String =
-    """edges AS (
+    """edges AS MATERIALIZED (
       |  SELECT d.doc_id AS src, d.doc_id + 20 AS dst FROM documents d
       |  WHERE d.doc_id + 20 < (SELECT count(*) FROM documents)
       |  UNION ALL
@@ -152,7 +152,7 @@ object OracleCtes {
       |)""".stripMargin
 
   val retrievalLog: String =
-    """retrieval_log AS (
+    """retrieval_log AS MATERIALIZED (
       |  SELECT event_id % (SELECT count(*) FROM documents) AS memory_id,
       |         'q' || CAST(user_id % 10 AS VARCHAR) AS query,
       |         CAST(event_id % 10 + 1 AS INT) AS rank,
@@ -161,7 +161,7 @@ object OracleCtes {
       |)""".stripMargin
 
   val searchFeedback: String =
-    """search_feedback AS (
+    """search_feedback AS MATERIALIZED (
       |  SELECT event_id AS id,
       |         event_id % (SELECT count(*) FROM documents) AS memory_id,
       |         'q' || CAST(user_id % 10 AS VARCHAR) AS query,

@@ -18,7 +18,22 @@ object Tables {
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
-  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+    * only reads under the legacy nanosAsLong conf (as an epoch-nanos Long).
+    * Enable it here and normalize back to a TimestampType column so every
+    * downstream operator sees a plain timestamp. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+      case _ => raw
+    }
+  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")

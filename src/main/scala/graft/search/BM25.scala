@@ -1,0 +1,96 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+
+/** R2: BM25 Okapi scoring (reference memory_engine.py:224-232, 1765-1785;
+  * rank_bm25's BM25Okapi formula with k1=1.5, b=0.75, epsilon=0.25).
+  *
+  * The reference rebuilds an in-memory index on every write; here the "index"
+  * is two shuffled aggregations over the corpus — term frequencies and
+  * document frequencies — that Catalyst pipelines with map-side partial
+  * aggregation. At 100 TB these become a precomputed term-stats table
+  * refreshed incrementally; the scoring join below is unchanged (the query
+  * side is a broadcast of |query| rows).
+  *
+  * Formula per (doc d, query term t):
+  *   idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+  * with idf(t) = ln((N - df + 0.5) / (df + 0.5)), negative idfs replaced by
+  * epsilon * mean(idf over the whole vocabulary) — rank_bm25's exact rule.
+  */
+object BM25 {
+
+  val K1 = 1.5
+  val B = 0.75
+  val Epsilon = 0.25
+
+  /** (id, term, tf) — term frequencies per document. */
+  def termFreqs(docs: DataFrame, textCol: String = "text", idCol: String = "id"): DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** (id, dl) — document lengths in tokens. */
+  def docLens(docs: DataFrame, textCol: String = "text", idCol: String = "id"): DataFrame =
+    docs.select(col(idCol).as("id"), size(tokens(col(textCol))).cast("double").as("dl"))
+
+  /** Corpus-level scalars: (N, avgdl, avgIdf). One aggregation job each; in a
+    * production deployment these live in the precomputed stats table. */
+  case class Stats(n: Long, avgdl: Double, avgIdf: Double)
+
+  def stats(docs: DataFrame, tf: DataFrame, textCol: String = "text"): Stats = {
+    val n = docs.count()
+    val avgdl = docs.select(avg(size(tokens(col(textCol))))).head().getDouble(0)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgIdf = df
+      .select(avg(log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))))
+      .head().getDouble(0)
+    Stats(n, avgdl, avgIdf)
+  }
+
+  /** BM25 score of every document containing at least one query token:
+    * (id, bm25). Duplicate query tokens count twice (rank_bm25 iterates the
+    * raw token list). Docs matching no token are absent (their score is 0).
+    */
+  def scores(docs: DataFrame, queryTokens: Seq[String],
+             textCol: String = "text", idCol: String = "id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = termFreqs(docs, textCol, idCol)
+    val st = stats(docs, tf, textCol)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idfRaw = log((lit(st.n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val idf = df.withColumn(
+      "idf",
+      when(idfRaw < 0, lit(Epsilon * st.avgIdf)).otherwise(idfRaw))
+    // query tokens keep multiplicity: qn = occurrences of the term in the query
+    val q = queryTokens.groupBy(identity).view.mapValues(_.size).toSeq
+      .toDF("term", "qn")
+    val dl = docLens(docs, textCol, idCol)
+    tf
+      .join(broadcast(q.join(idf, "term")), "term")
+      .join(dl, "id")
+      .groupBy("id")
+      .agg(round(sum(
+        col("qn") * col("idf") * col("tf") * (lit(K1) + 1.0) /
+          (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("dl") / st.avgdl))), 6)
+        .as("bm25"))
+  }
+
+  /** The reference's BM25 branch: score all docs, post-filter visibility
+    * (source/archived only — NOT temporal, memory_engine.py:1769-1785),
+    * keep positive scores, top-`oversample`. */
+  def ranked(memories: DataFrame, queryTokens: Seq[String], oversample: Int,
+             sourcePrefix: Option[String] = None,
+             includeArchived: Boolean = false): DataFrame = {
+    val visible = memories.filter(
+      Filters.sourcePrefix(sourcePrefix) && Filters.notArchived(includeArchived))
+    scores(memories, queryTokens)
+      .join(visible.select("id"), "id")
+      .filter(col("bm25") > 0)
+      .orderBy(desc("bm25"), asc("id"))
+      .limit(oversample)
+  }
+}

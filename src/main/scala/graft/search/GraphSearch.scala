@@ -1,0 +1,166 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.functions.VectorFunctions.roundScore
+
+/** R8-R12: graph expansion via truncated Personalized PageRank over the
+  * `related_to` link graph (reference memory_engine.py:1490-1723).
+  *
+  * Spark shape: edges are an exploded DataFrame; each PPR iteration is one
+  * join+aggregate (propagation) unioned with a teleport/dangling term — a
+  * fixed 3-iteration loop, so lineage stays shallow and no checkpointing is
+  * needed. The only driver-side values are single-row aggregates (dangling
+  * mass, max scores, a branch count), which is the same pattern AQE itself
+  * uses; the per-node state never leaves the cluster.
+  *
+  * Constants (memory_engine.py:44-52): alpha=0.85, 3 iterations, relative
+  * cutoff 0.05, 2 reserved graph-only slots, support/inject capped at
+  * 0.33 * top_rrf.
+  */
+object GraphSearch {
+
+  val Alpha = 0.85
+  val MaxIters = 3
+  val MinRelative = 0.05
+  val ReservedSlots = 2
+  val SupportCap = 0.33
+
+  /** R8: bidirectional edge list from inline links — (src, dst), self-edges
+    * and dangling targets dropped, deduped (memory_engine.py:1490-1508). */
+  def edges(memories: DataFrame, linkType: String = "related_to"): DataFrame = {
+    val fwd = memories
+      .select(col("id").as("src"), explode(col("links")).as("l"))
+      .filter(col("l.link_type") === linkType && col("l.to_id") =!= col("src"))
+      .select(col("src"), col("l.to_id").as("dst"))
+      .join(memories.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select("src", "dst") // re-fix column ORDER: the using-join moved dst first
+    fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** R9: restrict edges to the visible subgraph — BOTH endpoints must be
+    * visible, so out-of-scope nodes cannot act as transit bridges
+    * (memory_engine.py:1510-1539). */
+  def visibleEdges(memories: DataFrame, sourcePrefix: Option[String],
+                   includeArchived: Boolean, linkType: String = "related_to"): DataFrame = {
+    val vis = memories
+      .filter(Filters.sourcePrefix(sourcePrefix) && Filters.notArchived(includeArchived))
+      .select("id")
+    edges(memories, linkType)
+      .join(vis.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(vis.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+  }
+
+  /** R10: truncated PPR. `seeds` is (id, p) with p max-normalized; returns
+    * (id, ppr) after `iters` iterations (memory_engine.py:1589-1613).
+    *
+    * Per iteration: new[n] = restart*p[n] + alpha*danglingMass*p[n]/pTotal
+    * (teleport+dangling, seeds only) + sum over in-neighbors m of
+    * alpha*old[m]/deg(m).
+    */
+  def ppr(edgesDf: DataFrame, seeds: DataFrame, iters: Int = MaxIters,
+          alpha: Double = Alpha): DataFrame = {
+    val e = edgesDf.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val s = seeds.persist(StorageLevel.MEMORY_AND_DISK)
+    val pTotalRaw = s.agg(sum("p")).head().getDouble(0)
+    val pTotal = if (pTotalRaw == 0.0) 1.0 else pTotalRaw
+    val restart = 1.0 - alpha
+
+    var cur = s.select(col("id"), col("p").as("score"))
+    for (_ <- 1 to iters) {
+      val withDeg = cur.join(deg, Seq("id"), "left")
+      val dangling = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum("score"), lit(0.0))).head().getDouble(0)
+      val teleport = s.select(
+        col("id"),
+        (lit(restart) * col("p") + lit(alpha * dangling) * col("p") / pTotal).as("c"))
+      val prop = withDeg.filter(col("deg").isNotNull)
+        .join(e, col("id") === col("src"))
+        .select(col("dst").as("id"), (lit(alpha) * col("score") / col("deg")).as("c"))
+      cur = teleport.unionAll(prop).groupBy("id").agg(sum("c").as("score"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    cur.withColumnRenamed("score", "ppr")
+  }
+
+  /** R10 candidate build + R12 reserved-slot merge, given the fused RRF pool
+    * (memory_engine.py:1614-1723). Returns the final top-k with
+    * id/source/category/rrf_score/base_rrf_score/match_type/graph_support. */
+  def expandAndMerge(memories: DataFrame, fused: DataFrame,
+                     p: HybridSearch.Params): DataFrame = {
+    val f = fused.persist(StorageLevel.MEMORY_AND_DISK)
+    val k = math.min(p.k, 100)
+    val topRrf = f.agg(coalesce(max("rrf"), lit(0.0))).head().getDouble(0)
+    val direct = f.select(col("id"), col("rrf"))
+
+    if (topRrf <= 0.0) {
+      // no positive seeds: graph contributes nothing (memory_engine.py:1597)
+      return direct
+        .join(memories.select("id", "source", "category"), "id")
+        .orderBy(desc("rrf"), asc("id")).limit(k)
+        .select(col("id"), col("source"), col("category"),
+          roundScore(col("rrf")).as("rrf_score"),
+          roundScore(col("rrf")).as("base_rrf_score"),
+          lit("direct").as("match_type"), lit(0.0).as("graph_support"))
+    }
+
+    val seeds = f.filter(col("rrf") > 0)
+      .select(col("id"), (col("rrf") / topRrf).as("p"))
+    val e = visibleEdges(memories, p.sourcePrefix, p.includeArchived)
+    val scores = ppr(e, seeds)
+
+    val maxPprRaw = scores.agg(coalesce(max("ppr"), lit(1.0))).head().getDouble(0)
+    val maxPpr = if (maxPprRaw > 0) maxPprRaw else 1.0
+
+    // candidate filter + scaled support/inject (memory_engine.py:1614-1642)
+    val cand = scores
+      .join(seeds, Seq("id"), "left")
+      .join(direct.select(col("id"), lit(true).as("is_direct")), Seq("id"), "left")
+      .withColumn("orig", coalesce(col("p"), lit(0.0)))
+      .withColumn("gain", col("ppr") - col("orig"))
+      .withColumn("is_direct", coalesce(col("is_direct"), lit(false)))
+      .filter(
+        (col("is_direct") && col("gain") > 0) ||
+          (!col("is_direct") && col("ppr") / maxPpr >= MinRelative))
+      .select(
+        col("id"), col("is_direct"),
+        roundScore(least(col("gain") / maxPpr * topRrf * p.graphWeight,
+          lit(SupportCap * topRrf))).as("graph_support"),
+        roundScore(least(col("ppr") / maxPpr * topRrf,
+          lit(SupportCap * topRrf))).as("inject_score"))
+
+    // merge (memory_engine.py:1666-1700)
+    val boosted = direct
+      .join(cand.filter(col("is_direct")).select("id", "graph_support"), Seq("id"), "left")
+      .select(
+        col("id"),
+        (col("rrf") + coalesce(col("graph_support"), lit(0.0))).as("score"),
+        col("rrf").as("base"),
+        when(col("graph_support").isNotNull, "direct+graph").otherwise("direct").as("match_type"),
+        coalesce(col("graph_support"), lit(0.0)).as("graph_support"))
+    val graphOnly = cand.filter(!col("is_direct"))
+      .select(
+        col("id"), col("inject_score").as("score"), lit(0.0).as("base"),
+        lit("graph").as("match_type"), col("graph_support"))
+
+    // reserved slots: top-(k-r) non-graph + top-r graph-only, r = min(2, |graph|, k)
+    val graphOnlyCount =
+      if (p.threshold.isDefined) 0L // unverifiable similarity ⇒ excluded (1707-1714)
+      else graphOnly.count()
+    val reserved = math.min(math.min(ReservedSlots.toLong, graphOnlyCount), k.toLong).toInt
+    val picked = boosted.orderBy(desc("score"), asc("id")).limit(k - reserved)
+      .unionAll(graphOnly.orderBy(desc("score"), asc("id")).limit(reserved))
+
+    picked
+      .join(memories.select("id", "source", "category"), "id")
+      .orderBy(desc("score"), asc("id")).limit(k)
+      .select(col("id"), col("source"), col("category"),
+        roundScore(col("score")).as("rrf_score"),
+        roundScore(col("base")).as("base_rrf_score"),
+        col("match_type"), col("graph_support"))
+  }
+}

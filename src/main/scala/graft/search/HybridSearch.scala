@@ -1,0 +1,153 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.DecayFunctions
+import graft.functions.VectorFunctions.roundScore
+
+/** R4-R7: 5-signal Reciprocal Rank Fusion — the reference's flagship
+  * `hybrid_search` (memory_engine.py:1725-1897).
+  *
+  * Each signal produces a ranked candidate list; signal s contributes
+  * `w_s / (rank + 60)` (rank 0-based) and the fused score is the per-id sum.
+  * Weight algebra ported exactly from memory_engine.py:1795-1807 (see
+  * [[Weights.resolve]]).
+  *
+  * Plan shape: the vector/BM25 branches are top-`oversample` plans
+  * (TakeOrderedAndProject); the rank windows then run over at most
+  * 2*oversample candidate rows, so the unpartitioned `Window.orderBy` is a
+  * deliberate single-partition step over a tiny, already-reduced set — the
+  * heavy lifting (scan, score, top-k) stays fully parallel before it.
+  */
+object HybridSearch {
+
+  /** RRF rank constant (memory_engine.py:1788). */
+  val RrfK = 60
+
+  case class Params(
+      queryTokens: Seq[String],
+      queryVec: Seq[Float],
+      k: Int = 5,
+      threshold: Option[Double] = None,
+      vectorWeight: Double = 0.7,
+      sourcePrefix: Option[String] = None,
+      recencyWeight: Double = 0.0,
+      recencyHalfLifeDays: Double = 30.0,
+      includeArchived: Boolean = false,
+      feedbackWeight: Double = 0.0,
+      confidenceWeight: Double = 0.0,
+      confidenceHalfLifeDays: Double = 90.0,
+      since: Option[String] = None,
+      until: Option[String] = None,
+      graphWeight: Double = 0.0,
+      nowEpoch: Long = DecayFunctions.RefNowEpoch)
+
+  /** Effective per-signal weights (memory_engine.py:1795-1807):
+    * clamp each to [0,1]; feedback+confidence (the "auxiliary" budget) are
+    * normalized to sum ≤ 1; core = 1 - aux is split between vector/bm25
+    * (by vectorWeight) and recency (by recencyWeight). Graph is additive
+    * outside this budget. */
+  case class Weights(vec: Double, bm25: Double, recency: Double,
+                     feedback: Double, confidence: Double) {
+    def coreSum: Double = vec + bm25 + recency + feedback + confidence
+  }
+
+  object Weights {
+    def clamp01(x: Double): Double = math.max(0.0, math.min(1.0, x))
+
+    def resolve(vectorWeight: Double, recencyWeight: Double,
+                feedbackWeight: Double, confidenceWeight: Double): Weights = {
+      val rw = clamp01(recencyWeight)
+      var fw = clamp01(feedbackWeight)
+      var cw = clamp01(confidenceWeight)
+      val aux0 = fw + cw
+      if (aux0 > 1.0) { fw /= aux0; cw /= aux0 }
+      val core = 1.0 - math.min(aux0, 1.0)
+      Weights(
+        vec = vectorWeight * core * (1.0 - rw),
+        bm25 = (1.0 - vectorWeight) * core * (1.0 - rw),
+        recency = rw * core,
+        feedback = fw,
+        confidence = cw)
+    }
+  }
+
+  /** 0-based rank (as the reference's `enumerate`) by (orderCol desc, id). */
+  private def rank0(order: Column): Column =
+    row_number().over(Window.orderBy(order.desc, col("id").asc)) - 1
+
+  private def contrib(weight: Double, rnk: Column): Column =
+    lit(weight) / (rnk + lit(RrfK))
+
+  /** Fused RRF scores before graph expansion: (id, rrf). Candidates are the
+    * union of the vector and BM25 branches; recency/feedback/confidence are
+    * rank signals over that candidate pool (memory_engine.py:1809-1858). */
+  def rrfScores(memories: DataFrame, feedback: Option[DataFrame], p: Params): DataFrame = {
+    val n = memories.count()
+    val k = math.min(math.min(p.k.toLong, n), 100L).toInt
+    val oversample = math.min(3L * k, n).toInt
+    val w = Weights.resolve(p.vectorWeight, p.recencyWeight, p.feedbackWeight, p.confidenceWeight)
+
+    // vector branch: filters (incl. temporal) + threshold applied in-branch
+    val vec = VectorSearch.topK(memories, p.queryVec, oversample,
+        p.sourcePrefix, p.includeArchived, p.since, p.until, p.threshold)
+      .select(col("id"), contrib(w.vec, rank0(col("sim"))).as("c"))
+
+    // bm25 branch: source/archived filter only, positive scores
+    val bm = BM25.ranked(memories, p.queryTokens, oversample, p.sourcePrefix, p.includeArchived)
+      .select(col("id"), contrib(w.bm25, rank0(col("bm25"))).as("c"))
+
+    val cand = vec.unionAll(bm).groupBy("id").agg(sum("c").as("rrf"))
+
+    val dates = memories.select(
+      col("id"),
+      coalesce(col("document_at"), col("created_at")).as("doc_date"),
+      coalesce(col("last_reinforced_at"), col("updated_at"), col("created_at")).as("conf_anchor"))
+
+    val extras = Seq(
+      if (p.recencyWeight > 0) Some {
+        cand.join(dates, "id")
+          .withColumn("rs", coalesce(
+            DecayFunctions.halfLifeDecay(col("doc_date"), lit(p.recencyHalfLifeDays), p.nowEpoch),
+            lit(0.0)))
+          .select(col("id"), contrib(w.recency, rank0(col("rs"))).as("c"))
+      } else None,
+      if (p.feedbackWeight > 0) feedback.map { fb =>
+        val net = fb.groupBy(col("memory_id").as("id"))
+          .agg(sum(when(col("signal") === "useful", 1).otherwise(-1)).as("net"))
+        cand.join(net, "id").filter(col("net") > 0)
+          .select(col("id"), contrib(w.feedback, rank0(col("net"))).as("c"))
+      } else None,
+      if (p.confidenceWeight > 0) Some {
+        cand.join(dates, "id")
+          .withColumn("conf",
+            DecayFunctions.halfLifeDecay(col("conf_anchor"), lit(p.confidenceHalfLifeDays), p.nowEpoch))
+          .select(col("id"), contrib(w.confidence, rank0(col("conf"))).as("c"))
+      } else None
+    ).flatten
+
+    val allContribs = extras.foldLeft(cand.select(col("id"), col("rrf").as("c")))(_ unionAll _)
+    val fused = allContribs.groupBy("id").agg(sum("c").as("rrf"))
+
+    // temporal filter on the fused pool (memory_engine.py:1860-1866)
+    if (p.since.isDefined || p.until.isDefined)
+      fused.join(
+        memories.filter(Filters.temporal(p.since, p.until)).select("id"), "id")
+    else fused
+  }
+
+  /** Fast path (graphWeight == 0): top-k by fused score with metadata
+    * attached (memory_engine.py:1867-1881). */
+  def search(memories: DataFrame, feedback: Option[DataFrame], p: Params): DataFrame = {
+    val fused = rrfScores(memories, feedback, p)
+    val base = fused
+      .join(memories.select("id", "source", "category"), "id")
+      .orderBy(desc("rrf"), asc("id"))
+      .limit(math.min(p.k, 100))
+      .select(col("id"), col("source"), col("category"),
+        roundScore(col("rrf")).as("rrf_score"))
+    if (p.graphWeight <= 0) base
+    else GraphSearch.expandAndMerge(memories, fused, p)
+  }
+}
