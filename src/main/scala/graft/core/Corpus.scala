@@ -113,6 +113,44 @@ object Corpus {
         when(col("value") >= 100.0, "useful").otherwise("not_useful").as("signal"),
         col("ts"))
   }
+
+  /** graph_search_events fixture (usage_tracker.py:461-472 schema): one row
+    * per 'purchase' event. */
+  def graphSearchEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        concat(lit("q"), col("user_id") % 10).as("query"),
+        (when(col("event_id") % 4 === 0, 0.0).otherwise(0.1)).as("graph_weight"),
+        (col("event_id") % 5).cast("int").as("direct_count"),
+        (col("event_id") % 3).cast("int").as("graph_count"),
+        col("ts"))
+
+  /** extraction_outcomes fixture (usage_tracker.py:447-459 schema): one row
+    * per 'signup' event. */
+  def extractionOutcomes(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "signup")
+      .select(
+        concat(lit("m"), col("user_id") % 3).as("model"),
+        (col("event_id") % 4).cast("int").as("stored"),
+        (col("event_id") % 3).cast("int").as("updated"),
+        (col("event_id") % 2).cast("int").as("deleted"),
+        when(col("event_id") % 7 === 0, 1).otherwise(0).cast("int").as("fallback"),
+        floor(col("value") * 10).cast("long").as("tokens"),
+        col("ts"))
+
+  /** Lifecycle policy table (extraction_profiles.py:7-20, 68-113): cascading
+    * per-prefix policies, longest prefix wins. */
+  def policies(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("src1", 600, 0.30, 120, 60.0),
+      ("src", 800, 0.20, 180, 90.0),
+      ("", 1000, 0.10, 365, 90.0)
+    ).toDF("source_prefix", "ttl_days", "confidence_threshold", "min_age_days",
+      "confidence_half_life_days")
+  }
 }
 
 /** DuckDB-dialect CTE bodies mirroring [[Corpus]] — compose oracle SQL as

@@ -68,12 +68,12 @@ object OracleHybrid {
     }
     val extraSignals = Seq(
       if (p.recencyWeight > 0)
-        Some(s"""UNION ALL SELECT id, ${w.recency} / (rnk + ${HybridSearch.RrfK}) FROM (
+        Some(s"""UNION ALL SELECT id, 'recency' AS signal, ${w.recency} / (rnk + ${HybridSearch.RrfK}) FROM (
                 |  SELECT c.id, row_number() OVER (ORDER BY coalesce(${decay("coalesce(m.document_at, m.created_at)", p.recencyHalfLifeDays, nowSql)}, 0.0) DESC, c.id) - 1 AS rnk
                 |  FROM cand c JOIN memories m USING (id))""".stripMargin)
       else None,
       if (p.feedbackWeight > 0)
-        Some(s"""UNION ALL SELECT id, ${w.feedback} / (rnk + ${HybridSearch.RrfK}) FROM (
+        Some(s"""UNION ALL SELECT id, 'feedback' AS signal, ${w.feedback} / (rnk + ${HybridSearch.RrfK}) FROM (
                 |  SELECT c.id, row_number() OVER (ORDER BY f.net DESC, c.id) - 1 AS rnk
                 |  FROM cand c JOIN (
                 |    SELECT memory_id AS id, sum(CASE WHEN signal = 'useful' THEN 1 ELSE -1 END) AS net
@@ -81,7 +81,7 @@ object OracleHybrid {
                 |  WHERE f.net > 0)""".stripMargin)
       else None,
       if (p.confidenceWeight > 0)
-        Some(s"""UNION ALL SELECT id, ${w.confidence} / (rnk + ${HybridSearch.RrfK}) FROM (
+        Some(s"""UNION ALL SELECT id, 'confidence' AS signal, ${w.confidence} / (rnk + ${HybridSearch.RrfK}) FROM (
                 |  SELECT c.id, row_number() OVER (ORDER BY ${decay("coalesce(m.last_reinforced_at, m.updated_at, m.created_at)", p.confidenceHalfLifeDays, nowSql)} DESC, c.id) - 1 AS rnk
                 |  FROM cand c JOIN memories m USING (id))""".stripMargin)
       else None
@@ -116,14 +116,32 @@ object OracleHybrid {
        |    SELECT id, ${w.bm25} / (row_number() OVER (ORDER BY bm25 DESC, id) - 1 + ${HybridSearch.RrfK}) AS c FROM bmr
        |  ) GROUP BY 1
        |),
+       |expl AS MATERIALIZED (
+       |  SELECT id, 'vector+bm25' AS signal, rrf AS c FROM cand
+       |  $extraSignals
+       |),
        |fused AS MATERIALIZED (
        |  SELECT f0.id, f0.rrf FROM (
-       |    SELECT id, sum(c) AS rrf FROM (
-       |      SELECT id, rrf AS c FROM cand
-       |      $extraSignals
-       |    ) GROUP BY 1
+       |    SELECT id, sum(c) AS rrf FROM expl GROUP BY 1
        |  ) f0 $temporalFinal
        |)""".stripMargin
+  }
+
+  /** R14 explain oracle: labeled per-signal contributions + fused score +
+    * resolved weights. Mirrors [[graft.search.HybridSearch.explain]]. */
+  def explainSql(p: HybridSearch.Params, n: Long, withFeedback: Boolean, vecId: Long = 0): String = {
+    val w = HybridSearch.Weights.resolve(p.vectorWeight, p.recencyWeight,
+      p.feedbackWeight, p.confidenceWeight)
+    val fb = if (withFeedback) s",\n${OracleCtes.searchFeedback}" else ""
+    s"""WITH ${OracleCtes.memories}$fb,
+       |${fusedCtes(p, n, vecId)},
+       |fused2 AS (SELECT id, sum(c) AS rrf FROM expl GROUP BY 1)
+       |SELECT e.id, e.signal, round(e.c, 6) AS contrib, round(f.rrf, 6) AS rrf_score,
+       |  CAST(${w.vec} AS DOUBLE) AS w_vector, CAST(${w.bm25} AS DOUBLE) AS w_bm25,
+       |  CAST(${w.recency} AS DOUBLE) AS w_recency,
+       |  CAST(${w.feedback} AS DOUBLE) AS w_feedback,
+       |  CAST(${w.confidence} AS DOUBLE) AS w_confidence
+       |FROM expl e JOIN fused2 f USING (id)""".stripMargin
   }
 
   /** Full fast-path hybrid oracle: SELECT id, source, category, rrf_score. */

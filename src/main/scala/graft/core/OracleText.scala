@@ -1,0 +1,121 @@
+package graft.core
+
+import graft.text.TextAnalysis
+
+/** DuckDB oracle fragments for the text/dedup/embedding kernels. Kept in
+  * lockstep with [[graft.functions.TextFunctions]], [[graft.text.TextAnalysis]],
+  * [[graft.dedup.MinHashLsh]], [[graft.dedup.SimHash]], and
+  * [[graft.embed.HashingEmbedder]]. */
+object OracleText {
+
+  val P = 1000000007L
+
+  def toks(c: String): String =
+    s"list_filter(string_split_regex(lower($c), '\\s+'), x -> len(x) > 0)"
+
+  /** polyHash of a string expression. */
+  def polyHash(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
+
+  /** Distinct 3-gram shingle-hash CTE over documents: sh(id, sh). */
+  def shingleCte(n: Int = 3): String = {
+    val t = toks("text")
+    s"""sh AS MATERIALIZED (
+       |  SELECT doc_id AS id, list_distinct(list_transform(range(1, len($t) - ${n - 2}),
+       |    i -> ${polyHash(s"array_to_string(list_slice($t, i, i + ${n - 1}), ' ')")})) AS sh
+       |  FROM documents WHERE len($t) >= $n
+       |)""".stripMargin
+  }
+
+  /** MinHash signature + LSH band CTEs: sig(id, sig), band(id, b, key). */
+  val minhashCtes: String =
+    s"""sig AS MATERIALIZED (
+       |  SELECT id, list_transform(range(0, 32),
+       |    i -> list_min(list_transform(sh, x -> (x * (2*i + 1) + 7919*i + 13) % $P))) AS sig
+       |  FROM sh
+       |),
+       |band AS MATERIALIZED (
+       |  SELECT id, t.b, array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), ',') AS key
+       |  FROM sig, range(0, 8) t(b)
+       |)""".stripMargin
+
+  /** SimHash fingerprint CTE: sfp(id, simhash). */
+  val simhashCtes: String =
+    s"""stf AS MATERIALIZED (
+       |  SELECT d.doc_id AS id, t.term, count(*) AS tf
+       |  FROM documents d, unnest(${toks("d.text")}) AS t(term) GROUP BY 1, 2
+       |),
+       |sbit AS (
+       |  SELECT id, b.bit,
+       |    sum(CASE WHEN (${polyHash("term")} >> b.bit) % 2 = 1 THEN tf ELSE -tf END) AS v
+       |  FROM stf, range(0, 30) b(bit) GROUP BY 1, 2
+       |),
+       |sfp AS MATERIALIZED (
+       |  SELECT id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS simhash
+       |  FROM sbit GROUP BY 1
+       |)""".stripMargin
+
+  private def stopList(lang: String): String =
+    TextAnalysis.Profiles.toMap.apply(lang).map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** Per-doc language/quality/token-count profile SELECT over documents. */
+  val textProfileSql: String = {
+    val t = toks("text")
+    def ratio(lang: String) =
+      s"round(CAST(len(list_filter(t, x -> list_contains(${stopList(lang)}, x))) AS DOUBLE) / len(t), 6)"
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id AS id, text, $t AS t FROM documents),
+       |sc AS (
+       |  SELECT id, text, t, ${ratio("en")} AS s_en, ${ratio("de")} AS s_de,
+       |    ${ratio("fr")} AS s_fr, ${ratio("es")} AS s_es
+       |  FROM tk WHERE len(t) > 0
+       |)
+       |SELECT id,
+       |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) > 0 THEN
+       |    CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+       |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       |         ELSE 'es' END
+       |    ELSE 'und' END AS lang,
+       |  greatest(s_en, s_de, s_fr, s_es) AS lang_score,
+       |  round(least(len(t) / 100.0, 1.0) * 0.3
+       |    + (CAST(len(list_filter(t, x -> list_contains(${stopList("en")}, x))) AS DOUBLE) / len(t)) * 0.2
+       |    + (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 0.3
+       |    + (1.0 - CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / greatest(len(text), 1)) * 0.2, 6) AS quality,
+       |  len(t) AS n_ws,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+       |FROM sc ORDER BY id""".stripMargin
+  }
+
+  /** Hashing-embedder CTE chain: ef(id, e) with FLOAT-rounded components. */
+  def embedCtes(dim: Int = 64): String = {
+    val t = toks("text")
+    val hashes = s"list_transform($t, tt -> ${polyHash("tt")})"
+    s"""er AS MATERIALIZED (
+       |  SELECT doc_id AS id,
+       |    list_transform(range(0, $dim), i -> CAST(list_sum(list_transform($hashes,
+       |      h -> CASE WHEN h % $dim = i THEN CASE WHEN (h // $dim) % 2 = 0 THEN 1.0 ELSE -1.0 END ELSE 0.0 END)) AS DOUBLE)) AS r
+       |  FROM documents
+       |),
+       |en AS (SELECT id, r, sqrt(list_sum(list_transform(r, x -> x * x))) AS nrm FROM er),
+       |ef AS MATERIALIZED (
+       |  SELECT id, CASE WHEN nrm > 0
+       |    THEN list_transform(r, x -> CAST(CAST(x / nrm AS FLOAT) AS DOUBLE))
+       |    ELSE list_transform(r, x -> 0.0) END AS e
+       |  FROM en
+       |)""".stripMargin
+  }
+
+  /** Top-5-neighbor cosine dup-pair CTE over memories: pr(id_a,id_b,similarity).
+    * Mirrors [[graft.dedup.Dedup.findDuplicates]]. */
+  def dupPairsCte(threshold: Double, searchK: Int = 5): String =
+    s"""pr AS MATERIALIZED (
+       |  SELECT DISTINCT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, round(sim, 4) AS similarity
+       |  FROM (
+       |    SELECT ia, ib, sim, row_number() OVER (PARTITION BY ia ORDER BY sim DESC, ib) AS rn
+       |    FROM (
+       |      SELECT a.id AS ia, b.id AS ib,
+       |        round(${OracleCtes.dot64("a.embedding", "b.embedding")}, 6) AS sim
+       |      FROM memories a JOIN memories b ON a.id <> b.id))
+       |  WHERE rn <= $searchK AND sim >= $threshold
+       |)""".stripMargin
+}

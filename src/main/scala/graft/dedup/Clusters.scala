@@ -1,0 +1,78 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** D4: similar-memory clustering — connected components over duplicate pairs,
+  * then the reference's "tighten" pass that drops members similar to fewer
+  * than half their cluster co-members (memory_engine.py:2274-2342).
+  *
+  * Connected components run as iterative min-label propagation over the pair
+  * edge list — each round is one join+aggregate, converging in O(diameter)
+  * rounds with a driver-side changed-count check (the same scalar-only
+  * pattern as [[graft.search.GraphSearch.ppr]]). Dup clusters are small and
+  * shallow, so this terminates in a handful of rounds at any corpus size.
+  */
+object Clusters {
+
+  /** Connected components of an undirected edge list (id_a, id_b):
+    * returns (id, component) where component = min id reachable. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // localCheckpoint (eager) truncates the logical plan each round —
+    // without it the iterated lineage nests exponentially and the driver
+    // chokes on plan re-optimization long before any executor works.
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("component").as("ncomp"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Reference cluster semantics: components over `pairs`, tighten by
+    * majority-similarity, drop clusters below `minClusterSize`. `pairs` must
+    * carry (id_a, id_b, similarity) from [[Dedup.findDuplicates]].
+    * Output: (cluster, id) with cluster = min surviving member id. */
+  def similarClusters(pairs: DataFrame, threshold: Double,
+                      minClusterSize: Int = 2): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val sized = comp.groupBy("component").agg(count(lit(1)).as("csize"))
+    val members = comp.join(sized.filter(col("csize") >= minClusterSize), "component")
+    // sim lookup is symmetric; count co-members with sim >= threshold
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("other"), col("similarity"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("other"), col("similarity")))
+    val simCount = members
+      .join(sym, Seq("id"), "left")
+      .join(members.select(col("id").as("other"), col("component").as("ocomp")),
+        Seq("other"), "left")
+      .groupBy(col("id"), col("component"), col("csize"))
+      .agg(sum(when(col("ocomp") === col("component") && col("similarity") >= threshold, 1)
+        .otherwise(0)).as("similar_count"))
+    val tightened = simCount
+      .filter(col("similar_count") >= (col("csize") - 1) / 2.0)
+    val surviving = tightened.groupBy("component")
+      .agg(count(lit(1)).as("fsize"), min("id").as("cluster"))
+      .filter(col("fsize") >= minClusterSize)
+    tightened.join(surviving, "component")
+      .select(col("cluster"), col("id"))
+      .orderBy("cluster", "id")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** MinHash + LSH banding near-duplicate detection over word n-gram shingles —
+  * the standard large-scale text-dedup pipeline (Broder '97 / MMDS ch.3),
+  * which the reference approximates with dense embedding similarity
+  * (memory_engine.py:2199). Fully deterministic and SQL-reproducible: shingle
+  * hashing is [[TextFunctions.polyHash]] and the permutation family is
+  * h_i(x) = ((2i+1)·x + 7919·i + 13) mod P.
+  *
+  * Scale shape: signatures are one narrow row per doc; banding is an
+  * explode(numBands) + shuffle on (band, key) — candidate pairs only ever
+  * form inside a bucket, so the quadratic blow-up of the naive self-join
+  * never materializes. Skewed buckets (boilerplate shingles) are bounded by
+  * `maxBucket`.
+  */
+object MinHashLsh {
+
+  val P: Long = TextFunctions.HashMod
+  val NumHashes = 32
+  val NumBands = 8 // 4 rows per band
+
+  /** Distinct shingle hashes per row: (id, sh: array<long>). */
+  def shingleSets(df: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame =
+    df.select(col("id"),
+      array_distinct(TextFunctions.shingleHashes(col(textCol), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** MinHash signature column from a shingle-hash array column. */
+  def signature(sh: Column, numHashes: Int = NumHashes): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, x => pmod(x * (i * 2 + 1) + i * lit(7919L) + 13, lit(P)))))
+
+  /** (id, band, key) — one row per band; key is the joined band slice. */
+  def bands(sigs: DataFrame, numBands: Int = NumBands,
+            numHashes: Int = NumHashes): DataFrame = {
+    val rows = numHashes / numBands
+    sigs.select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(numBands - 1)),
+          b => concat_ws(",", transform(slice(col("sig"), b * lit(rows) + 1, lit(rows)),
+            x => x.cast("string"))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+  }
+
+  /** Candidate pairs (id_a < id_b) sharing at least one LSH band bucket.
+    * Buckets larger than `maxBucket` are dropped (skew guard — a degenerate
+    * shingle set would otherwise produce a quadratic bucket). */
+  def candidatePairs(df: DataFrame, n: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val sh = shingleSets(df, n)
+    val sigs = sh.select(col("id"), signature(col("sh")).as("sig"))
+    val banded = bands(sigs)
+    val sized = banded.groupBy("band", "key").agg(count(lit(1)).as("cnt"))
+    val ok = banded.join(sized.filter(col("cnt") <= maxBucket), Seq("band", "key"))
+      .select("id", "band", "key")
+    ok.as("a").join(ok.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Full near-dup pipeline: LSH candidates verified by exact n-gram Jaccard
+    * ≥ `threshold`. Output (id_a, id_b, jaccard rounded 6). */
+  def nearDuplicates(df: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    val sh = shingleSets(df, n)
+    candidatePairs(df, n)
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard over ALL pairs (correctness baseline for the LSH
+    * path; O(n²) — small corpora only). */
+  def exactJaccardPairs(df: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    val sh = shingleSets(df, n)
+    sh.select(col("id").as("id_a"), col("sh").as("sha"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("shb")),
+        col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** SimHash (Charikar '02) near-duplicate fingerprinting over unigram tokens,
+  * tf-weighted, 30 bits (polyHash's range fits in 30 bits). Candidate pairs
+  * at scale come from the pigeonhole chunk join: hamming(a,b) ≤ maxHamming
+  * with `chunks` > maxHamming chunks ⇒ at least one chunk is identical, so an
+  * equi-join per chunk finds every qualifying pair without a cross join.
+  */
+object SimHash {
+
+  val Bits = 30
+  val Chunks = 4 // pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks equal
+
+  /** (id, simhash) — tf-weighted sign aggregation per bit. */
+  def fingerprints(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val tf = df
+      .select(col("id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("h", TextFunctions.polyHash(col("term")))
+    // per (id, bit): sum of +tf where bit set, -tf where clear; bit -> sign
+    val bits = tf.select(col("id"), col("tf"), col("h"),
+        explode(sequence(lit(0), lit(Bits - 1))).as("bit"))
+      .withColumn("w", when(expr("shiftright(h, bit)") % 2 === 1,
+        col("tf")).otherwise(-col("tf")))
+      .groupBy("id", "bit").agg(sum("w").as("v"))
+    bits.groupBy("id").agg(
+      sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Candidate pairs with hamming(simhash) ≤ maxHamming via the chunk
+    * pigeonhole equi-join, then exact hamming verify. Output
+    * (id_a, id_b, hamming). */
+  def nearDuplicates(df: DataFrame, maxHamming: Int = 3,
+                     textCol: String = "text"): DataFrame = {
+    require(maxHamming < Chunks, "pigeonhole needs chunks > maxHamming")
+    val fp = fingerprints(df, textCol)
+    val rows = (Bits + Chunks - 1) / Chunks // bits per chunk
+    val chunked = fp.select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(Chunks - 1))).as("chunk"))
+      .withColumn("ckey", pmod(expr(s"shiftright(simhash, chunk * $rows)"), lit(1L << rows)))
+    val cands = chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

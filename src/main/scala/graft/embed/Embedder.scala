@@ -1,0 +1,55 @@
+package graft.embed
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** E1/E2: embedding stage. The reference embeds with a local ONNX
+  * all-MiniLM-L6-v2 (onnx_embedder.py:80-147: tokenize→forward→mean-pool→L2
+  * normalize, batches of 64). Model inference is environment-dependent, so
+  * the engine is built around a provider trait; the default provider is a
+  * deterministic hashing projection that is exactly reproducible in SQL —
+  * which is what the correctness harness needs — while a real ONNX/DJL
+  * `mapPartitions` provider (one session per partition, batched input, the
+  * direct analogue of the reference's batching) can drop in unchanged.
+  */
+trait Embedder {
+  def dim: Int
+  /** Add an `embedding: array<float>` column derived from `textCol`. */
+  def embed(df: DataFrame, textCol: String = "text"): DataFrame
+}
+
+/** Deterministic hashing-projection embedder: token → polyHash → bucket
+  * (hash mod dim) with ±1 sign from the hash's parity bit, tf-weighted,
+  * L2-normalized — a signed feature-hashing projection (Weinberger '09).
+  * Pure column expressions: codegen-friendly and DuckDB-reproducible. */
+case class HashingEmbedder(dim: Int = 64) extends Embedder {
+
+  def embeddingColumn(text: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(text), t => TextFunctions.polyHash(t))
+    // raw[i] = sum over tokens with bucket i of sign; sign = +1 if (h/dim) even
+    val raw = transform(sequence(lit(0), lit(dim - 1)), i =>
+      aggregate(hashes, lit(0.0), (acc, h) =>
+        acc + when(pmod(h, lit(dim)) === i,
+          when(pmod(floor(h / lit(dim)), lit(2)) === 0, 1.0).otherwise(-1.0)).otherwise(0.0)))
+    val norm = sqrt(aggregate(raw, lit(0.0), (a, x) => a + x * x))
+    when(norm > 0, transform(raw, x => (x / norm).cast("float")))
+      .otherwise(transform(raw, x => lit(0.0f)))
+  }
+
+  def embed(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("embedding", embeddingColumn(col(textCol)))
+}
+
+object OracleEmbed {
+  /** DuckDB expression mirroring [[HashingEmbedder.embeddingColumn]] as a
+    * DOUBLE list (callers compare dot products, so float casting is not
+    * needed as long as both sides round). */
+  def sql(textExpr: String, dim: Int = 64): String = {
+    val toks = s"list_filter(string_split_regex(lower($textExpr), '\\s+'), x -> len(x) > 0)"
+    val hashes = s"list_transform($toks, t -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % 1000000007))"
+    val raw = s"list_transform(range(0, $dim), i -> list_sum(list_transform($hashes, h -> CASE WHEN h % $dim = i THEN CASE WHEN (h // $dim) % 2 = 0 THEN 1.0 ELSE -1.0 END ELSE 0.0 END)))"
+    s"""(SELECT CASE WHEN nrm > 0 THEN list_transform(r, x -> x / nrm) ELSE list_transform(r, x -> 0.0) END
+       | FROM (SELECT $raw AS r) t1, (SELECT sqrt(list_sum(list_transform(r2, x -> x*x))) AS nrm FROM (SELECT $raw AS r2)) t2)""".stripMargin
+  }
+}

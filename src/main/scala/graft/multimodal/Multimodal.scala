@@ -1,0 +1,89 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: media as opaque
+  * `binary` columns with typed metadata, processed per-partition in batches.
+  *
+  * The Spark-side plumbing is real — schema, partition sizing, batched
+  * per-partition processing (the Scala analogue of `mapInPandas`: one
+  * iterator pass per partition, library handles amortized across the
+  * batch). The actual codec work is STUBBED behind [[MediaCodec]] because
+  * no image/audio libraries exist in this container: [[DeterministicFakeCodec]]
+  * derives pseudo-features from the bytes so the pipeline is testable
+  * end-to-end; a JNI/JavaCV-backed codec drops in without touching the plan.
+  */
+object Multimodal {
+
+  case class MediaMeta(mediaId: Long, kind: String, widthPx: Int, heightPx: Int,
+                       durationMs: Long, sizeBytes: Long)
+  case class MediaFeature(mediaId: Long, kind: String, featureDim: Int,
+                          feature: Array[Float], frameCount: Int)
+
+  /** Codec boundary: decode + feature-extract one batch of media blobs.
+    * Implementations must be deterministic per byte content. */
+  trait MediaCodec extends Serializable {
+    def featureDim: Int
+    /** Decode a batch (amortize per-partition setup), returning one feature
+      * row per input. */
+    def extractBatch(rows: Iterator[(Long, String, Array[Byte])]): Iterator[MediaFeature]
+  }
+
+  /** STUB codec — no media libraries in this environment. Features are a
+    * deterministic fold of the raw bytes (stable across runs/engines), so
+    * schema, batching, and partitioning are exercised for real while the
+    * decode itself is fake. */
+  case class DeterministicFakeCodec(featureDim: Int = 8) extends MediaCodec {
+    def extractBatch(rows: Iterator[(Long, String, Array[Byte])]): Iterator[MediaFeature] =
+      rows.map { case (id, kind, bytes) =>
+        // integer accumulation (exact), one fp division at the end — makes
+        // the fake features bit-reproducible in any engine
+        val acc = new Array[Long](featureDim)
+        var i = 0
+        while (i < bytes.length) {
+          acc(i % featureDim) += (bytes(i) & 0xff)
+          i += 1
+        }
+        val n = math.max(bytes.length, 1).toDouble
+        MediaFeature(id, kind, featureDim, acc.map(a => (a / 255.0 / n).toFloat),
+          frameCount = bytes.length / math.max(featureDim, 1))
+      }
+  }
+
+  /** Synthesize a deterministic media table from any id-bearing frame:
+    * (media_id, kind, blob, size_bytes). Stands in for `spark.read.format
+    * ("binaryFile")` in this container. */
+  def syntheticMediaTable(ids: DataFrame): DataFrame =
+    ids.select(
+      col("id").as("media_id"),
+      when(col("id") % 3 === 0, "image").when(col("id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      // deterministic pseudo-blob: id-seeded byte sequence
+      expr("CAST(concat('blob-', repeat(CAST(id AS STRING), CAST(id % 7 + 1 AS INT))) AS BINARY)")
+        .as("blob"))
+      .withColumn("size_bytes", length(col("blob")).cast("long"))
+
+  /** The mapInPandas-shaped stage: per-partition batched decode/feature
+    * extraction over the blob column. Output schema is fixed and narrow so
+    * downstream joins never carry the blobs. */
+  def extractFeatures(media: DataFrame, codec: MediaCodec): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("blob"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(codec.extractBatch _)
+  }
+
+  /** Feature checksum projection (oracle-able scalar per media row);
+    * rounding happens in the plan so the SQL oracle's round() matches. */
+  def featureChecksums(features: Dataset[MediaFeature]): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.map(f =>
+        (f.mediaId, f.kind, f.featureDim,
+          f.feature.zipWithIndex.map { case (v, i) => v.toDouble * (i + 1) }.sum))
+      .toDF("media_id", "kind", "feature_dim", "checksum")
+      .withColumn("checksum", round(col("checksum"), 6))
+  }
+}

@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{DecayFunctions, VectorFunctions}
+
+/** M1-M11 + R13: mutation semantics as pure DataFrame→DataFrame state
+  * transitions (reference memory_engine.py:529-1312; llm_extract.py:534-817;
+  * app.py:2685-2713). In a batch engine each of these is a merge job that
+  * rewrites (or MERGEs into) the table; none hides a write inside a read
+  * path — reinforcement (R13) is an explicit job.
+  */
+object Mutations {
+
+  val NowEpoch: Long = DecayFunctions.RefNowEpoch
+  private val nowTs = timestamp_seconds(lit(NowEpoch))
+
+  /** M1: add_memories — assign contiguous ids after the current max, stamp
+    * timestamps (memory_engine.py:529-627). `maxId` is passed explicitly
+    * (single-scalar aggregate of the target table). */
+  def addMemories(newRows: DataFrame, maxId: Long): DataFrame = {
+    val w = Window.orderBy("text", "source")
+    newRows
+      .withColumn("id", lit(maxId) + row_number().over(w))
+      .withColumn("created_at", nowTs)
+      .withColumn("updated_at", nowTs)
+  }
+
+  /** M2: update_memory — patch text for matching ids, bump updated_at; other
+    * rows unchanged (memory_engine.py:981-1078). Returns the full new state
+    * (the re-embed of changed rows happens downstream off the `changed`
+    * flag). */
+  def updateText(memories: DataFrame, patches: DataFrame): DataFrame =
+    memories.join(patches.select(col("id"), col("new_text")), Seq("id"), "left")
+      .withColumn("changed", col("new_text").isNotNull)
+      .withColumn("text", coalesce(col("new_text"), col("text")))
+      .withColumn("updated_at", when(col("changed"), nowTs).otherwise(col("updated_at")))
+      .drop("new_text")
+
+  /** M3: upsert by (source, entity_key) — update when the key exists, create
+    * otherwise (memory_engine.py:1250-1312). Output: one row per incoming
+    * record with the action taken and the target id (new ids follow maxId in
+    * (source, entity_key) order). */
+  def upsertByEntity(memories: DataFrame, incoming: DataFrame, maxId: Long): DataFrame = {
+    val existing = memories.select(col("source"), col("entity_key"), col("id").as("existing_id"))
+    val joined = incoming.join(existing, Seq("source", "entity_key"), "left")
+    val w = Window.orderBy("source", "entity_key")
+    joined
+      .withColumn("action", when(col("existing_id").isNotNull, "update").otherwise("create"))
+      .withColumn("new_rank",
+        when(col("existing_id").isNull,
+          row_number().over(Window.partitionBy(col("existing_id").isNull)
+            .orderBy("source", "entity_key"))))
+      .withColumn("target_id", coalesce(col("existing_id"), lit(maxId) + col("new_rank")))
+      .select("source", "entity_key", "action", "target_id")
+  }
+
+  /** M4: supersede — archive the old row, create a replacement carrying
+    * `supersedes` + `previous_text` (memory_engine.py:719-741). Output: the
+    * new-version rows. */
+  def supersede(memories: DataFrame, targetIds: DataFrame, maxId: Long): DataFrame = {
+    val targets = memories.join(targetIds, Seq("id"), "left_semi")
+    val w = Window.orderBy("id")
+    targets.select(
+      (lit(maxId) + row_number().over(w)).as("id"),
+      concat(col("text"), lit(" [superseded]")).as("text"),
+      col("source"),
+      col("id").as("supersedes"),
+      col("text").as("previous_text"),
+      lit(true).as("is_latest"))
+  }
+
+  /** M6: delete by source prefix — pinned rows are immune to pattern deletes
+    * (memory_engine.py:864-918). Output: surviving state. */
+  def deleteByPrefix(memories: DataFrame, prefix: String): DataFrame =
+    memories.filter(!(col("source").startsWith(prefix) && !coalesce(col("pinned"), lit(false))))
+
+  /** M7: link CRUD — add a typed edge unless it already exists or the target
+    * is dangling (memory_engine.py:772-862). Output: the edge list after the
+    * additions, exploded as (src, dst, link_type). */
+  def addLinks(memories: DataFrame, newLinks: DataFrame): DataFrame = {
+    val existing = memories
+      .select(col("id").as("src"), explode_outer(col("links")).as("l"))
+      .select(col("src"), col("l.to_id").as("dst"), col("l.link_type").as("link_type"))
+      .filter(col("dst").isNotNull)
+    val ids = memories.select(col("id"))
+    val additions = newLinks
+      .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst", "link_type")
+    existing.unionByName(additions)
+      .distinct()
+      .orderBy("src", "dst", "link_type")
+  }
+
+  /** M8: folder rename — rewrite a source prefix across matching rows
+    * (app.py:2685-2713). Output: (id, source) of changed rows. */
+  def renameFolder(memories: DataFrame, from: String, to: String): DataFrame =
+    memories.filter(col("source").startsWith(from))
+      .select(col("id"),
+        concat(lit(to), expr(s"substring(source, ${from.length + 1})")).as("source"))
+      .orderBy("id")
+
+  /** M9: lifecycle policy enforcement (memory_engine.py:1080-1248;
+    * extraction_profiles.py). Longest-prefix policy match (broadcast join),
+    * then: archive when age > ttl_days, or when read-time confidence <
+    * threshold and age > min_age_days; pinned/archived rows untouched.
+    * Output: (id, policy_prefix, action, reason). */
+  def enforcePolicies(memories: DataFrame, policies: DataFrame,
+                      nowEpoch: Long = NowEpoch): DataFrame = {
+    val cand = memories.filter(!col("archived") && !col("pinned"))
+    val matched = cand.join(broadcast(policies),
+        col("source").startsWith(col("source_prefix")) || col("source_prefix") === "")
+    val w = Window.partitionBy("id").orderBy(length(col("source_prefix")).desc)
+    val best = matched.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+    val age = DecayFunctions.ageDays(col("created_at"), nowEpoch)
+    val conf = DecayFunctions.halfLifeDecay(
+      coalesce(col("last_reinforced_at"), col("updated_at"), col("created_at")),
+      col("confidence_half_life_days"), nowEpoch)
+    best.select(
+      col("id"), col("source_prefix").as("policy_prefix"),
+      when(age > col("ttl_days"), "archive_ttl")
+        .when(conf < col("confidence_threshold") && age > col("min_age_days"),
+          "archive_low_confidence")
+        .otherwise("keep").as("action"))
+      .orderBy("id")
+  }
+
+  /** M10: AUDN action executor (llm_extract.py:534-693). Decisions join the
+    * target rows; pinned or archived targets demote destructive actions to
+    * NOOP. Output: (fact_id, action, effective_action, target_id). */
+  def executeAudn(memories: DataFrame, decisions: DataFrame): DataFrame = {
+    val targets = memories.select(col("id").as("target_id"),
+      col("pinned").as("t_pinned"), col("archived").as("t_archived"))
+    decisions.join(targets, Seq("target_id"), "left")
+      .withColumn("effective_action",
+        when(col("action").isin("UPDATE", "DELETE") &&
+          (coalesce(col("t_pinned"), lit(false)) || coalesce(col("t_archived"), lit(false))),
+          "NOOP")
+          .when(col("action").isin("UPDATE", "DELETE") && col("t_pinned").isNull, "NOOP")
+          .otherwise(col("action")))
+      .select("fact_id", "action", "effective_action", "target_id")
+      .orderBy("fact_id")
+  }
+
+  /** M11: auto-linking — link each new row to its top-2 most similar
+    * existing rows above a minimum score (llm_extract.py:701-817).
+    * Output: (id, to_id, sim). */
+  def autoLink(memories: DataFrame, newIds: DataFrame, minSim: Double = 0.2): DataFrame = {
+    val news = memories.join(newIds, Seq("id"), "left_semi")
+      .select(col("id"), col("embedding").as("e_new"))
+    val olds = memories.join(newIds, Seq("id"), "left_anti")
+      .select(col("id").as("to_id"), col("embedding").as("e_old"))
+    val scored = news.join(olds, col("id") =!= col("to_id"))
+      .withColumn("sim", round(VectorFunctions.dot(col("e_new"), col("e_old")), 6))
+    val w = Window.partitionBy("id").orderBy(desc("sim"), asc("to_id"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 2 && col("sim") >= minSim)
+      .select("id", "to_id", "sim")
+      .orderBy("id", "to_id")
+  }
+
+  /** R13: reinforcement as an explicit batch job — stamp
+    * `last_reinforced_at` for the retrieved ids (memory_engine.py:945-950).
+    * Output: (id, last_reinforced_at) for the touched rows. */
+  def reinforce(memories: DataFrame, ids: DataFrame,
+                nowEpoch: Long = NowEpoch): DataFrame =
+    memories.join(ids, Seq("id"), "left_semi")
+      .select(col("id"), timestamp_seconds(lit(nowEpoch)).as("last_reinforced_at"))
+      .orderBy("id")
+}

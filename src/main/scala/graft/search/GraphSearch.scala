@@ -82,7 +82,7 @@ object GraphSearch {
         .join(e, col("id") === col("src"))
         .select(col("dst").as("id"), (lit(alpha) * col("score") / col("deg")).as("c"))
       cur = teleport.unionAll(prop).groupBy("id").agg(sum("c").as("score"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint() // truncate lineage: keeps the 3-iteration plan flat
     }
     cur.withColumnRenamed("score", "ppr")
   }

@@ -80,10 +80,9 @@ object HybridSearch {
   private def contrib(weight: Double, rnk: Column): Column =
     lit(weight) / (rnk + lit(RrfK))
 
-  /** Fused RRF scores before graph expansion: (id, rrf). Candidates are the
-    * union of the vector and BM25 branches; recency/feedback/confidence are
-    * rank signals over that candidate pool (memory_engine.py:1809-1858). */
-  def rrfScores(memories: DataFrame, feedback: Option[DataFrame], p: Params): DataFrame = {
+  /** Labeled per-signal RRF contributions: (id, signal, c) — the shared
+    * core of [[rrfScores]] and the R14 explain variant. */
+  def signalContribs(memories: DataFrame, feedback: Option[DataFrame], p: Params): DataFrame = {
     val n = memories.count()
     val k = math.min(math.min(p.k.toLong, n), 100L).toInt
     val oversample = math.min(3L * k, n).toInt
@@ -111,25 +110,32 @@ object HybridSearch {
           .withColumn("rs", coalesce(
             DecayFunctions.halfLifeDecay(col("doc_date"), lit(p.recencyHalfLifeDays), p.nowEpoch),
             lit(0.0)))
-          .select(col("id"), contrib(w.recency, rank0(col("rs"))).as("c"))
+          .select(col("id"), lit("recency").as("signal"), contrib(w.recency, rank0(col("rs"))).as("c"))
       } else None,
       if (p.feedbackWeight > 0) feedback.map { fb =>
         val net = fb.groupBy(col("memory_id").as("id"))
           .agg(sum(when(col("signal") === "useful", 1).otherwise(-1)).as("net"))
         cand.join(net, "id").filter(col("net") > 0)
-          .select(col("id"), contrib(w.feedback, rank0(col("net"))).as("c"))
+          .select(col("id"), lit("feedback").as("signal"), contrib(w.feedback, rank0(col("net"))).as("c"))
       } else None,
       if (p.confidenceWeight > 0) Some {
         cand.join(dates, "id")
           .withColumn("conf",
             DecayFunctions.halfLifeDecay(col("conf_anchor"), lit(p.confidenceHalfLifeDays), p.nowEpoch))
-          .select(col("id"), contrib(w.confidence, rank0(col("conf"))).as("c"))
+          .select(col("id"), lit("confidence").as("signal"), contrib(w.confidence, rank0(col("conf"))).as("c"))
       } else None
     ).flatten
 
-    val allContribs = extras.foldLeft(cand.select(col("id"), col("rrf").as("c")))(_ unionAll _)
-    val fused = allContribs.groupBy("id").agg(sum("c").as("rrf"))
+    val core = cand.select(col("id"), lit("vector+bm25").as("signal"), col("rrf").as("c"))
+    extras.foldLeft(core)(_ unionAll _)
+  }
 
+  /** Fused RRF scores before graph expansion: (id, rrf). Candidates are the
+    * union of the vector and BM25 branches; recency/feedback/confidence are
+    * rank signals over that candidate pool (memory_engine.py:1809-1858). */
+  def rrfScores(memories: DataFrame, feedback: Option[DataFrame], p: Params): DataFrame = {
+    val fused = signalContribs(memories, feedback, p)
+      .groupBy("id").agg(sum("c").as("rrf"))
     // temporal filter on the fused pool (memory_engine.py:1860-1866)
     if (p.since.isDefined || p.until.isDefined)
       fused.join(
@@ -150,4 +156,29 @@ object HybridSearch {
     if (p.graphWeight <= 0) base
     else GraphSearch.expandAndMerge(memories, fused, p)
   }
+
+  /** R14: explain — the same plan, read-only, surfacing each signal's
+    * contribution and the fused score per candidate
+    * (memory_engine.py:1899-2185). One row per (id, signal) plus the
+    * resolved weights attached as literals. */
+  def explain(memories: DataFrame, feedback: Option[DataFrame], p: Params): DataFrame = {
+    val w = Weights.resolve(p.vectorWeight, p.recencyWeight, p.feedbackWeight, p.confidenceWeight)
+    val contribs = signalContribs(memories, feedback, p)
+    val fused = contribs.groupBy("id").agg(sum("c").as("rrf"))
+    contribs.join(fused, "id")
+      .select(col("id"), col("signal"), roundScore(col("c")).as("contrib"),
+        roundScore(col("rrf")).as("rrf_score"),
+        lit(w.vec).as("w_vector"), lit(w.bm25).as("w_bm25"),
+        lit(w.recency).as("w_recency"), lit(w.feedback).as("w_feedback"),
+        lit(w.confidence).as("w_confidence"))
+      .orderBy(desc("rrf_score"), asc("id"), asc("signal"))
+  }
+
+  /** R15: batch search — a union of per-query plans tagged by query index
+    * (app.py:2163-2209); Spark runs the branches as one job. */
+  def batchSearch(memories: DataFrame, feedback: Option[DataFrame],
+                  queries: Seq[Params]): DataFrame =
+    queries.zipWithIndex.map { case (p, i) =>
+      search(memories, feedback, p).withColumn("query_idx", lit(i))
+    }.reduce(_ unionAll _)
 }

@@ -1,0 +1,81 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, and winnowing document fingerprints.
+  * All pure column expressions (whole-stage codegen, no UDFs), each with an
+  * exact DuckDB-SQL equivalent for the oracle.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword heuristic
+    * language classifier. Deliberately small and hard-coded: the operator
+    * contract is the scoring rule, not lexicon quality. */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "por", "que", "una", "en"))
+
+  /** Language-ID: per-language stopword hit ratio; argmax, ties broken by
+    * profile order; no hits at all → "und" (undetermined). Returns a struct
+    * column (lang, score). */
+  def langId(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val n = size(toks).cast("double")
+    val scores = Profiles.map { case (lang, stops) =>
+      val hits = size(filter(toks, t => t.isInCollection(stops)))
+      struct(round(hits / n, 6).as("score"), lit(lang).as("lang"))
+    }
+    // argmax with deterministic ties: sort_array desc orders by (score, lang
+    // desc); iterate profiles in order and pick the first with max score
+    val best = sort_array(array(scores: _*), asc = false).getItem(0)
+    val firstMax = Profiles.foldRight(lit("und")) { case ((lang, stops), acc) =>
+      val hits = size(filter(toks, t => t.isInCollection(stops)))
+      when(round(hits / n, 6) === best.getField("score") && hits > 0, lit(lang)).otherwise(acc)
+    }
+    struct(
+      when(best.getField("score") > 0, firstMax).otherwise(lit("und")).as("lang"),
+      when(n > 0, best.getField("score")).otherwise(lit(0.0)).as("score"))
+  }
+
+  /** Token counts: whitespace tokens and BPE-ish word-piece matches
+    * (letter runs / digit runs / single non-space symbols). */
+  def tokenCounts(text: Column): (Column, Column) = {
+    val ws = size(TextFunctions.tokens(text))
+    val bpe = size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    (ws, bpe)
+  }
+
+  /** Quality score in [0,1]: length saturation, stopword ratio, vocabulary
+    * diversity, non-digit ratio — the classic cheap pre-filter stack for
+    * web-scale corpora (C4/Gopher-style rules, simplified). */
+  def qualityScore(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val n = size(toks).cast("double")
+    val enStops = Profiles.head._2
+    val stopRatio = size(filter(toks, t => t.isInCollection(enStops))) / n
+    val uniqueRatio = size(array_distinct(toks)) / n
+    val digitRatio = (length(regexp_replace(text, "[^0-9]", "")).cast("double")
+      / greatest(length(text).cast("double"), lit(1.0)))
+    val lengthSat = least(n / 100.0, lit(1.0))
+    when(n === 0, 0.0).otherwise(round(
+      lengthSat * 0.3 + stopRatio * 0.2 + uniqueRatio * 0.3 + (lit(1.0) - digitRatio) * 0.2, 6))
+  }
+
+  /** Winnowing fingerprint (Schleimer et al. '03): k-gram shingle hashes,
+    * sliding window of `w`, keep each window's minimum, distinct. Returns an
+    * array<long> column of selected hashes. */
+  def winnowingFingerprint(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val hashes = TextFunctions.shingleHashes(text, k)
+    val m = size(hashes) - (w - 1)
+    when(m > 0,
+      array_distinct(transform(sequence(lit(1), m),
+        i => array_min(slice(hashes, i, lit(w))))))
+      .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
+        .otherwise(array().cast("array<long>")))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.{Clusters, Dedup, MinHashLsh, SimHash}
+
+/** Dedup family on micro-fixtures: thresholds 0.80/0.90/0.95
+  * (memory_engine.py:2199, 2575-2576), union-find + tighten
+  * (memory_engine.py:2274-2342), MinHash/SimHash determinism. */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def unit(xs: Double*): Seq[Float] = {
+    val n = math.sqrt(xs.map(x => x * x).sum)
+    xs.map(x => (x / n).toFloat)
+  }
+
+  // planted fixture: 1~2 at sim ~0.96, 3~4 at ~0.91, 5 isolated
+  private lazy val mem = Seq(
+    (1L, unit(1, 0, 0, 0.0)),
+    (2L, unit(1, 0, 0, 0.28)), // cos ~0.963
+    (3L, unit(0, 1, 0, 0.0)),
+    (4L, unit(0, 1, 0, 0.45)), // cos ~0.912
+    (5L, unit(0, 0, 1, 0.0))
+  ).toDF("id", "embedding")
+
+  test("findDuplicates honors threshold bands") {
+    val at95 = Dedup.findDuplicates(mem, 0.95).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(at95 == Set((1L, 2L)))
+    val at90 = Dedup.findDuplicates(mem, 0.90).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(at90 == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("deduplicate removes the higher id of each pair") {
+    val kept = Dedup.deduplicate(mem, 0.90).select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
+  test("connected components: chain collapses to min id") {
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (7L, 8L, 0.9))
+      .toDF("id_a", "id_b", "similarity")
+    val comp = Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("tighten drops chain-connected weak members") {
+    // A~B, B~C but A!~C: with threshold t every member of {A,B,C} is similar
+    // to >= (3-1)/2 = 1 member, so all survive; a lone appendix D~A only
+    // similar to A among {A,B,C,D} has 1 >= 1.5? no -> D dropped
+    val pairs = Seq(
+      (1L, 2L, 0.9), (2L, 3L, 0.9), (1L, 4L, 0.9)
+    ).toDF("id_a", "id_b", "similarity")
+    val out = Clusters.similarClusters(pairs, threshold = 0.85)
+      .as[(Long, Long)].collect().toSet
+    // csize=4: need similar_count >= 1.5 -> only 1 (count 2) and 2 (count 2)
+    assert(out.map(_._2) == Set(1L, 2L))
+  }
+
+  test("minhash signatures are deterministic and band-collide for near-dups") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (3L, "completely different content about spark shuffle partitions and joins")
+    ).toDF("id", "text")
+    val sig1 = MinHashLsh.shingleSets(docs, 3)
+      .select(MinHashLsh.signature(col("sh"))).collect()
+    val sig2 = MinHashLsh.shingleSets(docs, 3)
+      .select(MinHashLsh.signature(col("sh"))).collect()
+    assert(sig1.map(_.toString).toSeq == sig2.map(_.toString).toSeq)
+    val cands = MinHashLsh.candidatePairs(docs, 3).as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
+    val nd = MinHashLsh.nearDuplicates(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nd == Set((1L, 2L)))
+  }
+
+  test("simhash: near-identical texts land within hamming 3, distinct far") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "totally unrelated words appear here nothing shared whatsoever")
+    ).toDF("id", "text")
+    val fps = SimHash.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(2L)) < ham(fps(1L), fps(3L)))
+    val nd = SimHash.nearDuplicates(docs, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nd.contains((1L, 2L)))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.search.GraphSearch
+
+/** PPR semantics on hand-computed micro-fixtures
+  * (tests/test_graph_search.py:30-149 style; constants memory_engine.py:44-52). */
+class GraphSearchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Reference PPR loop transliterated for tiny fixtures. */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Map[Long, Double],
+                     iters: Int = 3, alpha: Double = 0.85): Map[Long, Double] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var ppr = seeds
+    val pTotal = seeds.values.sum
+    for (_ <- 1 to iters) {
+      val dangling = ppr.collect { case (n, s) if adj.getOrElse(n, Set()).isEmpty => s }.sum
+      val next = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      for ((n, p) <- seeds) next(n) += (1 - alpha) * p + alpha * dangling * p / pTotal
+      for ((n, s) <- ppr; nb = adj.getOrElse(n, Set.empty); if nb.nonEmpty; m <- nb)
+        next(m) += alpha * s / nb.size
+      ppr = next.toMap
+    }
+    ppr
+  }
+
+  test("PPR matches the hand loop on a 2-hop chain with a dangling seed") {
+    // graph: 1-2-3 chain; seed on 1 (1.0) and isolated 9 (0.5)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+      .unionAll(Seq((2L, 1L), (3L, 2L)).toDF("src", "dst"))
+    val seeds = Seq((1L, 1.0), (9L, 0.5)).toDF("id", "p")
+    val got = GraphSearch.ppr(edges, seeds).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPpr(Seq((1L, 2L), (2L, 3L)), Map(1L -> 1.0, 9L -> 0.5))
+    assert(got.keySet == want.keySet)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-9, s"node $k: ${got(k)} vs $v")
+  }
+
+  test("1-hop neighbor outscores 2-hop neighbor") {
+    val fwd = Seq((1L, 2L), (2L, 3L))
+    val edges = (fwd ++ fwd.map(e => (e._2, e._1))).toDF("src", "dst")
+    val seeds = Seq((1L, 1.0)).toDF("id", "p")
+    val scores = GraphSearch.ppr(edges, seeds).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(2L) > scores(3L))
+  }
+
+  test("edges(): bidirectional, self/dangling dropped, order-robust") {
+    val mem = Seq(
+      (1L, Seq((2L, "related_to")), false),
+      (2L, Seq((2L, "related_to"), (99L, "related_to")), false), // self + dangling
+      (3L, Seq((1L, "supersedes")), false) // wrong type
+    ).toDF("id", "rawLinks", "archived")
+      .withColumn("links", expr(
+        "transform(rawLinks, l -> named_struct('to_id', l._1, 'link_type', l._2, 'created_at', CAST(NULL AS TIMESTAMP)))"))
+      .withColumn("source", lit("s"))
+    val e = GraphSearch.edges(mem).as[(Long, Long)].collect().toSet
+    assert(e == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("scope filter blocks out-of-scope transit nodes") {
+    val mem = Seq(
+      (1L, "keep/a", false, Seq(2L)),
+      (2L, "drop/b", false, Seq(3L)), // out of scope: bridges 1-3
+      (3L, "keep/c", false, Seq.empty[Long])
+    ).toDF("id", "source", "archived", "tos")
+      .withColumn("links", expr(
+        "transform(tos, t -> named_struct('to_id', t, 'link_type', 'related_to', 'created_at', CAST(NULL AS TIMESTAMP)))"))
+    val e = GraphSearch.visibleEdges(mem, Some("keep"), includeArchived = false)
+    assert(e.count() == 0) // both 1-2 and 2-3 touch the out-of-scope node
+  }
+}

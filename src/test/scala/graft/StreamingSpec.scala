@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStream
+
+/** Structured Streaming pipeline driven through a MemoryStream source —
+  * the same transforms the batch oracles validate, executed incrementally
+  * with watermarks/state. */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed event counts aggregate incrementally with a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.windowedEventCounts(events, "1 hour", "2 hours")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("win_counts").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:05:00"), 1L, "view", 1.0, ""),
+        (2L, ts("2024-01-01 10:45:00"), 1L, "view", 2.0, ""),
+        (3L, ts("2024-01-01 11:05:00"), 2L, "click", 5.0, ""))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        (ts("2024-01-01 10:00:00"), "view", 2L, 3.0),
+        (ts("2024-01-01 11:00:00"), "click", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("running feedback nets accumulate state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Timestamp)]
+    val fb = input.toDF().toDF("id", "memory_id", "signal", "ts")
+    val q = EventStream.runningFeedbackNets(fb)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("fb_nets").start()
+    try {
+      input.addData((1L, 42L, "useful", ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      input.addData(
+        (2L, 42L, "not_useful", ts("2024-01-01 00:01:00")),
+        (3L, 42L, "useful", ts("2024-01-01 00:02:00")),
+        (4L, 7L, "not_useful", ts("2024-01-01 00:03:00")))
+      q.processAllAvailable()
+      // memory 42: +1 then (-1 +1) -> net 1 over 3 events; memory 7: -1
+      val all = spark.table("fb_nets").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last }
+      assert(all(42L) == ((42L, 1L, 3L)))
+      assert(all(7L) == ((7L, -1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("the same transform answers identically in batch mode (oracle form)") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1L, "view", 1.0, ""),
+      (2L, ts("2024-01-01 10:45:00"), 1L, "view", 2.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = EventStream.windowedEventCounts(events)
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(rows == Set((ts("2024-01-01 10:00:00"), "view", 2L, 3.0)))
+  }
+}
