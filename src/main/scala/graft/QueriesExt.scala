@@ -43,6 +43,20 @@ object QueriesExt {
       EventStream.runningFeedbackNets(Corpus.searchFeedback(s, dir))
         .select(col("memoryId").as("memory_id"), col("net"), col("nEvents").as("n_events"))
         .orderBy("memory_id")),
+    "r11_graph_via" -> ((s, dir) => {
+      val mem = Corpus.memories(s, dir)
+      val seeds = mem.filter(col("id") % 50 === 0)
+        .select(col("id"), (lit(1.0) - col("id") / 1000.0).as("p"))
+      val traced = mem.filter(col("id") % 40 === 0).select("id")
+      graft.search.GraphSearch.traceContributors(
+        graft.search.GraphSearch.edges(mem), seeds, traced)
+    }),
+    "r15_batch_search" -> ((s, dir) => {
+      val p0 = Queries.hybridParams(s, dir)
+      val p1 = p0.copy(queryVec = Queries.queryVec(s, dir, 1))
+      HybridSearch.batchSearch(
+        Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)), Seq(p0, p1))
+    }),
     // stateful per-document fold — no SQL oracle; driver records rows>0
     "s3_chunk_markdown" -> ((s, dir) => {
       val mds = Tables.documents(s, dir)
@@ -138,6 +152,45 @@ object QueriesExt {
          |SELECT id AS media_id, kind, 8 AS feature_dim,
          |  round(list_sum(list_transform(range(1, 9), i -> feat[i] * i)), 6) AS checksum
          |FROM f ORDER BY media_id""".stripMargin
+    },
+    "r11_graph_via" ->
+      s"""WITH ${OracleCtes.memories},
+         |${OracleCtes.edges},
+         |seeds AS (SELECT id, 1.0 - id / 1000.0 AS p FROM memories WHERE id % 50 = 0),
+         |traced AS (SELECT id FROM memories WHERE id % 40 = 0),
+         |n1 AS MATERIALIZED (SELECT src AS id, dst AS n1 FROM edges),
+         |tn AS MATERIALIZED (SELECT t.id, n.n1 FROM traced t JOIN n1 n USING (id)),
+         |sn AS MATERIALIZED (
+         |  SELECT s.id AS seed_id, s.p, n.n1 AS sn1
+         |  FROM seeds s LEFT JOIN n1 n ON n.id = s.id),
+         |hops AS (
+         |  SELECT tn.id, s.id AS seed_id, s.p AS contribution, 1 AS hop
+         |  FROM tn JOIN seeds s ON tn.n1 = s.id
+         |  UNION ALL
+         |  SELECT DISTINCT tn.id, sn.seed_id, sn.p * 0.5, 2
+         |  FROM tn JOIN sn ON tn.n1 = sn.sn1
+         |  UNION ALL
+         |  SELECT DISTINCT tn.id, sn.seed_id, sn.p * 0.25, 3
+         |  FROM tn JOIN n1 nn ON tn.n1 = nn.id JOIN sn ON nn.n1 = sn.sn1),
+         |best AS (
+         |  SELECT id, seed_id, round(arg_min(contribution, hop), 6) AS contribution
+         |  FROM hops WHERE id <> seed_id GROUP BY 1, 2)
+         |SELECT id, seed_id, contribution,
+         |  CAST(rnk AS INT) AS via_rank
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY contribution DESC, seed_id) AS rnk
+         |  FROM best)
+         |WHERE rnk <= 5""".stripMargin,
+    "r15_batch_search" -> {
+      val sql0 = OracleHybrid.hybridSql(oracleParams, n = 1000000, withFeedback = true, vecId = 0)
+      val sql1 = OracleHybrid.hybridSql(oracleParams, n = 1000000, withFeedback = true, vecId = 1)
+      s"""SELECT q0.*, 0 AS query_idx FROM (
+         |$sql0
+         |) q0
+         |UNION ALL
+         |SELECT q1.*, 1 AS query_idx FROM (
+         |$sql1
+         |) q1""".stripMargin
     },
     "st_event_window_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

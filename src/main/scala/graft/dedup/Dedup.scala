@@ -28,12 +28,18 @@ object Dedup {
     * (memory_engine.py:2199-2237). Output: (id_a, id_b, similarity) with
     * id_a < id_b, sorted by similarity desc. */
   def findDuplicates(df: DataFrame, threshold: Double = 0.90, searchK: Int = 5): DataFrame = {
-    val a = df.select(col("id").as("ia"), col("embedding").as("ea"))
+    // the non-equi self-join plans as a broadcast nested loop whose
+    // parallelism is the STREAM side's partitioning — a single parquet
+    // footer would run the whole O(n²) scoring on one core
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val a = df.select(col("id").as("ia"), col("embedding").as("ea")).repartition(nPart)
     val b = df.select(col("id").as("ib"), col("embedding").as("eb"))
     // O(n²) scored join; at scale swap in an LSH candidate set before scoring
-    // rounded before ranking so neighbor order is reproducible cross-engine
+    // rounded before ranking so neighbor order is reproducible cross-engine;
+    // project the embeddings away BEFORE the rank shuffle — at n=10⁵+ the
+    // pair stream is quadratic and must stay narrow (ids + one double)
     val scored = a.join(b, col("ia") =!= col("ib"))
-      .withColumn("sim", round(dot(col("ea"), col("eb")), 6))
+      .select(col("ia"), col("ib"), round(dot(col("ea"), col("eb")), 6).as("sim"))
     val w = Window.partitionBy("ia").orderBy(desc("sim"), asc("ib"))
     scored
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= searchK)
@@ -66,7 +72,8 @@ object Dedup {
     val ex = existing.select(col("id").as("ex_id"), col("embedding").as("ex_emb"),
       col("created_at").as("ex_ts"))
     val scored = inc.join(ex, col("in_id") =!= col("ex_id"))
-      .withColumn("sim", round(dot(col("in_emb"), col("ex_emb")), 6))
+      .select(col("in_id"), col("ex_id"), col("in_ts"), col("ex_ts"),
+        round(dot(col("in_emb"), col("ex_emb")), 6).as("sim"))
     val w = Window.partitionBy("in_id").orderBy(desc("sim"), asc("ex_id"))
     scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .select(

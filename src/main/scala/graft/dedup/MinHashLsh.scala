@@ -80,7 +80,8 @@ object MinHashLsh {
     * path; O(n²) — small corpora only). */
   def exactJaccardPairs(df: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
     val sh = shingleSets(df, n)
-    sh.select(col("id").as("id_a"), col("sh").as("sha"))
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    sh.select(col("id").as("id_a"), col("sh").as("sha")).repartition(nPart)
       .join(sh.select(col("id").as("id_b"), col("sh").as("shb")),
         col("id_a") < col("id_b"))
       .withColumn("jaccard", round(

@@ -41,6 +41,15 @@ case class HashingEmbedder(dim: Int = 64) extends Embedder {
     df.withColumn("embedding", embeddingColumn(col(textCol)))
 }
 
+/** E2: batch re-embed — recompute the embedding column for the whole table
+  * and atomically swap (embed BEFORE any destructive replace,
+  * memory_engine.py:319-363, 2887-2971). */
+object Reembed {
+  def reembedAll(memories: org.apache.spark.sql.DataFrame, embedder: Embedder,
+                 targetPath: String): Long =
+    graft.sources.Store.save(embedder.embed(memories.drop("embedding")), targetPath)
+}
+
 object OracleEmbed {
   /** DuckDB expression mirroring [[HashingEmbedder.embeddingColumn]] as a
     * DOUBLE list (callers compare dot products, so float casting is not

@@ -21,8 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product of two float-array columns as Double (left-to-right fold). */
+  /** Dot product of two numeric-array columns as Double (left-to-right
+    * fold). Backed by the codegen'd [[graft.expressions.DotProductD]] —
+    * the `aggregate(zip_with(...))` formulation is CodegenFallback and
+    * dominates the quadratic similarity joins; widening casts keep the
+    * math double*double exactly as before (and as the DuckDB oracle). */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.DotProductD(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a.cast("array<double>")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b.cast("array<double>"))))
+
+  /** The HOF formulation kept for cross-checking the native expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

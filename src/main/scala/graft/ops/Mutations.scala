@@ -154,7 +154,8 @@ object Mutations {
     val olds = memories.join(newIds, Seq("id"), "left_anti")
       .select(col("id").as("to_id"), col("embedding").as("e_old"))
     val scored = news.join(olds, col("id") =!= col("to_id"))
-      .withColumn("sim", round(VectorFunctions.dot(col("e_new"), col("e_old")), 6))
+      .select(col("id"), col("to_id"),
+        round(VectorFunctions.dot(col("e_new"), col("e_old")), 6).as("sim"))
     val w = Window.partitionBy("id").orderBy(desc("sim"), asc("to_id"))
     scored.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= 2 && col("sim") >= minSim)

@@ -41,8 +41,12 @@ object BM25 {
   case class Stats(n: Long, avgdl: Double, avgIdf: Double)
 
   def stats(docs: DataFrame, tf: DataFrame, textCol: String = "text"): Stats = {
-    val n = docs.count()
-    val avgdl = docs.select(avg(size(tokens(col(textCol))))).head().getDouble(0)
+    // one scan for (N, avgdl), one aggregation over the term-freq table for
+    // the vocabulary mean idf
+    val row = docs.agg(
+      count(lit(1)).as("n"),
+      avg(size(tokens(col(textCol)))).as("avgdl")).head()
+    val (n, avgdl) = (row.getLong(0), row.getDouble(1))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val avgIdf = df
       .select(avg(log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))))

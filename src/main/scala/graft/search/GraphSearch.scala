@@ -87,6 +87,45 @@ object GraphSearch {
     cur.withColumnRenamed("score", "ppr")
   }
 
+  /** R11: contribution trace — for each traced node, the top-`maxVia` seeds
+    * explaining its PPR score via 1/2/3-hop paths with decay 1.0/0.5/0.25
+    * (memory_engine.py:55-82). Explain-only feature: expressed as self-joins
+    * on the edge list. Output (id, seed_id, contribution, via_rank). */
+  def traceContributors(edgesDf: DataFrame, seeds: DataFrame,
+                        tracedIds: DataFrame, maxVia: Int = 5): DataFrame = {
+    val e = edgesDf
+    val n1 = e.select(col("src").as("id"), col("dst").as("n1"))
+    val traced = tracedIds.select(col("id"))
+    val tn = traced.join(n1, "id") // neighbors of traced nodes
+    // seed neighbors
+    val sn = seeds.select(col("id").as("seed_id"), col("p"))
+      .join(n1.select(col("id").as("seed_id"), col("n1").as("sn1")), Seq("seed_id"), "left")
+    // 1-hop: seed is a direct neighbor
+    val hop1 = tn.join(seeds.select(col("id").as("n1"), col("id").as("seed_id"), col("p")), Seq("n1"))
+      .select(col("id"), col("seed_id"), col("p").as("contribution"), lit(1).as("hop"))
+    // 2-hop: shared neighbor between node and seed
+    val hop2 = tn.join(sn, col("n1") === col("sn1"))
+      .select(col("id"), col("seed_id"), (col("p") * 0.5).as("contribution"), lit(2).as("hop"))
+      .distinct()
+    // 3-hop: a neighbor of the node has a neighbor that neighbors the seed
+    val n2 = n1.select(col("n1").as("hop3_mid"), col("id").as("n1"))
+    val hop3 = tn
+      .join(n1.select(col("n1").as("n2"), col("id").as("n1")), Seq("n1"))
+      .join(sn, col("n2") === col("sn1"))
+      .select(col("id"), col("seed_id"), (col("p") * 0.25).as("contribution"), lit(3).as("hop"))
+      .distinct()
+    // shortest explaining path wins (the reference's if/elif ladder)
+    val best = hop1.unionByName(hop2).unionByName(hop3)
+      .filter(col("id") =!= col("seed_id"))
+      .groupBy("id", "seed_id")
+      .agg(min_by(col("contribution"), col("hop")).as("contribution"))
+      .withColumn("contribution", round(col("contribution"), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(desc("contribution"), asc("seed_id"))
+    best.withColumn("via_rank", row_number().over(w))
+      .filter(col("via_rank") <= maxVia)
+  }
+
   /** R10 candidate build + R12 reserved-slot merge, given the fused RRF pool
     * (memory_engine.py:1614-1723). Returns the final top-k with
     * id/source/category/rrf_score/base_rrf_score/match_type/graph_support. */

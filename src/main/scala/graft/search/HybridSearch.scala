@@ -83,9 +83,11 @@ object HybridSearch {
   /** Labeled per-signal RRF contributions: (id, signal, c) — the shared
     * core of [[rrfScores]] and the R14 explain variant. */
   def signalContribs(memories: DataFrame, feedback: Option[DataFrame], p: Params): DataFrame = {
-    val n = memories.count()
-    val k = math.min(math.min(p.k.toLong, n), 100L).toInt
-    val oversample = math.min(3L * k, n).toInt
+    // the reference clamps k/oversample by the corpus size
+    // (memory_engine.py:1751-1752); `limit` already returns fewer rows on a
+    // small corpus, so no count() job — at 100 TB a count is a full scan
+    val k = math.min(p.k, 100)
+    val oversample = 3 * k
     val w = Weights.resolve(p.vectorWeight, p.recencyWeight, p.feedbackWeight, p.confidenceWeight)
 
     // vector branch: filters (incl. temporal) + threshold applied in-branch

@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S1/S2/S7: table persistence, atomic swap, and snapshot retention
+  * (reference memory_engine.py:2643-2697 save/load + integrity check;
+  * 427-459, 654-681 timestamped backups with keep-N retention;
+  * qdrant_store.py:243-294 snapshot/restore).
+  *
+  * The reference persists one JSON array + a vector store; here state is
+  * parquet directories. Writes are write-new-then-swap (the E2 atomicity
+  * rule: embed/build BEFORE any destructive replace), snapshots are dated
+  * copies with retention, and integrity is a row-count invariant check.
+  */
+object Store {
+
+  /** Save with write-then-swap atomicity: write to `<path>.tmp`, verify
+    * readable + row count, then move into place. */
+  def save(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val tmp = path + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    val n = spark.read.parquet(tmp).count()
+    val target = Paths.get(path)
+    if (Files.exists(target)) deleteRecursive(path)
+    Files.move(Paths.get(tmp), target)
+    n
+  }
+
+  def load(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Integrity check (memory_engine.py:206-218): metadata row count must
+    * equal the vector count — here, rows with a non-null embedding. */
+  def integrityCheck(df: DataFrame): (Long, Long, Boolean) = {
+    val total = df.count()
+    val withVec = df.filter(org.apache.spark.sql.functions.col("embedding").isNotNull).count()
+    (total, withVec, total == withVec)
+  }
+
+  /** Timestamped snapshot under `<backupDir>/<prefix>_<stamp>`; keeps the
+    * newest `keep` snapshots with the prefix, deletes the rest. The stamp is
+    * an explicit argument (deterministic jobs; the caller provides a clock). */
+  def snapshot(df: DataFrame, backupDir: String, prefix: String, stamp: String,
+               keep: Int = 5): String = {
+    val dest = s"$backupDir/${prefix}_$stamp"
+    df.write.mode("overwrite").parquet(dest)
+    val dir = Paths.get(backupDir)
+    val old = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(prefix + "_"))
+      .toSeq.sortBy(_.getFileName.toString)(Ordering[String].reverse)
+      .drop(keep)
+    old.foreach(p => deleteRecursive(p.toString))
+    dest
+  }
+
+  def listSnapshots(backupDir: String, prefix: String): Seq[String] = {
+    val dir = Paths.get(backupDir)
+    if (!Files.exists(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith(prefix + "_"))
+      .toSeq.sorted
+  }
+
+  private def deleteRecursive(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+}
