@@ -43,6 +43,25 @@ object QueriesExt {
       EventStream.runningFeedbackNets(Corpus.searchFeedback(s, dir))
         .select(col("memoryId").as("memory_id"), col("net"), col("nEvents").as("n_events"))
         .orderBy("memory_id")),
+    "d8_smart_import" -> ((s, dir) => {
+      // incoming = odd-id rows re-identified, alternately stamped a year
+      // later/earlier (exercises add / replace / skip_older bands);
+      // existing = the even-id half, so best matches are genuine neighbors
+      val mem = Corpus.memories(s, dir)
+      val incoming = mem.filter(col("id") % 2 === 1)
+        .select((col("id") + 10000).as("id"), col("embedding"),
+          when(col("id") % 3 === 1, col("created_at") + expr("INTERVAL 365 DAYS"))
+            .otherwise(col("created_at") - expr("INTERVAL 365 DAYS")).as("created_at"))
+      val existing = mem.filter(col("id") % 2 === 0)
+      Dedup.smartImportActions(incoming, existing, skipThreshold = 0.95, addThreshold = 0.30)
+        .orderBy("id")
+    }),
+    "m5_merge_groups" -> ((s, dir) => {
+      val mem = Corpus.memories(s, dir)
+      val groups = mem.filter(col("id") % 33 === 0)
+        .select(col("id"), (col("id") / 100).cast("long").as("group_id"))
+      graft.ops.Mutations.mergeGroups(mem, groups, maxId = 100000L)
+    }),
     "r11_graph_via" -> ((s, dir) => {
       val mem = Corpus.memories(s, dir)
       val seeds = mem.filter(col("id") % 50 === 0)
@@ -153,6 +172,43 @@ object QueriesExt {
          |  round(list_sum(list_transform(range(1, 9), i -> feat[i] * i)), 6) AS checksum
          |FROM f ORDER BY media_id""".stripMargin
     },
+    "d8_smart_import" ->
+      s"""WITH ${OracleCtes.memories},
+         |inc AS MATERIALIZED (
+         |  SELECT id + 10000 AS id, embedding,
+         |    CASE WHEN id % 3 = 1 THEN created_at + INTERVAL 365 DAY
+         |         ELSE created_at - INTERVAL 365 DAY END AS in_ts
+         |  FROM memories WHERE id % 2 = 1),
+         |ex AS MATERIALIZED (
+         |  SELECT id AS ex_id, embedding, created_at AS ex_ts
+         |  FROM memories WHERE id % 2 = 0),
+         |sc AS (
+         |  SELECT i.id, i.in_ts, e.ex_id, e.ex_ts,
+         |    round(${OracleCtes.dot64("i.embedding", "e.embedding")}, 6) AS sim
+         |  FROM inc i JOIN ex e ON i.id <> e.ex_id),
+         |best AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, ex_id) AS rn
+         |    FROM sc) WHERE rn = 1)
+         |SELECT id, ex_id AS match_id, sim,
+         |  CASE WHEN sim >= 0.95 THEN 'skip'
+         |       WHEN sim < 0.3 THEN 'add'
+         |       WHEN in_ts > ex_ts THEN 'replace'
+         |       ELSE 'skip_older' END AS action
+         |FROM best ORDER BY id""".stripMargin,
+    "m5_merge_groups" ->
+      s"""WITH ${OracleCtes.memories},
+         |g AS (
+         |  SELECT id, CAST(floor(id / 100.0) AS BIGINT) AS group_id, text
+         |  FROM memories WHERE id % 33 = 0),
+         |m AS (
+         |  SELECT group_id, string_agg(text, ' | ' ORDER BY id) AS text,
+         |    list(id ORDER BY id) AS superseded
+         |  FROM g GROUP BY 1),
+         |m2 AS (SELECT *, 100000 + row_number() OVER (ORDER BY group_id) AS new_id FROM m)
+         |SELECT m2.new_id AS id, m2.text, u.s AS supersedes
+         |FROM m2, unnest(m2.superseded) AS u(s)
+         |ORDER BY 1, 3""".stripMargin,
     "r11_graph_via" ->
       s"""WITH ${OracleCtes.memories},
          |${OracleCtes.edges},

@@ -51,8 +51,11 @@ object Clusters {
     * majority-similarity, drop clusters below `minClusterSize`. `pairs` must
     * carry (id_a, id_b, similarity) from [[Dedup.findDuplicates]].
     * Output: (cluster, id) with cluster = min surviving member id. */
-  def similarClusters(pairs: DataFrame, threshold: Double,
+  def similarClusters(pairs0: DataFrame, threshold: Double,
                       minClusterSize: Int = 2): DataFrame = {
+    // the pair set feeds components, the sym lookup, AND the tighten count —
+    // materialize once instead of re-running the quadratic scoring join 3x
+    val pairs = pairs0.localCheckpoint()
     val comp = connectedComponents(pairs)
     val sized = comp.groupBy("component").agg(count(lit(1)).as("csize"))
     val members = comp.join(sized.filter(col("csize") >= minClusterSize), "component")

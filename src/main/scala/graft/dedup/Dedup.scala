@@ -23,26 +23,66 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** D2: near-duplicate pairs by embedding cosine — per-row top-`searchK`
+  /** Per-row top-`searchK` neighbors of `queries` against `corpus` by
+    * embedding cosine: (ia, ib, sim rounded 6), (sim desc, ib asc) order.
+    *
+    * Kernel shape: the corpus side is collected + broadcast once and each
+    * partition streams its query rows against it with a bounded top-k -- no
+    * joined rows ever materialize and nothing quadratic shuffles. (The
+    * declarative forms -- non-equi join + window, or + TopKScored aggregate --
+    * copy one UnsafeRow per PAIR before reducing.) This is the genuinely
+    * imperative per-partition kernel; rounding is BigDecimal HALF_UP,
+    * identical to Spark's round() and the DuckDB oracle. Beyond
+    * driver-broadcast scale the LSH/IVF candidate paths replace the exact
+    * scan ([[MinHashLsh]], [[graft.ann.Ann]]).
+    */
+  def topNeighbors(queries: DataFrame, corpus: DataFrame, searchK: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val side = corpus.select("id", "embedding").as[(Long, Array[Float])].collect()
+    val bc = spark.sparkContext.broadcast(side)
+    queries.select("id", "embedding").as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val arr = bc.value
+        it.flatMap { case (ia, ea) =>
+          val topS = new Array[Double](searchK)
+          val topI = new Array[Long](searchK)
+          var size = 0
+          var j = 0
+          while (j < arr.length) {
+            val (ib, eb) = arr(j)
+            if (ib != ia) {
+              var s = 0.0
+              val n = math.min(ea.length, eb.length)
+              var d = 0
+              while (d < n) { s += ea(d).toDouble * eb(d).toDouble; d += 1 }
+              s = java.math.BigDecimal.valueOf(s)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              if (size < searchK || s > topS(size - 1) ||
+                  (s == topS(size - 1) && ib < topI(size - 1))) {
+                var pos = if (size < searchK) size else searchK - 1
+                while (pos > 0 && (s > topS(pos - 1) ||
+                    (s == topS(pos - 1) && ib < topI(pos - 1)))) {
+                  topS(pos) = topS(pos - 1); topI(pos) = topI(pos - 1); pos -= 1
+                }
+                topS(pos) = s; topI(pos) = ib
+                if (size < searchK) size += 1
+              }
+            }
+            j += 1
+          }
+          (0 until size).map(i => (ia, topI(i), topS(i)))
+        }
+      }
+      .toDF("ia", "ib", "sim")
+  }
+
+  /** D2: near-duplicate pairs by embedding cosine -- per-row top-`searchK`
     * neighbors, threshold, deduped unordered pair key, sim rounded to 4
     * (memory_engine.py:2199-2237). Output: (id_a, id_b, similarity) with
     * id_a < id_b, sorted by similarity desc. */
-  def findDuplicates(df: DataFrame, threshold: Double = 0.90, searchK: Int = 5): DataFrame = {
-    // the non-equi self-join plans as a broadcast nested loop whose
-    // parallelism is the STREAM side's partitioning — a single parquet
-    // footer would run the whole O(n²) scoring on one core
-    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    val a = df.select(col("id").as("ia"), col("embedding").as("ea")).repartition(nPart)
-    val b = df.select(col("id").as("ib"), col("embedding").as("eb"))
-    // O(n²) scored join; at scale swap in an LSH candidate set before scoring
-    // rounded before ranking so neighbor order is reproducible cross-engine;
-    // project the embeddings away BEFORE the rank shuffle — at n=10⁵+ the
-    // pair stream is quadratic and must stay narrow (ids + one double)
-    val scored = a.join(b, col("ia") =!= col("ib"))
-      .select(col("ia"), col("ib"), round(dot(col("ea"), col("eb")), 6).as("sim"))
-    val w = Window.partitionBy("ia").orderBy(desc("sim"), asc("ib"))
-    scored
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= searchK)
+  def findDuplicates(df: DataFrame, threshold: Double = 0.90, searchK: Int = 5): DataFrame =
+    topNeighbors(df, df, searchK)
       .filter(col("sim") >= threshold)
       .select(
         least(col("ia"), col("ib")).as("id_a"),
@@ -50,7 +90,6 @@ object Dedup {
         round(col("sim"), 4).as("similarity"))
       .dropDuplicates("id_a", "id_b")
       .orderBy(desc("similarity"), asc("id_a"), asc("id_b"))
-  }
 
   /** D3: dedup execution — remove the higher id of each duplicate pair,
     * keeping the earliest entry (memory_engine.py:2239-2272). Returns
@@ -67,20 +106,16 @@ object Dedup {
   def smartImportActions(incoming: DataFrame, existing: DataFrame,
                          skipThreshold: Double = 0.95,
                          addThreshold: Double = 0.80): DataFrame = {
-    val inc = incoming.select(col("id").as("in_id"), col("embedding").as("in_emb"),
-      col("created_at").as("in_ts"))
-    val ex = existing.select(col("id").as("ex_id"), col("embedding").as("ex_emb"),
-      col("created_at").as("ex_ts"))
-    val scored = inc.join(ex, col("in_id") =!= col("ex_id"))
-      .select(col("in_id"), col("ex_id"), col("in_ts"), col("ex_ts"),
-        round(dot(col("in_emb"), col("ex_emb")), 6).as("sim"))
-    val w = Window.partitionBy("in_id").orderBy(desc("sim"), asc("ex_id"))
-    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+    val best = topNeighbors(incoming, existing, searchK = 1)
+    best
+      .join(incoming.select(col("id").as("ia"), col("created_at").as("in_ts")), "ia")
+      .join(existing.select(col("id").as("ib"), col("created_at").as("ex_ts")), "ib")
       .select(
-        col("in_id").as("id"), col("ex_id").as("match_id"), col("sim"),
+        col("ia").as("id"), col("ib").as("match_id"), col("sim"),
         when(col("sim") >= skipThreshold, "skip")
           .when(col("sim") < addThreshold, "add")
           .when(col("in_ts") > col("ex_ts"), "replace")
           .otherwise("skip_older").as("action"))
   }
+
 }

@@ -25,17 +25,13 @@ trait Embedder {
   * Pure column expressions: codegen-friendly and DuckDB-reproducible. */
 case class HashingEmbedder(dim: Int = 64) extends Embedder {
 
-  def embeddingColumn(text: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(text), t => TextFunctions.polyHash(t))
-    // raw[i] = sum over tokens with bucket i of sign; sign = +1 if (h/dim) even
-    val raw = transform(sequence(lit(0), lit(dim - 1)), i =>
-      aggregate(hashes, lit(0.0), (acc, h) =>
-        acc + when(pmod(h, lit(dim)) === i,
-          when(pmod(floor(h / lit(dim)), lit(2)) === 0, 1.0).otherwise(-1.0)).otherwise(0.0)))
-    val norm = sqrt(aggregate(raw, lit(0.0), (a, x) => a + x * x))
-    when(norm > 0, transform(raw, x => (x / norm).cast("float")))
-      .otherwise(transform(raw, x => lit(0.0f)))
-  }
+  /** bucket = polyHash(token) % dim; sign from (hash/dim) parity; tf-summed
+    * then L2-normalized. Backed by the one-pass codegen'd
+    * [[graft.expressions.HashEmbed]] kernel. */
+  def embeddingColumn(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.HashEmbed(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), dim))
 
   def embed(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("embedding", embeddingColumn(col(textCol)))

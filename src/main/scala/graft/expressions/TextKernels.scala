@@ -1,0 +1,135 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd text kernels. The column-expression formulations
+  * (split→transform→aggregate chains) are CodegenFallback in Spark — every
+  * row pays interpreted eval plus per-character UTF8String substring
+  * allocations, which dominated the sf0.1 benchmarks for the
+  * MinHash/SimHash/winnowing/embedding paths. Each kernel reproduces its
+  * HOF formulation bit-for-bit (same char-codepoint fold, same token split,
+  * same accumulation order), so the DuckDB oracles are unchanged.
+  */
+object TextKernels {
+
+  val P: Long = 1000000007L
+  val Mul: Long = 31L
+
+  /** Rolling hash of a string: fold codepoints, (acc*31 + cp) % P.
+    * Equivalent to aggregate(split(s,''), 0, (acc,c) => (acc*31+ascii(c))%P). */
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * Mul + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Lowercased whitespace tokens, empties dropped — TextFunctions.tokens. */
+  def tokenize(s: UTF8String): Array[String] =
+    s.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+
+  /** Hashes of word n-gram shingles (space-joined token windows); empty
+    * array when fewer than n tokens. Matches TextFunctions.shingleHashes. */
+  def shingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(s)
+    val count = toks.length - (n - 1)
+    if (count <= 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) acc = (acc * Mul + ' '.toInt) % P
+        val t = toks(i + j)
+        var k = 0
+        val len = t.length
+        while (k < len) {
+          val cp = t.codePointAt(k)
+          acc = (acc * Mul + cp) % P
+          k += Character.charCount(cp)
+        }
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Signed-feature-hashing embedding: bucket = hash % dim, sign from
+    * (hash/dim) parity, L2-normalized floats. Matches
+    * HashingEmbedder.embeddingColumn. */
+  def hashEmbed(s: UTF8String, dim: Int): ArrayData = {
+    val raw = new Array[Double](dim)
+    val toks = tokenize(s)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var acc = 0L
+      var k = 0
+      while (k < t.length) {
+        val cp = t.codePointAt(k)
+        acc = (acc * Mul + cp) % P
+        k += Character.charCount(cp)
+      }
+      val bucket = (acc % dim).toInt
+      raw(bucket) += (if ((acc / dim) % 2 == 0) 1.0 else -1.0)
+      i += 1
+    }
+    var ss = 0.0
+    var d = 0
+    while (d < dim) { ss += raw(d) * raw(d); d += 1 }
+    val norm = math.sqrt(ss)
+    val out = new Array[Float](dim)
+    d = 0
+    while (d < dim) {
+      out(d) = if (norm > 0) (raw(d) / norm).toFloat else 0.0f
+      d += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.polyHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.polyHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class HashEmbed(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "hash_embed"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.hashEmbed(input.asInstanceOf[UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.hashEmbed($c, $dim)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

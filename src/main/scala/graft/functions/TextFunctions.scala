@@ -30,12 +30,13 @@ object TextFunctions {
     * fold(chars, 0, (acc, c) => (acc*31 + codepoint(c)) % (1e9+7)).
     * DuckDB-equivalent: list_reduce(list_prepend(0, list_transform(
     *   string_split(s, ''), c -> ascii(c))), (acc, x) -> (acc*31+x) % 1000000007).
+    * Backed by the codegen'd [[graft.expressions.PolyHash]] kernel (the
+    * split/aggregate formulation is interpreted per character).
     */
   def polyHash(s: Column): Column =
-    aggregate(
-      split(s, ""),
-      lit(0L),
-      (acc, c) => (acc * HashMul + ascii(c)) % HashMod)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.PolyHash(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(s)))
 
   /** Word n-gram shingles: array of space-joined n-token windows.
     * Returns an empty array when the document has fewer than n tokens. */
@@ -48,7 +49,11 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Hashes of word n-gram shingles (distinct not applied here). */
+  /** Hashes of word n-gram shingles (distinct not applied here). Native
+    * one-pass kernel: tokenize + window + rolling hash without the
+    * intermediate shingle strings ([[graft.expressions.ShingleHashes]]). */
   def shingleHashes(text: Column, n: Int): Column =
-    transform(shingles(text, n), s => polyHash(s))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.ShingleHashes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), n))
 }

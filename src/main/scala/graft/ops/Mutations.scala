@@ -71,6 +71,26 @@ object Mutations {
       lit(true).as("is_latest"))
   }
 
+  /** M5: merge N→1 — one new row per group with the members' texts joined
+    * (ordered by member id), a `supersedes` link to every old row, olds
+    * archived (memory_engine.py:743-764; app.py:3291). Output: one row per
+    * (merged row, superseded member). */
+  def mergeGroups(memories: DataFrame, groups: DataFrame, maxId: Long): DataFrame = {
+    val members = memories.join(groups, "id")
+    val merged = members
+      .groupBy("group_id")
+      .agg(
+        concat_ws(" | ",
+          transform(array_sort(collect_list(struct(col("id"), col("text")))),
+            x => x.getField("text"))).as("text"),
+        array_sort(collect_list(col("id"))).as("superseded"))
+      .withColumn("new_id",
+        lit(maxId) + row_number().over(Window.orderBy("group_id")))
+    merged.select(col("new_id").as("id"), col("text"),
+        explode(col("superseded")).as("supersedes"))
+      .orderBy("id", "supersedes")
+  }
+
   /** M6: delete by source prefix — pinned rows are immune to pattern deletes
     * (memory_engine.py:864-918). Output: surviving state. */
   def deleteByPrefix(memories: DataFrame, prefix: String): DataFrame =

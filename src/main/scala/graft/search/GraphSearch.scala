@@ -9,11 +9,11 @@ import graft.functions.VectorFunctions.roundScore
   * `related_to` link graph (reference memory_engine.py:1490-1723).
   *
   * Spark shape: edges are an exploded DataFrame; each PPR iteration is one
-  * join+aggregate (propagation) unioned with a teleport/dangling term — a
-  * fixed 3-iteration loop, so lineage stays shallow and no checkpointing is
-  * needed. The only driver-side values are single-row aggregates (dangling
-  * mass, max scores, a branch count), which is the same pattern AQE itself
-  * uses; the per-node state never leaves the cluster.
+  * join+aggregate (propagation) unioned with a teleport/dangling term, with
+  * an eager `localCheckpoint` per round to keep the iterated plan flat. The
+  * only driver-side values are single-row aggregates (dangling mass, max
+  * scores, a branch count), which is the same pattern AQE itself uses; the
+  * per-node state never leaves the cluster.
   *
   * Constants (memory_engine.py:44-52): alpha=0.85, 3 iterations, relative
   * cutoff 0.05, 2 reserved graph-only slots, support/inject capped at

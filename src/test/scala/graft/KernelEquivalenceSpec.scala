@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.embed.HashingEmbedder
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** The native codegen kernels must be bit-identical to the declarative
+  * higher-order-function formulations they replaced (which the DuckDB
+  * oracles mirror). Checked over the real sf0.001 corpus. */
+class KernelEquivalenceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf()).limit(200)
+
+  // the original HOF formulations, kept here as the specification
+  private def hofPolyHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L),
+      (acc, c) => (acc * TextFunctions.HashMul + ascii(c)) % TextFunctions.HashMod)
+
+  private def hofShingleHashes(text: Column, n: Int): Column =
+    transform(TextFunctions.shingles(text, n), s => hofPolyHash(s))
+
+  private def hofEmbed(text: Column, dim: Int): Column = {
+    val hashes = transform(TextFunctions.tokens(text), t => hofPolyHash(t))
+    val raw = transform(sequence(lit(0), lit(dim - 1)), i =>
+      aggregate(hashes, lit(0.0), (acc, h) =>
+        acc + when(pmod(h, lit(dim)) === i,
+          when(pmod(floor(h / lit(dim)), lit(2)) === 0, 1.0).otherwise(-1.0)).otherwise(0.0)))
+    val norm = sqrt(aggregate(raw, lit(0.0), (a, x) => a + x * x))
+    when(norm > 0, transform(raw, x => (x / norm).cast("float")))
+      .otherwise(transform(raw, x => lit(0.0f)))
+  }
+
+  test("native polyHash == HOF polyHash") {
+    val diff = docs.select(
+        TextFunctions.polyHash(col("text")).as("a"), hofPolyHash(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("native shingleHashes == HOF shingleHashes") {
+    val diff = docs.select(
+        TextFunctions.shingleHashes(col("text"), 3).as("a"),
+        hofShingleHashes(col("text"), 3).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("native hashEmbed == HOF embedding column") {
+    val diff = docs.select(
+        HashingEmbedder(64).embeddingColumn(col("text")).as("a"),
+        hofEmbed(col("text"), 64).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("native dot == HOF dot on real embeddings") {
+    val e = Tables.embeddings(spark, sf()).limit(100)
+    val pairs = e.select(col("embedding").as("x"))
+      .crossJoin(e.select(col("embedding").as("y")).limit(10))
+    val diff = pairs.select(
+        VectorFunctions.dot(col("x"), col("y")).as("a"),
+        VectorFunctions.dotHof(col("x"), col("y")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("retrieval plan quality: pushdown + top-k, codegen'd dot") {
+    val mem = graft.core.Corpus.memories(spark, sf())
+    val qv = Queries.queryVec(spark, sf())
+    val plan = graft.search.VectorSearch
+      .topK(mem, qv, 10, sourcePrefix = Some("src1"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k plan:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(source), StringStartsWith(source,src1)"),
+      s"source filter not pushed to parquet:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("CodegenFallback"))
+  }
+}
