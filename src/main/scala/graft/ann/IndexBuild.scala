@@ -1,0 +1,61 @@
+package graft.ann
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch vector-index builds via MLlib — the cluster-scale alternative to
+  * the deterministic label-centroid IVF in [[Ann]] (BASELINE.json
+  * north-star: "Batch vector index build via MLlib/DataFrame; online ANN
+  * serving not Spark").
+  *
+  * Both builders are write-time jobs: they produce (row → cell) assignments
+  * and centroid tables that get persisted partitioned-by-cell, so query-time
+  * probes prune at the file level. Fixed seeds keep runs reproducible for a
+  * fixed input partitioning; they are not SQL-oracle-able (MLlib internals),
+  * so their correctness gates are invariant specs, not hash compares.
+  */
+object IndexBuild {
+
+  /** K-means IVF build: returns (assignments with `ivf_cell`, centroids).
+    * The trained centers replace [[Ann.centroidsByLabel]]'s fixture
+    * centroids; probing reuses [[Ann.ivfTopK]] unchanged. */
+  def kmeansIvf(df: DataFrame, nlist: Int, seed: Long = 42L,
+                maxIter: Int = 20): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val feat = df.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").setPredictionCol("ivf_cell")
+      .fit(feat)
+    val assigned = model.transform(feat).drop("features")
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("label", "centroid")
+    (assigned, centroids)
+  }
+
+  /** Random-hyperplane LSH near-dup join over the embedding column —
+    * MLlib's BucketedRandomProjectionLSH `approxSimilarityJoin`. Returns
+    * (id_a, id_b, dist) with id_a < id_b; `maxL2Dist` relates to cosine via
+    * d² = 2(1-cos) for unit vectors. */
+  def lshNearDuplicates(df: DataFrame, maxL2Dist: Double,
+                        numHashTables: Int = 4, bucketLength: Double = 1.0,
+                        seed: Long = 42L): DataFrame = {
+    val feat = df.select(col("id"), array_to_vector(col("embedding")).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
+      .setInputCol("features").setOutputCol("hashes")
+    val model = lsh.fit(feat)
+    model.approxSimilarityJoin(feat, feat, maxL2Dist, "dist")
+      .select(
+        col("datasetA.id").as("ida"), col("datasetB.id").as("idb"),
+        round(col("dist"), 6).as("dist"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("id_a"), col("idb").as("id_b"), col("dist"))
+  }
+}
