@@ -76,6 +76,14 @@ object QueriesExt {
       HybridSearch.batchSearch(
         Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)), Seq(p0, p1))
     }),
+    // MLlib BRP-LSH approx join — no SQL oracle (MLlib internals); the
+    // driver records a rows-only check, invariants live in AnnSpec
+    "ann_lsh_brp_pairs" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      graft.ann.IndexBuild.lshNearDuplicates(emb, maxL2Dist = 1.2)
+        .orderBy("id_a", "id_b")
+    }),
     // stateful per-document fold — no SQL oracle; driver records rows>0
     "s3_chunk_markdown" -> ((s, dir) => {
       val mds = Tables.documents(s, dir)

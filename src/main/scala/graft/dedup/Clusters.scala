@@ -32,11 +32,19 @@ object Clusters {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
+      // (1) min-label propagation over edges
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("component").as("ncomp"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val prop = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
+      // (2) pointer jumping: component := component(component) — path halving
+      // turns O(diameter) convergence into O(log diameter)
+      val next = prop.as("a")
+        .join(prop.select(col("id").as("cid"), col("component").as("ccomp")).as("b"),
+          col("a.component") === col("b.cid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.component"), coalesce(col("ccomp"), col("a.component"))).as("component"))
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).limit(1).count()
