@@ -35,11 +35,15 @@ object Corpus {
   /** Seconds between consecutive memory creation times (7 hours). */
   val StepSeconds: Long = 7L * 3600
 
+  // fixture tables are immutable per sfDir — memoize the cardinalities so
+  // rebuilding the corpus frame doesn't re-run count jobs per query
+  private val countCache = scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
   def nDocs(spark: SparkSession, sfDir: String): Long =
-    Tables.documents(spark, sfDir).count()
+    countCache.getOrElseUpdate(("docs", sfDir), Tables.documents(spark, sfDir).count())
 
   def nVecs(spark: SparkSession, sfDir: String): Long =
-    Tables.embeddings(spark, sfDir).count()
+    countCache.getOrElseUpdate(("vecs", sfDir), Tables.embeddings(spark, sfDir).count())
 
   /** The memories table: one row per document, embedding attached.
     *
