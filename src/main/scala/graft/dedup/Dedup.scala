@@ -43,21 +43,37 @@ object Dedup {
     val bc = spark.sparkContext.broadcast(side)
     queries.select("id", "embedding").as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val arr = bc.value
+        // flatten the broadcast side once per partition: primitive id/float
+        // arrays beat an array of tuples for cache locality on the n*m scan
+        val sideArr = bc.value
+        val m = sideArr.length
+        val dim = if (m > 0) sideArr(0)._2.length else 0
+        val ids = new Array[Long](m)
+        val flat = new Array[Float](m * dim)
+        var x = 0
+        while (x < m) {
+          ids(x) = sideArr(x)._1
+          System.arraycopy(sideArr(x)._2, 0, flat, x * dim, dim)
+          x += 1
+        }
+        // half-away-from-zero at 6 dp — same fast double path DuckDB's
+        // round() uses (cross-checked by the oracle hash compare)
+        def round6(v: Double): Double =
+          if (v >= 0) math.floor(v * 1e6 + 0.5) / 1e6
+          else -math.floor(-v * 1e6 + 0.5) / 1e6
         it.flatMap { case (ia, ea) =>
           val topS = new Array[Double](searchK)
           val topI = new Array[Long](searchK)
           var size = 0
           var j = 0
-          while (j < arr.length) {
-            val (ib, eb) = arr(j)
+          while (j < m) {
+            val ib = ids(j)
             if (ib != ia) {
               var s = 0.0
-              val n = math.min(ea.length, eb.length)
+              val base = j * dim
               var d = 0
-              while (d < n) { s += ea(d).toDouble * eb(d).toDouble; d += 1 }
-              s = java.math.BigDecimal.valueOf(s)
-                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              while (d < dim) { s += ea(d).toDouble * flat(base + d); d += 1 }
+              s = round6(s)
               if (size < searchK || s > topS(size - 1) ||
                   (s == topS(size - 1) && ib < topI(size - 1))) {
                 var pos = if (size < searchK) size else searchK - 1
