@@ -152,6 +152,20 @@ object Queries {
       Dedup.dedupExact(docs(s, dir)).select("id").orderBy("id")),
     "d2_neardup_cosine" -> ((s, dir) =>
       Dedup.findDuplicates(Corpus.memories(s, dir), threshold = 0.35)),
+    "d2_neardup_lsh" -> ((s, dir) => {
+      // the 100 TB candidate path: LSH-bucketed candidates + exact verify,
+      // same output contract as d2_neardup_cosine (recall limited to pairs
+      // sharing a hyperplane-LSH band bucket)
+      val mem = Corpus.memories(s, dir)
+      Dedup.topNeighborsLsh(mem, mem, searchK = 5)
+        .filter(col("sim") >= 0.35)
+        .select(
+          least(col("ia"), col("ib")).as("id_a"),
+          greatest(col("ia"), col("ib")).as("id_b"),
+          round(col("sim"), 4).as("similarity"))
+        .dropDuplicates("id_a", "id_b")
+        .orderBy(desc("similarity"), asc("id_a"), asc("id_b"))
+    }),
     "d3_dedup_survivors" -> ((s, dir) =>
       Dedup.deduplicate(Corpus.memories(s, dir), threshold = 0.35)
         .select("id").orderBy("id")),
@@ -210,6 +224,40 @@ object Queries {
       s"""WITH ${OracleCtes.memories},
          |${OracleText.dupPairsCte(0.35)}
          |SELECT id_a, id_b, similarity FROM pr
+         |ORDER BY similarity DESC, id_a, id_b""".stripMargin,
+    "d2_neardup_lsh" ->
+      s"""WITH ${OracleCtes.memories},
+         |sbit AS MATERIALIZED (
+         |  SELECT m.id, t.j,
+         |    CASE WHEN list_sum(list_transform(range(1, 65), d ->
+         |      CAST(m.embedding[d] AS DOUBLE) *
+         |      (CAST(((1103515245 * (t.j * 64 + d - 1) + 12345) % 2001) - 1000 AS DOUBLE) / 1000.0))) >= 0
+         |      THEN 1 ELSE 0 END AS bit
+         |  FROM memories m, range(0, 16) t(j)
+         |),
+         |bkey AS MATERIALIZED (
+         |  SELECT id, j // 8 AS band, CAST(sum(bit * (1 << (j % 8))) AS BIGINT) AS key
+         |  FROM sbit GROUP BY 1, 2
+         |),
+         |bsz AS (SELECT band, key, count(*) AS cnt FROM bkey GROUP BY 1, 2),
+         |bok AS MATERIALIZED (
+         |  SELECT k.id, k.band, k.key FROM bkey k JOIN bsz z USING (band, key)
+         |  WHERE z.cnt <= 10000),
+         |lcp AS MATERIALIZED (
+         |  SELECT a.id AS ia, b.id AS ib
+         |  FROM bok a JOIN bok b ON a.band = b.band AND a.key = b.key AND a.id <> b.id
+         |  GROUP BY 1, 2
+         |),
+         |sims AS MATERIALIZED (
+         |  SELECT p.ia, p.ib, round(${OracleCtes.dot64("x.embedding", "y.embedding")}, 6) AS sim
+         |  FROM lcp p JOIN memories x ON x.id = p.ia JOIN memories y ON y.id = p.ib
+         |),
+         |tk AS (
+         |  SELECT ia, ib, sim FROM (
+         |    SELECT ia, ib, sim, row_number() OVER (PARTITION BY ia ORDER BY sim DESC, ib) AS rn
+         |    FROM sims) WHERE rn <= 5)
+         |SELECT DISTINCT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, round(sim, 4) AS similarity
+         |FROM tk WHERE sim >= 0.35
          |ORDER BY similarity DESC, id_a, id_b""".stripMargin,
     "d3_dedup_survivors" ->
       s"""WITH ${OracleCtes.memories},

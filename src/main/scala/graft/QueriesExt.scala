@@ -262,7 +262,7 @@ object QueriesExt {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sf_feedback_nets" ->
       s"""WITH ${OracleCtes.searchFeedback}
-         |SELECT memory_id, sum(CASE WHEN signal = 'useful' THEN 1 ELSE -1 END) AS net,
+         |SELECT memory_id, CAST(sum(CASE WHEN signal = 'useful' THEN 1 ELSE -1 END) AS BIGINT) AS net,
          |  count(*) AS n_events
          |FROM search_feedback GROUP BY 1 ORDER BY 1""".stripMargin
   )

@@ -117,13 +117,13 @@ object QueriesOps {
          |${OracleCtes.searchFeedback},
          |r AS (
          |  SELECT count(*) AS total_retrievals, count(DISTINCT memory_id) AS distinct_memories,
-         |    sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) AS top3,
+         |    CAST(sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS top3,
          |    count(DISTINCT query) AS distinct_queries
          |  FROM retrieval_log
          |  WHERE ts BETWEEN TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2026-01-01 00:00:00'),
          |f AS (
-         |  SELECT sum(CASE WHEN signal = 'useful' THEN 1 ELSE 0 END) AS useful,
-         |    sum(CASE WHEN signal = 'not_useful' THEN 1 ELSE 0 END) AS not_useful
+         |  SELECT CAST(sum(CASE WHEN signal = 'useful' THEN 1 ELSE 0 END) AS BIGINT) AS useful,
+         |    CAST(sum(CASE WHEN signal = 'not_useful' THEN 1 ELSE 0 END) AS BIGINT) AS not_useful
          |  FROM search_feedback
          |  WHERE ts BETWEEN TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2026-01-01 00:00:00')
          |SELECT r.*, f.*,
@@ -133,7 +133,7 @@ object QueriesOps {
     "a3_problem_queries" ->
       s"""WITH ${OracleCtes.searchFeedback}
          |SELECT query, count(*) AS n_feedback,
-         |  sum(CASE WHEN signal = 'not_useful' THEN 1 ELSE 0 END) AS not_useful
+         |  CAST(sum(CASE WHEN signal = 'not_useful' THEN 1 ELSE 0 END) AS BIGINT) AS not_useful
          |FROM search_feedback GROUP BY 1
          |HAVING count(*) >= 2 AND CAST(not_useful AS DOUBLE) / count(*) >= 0.5
          |ORDER BY not_useful DESC, query LIMIT 20""".stripMargin,
@@ -149,19 +149,20 @@ object QueriesOps {
          |WHERE r.retrievals >= 3 AND f.useful = 0 ORDER BY memory_id""".stripMargin,
     "a5_graph_stats" ->
       """SELECT count(*) AS total_searches,
-        |  sum(CASE WHEN graph_weight > 0 THEN 1 ELSE 0 END) AS graph_activated,
-        |  sum(CASE WHEN graph_count > 0 THEN 1 ELSE 0 END) AS with_graph_results,
-        |  sum(direct_count) AS direct_results,
-        |  sum(graph_count) AS graph_results
+        |  CAST(sum(CASE WHEN graph_weight > 0 THEN 1 ELSE 0 END) AS BIGINT) AS graph_activated,
+        |  CAST(sum(CASE WHEN graph_count > 0 THEN 1 ELSE 0 END) AS BIGINT) AS with_graph_results,
+        |  CAST(sum(direct_count) AS BIGINT) AS direct_results,
+        |  CAST(sum(graph_count) AS BIGINT) AS graph_results
         |FROM (
         |  SELECT CASE WHEN event_id % 4 = 0 THEN 0.0 ELSE 0.1 END AS graph_weight,
         |    CAST(event_id % 5 AS INT) AS direct_count,
         |    CAST(event_id % 3 AS INT) AS graph_count
         |  FROM events WHERE event_type = 'purchase')""".stripMargin,
     "a6_extraction_quality" ->
-      """SELECT model, count(*) AS jobs, sum(stored) AS stored, sum(updated) AS updated,
-        |  sum(deleted) AS deleted, sum(fallback) AS fallbacks,
-        |  sum(tokens) AS total_tokens, round(avg(tokens), 4) AS avg_tokens
+      """SELECT model, count(*) AS jobs, CAST(sum(stored) AS BIGINT) AS stored,
+        |  CAST(sum(updated) AS BIGINT) AS updated,
+        |  CAST(sum(deleted) AS BIGINT) AS deleted, CAST(sum(fallback) AS BIGINT) AS fallbacks,
+        |  CAST(sum(tokens) AS BIGINT) AS total_tokens, round(avg(tokens), 4) AS avg_tokens
         |FROM (
         |  SELECT 'm' || CAST(user_id % 3 AS VARCHAR) AS model,
         |    CAST(event_id % 4 AS INT) AS stored, CAST(event_id % 3 AS INT) AS updated,
@@ -180,8 +181,8 @@ object QueriesOps {
     "a8_stats" ->
       s"""WITH ${OracleCtes.memories}
          |SELECT count(*) AS total,
-         |  sum(CASE WHEN archived THEN 1 ELSE 0 END) AS archived,
-         |  sum(CASE WHEN pinned THEN 1 ELSE 0 END) AS pinned,
+         |  CAST(sum(CASE WHEN archived THEN 1 ELSE 0 END) AS BIGINT) AS archived,
+         |  CAST(sum(CASE WHEN pinned THEN 1 ELSE 0 END) AS BIGINT) AS pinned,
          |  count(DISTINCT source) AS sources,
          |  max(len(embedding)) AS dim
          |FROM memories""".stripMargin,
@@ -223,8 +224,8 @@ object QueriesOps {
     "o6_counts" ->
       s"""WITH ${OracleCtes.memories}
          |SELECT count(*) AS total,
-         |  sum(CASE WHEN source LIKE 'src1%' THEN 1 ELSE 0 END) AS with_prefix,
-         |  sum(CASE WHEN NOT archived THEN 1 ELSE 0 END) AS visible
+         |  CAST(sum(CASE WHEN source LIKE 'src1%' THEN 1 ELSE 0 END) AS BIGINT) AS with_prefix,
+         |  CAST(sum(CASE WHEN NOT archived THEN 1 ELSE 0 END) AS BIGINT) AS visible
          |FROM memories""".stripMargin,
     "m1_add_memories" ->
       s"""SELECT $MaxId + row_number() OVER (ORDER BY text || ' (new)', 'inbox/new') AS id,
@@ -287,7 +288,7 @@ object QueriesOps {
          |  WHERE rn = 1)
          |SELECT id, source_prefix AS policy_prefix,
          |  CASE WHEN (epoch($NowSql) - epoch(created_at)) / 86400.0 > ttl_days THEN 'archive_ttl'
-         |       WHEN power(0.5, (epoch($NowSql) - epoch(coalesce(last_reinforced_at, updated_at, created_at))) / 86400.0 / confidence_half_life_days) < confidence_threshold
+         |       WHEN power(0.5, greatest((epoch($NowSql) - epoch(coalesce(last_reinforced_at, updated_at, created_at))) / 86400.0, 0.0) / confidence_half_life_days) < confidence_threshold
          |            AND (epoch($NowSql) - epoch(created_at)) / 86400.0 > min_age_days
          |         THEN 'archive_low_confidence'
          |       ELSE 'keep' END AS action

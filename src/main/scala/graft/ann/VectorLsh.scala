@@ -1,0 +1,76 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Sign-random-projection (hyperplane) LSH over dense embedding columns —
+  * the candidate generator that replaces the exact all-pairs/broadcast scan
+  * above driver-broadcast scale (Charikar '02 SimHash for cosine).
+  *
+  * Planes are DETERMINISTIC: component c(j,d) is a fixed LCG-style integer
+  * formula mapped to [-1, 1], so the same buckets are computable in plain
+  * SQL (the DuckDB oracle) and on any engine — no RNG state to ship.
+  * 16 planes in 2 bands of 8 bits: two rows collide when all 8 sign bits of
+  * either band agree, so the candidate join is a pair of equi-joins on
+  * (band, key) — bucketed, never quadratic. Skewed buckets (dense clusters)
+  * are bounded by `maxBucket` like [[graft.dedup.MinHashLsh]].
+  */
+object VectorLsh {
+
+  val NumPlanes = 16
+  val NumBands = 2
+  val BitsPerBand: Int = NumPlanes / NumBands
+
+  /** Deterministic pseudo-random plane component in [-1, 1]:
+    * ((1103515245·(j·dim+d) + 12345) mod 2001 − 1000) / 1000. */
+  def planeComponent(j: Int, d: Int, dim: Int): Double =
+    (((1103515245L * (j.toLong * dim + d) + 12345L) % 2001L) - 1000L) / 1000.0
+
+  /** One band-key row per (row, band): input columns + (band, key). */
+  def withBandKeys(df: DataFrame, dim: Int): DataFrame = {
+    val bits: Seq[Column] = (0 until NumPlanes).map { j =>
+      val plane = typedLit((0 until dim).map(d => planeComponent(j, d, dim)))
+      when(VectorFunctions.dot(col("embedding"), plane) >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    val keys = (0 until NumBands).map { b =>
+      (0 until BitsPerBand).map(i => bits(b * BitsPerBand + i) * lit(1L << i))
+        .reduce(_ + _)
+    }
+    df.select(col("*"), posexplode(array(keys: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+  }
+
+  /** Candidate pairs (id_a < id_b) sharing an LSH band bucket; buckets above
+    * `maxBucket` rows are dropped (skew guard). */
+  def candidatePairs(df: DataFrame, dim: Int, maxBucket: Int = 10000): DataFrame = {
+    val keyed = withBandKeys(df.select("id", "embedding"), dim)
+    val sized = keyed.groupBy("band", "key").agg(count(lit(1)).as("cnt"))
+    val ok = keyed.join(sized.filter(col("cnt") <= maxBucket), Seq("band", "key"))
+      .select("id", "embedding", "band", "key")
+    ok.as("a").join(ok.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.embedding").as("ea"),
+        col("b.id").as("id_b"), col("b.embedding").as("eb"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Per-query candidates against a separate corpus: (ia, ib, sim round 6),
+    * each pair once. Feeds the bounded top-k aggregate in the size-switched
+    * exact-dedup kernel ([[graft.dedup.Dedup.topNeighbors]]). */
+  def candidates(queries: DataFrame, corpus: DataFrame, dim: Int,
+                 maxBucket: Int = 10000): DataFrame = {
+    val qk = withBandKeys(queries.select("id", "embedding"), dim)
+      .select(col("id").as("ia"), col("embedding").as("ea"), col("band"), col("key"))
+    val ck = withBandKeys(corpus.select("id", "embedding"), dim)
+    val sized = ck.groupBy("band", "key").agg(count(lit(1)).as("cnt"))
+    val ok = ck.join(sized.filter(col("cnt") <= maxBucket), Seq("band", "key"))
+      .select(col("id").as("ib"), col("embedding").as("eb"), col("band"), col("key"))
+    qk.join(ok, Seq("band", "key"))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        VectorFunctions.roundScore(VectorFunctions.dot(col("ea"), col("eb"))).as("sim"))
+      .dropDuplicates("ia", "ib")
+  }
+}

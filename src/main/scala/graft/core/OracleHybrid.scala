@@ -42,7 +42,7 @@ object OracleHybrid {
   }
 
   private def decay(tsExpr: String, halfLife: Double, nowSql: String): String =
-    s"power(0.5, (epoch($nowSql) - epoch($tsExpr)) / 86400.0 / $halfLife)"
+    s"power(0.5, greatest((epoch($nowSql) - epoch($tsExpr)) / 86400.0, 0.0) / $halfLife)"
 
   /** CTE chain ending in `fused(id, rrf)` — the pre-graph 5-signal RRF pool.
     * Mirrors [[graft.search.HybridSearch.rrfScores]]. Requires the
@@ -190,7 +190,7 @@ object OracleHybrid {
        |deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM ve GROUP BY 1),
        |trrf AS (SELECT max(rrf) AS t FROM fused),
        |seeds AS MATERIALIZED (SELECT id, rrf / (SELECT t FROM trrf) AS p FROM fused WHERE rrf > 0),
-       |ptot AS (SELECT CASE WHEN coalesce(sum(p), 0.0) = 0 THEN 1.0 ELSE sum(p) END AS pt FROM seeds),
+       |ptot AS (SELECT CASE WHEN count(*) = 0 THEN 1.0 ELSE sum(rrf) / (SELECT t FROM trrf) END AS pt FROM fused WHERE rrf > 0),
        |ppr0 AS MATERIALIZED (SELECT id, p AS score FROM seeds),
        |${iter(1)},
        |${iter(2)},

@@ -51,7 +51,7 @@ object OracleText {
        |  FROM stf, range(0, 30) b(bit) GROUP BY 1, 2
        |),
        |sfp AS MATERIALIZED (
-       |  SELECT id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS simhash
+       |  SELECT id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
        |  FROM sbit GROUP BY 1
        |)""".stripMargin
 

@@ -93,12 +93,48 @@ object Dedup {
       .toDF("ia", "ib", "sim")
   }
 
+  /** Corpus row count above which the exact broadcast-scan kernel switches
+    * to LSH-bucketed candidates + exact verify (2M 64-d float rows ≈ 0.5 GB
+    * broadcast — the upper bound of comfortable executor broadcast). */
+  val BroadcastMaxRows: Long = 2000000L
+
+  /** Scale path of [[topNeighbors]]: sign-random-projection LSH buckets
+    * generate candidates ([[graft.ann.VectorLsh]]), exact dot verifies, a
+    * per-query bounded rank keeps the top `searchK`. Fully distributed —
+    * two equi-joins on (band, key), nothing collects to the driver. Same
+    * output shape as [[topNeighbors]]; recall is approximate (only pairs
+    * sharing a band bucket are scored), which is the standard trade at
+    * corpus sizes where the exact scan is impossible. */
+  def topNeighborsLsh(queries: DataFrame, corpus: DataFrame, searchK: Int,
+                      dim: Int = 64): DataFrame = {
+    val cand = graft.ann.VectorLsh.candidates(queries, corpus, dim)
+    val w = Window.partitionBy("ia").orderBy(desc("sim"), asc("ib"))
+    cand.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= searchK)
+      .select("ia", "ib", "sim")
+  }
+
+  /** Size-switched kernel: exact broadcast scan up to `broadcastMaxRows`
+    * corpus rows, LSH candidates + exact verify beyond. `corpusRows` comes
+    * from table statistics at scale (never a count() scan on the hot path).
+    */
+  def topNeighborsAuto(queries: DataFrame, corpus: DataFrame, searchK: Int,
+                       corpusRows: Long, dim: Int = 64,
+                       broadcastMaxRows: Long = BroadcastMaxRows): DataFrame =
+    if (corpusRows <= broadcastMaxRows) topNeighbors(queries, corpus, searchK)
+    else topNeighborsLsh(queries, corpus, searchK, dim)
+
   /** D2: near-duplicate pairs by embedding cosine -- per-row top-`searchK`
     * neighbors, threshold, deduped unordered pair key, sim rounded to 4
     * (memory_engine.py:2199-2237). Output: (id_a, id_b, similarity) with
-    * id_a < id_b, sorted by similarity desc. */
-  def findDuplicates(df: DataFrame, threshold: Double = 0.90, searchK: Int = 5): DataFrame =
-    topNeighbors(df, df, searchK)
+    * id_a < id_b, sorted by similarity desc.
+    *
+    * `corpusRows` (from table stats) routes corpora beyond broadcast scale
+    * through the LSH candidate path; the registered fixture queries pass
+    * None (exact kernel — the oracle-matched semantics). */
+  def findDuplicates(df: DataFrame, threshold: Double = 0.90, searchK: Int = 5,
+                     corpusRows: Option[Long] = None): DataFrame =
+    corpusRows.map(topNeighborsAuto(df, df, searchK, _)).getOrElse(topNeighbors(df, df, searchK))
       .filter(col("sim") >= threshold)
       .select(
         least(col("ia"), col("ib")).as("id_a"),
@@ -123,13 +159,15 @@ object Dedup {
                          skipThreshold: Double = 0.95,
                          addThreshold: Double = 0.80): DataFrame = {
     val best = topNeighbors(incoming, existing, searchK = 1)
-    best
-      .join(incoming.select(col("id").as("ia"), col("created_at").as("in_ts")), "ia")
-      .join(existing.select(col("id").as("ib"), col("created_at").as("ex_ts")), "ib")
+    // left joins: an incoming row with no best match (empty/tiny `existing`)
+    // resolves to "add" (memory_engine.py:2564-2637), not silent drop
+    incoming.select(col("id").as("ia"), col("created_at").as("in_ts"))
+      .join(best, Seq("ia"), "left")
+      .join(existing.select(col("id").as("ib"), col("created_at").as("ex_ts")), Seq("ib"), "left")
       .select(
         col("ia").as("id"), col("ib").as("match_id"), col("sim"),
-        when(col("sim") >= skipThreshold, "skip")
-          .when(col("sim") < addThreshold, "add")
+        when(col("sim").isNull || col("sim") < addThreshold, "add")
+          .when(col("sim") >= skipThreshold, "skip")
           .when(col("in_ts") > col("ex_ts"), "replace")
           .otherwise("skip_older").as("action"))
   }

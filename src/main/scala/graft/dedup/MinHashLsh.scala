@@ -29,10 +29,12 @@ object MinHashLsh {
       array_distinct(TextFunctions.shingleHashes(col(textCol), n)).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  /** MinHash signature column from a shingle-hash array column. */
+  /** MinHash signature column from a shingle-hash array column. Native
+    * codegen kernel; pinned to the HOF formulation
+    * transform(sequence(0,k-1), i -> array_min(transform(sh, x ->
+    * (x*(2i+1) + 7919i + 13) % P))) by KernelEquivalenceSpec. */
   def signature(sh: Column, numHashes: Int = NumHashes): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, x => pmod(x * (i * 2 + 1) + i * lit(7919L) + 13, lit(P)))))
+    TextFunctions.minHashSig(sh, numHashes)
 
   /** (id, band, key) — one row per band; key is the joined band slice. */
   def bands(sigs: DataFrame, numBands: Int = NumBands,
@@ -48,8 +50,12 @@ object MinHashLsh {
   /** Candidate pairs (id_a < id_b) sharing at least one LSH band bucket.
     * Buckets larger than `maxBucket` are dropped (skew guard — a degenerate
     * shingle set would otherwise produce a quadratic bucket). */
-  def candidatePairs(df: DataFrame, n: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sh = shingleSets(df, n)
+  def candidatePairs(df: DataFrame, n: Int = 3, maxBucket: Int = 1000): DataFrame =
+    candidatePairsFromShingles(shingleSets(df, n), maxBucket)
+
+  /** As [[candidatePairs]] but over a precomputed (id, sh) shingle frame, so
+    * pipelines that also verify with exact Jaccard hash the shingles once. */
+  def candidatePairsFromShingles(sh: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val sigs = sh.select(col("id"), signature(col("sh")).as("sig"))
     val banded = bands(sigs)
     val sized = banded.groupBy("band", "key").agg(count(lit(1)).as("cnt"))
@@ -65,13 +71,11 @@ object MinHashLsh {
   /** Full near-dup pipeline: LSH candidates verified by exact n-gram Jaccard
     * ≥ `threshold`. Output (id_a, id_b, jaccard rounded 6). */
   def nearDuplicates(df: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
-    val sh = shingleSets(df, n)
-    candidatePairs(df, n)
+    val sh = shingleSets(df, n).persist()
+    candidatePairsFromShingles(sh)
       .join(sh.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))), 6))
+      .withColumn("jaccard", round(TextFunctions.jaccardSim(col("sha"), col("shb")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -84,9 +88,7 @@ object MinHashLsh {
     sh.select(col("id").as("id_a"), col("sh").as("sha")).repartition(nPart)
       .join(sh.select(col("id").as("id_b"), col("sh").as("shb")),
         col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))), 6))
+      .withColumn("jaccard", round(TextFunctions.jaccardSim(col("sha"), col("shb")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

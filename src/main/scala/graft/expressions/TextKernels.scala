@@ -67,6 +67,57 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** MinHash signature over a shingle-hash array: sig[i] = min over x of
+    * ((2i+1)·x + 7919·i + 13) mod P. Matches the HOF formulation
+    * transform(sequence(0, k-1), i -> array_min(transform(sh, ...))) used by
+    * [[graft.dedup.MinHashLsh.signature]] (and the DuckDB oracle) exactly;
+    * x < P and 2i+1 ≤ 2k-1 keep x*(2i+1)+b well inside Long range. */
+  def minHashSig(sh: ArrayData, numHashes: Int): ArrayData = {
+    val m = sh.numElements()
+    val out = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val a = 2L * i + 1
+      val b = 7919L * i + 13
+      var best = Long.MaxValue
+      var j = 0
+      while (j < m) {
+        val h = (sh.getLong(j) * a + b) % P
+        if (h < best) best = h
+        j += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Jaccard similarity of two distinct-element long arrays:
+    * |a∩b| / |a∪b| via sort-merge (no per-pair hash sets). Matches
+    * size(array_intersect)/size(array_union) on distinct inputs. */
+  def jaccardSim(a: ArrayData, b: ArrayData): Double = {
+    val n1 = a.numElements()
+    val n2 = b.numElements()
+    if (n1 == 0 && n2 == 0) return 0.0
+    val x = new Array[Long](n1)
+    val y = new Array[Long](n2)
+    var i = 0
+    while (i < n1) { x(i) = a.getLong(i); i += 1 }
+    i = 0
+    while (i < n2) { y(i) = b.getLong(i); i += 1 }
+    java.util.Arrays.sort(x)
+    java.util.Arrays.sort(y)
+    var p = 0
+    var q = 0
+    var inter = 0
+    while (p < n1 && q < n2) {
+      if (x(p) == y(q)) { inter += 1; p += 1; q += 1 }
+      else if (x(p) < y(q)) p += 1
+      else q += 1
+    }
+    inter.toDouble / (n1 + n2 - inter)
+  }
+
   /** Signed-feature-hashing embedding: bucket = hash % dim, sign from
     * (hash/dim) parity, L2-normalized floats. Matches
     * HashingEmbedder.embeddingColumn. */
@@ -121,6 +172,29 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.shingleHashes($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minHashSig(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.minHashSig($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class JaccardSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaccardSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.TextKernels.jaccardSim($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 case class HashEmbed(child: Expression, dim: Int) extends UnaryExpression {

@@ -25,9 +25,11 @@ object DecayFunctions {
   def ageDays(ts: Column, nowEpoch: Long = RefNowEpoch): Column =
     (lit(nowEpoch) - unix_timestamp(ts)) / 86400.0
 
-  /** Half-life decay score in (0, 1]: 0.5 ^ (age/halfLife). */
+  /** Half-life decay score in (0, 1]: 0.5 ^ (age/halfLife). Age is clamped to
+    * >= 0 — the reference returns 1.0 for future timestamps
+    * (memory_engine.py:1459-1460, 937-938). */
   def halfLifeDecay(ts: Column, halfLifeDays: Column, nowEpoch: Long = RefNowEpoch): Column =
-    pow(lit(0.5), ageDays(ts, nowEpoch) / halfLifeDays)
+    pow(lit(0.5), greatest(ageDays(ts, nowEpoch), lit(0.0)) / halfLifeDays)
 
   def halfLifeDecay(ts: Column, halfLifeDays: Double): Column =
     halfLifeDecay(ts, lit(halfLifeDays), RefNowEpoch)

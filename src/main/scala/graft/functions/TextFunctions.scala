@@ -56,4 +56,22 @@ object TextFunctions {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.expressions.ShingleHashes(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), n))
+
+  /** MinHash signature of a shingle-hash array column. Native one-pass
+    * kernel ([[graft.expressions.MinHashSig]]) — the nested-HOF formulation
+    * (transform(sequence…, array_min(transform…))) is CodegenFallback and
+    * allocates a full permuted array per hash function. */
+  def minHashSig(sh: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.MinHashSig(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(sh), numHashes))
+
+  /** Jaccard similarity of two distinct-element long-array columns. Native
+    * sort-merge kernel ([[graft.expressions.JaccardSim]]) replacing
+    * size(array_intersect)/size(array_union). */
+  def jaccardSim(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.JaccardSim(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 }

@@ -16,16 +16,41 @@ object Mutations {
   val NowEpoch: Long = DecayFunctions.RefNowEpoch
   private val nowTs = timestamp_seconds(lit(NowEpoch))
 
+  /** Contiguous sequential ids (maxId+1 … maxId+N) in `order`-sort order
+    * WITHOUT a global single-partition window: range-partition on the sort
+    * keys (ordered, non-overlapping ranges → partition index == rank block),
+    * rank locally per partition, then add per-partition count offsets. The
+    * offsets pass touches only numPartitions scalars (the same bookkeeping
+    * RDD.zipWithIndex does), so a 100 TB mutation batch never serializes
+    * through one task. Ids equal the global row_number by `order` exactly. */
+  private def withSeqId(df: DataFrame, order: Seq[Column], maxId: Long,
+                        idCol: String): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(n, order: _*).withColumn("_pid", spark_partition_id())
+    val local = parted.withColumn("_lrn",
+      row_number().over(Window.partitionBy("_pid").orderBy(order: _*)))
+    val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2).init
+    val offsetDf = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(counts.map(_._1).zip(offsets).map {
+        case (pid, off) => org.apache.spark.sql.Row(pid, off)
+      }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_pid", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("_off", org.apache.spark.sql.types.LongType))))
+    local.join(broadcast(offsetDf), Seq("_pid"))
+      .withColumn(idCol, lit(maxId) + col("_off") + col("_lrn"))
+      .drop("_pid", "_lrn", "_off")
+  }
+
   /** M1: add_memories — assign contiguous ids after the current max, stamp
     * timestamps (memory_engine.py:529-627). `maxId` is passed explicitly
     * (single-scalar aggregate of the target table). */
-  def addMemories(newRows: DataFrame, maxId: Long): DataFrame = {
-    val w = Window.orderBy("text", "source")
-    newRows
-      .withColumn("id", lit(maxId) + row_number().over(w))
+  def addMemories(newRows: DataFrame, maxId: Long): DataFrame =
+    withSeqId(newRows, Seq(col("text"), col("source")), maxId, "id")
       .withColumn("created_at", nowTs)
       .withColumn("updated_at", nowTs)
-  }
 
   /** M2: update_memory — patch text for matching ids, bump updated_at; other
     * rows unchanged (memory_engine.py:981-1078). Returns the full new state
@@ -45,15 +70,14 @@ object Mutations {
   def upsertByEntity(memories: DataFrame, incoming: DataFrame, maxId: Long): DataFrame = {
     val existing = memories.select(col("source"), col("entity_key"), col("id").as("existing_id"))
     val joined = incoming.join(existing, Seq("source", "entity_key"), "left")
-    val w = Window.orderBy("source", "entity_key")
-    joined
-      .withColumn("action", when(col("existing_id").isNotNull, "update").otherwise("create"))
-      .withColumn("new_rank",
-        when(col("existing_id").isNull,
-          row_number().over(Window.partitionBy(col("existing_id").isNull)
-            .orderBy("source", "entity_key"))))
-      .withColumn("target_id", coalesce(col("existing_id"), lit(maxId) + col("new_rank")))
-      .select("source", "entity_key", "action", "target_id")
+    val updates = joined.filter(col("existing_id").isNotNull)
+      .select(col("source"), col("entity_key"), lit("update").as("action"),
+        col("existing_id").as("target_id"))
+    val creates = withSeqId(joined.filter(col("existing_id").isNull),
+        Seq(col("source"), col("entity_key")), maxId, "target_id")
+      .select(col("source"), col("entity_key"), lit("create").as("action"),
+        col("target_id"))
+    updates.unionByName(creates)
   }
 
   /** M4: supersede — archive the old row, create a replacement carrying
@@ -61,14 +85,15 @@ object Mutations {
     * new-version rows. */
   def supersede(memories: DataFrame, targetIds: DataFrame, maxId: Long): DataFrame = {
     val targets = memories.join(targetIds, Seq("id"), "left_semi")
-    val w = Window.orderBy("id")
-    targets.select(
-      (lit(maxId) + row_number().over(w)).as("id"),
-      concat(col("text"), lit(" [superseded]")).as("text"),
-      col("source"),
-      col("id").as("supersedes"),
-      col("text").as("previous_text"),
-      lit(true).as("is_latest"))
+    withSeqId(targets.withColumnRenamed("id", "supersedes"),
+        Seq(col("supersedes")), maxId, "id")
+      .select(
+        col("id"),
+        concat(col("text"), lit(" [superseded]")).as("text"),
+        col("source"),
+        col("supersedes"),
+        col("text").as("previous_text"),
+        lit(true).as("is_latest"))
   }
 
   /** M5: merge N→1 — one new row per group with the members' texts joined
@@ -77,15 +102,15 @@ object Mutations {
     * (merged row, superseded member). */
   def mergeGroups(memories: DataFrame, groups: DataFrame, maxId: Long): DataFrame = {
     val members = memories.join(groups, "id")
-    val merged = members
-      .groupBy("group_id")
-      .agg(
-        concat_ws(" | ",
-          transform(array_sort(collect_list(struct(col("id"), col("text")))),
-            x => x.getField("text"))).as("text"),
-        array_sort(collect_list(col("id"))).as("superseded"))
-      .withColumn("new_id",
-        lit(maxId) + row_number().over(Window.orderBy("group_id")))
+    val merged = withSeqId(
+      members
+        .groupBy("group_id")
+        .agg(
+          concat_ws(" | ",
+            transform(array_sort(collect_list(struct(col("id"), col("text")))),
+              x => x.getField("text"))).as("text"),
+          array_sort(collect_list(col("id"))).as("superseded")),
+      Seq(col("group_id")), maxId, "new_id")
     merged.select(col("new_id").as("id"), col("text"),
         explode(col("superseded")).as("supersedes"))
       .orderBy("id", "supersedes")
@@ -153,13 +178,16 @@ object Mutations {
     * NOOP. Output: (fact_id, action, effective_action, target_id). */
   def executeAudn(memories: DataFrame, decisions: DataFrame): DataFrame = {
     val targets = memories.select(col("id").as("target_id"),
-      col("pinned").as("t_pinned"), col("archived").as("t_archived"))
+      col("pinned").as("t_pinned"), col("archived").as("t_archived"),
+      lit(true).as("t_exists"))
     decisions.join(targets, Seq("target_id"), "left")
       .withColumn("effective_action",
         when(col("action").isin("UPDATE", "DELETE") &&
           (coalesce(col("t_pinned"), lit(false)) || coalesce(col("t_archived"), lit(false))),
           "NOOP")
-          .when(col("action").isin("UPDATE", "DELETE") && col("t_pinned").isNull, "NOOP")
+          // missing-target sentinel: a real row with NULL pinned must not
+          // be mistaken for a dangling target
+          .when(col("action").isin("UPDATE", "DELETE") && col("t_exists").isNull, "NOOP")
           .otherwise(col("action")))
       .select("fact_id", "action", "effective_action", "target_id")
       .orderBy("fact_id")
@@ -170,16 +198,14 @@ object Mutations {
     * Output: (id, to_id, sim). */
   def autoLink(memories: DataFrame, newIds: DataFrame, minSim: Double = 0.2): DataFrame = {
     val news = memories.join(newIds, Seq("id"), "left_semi")
-      .select(col("id"), col("embedding").as("e_new"))
+      .select(col("id"), col("embedding"))
     val olds = memories.join(newIds, Seq("id"), "left_anti")
-      .select(col("id").as("to_id"), col("embedding").as("e_old"))
-    val scored = news.join(olds, col("id") =!= col("to_id"))
-      .select(col("id"), col("to_id"),
-        round(VectorFunctions.dot(col("e_new"), col("e_old")), 6).as("sim"))
-    val w = Window.partitionBy("id").orderBy(desc("sim"), asc("to_id"))
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= 2 && col("sim") >= minSim)
-      .select("id", "to_id", "sim")
+      .select(col("id"), col("embedding"))
+    // bounded per-row top-2 scan (same kernel as D2/D8) instead of a
+    // news×corpus nested-loop join that materializes every pair
+    graft.dedup.Dedup.topNeighbors(news, olds, searchK = 2)
+      .filter(col("sim") >= minSim)
+      .select(col("ia").as("id"), col("ib").as("to_id"), col("sim"))
       .orderBy("id", "to_id")
   }
 

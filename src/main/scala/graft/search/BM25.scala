@@ -40,6 +40,14 @@ object BM25 {
     * production deployment these live in the precomputed stats table. */
   case class Stats(n: Long, avgdl: Double, avgIdf: Double)
 
+  // corpus stats are pure functions of the (immutable per run) corpus plan —
+  // memoize per semantic plan hash so r15's branches / repeated hybrid calls
+  // don't re-run the two scalar aggregate jobs per invocation
+  private val statsCache = scala.collection.concurrent.TrieMap.empty[Int, Stats]
+
+  def statsFor(docs: DataFrame, tf: DataFrame, textCol: String = "text"): Stats =
+    statsCache.getOrElseUpdate(docs.semanticHash(), stats(docs, tf, textCol))
+
   def stats(docs: DataFrame, tf: DataFrame, textCol: String = "text"): Stats = {
     // one scan for (N, avgdl), one aggregation over the term-freq table for
     // the vocabulary mean idf
@@ -63,7 +71,7 @@ object BM25 {
     val spark = docs.sparkSession
     import spark.implicits._
     val tf = termFreqs(docs, textCol, idCol)
-    val st = stats(docs, tf, textCol)
+    val st = statsFor(docs, tf, textCol)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idfRaw = log((lit(st.n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
     val idf = df.withColumn(

@@ -60,24 +60,27 @@ object GraphSearch {
     * alpha*old[m]/deg(m).
     */
   def ppr(edgesDf: DataFrame, seeds: DataFrame, iters: Int = MaxIters,
-          alpha: Double = Alpha): DataFrame = {
+          alpha: Double = Alpha, pTotalKnown: Option[Double] = None): DataFrame = {
     val e = edgesDf.persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val s = seeds.persist(StorageLevel.MEMORY_AND_DISK)
-    val pTotalRaw = s.agg(sum("p")).head().getDouble(0)
+    val pTotalRaw = pTotalKnown.getOrElse(s.agg(sum("p")).head().getDouble(0))
     val pTotal = if (pTotalRaw == 0.0) 1.0 else pTotalRaw
     val restart = 1.0 - alpha
 
     var cur = s.select(col("id"), col("p").as("score"))
     for (_ <- 1 to iters) {
       val withDeg = cur.join(deg, Seq("id"), "left")
-      val dangling = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum("score"), lit(0.0))).head().getDouble(0)
-      val teleport = s.select(
+      // dangling mass enters as a broadcast 1-row aggregate so each round is
+      // ONE job (checkpoint materialization) rather than a separate `.head()`
+      // round-trip per iteration
+      val dang = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum("score"), lit(0.0)).as("dm"))
+      val teleport = s.crossJoin(broadcast(dang)).select(
         col("id"),
-        (lit(restart) * col("p") + lit(alpha * dangling) * col("p") / pTotal).as("c"))
+        (lit(restart) * col("p") + lit(alpha) * col("dm") * col("p") / pTotal).as("c"))
       val prop = withDeg.filter(col("deg").isNotNull)
         .join(e, col("id") === col("src"))
         .select(col("dst").as("id"), (lit(alpha) * col("score") / col("deg")).as("c"))
@@ -133,7 +136,12 @@ object GraphSearch {
                      p: HybridSearch.Params): DataFrame = {
     val f = fused.persist(StorageLevel.MEMORY_AND_DISK)
     val k = math.min(p.k, 100)
-    val topRrf = f.agg(coalesce(max("rrf"), lit(0.0))).head().getDouble(0)
+    // one driver round-trip for both scalars (max + positive-sum)
+    val statsRow = f.agg(
+      coalesce(max("rrf"), lit(0.0)),
+      coalesce(sum(when(col("rrf") > 0, col("rrf"))), lit(0.0))).head()
+    val topRrf = statsRow.getDouble(0)
+    val posSum = statsRow.getDouble(1)
     val direct = f.select(col("id"), col("rrf"))
 
     if (topRrf <= 0.0) {
@@ -150,7 +158,8 @@ object GraphSearch {
     val seeds = f.filter(col("rrf") > 0)
       .select(col("id"), (col("rrf") / topRrf).as("p"))
     val e = visibleEdges(memories, p.sourcePrefix, p.includeArchived)
-    val scores = ppr(e, seeds)
+    // sum(p) = sum(positive rrf)/topRrf — already known, skip the extra job
+    val scores = ppr(e, seeds, pTotalKnown = Some(posSum / topRrf))
 
     val maxPprRaw = scores.agg(coalesce(max("ppr"), lit(1.0))).head().getDouble(0)
     val maxPpr = if (maxPprRaw > 0) maxPprRaw else 1.0

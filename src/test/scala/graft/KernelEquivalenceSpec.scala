@@ -57,6 +57,32 @@ class KernelEquivalenceSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  private def hofMinHashSig(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, x =>
+        pmod(x * (i * 2 + 1) + i * lit(7919L) + 13, lit(TextFunctions.HashMod)))))
+
+  test("native minHashSig == HOF signature") {
+    val sh = graft.dedup.MinHashLsh.shingleSets(docs.withColumnRenamed("doc_id", "id"))
+    val diff = sh.select(
+        TextFunctions.minHashSig(col("sh"), 32).as("a"),
+        hofMinHashSig(col("sh"), 32).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("native jaccardSim == HOF intersect/union ratio") {
+    val sh = graft.dedup.MinHashLsh.shingleSets(docs.withColumnRenamed("doc_id", "id")).limit(60)
+    val pairs = sh.select(col("sh").as("x"))
+      .crossJoin(sh.select(col("sh").as("y")).limit(15))
+    val diff = pairs.select(
+        TextFunctions.jaccardSim(col("x"), col("y")).as("a"),
+        (size(array_intersect(col("x"), col("y"))).cast("double") /
+          size(array_union(col("x"), col("y")))).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
   test("native dot == HOF dot on real embeddings") {
     val e = Tables.embeddings(spark, sf()).limit(100)
     val pairs = e.select(col("embedding").as("x"))
