@@ -39,6 +39,11 @@ object Queries {
     * non-degenerate (rank_bm25 drops docs whose score sums ≤ 0). */
   val QueryTokens: Seq[String] = Seq("dup", "merge", "window", "spark")
 
+  /** R7 per-prefix confidence half-life fixture: "src1" (also the longest
+    * match for src10..src19) decays at 30d, every other source at 150d;
+    * the 90d default is the fallback for unmatched prefixes. */
+  val ConfidenceProfiles: Seq[(String, Double)] = Seq(("src1", 30.0), ("src", 150.0))
+
   /** Hybrid params used by the registered flagship queries: all 5 signals on.
     * Weight algebra: aux=0.2 → core=0.8; vec=0.448, bm25=0.192, recency=0.16,
     * feedback=0.1, confidence=0.1. */
@@ -51,14 +56,16 @@ object Queries {
       recencyWeight = 0.2,
       feedbackWeight = 0.1,
       confidenceWeight = 0.1,
+      confidenceProfiles = ConfidenceProfiles,
       graphWeight = graphWeight)
 
   /** Static copy of the params for oracle generation (queryVec not needed). */
-  private val oracleHybridParams: HybridSearch.Params =
+  private[graft] val oracleHybridParams: HybridSearch.Params =
     HybridSearch.Params(
       queryTokens = QueryTokens, queryVec = Nil, k = 10,
       vectorWeight = 0.7, recencyWeight = 0.2,
-      feedbackWeight = 0.1, confidenceWeight = 0.1)
+      feedbackWeight = 0.1, confidenceWeight = 0.1,
+      confidenceProfiles = ConfidenceProfiles)
 
   private val retrievalQueries: Map[String, Q] = Map(
     "r1_vector_topk" -> ((s, dir) => {
@@ -86,6 +93,14 @@ object Queries {
       HybridSearch.search(
         Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
         hybridParams(s, dir, graphWeight = 0.1))
+    }),
+    // threshold+graph combination: graph-only hits reserve slots but are
+    // dropped at emit (similarity unverifiable) ⇒ k-r rows, reference
+    // semantics (memory_engine.py:1697-1714)
+    "r12_threshold_graph" -> ((s, dir) => {
+      HybridSearch.search(
+        Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
+        hybridParams(s, dir, graphWeight = 0.1).copy(threshold = Some(0.2)))
     })
   )
 
@@ -116,6 +131,9 @@ object Queries {
       OracleHybrid.hybridSql(oracleHybridParams, n = 1000000, withFeedback = true),
     "r10_graph_search" ->
       OracleHybrid.graphSql(oracleHybridParams.copy(graphWeight = 0.1),
+        n = 1000000, withFeedback = true),
+    "r12_threshold_graph" ->
+      OracleHybrid.graphSql(oracleHybridParams.copy(graphWeight = 0.1, threshold = Some(0.2)),
         n = 1000000, withFeedback = true)
   )
 

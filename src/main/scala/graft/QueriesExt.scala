@@ -97,10 +97,7 @@ object QueriesExt {
     })
   )
 
-  private val oracleParams = HybridSearch.Params(
-    queryTokens = Queries.QueryTokens, queryVec = Nil, k = 10,
-    vectorWeight = 0.7, recencyWeight = 0.2,
-    feedbackWeight = 0.1, confidenceWeight = 0.1)
+  private val oracleParams = Queries.oracleHybridParams
 
   val oracles: Map[String, String] = Map(
     "d1_novelty" ->

@@ -44,6 +44,24 @@ object OracleHybrid {
   private def decay(tsExpr: String, halfLife: Double, nowSql: String): String =
     s"power(0.5, greatest((epoch($nowSql) - epoch($tsExpr)) / 86400.0, 0.0) / $halfLife)"
 
+  /** R7 per-prefix half-life resolution CTE (only when profiles are set):
+    * longest matching prefix wins, default half-life otherwise. Mirrors the
+    * broadcast longest-prefix join in HybridSearch's confidence branch. */
+  private def confHlCte(p: HybridSearch.Params): String =
+    if (p.confidenceWeight <= 0 || p.confidenceProfiles.isEmpty) ""
+    else {
+      val vals = p.confidenceProfiles
+        .map { case (pre, hl) => s"('$pre', CAST($hl AS DOUBLE))" }.mkString(", ")
+      s"""
+         |confhl AS MATERIALIZED (
+         |  SELECT id, coalesce(hl, CAST(${p.confidenceHalfLifeDays} AS DOUBLE)) AS hl FROM (
+         |    SELECT c.id, pr.hl, row_number() OVER (PARTITION BY c.id ORDER BY len(pr.prefix) DESC, pr.prefix) AS rn
+         |    FROM cand c JOIN memories m USING (id)
+         |    LEFT JOIN (SELECT * FROM (VALUES $vals) AS t(prefix, hl)) pr ON starts_with(m.source, pr.prefix)
+         |  ) WHERE rn = 1
+         |),""".stripMargin
+    }
+
   /** CTE chain ending in `fused(id, rrf)` — the pre-graph 5-signal RRF pool.
     * Mirrors [[graft.search.HybridSearch.rrfScores]]. Requires the
     * `memories` and (if feedbackWeight>0) `search_feedback` CTEs upstream. */
@@ -80,11 +98,17 @@ object OracleHybrid {
                 |    FROM search_feedback GROUP BY 1) f USING (id)
                 |  WHERE f.net > 0)""".stripMargin)
       else None,
-      if (p.confidenceWeight > 0)
-        Some(s"""UNION ALL SELECT id, 'confidence' AS signal, ${w.confidence} / (rnk + ${HybridSearch.RrfK}) FROM (
-                |  SELECT c.id, row_number() OVER (ORDER BY ${decay("coalesce(m.last_reinforced_at, m.updated_at, m.created_at)", p.confidenceHalfLifeDays, nowSql)} DESC, c.id) - 1 AS rnk
-                |  FROM cand c JOIN memories m USING (id))""".stripMargin)
-      else None
+      if (p.confidenceWeight > 0) {
+        val anchor = "coalesce(m.last_reinforced_at, m.updated_at, m.created_at)"
+        if (p.confidenceProfiles.isEmpty)
+          Some(s"""UNION ALL SELECT id, 'confidence' AS signal, ${w.confidence} / (rnk + ${HybridSearch.RrfK}) FROM (
+                  |  SELECT c.id, row_number() OVER (ORDER BY ${decay(anchor, p.confidenceHalfLifeDays, nowSql)} DESC, c.id) - 1 AS rnk
+                  |  FROM cand c JOIN memories m USING (id))""".stripMargin)
+        else
+          Some(s"""UNION ALL SELECT id, 'confidence' AS signal, ${w.confidence} / (rnk + ${HybridSearch.RrfK}) FROM (
+                  |  SELECT c.id, row_number() OVER (ORDER BY power(0.5, greatest((epoch($nowSql) - epoch($anchor)) / 86400.0, 0.0) / h.hl) DESC, c.id) - 1 AS rnk
+                  |  FROM cand c JOIN memories m USING (id) JOIN confhl h ON h.id = c.id)""".stripMargin)
+      } else None
     ).flatten.mkString("\n")
     val temporalFinal = {
       val d = "coalesce(m.document_at, m.created_at, m.updated_at)"
@@ -115,7 +139,7 @@ object OracleHybrid {
        |    UNION ALL
        |    SELECT id, ${w.bm25} / (row_number() OVER (ORDER BY bm25 DESC, id) - 1 + ${HybridSearch.RrfK}) AS c FROM bmr
        |  ) GROUP BY 1
-       |),
+       |),${confHlCte(p)}
        |expl AS MATERIALIZED (
        |  SELECT id, 'vector+bm25' AS signal, rrf AS c FROM cand
        |  $extraSignals
@@ -224,11 +248,12 @@ object OracleHybrid {
        |  SELECT id, score, base, match_type, graph_support FROM (
        |    SELECT b.*, row_number() OVER (ORDER BY score DESC, id) AS rn FROM boosted b)
        |  WHERE rn <= $k - (SELECT r FROM rsv)
-       |  UNION ALL
-       |  SELECT id, score, base, match_type, graph_support FROM (
-       |    SELECT g.*, row_number() OVER (ORDER BY score DESC, id) AS rn FROM gonly g)
-       |  WHERE rn <= (SELECT r FROM rsv)
-       |)
+       |${if (p.threshold.isDefined) "" else
+         s"""  UNION ALL
+            |  SELECT id, score, base, match_type, graph_support FROM (
+            |    SELECT g.*, row_number() OVER (ORDER BY score DESC, id) AS rn FROM gonly g)
+            |  WHERE rn <= (SELECT r FROM rsv)
+            |""".stripMargin})
        |SELECT p.id, m.source, m.category, round(p.score, 6) AS rrf_score,
        |  round(p.base, 6) AS base_rrf_score, p.match_type, p.graph_support
        |FROM picked p JOIN memories m ON p.id = m.id

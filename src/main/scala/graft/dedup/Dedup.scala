@@ -145,9 +145,12 @@ object Dedup {
 
   /** D3: dedup execution — remove the higher id of each duplicate pair,
     * keeping the earliest entry (memory_engine.py:2239-2272). Returns
-    * surviving rows of `df`. */
-  def deduplicate(df: DataFrame, threshold: Double = 0.90): DataFrame = {
-    val remove = findDuplicates(df, threshold).select(col("id_b").as("id")).distinct()
+    * surviving rows of `df`. `corpusRows` (table stats) routes corpora
+    * beyond broadcast scale through the LSH candidate path. */
+  def deduplicate(df: DataFrame, threshold: Double = 0.90,
+                  corpusRows: Option[Long] = None): DataFrame = {
+    val remove = findDuplicates(df, threshold, corpusRows = corpusRows)
+      .select(col("id_b").as("id")).distinct()
     df.join(remove, Seq("id"), "left_anti")
   }
 
@@ -157,8 +160,10 @@ object Dedup {
     * timestamp wins → "replace" or "skip_older". */
   def smartImportActions(incoming: DataFrame, existing: DataFrame,
                          skipThreshold: Double = 0.95,
-                         addThreshold: Double = 0.80): DataFrame = {
-    val best = topNeighbors(incoming, existing, searchK = 1)
+                         addThreshold: Double = 0.80,
+                         corpusRows: Option[Long] = None): DataFrame = {
+    val best = corpusRows.map(topNeighborsAuto(incoming, existing, 1, _))
+      .getOrElse(topNeighbors(incoming, existing, searchK = 1))
     // left joins: an incoming row with no best match (empty/tiny `existing`)
     // resolves to "add" (memory_engine.py:2564-2637), not silent drop
     incoming.select(col("id").as("ia"), col("created_at").as("in_ts"))

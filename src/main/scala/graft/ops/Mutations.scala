@@ -26,7 +26,15 @@ object Mutations {
   private def withSeqId(df: DataFrame, order: Seq[Column], maxId: Long,
                         idCol: String): DataFrame = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    val parted = df.repartitionByRange(n, order: _*).withColumn("_pid", spark_partition_id())
+    // INVARIANT: the counts job and the ranks+offsets job must see IDENTICAL
+    // range boundaries. RangePartitioner's reservoir-sample seed derives from
+    // the RDD id, so two independent executions of the same
+    // repartitionByRange subplan can place boundary rows in different
+    // partitions — persist() pins one materialization for both actions
+    // (pinned by MutationsSpec "withSeqId runs its range partitioning once").
+    val parted = df.repartitionByRange(n, order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val local = parted.withColumn("_lrn",
       row_number().over(Window.partitionBy("_pid").orderBy(order: _*)))
     val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
@@ -39,9 +47,14 @@ object Mutations {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("_pid", org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("_off", org.apache.spark.sql.types.LongType))))
-    local.join(broadcast(offsetDf), Seq("_pid"))
+    val assigned = local.join(broadcast(offsetDf), Seq("_pid"))
       .withColumn(idCol, lit(maxId) + col("_off") + col("_lrn"))
       .drop("_pid", "_lrn", "_off")
+    // materialize the (mutation-batch-sized) result off the cached
+    // partitioning, then free it — the function leaves no cached corpus blocks
+    val out = assigned.localCheckpoint(true)
+    parted.unpersist()
+    out
   }
 
   /** M1: add_memories — assign contiguous ids after the current max, stamp
@@ -196,14 +209,17 @@ object Mutations {
   /** M11: auto-linking — link each new row to its top-2 most similar
     * existing rows above a minimum score (llm_extract.py:701-817).
     * Output: (id, to_id, sim). */
-  def autoLink(memories: DataFrame, newIds: DataFrame, minSim: Double = 0.2): DataFrame = {
+  def autoLink(memories: DataFrame, newIds: DataFrame, minSim: Double = 0.2,
+               corpusRows: Option[Long] = None): DataFrame = {
     val news = memories.join(newIds, Seq("id"), "left_semi")
       .select(col("id"), col("embedding"))
     val olds = memories.join(newIds, Seq("id"), "left_anti")
       .select(col("id"), col("embedding"))
     // bounded per-row top-2 scan (same kernel as D2/D8) instead of a
-    // news×corpus nested-loop join that materializes every pair
-    graft.dedup.Dedup.topNeighbors(news, olds, searchK = 2)
+    // news×corpus nested-loop join that materializes every pair; beyond
+    // broadcast scale `corpusRows` (table stats) selects the LSH path
+    corpusRows.map(graft.dedup.Dedup.topNeighborsAuto(news, olds, 2, _))
+      .getOrElse(graft.dedup.Dedup.topNeighbors(news, olds, searchK = 2))
       .filter(col("sim") >= minSim)
       .select(col("ia").as("id"), col("ib").as("to_id"), col("sim"))
       .orderBy("id", "to_id")

@@ -195,13 +195,17 @@ object GraphSearch {
         col("id"), col("inject_score").as("score"), lit(0.0).as("base"),
         lit("graph").as("match_type"), col("graph_support"))
 
-    // reserved slots: top-(k-r) non-graph + top-r graph-only, r = min(2, |graph|, k)
-    val graphOnlyCount =
-      if (p.threshold.isDefined) 0L // unverifiable similarity ⇒ excluded (1707-1714)
-      else graphOnly.count()
+    // reserved slots: top-(k-r) non-graph + top-r graph-only, r = min(2, |graph|, k).
+    // The reservation happens BEFORE the threshold check: with a threshold
+    // set, graph-only rows still claim their slots but are then dropped at
+    // emit (similarity unverifiable, memory_engine.py:1697-1714), so the
+    // query returns k-r rows — reference semantics, not k direct rows.
+    val graphOnlyCount = graphOnly.count()
     val reserved = math.min(math.min(ReservedSlots.toLong, graphOnlyCount), k.toLong).toInt
-    val picked = boosted.orderBy(desc("score"), asc("id")).limit(k - reserved)
-      .unionAll(graphOnly.orderBy(desc("score"), asc("id")).limit(reserved))
+    val direct0 = boosted.orderBy(desc("score"), asc("id")).limit(k - reserved)
+    val picked =
+      if (p.threshold.isDefined) direct0
+      else direct0.unionAll(graphOnly.orderBy(desc("score"), asc("id")).limit(reserved))
 
     picked
       .join(memories.select("id", "source", "category"), "id")

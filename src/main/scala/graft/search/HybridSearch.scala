@@ -38,6 +38,10 @@ object HybridSearch {
       feedbackWeight: Double = 0.0,
       confidenceWeight: Double = 0.0,
       confidenceHalfLifeDays: Double = 90.0,
+      // R7 per-source-prefix confidence half-life (extraction_profiles.py:
+      // 68-113 cascade, read at memory_engine.py:1846-1854): longest matching
+      // prefix wins; rows matching none fall back to confidenceHalfLifeDays
+      confidenceProfiles: Seq[(String, Double)] = Nil,
       since: Option[String] = None,
       until: Option[String] = None,
       graphWeight: Double = 0.0,
@@ -103,6 +107,7 @@ object HybridSearch {
 
     val dates = memories.select(
       col("id"),
+      col("source"),
       coalesce(col("document_at"), col("created_at")).as("doc_date"),
       coalesce(col("last_reinforced_at"), col("updated_at"), col("created_at")).as("conf_anchor"))
 
@@ -121,9 +126,26 @@ object HybridSearch {
           .select(col("id"), lit("feedback").as("signal"), contrib(w.feedback, rank0(col("net"))).as("c"))
       } else None,
       if (p.confidenceWeight > 0) Some {
-        cand.join(dates, "id")
+        val base = cand.join(dates, "id")
+        // per-prefix half-life: broadcast longest-prefix join over the
+        // (tiny) profile table — same shape as M9's policy resolution
+        // (Mutations.enforcePolicies); the window runs over the ≤2*oversample
+        // candidate pool, never the corpus
+        val withHl =
+          if (p.confidenceProfiles.isEmpty) base.withColumn("_hl", lit(p.confidenceHalfLifeDays))
+          else {
+            val prof = memories.sparkSession.createDataFrame(p.confidenceProfiles)
+              .toDF("_prefix", "_phl")
+            val wp = Window.partitionBy("id")
+              .orderBy(length(col("_prefix")).desc, col("_prefix").asc)
+            base.join(broadcast(prof), col("source").startsWith(col("_prefix")), "left")
+              .withColumn("_rn", row_number().over(wp)).filter(col("_rn") === 1)
+              .withColumn("_hl", coalesce(col("_phl"), lit(p.confidenceHalfLifeDays)))
+              .drop("_prefix", "_phl", "_rn")
+          }
+        withHl
           .withColumn("conf",
-            DecayFunctions.halfLifeDecay(col("conf_anchor"), lit(p.confidenceHalfLifeDays), p.nowEpoch))
+            DecayFunctions.halfLifeDecay(col("conf_anchor"), col("_hl"), p.nowEpoch))
           .select(col("id"), lit("confidence").as("signal"), contrib(w.confidence, rank0(col("conf"))).as("c"))
       } else None
     ).flatten
