@@ -25,12 +25,21 @@ object Bench {
     // warmup: absorb session/codegen/JIT startup outside the timings
     try SparkEntry.queries("q1_lineitem_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // two timed runs per query, min reported: a contended machine inflates
+    // individual runs by 2-4x (round-2 driver vs idle re-run), and the min
+    // is the stable round-over-round signal. Caches (incl. checkpoint RDD
+    // blocks) are dropped between runs so the second run isn't reading the
+    // first run's persisted intermediates.
     val results = SparkEntry.queries.view.filterKeys(!Excluded.contains(_)).toMap
       .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        spark.catalog.clearCache()
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.core.Caches.clearAll(spark)
+          dt
+        }
+        name -> times.min
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -6,7 +6,7 @@ import graft.dedup.{Consolidation, Dedup}
 import graft.functions.DecayFunctions
 import graft.multimodal.Multimodal
 import graft.search.{HybridSearch, VectorSearch}
-import graft.sources.Chunker
+import graft.sources.{Chunker, NdJson}
 import graft.streaming.EventStream
 
 /** Registry section 3: novelty/consolidation/prune, explain, streaming
@@ -29,6 +29,12 @@ object QueriesExt {
       HybridSearch.explain(
         Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
         Queries.hybridParams(s, dir))),
+    // exercises the filtered_by_source count and the graph/PPR params branch
+    "r14_explain_graph" -> ((s, dir) =>
+      HybridSearch.explain(
+        Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
+        Queries.hybridParams(s, dir, graphWeight = 0.1)
+          .copy(sourcePrefix = Some("src1")))),
     "mm_feature_checksum" -> ((s, dir) => {
       val media = Multimodal.syntheticMediaTable(
         Tables.documents(s, dir).select(col("doc_id").as("id")))
@@ -83,6 +89,49 @@ object QueriesExt {
         .select(col("vec_id").as("id"), col("embedding"))
       graft.ann.IndexBuild.lshNearDuplicates(emb, maxL2Dist = 1.2)
         .orderBy("id_a", "id_b")
+    }),
+    // S5/S6: full NDJSON export→import round-trip (write, read back, remap)
+    // oracled as the equivalent projection over the source parquet — the
+    // JSON serialization round-trip is inside the measured path
+    "s5_roundtrip" -> ((s, dir) => {
+      val path = "/root/repo/target/tmp/s5_roundtrip"
+      NdJson.write(Corpus.memories(s, dir), path, sourcePrefix = Some("src1"))
+      NdJson.read(s, path, sourceRemap = Some(("src1", "imported/src1")))
+        .select(col("text"), col("source"), col("category"), col("entity_key"),
+          col("pinned"), col("archived"))
+        .orderBy("entity_key")
+    }),
+    // E2: re-embed + atomic write-then-swap + load-back, checksummed
+    "e2_reembed_swap" -> ((s, dir) => {
+      val path = "/root/repo/target/tmp/e2_reembed"
+      val mem = Corpus.memories(s, dir).select("id", "text")
+      graft.embed.Reembed.reembedAll(mem, graft.embed.HashingEmbedder(64), path)
+      graft.sources.Store.load(s, path)
+        .select(col("id"), posexplode(col("embedding")))
+        .groupBy("id")
+        .agg(round(sum((col("pos") + 1) * col("col").cast("double")), 6).as("checksum"))
+        .orderBy("id")
+    }),
+    // F7: fixed query-string table → temporal-intent adjustments; the oracle
+    // VALUES are the REFERENCE engine's own outputs for these queries at
+    // reference_date 2026-08-01 (query_intent.py classify_query)
+    "f7_intent_classify" -> ((s, dir) => {
+      import s.implicits._
+      val refDate = java.time.LocalDate.of(2026, 8, 1)
+      Seq(
+        "what did I do yesterday", "deploys last week", "decisions in march",
+        "events from nov to feb", "what happened three days ago",
+        "changes over the past two weeks", "plans for this month",
+        "recently changed configs", "last friday standup",
+        "no temporal language here")
+        .map { q =>
+          val a = graft.intent.QueryIntent.classifyQuery(q, refDate)
+          (q, a.since.getOrElse(""), a.until.getOrElse(""),
+            a.graphWeight.map(w => f"$w%.1f").getOrElse(""),
+            a.recencyWeight.map(w => f"$w%.1f").getOrElse(""),
+            a.autoDetected)
+        }
+        .toDF("query", "since", "until", "graph_weight", "recency_weight", "auto_detected")
     }),
     // stateful per-document fold — no SQL oracle; driver records rows>0
     "s3_chunk_markdown" -> ((s, dir) => {
@@ -159,6 +208,10 @@ object QueriesExt {
          |ORDER BY id""".stripMargin,
     "r14_explain" ->
       OracleHybrid.explainSql(oracleParams, n = 1000000, withFeedback = true),
+    "r14_explain_graph" ->
+      OracleHybrid.explainSql(
+        oracleParams.copy(graphWeight = 0.1, sourcePrefix = Some("src1")),
+        n = 1000000, withFeedback = true),
     "mm_feature_checksum" -> {
       val blob = "'blob-' || repeat(CAST(id AS VARCHAR), CAST(id % 7 + 1 AS INT))"
       s"""WITH mm AS (
@@ -253,6 +306,29 @@ object QueriesExt {
          |$sql1
          |) q1""".stripMargin
     },
+    "s5_roundtrip" ->
+      s"""WITH ${OracleCtes.memories}
+         |SELECT text, 'imported/src1' || substring(source, 5) AS source,
+         |  category, entity_key, pinned, archived
+         |FROM memories WHERE source LIKE 'src1%'
+         |ORDER BY entity_key""".stripMargin,
+    "e2_reembed_swap" ->
+      s"""WITH ${OracleText.embedCtes(64)}
+         |SELECT id, round(list_sum(list_transform(range(1, 65), i -> e[i] * i)), 6) AS checksum
+         |FROM ef ORDER BY id""".stripMargin,
+    "f7_intent_classify" ->
+      """SELECT * FROM (VALUES
+        |  ('what did I do yesterday', '2026-07-31T00:00:00Z', '2026-07-31T23:59:59Z', '0.0', '', TRUE),
+        |  ('deploys last week', '2026-07-20T00:00:00Z', '2026-07-26T23:59:59Z', '0.0', '', TRUE),
+        |  ('decisions in march', '2026-03-01T00:00:00Z', '2026-03-31T23:59:59Z', '0.0', '', TRUE),
+        |  ('events from nov to feb', '2025-11-01T00:00:00Z', '2026-02-28T23:59:59Z', '0.0', '', TRUE),
+        |  ('what happened three days ago', '2026-07-29T00:00:00Z', '2026-07-29T23:59:59Z', '0.0', '', TRUE),
+        |  ('changes over the past two weeks', '2026-07-18T00:00:00Z', '', '0.0', '', TRUE),
+        |  ('plans for this month', '2026-08-01T00:00:00Z', '', '0.0', '', TRUE),
+        |  ('recently changed configs', '', '', '', '0.2', TRUE),
+        |  ('last friday standup', '2026-07-31T00:00:00Z', '2026-07-31T23:59:59Z', '0.0', '', TRUE),
+        |  ('no temporal language here', '', '', '', '', FALSE))
+        |AS t(query, since, until, graph_weight, recency_weight, auto_detected)""".stripMargin,
     "st_event_window_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, sum(value) AS value_sum

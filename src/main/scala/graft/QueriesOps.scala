@@ -18,6 +18,14 @@ object QueriesOps {
 
   private def mem(s: SparkSession, dir: String): DataFrame = Corpus.memories(s, dir)
 
+  /** Inject user:/assistant: transcript markers (id mod 3) so the timeline's
+    * user-facts filter is exercised in both directions. */
+  private def withTranscriptMarkers(m: DataFrame): DataFrame =
+    m.withColumn("text",
+      when(col("id") % 3 === 0, concat(lit("user: "), col("text")))
+        .when(col("id") % 3 === 1, concat(lit("assistant: "), col("text")))
+        .otherwise(col("text")))
+
   val queries: Map[String, Q] = Map(
     // ----------------------------------------------------------- analytics
     "a1_folder_rollup" -> ((s, dir) => Analytics.folderRollup(mem(s, dir))),
@@ -32,16 +40,39 @@ object QueriesOps {
       Analytics.graphSearchStats(Corpus.graphSearchEvents(s, dir))),
     "a6_extraction_quality" -> ((s, dir) =>
       Analytics.extractionQuality(Corpus.extractionOutcomes(s, dir))),
+    "a6_usage_tokens" -> ((s, dir) =>
+      Analytics.usageTokens(Corpus.extractionTokens(s, dir), Corpus.ModelPricing)),
+    "a6_quality_summary" -> ((s, dir) =>
+      Analytics.qualitySummary(Corpus.searchFeedback(s, dir),
+        Corpus.extractionOutcomes(s, dir), Corpus.graphSearchEvents(s, dir))),
+    "a6_failures_retrieval" -> ((s, dir) =>
+      Analytics.retrievalFailures(Corpus.searchFeedback(s, dir))),
+    "a6_failures_extraction" -> ((s, dir) =>
+      Analytics.extractionFailures(Corpus.extractionOutcomes(s, dir))),
     "a7_conflicts" -> ((s, dir) => Analytics.conflicts(mem(s, dir))),
     "a8_stats" -> ((s, dir) => Analytics.stats(mem(s, dir))),
     // -------------------------------------------------------- presentation
     "o2_pagination" -> ((s, dir) =>
       Presentation.paginate(mem(s, dir).select("id", "source"), "id", 50, 25)),
+    // user:/assistant: transcript markers injected by id so the
+    // user_facts_only filter has both polarities to discriminate
     "o3_timeline" -> ((s, dir) =>
-      Presentation.timeline(mem(s, dir),
-        Seq(Queries.queryVec(s, dir, 0), Queries.queryVec(s, dir, 1)))),
+      Presentation.timeline(withTranscriptMarkers(mem(s, dir)),
+        Seq(Queries.queryVec(s, dir, 0), Queries.queryVec(s, dir, 1)),
+        userFactsOnly = true)),
     "o4_evidence_packet" -> ((s, dir) =>
-      Presentation.evidencePacket(mem(s, dir), Queries.queryVec(s, dir))),
+      Presentation.evidencePacket(mem(s, dir), Queries.queryVec(s, dir),
+        queryText = "dedup merge window")),
+    // recency-preferring rank-key branch (query matches latest|current|...)
+    "o4_evidence_recency" -> ((s, dir) =>
+      Presentation.evidencePacket(mem(s, dir), Queries.queryVec(s, dir),
+        queryText = "latest dedup merge window")),
+    "o4_followups" -> ((s, dir) => {
+      import s.implicits._
+      Presentation.followUpQueries("What Changed about the dedup   window")
+        .zipWithIndex.map { case (q, i) => (i.toLong, q) }
+        .toDF("pos", "followup")
+    }),
     "o5_distinct_sources" -> ((s, dir) => Presentation.distinctSources(mem(s, dir))),
     "o6_counts" -> ((s, dir) => Presentation.counts(mem(s, dir), "src1")),
     // ----------------------------------------------------------- mutations
@@ -97,6 +128,50 @@ object QueriesOps {
       Mutations.reinforce(mem(s, dir), ids)
     })
   )
+
+  /** extraction_outcomes fixture as a DuckDB CTE (mirrors
+    * Corpus.extractionOutcomes). */
+  private val exoCte =
+    """exo AS MATERIALIZED (
+      |  SELECT event_id AS job_id, 'm' || CAST(user_id % 3 AS VARCHAR) AS model,
+      |    CAST(event_id % 4 AS INT) AS stored, CAST(event_id % 3 AS INT) AS updated,
+      |    CAST(event_id % 2 AS INT) AS deleted, CAST(event_id % 5 AS INT) AS noop,
+      |    CAST(CASE WHEN event_id % 9 = 0 THEN 1 ELSE 0 END AS INT) AS conflict,
+      |    CAST(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS INT) AS fallback,
+      |    CAST(floor(value * 10) AS BIGINT) AS tokens, ts,
+      |    CAST(event_id % 4 + event_id % 3 + event_id % 2 + event_id % 5
+      |         + CASE WHEN event_id % 9 = 0 THEN 1 ELSE 0 END AS INT) AS extracted
+      |  FROM events WHERE event_type = 'signup')""".stripMargin
+
+  /** O4 oracle body shared by the score-first and recency-first variants —
+    * only the rank-key ORDER BY differs (evidence_packet.py:59-64). */
+  private def evidenceOracle(orderSql: String): String =
+    s"""WITH ${OracleCtes.memories},
+       |v AS MATERIALIZED (
+       |  SELECT m.id, m.source, round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) AS sim,
+       |    coalesce(m.document_at, m.updated_at, m.created_at) AS date,
+       |    m.archived, m.is_latest
+       |  FROM memories m CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       |  ORDER BY sim DESC, m.id LIMIT 20),
+       |r AS MATERIALIZED (SELECT *, row_number() OVER (ORDER BY $orderSql) AS rank FROM v),
+       |cur AS (SELECT date AS cur_date FROM r WHERE rank = 1),
+       |rel AS MATERIALIZED (
+       |  SELECT r.*, c.cur_date,
+       |    CASE WHEN r.rank = 1 THEN 'current'
+       |         WHEN c.cur_date IS NOT NULL AND r.date IS NOT NULL AND r.date < c.cur_date THEN 'older'
+       |         WHEN r.archived THEN 'archived'
+       |         WHEN c.cur_date IS NULL AND r.date IS NOT NULL THEN 'dated_unranked'
+       |         ELSE 'supporting' END AS relation
+       |  FROM r, cur c),
+       |n_old AS (SELECT count(*) AS n FROM rel WHERE relation IN ('older', 'archived', 'dated_unranked')),
+       |trail AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY
+       |      CASE relation WHEN 'current' THEN 0 WHEN 'supporting' THEN 1 ELSE 2 END, rank) AS INT) AS trail_pos,
+       |    id, source, relation, sim AS score,
+       |    CASE WHEN cur_date IS NULL THEN 'low'
+       |         WHEN (SELECT n FROM n_old) > 0 THEN 'medium' ELSE 'high' END AS confidence_level
+       |  FROM rel)
+       |SELECT * FROM trail WHERE trail_pos <= 10 ORDER BY trail_pos""".stripMargin
 
   private val vecTopIds =
     s"""vtop AS (
@@ -171,6 +246,54 @@ object QueriesOps {
         |    CAST(floor(value * 10) AS BIGINT) AS tokens
         |  FROM events WHERE event_type = 'signup')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a6_usage_tokens" ->
+      """WITH tok AS (
+        |  SELECT 'm' || CAST(user_id % 3 AS VARCHAR) AS model,
+        |    CAST(floor(value * 10) AS BIGINT) AS input_tokens,
+        |    CAST(event_id % 500 AS BIGINT) AS output_tokens
+        |  FROM events WHERE event_type = 'view')
+        |SELECT model, count(*) AS calls,
+        |  CAST(sum(input_tokens) AS BIGINT) AS input_tokens,
+        |  CAST(sum(output_tokens) AS BIGINT) AS output_tokens,
+        |  round(CAST(sum(input_tokens) AS DOUBLE) / 1000000.0 *
+        |      CASE model WHEN 'm0' THEN CAST(1.0 AS DOUBLE) WHEN 'm1' THEN CAST(0.5 AS DOUBLE)
+        |                 WHEN 'm2' THEN CAST(2.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END
+        |    + CAST(sum(output_tokens) AS DOUBLE) / 1000000.0 *
+        |      CASE model WHEN 'm0' THEN CAST(4.0 AS DOUBLE) WHEN 'm1' THEN CAST(2.0 AS DOUBLE)
+        |                 WHEN 'm2' THEN CAST(8.0 AS DOUBLE) ELSE CAST(4.0 AS DOUBLE) END, 4) AS est_cost_usd
+        |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a6_quality_summary" ->
+      s"""WITH ${OracleCtes.searchFeedback},
+         |$exoCte,
+         |fb AS (SELECT CAST(sum(CASE WHEN signal = 'useful' THEN 1 ELSE 0 END) AS BIGINT) AS useful,
+         |  CAST(sum(CASE WHEN signal = 'not_useful' THEN 1 ELSE 0 END) AS BIGINT) AS not_useful
+         |  FROM search_feedback),
+         |ex AS (SELECT count(*) AS total_extractions, CAST(sum(extracted) AS BIGINT) AS x,
+         |  CAST(sum(stored) AS BIGINT) AS s, CAST(sum(updated) AS BIGINT) AS u,
+         |  CAST(sum(noop) AS BIGINT) AS n, CAST(sum(deleted) AS BIGINT) AS d,
+         |  CAST(sum(conflict) AS BIGINT) AS c, CAST(sum(fallback) AS BIGINT) AS fbk FROM exo),
+         |gr AS (SELECT count(*) AS total_graph_searches, CAST(sum(graph_count) AS BIGINT) AS total_graph_results
+         |  FROM (SELECT CAST(event_id % 3 AS INT) AS graph_count FROM events WHERE event_type = 'purchase'))
+         |SELECT round(CAST(useful AS DOUBLE) / (useful + not_useful), 4) AS positive_feedback_rate,
+         |  useful + not_useful AS searches_with_feedback, total_extractions,
+         |  round(CAST(s AS DOUBLE) / x, 4) AS add_rate,
+         |  round(CAST(u AS DOUBLE) / x, 4) AS update_rate,
+         |  round(CAST(n AS DOUBLE) / x, 4) AS noop_rate,
+         |  round(CAST(d AS DOUBLE) / x, 4) AS delete_rate,
+         |  round(CAST(c AS DOUBLE) / x, 4) AS conflict_rate,
+         |  round(CAST(fbk AS DOUBLE) / x, 4) AS fallback_rate,
+         |  total_graph_searches, total_graph_results
+         |FROM fb, ex, gr""".stripMargin,
+    "a6_failures_retrieval" ->
+      s"""WITH ${OracleCtes.searchFeedback}
+         |SELECT id AS feedback_id, memory_id, query, ts FROM search_feedback
+         |WHERE signal = 'not_useful' ORDER BY ts DESC, id LIMIT 10""".stripMargin,
+    "a6_failures_extraction" ->
+      s"""WITH $exoCte
+         |SELECT job_id, model, extracted, stored, noop,
+         |  round(CAST(noop AS DOUBLE) / extracted, 4) AS noop_ratio, conflict
+         |FROM exo WHERE extracted > 0 AND noop > 0
+         |ORDER BY CAST(noop AS DOUBLE) / extracted DESC, ts DESC, job_id LIMIT 10""".stripMargin,
     "a7_conflicts" ->
       s"""WITH ${OracleCtes.memories}
          |SELECT a.id, a.source, a.conflicts_with, b.source AS other_source,
@@ -191,33 +314,37 @@ object QueriesOps {
          |SELECT id, source FROM memories ORDER BY id LIMIT 25 OFFSET 50""".stripMargin,
     "o3_timeline" ->
       s"""WITH ${OracleCtes.memories},
+         |mm AS MATERIALIZED (
+         |  SELECT id, source, embedding, document_at, created_at, archived,
+         |    CASE WHEN id % 3 = 0 THEN 'user: ' || text
+         |         WHEN id % 3 = 1 THEN 'assistant: ' || text
+         |         ELSE text END AS text
+         |  FROM memories),
          |v0 AS (
-         |  SELECT m.id, coalesce(m.document_at, m.created_at) AS date
-         |  FROM memories m CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |  SELECT m.id, m.source, m.text, coalesce(m.document_at, m.created_at) AS date
+         |  FROM mm m CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          |  WHERE NOT m.archived
          |  ORDER BY round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id LIMIT 20),
          |v1 AS (
-         |  SELECT m.id, coalesce(m.document_at, m.created_at) AS date
-         |  FROM memories m CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1) q
+         |  SELECT m.id, m.source, m.text, coalesce(m.document_at, m.created_at) AS date
+         |  FROM mm m CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1) q
          |  WHERE NOT m.archived
-         |  ORDER BY round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id LIMIT 20)
-         |SELECT DISTINCT id, date FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
-         |ORDER BY date, id""".stripMargin,
-    "o4_evidence_packet" ->
-      s"""WITH ${OracleCtes.memories},
-         |v AS (
-         |  SELECT m.id, round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) AS sim,
-         |    m.archived, m.is_latest
-         |  FROM memories m CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
-         |  ORDER BY sim DESC, m.id LIMIT 20),
-         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY sim DESC, id) AS INT) AS rank FROM v)
-         |SELECT id, sim, rank,
-         |  CASE WHEN rank = 1 THEN 'primary'
-         |       WHEN NOT archived AND is_latest THEN 'supporting'
-         |       ELSE 'older_or_archived' END AS section,
-         |  CASE WHEN sim >= 0.5 THEN 'high' WHEN sim >= 0.35 THEN 'medium'
-         |       ELSE 'low' END AS confidence_level
-         |FROM r ORDER BY rank""".stripMargin,
+         |  ORDER BY round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id LIMIT 20),
+         |u AS (SELECT DISTINCT id, source, text, date FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1))
+         |SELECT id, source, date FROM u
+         |WHERE trim(text) <> '' AND (regexp_matches(text, '(?im)^\\s*user\\s*:')
+         |  OR NOT regexp_matches(text, '(?im)^\\s*assistant\\s*:'))
+         |ORDER BY date NULLS FIRST, id""".stripMargin,
+    "o4_evidence_packet" -> evidenceOracle(
+      "sim DESC, (date IS NOT NULL) DESC, date DESC, is_latest DESC, id"),
+    "o4_evidence_recency" -> evidenceOracle(
+      "(date IS NOT NULL) DESC, date DESC, sim DESC, is_latest DESC, id"),
+    "o4_followups" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'What Changed about the dedup window'),
+        |  (CAST(1 AS BIGINT), 'latest What Changed about the dedup window'),
+        |  (CAST(2 AS BIGINT), 'current What Changed about the dedup window'))
+        |AS t(pos, followup)""".stripMargin,
     "o5_distinct_sources" ->
       s"""WITH ${OracleCtes.memories}
          |SELECT DISTINCT source FROM memories ORDER BY source""".stripMargin,

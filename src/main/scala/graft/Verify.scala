@@ -21,8 +21,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // iterative operators persist intermediates; drop them between queries
-      spark.catalog.clearCache()
+      // iterative operators persist/checkpoint intermediates; drop them
+      // (cache entries AND checkpoint RDD blocks) between queries
+      graft.core.Caches.clearAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -91,6 +91,76 @@ object Analytics {
         round(avg("tokens"), 4).as("avg_tokens"))
       .orderBy("model")
 
+  /** A6b: extraction token usage + estimated cost per model
+    * (usage_tracker.py:607-662). The reference groups by
+    * (provider, model, stage) then folds per model; the sums commute, so one
+    * groupBy(model) is the same result. Pricing is a tiny when-ladder;
+    * unknown models take the $1/$4-per-1M fallback (:644-646). */
+  def usageTokens(tokens: DataFrame,
+                  pricing: Map[String, (Double, Double)]): DataFrame = {
+    def price(sel: ((Double, Double)) => Double, fallback: Double): Column =
+      pricing.toSeq.sortBy(_._1).foldLeft(lit(fallback)) { case (acc, (m, p)) =>
+        when(col("model") === m, lit(sel(p))).otherwise(acc)
+      }
+    tokens.groupBy("model")
+      .agg(
+        count(lit(1)).as("calls"),
+        sum("input_tokens").as("input_tokens"),
+        sum("output_tokens").as("output_tokens"))
+      .withColumn("est_cost_usd",
+        round(col("input_tokens") / 1000000.0 * price(_._1, 1.0)
+          + col("output_tokens") / 1000000.0 * price(_._2, 4.0), 4))
+      .orderBy("model")
+  }
+
+  /** A6c: quality summary — retrieval precision + extraction rates + graph
+    * yield in one row (usage_tracker.py:665-752). */
+  def qualitySummary(feedback: DataFrame, outcomes: DataFrame,
+                     graphEvents: DataFrame): DataFrame = {
+    val fb = feedback.agg(
+      sum(when(col("signal") === "useful", 1).otherwise(0)).as("useful"),
+      sum(when(col("signal") === "not_useful", 1).otherwise(0)).as("not_useful"))
+    val ex = outcomes.agg(
+      count(lit(1)).as("total_extractions"),
+      sum("extracted").as("x"), sum("stored").as("s"), sum("updated").as("u"),
+      sum("noop").as("n"), sum("deleted").as("d"), sum("conflict").as("c"),
+      sum("fallback").as("fb"))
+    val gr = graphEvents.agg(
+      count(lit(1)).as("total_graph_searches"),
+      sum("graph_count").as("total_graph_results"))
+    fb.crossJoin(ex).crossJoin(gr).select(
+      round(col("useful") / (col("useful") + col("not_useful")), 4)
+        .as("positive_feedback_rate"),
+      (col("useful") + col("not_useful")).as("searches_with_feedback"),
+      col("total_extractions"),
+      round(col("s") / col("x"), 4).as("add_rate"),
+      round(col("u") / col("x"), 4).as("update_rate"),
+      round(col("n") / col("x"), 4).as("noop_rate"),
+      round(col("d") / col("x"), 4).as("delete_rate"),
+      round(col("c") / col("x"), 4).as("conflict_rate"),
+      round(col("fb") / col("x"), 4).as("fallback_rate"),
+      col("total_graph_searches"), col("total_graph_results"))
+  }
+
+  /** A6d: recent retrieval failures — negative feedback, newest first
+    * (usage_tracker.py:754-775). */
+  def retrievalFailures(feedback: DataFrame, limit: Int = 10): DataFrame =
+    feedback.filter(col("signal") === "not_useful")
+      .orderBy(desc("ts"), asc("id"))
+      .limit(limit)
+      .select(col("id").as("feedback_id"), col("memory_id"), col("query"), col("ts"))
+
+  /** A6e: worst extraction batches by noop ratio (usage_tracker.py:777-800).
+    * Ordered by the UNROUNDED ratio (as the reference's CAST(noop AS REAL)/
+    * extracted), job_id tie-break for a deterministic limit boundary. */
+  def extractionFailures(outcomes: DataFrame, limit: Int = 10): DataFrame =
+    outcomes.filter(col("extracted") > 0 && col("noop") > 0)
+      .withColumn("_ratio", col("noop").cast("double") / col("extracted"))
+      .orderBy(desc("_ratio"), desc("ts"), asc("job_id"))
+      .limit(limit)
+      .select(col("job_id"), col("model"), col("extracted"), col("stored"),
+        col("noop"), round(col("_ratio"), 4).as("noop_ratio"), col("conflict"))
+
   /** A7: conflict listing — rows with `conflicts_with` set, joined to the
     * conflicting row (app.py:2273-2299). */
   def conflicts(memories: DataFrame): DataFrame =

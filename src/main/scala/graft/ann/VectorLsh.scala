@@ -61,9 +61,14 @@ object VectorLsh {
     * exact-dedup kernel ([[graft.dedup.Dedup.topNeighbors]]). */
   def candidates(queries: DataFrame, corpus: DataFrame, dim: Int,
                  maxBucket: Int = 10000): DataFrame = {
-    val qk = withBandKeys(queries.select("id", "embedding"), dim)
+    // self-join case (dedup over one table): one eagerly-checkpointed keyed
+    // frame feeds the query side, the corpus side AND the bucket-size
+    // aggregate — the 16-hyperplane dot products run once, not three times
+    val selfJoin = queries eq corpus
+    val ck0 = withBandKeys(corpus.select("id", "embedding"), dim)
+    val ck = if (selfJoin) ck0.localCheckpoint(true) else ck0
+    val qk = (if (selfJoin) ck else withBandKeys(queries.select("id", "embedding"), dim))
       .select(col("id").as("ia"), col("embedding").as("ea"), col("band"), col("key"))
-    val ck = withBandKeys(corpus.select("id", "embedding"), dim)
     val sized = ck.groupBy("band", "key").agg(count(lit(1)).as("cnt"))
     val ok = ck.join(sized.filter(col("cnt") <= maxBucket), Seq("band", "key"))
       .select(col("id").as("ib"), col("embedding").as("eb"), col("band"), col("key"))

@@ -131,18 +131,44 @@ object Corpus {
         col("ts"))
 
   /** extraction_outcomes fixture (usage_tracker.py:447-459 schema): one row
-    * per 'signup' event. */
+    * per 'signup' event. `extracted` = sum of the action counts, so the
+    * reference's noop/add/conflict rates (usage_tracker.py:694-712) are
+    * well-defined. */
   def extractionOutcomes(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .filter(col("event_type") === "signup")
       .select(
+        col("event_id").as("job_id"),
         concat(lit("m"), col("user_id") % 3).as("model"),
         (col("event_id") % 4).cast("int").as("stored"),
         (col("event_id") % 3).cast("int").as("updated"),
         (col("event_id") % 2).cast("int").as("deleted"),
+        (col("event_id") % 5).cast("int").as("noop"),
+        when(col("event_id") % 9 === 0, 1).otherwise(0).cast("int").as("conflict"),
         when(col("event_id") % 7 === 0, 1).otherwise(0).cast("int").as("fallback"),
         floor(col("value") * 10).cast("long").as("tokens"),
         col("ts"))
+      .withColumn("extracted",
+        (col("stored") + col("updated") + col("deleted") + col("noop") + col("conflict"))
+          .cast("int"))
+
+  /** extraction_tokens fixture (usage_tracker.py:607-620 schema): one row
+    * per 'view' event — provider/model/stage call with token counts. */
+  def extractionTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(
+        concat(lit("p"), col("user_id") % 2).as("provider"),
+        concat(lit("m"), col("user_id") % 3).as("model"),
+        when(col("event_id") % 2 === 0, "extract").otherwise("consolidate").as("stage"),
+        floor(col("value") * 10).cast("long").as("input_tokens"),
+        (col("event_id") % 500).cast("long").as("output_tokens"),
+        col("ts"))
+
+  /** Per-model (input, output) $/1M-token pricing fixture
+    * (usage_tracker.py MODEL_PRICING; unknown models fall back to $1/$4). */
+  val ModelPricing: Map[String, (Double, Double)] =
+    Map("m0" -> (1.0, 4.0), "m1" -> (0.5, 2.0), "m2" -> (2.0, 8.0))
 
   /** Lifecycle policy table (extraction_profiles.py:7-20, 68-113): cascading
     * per-prefix policies, longest prefix wins. */

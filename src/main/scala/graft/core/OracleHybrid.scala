@@ -152,20 +152,38 @@ object OracleHybrid {
   }
 
   /** R14 explain oracle: labeled per-signal contributions + fused score +
-    * resolved weights. Mirrors [[graft.search.HybridSearch.explain]]. */
+    * resolved weights + filter counts + graph/PPR params. Mirrors
+    * [[graft.search.HybridSearch.explain]]. */
   def explainSql(p: HybridSearch.Params, n: Long, withFeedback: Boolean, vecId: Long = 0): String = {
     val w = HybridSearch.Weights.resolve(p.vectorWeight, p.recencyWeight,
       p.feedbackWeight, p.confidenceWeight)
     val fb = if (withFeedback) s",\n${OracleCtes.searchFeedback}" else ""
+    val fbsSql = p.sourcePrefix match {
+      case Some(pre) =>
+        s"""(SELECT count(*) FROM bm WHERE bm25 > 0)
+           | - (SELECT count(*) FROM bm b JOIN memories m USING (id)
+           |    WHERE b.bm25 > 0 AND m.source LIKE '$pre%')""".stripMargin
+      case None => "CAST(0 AS BIGINT)"
+    }
+    val graphOn = p.graphWeight > 0
+    val gw = if (graphOn) p.graphWeight else 0.0
+    val pprAlpha = if (graphOn) s"CAST(${GraphSearch.Alpha} AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+    val pprIters = if (graphOn) s"CAST(${GraphSearch.MaxIters} AS INT)" else "CAST(NULL AS INT)"
     s"""WITH ${OracleCtes.memories}$fb,
        |${fusedCtes(p, n, vecId)},
-       |fused2 AS (SELECT id, sum(c) AS rrf FROM expl GROUP BY 1)
+       |fused2 AS (SELECT id, sum(c) AS rrf FROM expl GROUP BY 1),
+       |cc AS (SELECT count(*) AS candidates_considered FROM cand),
+       |fbs AS (SELECT $fbsSql AS filtered_by_source)
        |SELECT e.id, e.signal, round(e.c, 6) AS contrib, round(f.rrf, 6) AS rrf_score,
        |  CAST(${w.vec} AS DOUBLE) AS w_vector, CAST(${w.bm25} AS DOUBLE) AS w_bm25,
        |  CAST(${w.recency} AS DOUBLE) AS w_recency,
        |  CAST(${w.feedback} AS DOUBLE) AS w_feedback,
-       |  CAST(${w.confidence} AS DOUBLE) AS w_confidence
-       |FROM expl e JOIN fused2 f USING (id)""".stripMargin
+       |  CAST(${w.confidence} AS DOUBLE) AS w_confidence,
+       |  cc.candidates_considered, fbs.filtered_by_source,
+       |  CAST(0 AS BIGINT) AS filtered_by_auth, CAST(${HybridSearch.RrfK} AS INT) AS rrf_k,
+       |  $graphOn AS graph_enabled, CAST($gw AS DOUBLE) AS graph_weight,
+       |  $pprAlpha AS ppr_alpha, $pprIters AS ppr_iterations
+       |FROM expl e JOIN fused2 f USING (id), cc, fbs""".stripMargin
   }
 
   /** Full fast-path hybrid oracle: SELECT id, source, category, rrf_score. */

@@ -28,9 +28,12 @@ object Tables {
     val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // integral `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's
+        // 2^53 mantissa, so float division is off by ±1µs on some rows;
+        // DuckDB's TIMESTAMP_NS→µs conversion truncates, and so must this
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+            org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => raw
     }
   }

@@ -37,18 +37,20 @@ object Clusters {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("component").as("ncomp"))
       val prop = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
+        .select(col("id"), col("component").as("_old"),
+          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
       // (2) pointer jumping: component := component(component) — path halving
       // turns O(diameter) convergence into O(log diameter)
       val next = prop.as("a")
         .join(prop.select(col("id").as("cid"), col("component").as("ccomp")).as("b"),
           col("a.component") === col("b.cid"), "left")
-        .select(col("a.id").as("id"),
+        .select(col("a.id").as("id"), col("a._old").as("_old"),
           least(col("a.component"), coalesce(col("ccomp"), col("a.component"))).as("component"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels = next
+      // convergence check is a filter over the just-materialized blocks —
+      // the old label travels inside the row, so no per-round join job
+      val changed = next.filter(col("component") =!= col("_old")).limit(1).count()
+      labels = next.select("id", "component")
       converged = changed == 0
       iter += 1
     }

@@ -32,7 +32,10 @@ object MinHashLsh {
   /** MinHash signature column from a shingle-hash array column. Native
     * codegen kernel; pinned to the HOF formulation
     * transform(sequence(0,k-1), i -> array_min(transform(sh, x ->
-    * (x*(2i+1) + 7919i + 13) % P))) by KernelEquivalenceSpec. */
+    * (x*(2i+1) + 7919i + 13) % P))) by KernelEquivalenceSpec.
+    * `sh` must be NON-EMPTY (as produced by [[shingleSets]], which filters
+    * empty sets): on an empty array the kernel yields Long.MaxValue per
+    * hash while the HOF form yields nulls. */
   def signature(sh: Column, numHashes: Int = NumHashes): Column =
     TextFunctions.minHashSig(sh, numHashes)
 
@@ -71,7 +74,10 @@ object MinHashLsh {
   /** Full near-dup pipeline: LSH candidates verified by exact n-gram Jaccard
     * ≥ `threshold`. Output (id_a, id_b, jaccard rounded 6). */
   def nearDuplicates(df: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
-    val sh = shingleSets(df, n).persist()
+    // eager checkpoint, not persist: shingles are read three times (banding
+    // + both verify sides); checkpoint blocks are GC-freed with the frame
+    // rather than pinned in the CacheManager until a manual unpersist
+    val sh = shingleSets(df, n).localCheckpoint(true)
     candidatePairsFromShingles(sh)
       .join(sh.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")

@@ -71,7 +71,13 @@ object TextKernels {
     * ((2i+1)·x + 7919·i + 13) mod P. Matches the HOF formulation
     * transform(sequence(0, k-1), i -> array_min(transform(sh, ...))) used by
     * [[graft.dedup.MinHashLsh.signature]] (and the DuckDB oracle) exactly;
-    * x < P and 2i+1 ≤ 2k-1 keep x*(2i+1)+b well inside Long range. */
+    * x < P and 2i+1 ≤ 2k-1 keep x*(2i+1)+b well inside Long range.
+    *
+    * PRECONDITION: the shingle array must be non-empty. On an empty array
+    * this kernel yields Long.MaxValue per hash, whereas the HOF form yields
+    * nulls (array_min of empty) — the equivalence (and containsNull=false)
+    * holds only because [[graft.dedup.MinHashLsh.shingleSets]] filters empty
+    * shingle sets before signing. */
   def minHashSig(sh: ArrayData, numHashes: Int): ArrayData = {
     val m = sh.numElements()
     val out = new Array[Long](numHashes)

@@ -14,36 +14,102 @@ object Presentation {
   def paginate(df: DataFrame, orderCol: String, offset: Int, limit: Int): DataFrame =
     df.orderBy(col(orderCol).asc).offset(offset).limit(limit)
 
-  /** O3: timeline — fan out query variants, union, dedupe by id, sort
-    * chronologically ascending (mcp-server/index.js:261-331). */
-  def timeline(memories: DataFrame, queryVecs: Seq[Seq[Float]], perQueryK: Int = 20): DataFrame = {
+  /** hasUserFact predicate (mcp-server/index.js:169-175): non-empty text;
+    * a `user:` line wins over an `assistant:` line; neither marker = fact. */
+  def userFact(text: Column): Column =
+    trim(text) =!= "" &&
+      (text.rlike("(?im)^\\s*user\\s*:") || !text.rlike("(?im)^\\s*assistant\\s*:"))
+
+  /** O3: timeline — fan out query variants, union, dedupe by
+    * (id, source, date), optionally keep only user-stated facts, sort
+    * chronologically ascending with undated rows first
+    * (mcp-server/index.js:261-331: dedupe key at :305, hasUserFact filter at
+    * :304, chronologicalValue sort with NaN → -inf at :163-167). */
+  def timeline(memories: DataFrame, queryVecs: Seq[Seq[Float]], perQueryK: Int = 20,
+               userFactsOnly: Boolean = false): DataFrame = {
     val branches = queryVecs.map(v =>
       VectorSearch.topK(memories, v, perQueryK)
-        .select(col("id"), coalesce(col("document_at"), col("created_at")).as("date")))
-    branches.reduce(_ unionAll _)
-      .dropDuplicates("id")
-      .orderBy(asc("date"), asc("id"))
+        .select(col("id"), col("source"), col("text"),
+          coalesce(col("document_at"), col("created_at")).as("date")))
+    val merged = branches.reduce(_ unionAll _).dropDuplicates("id", "source", "date")
+    val kept = if (userFactsOnly) merged.filter(userFact(col("text"))) else merged
+    kept.select("id", "source", "date").orderBy(asc_nulls_first("date"), asc("id"))
   }
 
-  /** O4: evidence packet — rank hits, classify into primary / supporting /
-    * older_or_archived sections with a confidence level per row
-    * (evidence_packet.py:91-161: top hit is primary; live `is_latest`
-    * non-archived rows support; the rest are historical; level from score
-    * bands high ≥0.5 / medium ≥0.35 / low). */
-  def evidencePacket(memories: DataFrame, queryVec: Seq[Float], k: Int = 20): DataFrame = {
+  /** Query regex that flips the evidence ranking to recency-first
+    * (evidence_packet.py:53-56). */
+  val RecencyQueryRe: String =
+    "(?i).*\\b(latest|current|now|recent|changed|newest|today|yesterday)\\b.*"
+
+  /** O4 follow-up query generation (evidence_packet.py:68-90): the cleaned
+    * query plus latest/current/what-changed variants, deduped
+    * case-insensitively in order. */
+  def followUpQueries(query: String): Seq[String] = {
+    val clean = query.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    if (clean.isEmpty) Nil
+    else {
+      val lowered = clean.toLowerCase
+      val cands = Seq(clean) ++
+        (if (!lowered.startsWith("latest ")) Seq(s"latest $clean") else Nil) ++
+        (if (!lowered.startsWith("current ")) Seq(s"current $clean") else Nil) ++
+        (if (!lowered.startsWith("what changed")) Seq(s"what changed about $clean") else Nil)
+      val seen = scala.collection.mutable.Set.empty[String]
+      cands.filter(c => seen.add(c.toLowerCase))
+    }
+  }
+
+  /** O4: evidence packet (evidence_packet.py:40-161). Hits are ranked by the
+    * reference's rank key — recency-preferring (dated, date, score,
+    * is_latest) when the query matches [[RecencyQueryRe]], score-first
+    * otherwise — then every non-top row is classified against the current
+    * candidate (older / archived / dated_unranked / supporting) and the
+    * source-date trail (current + supporting + older, capped 10) is emitted
+    * with the packet-level confidence (low = undated current, medium = older
+    * evidence present, high otherwise). */
+  def evidencePacket(memories: DataFrame, queryVec: Seq[Float], queryText: String = "",
+                     k: Int = 20): DataFrame = {
+    val preferRecency = queryText.matches(RecencyQueryRe)
+    val w = org.apache.spark.sql.expressions.Window
     val hits = VectorSearch.topK(memories, queryVec, k, includeArchived = true)
-    val ranked = hits.withColumn("rank",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(desc("sim"), asc("id"))))
-    ranked.select(
-      col("id"), col("sim"), col("rank"),
-      when(col("rank") === 1, "primary")
-        .when(!col("archived") && col("is_latest"), "supporting")
-        .otherwise("older_or_archived").as("section"),
-      when(col("sim") >= 0.5, "high")
-        .when(col("sim") >= 0.35, "medium")
-        .otherwise("low").as("confidence_level"))
-      .orderBy("rank")
+      .select(col("id"), col("source"), col("sim"),
+        coalesce(col("document_at"), col("updated_at"), col("created_at")).as("date"),
+        coalesce(col("archived"), lit(false)).as("archived"),
+        coalesce(col("is_latest"), lit(false)).as("is_latest"))
+    // rank key (evidence_packet.py:59-64); id asc reproduces Python's
+    // stable sort (full-key ties imply equal sim, i.e. original id order)
+    val orderCols =
+      if (preferRecency)
+        Seq(col("date").isNotNull.desc, col("date").desc, col("sim").desc,
+          col("is_latest").desc, col("id").asc)
+      else
+        Seq(col("sim").desc, col("date").isNotNull.desc, col("date").desc,
+          col("is_latest").desc, col("id").asc)
+    val ranked = hits.withColumn("rank", row_number().over(w.orderBy(orderCols: _*)))
+    val cur = ranked.filter(col("rank") === 1).select(col("date").as("cur_date"))
+    val rel = ranked.crossJoin(broadcast(cur))
+      .withColumn("relation",
+        when(col("rank") === 1, "current")
+          .when(col("cur_date").isNotNull && col("date").isNotNull &&
+            col("date") < col("cur_date"), "older")
+          .when(col("archived"), "archived")
+          .when(col("cur_date").isNull && col("date").isNotNull, "dated_unranked")
+          .otherwise("supporting"))
+    val nOlder = rel
+      .agg(sum(when(col("relation").isin("older", "archived", "dated_unranked"), 1)
+        .otherwise(0)).as("n_older"))
+    rel.crossJoin(broadcast(nOlder))
+      .withColumn("confidence_level",
+        when(col("cur_date").isNull, "low")
+          .when(col("n_older") > 0, "medium")
+          .otherwise("high"))
+      .withColumn("trail_pos", row_number().over(w.orderBy(
+        when(col("relation") === "current", 0)
+          .when(col("relation") === "supporting", 1).otherwise(2).asc,
+        col("rank").asc)).cast("int"))
+      .filter(col("trail_pos") <= 10)
+      .select(col("trail_pos"), col("id"), col("source"), col("relation"),
+        col("sim").as("score"), col("confidence_level"))
+      .orderBy("trail_pos")
   }
 
   /** O5: sorted distinct sources (memory_engine.py:1318-1320). */

@@ -40,13 +40,36 @@ object BM25 {
     * production deployment these live in the precomputed stats table. */
   case class Stats(n: Long, avgdl: Double, avgIdf: Double)
 
-  // corpus stats are pure functions of the (immutable per run) corpus plan —
-  // memoize per semantic plan hash so r15's branches / repeated hybrid calls
-  // don't re-run the two scalar aggregate jobs per invocation
-  private val statsCache = scala.collection.concurrent.TrieMap.empty[Int, Stats]
+  /** The memoized "index": persisted term-frequency / idf / doc-length
+    * frames plus the corpus scalars, shared by every scores() call over the
+    * same (corpus plan, textCol) — r15's branches and repeated hybrid calls
+    * pay the tokenize+groupBy once. At 100 TB this is the precomputed
+    * term-stats table, refreshed incrementally. */
+  private case class Index(tf: DataFrame, idf: DataFrame, dl: DataFrame, st: Stats)
 
-  def statsFor(docs: DataFrame, tf: DataFrame, textCol: String = "text"): Stats =
-    statsCache.getOrElseUpdate(docs.semanticHash(), stats(docs, tf, textCol))
+  // keyed on (semantic plan hash, textCol): same-path-mutated-data staleness
+  // is accepted for immutable fixture/corpus runs — callers that rewrite a
+  // table between queries must clearCache() (Bench does, between queries)
+  private val indexCache = scala.collection.concurrent.TrieMap.empty[(Int, String), Index]
+
+  /** Drop all memoized BM25 state and free the persisted frames. */
+  def clearCache(): Unit = {
+    indexCache.values.foreach { ix => ix.tf.unpersist(); ix.idf.unpersist(); ix.dl.unpersist() }
+    indexCache.clear()
+  }
+
+  private def indexFor(docs: DataFrame, textCol: String, idCol: String): Index =
+    indexCache.getOrElseUpdate((docs.semanticHash(), textCol), {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val tf = termFreqs(docs, textCol, idCol).persist(lvl)
+      val st = stats(docs, tf, textCol)
+      val idfRaw = log((lit(st.n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+      val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("idf", when(idfRaw < 0, lit(Epsilon * st.avgIdf)).otherwise(idfRaw))
+        .persist(lvl)
+      val dl = docLens(docs, textCol, idCol).persist(lvl)
+      Index(tf, idf, dl, st)
+    })
 
   def stats(docs: DataFrame, tf: DataFrame, textCol: String = "text"): Stats = {
     // one scan for (N, avgdl), one aggregation over the term-freq table for
@@ -70,24 +93,17 @@ object BM25 {
              textCol: String = "text", idCol: String = "id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tf = termFreqs(docs, textCol, idCol)
-    val st = statsFor(docs, tf, textCol)
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val idfRaw = log((lit(st.n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
-    val idf = df.withColumn(
-      "idf",
-      when(idfRaw < 0, lit(Epsilon * st.avgIdf)).otherwise(idfRaw))
+    val ix = indexFor(docs, textCol, idCol)
     // query tokens keep multiplicity: qn = occurrences of the term in the query
     val q = queryTokens.groupBy(identity).view.mapValues(_.size).toSeq
       .toDF("term", "qn")
-    val dl = docLens(docs, textCol, idCol)
-    tf
-      .join(broadcast(q.join(idf, "term")), "term")
-      .join(dl, "id")
+    ix.tf
+      .join(broadcast(q.join(ix.idf, "term")), "term")
+      .join(ix.dl, "id")
       .groupBy("id")
       .agg(round(sum(
         col("qn") * col("idf") * col("tf") * (lit(K1) + 1.0) /
-          (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("dl") / st.avgdl))), 6)
+          (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("dl") / ix.st.avgdl))), 6)
         .as("bm25"))
   }
 

@@ -87,6 +87,9 @@ object GraphSearch {
       cur = teleport.unionAll(prop).groupBy("id").agg(sum("c").as("score"))
         .localCheckpoint() // truncate lineage: keeps the 3-iteration plan flat
     }
+    // the eager checkpoint above makes `cur` lineage-free — the loop inputs
+    // can be freed here instead of leaking for the session lifetime
+    e.unpersist(); deg.unpersist(); s.unpersist()
     cur.withColumnRenamed("score", "ppr")
   }
 
@@ -134,7 +137,10 @@ object GraphSearch {
     * id/source/category/rrf_score/base_rrf_score/match_type/graph_support. */
   def expandAndMerge(memories: DataFrame, fused: DataFrame,
                      p: HybridSearch.Params): DataFrame = {
-    val f = fused.persist(StorageLevel.MEMORY_AND_DISK)
+    // eager checkpoint, not persist: the ≤2*oversample-row pool is read by
+    // four downstream consumers, and the blocks are GC-freed with the frame
+    // (a CacheManager persist would pin them until an explicit unpersist)
+    val f = fused.localCheckpoint(true)
     val k = math.min(p.k, 100)
     // one driver round-trip for both scalars (max + positive-sum)
     val statsRow = f.agg(

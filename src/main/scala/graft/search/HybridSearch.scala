@@ -183,18 +183,42 @@ object HybridSearch {
 
   /** R14: explain — the same plan, read-only, surfacing each signal's
     * contribution and the fused score per candidate
-    * (memory_engine.py:1899-2185). One row per (id, signal) plus the
-    * resolved weights attached as literals. */
+    * (memory_engine.py:1938-2185). One row per (id, signal) plus the
+    * resolved weights, candidate-filter counts (candidates_considered,
+    * filtered_by_source, filtered_by_auth — memory_engine.py:2042-2062) and
+    * the graph/PPR parameters (:2150-2185) attached as columns. The counts
+    * enter as broadcast 1-row aggregates — no driver round-trips. */
   def explain(memories: DataFrame, feedback: Option[DataFrame], p: Params): DataFrame = {
     val w = Weights.resolve(p.vectorWeight, p.recencyWeight, p.feedbackWeight, p.confidenceWeight)
     val contribs = signalContribs(memories, feedback, p)
     val fused = contribs.groupBy("id").agg(sum("c").as("rrf"))
+    // distinct candidates = one 'vector+bm25' row per pooled id
+    val candCount = contribs.filter(col("signal") === "vector+bm25")
+      .agg(count(lit(1)).as("candidates_considered"))
+    // bm25-positive docs dropped by the source-prefix filter (:2052-2062)
+    val fbs = p.sourcePrefix match {
+      case Some(pre) =>
+        BM25.scores(memories, p.queryTokens).filter(col("bm25") > 0)
+          .join(memories.select(col("id"), col("source")), "id")
+          .agg(coalesce(sum(when(!col("source").startsWith(pre), 1L)), lit(0L))
+            .as("filtered_by_source"))
+      case None =>
+        memories.sparkSession.range(1).select(lit(0L).as("filtered_by_source"))
+    }
+    val graphOn = p.graphWeight > 0
     contribs.join(fused, "id")
+      .crossJoin(broadcast(candCount)).crossJoin(broadcast(fbs))
       .select(col("id"), col("signal"), roundScore(col("c")).as("contrib"),
         roundScore(col("rrf")).as("rrf_score"),
         lit(w.vec).as("w_vector"), lit(w.bm25).as("w_bm25"),
         lit(w.recency).as("w_recency"), lit(w.feedback).as("w_feedback"),
-        lit(w.confidence).as("w_confidence"))
+        lit(w.confidence).as("w_confidence"),
+        col("candidates_considered"), col("filtered_by_source"),
+        lit(0L).as("filtered_by_auth"), lit(RrfK).as("rrf_k"),
+        lit(graphOn).as("graph_enabled"),
+        lit(if (graphOn) p.graphWeight else 0.0).as("graph_weight"),
+        (if (graphOn) lit(GraphSearch.Alpha) else lit(null).cast("double")).as("ppr_alpha"),
+        (if (graphOn) lit(GraphSearch.MaxIters) else lit(null).cast("int")).as("ppr_iterations"))
       .orderBy(desc("rrf_score"), asc("id"), asc("signal"))
   }
 

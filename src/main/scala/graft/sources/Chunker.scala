@@ -37,26 +37,36 @@ object Chunker {
     var buffer = ""
     var chunkIdx = 0
 
-    def emit(): Unit = {
+    def emitText(b: String): Unit = {
+      val text = if (currentHeader.nonEmpty) s"$currentHeader\n\n$b" else b
+      chunks += ((text, s"$sourceName:chunk_$chunkIdx"))
+      chunkIdx += 1
+    }
+
+    // header/final emit: >30-char guard; the buffer is cleared ONLY when the
+    // chunk was actually emitted, so a short buffer carries across headers
+    // (memory_engine.py:391-396)
+    def emitGuarded(): Unit = {
       val b = buffer.trim
       if (b.nonEmpty && b.length > 30) {
-        val text = if (currentHeader.nonEmpty) s"$currentHeader\n\n$b" else b
-        chunks += ((text, s"$sourceName:chunk_$chunkIdx"))
-        chunkIdx += 1
+        emitText(b)
+        buffer = ""
       }
     }
 
     for (part0 <- pieces; part = part0.trim if part.nonEmpty) {
       if (part.matches("(?s)^#{1,4}\\s+.*")) {
-        emit()
-        buffer = ""
+        emitGuarded()
         currentHeader = part
       } else {
         for (para0 <- part.split("\n\\s*\n"); para = para0.trim
              if para.nonEmpty && para.length >= 20) {
           val candidate = if (buffer.nonEmpty) s"$buffer\n\n$para".trim else para
           if (candidate.length > maxChunkSize && buffer.nonEmpty) {
-            emit()
+            // mid-chunk size-split emit has NO length guard in the reference
+            // (memory_engine.py:406-409) — buffer is non-empty here by the
+            // branch condition
+            emitText(buffer.trim)
             buffer =
               if (buffer.length > overlapSize)
                 buffer.takeRight(overlapSize) + "\n\n" + para
@@ -65,7 +75,7 @@ object Chunker {
         }
       }
     }
-    emit()
+    emitGuarded()
     chunks.toSeq
   }
 

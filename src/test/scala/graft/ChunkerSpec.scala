@@ -22,8 +22,27 @@ class ChunkerSpec extends AnyFunSuite {
     assert(!chunks.head._1.contains("tiny"))
   }
 
-  test("buffers under 30 chars are never emitted") {
+  test("buffers under 30 chars are not emitted at headers or end-of-doc") {
     assert(Chunker.chunkMarkdown("# H\n\nthis is twenty chars..", "s").isEmpty)
+  }
+
+  test("short buffer carries across a header into the next section (reference fold)") {
+    // expected output generated from the reference's own chunk_markdown
+    // (memory_engine.py:391-396): the ≤30-char buffer is NOT cleared at the
+    // header, so it lands at the front of the next section's chunk
+    val md = "# A\n\nthis is twenty chars..\n\n# B\n\n" +
+      "another paragraph long enough to pass the filter easily indeed"
+    assert(Chunker.chunkMarkdown(md, "s") == Seq(
+      ("# B\n\nthis is twenty chars..\n\nanother paragraph long enough to pass the filter easily indeed",
+        "s:chunk_0")))
+  }
+
+  test("mid-chunk size-split emit has no 30-char guard (reference fold)") {
+    // memory_engine.py:406-409: the size-split path emits the pending buffer
+    // unconditionally — a 25-char buffer becomes its own chunk
+    val md = ("x" * 25) + "\n\n" + ("y" * 1500)
+    assert(Chunker.chunkMarkdown(md, "s", maxChunkSize = 700, overlapSize = 100) == Seq(
+      ("x" * 25, "s:chunk_0"), ("y" * 1500, "s:chunk_1")))
   }
 
   test("max size split with tail overlap") {
