@@ -190,7 +190,10 @@ object HybridSearch {
     * enter as broadcast 1-row aggregates — no driver round-trips. */
   def explain(memories: DataFrame, feedback: Option[DataFrame], p: Params): DataFrame = {
     val w = Weights.resolve(p.vectorWeight, p.recencyWeight, p.feedbackWeight, p.confidenceWeight)
-    val contribs = signalContribs(memories, feedback, p)
+    // eager checkpoint: the contributions frame (≤ 4*2*oversample rows)
+    // feeds the fused aggregate, the candidate count AND the final join —
+    // without it the whole multi-branch search plan executes three times
+    val contribs = signalContribs(memories, feedback, p).localCheckpoint(true)
     val fused = contribs.groupBy("id").agg(sum("c").as("rrf"))
     // distinct candidates = one 'vector+bm25' row per pooled id
     val candCount = contribs.filter(col("signal") === "vector+bm25")

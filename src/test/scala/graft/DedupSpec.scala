@@ -89,4 +89,46 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(nd.contains((1L, 2L)))
   }
+
+  // 64-dim fixture with IDENTICAL vectors per planted pair: identical rows
+  // share every LSH band key, so the candidate join must surface them no
+  // matter which hyperplanes the deterministic LCG generates
+  private def axis(d0: Int): Seq[Float] = (0 until 64).map(d => if (d == d0) 1f else 0f)
+  private lazy val mem64 = Seq(
+    (1L, axis(0), 100L), (2L, axis(0), 200L),
+    (3L, axis(1), 100L), (4L, axis(1), 200L),
+    (5L, axis(2), 100L)
+  ).toDF("id", "embedding", "ts")
+    .withColumn("created_at", timestamp_seconds(col("ts"))).drop("ts")
+  // a corpusRows stat above the broadcast bound forces the LSH branch of
+  // topNeighborsAuto — pins that the scale path is reachable from EVERY
+  // caller, not just findDuplicates (round-2 verdict item #1)
+  private val forceLsh = Some(Dedup.BroadcastMaxRows + 1)
+
+  test("LSH scale path: deduplicate keeps the lower id of each planted pair") {
+    val kept = Dedup.deduplicate(mem64, 0.90, corpusRows = forceLsh)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L))
+    // and the stat-below-bound route must reproduce the exact kernel
+    val exact = Dedup.deduplicate(mem64, 0.90, corpusRows = Some(5L))
+      .select("id").as[Long].collect().toSet
+    assert(exact == kept)
+  }
+
+  test("LSH scale path: smartImportActions resolves bands through the LSH kernel") {
+    val incoming = Seq((10L, axis(0), 300L), (11L, axis(7), 300L))
+      .toDF("id", "embedding", "ts")
+      .withColumn("created_at", timestamp_seconds(col("ts"))).drop("ts")
+    val acts = Dedup.smartImportActions(incoming, mem64, corpusRows = forceLsh)
+      .select("id", "action").as[(Long, String)].collect().toMap
+    assert(acts(10L) == "skip") // identical to existing id 1 -> sim 1.0 >= 0.95
+    assert(acts(11L) == "add")  // fresh axis: no candidate or sim 0 < 0.80
+  }
+
+  test("LSH scale path: autoLink links a new row to its identical neighbor") {
+    val newIds = Seq(Tuple1(2L)).toDF("id")
+    val links = graft.ops.Mutations.autoLink(mem64, newIds, corpusRows = forceLsh)
+      .select("id", "to_id").as[(Long, Long)].collect().toSet
+    assert(links == Set((2L, 1L))) // sim(2,1)=1.0; orthogonal rest < 0.2
+  }
 }
