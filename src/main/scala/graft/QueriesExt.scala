@@ -6,7 +6,7 @@ import graft.dedup.{Consolidation, Dedup}
 import graft.functions.DecayFunctions
 import graft.multimodal.Multimodal
 import graft.search.{HybridSearch, VectorSearch}
-import graft.sources.{Chunker, NdJson}
+import graft.sources.{Chunker, NdJson, Store}
 import graft.streaming.EventStream
 
 /** Registry section 3: novelty/consolidation/prune, explain, streaming
@@ -93,6 +93,56 @@ object QueriesExt {
     // S5/S6: full NDJSON export→import round-trip (write, read back, remap)
     // oracled as the equivalent projection over the source parquet — the
     // JSON serialization round-trip is inside the measured path
+    // S1/S2: save (write-then-swap), mutate, save AGAIN over the same path
+    // (the atomic replace), load back + integrity check — the parquet
+    // round-trip and the swap are both inside the measured path
+    "s1_store_swap" -> ((s, dir) => {
+      val path = "/root/repo/target/tmp/s1_store"
+      Store.save(Corpus.memories(s, dir), path)
+      val mutated = Store.load(s, path).filter(!col("source").startsWith("src2"))
+      Store.save(mutated, path)
+      val re = Store.load(s, path)
+      val (_, _, ok) = Store.integrityCheck(re)
+      re.select(col("id"), col("source"), col("entity_key"), col("archived"))
+        .withColumn("integrity_ok", lit(ok))
+        .orderBy("id")
+    }),
+    // S7: 7 dated snapshots at keep=5 must leave exactly the 5 newest
+    "s7_snapshot_retention" -> ((s, dir) => {
+      import s.implicits._
+      val bdir = "/root/repo/target/tmp/s7_snaps"
+      Store.deleteRecursive(bdir)
+      val mem = Corpus.memories(s, dir).select("id", "source")
+      (1 to 7).map(d => f"2026080${d}T000000")
+        .foreach(st => Store.snapshot(mem, bdir, "mem", st, keep = 5))
+      Store.listSnapshots(bdir, "mem").toDF("snapshot").orderBy("snapshot")
+    }),
+    // S4: rebuild-from-files — deterministic single-chunk markdown fixtures
+    // (one paragraph, no headers, 31..900 chars) per selected doc, then the
+    // full files -> chunk -> embed -> atomic-swap pipeline; output re-loaded
+    // from the swapped table. The fixture WRITE is bounded driver-side (a
+    // handful of local .md files); the rebuild is the distributed path.
+    "s4_rebuild_files" -> ((s, dir) => {
+      val docsDir = "/root/repo/target/tmp/s4_docs"
+      val target = "/root/repo/target/tmp/s4_table"
+      Store.deleteRecursive(docsDir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(docsDir))
+      Tables.documents(s, dir).filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"),
+          trim(regexp_replace(substring(col("text"), 1, 900), "\\s+", " ")).as("content"))
+        .filter(length(col("content")) > 30)
+        .collect().foreach { r =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$docsDir/doc${r.getLong(0)}.md"), r.getString(1))
+        }
+      graft.sources.Ingest.rebuildFromFiles(s, s"$docsDir/*.md",
+        graft.embed.HashingEmbedder(64), target)
+      Store.load(s, target)
+        .select(col("id"), col("source"), posexplode(col("embedding")))
+        .groupBy("id", "source")
+        .agg(round(sum((col("pos") + 1) * col("col").cast("double")), 6).as("checksum"))
+        .orderBy("id")
+    }),
     "s5_roundtrip" -> ((s, dir) => {
       val path = "/root/repo/target/tmp/s5_roundtrip"
       NdJson.write(Corpus.memories(s, dir), path, sourcePrefix = Some("src1"))
@@ -306,6 +356,30 @@ object QueriesExt {
          |$sql1
          |) q1""".stripMargin
     },
+    "s1_store_swap" ->
+      s"""WITH ${OracleCtes.memories}
+         |SELECT id, source, entity_key, archived, TRUE AS integrity_ok
+         |FROM memories WHERE source NOT LIKE 'src2%'
+         |ORDER BY id""".stripMargin,
+    "s7_snapshot_retention" ->
+      """SELECT snapshot FROM (VALUES
+        |  ('mem_20260803T000000'), ('mem_20260804T000000'),
+        |  ('mem_20260805T000000'), ('mem_20260806T000000'),
+        |  ('mem_20260807T000000')) AS t(snapshot)
+        |ORDER BY snapshot""".stripMargin,
+    "s4_rebuild_files" ->
+      s"""WITH files AS MATERIALIZED (
+         |  SELECT 'doc' || CAST(doc_id AS VARCHAR) || '.md:chunk_0' AS ck,
+         |    trim(regexp_replace(substring(text, 1, 900), '\\s+', ' ', 'g')) AS ctext
+         |  FROM documents WHERE doc_id % 25 = 0
+         |),
+         |chunks AS MATERIALIZED (SELECT ck, ctext FROM files WHERE len(ctext) > 30),
+         |${OracleText.embedCtesOver("(SELECT ck AS id, ctext AS text FROM chunks) c", 64)},
+         |ids AS (SELECT ck, row_number() OVER (ORDER BY ck, ctext) - 1 AS rid FROM chunks)
+         |SELECT i.rid AS id, i.ck AS source,
+         |  round(list_sum(list_transform(range(1, 65), j -> e[j] * j)), 6) AS checksum
+         |FROM ids i JOIN ef ON ef.id = i.ck
+         |ORDER BY id""".stripMargin,
     "s5_roundtrip" ->
       s"""WITH ${OracleCtes.memories}
          |SELECT text, 'imported/src1' || substring(source, 5) AS source,

@@ -87,14 +87,19 @@ object OracleText {
   }
 
   /** Hashing-embedder CTE chain: ef(id, e) with FLOAT-rounded components. */
-  def embedCtes(dim: Int = 64): String = {
+  def embedCtes(dim: Int = 64): String =
+    embedCtesOver("(SELECT doc_id AS id, text FROM documents) dsrc", dim)
+
+  /** Same chain over any (id, text) relation `src` (a parenthesized
+    * aliased subquery or CTE name). */
+  def embedCtesOver(src: String, dim: Int = 64): String = {
     val t = toks("text")
     val hashes = s"list_transform($t, tt -> ${polyHash("tt")})"
     s"""er AS MATERIALIZED (
-       |  SELECT doc_id AS id,
+       |  SELECT id,
        |    list_transform(range(0, $dim), i -> CAST(list_sum(list_transform($hashes,
        |      h -> CASE WHEN h % $dim = i THEN CASE WHEN (h // $dim) % 2 = 0 THEN 1.0 ELSE -1.0 END ELSE 0.0 END)) AS DOUBLE)) AS r
-       |  FROM documents
+       |  FROM $src
        |),
        |en AS (SELECT id, r, sqrt(list_sum(list_transform(r, x -> x * x))) AS nrm FROM er),
        |ef AS MATERIALIZED (

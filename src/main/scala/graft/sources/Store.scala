@@ -64,7 +64,8 @@ object Store {
       .toSeq.sorted
   }
 
-  private def deleteRecursive(path: String): Unit = {
+  /** Recursive directory delete (also the test/query fixture reset). */
+  def deleteRecursive(path: String): Unit = {
     val p = Paths.get(path)
     if (Files.exists(p))
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
