@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Corpus, Tables}
+
+/** 100 TB plan audit: every registered query's PHYSICAL plan must be the
+  * shape that survives a 1000-executor cluster — no unbounded cartesian
+  * products, no accidental nested-loop joins, broadcast where a broadcast
+  * was designed in, and column pruning reaching the parquet scans.
+  *
+  * These assertions pin the *plan*, not the answer: a refactor that keeps
+  * results identical but regresses to a quadratic join or a full-width scan
+  * fails here, at fixture scale, before any cluster sees it. */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries whose plan legitimately contains a nested-loop/cartesian form,
+    * each with the reason it is bounded. */
+  private val nestedLoopAllowed: Map[String, String] = Map(
+    "lsh_jaccard_exact" -> "O(n^2) exact-Jaccard BASELINE, bench-excluded by design",
+    "d5_consolidation_clusters" -> "corpus bounded <= 500 rows like the reference (memory_engine.py:2575)",
+    "ann_ivf_topk" -> "build side = the centroid table, bounded by the constant IVF nlist"
+  )
+
+  /** Plan with AQE off so the physical tree is walkable (AdaptiveSparkPlan
+    * is a leaf node that hides its subtree from collect). */
+  private def rawPlan(name: String): org.apache.spark.sql.execution.SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Queries.all(name)(spark, sf()).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def planOf(name: String): String = rawPlan(name).toString
+
+  /** A build side is bounded — safe to nested-loop against at any corpus
+    * size — iff its subtree reduces to a scalar (grouping-free aggregate),
+    * a driver-local relation (profile/config tables), or an explicit limit. */
+  private def bounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    p.find {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.groupingExpressions.isEmpty
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case r: org.apache.spark.sql.execution.RangeExec => r.numElements <= 1000
+      // a reused exchange is as bounded as the exchange it reuses
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => bounded(r.child)
+      case _ => false
+    }.isDefined
+
+  test("no registered query plans an unbounded cartesian or nested-loop join") {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val offenders = Queries.all.keys.toSeq.sorted.flatMap { name =>
+      if (nestedLoopAllowed.contains(name)) None
+      else {
+        val plan = rawPlan(name)
+        val cartesian = plan.collect { case c: CartesianProductExec => c }
+        val unboundedBnlj = plan.collect {
+          case j: BroadcastNestedLoopJoinExec =>
+            val build = j.buildSide match {
+              case BuildLeft => j.left
+              case BuildRight => j.right
+            }
+            bounded(build)
+        }.contains(false)
+        if (cartesian.nonEmpty || unboundedBnlj) Some(name) else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"quadratic join shapes in: ${offenders.mkString(", ")}")
+  }
+
+  test("vector top-k prunes text out of the documents scan and broadcasts the embeddings dim") {
+    val plan = graft.search.VectorSearch.topK(
+      Corpus.memories(spark, sf()), Queries.queryVec(spark, sf()), k = 10)
+      .select("id", "sim").queryExecution.executedPlan.toString
+    // the 10-row result needs doc_id + embedding (+ visibility cols) but
+    // never the document text: pruning must reach the parquet reader
+    val docScans = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("documents")).mkString("\n")
+    assert(docScans.nonEmpty, "expected a parquet scan of documents")
+    assert(!docScans.contains("text"), s"text not pruned from scan:\n$docScans")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "embeddings dim-table join should broadcast")
+  }
+
+  test("temporal/prefix filters are pushed down to the parquet scan") {
+    val plan = Tables.documents(spark, sf())
+      .filter(col("source").startsWith("src1") && col("n_chars") > 100)
+      .select("doc_id", "source")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      (plan.contains("StringStartsWith(source,src1") || plan.contains("GreaterThan(n_chars,100")),
+      s"expected pushed filters in:\n$plan")
+  }
+
+  test("flagship hybrid search stays within bounded exchanges") {
+    val plan = planOf("r4_hybrid_rrf")
+    // oversample-bounded rank windows: every window in the fused plan runs
+    // over pre-reduced candidate sets, so a single-partition global sort of
+    // the corpus must never appear before the final <=k take
+    val exchanges = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(exchanges <= 6,
+      s"hybrid plan has $exchanges single-partition exchanges (bounded merges expected)")
+  }
+}
