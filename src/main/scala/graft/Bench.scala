@@ -30,7 +30,10 @@ object Bench {
     // is the stable round-over-round signal. Caches (incl. checkpoint RDD
     // blocks) are dropped between runs so the second run isn't reading the
     // first run's persisted intermediates.
-    val results = SparkEntry.queries.view.filterKeys(!Excluded.contains(_)).toMap
+    // optional query-name subset (local dev loop); driver passes none
+    val subset = args.toSet
+    val results = SparkEntry.queries.view
+      .filterKeys(n => !Excluded.contains(n) && (subset.isEmpty || subset(n))).toMap
       .map { case (name, fn) =>
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()

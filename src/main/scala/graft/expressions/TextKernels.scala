@@ -124,6 +124,45 @@ object TextKernels {
     inter.toDouble / (n1 + n2 - inter)
   }
 
+  /** Winnowing selection (Schleimer et al. '03): sliding window of `w` over
+    * the shingle-hash array, keep each window's minimum, distinct in
+    * first-occurrence order. Matches the HOF form
+    * array_distinct(transform(sequence(1, n-w+1), i -> array_min(slice(h, i, w))))
+    * including the short-input edges (whole-array min when 0 < n < w, empty
+    * for empty input). O(n) via a monotonic index deque instead of the HOF's
+    * O(n·w) slice allocations. */
+  def winnowSelect(sh: ArrayData, w: Int): ArrayData = {
+    val n = sh.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val m = n - (w - 1)
+    if (m <= 0) {
+      var best = Long.MaxValue
+      var i = 0
+      while (i < n) { val v = sh.getLong(i); if (v < best) best = v; i += 1 }
+      return new GenericArrayData(Array(best))
+    }
+    val deque = new Array[Int](n) // indices, values increasing head->tail
+    var head = 0
+    var tail = 0
+    val out = new Array[Long](m)
+    var cnt = 0
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val v = sh.getLong(i)
+      while (tail > head && sh.getLong(deque(tail - 1)) >= v) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val mn = sh.getLong(deque(head))
+        if (seen.add(mn)) { out(cnt) = mn; cnt += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+  }
+
   /** Signed-feature-hashing embedding: bucket = hash % dim, sign from
     * (hash/dim) parity, L2-normalized floats. Matches
     * HashingEmbedder.embeddingColumn. */
@@ -187,6 +226,17 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
     TextKernels.minHashSig(input.asInstanceOf[ArrayData], numHashes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.minHashSig($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_select"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.winnowSelect(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.winnowSelect($c, $w)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

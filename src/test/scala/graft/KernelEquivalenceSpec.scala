@@ -83,6 +83,18 @@ class KernelEquivalenceSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native winnowSelect == HOF winnowing fingerprint") {
+    // real corpus plus the short-input edges (n==0, 0<n<w)
+    val edge = Seq("", "one two three", "a b c d e").toDF("text")
+    for (frame <- Seq(docs.select("text"), edge)) {
+      val diff = frame.select(
+          graft.text.TextAnalysis.winnowingFingerprint(col("text")).as("a"),
+          graft.text.TextAnalysis.winnowingFingerprintHof(col("text")).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff == 0)
+    }
+  }
+
   test("native dot == HOF dot on real embeddings") {
     val e = Tables.embeddings(spark, sf()).limit(100)
     val pairs = e.select(col("embedding").as("x"))
