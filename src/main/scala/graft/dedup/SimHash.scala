@@ -15,8 +15,21 @@ object SimHash {
   val Bits = 30
   val Chunks = 4 // pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks equal
 
-  /** (id, simhash) — tf-weighted sign aggregation per bit. */
-  def fingerprints(df: DataFrame, textCol: String = "text"): DataFrame = {
+  /** (id, simhash) — tf-weighted sign aggregation per bit, one codegen pass
+    * per document ([[graft.expressions.SimHashFp]]); docs with no tokens are
+    * absent, matching the exploded formulation (and the DuckDB oracle). */
+  def fingerprints(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.filter(size(TextFunctions.tokens(col(textCol))) > 0)
+      .select(col("id"),
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.expressions.SimHashFp(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol)),
+            Bits)).as("simhash"))
+
+  /** The declarative explode/groupBy formulation of [[fingerprints]] — the
+    * oracle-shaped reference the codegen kernel is pinned to
+    * (KernelEquivalenceSpec). */
+  def fingerprintsDeclarative(df: DataFrame, textCol: String = "text"): DataFrame = {
     val tf = df
       .select(col("id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))

@@ -124,6 +124,54 @@ object TextKernels {
     inter.toDouble / (n1 + n2 - inter)
   }
 
+  /** polyHash fold over a JVM string (same codepoint fold as [[polyHash]]). */
+  def polyHashStr(t: String): Long = {
+    var acc = 0L
+    var k = 0
+    val len = t.length
+    while (k < len) {
+      val cp = t.codePointAt(k)
+      acc = (acc * Mul + cp) % P
+      k += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** SimHash fingerprint (Charikar '02): tf-weighted ±1 vote per bit of each
+    * distinct token's polyHash, bit set where the vote sum is positive.
+    * One pass per document — replaces the explode(tokens)×explode(bits)
+    * groupBy pipeline (two shuffles, 30× row blowup) with a map-side scalar.
+    * Matches that declarative formulation exactly: vote sums are integral
+    * and commutative, so accumulation order cannot change the sign. */
+  def simHash(s: UTF8String, bits: Int): Long = {
+    val toks = tokenize(s)
+    val tf = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < toks.length) {
+      tf.merge(toks(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val acc = new Array[Long](bits)
+    val it = tf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val h = polyHashStr(e.getKey)
+      val c = e.getValue
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) acc(b) += c else acc(b) -= c
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (acc(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
   /** Winnowing selection (Schleimer et al. '03): sliding window of `w` over
     * the shingle-hash array, keep each window's minimum, distinct in
     * first-occurrence order. Matches the HOF form
@@ -226,6 +274,17 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
     TextKernels.minHashSig(input.asInstanceOf[ArrayData], numHashes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.minHashSig($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SimHashFp(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_fp"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simHash(input.asInstanceOf[UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.simHash($c, $bits)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -95,6 +95,15 @@ class KernelEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("native simHash == declarative explode/groupBy fingerprints") {
+    val d = docs.withColumnRenamed("doc_id", "id")
+    val diff = graft.dedup.SimHash.fingerprints(d).as("a")
+      .join(graft.dedup.SimHash.fingerprintsDeclarative(d).as("b"), Seq("id"), "full")
+      .filter(col("a.simhash").isNull || col("b.simhash").isNull ||
+        col("a.simhash") =!= col("b.simhash")).count()
+    assert(diff == 0)
+  }
+
   test("native dot == HOF dot on real embeddings") {
     val e = Tables.embeddings(spark, sf()).limit(100)
     val pairs = e.select(col("embedding").as("x"))
