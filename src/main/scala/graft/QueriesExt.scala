@@ -15,12 +15,64 @@ object QueriesExt {
 
   import Queries.Q
 
+  /** Shared oracle CTE chain for D5/D6: bounded corpus -> top-5-neighbor
+    * pairs at the consolidation threshold -> components -> tighten ->
+    * surviving clusters (tight, surv). */
+  private lazy val consolidationCtes: String =
+    s"""WITH RECURSIVE ${OracleCtes.memories},
+       |bounded AS MATERIALIZED (SELECT * FROM memories ORDER BY id LIMIT 500),
+       |pr AS MATERIALIZED (
+       |  SELECT DISTINCT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, round(sim, 4) AS similarity
+       |  FROM (
+       |    SELECT ia, ib, sim, row_number() OVER (PARTITION BY ia ORDER BY sim DESC, ib) AS rn
+       |    FROM (
+       |      SELECT a.id AS ia, b.id AS ib,
+       |        round(${OracleCtes.dot64("a.embedding", "b.embedding")}, 6) AS sim
+       |      FROM bounded a JOIN bounded b ON a.id <> b.id))
+       |  WHERE rn <= 5 AND sim >= 0.32
+       |),
+       |ed AS MATERIALIZED (
+       |  SELECT id_a AS s, id_b AS t FROM pr UNION SELECT id_b, id_a FROM pr),
+       |reach AS (
+       |  SELECT s AS node, s AS r FROM ed
+       |  UNION SELECT e.t, reach.r FROM reach JOIN ed e ON e.s = reach.node),
+       |comp AS MATERIALIZED (SELECT node AS id, min(r) AS component FROM reach GROUP BY 1),
+       |szd AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1),
+       |mem2 AS MATERIALIZED (
+       |  SELECT c.id, c.component, z.csize FROM comp c JOIN szd z USING (component)
+       |  WHERE z.csize >= 3),
+       |sym AS (
+       |  SELECT id_a AS id, id_b AS other, similarity FROM pr
+       |  UNION ALL SELECT id_b, id_a, similarity FROM pr),
+       |sc AS (
+       |  SELECT m.id, m.component, m.csize,
+       |    sum(CASE WHEN o.component = m.component AND y.similarity >= 0.32
+       |        THEN 1 ELSE 0 END) AS similar_count
+       |  FROM mem2 m LEFT JOIN sym y ON y.id = m.id
+       |  LEFT JOIN mem2 o ON o.id = y.other
+       |  GROUP BY 1, 2, 3),
+       |tight AS MATERIALIZED (SELECT * FROM sc WHERE similar_count >= (csize - 1) / 2.0),
+       |surv AS (
+       |  SELECT component, count(*) AS fsize, min(id) AS cluster FROM tight
+       |  GROUP BY 1 HAVING count(*) >= 3)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "d1_novelty" -> ((s, dir) =>
       VectorSearch.novelty(Corpus.memories(s, dir), Queries.queryVec(s, dir))
         .select("id", "sim", "is_novel")),
     "d5_consolidation_clusters" -> ((s, dir) =>
       Consolidation.consolidationClusters(Corpus.memories(s, dir), threshold = 0.32)),
+    // D6 application step: deterministic stand-in for the out-of-scope LLM
+    // text (merged:<cluster>) — exercises the archive-olds/add-merged write
+    // shape (consolidator.py:202-218) end to end
+    "d6_apply_consolidation" -> ((s, dir) => {
+      val clusters = Consolidation.consolidationClusters(
+        Corpus.memories(s, dir), threshold = 0.32)
+      val merged = clusters.select("cluster").distinct()
+        .withColumn("merged_text", concat(lit("merged:"), col("cluster")))
+      Consolidation.applyConsolidation(clusters, merged, maxId = 100000L)
+        .orderBy("id")
+    }),
     "d7_prune_candidates" -> ((s, dir) =>
       Consolidation.pruneCandidates(
         Corpus.memories(s, dir), Corpus.retrievalLog(s, dir),
@@ -207,44 +259,16 @@ object QueriesExt {
          |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          |ORDER BY sim DESC, m.id LIMIT 1""".stripMargin,
     "d5_consolidation_clusters" ->
-      s"""WITH RECURSIVE ${OracleCtes.memories},
-         |bounded AS MATERIALIZED (SELECT * FROM memories ORDER BY id LIMIT 500),
-         |pr AS MATERIALIZED (
-         |  SELECT DISTINCT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, round(sim, 4) AS similarity
-         |  FROM (
-         |    SELECT ia, ib, sim, row_number() OVER (PARTITION BY ia ORDER BY sim DESC, ib) AS rn
-         |    FROM (
-         |      SELECT a.id AS ia, b.id AS ib,
-         |        round(${OracleCtes.dot64("a.embedding", "b.embedding")}, 6) AS sim
-         |      FROM bounded a JOIN bounded b ON a.id <> b.id))
-         |  WHERE rn <= 5 AND sim >= 0.32
-         |),
-         |ed AS MATERIALIZED (
-         |  SELECT id_a AS s, id_b AS t FROM pr UNION SELECT id_b, id_a FROM pr),
-         |reach AS (
-         |  SELECT s AS node, s AS r FROM ed
-         |  UNION SELECT e.t, reach.r FROM reach JOIN ed e ON e.s = reach.node),
-         |comp AS MATERIALIZED (SELECT node AS id, min(r) AS component FROM reach GROUP BY 1),
-         |szd AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1),
-         |mem2 AS MATERIALIZED (
-         |  SELECT c.id, c.component, z.csize FROM comp c JOIN szd z USING (component)
-         |  WHERE z.csize >= 3),
-         |sym AS (
-         |  SELECT id_a AS id, id_b AS other, similarity FROM pr
-         |  UNION ALL SELECT id_b, id_a, similarity FROM pr),
-         |sc AS (
-         |  SELECT m.id, m.component, m.csize,
-         |    sum(CASE WHEN o.component = m.component AND y.similarity >= 0.32
-         |        THEN 1 ELSE 0 END) AS similar_count
-         |  FROM mem2 m LEFT JOIN sym y ON y.id = m.id
-         |  LEFT JOIN mem2 o ON o.id = y.other
-         |  GROUP BY 1, 2, 3),
-         |tight AS MATERIALIZED (SELECT * FROM sc WHERE similar_count >= (csize - 1) / 2.0),
-         |surv AS (
-         |  SELECT component, count(*) AS fsize, min(id) AS cluster FROM tight
-         |  GROUP BY 1 HAVING count(*) >= 3)
+      s"""$consolidationCtes
          |SELECT v.cluster, t.id FROM tight t JOIN surv v USING (component)
          |ORDER BY 1, 2""".stripMargin,
+    "d6_apply_consolidation" ->
+      s"""$consolidationCtes,
+         |asg AS (SELECT v.cluster, t.id FROM tight t JOIN surv v USING (component))
+         |SELECT 100000 + row_number() OVER (ORDER BY cluster) AS id,
+         |  'merged:' || CAST(cluster AS VARCHAR) AS text,
+         |  list_sort(list(id)) AS consolidated_from
+         |FROM asg GROUP BY cluster ORDER BY id""".stripMargin,
     "d7_prune_candidates" ->
       s"""WITH ${OracleCtes.memories},
          |${OracleCtes.retrievalLog}
