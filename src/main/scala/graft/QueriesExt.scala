@@ -94,6 +94,20 @@ object QueriesExt {
         Multimodal.extractFeatures(media, Multimodal.DeterministicFakeCodec()))
         .orderBy("media_id")
     }),
+    // multimodal frame-sample (flatMap batch shape: 1 video -> N frames)
+    "mm_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.syntheticMediaTable(
+        Tables.documents(s, dir).select(col("doc_id").as("id")))
+      Multimodal.sampleFrames(media)
+        .toDF("media_id", "frame_idx", "frame_hash")
+        .orderBy("media_id", "frame_idx")
+    }),
+    // multimodal resize (1:1 batch shape with size-changing payload)
+    "mm_resize" -> ((s, dir) => {
+      val media = Multimodal.syntheticMediaTable(
+        Tables.documents(s, dir).select(col("doc_id").as("id")))
+      Multimodal.resizeImages(media).orderBy("media_id")
+    }),
     "st_event_window_counts" -> ((s, dir) =>
       EventStream.windowedEventCounts(Tables.events(s, dir))
         .orderBy("window_start", "event_type")),
@@ -286,6 +300,33 @@ object QueriesExt {
       OracleHybrid.explainSql(
         oracleParams.copy(graphWeight = 0.1, sourcePrefix = Some("src1")),
         n = 1000000, withFeedback = true),
+    "mm_frame_sample" -> {
+      val blob = "'blob-' || repeat(CAST(id AS VARCHAR), CAST(id % 7 + 1 AS INT))"
+      s"""WITH mm AS (
+         |  SELECT doc_id AS id, $blob AS s
+         |  FROM (SELECT doc_id FROM documents)),
+         |v AS (SELECT id, s, len(s) AS n FROM mm WHERE id % 3 = 2),
+         |fr0 AS (SELECT id, s, n, unnest(range(0, n // 8)) AS f FROM v),
+         |fr AS (SELECT * FROM fr0 WHERE f % 2 = 0)
+         |SELECT id AS media_id, CAST(f AS INT) AS frame_idx,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(f * 8 + 1, least((f + 1) * 8, n) + 1),
+         |      i -> CAST(ascii(s[i]) AS BIGINT))),
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS frame_hash
+         |FROM fr ORDER BY media_id, frame_idx""".stripMargin
+    },
+    "mm_resize" -> {
+      val blob = "'blob-' || repeat(CAST(id AS VARCHAR), CAST(id % 7 + 1 AS INT))"
+      s"""WITH mm AS (
+         |  SELECT doc_id AS id, $blob AS s
+         |  FROM (SELECT doc_id FROM documents)),
+         |im AS (SELECT id, s, len(s) AS n FROM mm WHERE id % 3 = 0)
+         |SELECT id AS media_id, 16 AS out_len,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(0, 16), j -> CAST(ascii(s[(j * n) // 16 + 1]) AS BIGINT))),
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS resized_hash
+         |FROM im ORDER BY media_id""".stripMargin
+    },
     "mm_feature_checksum" -> {
       val blob = "'blob-' || repeat(CAST(id AS VARCHAR), CAST(id % 7 + 1 AS INT))"
       s"""WITH mm AS (

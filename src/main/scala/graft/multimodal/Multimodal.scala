@@ -75,6 +75,53 @@ object Multimodal {
       .mapPartitions(codec.extractBatch _)
   }
 
+  case class MediaFrame(mediaId: Long, frameIdx: Int, frameHash: Long)
+
+  /** Frame-sample stage: every `stride`-th fixed-size frame of each video
+    * blob becomes its own row (frame hash = polyHash byte fold) — the
+    * flatMap-shaped batch stage (1 input row -> N output rows), the second
+    * plumbing shape a real codec needs besides the 1:1 extract. A real
+    * decoder replaces the byte-chunk "frames" without touching the plan. */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 8,
+                   stride: Int = 2): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val nFrames = bytes.length / frameBytes
+        (0 until nFrames by stride).iterator.map { f =>
+          var acc = 0L
+          var i = f * frameBytes
+          val end = math.min((f + 1) * frameBytes, bytes.length)
+          while (i < end) { acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+          MediaFrame(id, f, acc)
+        }
+      })
+  }
+
+  /** Resize stub: nearest-neighbor subsample of the byte plane to `outLen`
+    * bytes (out[j] = in[(j*len)/outLen]), identified by its polyHash fold.
+    * Exercises the 1:1 batched transform with a size-changing payload; a
+    * real image scaler replaces the byte math only. */
+  def resizeImages(media: DataFrame, outLen: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        var acc = 0L
+        var j = 0
+        while (j < outLen) {
+          val src = (j.toLong * bytes.length / outLen).toInt
+          acc = (acc * 31 + (bytes(src) & 0xff)) % 1000000007L
+          j += 1
+        }
+        (id, outLen, acc)
+      })
+      .toDF("media_id", "out_len", "resized_hash")
+  }
+
   /** Feature checksum projection (oracle-able scalar per media row);
     * rounding happens in the plan so the SQL oracle's round() matches. */
   def featureChecksums(features: Dataset[MediaFeature]): DataFrame = {
