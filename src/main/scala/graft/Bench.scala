@@ -40,6 +40,10 @@ object Bench {
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           val dt = (System.nanoTime() - t0) / 1e9
           graft.core.Caches.clearAll(spark)
+          // reclaim freed checkpoint/cache blocks NOW: in a 70+ query run the
+          // deferred GC debt otherwise lands inside later queries' timings
+          // (observed 3-4x inflation on late queries in a full run)
+          System.gc()
           dt
         }
         name -> times.min
