@@ -37,16 +37,22 @@ object Bench {
       .map { case (name, fn) =>
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
           val dt = (System.nanoTime() - t0) / 1e9
           graft.core.Caches.clearAll(spark)
           // reclaim freed checkpoint/cache blocks NOW: in a 70+ query run the
           // deferred GC debt otherwise lands inside later queries' timings
           // (observed 3-4x inflation on late queries in a full run)
           System.gc()
-          dt
+          // a failed run's (typically fast) wall time must not win the min
+          if (ok) dt else Double.MaxValue
         }
-        name -> times.min
+        // both runs failed -> -1 marks the query broken instead of reporting
+        // the failure duration as a measurement
+        name -> (if (times.min == Double.MaxValue) -1.0 else times.min)
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -196,7 +196,10 @@ object QueriesExt {
       Tables.documents(s, dir).filter(col("doc_id") % 25 === 0)
         .select(col("doc_id"),
           trim(regexp_replace(substring(col("text"), 1, 900), "\\s+", " ")).as("content"))
-        .filter(length(col("content")) > 30)
+        // header-looking content would be consumed by the chunker's header
+        // branch (no chunk emitted) — exclude it on BOTH sides so the
+        // fixture stays single-chunk under any regenerated corpus
+        .filter(length(col("content")) > 30 && !col("content").rlike("^#{1,4} "))
         .collect().foreach { r =>
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(s"$docsDir/doc${r.getLong(0)}.md"), r.getString(1))
@@ -438,7 +441,9 @@ object QueriesExt {
          |    trim(regexp_replace(substring(text, 1, 900), '\\s+', ' ', 'g')) AS ctext
          |  FROM documents WHERE doc_id % 25 = 0
          |),
-         |chunks AS MATERIALIZED (SELECT ck, ctext FROM files WHERE len(ctext) > 30),
+         |chunks AS MATERIALIZED (
+         |  SELECT ck, ctext FROM files
+         |  WHERE len(ctext) > 30 AND NOT regexp_matches(ctext, '^#{1,4} ')),
          |${OracleText.embedCtesOver("(SELECT ck AS id, ctext AS text FROM chunks) c", 64)},
          |ids AS (SELECT ck, row_number() OVER (ORDER BY ck, ctext) - 1 AS rid FROM chunks)
          |SELECT i.rid AS id, i.ck AS source,

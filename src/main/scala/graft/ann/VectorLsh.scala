@@ -63,8 +63,10 @@ object VectorLsh {
                  maxBucket: Int = 10000): DataFrame = {
     // self-join case (dedup over one table): one eagerly-checkpointed keyed
     // frame feeds the query side, the corpus side AND the bucket-size
-    // aggregate — the 16-hyperplane dot products run once, not three times
-    val selfJoin = queries eq corpus
+    // aggregate — the 16-hyperplane dot products run once, not three times.
+    // Plan identity, not reference identity: two .select()s over the same
+    // table must still share the frame
+    val selfJoin = queries.sameSemantics(corpus)
     val ck0 = withBandKeys(corpus.select("id", "embedding"), dim)
     val ck = if (selfJoin) ck0.localCheckpoint(true) else ck0
     val qk = (if (selfJoin) ck else withBandKeys(queries.select("id", "embedding"), dim))

