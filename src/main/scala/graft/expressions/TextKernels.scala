@@ -172,6 +172,31 @@ object TextKernels {
     out
   }
 
+  /** Per-document term frequencies in one pass: array of (term, tf) structs
+    * in first-occurrence order. explode(termFreqs(text)) yields the same
+    * (term, tf) multiset as explode(tokens) -> groupBy(doc, term).count —
+    * WITHOUT the (doc, term) shuffle, which at corpus scale is a full
+    * shuffle of the tokenized text. */
+  def termFreqs(s: UTF8String): ArrayData = {
+    val toks = tokenize(s)
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    var i = 0
+    while (i < toks.length) {
+      counts.merge(toks(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing selection (Schleimer et al. '03): sliding window of `w` over
     * the shingle-hash array, keep each window's minimum, distinct in
     * first-occurrence order. Matches the HOF form
@@ -274,6 +299,19 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
     TextKernels.minHashSig(input.asInstanceOf[ArrayData], numHashes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.minHashSig($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class TermFreqs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "term_freqs"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.termFreqs(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.termFreqs($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

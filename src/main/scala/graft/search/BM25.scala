@@ -25,8 +25,21 @@ object BM25 {
   val B = 0.75
   val Epsilon = 0.25
 
-  /** (id, term, tf) — term frequencies per document. */
+  /** (id, term, tf) — term frequencies per document, via the one-pass
+    * [[graft.expressions.TermFreqs]] kernel: no (doc, term) shuffle, the
+    * counting happens inside the scan (at corpus scale the groupBy form
+    * shuffles the entire tokenized text). */
   def termFreqs(docs: DataFrame, textCol: String = "text", idCol: String = "id"): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        explode(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.expressions.TermFreqs(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol))))).as("t"))
+      .select(col("id"), col("t.term").as("term"), col("t.tf").as("tf"))
+
+  /** The declarative explode/groupBy formulation of [[termFreqs]] — the
+    * oracle-shaped reference the kernel is pinned to (KernelEquivalenceSpec). */
+  def termFreqsDeclarative(docs: DataFrame, textCol: String = "text", idCol: String = "id"): DataFrame =
     docs
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("id", "term")

@@ -95,6 +95,17 @@ class KernelEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("native termFreqs == declarative explode/groupBy term frequencies") {
+    val d = docs.withColumnRenamed("doc_id", "id")
+    val a = graft.search.BM25.termFreqs(d)
+    val b = graft.search.BM25.termFreqsDeclarative(d)
+      .select(col("id"), col("term"), col("tf").as("tf_b"))
+    val diff = a.join(b, Seq("id", "term"), "full")
+      .filter(col("tf").isNull || col("tf_b").isNull || col("tf") =!= col("tf_b"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("native simHash == declarative explode/groupBy fingerprints") {
     val d = docs.withColumnRenamed("doc_id", "id")
     val diff = graft.dedup.SimHash.fingerprints(d).as("a")
