@@ -172,13 +172,18 @@ object GraphSearch {
     // sum(p) = sum(positive rrf)/topRrf — already known, skip the extra job
     val scores = ppr(e, seeds, pTotalKnown = Some(posSum / topRrf))
 
-    val maxPprRaw = scores.agg(coalesce(max("ppr"), lit(1.0))).head().getDouble(0)
-    val maxPpr = if (maxPprRaw > 0) maxPprRaw else 1.0
+    // max PPR enters as a broadcast 1-row aggregate (same pattern as the
+    // dangling mass) — one fewer driver round-trip per graph query
+    val maxPprF = scores.agg(
+      when(coalesce(max("ppr"), lit(1.0)) > 0, coalesce(max("ppr"), lit(1.0)))
+        .otherwise(1.0).as("_maxppr"))
+    val maxPpr = col("_maxppr")
 
     // candidate filter + scaled support/inject (memory_engine.py:1614-1642)
     val cand = scores
       .join(seeds, Seq("id"), "left")
       .join(direct.select(col("id"), lit(true).as("is_direct")), Seq("id"), "left")
+      .crossJoin(broadcast(maxPprF))
       .withColumn("orig", coalesce(col("p"), lit(0.0)))
       .withColumn("gain", col("ppr") - col("orig"))
       .withColumn("is_direct", coalesce(col("is_direct"), lit(false)))
