@@ -31,6 +31,23 @@ object Store {
 
   def load(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
+  /** Save partitioned by `partitionCols` (hive-style directories) with the
+    * same write-then-swap atomicity as [[save]]. At 100 TB the memories
+    * table is partitioned by the top-level source folder: an F1
+    * source-prefix query then prunes whole directories at planning time
+    * (PartitionFilters in the scan) instead of reading and filtering —
+    * pinned by PlanAuditSpec "partitioned store prunes directories". */
+  def savePartitioned(df: DataFrame, path: String, partitionCols: String*): Long = {
+    val spark = df.sparkSession
+    val tmp = path + ".tmp"
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp)
+    val n = spark.read.parquet(tmp).count()
+    val target = Paths.get(path)
+    if (Files.exists(target)) deleteRecursive(path)
+    Files.move(Paths.get(tmp), target)
+    n
+  }
+
   /** Integrity check (memory_engine.py:206-218): metadata row count must
     * equal the vector count — here, rows with a non-null embedding. */
   def integrityCheck(df: DataFrame): (Long, Long, Boolean) = {

