@@ -37,6 +37,62 @@ case class HashingEmbedder(dim: Int = 64) extends Embedder {
     df.withColumn("embedding", embeddingColumn(col(textCol)))
 }
 
+/** A model session that encodes one batch of texts — the boundary a real
+  * ONNX/DJL runtime (or a remote embedding API, E3) implements. Sessions
+  * are created per partition and reused across batches, matching the
+  * reference's provider structure (onnx_embedder.py:80-147 loads the model
+  * once and feeds batches of 64; openai_embedder.py batches requests). */
+trait ModelSession {
+  def dim: Int
+  def encode(batch: Seq[String]): Seq[Array[Float]]
+}
+
+/** E1/E3 provider shape: `mapPartitions` with one session per partition and
+  * fixed-size batches — the plumbing a model-backed embedder needs (session
+  * amortized across the partition, bounded batch memory), independent of
+  * which model backs [[ModelSession]]. `DeterministicFakeSession` (the
+  * hashing projection) stands in for ONNX in this environment; swapping in
+  * a real runtime touches only the session factory, never the plan. */
+case class SessionEmbedder(newSession: () => ModelSession, batchSize: Int = 64)
+    extends Embedder {
+  lazy val dim: Int = newSession().dim
+  def embed(df0: DataFrame, textCol: String = "text"): DataFrame = {
+    val df = df0.drop("embedding") // replaced below; avoids a duplicate name
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.columns
+    val withText = df.withColumn("__t", col(textCol).cast("string"))
+    val schema = org.apache.spark.sql.types.StructType(
+      withText.schema.fields.dropRight(1) :+
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val out = withText.mapPartitions({ rows =>
+      val session = newSession() // one model load per partition
+      rows.grouped(batchSize).flatMap { batch =>
+        val vecs = session.encode(batch.map(_.getAs[String]("__t")))
+        batch.lazyZip(vecs).map { (r, v) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1) :+ v.toSeq)
+        }
+      }
+    })(enc)
+    out.select((cols.filterNot(_ == "embedding") :+ "embedding").map(col): _*)
+  }
+}
+
+/** The stand-in session: the same deterministic hashing projection as
+  * [[HashingEmbedder]], computed batch-wise — so SessionEmbedder's output
+  * is pinned to the column-expression embedder bit for bit. */
+case class DeterministicFakeSession(dim: Int = 64) extends ModelSession {
+  def encode(batch: Seq[String]): Seq[Array[Float]] =
+    batch.map { t =>
+      val arr = graft.expressions.TextKernels
+        .hashEmbed(org.apache.spark.unsafe.types.UTF8String.fromString(t), dim)
+      arr.toFloatArray()
+    }
+}
+
 /** E2: batch re-embed — recompute the embedding column for the whole table
   * and atomically swap (embed BEFORE any destructive replace,
   * memory_engine.py:319-363, 2887-2971). */

@@ -115,6 +115,20 @@ class KernelEquivalenceSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("session-per-partition batched embedder == column-expression embedder") {
+    import graft.embed.{DeterministicFakeSession, HashingEmbedder, SessionEmbedder}
+    val d = docs.withColumnRenamed("doc_id", "id").select("id", "text")
+    // batchSize 7 forces multiple batches per partition (batch-boundary pin)
+    val a = SessionEmbedder(() => DeterministicFakeSession(64), batchSize = 7)
+      .embed(d).select(col("id"), col("embedding").as("ea"))
+    val b = HashingEmbedder(64).embed(d)
+      .select(col("id"), col("embedding").as("eb"))
+    val diff = a.join(b, Seq("id"), "full")
+      .filter(col("ea").isNull || col("eb").isNull || col("ea") =!= col("eb"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("native dot == HOF dot on real embeddings") {
     val e = Tables.embeddings(spark, sf()).limit(100)
     val pairs = e.select(col("embedding").as("x"))
