@@ -1,0 +1,26 @@
+package graft
+
+/** Partitioning invariance: a query's rows must not depend on
+  * `spark.sql.shuffle.partitions` — the local proxy for "the same answer on
+  * a 1000-executor cluster as on local[4]". Exercises the operators whose
+  * implementations interact with physical partitioning the most:
+  * withSeqId's range-partitioned id assignment (m1), the rank-window fusion
+  * (r4), the iterative connected components (d4), and the LSH candidate
+  * path (d2_neardup_lsh). */
+class DeterminismSpec extends SparkSpec {
+
+  private val QueriesToPin =
+    Seq("m1_add_memories", "r4_hybrid_rrf", "d4_similar_clusters",
+      "d2_neardup_lsh", "lsh_minhash_neardup")
+
+  private def rowsAt(parts: Int, name: String): Seq[String] = {
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try Queries.all(name)(spark, sf()).collect().map(_.toString).toSeq.sorted
+    finally spark.conf.set("spark.sql.shuffle.partitions", 4)
+  }
+
+  for (name <- QueriesToPin)
+    test(s"$name: identical rows at 3 and 8 shuffle partitions") {
+      assert(rowsAt(3, name) == rowsAt(8, name))
+    }
+}
