@@ -24,6 +24,22 @@ class SourcesSpec extends SparkSpec {
     assert(back.columns.contains("text") && back.columns.contains("entity_key"))
   }
 
+  test("NDJSON import skips malformed and text-less lines (reference validate)") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.json"),
+      """{"text": "valid one", "source": "src1/a"}
+        |{not json at all
+        |{"source": "src1/b"}
+        |{"text": "", "source": "src1/c"}
+        |{"text": "valid two"}
+        |""".stripMargin)
+    val back = NdJson.read(spark, s"$dir/in.json")
+    val rows = back.select("text", "source").as[(String, String)].collect().toSet
+    // malformed line, missing text and empty text are skipped; absent source
+    // defaults to "imported" (memory_engine.py:2447-2530)
+    assert(rows == Set(("valid one", "src1/a"), ("valid two", "imported")))
+  }
+
   test("Store.save is write-then-swap and integrityCheck sees embeddings") {
     val dir = tmp()
     val mem = Corpus.memories(spark, sf()).limit(30)
