@@ -26,8 +26,12 @@ object Clusters {
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // seed with the first propagation for free: component0 = min(id, min
+    // neighbor) — one groupBy on the already-checkpointed edges replaces a
+    // full propagate+jump+checkpoint round
+    var labels = edges.groupBy("src")
+      .agg(min("dst").as("_mn"))
+      .select(col("src").as("id"), least(col("src"), col("_mn")).as("component"))
       .localCheckpoint()
     var converged = false
     var iter = 0
