@@ -230,8 +230,58 @@ object Queries {
       val assigned = Ann.assign(Corpus.memories(s, dir), cent)
       Ann.ivfTopK(assigned, cent, queryVec(s, dir), k = 10, nprobe = 2)
         .select("id", "ivf_cell", "sim")
-    })
+    }),
+    // recall audit for the ANN scale path: |IVF top-10 ∩ exact top-10| / 10 —
+    // the metric that decides whether nprobe is sized right at scale
+    "ann_ivf_recall" -> ((s, dir) => {
+      val mem = Corpus.memories(s, dir)
+      val qv = queryVec(s, dir)
+      val cent = Ann.centroidsByLabel(Tables.embeddings(s, dir))
+      val ivf = Ann.ivfTopK(Ann.assign(mem, cent), cent, qv, k = 10, nprobe = 2)
+        .select("id")
+      val exact = VectorSearch.topK(mem, qv, k = 10).select("id")
+      ivf.join(exact, "id")
+        .agg(round(count(lit(1)) / 10.0, 6).as("recall_at_10"))
+    }),
+    // flagship 100 TB training-data curation pipeline: profile → filter →
+    // exact dedup → MinHash-LSH near-dup removal, every stage distributed
+    "tc_curation_survivors" -> ((s, dir) => {
+      graft.text.Curation.curate(docs(s, dir)).survivors
+        .select("id", "lang", "quality", "n_ws", "n_bpe").orderBy("id")
+    }),
+    "tc_curation_funnel" -> ((s, dir) =>
+      graft.text.Curation.funnel(graft.text.Curation.curate(docs(s, dir))))
   )
+
+  private val ivfTopkSql: String =
+    s"""WITH ${OracleCtes.memories},
+         |cent0 AS (
+         |  SELECT label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
+         |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+         |centn AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM cent0 GROUP BY 1),
+         |cent AS MATERIALIZED (
+         |  SELECT c.label, list(c.m / n.nrm ORDER BY c.i) AS centroid
+         |  FROM cent0 c JOIN centn n USING (label) GROUP BY c.label),
+         |asg AS MATERIALIZED (
+         |  SELECT id, label AS ivf_cell FROM (
+         |    SELECT m.id, c.label, row_number() OVER (PARTITION BY m.id ORDER BY
+         |      list_sum(list_transform(range(1, 65), i -> CAST(m.embedding[i] AS DOUBLE) * c.centroid[i])) DESC,
+         |      c.label) AS rn
+         |    FROM memories m, cent c) WHERE rn = 1),
+         |probe AS (
+         |  SELECT label FROM (
+         |    SELECT c.label, row_number() OVER (ORDER BY
+         |      list_sum(list_transform(range(1, 65), i -> c.centroid[i] * CAST(q.qv[i] AS DOUBLE))) DESC,
+         |      c.label) AS rn
+         |    FROM cent c, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
+         |  WHERE rn <= 2)
+         |SELECT m.id, a.ivf_cell,
+         |  round(${OracleCtes.dot64("m.embedding", "q2.qv")}, 6) AS sim
+         |FROM memories m
+         |JOIN asg a ON m.id = a.id
+         |JOIN probe p ON a.ivf_cell = p.label
+         |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q2
+         |ORDER BY sim DESC, m.id LIMIT 10""".stripMargin
 
   private val dedupOracles: Map[String, String] = Map(
     "dd_exact_survivors" ->
@@ -356,36 +406,23 @@ object Queries {
       s"""WITH ${OracleText.embedCtes(64)}
          |SELECT id, round(list_sum(list_transform(range(1, 65), i -> e[i] * i)), 6) AS checksum
          |FROM ef ORDER BY id""".stripMargin,
-    "ann_ivf_topk" ->
-      s"""WITH ${OracleCtes.memories},
-         |cent0 AS (
-         |  SELECT label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
-         |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
-         |centn AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM cent0 GROUP BY 1),
-         |cent AS MATERIALIZED (
-         |  SELECT c.label, list(c.m / n.nrm ORDER BY c.i) AS centroid
-         |  FROM cent0 c JOIN centn n USING (label) GROUP BY c.label),
-         |asg AS MATERIALIZED (
-         |  SELECT id, label AS ivf_cell FROM (
-         |    SELECT m.id, c.label, row_number() OVER (PARTITION BY m.id ORDER BY
-         |      list_sum(list_transform(range(1, 65), i -> CAST(m.embedding[i] AS DOUBLE) * c.centroid[i])) DESC,
-         |      c.label) AS rn
-         |    FROM memories m, cent c) WHERE rn = 1),
-         |probe AS (
-         |  SELECT label FROM (
-         |    SELECT c.label, row_number() OVER (ORDER BY
-         |      list_sum(list_transform(range(1, 65), i -> c.centroid[i] * CAST(q.qv[i] AS DOUBLE))) DESC,
-         |      c.label) AS rn
-         |    FROM cent c, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
-         |  WHERE rn <= 2)
-         |SELECT m.id, a.ivf_cell,
-         |  round(${OracleCtes.dot64("m.embedding", "q2.qv")}, 6) AS sim
-         |FROM memories m
-         |JOIN asg a ON m.id = a.id
-         |JOIN probe p ON a.ivf_cell = p.label
-         |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q2
-         |ORDER BY sim DESC, m.id LIMIT 10""".stripMargin
+    "ann_ivf_topk" -> ivfTopkSql,
+    "ann_ivf_recall" ->
+      s"""SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10
+         |FROM ($ivfTopkSql) i
+         |JOIN (${retrievalOracles("r1_vector_topk")}) e ON i.id = e.id""".stripMargin,
+    "tc_curation_survivors" ->
+      s"""WITH ${OracleText.curationCtes()}
+         |SELECT id, lang, quality, n_ws, n_bpe FROM csurv ORDER BY id""".stripMargin,
+    "tc_curation_funnel" ->
+      s"""WITH ${OracleText.curationCtes()}
+         |SELECT (SELECT count(*) FROM cprof) AS n_profiled,
+         |  (SELECT count(*) FROM ckeep) AS n_kept,
+         |  (SELECT count(*) FROM cex) AS n_exact,
+         |  (SELECT count(*) FROM cpairs) AS nd_pairs,
+         |  (SELECT count(*) FROM csurv) AS n_survivors""".stripMargin
   )
+
 
   val all: Map[String, Q] =
     retrievalQueries ++ sanityQueries ++ dedupQueries ++ QueriesOps.queries ++ QueriesExt.queries

