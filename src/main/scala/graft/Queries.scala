@@ -250,7 +250,29 @@ object Queries {
         .select("id", "lang", "quality", "n_ws", "n_bpe").orderBy("id")
     }),
     "tc_curation_funnel" -> ((s, dir) =>
-      graft.text.Curation.funnel(graft.text.Curation.curate(docs(s, dir))))
+      graft.text.Curation.funnel(graft.text.Curation.curate(docs(s, dir)))),
+    // corpus card: per-language doc/token/quality rollup of the profile stage
+    "tc_corpus_stats" -> ((s, dir) =>
+      graft.text.Curation.profile(docs(s, dir))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_ws").as("total_ws"),
+          round(avg("quality"), 6).as("avg_quality"),
+          round(avg("n_bpe"), 6).as("avg_bpe"))
+        .orderBy("lang")),
+    // dedup clusters: connected components over the MinHash near-dup pairs —
+    // the keep-one-per-cluster shape (every node has an edge, so size >= 2)
+    "tc_neardup_clusters" -> ((s, dir) => {
+      val pairs = MinHashLsh.nearDuplicates(docs(s, dir), threshold = 0.2)
+      Clusters.connectedComponents(pairs)
+        .select(col("component").as("cluster"), col("id"))
+        .orderBy("cluster", "id")
+    }),
+    // deterministic per-source-prefix downsampling (auditable corpus quotas)
+    "tc_sample_quota" -> ((s, dir) =>
+      graft.text.Curation.deterministicSample(
+        docs(s, dir), Seq(("src1", 0.25), ("src", 0.75)))
+        .select("id", "source").orderBy("id"))
   )
 
   private val ivfTopkSql: String =
@@ -420,7 +442,38 @@ object Queries {
          |  (SELECT count(*) FROM ckeep) AS n_kept,
          |  (SELECT count(*) FROM cex) AS n_exact,
          |  (SELECT count(*) FROM cpairs) AS nd_pairs,
-         |  (SELECT count(*) FROM csurv) AS n_survivors""".stripMargin
+         |  (SELECT count(*) FROM csurv) AS n_survivors""".stripMargin,
+    "tc_corpus_stats" ->
+      s"""WITH ${OracleText.curationCtes()}
+         |SELECT lang, count(*) AS n_docs, sum(n_ws) AS total_ws,
+         |  round(avg(quality), 6) AS avg_quality, round(avg(n_bpe), 6) AS avg_bpe
+         |FROM cprof GROUP BY lang ORDER BY lang""".stripMargin,
+    "tc_neardup_clusters" ->
+      s"""WITH RECURSIVE ${OracleText.shingleCte()},
+         |${OracleText.minhashCtes},
+         |cp AS MATERIALIZED (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id),
+         |pr AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT cp.id_a, cp.id_b,
+         |      round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |        / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+         |    FROM cp JOIN sh x ON cp.id_a = x.id JOIN sh y ON cp.id_b = y.id)
+         |  WHERE jaccard >= 0.2),
+         |ed AS (SELECT id_a AS s, id_b AS t FROM pr UNION SELECT id_b, id_a FROM pr),
+         |reach AS (
+         |  SELECT s AS node, s AS r FROM ed
+         |  UNION SELECT e.t, reach.r FROM reach JOIN ed e ON e.s = reach.node)
+         |SELECT min(r) AS cluster, node AS id FROM reach GROUP BY node
+         |ORDER BY cluster, id""".stripMargin,
+    "tc_sample_quota" ->
+      """SELECT doc_id AS id, source FROM documents
+        |WHERE (doc_id * 1103515245 + 12345) % 2147483648
+        |  < (CASE WHEN source LIKE 'src1%' THEN CAST('0.25' AS DOUBLE)
+        |          WHEN source LIKE 'src%' THEN CAST('0.75' AS DOUBLE)
+        |          ELSE 1.0 END) * 2147483648
+        |ORDER BY id""".stripMargin
   )
 
 

@@ -27,18 +27,26 @@ object Curation {
   case class Stages(profiled: DataFrame, kept: DataFrame, exact: DataFrame,
                     pairs: DataFrame, survivors: DataFrame)
 
-  /** Run the pipeline. `docs` needs (id, text). Rows whose text has no
-    * tokens are dropped at the profile stage (un-profileable). */
-  def curate(docs: DataFrame, lang: String = "en", minQuality: Double = 0.5,
-             minTokens: Int = 10, jaccardThreshold: Double = 0.2): Stages = {
+  /** Profile stage alone (lazy, no jobs triggered): per-row language,
+    * quality, token counts. Rows whose text has no tokens are dropped
+    * (un-profileable). */
+  def profile(docs: DataFrame): DataFrame = {
     val li = TextAnalysis.langId(col("text"))
     val (ws, bpe) = TextAnalysis.tokenCounts(col("text"))
-    val profiled = docs
+    docs
       .filter(size(TextFunctions.tokens(col("text"))) > 0)
       .select(col("id"), col("text"),
         li.getField("lang").as("lang"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
         ws.as("n_ws"), bpe.as("n_bpe"))
+  }
+
+  /** Run the pipeline. `docs` needs (id, text). NOTE: the near-dup stage
+    * materializes its shingle frame eagerly (checkpoint), so calling this
+    * runs jobs; use [[profile]] for profile-only consumers. */
+  def curate(docs: DataFrame, lang: String = "en", minQuality: Double = 0.5,
+             minTokens: Int = 10, jaccardThreshold: Double = 0.2): Stages = {
+    val profiled = profile(docs)
     val kept = profiled.filter(
       col("lang") === lang && col("quality") >= minQuality && col("n_ws") >= minTokens)
     val exact = Dedup.dedupExact(
@@ -48,6 +56,23 @@ object Curation {
     val survivors = exact.join(
       pairs.select(col("id_b").as("id")).distinct(), Seq("id"), "left_anti")
     Stages(profiled, kept, exact, pairs, survivors)
+  }
+
+  /** Deterministic per-source-prefix downsampling: keep a row iff
+    * lcg(id) mod 2^31 < rate(source) · 2^31, where rate is the first
+    * matching prefix in `rates` (check order = Seq order; `defaultRate`
+    * otherwise). Purely a function of (id, source) — stable across
+    * partitionings, executors, and re-runs, and reproducible in plain SQL —
+    * which is what makes sampled corpora auditable. No shuffle: the filter
+    * fuses into the scan. */
+  def deterministicSample(docs: DataFrame, rates: Seq[(String, Double)],
+                          defaultRate: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.Column
+    val rate = rates.foldRight(lit(defaultRate): Column) { case ((p, r), acc) =>
+      when(col("source").startsWith(p), lit(r)).otherwise(acc)
+    }
+    val bucket = (col("id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+    docs.filter(bucket < rate * lit(2147483648L))
   }
 
   /** One-row funnel metrics: row counts at every stage plus the near-dup

@@ -44,6 +44,20 @@ class CurationSpec extends SparkSpec {
     assert(st.kept.select("id").collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("deterministic sampling: rate bounds, prefix resolution, partition invariance") {
+    val docs = core.Tables.documents(spark, sf()).withColumnRenamed("doc_id", "id")
+    assert(Curation.deterministicSample(docs, Seq(("src", 0.0))).count() === 0)
+    assert(Curation.deterministicSample(docs, Seq(("src", 1.0))).count() === docs.count())
+    val sampled = Curation.deterministicSample(docs, Seq(("src1", 0.25), ("src", 0.75)))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(sampled.nonEmpty && sampled.size < docs.count())
+    // same rows regardless of physical partitioning — the property that
+    // makes the sample reproducible on a cluster
+    val resampled = Curation.deterministicSample(docs.repartition(7), Seq(("src1", 0.25), ("src", 0.75)))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(resampled === sampled)
+  }
+
   test("funnel counts are monotone and consistent on the fixture corpus") {
     val docs = core.Tables.documents(spark, sf()).withColumnRenamed("doc_id", "id")
     val st = Curation.curate(docs)
