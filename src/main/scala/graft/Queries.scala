@@ -250,7 +250,7 @@ object Queries {
         .select("id", "lang", "quality", "n_ws", "n_bpe").orderBy("id")
     }),
     "tc_curation_funnel" -> ((s, dir) =>
-      graft.text.Curation.funnel(graft.text.Curation.curate(docs(s, dir)))),
+      graft.text.Curation.funnel(docs(s, dir))),
     // corpus card: per-language doc/token/quality rollup of the profile stage
     "tc_corpus_stats" -> ((s, dir) =>
       graft.text.Curation.profile(docs(s, dir))

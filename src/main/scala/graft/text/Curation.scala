@@ -76,14 +76,28 @@ object Curation {
   }
 
   /** One-row funnel metrics: row counts at every stage plus the near-dup
-    * pair count. Five independent single-row aggregates cross-joined — each
-    * is a map-side-combined count, so the "join" is five scalar broadcasts. */
-  def funnel(st: Stages): DataFrame = {
-    def c(df: DataFrame, name: String) = df.agg(count(lit(1)).as(name))
-    c(st.profiled, "n_profiled")
-      .crossJoin(c(st.kept, "n_kept"))
-      .crossJoin(c(st.exact, "n_exact"))
-      .crossJoin(c(st.pairs, "nd_pairs"))
-      .crossJoin(c(st.survivors, "n_survivors"))
+    * pair count. Two corpus passes, not five: one aggregate over the profile
+    * scan folds n_profiled, n_kept (conditional sum) and n_exact (distinct
+    * normalized keys among kept rows — exactly the exact-dedup survivor
+    * count); the pair stage contributes nd_pairs and the dropped-id count,
+    * so n_survivors = n_exact − distinct(id_b) without a third pass. */
+  def funnel(docs: DataFrame, lang: String = "en", minQuality: Double = 0.5,
+             minTokens: Int = 10, jaccardThreshold: Double = 0.2): DataFrame = {
+    val profiled = profile(docs)
+    val keep = col("lang") === lang && col("quality") >= minQuality &&
+      col("n_ws") >= minTokens
+    val norm = array_join(TextFunctions.tokens(col("text")), " ")
+    val head = profiled.agg(
+      count(lit(1)).as("n_profiled"),
+      sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+      countDistinct(when(keep, norm)).as("n_exact"))
+    val exact = Dedup.dedupExact(
+      profiled.filter(keep).withColumn("_norm", norm), keyCol = "_norm").drop("_norm")
+    val tail = MinHashLsh.nearDuplicates(exact, jaccardThreshold).agg(
+      count(lit(1)).as("nd_pairs"),
+      countDistinct(col("id_b")).as("n_dropped"))
+    head.crossJoin(tail).select(
+      col("n_profiled"), col("n_kept"), col("n_exact"), col("nd_pairs"),
+      (col("n_exact") - col("n_dropped")).as("n_survivors"))
   }
 }

@@ -61,7 +61,7 @@ class CurationSpec extends SparkSpec {
   test("funnel counts are monotone and consistent on the fixture corpus") {
     val docs = core.Tables.documents(spark, sf()).withColumnRenamed("doc_id", "id")
     val st = Curation.curate(docs)
-    val row = Curation.funnel(st).head()
+    val row = Curation.funnel(docs).head()
     val (profiled, kept, exact, ndPairs, survivors) =
       (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
     assert(profiled > 0 && kept > 0 && survivors > 0)
