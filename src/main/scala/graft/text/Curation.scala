@@ -89,7 +89,9 @@ object Curation {
     val norm = array_join(TextFunctions.tokens(col("text")), " ")
     val head = profiled.agg(
       count(lit(1)).as("n_profiled"),
-      sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+      // coalesce: sum over an empty relation is NULL, and an empty corpus
+      // must report a zero funnel, not a null one
+      coalesce(sum(when(keep, 1L).otherwise(0L)), lit(0L)).as("n_kept"),
       countDistinct(when(keep, norm)).as("n_exact"))
     val exact = Dedup.dedupExact(
       profiled.filter(keep).withColumn("_norm", norm), keyCol = "_norm").drop("_norm")

@@ -58,6 +58,18 @@ class CurationSpec extends SparkSpec {
     assert(resampled === sampled)
   }
 
+  test("empty and fully-filtered corpora produce zero funnels, not nulls or crashes") {
+    val empty = df()
+    val zeroRow = Curation.funnel(empty).head()
+    assert((0 until 5).map(zeroRow.getLong) === Seq(0L, 0L, 0L, 0L, 0L))
+    // nothing passes a quality bar of 1.0: pipeline stages are all empty
+    val docs = df(1L -> "the quick brown fox jumps over a lazy dog in the park")
+    val strict = Curation.funnel(docs, minQuality = 1.0).head()
+    assert(strict.getLong(0) === 1L)
+    assert((1 until 5).map(strict.getLong) === Seq(0L, 0L, 0L, 0L))
+    assert(Curation.curate(docs, minQuality = 1.0).survivors.count() === 0)
+  }
+
   test("funnel counts are monotone and consistent on the fixture corpus") {
     val docs = core.Tables.documents(spark, sf()).withColumnRenamed("doc_id", "id")
     val st = Curation.curate(docs)
