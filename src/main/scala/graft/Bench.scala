@@ -2,15 +2,39 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the headline queries at SPARK_GRAFT_SF_DIR and
-  * prints one JSON line {"metric","value","unit","queries","sf"}.
+  * prints one JSON line {"metric","value","unit","n_failed","queries","sf"}.
   *
-  * The headline set covers every operator family; the O(n²) exact-Jaccard
-  * baseline (lsh_jaccard_exact) is excluded — its scalable form
-  * (lsh_minhash_neardup) is what gets timed, the exact form exists for
-  * correctness cross-checks at small SF.
+  * The driver parses that line out of the LAST 2000 characters of captured
+  * output (observed: BENCH_r02/r03 both recorded parsed=null once the
+  * registry grew past ~60 queries and the line outgrew the window). So the
+  * per-query dict is a fixed HEADLINE set — every operator family's
+  * representative, weighted toward the expensive plans — and values are
+  * 3-decimal, keeping the line well under 2000 chars at any registry size.
+  * `--all` (local dev) times the full registry instead; explicit query names
+  * time just those.
+  *
+  * The O(n²) exact-Jaccard baseline (lsh_jaccard_exact) stays excluded —
+  * its scalable form (lsh_minhash_neardup) is what gets timed; the exact
+  * form exists for correctness cross-checks at small SF.
   */
 object Bench {
   private val Excluded = Set("lsh_jaccard_exact")
+
+  /** One representative per operator family; the graph/hybrid/dedup/ANN/
+    * curation heavyweights are all present — this is the perf signal set. */
+  private val Headline = Seq(
+    "q1_lineitem_agg",
+    "r1_vector_topk", "r2_bm25", "r4_hybrid_rrf", "r10_graph_search",
+    "r11_graph_via", "r12_threshold_graph", "r14_explain", "r14_explain_graph",
+    "r15_batch_search",
+    "d2_neardup_cosine", "d2_neardup_lsh", "d3_dedup_survivors",
+    "d4_similar_clusters", "d5_consolidation_clusters", "d8_smart_import",
+    "dd_exact_survivors", "lsh_minhash_neardup", "sh_simhash_neardup",
+    "fp_winnowing", "ta_text_profile", "e1_embed_checksum",
+    "ann_ivf_topk", "ann_lsh_brp_pairs",
+    "tc_curation_survivors", "tc_corpus_stats", "tc_neardup_clusters",
+    "m5_merge_groups", "m9_policy_enforce", "m11_auto_link",
+    "st_event_window_counts", "mm_feature_checksum", "s1_store_swap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,16 +49,19 @@ object Bench {
     // warmup: absorb session/codegen/JIT startup outside the timings
     try SparkEntry.queries("q1_lineitem_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    val names =
+      if (args.contains("--all")) SparkEntry.queries.keys.toSeq.sorted
+      else if (args.nonEmpty) args.toSeq
+      else Headline
     // two timed runs per query, min reported: a contended machine inflates
     // individual runs by 2-4x (round-2 driver vs idle re-run), and the min
     // is the stable round-over-round signal. Caches (incl. checkpoint RDD
     // blocks) are dropped between runs so the second run isn't reading the
     // first run's persisted intermediates.
-    // optional query-name subset (local dev loop); driver passes none
-    val subset = args.toSet
-    val results = SparkEntry.queries.view
-      .filterKeys(n => !Excluded.contains(n) && (subset.isEmpty || subset(n))).toMap
-      .map { case (name, fn) =>
+    val results = names
+      .filter(n => !Excluded.contains(n) && SparkEntry.queries.contains(n))
+      .map { name =>
+        val fn = SparkEntry.queries(name)
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
@@ -43,7 +70,7 @@ object Bench {
           }
           val dt = (System.nanoTime() - t0) / 1e9
           graft.core.Caches.clearAll(spark)
-          // reclaim freed checkpoint/cache blocks NOW: in a 70+ query run the
+          // reclaim freed checkpoint/cache blocks NOW: in a long run the
           // deferred GC debt otherwise lands inside later queries' timings
           // (observed 3-4x inflation on late queries in a full run)
           System.gc()
@@ -54,10 +81,15 @@ object Bench {
         // the failure duration as a measurement
         name -> (if (times.min == Double.MaxValue) -1.0 else times.min)
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def f3(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries (-1 sentinel) are COUNTED, never summed — a broken
+    // query must not silently deflate the headline total by 1s
+    val measured = results.collect { case (_, v) if v >= 0 => v }
+    val nFailed = results.count(_._2 < 0)
+    val total = if (measured.nonEmpty) measured.sum else 0.0
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

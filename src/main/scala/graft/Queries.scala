@@ -251,14 +251,21 @@ object Queries {
     }),
     "tc_curation_funnel" -> ((s, dir) =>
       graft.text.Curation.funnel(docs(s, dir))),
-    // corpus card: per-language doc/token/quality rollup of the profile stage
+    // corpus card: per-language doc/token/quality rollup of the profile
+    // stage. The averages are computed from exact integer sums (quality is
+    // 6dp-rounded per row, so quality*1e6 is integral) — double summation
+    // order differs between Spark partial aggregation and DuckDB and flips
+    // the 6th decimal (round-3 ADVICE #1); integer sums are order-free.
     "tc_corpus_stats" -> ((s, dir) =>
       graft.text.Curation.profile(docs(s, dir))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_ws").as("total_ws"),
-          round(avg("quality"), 6).as("avg_quality"),
-          round(avg("n_bpe"), 6).as("avg_bpe"))
+          sum(round(col("quality") * 1e6).cast("long")).as("_qmicro"),
+          sum(col("n_bpe").cast("long")).as("_bpe"))
+        .select(col("lang"), col("n_docs"), col("total_ws"),
+          round(col("_qmicro") / 1e6 / col("n_docs"), 6).as("avg_quality"),
+          round(col("_bpe").cast("double") / col("n_docs"), 6).as("avg_bpe"))
         .orderBy("lang")),
     // dedup clusters: connected components over the MinHash near-dup pairs —
     // the keep-one-per-cluster shape (every node has an edge, so size >= 2)
@@ -446,7 +453,8 @@ object Queries {
     "tc_corpus_stats" ->
       s"""WITH ${OracleText.curationCtes()}
          |SELECT lang, count(*) AS n_docs, sum(n_ws) AS total_ws,
-         |  round(avg(quality), 6) AS avg_quality, round(avg(n_bpe), 6) AS avg_bpe
+         |  round(sum(CAST(round(quality * 1000000) AS BIGINT)) / 1000000.0 / count(*), 6) AS avg_quality,
+         |  round(CAST(sum(n_bpe) AS DOUBLE) / count(*), 6) AS avg_bpe
          |FROM cprof GROUP BY lang ORDER BY lang""".stripMargin,
     "tc_neardup_clusters" ->
       s"""WITH RECURSIVE ${OracleText.shingleCte()},

@@ -64,13 +64,18 @@ object QueriesExt {
       Consolidation.consolidationClusters(Corpus.memories(s, dir), threshold = 0.32)),
     // D6 application step: deterministic stand-in for the out-of-scope LLM
     // text (merged:<cluster>) — exercises the archive-olds/add-merged write
-    // shape (consolidator.py:202-218) end to end
+    // shape (consolidator.py:202-218) end to end. consolidated_from is
+    // emitted as a sorted comma-joined STRING: the compare driver sorts
+    // result columns with pandas, which cannot hash an array cell
+    // (round-3 ADVICE #2 — the array output made this query unverifiable)
     "d6_apply_consolidation" -> ((s, dir) => {
       val clusters = Consolidation.consolidationClusters(
         Corpus.memories(s, dir), threshold = 0.32)
       val merged = clusters.select("cluster").distinct()
         .withColumn("merged_text", concat(lit("merged:"), col("cluster")))
       Consolidation.applyConsolidation(clusters, merged, maxId = 100000L)
+        .withColumn("consolidated_from",
+          concat_ws(",", col("consolidated_from").cast("array<string>")))
         .orderBy("id")
     }),
     "d7_prune_candidates" -> ((s, dir) =>
@@ -284,7 +289,7 @@ object QueriesExt {
          |asg AS (SELECT v.cluster, t.id FROM tight t JOIN surv v USING (component))
          |SELECT 100000 + row_number() OVER (ORDER BY cluster) AS id,
          |  'merged:' || CAST(cluster AS VARCHAR) AS text,
-         |  list_sort(list(id)) AS consolidated_from
+         |  array_to_string(list_sort(list(id)), ',') AS consolidated_from
          |FROM asg GROUP BY cluster ORDER BY id""".stripMargin,
     "d7_prune_candidates" ->
       s"""WITH ${OracleCtes.memories},
