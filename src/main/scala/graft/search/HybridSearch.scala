@@ -103,7 +103,17 @@ object HybridSearch {
     val bm = BM25.ranked(memories, p.queryTokens, oversample, p.sourcePrefix, p.includeArchived)
       .select(col("id"), contrib(w.bm25, rank0(col("bm25"))).as("c"))
 
-    val cand = vec.unionAll(bm).groupBy("id").agg(sum("c").as("rrf"))
+    val cand0 = vec.unionAll(bm).groupBy("id").agg(sum("c").as("rrf"))
+    // the candidate pool fans out to the core row plus every active extra
+    // signal branch — without materialization each consumer re-executes the
+    // full vector+bm25 subplan (two corpus scans + the BM25 joins). Eager
+    // checkpoint of the ≤2*oversample-row pool runs it once; skipped when
+    // no extra signal is active (single consumer, checkpoint would only add
+    // a job).
+    val extraBranches = (if (p.recencyWeight > 0) 1 else 0) +
+      (if (p.feedbackWeight > 0 && feedback.isDefined) 1 else 0) +
+      (if (p.confidenceWeight > 0) 1 else 0)
+    val cand = if (extraBranches > 0) cand0.localCheckpoint(true) else cand0
 
     val dates = memories.select(
       col("id"),
