@@ -21,8 +21,10 @@ object Bench {
   private val Excluded = Set("lsh_jaccard_exact")
 
   /** One representative per operator family; the graph/hybrid/dedup/ANN/
-    * curation heavyweights are all present — this is the perf signal set. */
-  private val Headline = Seq(
+    * curation heavyweights are all present — this is the perf signal set.
+    * BenchSpec pins every name to the registry and the emitted line to the
+    * driver's 2000-char parse window. */
+  private[graft] val Headline = Seq(
     "q1_lineitem_agg",
     "r1_vector_topk", "r2_bm25", "r4_hybrid_rrf", "r10_graph_search",
     "r11_graph_via", "r12_threshold_graph", "r14_explain", "r14_explain_graph",

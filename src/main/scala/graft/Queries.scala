@@ -7,7 +7,7 @@ import graft.core.{Corpus, OracleCtes, OracleHybrid, OracleText, Tables}
 import graft.dedup.{Clusters, Dedup, MinHashLsh, SimHash}
 import graft.embed.HashingEmbedder
 import graft.functions.TextFunctions
-import graft.search.{BM25, Filters, GraphSearch, HybridSearch, VectorSearch}
+import graft.search.{BM25, BM25Index, Filters, GraphSearch, HybridSearch, VectorSearch}
 import graft.text.TextAnalysis
 
 /** Central registry: every implemented operator from SURVEY.md §2 exposed as
@@ -84,6 +84,21 @@ object Queries {
       BM25.ranked(Corpus.memories(s, dir), QueryTokens, oversample = 10)
         .select("id", "bm25")
     }),
+    // R2 over the PERSISTED index (build -> swap -> prune-to-query-terms
+    // scan): same Okapi scores as r2_bm25, so it shares the oracle — the
+    // registered proof that the precomputed term-stats table the 100 TB
+    // deployment queries is interchangeable with the in-session scorer
+    "r2_bm25_indexed" -> ((s, dir) => {
+      val path = "/root/repo/target/tmp/bm25_index"
+      val mem = Corpus.memories(s, dir)
+      BM25Index.build(mem, path)
+      BM25Index.scores(s, path, QueryTokens)
+        .join(mem.filter(!col("archived")).select("id"), "id")
+        .filter(col("bm25") > 0)
+        .orderBy(desc("bm25"), asc("id"))
+        .limit(10)
+        .select("id", "bm25")
+    }),
     "r4_hybrid_rrf" -> ((s, dir) => {
       HybridSearch.search(
         Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
@@ -122,6 +137,12 @@ object Queries {
          |         BETWEEN TIMESTAMP '2024-02-01 00:00:00' AND TIMESTAMP '2025-12-31 00:00:00')
          |ORDER BY id""".stripMargin,
     "r2_bm25" ->
+      s"""WITH ${OracleCtes.memories},
+         |${OracleHybrid.bm25Ctes(QueryTokens)}
+         |SELECT b.id, b.bm25 FROM bm b JOIN memories m USING (id)
+         |WHERE b.bm25 > 0 AND NOT m.archived
+         |ORDER BY b.bm25 DESC, b.id LIMIT 10""".stripMargin,
+    "r2_bm25_indexed" ->
       s"""WITH ${OracleCtes.memories},
          |${OracleHybrid.bm25Ctes(QueryTokens)}
          |SELECT b.id, b.bm25 FROM bm b JOIN memories m USING (id)

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench output line is the round's only perf signal: the driver parses
+  * it out of the LAST 2000 characters of captured sbt output (rounds 2 and 3
+  * both recorded parsed=null when the full-registry line outgrew that
+  * window). These tests pin the headline set to the registry and the worst-
+  * case line length to the window, so a registry rename or an over-grown
+  * headline set fails CI instead of silently costing the round its number.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("every headline query exists in the registry") {
+    val missing = Bench.Headline.filterNot(Queries.all.contains)
+    assert(missing.isEmpty, s"headline names not in Queries.all: $missing")
+  }
+
+  test("headline names are unique") {
+    assert(Bench.Headline.distinct.size == Bench.Headline.size)
+  }
+
+  test("worst-case bench line fits the driver's 2000-char tail window") {
+    // value worst case: 4-digit seconds at 3 decimals ("9999.999" = 8 chars);
+    // sentinel "-1.0" is shorter. Overhead mirrors Bench.main's template.
+    val perQuery = Bench.Headline.map(n => n.length + 2 + 1 + 8 + 1).sum
+    val overhead = 120 + "/root/testdata/sf0.1".length
+    val worst = perQuery + overhead
+    assert(worst < 1800, s"estimated worst-case line $worst chars; " +
+      "trim Bench.Headline or shorten names — the driver window is 2000")
+  }
+}
