@@ -35,6 +35,7 @@ object Bench {
     "fp_winnowing", "ta_text_profile", "e1_embed_checksum",
     "ann_ivf_topk", "ann_lsh_brp_pairs",
     "tc_curation_survivors", "tc_corpus_stats", "tc_neardup_clusters",
+    "tc_contamination", "tc_pii_scrub",
     "m5_merge_groups", "m9_policy_enforce", "m11_auto_link",
     "st_event_window_counts", "mm_feature_checksum", "s1_store_swap")
 

@@ -296,6 +296,30 @@ object Queries {
         .select(col("component").as("cluster"), col("id"))
         .orderBy("cluster", "id")
     }),
+    // benchmark decontamination: corpus docs sharing >=5 distinct 3-gram
+    // shingles with an eval-set doc (fixture: every 25th doc, offset 7).
+    // Counts cast to long on both sides (driver compares dtypes)
+    "tc_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("id") % 25 === 7).select("id", "text")
+      graft.text.Curation.contamination(d, bench, minShared = 5)
+        .orderBy("id", "bench_id")
+    }),
+    // PII scrub stage: deterministic injected PII (every 7th doc gets an
+    // email, an IPv4 and a phone) -> typed-sentinel redaction + counts
+    "tc_pii_scrub" -> ((s, dir) => {
+      val injected = docs(s, dir).withColumn("text",
+        when(col("id") % 7 === 0, concat(col("text"),
+          lit(" contact user"), col("id"), lit("@example.com on 10.1.2."),
+          col("id") % 250, lit(" or +1555000"), col("id")))
+          .otherwise(col("text")))
+      graft.text.Curation.scrubPii(injected)
+        .select(col("id"), col("n_email").cast("long").as("n_email"),
+          col("n_ip").cast("long").as("n_ip"),
+          col("n_phone").cast("long").as("n_phone"),
+          length(col("text")).cast("long").as("clean_len"))
+        .orderBy("id")
+    }),
     // deterministic per-source-prefix downsampling (auditable corpus quotas)
     "tc_sample_quota" -> ((s, dir) =>
       graft.text.Curation.deterministicSample(
@@ -496,6 +520,34 @@ object Queries {
          |  UNION SELECT e.t, reach.r FROM reach JOIN ed e ON e.s = reach.node)
          |SELECT min(r) AS cluster, node AS id FROM reach GROUP BY node
          |ORDER BY cluster, id""".stripMargin,
+    "tc_contamination" ->
+      s"""WITH ${OracleText.shingleCte()},
+         |bsh AS MATERIALIZED (SELECT id AS bench_id, sh FROM sh WHERE id % 25 = 7)
+         |SELECT s.id, b.bench_id,
+         |  CAST(len(list_intersect(s.sh, b.sh)) AS BIGINT) AS n_shared
+         |FROM sh s, bsh b
+         |WHERE len(list_intersect(s.sh, b.sh)) >= 5
+         |ORDER BY id, bench_id""".stripMargin,
+    "tc_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\+\\d{7,15}"
+      s"""WITH base AS (
+         |  SELECT doc_id AS id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+         |      CAST(doc_id AS VARCHAR) || '@example.com on 10.1.2.' ||
+         |      CAST(doc_id % 250 AS VARCHAR) || ' or +1555000' || CAST(doc_id AS VARCHAR)
+         |    ELSE text END AS t
+         |  FROM documents)
+         |SELECT id,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$ipv4')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g'),
+         |    '$phone', '<PHONE>', 'g')) AS BIGINT) AS clean_len
+         |FROM base ORDER BY id""".stripMargin
+    },
     "tc_sample_quota" ->
       """SELECT doc_id AS id, source FROM documents
         |WHERE (doc_id * 1103515245 + 12345) % 2147483648

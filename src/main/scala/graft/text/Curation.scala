@@ -102,4 +102,52 @@ object Curation {
       col("n_profiled"), col("n_kept"), col("n_exact"), col("nd_pairs"),
       (col("n_exact") - col("n_dropped")).as("n_survivors"))
   }
+
+  /** Benchmark decontamination: (id, bench_id, n_shared) for corpus docs
+    * sharing at least `minShared` distinct word n-gram shingles with a
+    * benchmark doc — the GPT-3-appendix / C4-style n-gram collision test a
+    * pre-training run applies against its eval sets before training.
+    *
+    * Scale shape: the corpus side is scan + explode (no self-join, no
+    * quadratic pair space); the benchmark side — eval sets are tiny
+    * relative to a 100 TB corpus — broadcasts its exploded shingles, so the
+    * collision join is map-side. Both shingle sets are per-doc distinct
+    * ([[MinHashLsh.shingleSets]]), so the pair count IS the intersection
+    * size. */
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
+                    minShared: Int = 1): DataFrame = {
+    val ds = MinHashLsh.shingleSets(docs, n)
+      .select(col("id"), explode(col("sh")).as("h"))
+    val bs = MinHashLsh.shingleSets(benchmark, n)
+      .select(col("id").as("bench_id"), explode(col("sh")).as("h"))
+    ds.join(broadcast(bs), "h")
+      .groupBy("id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Email pattern — RE2-safe (no backrefs/lookaround) so the same pattern
+    * runs in Spark (java.util.regex) and DuckDB (RE2) identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 (syntactic — no octet range check). */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** International-format phone: + followed by 7-15 digits. */
+  val PhoneRe = "\\+\\d{7,15}"
+
+  /** PII scrub stage: redact emails, IPv4 addresses and +international
+    * phone numbers with typed sentinels, and count each redaction —
+    * the per-type counts feed the curation funnel's audit trail. Pure
+    * column expressions: one codegen pass fused into the scan, no
+    * shuffle, no UDF. Order matters: emails first (they contain dots and
+    * digits), then IPs, then phones. */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("n_email", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_ip", regexp_count(col(textCol), lit(Ipv4Re)))
+      .withColumn("n_phone", regexp_count(col(textCol), lit(PhoneRe)))
+      .withColumn(textCol,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>"))
 }

@@ -70,6 +70,42 @@ class CurationSpec extends SparkSpec {
     assert(Curation.curate(docs, minQuality = 1.0).survivors.count() === 0)
   }
 
+  test("scrubPii redacts and counts each PII type independently") {
+    val docs = df(
+      1L -> "reach me at a.b-c%d@mail-host.co.uk or +12345678901 thanks",
+      2L -> "server 192.168.0.1 and 10.0.0.2 are up",
+      3L -> "no pii here at all",
+      4L -> "x@y.io near 1.2.3.4 call +9999999")
+    val out = Curation.scrubPii(docs)
+      .select("id", "n_email", "n_ip", "n_phone", "text")
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 == "reach me at <EMAIL> or <PHONE> thanks")
+    assert(out(2L) == ((0, 2, 0, "server <IP> and <IP> are up")))
+    assert(out(3L) == ((0, 0, 0, "no pii here at all")))
+    assert(out(4L) == ((1, 1, 1, "<EMAIL> near <IP> call <PHONE>")))
+  }
+
+  test("contamination finds planted n-gram overlap and honors minShared") {
+    val corpus = df(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "one two three four five six seven",
+      3L -> "alpha beta gamma delta different tail here")
+    // bench doc 10 shares a 6-token prefix with corpus 1 and 3
+    val bench = df(10L -> "alpha beta gamma delta epsilon zeta other words")
+    val hits = Curation.contamination(corpus, bench, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // corpus 1 shares 4 shingles (6-token common prefix), corpus 3 shares 2
+    assert(hits((1L, 10L)) == 4L)
+    assert(hits((3L, 10L)) == 2L)
+    assert(!hits.contains((2L, 10L)))
+    // raising minShared drops the weaker hit
+    val strict = Curation.contamination(corpus, bench, minShared = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L))
+  }
+
   test("funnel counts are monotone and consistent on the fixture corpus") {
     val docs = core.Tables.documents(spark, sf()).withColumnRenamed("doc_id", "id")
     val st = Curation.curate(docs)
