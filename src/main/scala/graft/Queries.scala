@@ -320,6 +320,15 @@ object Queries {
           length(col("text")).cast("long").as("clean_len"))
         .orderBy("id")
     }),
+    // Gopher repetition filters: duplicate-line fraction + top-bigram token
+    // coverage (fixture: every 5th doc duplicated onto a second line so the
+    // line-level signal is non-degenerate on the single-line corpus)
+    "tc_repetition" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("text",
+        when(col("id") % 5 === 0, concat(col("text"), lit("\n"), col("text")))
+          .otherwise(col("text")))
+      TextAnalysis.repetitionStats(d).orderBy("id")
+    }),
     // deterministic per-source-prefix downsampling (auditable corpus quotas)
     "tc_sample_quota" -> ((s, dir) =>
       graft.text.Curation.deterministicSample(
@@ -547,6 +556,32 @@ object Queries {
          |    '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g'),
          |    '$phone', '<PHONE>', 'g')) AS BIGINT) AS clean_len
          |FROM base ORDER BY id""".stripMargin
+    },
+    "tc_repetition" -> {
+      val tk = OracleText.toks("t")
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT doc_id AS id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || text ELSE text END AS t
+         |  FROM documents),
+         |dl AS (
+         |  SELECT id, t,
+         |    CASE WHEN len(ls) > 0
+         |      THEN round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 6)
+         |      ELSE 0.0 END AS dup_line_frac
+         |  FROM (SELECT id, t,
+         |    list_filter(string_split(t, chr(10)), l -> len(trim(l)) > 0) AS ls
+         |    FROM base)),
+         |bgx AS (
+         |  SELECT id, len($tk) AS n,
+         |    unnest(list_transform(range(1, len($tk)),
+         |      i -> array_to_string(list_slice($tk, i, i + 1), ' '))) AS bg
+         |  FROM base WHERE len($tk) >= 2),
+         |cnt AS (SELECT id, n, bg, count(*) AS c FROM bgx GROUP BY 1, 2, 3),
+         |top AS (SELECT id, round(2.0 * max(c) / n, 6) AS top_bigram_frac
+         |  FROM cnt GROUP BY id, n)
+         |SELECT d.id, d.dup_line_frac,
+         |  coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac
+         |FROM dl d LEFT JOIN top USING (id) ORDER BY id""".stripMargin
     },
     "tc_sample_quota" ->
       """SELECT doc_id AS id, source FROM documents

@@ -66,6 +66,42 @@ object TextAnalysis {
       lengthSat * 0.3 + stopRatio * 0.2 + uniqueRatio * 0.3 + (lit(1.0) - digitRatio) * 0.2, 6))
   }
 
+  /** Gopher-style repetition signals (Rae et al. '21 §A1.1, public):
+    * per-document duplicate-line fraction and top-bigram token coverage —
+    * the standard repetition filters applied after [[qualityScore]] in a
+    * web-scale curation run.
+    *
+    *   dup_line_frac   = 1 − |distinct non-empty lines| / |non-empty lines|
+    *                     (pure HOF column math, fused into the scan)
+    *   top_bigram_frac = 2 · max bigram count / |tokens|
+    *                     (explode → count per (doc, bigram) → max per doc:
+    *                     one shuffle on (id, bigram) with map-side partial
+    *                     aggregation — the same shape as term frequencies)
+    *
+    * Docs with < 2 tokens have top_bigram_frac 0; docs with no non-empty
+    * lines have dup_line_frac 0. Output: (id, dup_line_frac,
+    * top_bigram_frac), both rounded 6dp. */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "id"): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines).cast("double")
+    val dupLineFrac = when(nLines > 0,
+      round(lit(1.0) - size(array_distinct(lines)) / nLines, 6)).otherwise(0.0)
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("_t"),
+      dupLineFrac.as("dup_line_frac"))
+    val toks = TextFunctions.tokens(col("_t"))
+    val bigrams = base
+      .select(col("id"), size(toks).cast("double").as("_n"),
+        explode(TextFunctions.shingles(col("_t"), 2)).as("_bg"))
+      .groupBy("id", "_n", "_bg").agg(count(lit(1)).as("_cnt"))
+      .groupBy("id", "_n").agg(max("_cnt").as("_top"))
+      .select(col("id"),
+        round(lit(2.0) * col("_top") / col("_n"), 6).as("top_bigram_frac"))
+    base.select("id", "dup_line_frac")
+      .join(bigrams, Seq("id"), "left")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+  }
+
   /** Winnowing fingerprint (Schleimer et al. '03): k-gram shingle hashes,
     * sliding window of `w`, keep each window's minimum, distinct. Returns an
     * array<long> column of selected hashes. Backed by the O(n) codegen

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.text.Curation
+import graft.text.{Curation, TextAnalysis}
 
 /** Training-data curation pipeline: stage semantics and funnel invariants. */
 class CurationSpec extends SparkSpec {
@@ -104,6 +104,20 @@ class CurationSpec extends SparkSpec {
     val strict = Curation.contamination(corpus, bench, minShared = 3)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(strict == Set(1L))
+  }
+
+  test("repetitionStats computes Gopher line/bigram repetition fractions") {
+    val docs = df(
+      1L -> "same line\nsame line\nother line", // 3 lines, 2 distinct
+      2L -> "go go go go",                      // "go go" bigram count 3, n=4
+      3L -> "all distinct words here",
+      4L -> "x")                                // <2 tokens: bigram frac 0
+    val out = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 0.333333) // round(1 - 2/3, 6)
+    assert(out(2L) == ((0.0, 1.5)))  // 2*3/4
+    assert(out(3L) == ((0.0, 0.5)))  // every bigram unique: 2*1/4
+    assert(out(4L) == ((0.0, 0.0)))
   }
 
   test("funnel counts are monotone and consistent on the fixture corpus") {
