@@ -97,20 +97,6 @@ object BM25 {
       Index(tf, idf, dl, st)
     })
 
-  def stats(docs: DataFrame, tf: DataFrame, textCol: String = "text"): Stats = {
-    // one scan for (N, avgdl), one aggregation over the term-freq table for
-    // the vocabulary mean idf
-    val row = docs.agg(
-      count(lit(1)).as("n"),
-      avg(size(tokens(col(textCol)))).as("avgdl")).head()
-    val (n, avgdl) = (row.getLong(0), row.getDouble(1))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val avgIdf = df
-      .select(avg(log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))))
-      .head().getDouble(0)
-    Stats(n, avgdl, avgIdf)
-  }
-
   /** BM25 score of every document containing at least one query token:
     * (id, bm25). Duplicate query tokens count twice (rank_bm25 iterates the
     * raw token list). Docs matching no token are absent (their score is 0).

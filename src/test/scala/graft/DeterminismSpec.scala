@@ -12,7 +12,8 @@ class DeterminismSpec extends SparkSpec {
   private val QueriesToPin =
     Seq("m1_add_memories", "r4_hybrid_rrf", "d4_similar_clusters",
       "d2_neardup_lsh", "lsh_minhash_neardup",
-      "tc_curation_survivors", "tc_neardup_clusters", "tc_sample_quota")
+      "tc_curation_survivors", "tc_neardup_clusters", "tc_sample_quota",
+      "tc_contamination", "tc_repetition", "r2_bm25_indexed")
 
   private def rowsAt(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)
