@@ -51,10 +51,13 @@ object OracleHybrid {
     if (p.confidenceWeight <= 0 || p.confidenceProfiles.isEmpty) ""
     else {
       val vals = p.confidenceProfiles
-        .map { case (pre, hl) => s"('$pre', CAST($hl AS DOUBLE))" }.mkString(", ")
+        // doubles are interpolated as quoted strings: DuckDB parses a bare
+        // 17-digit numeric literal as DECIMAL then double-rounds to DOUBLE,
+        // which can differ from Scala's Double.toString round-trip by 1 ULP
+        .map { case (pre, hl) => s"('$pre', CAST('$hl' AS DOUBLE))" }.mkString(", ")
       s"""
          |confhl AS MATERIALIZED (
-         |  SELECT id, coalesce(hl, CAST(${p.confidenceHalfLifeDays} AS DOUBLE)) AS hl FROM (
+         |  SELECT id, coalesce(hl, CAST('${p.confidenceHalfLifeDays}' AS DOUBLE)) AS hl FROM (
          |    SELECT c.id, pr.hl, row_number() OVER (PARTITION BY c.id ORDER BY len(pr.prefix) DESC, pr.prefix) AS rn
          |    FROM cand c JOIN memories m USING (id)
          |    LEFT JOIN (SELECT * FROM (VALUES $vals) AS t(prefix, hl)) pr ON starts_with(m.source, pr.prefix)
@@ -175,13 +178,13 @@ object OracleHybrid {
        |cc AS (SELECT count(*) AS candidates_considered FROM cand),
        |fbs AS (SELECT $fbsSql AS filtered_by_source)
        |SELECT e.id, e.signal, round(e.c, 6) AS contrib, round(f.rrf, 6) AS rrf_score,
-       |  CAST(${w.vec} AS DOUBLE) AS w_vector, CAST(${w.bm25} AS DOUBLE) AS w_bm25,
-       |  CAST(${w.recency} AS DOUBLE) AS w_recency,
-       |  CAST(${w.feedback} AS DOUBLE) AS w_feedback,
-       |  CAST(${w.confidence} AS DOUBLE) AS w_confidence,
+       |  CAST('${w.vec}' AS DOUBLE) AS w_vector, CAST('${w.bm25}' AS DOUBLE) AS w_bm25,
+       |  CAST('${w.recency}' AS DOUBLE) AS w_recency,
+       |  CAST('${w.feedback}' AS DOUBLE) AS w_feedback,
+       |  CAST('${w.confidence}' AS DOUBLE) AS w_confidence,
        |  cc.candidates_considered, fbs.filtered_by_source,
        |  CAST(0 AS BIGINT) AS filtered_by_auth, CAST(${HybridSearch.RrfK} AS INT) AS rrf_k,
-       |  $graphOn AS graph_enabled, CAST($gw AS DOUBLE) AS graph_weight,
+       |  $graphOn AS graph_enabled, CAST('$gw' AS DOUBLE) AS graph_weight,
        |  $pprAlpha AS ppr_alpha, $pprIters AS ppr_iterations
        |FROM expl e JOIN fused2 f USING (id), cc, fbs""".stripMargin
   }
