@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ann.Ann
+import graft.ann.{Ann, Quantize}
 import graft.core.{Corpus, OracleCtes, OracleHybrid, OracleText, Tables}
 import graft.dedup.{Clusters, Dedup, MinHashLsh, SimHash}
 import graft.embed.HashingEmbedder
@@ -333,31 +333,77 @@ object Queries {
     "tc_sample_quota" -> ((s, dir) =>
       graft.text.Curation.deterministicSample(
         docs(s, dir), Seq(("src1", 0.25), ("src", 0.75)))
-        .select("id", "source").orderBy("id"))
+        .select("id", "source").orderBy("id")),
+    // SQ8 compressed-vector tier: quantized top-k, two-stage re-rank, and
+    // the recall audit that sizes the candidate pool
+    "ann_sq8_topk" -> ((s, dir) =>
+      Quantize.topKQuantized(Corpus.memories(s, dir), queryVec(s, dir), k = 10)),
+    "ann_sq8_rerank" -> ((s, dir) =>
+      Quantize.topKReranked(Corpus.memories(s, dir), queryVec(s, dir),
+        k = 10, candidates = 50)),
+    "ann_sq8_recall" -> ((s, dir) => {
+      val mem = Corpus.memories(s, dir)
+      val qv = queryVec(s, dir)
+      Quantize.topKQuantized(mem, qv, k = 10).select("id")
+        .join(VectorSearch.topK(mem, qv, k = 10).select("id"), "id")
+        .agg(round(count(lit(1)) / 10.0, 6).as("recall_at_10"))
+    }),
+    // concat-and-chunk training-sequence packing manifest
+    "tp_pack_sequences" -> ((s, dir) =>
+      graft.text.Packing.packSequences(docs(s, dir)).orderBy("seq_id")),
+    // domain-mixture plan: per-language sampling rates / epochs realizing
+    // a target mixture inside a 50%-of-corpus token budget
+    "tp_mixture_plan" -> ((s, dir) =>
+      graft.text.Curation.mixturePlan(
+        docs(s, dir), MixtureTargets).orderBy("domain")),
+    // IVF cell pruning × SQ8 compressed scoring × exact re-rank — the
+    // composed ANN layout a 100 TB deployment runs (Faiss IVF-SQ shape)
+    "ann_ivfsq8_topk" -> ((s, dir) => {
+      val cent = Ann.centroidsByLabel(Tables.embeddings(s, dir))
+      val assigned = Ann.assign(Corpus.memories(s, dir), cent)
+      Ann.ivfSq8TopK(assigned, cent, queryVec(s, dir), k = 10)
+    }),
+    // train/val hash split + near-dup leakage audit across the split
+    "tp_split_leakage" -> ((s, dir) =>
+      graft.text.Curation.splitLeakage(docs(s, dir))
+        .orderBy("val_id", "train_id"))
   )
+
+  /** Mixture-plan fixture: integer target weights per language. de is
+    * upsampled past its natural share (exercises the epochs>1 repeat path),
+    * en/fr/es are subsampled, and zh is deliberately absent (weight 0 →
+    * dropped from the mixture). */
+  val MixtureTargets: Seq[(String, Long)] =
+    Seq(("en", 1L), ("de", 6L), ("fr", 2L), ("es", 1L))
+
+  /** IVF CTE chain: cent0/centn/cent (centroids), asg (cell assignment),
+    * probe (the nprobe=2 query-nearest cells) — shared by the IVF and
+    * IVF×SQ8 oracles. */
+  private def ivfCtes: String =
+    s"""cent0 AS (
+       |  SELECT label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
+       |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+       |centn AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM cent0 GROUP BY 1),
+       |cent AS MATERIALIZED (
+       |  SELECT c.label, list(c.m / n.nrm ORDER BY c.i) AS centroid
+       |  FROM cent0 c JOIN centn n USING (label) GROUP BY c.label),
+       |asg AS MATERIALIZED (
+       |  SELECT id, label AS ivf_cell FROM (
+       |    SELECT m.id, c.label, row_number() OVER (PARTITION BY m.id ORDER BY
+       |      list_sum(list_transform(range(1, 65), i -> CAST(m.embedding[i] AS DOUBLE) * c.centroid[i])) DESC,
+       |      c.label) AS rn
+       |    FROM memories m, cent c) WHERE rn = 1),
+       |probe AS (
+       |  SELECT label FROM (
+       |    SELECT c.label, row_number() OVER (ORDER BY
+       |      list_sum(list_transform(range(1, 65), i -> c.centroid[i] * CAST(q.qv[i] AS DOUBLE))) DESC,
+       |      c.label) AS rn
+       |    FROM cent c, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
+       |  WHERE rn <= 2)""".stripMargin
 
   private val ivfTopkSql: String =
     s"""WITH ${OracleCtes.memories},
-         |cent0 AS (
-         |  SELECT label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
-         |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
-         |centn AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM cent0 GROUP BY 1),
-         |cent AS MATERIALIZED (
-         |  SELECT c.label, list(c.m / n.nrm ORDER BY c.i) AS centroid
-         |  FROM cent0 c JOIN centn n USING (label) GROUP BY c.label),
-         |asg AS MATERIALIZED (
-         |  SELECT id, label AS ivf_cell FROM (
-         |    SELECT m.id, c.label, row_number() OVER (PARTITION BY m.id ORDER BY
-         |      list_sum(list_transform(range(1, 65), i -> CAST(m.embedding[i] AS DOUBLE) * c.centroid[i])) DESC,
-         |      c.label) AS rn
-         |    FROM memories m, cent c) WHERE rn = 1),
-         |probe AS (
-         |  SELECT label FROM (
-         |    SELECT c.label, row_number() OVER (ORDER BY
-         |      list_sum(list_transform(range(1, 65), i -> c.centroid[i] * CAST(q.qv[i] AS DOUBLE))) DESC,
-         |      c.label) AS rn
-         |    FROM cent c, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
-         |  WHERE rn <= 2)
+         |$ivfCtes
          |SELECT m.id, a.ivf_cell,
          |  round(${OracleCtes.dot64("m.embedding", "q2.qv")}, 6) AS sim
          |FROM memories m
@@ -589,8 +635,112 @@ object Queries {
         |  < (CASE WHEN source LIKE 'src1%' THEN CAST('0.25' AS DOUBLE)
         |          WHEN source LIKE 'src%' THEN CAST('0.75' AS DOUBLE)
         |          ELSE 1.0 END) * 2147483648
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+    "ann_sq8_topk" -> annSq8TopkSql,
+    "ann_ivfsq8_topk" -> annIvfSq8TopkSql,
+    "tp_split_leakage" -> tpSplitLeakageSql,
+    "ann_sq8_rerank" ->
+      s"""WITH ${OracleCtes.memories},
+         |${OracleCtes.sq8Ctes()},
+         |cand AS (SELECT id FROM sq8 ORDER BY qscore DESC, id LIMIT 50),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT m.id, round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) AS sim
+         |FROM memories m JOIN cand USING (id), q
+         |ORDER BY sim DESC, id LIMIT 10""".stripMargin,
+    "ann_sq8_recall" ->
+      s"""SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10
+         |FROM ($annSq8TopkSql) a
+         |JOIN (${retrievalOracles("r1_vector_topk")}) e ON a.id = e.id""".stripMargin,
+    "tp_pack_sequences" ->
+      s"""WITH ptok AS (
+         |  SELECT doc_id AS id,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |poff AS (
+         |  SELECT id, n_tok,
+         |    CAST(sum(n_tok) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS st
+         |  FROM ptok),
+         |pspan AS (
+         |  SELECT id, st, n_tok,
+         |    unnest(generate_series(st // 512, (st + n_tok - 1) // 512)) AS seq_id
+         |  FROM poff WHERE n_tok > 0)
+         |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(least(st + n_tok, (seq_id + 1) * 512) - greatest(st, seq_id * 512)) AS BIGINT) AS n_tokens,
+         |  min(id) AS first_doc, max(id) AS last_doc
+         |FROM pspan GROUP BY 1 ORDER BY seq_id""".stripMargin,
+    "tp_mixture_plan" -> {
+      val vals = MixtureTargets
+        .map { case (d, w) => s"('$d', CAST($w AS BIGINT))" }.mkString(", ")
+      val sumW = MixtureTargets.map(_._2).sum.toDouble // short literal, exact
+      s"""WITH pd AS (
+         |  SELECT lang AS domain,
+         |    CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM pd),
+         |tg AS (SELECT * FROM (VALUES $vals) t(domain, w)),
+         |req AS (
+         |  SELECT pd.domain, pd.tokens, t.total,
+         |    coalesce(tg.w, CAST(0 AS BIGINT)) AS w,
+         |    CAST(floor(CAST(t.total AS DOUBLE) * 0.5) AS BIGINT) AS budget
+         |  FROM pd CROSS JOIN tot t LEFT JOIN tg USING (domain)),
+         |req2 AS (
+         |  SELECT *, CAST(floor(CAST(budget AS DOUBLE) * w / $sumW) AS BIGINT) AS required_tokens
+         |  FROM req)
+         |SELECT domain, tokens,
+         |  round(CAST(tokens AS DOUBLE) / total, 6) AS natural_share,
+         |  round(CAST(w AS DOUBLE) / $sumW, 6) AS target_share,
+         |  required_tokens,
+         |  round(CAST(required_tokens AS DOUBLE) / tokens, 6) AS sample_rate,
+         |  CAST(ceil(CAST(required_tokens AS DOUBLE) / tokens) AS INT) AS epochs
+         |FROM req2 ORDER BY domain""".stripMargin
+    }
   )
+
+  // def, not val: referenced during dedupOracles' initialization above
+  private def annSq8TopkSql: String =
+    s"""WITH ${OracleCtes.memories},
+       |${OracleCtes.sq8Ctes()}
+       |SELECT id, qscore FROM sq8 ORDER BY qscore DESC, id LIMIT 10""".stripMargin
+
+  private def annIvfSq8TopkSql: String =
+    s"""WITH ${OracleCtes.memories},
+       |$ivfCtes,
+       |pool AS MATERIALIZED (
+       |  SELECT m.id, a.ivf_cell, m.embedding FROM memories m
+       |  JOIN asg a ON m.id = a.id
+       |  JOIN probe p ON a.ivf_cell = p.label),
+       |${OracleCtes.sq8Ctes(from = "pool")},
+       |cand AS (SELECT id FROM sq8 ORDER BY qscore DESC, id LIMIT 50),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT po.id, po.ivf_cell,
+       |  round(${OracleCtes.dot64("po.embedding", "q.qv")}, 6) AS sim
+       |FROM pool po JOIN cand USING (id), q
+       |ORDER BY sim DESC, po.id LIMIT 10""".stripMargin
+
+  private def tpSplitLeakageSql: String =
+    s"""WITH ${OracleText.shingleCte()},
+       |${OracleText.minhashCtes},
+       |cp AS MATERIALIZED (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id),
+       |lpairs AS (
+       |  SELECT * FROM (
+       |    SELECT cp.id_a, cp.id_b,
+       |      round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |        / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+       |    FROM cp JOIN sh x ON cp.id_a = x.id JOIN sh y ON cp.id_b = y.id)
+       |  WHERE jaccard >= 0.2),
+       |flags AS (
+       |  SELECT doc_id AS id,
+       |    (doc_id * 1103515245 + 12345) % 2147483648
+       |      < CAST('0.2' AS DOUBLE) * 2147483648 AS v
+       |  FROM documents)
+       |SELECT CASE WHEN fa.v THEN p.id_a ELSE p.id_b END AS val_id,
+       |  CASE WHEN fa.v THEN p.id_b ELSE p.id_a END AS train_id, p.jaccard
+       |FROM lpairs p
+       |JOIN flags fa ON p.id_a = fa.id
+       |JOIN flags fb ON p.id_b = fb.id
+       |WHERE fa.v <> fb.v ORDER BY val_id, train_id""".stripMargin
 
 
   val all: Map[String, Q] =

@@ -53,16 +53,36 @@ object Ann {
       .withColumnRenamed("label", "ivf_cell")
   }
 
-  /** IVF top-k: probe the `nprobe` centroids nearest to the query vector,
-    * exact-rescore only rows assigned to those cells. */
-  def ivfTopK(assigned: DataFrame, centroids: DataFrame, queryVec: Seq[Float],
-              k: Int, nprobe: Int = 2): DataFrame = {
-    val probeCells = centroids
+  /** The `nprobe` cells nearest to the query: (ivf_cell). */
+  private def probeCells(centroids: DataFrame, queryVec: Seq[Float],
+                         nprobe: Int): DataFrame =
+    centroids
       .withColumn("_qsim", dot(col("centroid"), typedLit(queryVec)))
       .orderBy(desc("_qsim"), asc("label")).limit(nprobe)
       .select(col("label").as("ivf_cell"))
-    assigned.join(broadcast(probeCells), "ivf_cell")
+
+  /** IVF top-k: probe the `nprobe` centroids nearest to the query vector,
+    * exact-rescore only rows assigned to those cells. */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, queryVec: Seq[Float],
+              k: Int, nprobe: Int = 2): DataFrame =
+    assigned.join(broadcast(probeCells(centroids, queryVec, nprobe)), "ivf_cell")
       .withColumn("sim", roundScore(dot(col("embedding"), typedLit(queryVec))))
+      .orderBy(desc("sim"), asc("id"))
+      .limit(k)
+
+  /** IVF × SQ8 — the composed scale path (Faiss's IVF-SQ layout): IVF
+    * prunes to nprobe/nlist of the rows, the int8 codes score the pruned
+    * pool at 1 byte/dim, and only `candidates` full float vectors are read
+    * for the exact re-rank. Each stage is the already-verified operator;
+    * the composition is what a 100 TB deployment actually runs. */
+  def ivfSq8TopK(assigned: DataFrame, centroids: DataFrame, queryVec: Seq[Float],
+                 k: Int, nprobe: Int = 2, candidates: Int = 50): DataFrame = {
+    val pool = assigned.join(broadcast(probeCells(centroids, queryVec, nprobe)), "ivf_cell")
+    val cand = graft.ann.Quantize.quantizedScores(pool, queryVec)
+      .orderBy(desc("qscore"), asc("id")).limit(candidates)
+    pool.join(cand.select("id"), Seq("id"), "left_semi")
+      .select(col("id"), col("ivf_cell"),
+        roundScore(dot(col("embedding"), typedLit(queryVec))).as("sim"))
       .orderBy(desc("sim"), asc("id"))
       .limit(k)
   }

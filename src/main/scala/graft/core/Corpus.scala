@@ -242,4 +242,33 @@ object OracleCtes {
     * VectorFunctions.dot's left-to-right Double fold. */
   def dot64(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** SQ8 quantized-scoring CTEs mirroring [[graft.ann.Quantize]]:
+    * msq(id, sc, code) over non-archived memories, qsq(qsc, qcode) for the
+    * query vector, sq8(id, qscore). code_i = floor(x_i·127/scale + 0.5)
+    * with scale = max|x| (which already bounds codes to ±127); the integer
+    * dot is exact, so qscore is a single deterministic double expression. */
+  def sq8Ctes(vecId: Long = 0L,
+              from: String = "memories WHERE NOT archived"): String = {
+    def codes(vec: String, sc: String) =
+      s"""CASE WHEN $sc > 0
+         |      THEN list_transform($vec, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / $sc + 0.5) AS BIGINT))
+         |      ELSE list_transform($vec, x -> CAST(0 AS BIGINT)) END""".stripMargin
+    s"""msq AS MATERIALIZED (
+       |  SELECT id, sc, ${codes("embedding", "sc")} AS code
+       |  FROM (SELECT id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+       |    FROM $from)
+       |),
+       |qsq AS MATERIALIZED (
+       |  SELECT sc AS qsc, ${codes("qv", "sc")} AS qcode
+       |  FROM (SELECT qv, list_max(list_transform(qv, x -> abs(CAST(x AS DOUBLE)))) AS sc
+       |    FROM (SELECT embedding AS qv FROM embeddings WHERE vec_id = $vecId))
+       |),
+       |sq8 AS MATERIALIZED (
+       |  SELECT m.id, round(m.sc * q.qsc * CAST(list_sum(list_transform(range(1, 65),
+       |    i -> m.code[i] * q.qcode[i])) AS DOUBLE) / 16129.0, 6) AS qscore
+       |  FROM msq m, qsq q
+       |)""".stripMargin
+  }
 }

@@ -150,4 +150,71 @@ object Curation {
             regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
             Ipv4Re, "<IP>"),
           PhoneRe, "<PHONE>"))
+
+  /** Deterministic train/val split with a near-dup leakage audit: docs are
+    * hash-split by the same LCG as [[deterministicSample]] into val
+    * (bucket < valFrac) and train; a leakage row is a val doc with a
+    * near-duplicate on the train side — the cross-split contamination a
+    * random split silently ships (inflates eval scores). Output
+    * (val_id, train_id, jaccard), one row per leaking pair.
+    *
+    * Scale shape: the pair generation is the MinHash-LSH banding join
+    * (never the quadratic pair space); the split flags are a projection of
+    * the id column joined onto the (small) pair set. */
+  def splitLeakage(docs: DataFrame, valFrac: Double = 0.2,
+                   jaccardThreshold: Double = 0.2): DataFrame = {
+    val bucket = (col("id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+    val flags = docs.select(col("id"), (bucket < lit(valFrac) * lit(2147483648L)).as("_v"))
+    MinHashLsh.nearDuplicates(docs, jaccardThreshold)
+      .join(flags.select(col("id").as("id_a"), col("_v").as("_va")), "id_a")
+      .join(flags.select(col("id").as("id_b"), col("_v").as("_vb")), "id_b")
+      .filter(col("_va") =!= col("_vb"))
+      .select(
+        when(col("_va"), col("id_a")).otherwise(col("id_b")).as("val_id"),
+        when(col("_va"), col("id_b")).otherwise(col("id_a")).as("train_id"),
+        col("jaccard"))
+  }
+
+  /** Domain-mixture planning: given per-domain token counts and integer
+    * target weights, compute the sampling plan that realizes the target
+    * mixture inside a token budget — per domain the required token count,
+    * the sampling rate (<1 → subsample) and the epoch count (>1 → repeat),
+    * i.e. the "data mixture" table a pretraining run is configured from.
+    *
+    * Scale shape: one groupBy over the corpus (map-side combined), then
+    * arithmetic over |domains| rows with the corpus total attached as a
+    * broadcast 1-row aggregate — no driver round-trips, no windows.
+    *
+    * Determinism contract: weights are integer, the budget is
+    * floor(total * budgetFrac), and every derived double is computed with
+    * the exact same expression shape as the DuckDB oracle.
+    *
+    * `docs` needs (domainCol, text). Domains missing from `targets` get
+    * weight 0 (dropped from the mixture). */
+  def mixturePlan(docs: DataFrame, targets: Seq[(String, Long)],
+                  budgetFrac: Double = 0.5,
+                  domainCol: String = "lang"): DataFrame = {
+    val spark = docs.sparkSession
+    val sumW = targets.map(_._2).sum.toDouble
+    val (_, bpe) = TextAnalysis.tokenCounts(col("text"))
+    val perDomain = docs
+      .select(col(domainCol).as("domain"), bpe.cast("long").as("_tok"))
+      .groupBy("domain").agg(sum("_tok").as("tokens"))
+    val total = perDomain.agg(sum("tokens").as("_total"))
+    val targetDf = spark.createDataFrame(targets).toDF("domain", "_w")
+    perDomain
+      .crossJoin(broadcast(total))
+      .join(broadcast(targetDf), Seq("domain"), "left")
+      .withColumn("_w", coalesce(col("_w"), lit(0L)))
+      .withColumn("_budget", floor(col("_total").cast("double") * budgetFrac))
+      .withColumn("required_tokens",
+        floor(col("_budget").cast("double") * col("_w") / sumW).cast("long"))
+      .select(
+        col("domain"), col("tokens"),
+        round(col("tokens").cast("double") / col("_total"), 6).as("natural_share"),
+        round(col("_w").cast("double") / sumW, 6).as("target_share"),
+        col("required_tokens"),
+        round(col("required_tokens").cast("double") / col("tokens"), 6).as("sample_rate"),
+        ceil(col("required_tokens").cast("double") / col("tokens")).cast("int").as("epochs"))
+  }
 }

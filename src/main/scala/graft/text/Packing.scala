@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing: concatenate the corpus in a deterministic
+  * document order and cut it into fixed token-budget sequences
+  * (concat-and-chunk — the standard LLM pretraining packing; documents may
+  * straddle a sequence boundary, no padding waste).
+  *
+  * The only global state is each document's token START OFFSET — a running
+  * total over the corpus in id order. A naive `Window.orderBy(id)` cumsum
+  * serializes 100 TB through one task, so the offset is computed in two
+  * phases exactly like [[graft.ops.Mutations]]' sequential-id assigner:
+  * range-partition on the order key (ordered, non-overlapping ranges),
+  * cumsum locally per partition, then add per-partition token-total offsets
+  * — the offsets pass moves numPartitions scalars through the driver, never
+  * rows. The range partitioning is persisted so the totals job and the
+  * join-back job provably see identical partition boundaries
+  * (RangePartitioner's sample seed derives from the RDD id; two independent
+  * executions can place boundary rows differently).
+  */
+object Packing {
+
+  /** Default sequence budget in BPE-ish tokens. */
+  val SeqLen = 512
+
+  /** (id, n_tok, start) — token counts and exclusive-cumsum start offsets in
+    * `idCol` order. Zero-token docs keep a (duplicate) offset and are
+    * dropped by the caller. */
+  /** `checkpoint = false` skips the final materialization so tests can
+    * audit the physical plan of the offsets phase (a localCheckpoint hides
+    * it behind a Scan ExistingRDD). */
+  def tokenOffsets(docs: DataFrame, idCol: String = "id",
+                   textCol: String = "text", checkpoint: Boolean = true): DataFrame = {
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val (_, bpe) = TextAnalysis.tokenCounts(col(textCol))
+    val parted = docs
+      .select(col(idCol).as("id"), bpe.cast("long").as("n_tok"))
+      .repartitionByRange(n, col("id"))
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val localCum = parted.withColumn("_lcum",
+      sum("n_tok").over(Window.partitionBy("_pid").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = parted.groupBy("_pid").agg(sum("n_tok").as("_tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft(0L)(_ + _._2).init
+    val offsetDf = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(totals.map(_._1).zip(offsets).map {
+        case (pid, off) => org.apache.spark.sql.Row(pid, off)
+      }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_pid", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("_off", org.apache.spark.sql.types.LongType))))
+    val joined = localCum.join(broadcast(offsetDf), Seq("_pid"))
+      .select(col("id"), col("n_tok"),
+        (col("_off") + col("_lcum") - col("n_tok")).as("start"))
+    if (!checkpoint) return joined
+    val out = joined.localCheckpoint(true)
+    parted.unpersist()
+    out
+  }
+
+  /** Per-sequence packing manifest: each document occupies global token
+    * span [start, start+n_tok) and lands in sequences floor(start/W) ..
+    * floor((start+n_tok-1)/W). Output one row per sequence:
+    * (seq_id, n_docs, n_tokens, first_doc, last_doc); every sequence holds
+    * exactly `seqLen` tokens except the last. */
+  def packSequences(docs: DataFrame, seqLen: Int = SeqLen,
+                    idCol: String = "id", textCol: String = "text"): DataFrame = {
+    val w = lit(seqLen.toLong)
+    tokenOffsets(docs, idCol, textCol)
+      .filter(col("n_tok") > 0)
+      .select(col("id"), col("start"), col("n_tok"),
+        explode(sequence(floor(col("start") / w),
+          floor((col("start") + col("n_tok") - 1) / w))).as("seq_id"))
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(least(col("start") + col("n_tok"), (col("seq_id") + 1) * w)
+          - greatest(col("start"), col("seq_id") * w)).as("n_tokens"),
+        min("id").as("first_doc"),
+        max("id").as("last_doc"))
+  }
+}

@@ -13,7 +13,9 @@ class DeterminismSpec extends SparkSpec {
     Seq("m1_add_memories", "r4_hybrid_rrf", "d4_similar_clusters",
       "d2_neardup_lsh", "lsh_minhash_neardup",
       "tc_curation_survivors", "tc_neardup_clusters", "tc_sample_quota",
-      "tc_contamination", "tc_repetition", "r2_bm25_indexed")
+      "tc_contamination", "tc_repetition", "r2_bm25_indexed",
+      "tp_pack_sequences", "tp_mixture_plan", "ann_sq8_topk", "ann_sq8_rerank",
+      "ann_ivfsq8_topk", "tp_split_leakage")
 
   private def rowsAt(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)

@@ -151,4 +151,24 @@ class KernelEquivalenceSpec extends SparkSpec {
       s"source filter not pushed to parquet:\n$plan")
     assert(!plan.contains("BatchEvalPython") && !plan.contains("CodegenFallback"))
   }
+
+  test("native sq8 encode/dot == declarative floor + zip_with forms") {
+    import graft.ann.Quantize
+    val embs = Tables.embeddings(spark, sf()).limit(200)
+      .withColumnRenamed("vec_id", "id")
+    val q = embs.filter(col("id") === 0).select("embedding").head().getSeq[Float](0)
+    val (_, qCode) = Quantize.encodeQuery(q)
+    val qCodesLong: Seq[Long] = qCode.map(_.toLong).toSeq
+    val native = Quantize.encode(embs)
+      .select(col("id"), Quantize.sq8Dot(col("sq8_code"), lit(qCode)).as("a"))
+    val decl = embs
+      .withColumn("_sc", Quantize.sq8Scale(col("embedding")))
+      .withColumn("_code", Quantize.sq8EncodeHof(col("embedding"), col("_sc")))
+      .select(col("id"), aggregate(
+        zip_with(col("_code"), typedLit(qCodesLong), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).as("b"))
+    val diff = native.join(decl, Seq("id"), "full")
+      .filter(col("a").isNull || col("b").isNull || col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.text.{Curation, Packing, TextAnalysis}
+
+/** Invariants for the training-pipeline planning operators: sequence
+  * packing (token conservation, exact fill, boundary straddling) and
+  * domain-mixture planning (budget realization, epoch semantics). */
+class TrainingPipelineSpec extends SparkSpec {
+
+  private lazy val docs =
+    Tables.documents(spark, sf()).withColumnRenamed("doc_id", "id")
+
+  test("packSequences conserves tokens and fills every non-final sequence") {
+    val seqLen = 512L
+    val packed = Packing.packSequences(docs, seqLen.toInt).collect()
+    val (_, bpe) = TextAnalysis.tokenCounts(col("text"))
+    val total = docs.agg(sum(bpe.cast("long"))).head().getLong(0)
+    assert(packed.map(_.getAs[Long]("n_tokens")).sum == total,
+      "per-sequence token counts must sum to the corpus token count")
+    val ids = packed.map(_.getAs[Long]("seq_id")).sorted
+    assert(ids.toSeq == (0L until ids.length).toSeq, "sequence ids contiguous from 0")
+    val last = ids.last
+    packed.filter(_.getAs[Long]("seq_id") != last).foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == seqLen,
+        s"sequence ${r.getAs[Long]("seq_id")} not filled to $seqLen")
+    }
+    // boundary straddling: consecutive sequences share the split document
+    val byId = packed.sortBy(_.getAs[Long]("seq_id"))
+    byId.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("first_doc") <= a.getAs[Long]("last_doc") + 1)
+    }
+  }
+
+  test("packSequences offset phase never runs a global single-partition sort") {
+    // audit the pre-checkpoint plan (the checkpoint hides it behind a scan)
+    val plan = Packing.tokenOffsets(docs, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    // the cumsum must be the two-phase form: a range exchange plus
+    // per-partition windows — no Window over a SinglePartition exchange
+    assert(plan.contains("rangepartitioning"), s"expected range partitioning:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"global single-partition step in packing plan:\n$plan")
+  }
+
+  test("mixturePlan realizes the target mixture inside the budget") {
+    val plan = Curation.mixturePlan(docs, Queries.MixtureTargets)
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    val total = plan.values.map(_.getAs[Long]("tokens")).sum
+    val budget = math.floor(total.toDouble * 0.5).toLong
+    val required = plan.values.map(_.getAs[Long]("required_tokens")).sum
+    assert(required <= budget, "sum of required tokens must fit the budget")
+    // floor-division shortfall is bounded by one token per target domain
+    assert(budget - required < Queries.MixtureTargets.size)
+    assert(plan("de").getAs[Int]("epochs") >= 2, "de is upsampled (repeat epochs)")
+    assert(plan("zh").getAs[Long]("required_tokens") == 0L, "unlisted domain dropped")
+    plan.values.foreach { r =>
+      val rate = r.getAs[Double]("sample_rate")
+      val epochs = r.getAs[Int]("epochs")
+      assert(epochs == math.ceil(rate).toInt)
+    }
+  }
+}
