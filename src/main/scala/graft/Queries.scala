@@ -292,7 +292,7 @@ object Queries {
     // the keep-one-per-cluster shape (every node has an edge, so size >= 2)
     "tc_neardup_clusters" -> ((s, dir) => {
       val pairs = MinHashLsh.nearDuplicates(docs(s, dir), threshold = 0.2)
-      Clusters.connectedComponents(pairs)
+      Clusters.connectedComponentsAuto(pairs)
         .select(col("component").as("cluster"), col("id"))
         .orderBy("cluster", "id")
     }),

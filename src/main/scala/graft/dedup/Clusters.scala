@@ -16,6 +16,46 @@ import org.apache.spark.storage.StorageLevel
   */
 object Clusters {
 
+  /** Edge-count bound under which components run as a driver-side
+    * union-find instead of the iterative DataFrame loop. */
+  val MaxDriverEdges: Long = 2000000L
+
+  /** Size-routed connected components (same switch pattern as
+    * [[Dedup.topNeighborsAuto]]): the near-dup pair graph is tiny relative
+    * to the corpus by construction — bounded top-5 neighbors over the
+    * ≥threshold tail — so up to [[MaxDriverEdges]] edges the list rides ONE
+    * collect into an exact O(E·α) union-find (the iterative loop spends
+    * ~10 scheduler round-trips per propagation round on a graph this
+    * small); past the bound, the distributed min-label loop runs. Both
+    * paths label each node with the minimum reachable id (pinned equal by
+    * DedupSpec). */
+  def connectedComponentsAuto(pairs: DataFrame,
+                              maxDriverEdges: Long = MaxDriverEdges): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val nEdges = p.count() // scalar over just-materialized blocks
+    if (nEdges > maxDriverEdges) return connectedComponents(p)
+    val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val g = parent.getOrElse(parent(x), parent(x)) // path halving
+        parent(x) = g; x = g
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // roots are min-id already (unions always point larger -> smaller)
+    val rows = parent.keys.toSeq.sorted.map(x => (x, find(x)))
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    rows.toDF("id", "component")
+  }
+
   /** Connected components of an undirected edge list (id_a, id_b):
     * returns (id, component) where component = min id reachable. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
@@ -70,7 +110,7 @@ object Clusters {
     // the pair set feeds components, the sym lookup, AND the tighten count —
     // materialize once instead of re-running the quadratic scoring join 3x
     val pairs = pairs0.localCheckpoint()
-    val comp = connectedComponents(pairs)
+    val comp = connectedComponentsAuto(pairs)
     val sized = comp.groupBy("component").agg(count(lit(1)).as("csize"))
     val members = comp.join(sized.filter(col("csize") >= minClusterSize), "component")
     // sim lookup is symmetric; count co-members with sim >= threshold

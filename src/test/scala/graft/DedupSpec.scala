@@ -44,6 +44,23 @@ class DedupSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("driver union-find CC == distributed iterative CC") {
+    // long chain (exercises pointer jumping), a star, a cycle, singleton pair
+    val edges = ((1L to 40L).sliding(2).map(s => (s.head, s.last)) ++
+      Seq((100L, 101L), (100L, 102L), (100L, 103L),
+        (200L, 201L), (201L, 202L), (202L, 200L), (300L, 301L))).toSeq
+    val pairs = edges.toDF("id_a", "id_b")
+    val auto = Clusters.connectedComponentsAuto(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto == dist)
+    // and the forced-distributed route through the auto switch
+    val forced = Clusters.connectedComponentsAuto(pairs, maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(forced == dist)
+  }
+
   test("tighten drops chain-connected weak members") {
     // A~B, B~C but A!~C: with threshold t every member of {A,B,C} is similar
     // to >= (3-1)/2 = 1 member, so all survive; a lone appendix D~A only
