@@ -64,27 +64,42 @@ object GraphSearch {
     val e = edgesDf.persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "id")
+    // Each node's out-degree TRAVELS WITH the score frame instead of being
+    // re-joined per round: e3 carries the destination's degree (one build-
+    // time join of two O(E) frames), seeds pick theirs up once, and the
+    // propagation join rewrites (id, score, deg) -> (dst, c, deg_dst). The
+    // per-round plan is then one join of the tiny frontier against the
+    // persisted edge frame — AQE broadcasts the frontier side, so the O(E)
+    // side is never shuffled inside the loop (profiled: the per-round
+    // frontier⋈degree outer join was the graph family's dominant job count).
+    val e3 = e
+      .join(deg.select(col("id").as("dst"), col("deg").as("deg_dst")), Seq("dst"), "left")
+      .select(col("src"), col("dst"), col("deg_dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val s = seeds.persist(StorageLevel.MEMORY_AND_DISK)
+    val s = seeds.join(deg, Seq("id"), "left")
+      .select(col("id"), col("p"), col("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val pTotalRaw = pTotalKnown.getOrElse(s.agg(sum("p")).head().getDouble(0))
     val pTotal = if (pTotalRaw == 0.0) 1.0 else pTotalRaw
     val restart = 1.0 - alpha
 
-    var cur = s.select(col("id"), col("p").as("score"))
+    var cur = s.select(col("id"), col("p").as("score"), col("deg"))
     for (_ <- 1 to iters) {
-      val withDeg = cur.join(deg, Seq("id"), "left")
       // dangling mass enters as a broadcast 1-row aggregate so each round is
       // ONE job (checkpoint materialization) rather than a separate `.head()`
       // round-trip per iteration
-      val dang = withDeg.filter(col("deg").isNull)
+      val dang = cur.filter(col("deg").isNull)
         .agg(coalesce(sum("score"), lit(0.0)).as("dm"))
       val teleport = s.crossJoin(broadcast(dang)).select(
         col("id"),
-        (lit(restart) * col("p") + lit(alpha) * col("dm") * col("p") / pTotal).as("c"))
-      val prop = withDeg.filter(col("deg").isNotNull)
-        .join(e, col("id") === col("src"))
-        .select(col("dst").as("id"), (lit(alpha) * col("score") / col("deg")).as("c"))
-      cur = teleport.unionAll(prop).groupBy("id").agg(sum("c").as("score"))
+        (lit(restart) * col("p") + lit(alpha) * col("dm") * col("p") / pTotal).as("c"),
+        col("deg"))
+      val prop = cur.filter(col("deg").isNotNull)
+        .join(e3, col("id") === col("src"))
+        .select(col("dst").as("id"), (lit(alpha) * col("score") / col("deg")).as("c"),
+          col("deg_dst").as("deg"))
+      cur = teleport.unionAll(prop).groupBy("id")
+        .agg(sum("c").as("score"), max("deg").as("deg"))
         // eager per-round checkpoint. Measured alternative (round 3): one
         // checkpoint after the loop is 30% SLOWER — each round's dangling
         // broadcast references the previous round's frame a second time, so
@@ -94,8 +109,8 @@ object GraphSearch {
     }
     // the eager checkpoint above makes `cur` lineage-free — the loop inputs
     // can be freed here instead of leaking for the session lifetime
-    e.unpersist(); deg.unpersist(); s.unpersist()
-    cur.withColumnRenamed("score", "ppr")
+    e.unpersist(); e3.unpersist(); s.unpersist()
+    cur.select(col("id"), col("score").as("ppr"))
   }
 
   /** R11: contribution trace — for each traced node, the top-`maxVia` seeds
