@@ -15,16 +15,34 @@ object SimHash {
   val Bits = 30
   val Chunks = 4 // pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks equal
 
+  /** SimHash fingerprint as a plain column expression (token-less text
+    * fingerprints to 0 — callers that must mirror the exploded/oracle
+    * formulation filter those rows like [[fingerprints]] does). */
+  def fingerprint(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.SimHashFp(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), Bits))
+
+  /** Explode a fingerprint column into pigeonhole band rows: adds
+    * (_chunk_i, _chunk_v). Rows within hamming ≤ chunks-1 of each other
+    * share at least one (_chunk_i, _chunk_v) pair. */
+  def withChunks(df: DataFrame, fpCol: String, chunks: Int = Chunks): DataFrame = {
+    val rows = (Bits + chunks - 1) / chunks
+    df.withColumn("_chunk_i", explode(sequence(lit(0), lit(chunks - 1))))
+      .withColumn("_chunk_v",
+        pmod(expr(s"shiftright($fpCol, _chunk_i * $rows)"), lit(1L << rows)))
+  }
+
+  /** Hamming distance between two fingerprint columns. */
+  def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bit_count(a.bitwiseXOR(b))
+
   /** (id, simhash) — tf-weighted sign aggregation per bit, one codegen pass
     * per document ([[graft.expressions.SimHashFp]]); docs with no tokens are
     * absent, matching the exploded formulation (and the DuckDB oracle). */
   def fingerprints(df: DataFrame, textCol: String = "text"): DataFrame =
     df.filter(size(TextFunctions.tokens(col(textCol))) > 0)
-      .select(col("id"),
-        org.apache.spark.sql.graftbridge.ColumnBridge.column(
-          graft.expressions.SimHashFp(
-            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol)),
-            Bits)).as("simhash"))
+      .select(col("id"), fingerprint(col(textCol)).as("simhash"))
 
   /** The declarative explode/groupBy formulation of [[fingerprints]] — the
     * oracle-shaped reference the codegen kernel is pinned to

@@ -67,4 +67,44 @@ class StreamingSpec extends SparkSpec {
       .as[(Timestamp, String, Long, Double)].collect().toSet
     assert(rows == Set((ts("2024-01-01 10:00:00"), "view", 2L, 3.0)))
   }
+
+  test("streaming ingest gate drops exact and corpus-near duplicates") {
+    import graft.streaming.StreamDedup
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "completely different reference material about spark partitions"))
+      .toDF("id", "text")
+    val index = StreamDedup.corpusChunkIndex(corpus).localCheckpoint(true)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamDedup.admit(input.toDF().toDF("id", "text"), index)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("admitted").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"), // corpus dup
+        (2L, "an entirely novel document about training data curation"),
+        (3L, "an  entirely novel document about training data curation")) // exact dup of 2 (ws)
+      q.processAllAvailable()
+      input.addData(
+        (4L, "an entirely novel document about training data curation"), // cross-batch exact dup
+        (5L, "another fresh document with its own vocabulary and shape"))
+      q.processAllAvailable()
+      val admitted = spark.table("admitted").select("id").as[Long].collect().toSet
+      assert(admitted == Set(2L, 5L))
+    } finally q.stop()
+  }
+
+  test("the ingest gate answers identically on a batch frame") {
+    import graft.streaming.StreamDedup
+    val corpus = Seq((100L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "an entirely novel document about training data curation"))
+      .toDF("id", "text")
+    val out = StreamDedup.admit(batch, StreamDedup.corpusChunkIndex(corpus))
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(2L))
+  }
 }
