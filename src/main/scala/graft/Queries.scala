@@ -366,7 +366,17 @@ object Queries {
     // train/val hash split + near-dup leakage audit across the split
     "tp_split_leakage" -> ((s, dir) =>
       graft.text.Curation.splitLeakage(docs(s, dir))
-        .orderBy("val_id", "train_id"))
+        .orderBy("val_id", "train_id")),
+    // incremental curation: curate the first half, fold the second half in
+    // through the retained state — the oracle is the FULL-BATCH curation
+    // SQL, so the hash-match proves increment == recuration
+    "tc_curation_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val half = Corpus.nDocs(s, dir) / 2
+      val old = graft.text.Curation.curate(d.filter(col("id") < half))
+      graft.text.Curation.curateIncrement(old, d.filter(col("id") >= half))
+        .select("id", "lang", "quality", "n_ws", "n_bpe").orderBy("id")
+    })
   )
 
   /** Mixture-plan fixture: integer target weights per language. de is
@@ -639,6 +649,10 @@ object Queries {
     "ann_sq8_topk" -> annSq8TopkSql,
     "ann_ivfsq8_topk" -> annIvfSq8TopkSql,
     "tp_split_leakage" -> tpSplitLeakageSql,
+    // deliberately the full-batch SQL: the increment must reproduce it
+    "tc_curation_incremental" ->
+      s"""WITH ${OracleText.curationCtes()}
+         |SELECT id, lang, quality, n_ws, n_bpe FROM csurv ORDER BY id""".stripMargin,
     "ann_sq8_rerank" ->
       s"""WITH ${OracleCtes.memories},
          |${OracleCtes.sq8Ctes()},

@@ -86,6 +86,42 @@ object MinHashLsh {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental near-dup pairs: only pairs with at least one id on the
+    * `newSh` side, verified by exact Jaccard ≥ threshold — the refresh step
+    * of an incremental dedup (the old-old pairs were resolved when the old
+    * batch landed; re-deriving them on every ingest is the O(corpus) cost
+    * this avoids). Two contracts keep it EXACTLY equal to a full-batch
+    * [[nearDuplicates]] run (pinned by CurationSpec):
+    *  - bucket skew sizing runs over the FULL (old ∪ new) band set, so the
+    *    `maxBucket` guard admits/rejects identical buckets;
+    *  - new ids must be strictly greater than every old id, so the dropped
+    *    (greater) side of each generated pair is always new and old-batch
+    *    decisions never flip.
+    * `oldSh` is the retained (id, sh) shingle state — at scale a stored
+    * table, refreshed by appending `newSh`. */
+  def nearDuplicatesIncremental(oldSh: DataFrame, newSh: DataFrame,
+                                threshold: Double,
+                                maxBucket: Int = 1000): DataFrame = {
+    val allSh = oldSh.unionByName(newSh).localCheckpoint(true)
+    val sigs = allSh.select(col("id"), signature(col("sh")).as("sig"))
+    val banded = bands(sigs)
+    val sized = banded.groupBy("band", "key").agg(count(lit(1)).as("cnt"))
+    val okAll = banded.join(sized.filter(col("cnt") <= maxBucket), Seq("band", "key"))
+      .select("id", "band", "key")
+    val okNew = okAll.join(newSh.select("id"), Seq("id"), "left_semi")
+    val cand = okAll.as("a").join(okNew.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(allSh.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(allSh.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
+      .withColumn("jaccard", round(TextFunctions.jaccardSim(col("sha"), col("shb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Exact n-gram Jaccard over ALL pairs (correctness baseline for the LSH
     * path; O(n²) — small corpora only). */
   def exactJaccardPairs(df: DataFrame, threshold: Double, n: Int = 3): DataFrame = {

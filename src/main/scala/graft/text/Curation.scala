@@ -151,6 +151,44 @@ object Curation {
             Ipv4Re, "<IP>"),
           PhoneRe, "<PHONE>"))
 
+  /** Incremental curation: fold a new batch (ids strictly greater than
+    * every already-curated id — append-only ingest) into retained state
+    * without re-curating the old corpus. Retained state = the old run's
+    * [[Stages]]: `exact` (every exact-dedup survivor, INCLUDING rows later
+    * dropped as near-dups — new rows must still collide with them) and
+    * `survivors`.
+    *
+    * Equal to a full-batch [[curate]] over old ∪ new (pinned by
+    * CurationSpec):
+    *  - exact dedup keeps the lowest id per normalized key, so a new row
+    *    whose key already exists is dropped and old rows never change;
+    *  - near-dup pairs split into old-old (already applied) and ≥1-new
+    *    ([[MinHashLsh.nearDuplicatesIncremental]], with bucket sizing over
+    *    the full band set); the dropped max-id side is always new.
+    *
+    * At 100 TB this is the point: each ingest batch costs O(batch) profile
+    * work plus one banding join against stored shingle/band state, not a
+    * full re-curation. */
+  def curateIncrement(old: Stages, newDocs: DataFrame, lang: String = "en",
+                      minQuality: Double = 0.5, minTokens: Int = 10,
+                      jaccardThreshold: Double = 0.2): DataFrame = {
+    val profiled = profile(newDocs)
+    val kept = profiled.filter(
+      col("lang") === lang && col("quality") >= minQuality && col("n_ws") >= minTokens)
+    val newExact0 = Dedup.dedupExact(
+      kept.withColumn("_norm", array_join(TextFunctions.tokens(col("text")), " ")),
+      keyCol = "_norm")
+    val oldNorms = old.exact
+      .select(array_join(TextFunctions.tokens(col("text")), " ").as("_norm"))
+    val newExact = newExact0.join(oldNorms, Seq("_norm"), "left_anti").drop("_norm")
+    val pairs = MinHashLsh.nearDuplicatesIncremental(
+      MinHashLsh.shingleSets(old.exact), MinHashLsh.shingleSets(newExact),
+      jaccardThreshold)
+    old.survivors.unionByName(
+      newExact.join(pairs.select(col("id_b").as("id")).distinct(),
+        Seq("id"), "left_anti"))
+  }
+
   /** Deterministic train/val split with a near-dup leakage audit: docs are
     * hash-split by the same LCG as [[deterministicSample]] into val
     * (bucket < valFrac) and train; a leakage row is a val doc with a

@@ -134,4 +134,18 @@ class CurationSpec extends SparkSpec {
     assert(droppedByNd === distinctIdB)
     assert(ndPairs >= distinctIdB)
   }
+
+  test("incremental curation == full-batch recuration, at several split points") {
+    import graft.text.Curation
+    val d = graft.core.Tables.documents(spark, sf())
+      .withColumnRenamed("doc_id", "id")
+    val full = Curation.curate(d).survivors
+      .select("id").collect().map(_.getLong(0)).toSet
+    for (half <- Seq(50L, 100L, 180L)) {
+      val old = Curation.curate(d.filter(org.apache.spark.sql.functions.col("id") < half))
+      val inc = Curation.curateIncrement(old, d.filter(org.apache.spark.sql.functions.col("id") >= half))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(inc == full, s"split at $half diverged from full-batch curation")
+    }
+  }
 }
