@@ -367,6 +367,9 @@ object Queries {
     "tp_split_leakage" -> ((s, dir) =>
       graft.text.Curation.splitLeakage(docs(s, dir))
         .orderBy("val_id", "train_id")),
+    // unigram-LM perplexity filter (CCNet-style fluency signal)
+    "ta_unigram_nll" -> ((s, dir) =>
+      TextAnalysis.unigramNll(docs(s, dir)).orderBy("id")),
     // incremental curation: curate the first half, fold the second half in
     // through the retained state — the oracle is the FULL-BATCH curation
     // SQL, so the hash-match proves increment == recuration
@@ -649,6 +652,21 @@ object Queries {
     "ann_sq8_topk" -> annSq8TopkSql,
     "ann_ivfsq8_topk" -> annIvfSq8TopkSql,
     "tp_split_leakage" -> tpSplitLeakageSql,
+    "ta_unigram_nll" -> {
+      val t = OracleText.toks("text")
+      s"""WITH uterm AS MATERIALIZED (
+         |  SELECT doc_id AS id, t.term FROM documents, unnest($t) AS t(term)),
+         |ustats AS MATERIALIZED (SELECT term, count(*) AS tf FROM uterm GROUP BY 1),
+         |utot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM ustats),
+         |ulnp AS MATERIALIZED (
+         |  SELECT term,
+         |    CAST(round(ln(CAST(tf AS DOUBLE) / total) * 1e6, 0) AS BIGINT) AS lnp_micro
+         |  FROM ustats, utot)
+         |SELECT id, CAST(count(*) AS BIGINT) AS n_tok,
+         |  round(-CAST(sum(lnp_micro) AS DOUBLE) / 1e6 / count(*), 6) AS nll
+         |FROM uterm JOIN ulnp USING (term)
+         |GROUP BY id ORDER BY id""".stripMargin
+    },
     // deliberately the full-batch SQL: the increment must reproduce it
     "tc_curation_incremental" ->
       s"""WITH ${OracleText.curationCtes()}

@@ -102,6 +102,40 @@ object TextAnalysis {
       .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
   }
 
+  /** Unigram language-model negative log-likelihood per document — the
+    * perplexity-style fluency filter of web-scale curation (CCNet trains a
+    * KenLM and buckets documents by perplexity; the unigram corpus LM is
+    * its simplest deterministic form). p(t) = tf_corpus(t) / total_tokens;
+    * nll(doc) = −mean over doc tokens of ln p(t). High nll = rare-token
+    * soup; low = stopword-heavy boilerplate — both tails are cut by
+    * curation thresholds.
+    *
+    * Determinism contract: per-term ln p is rounded to 6dp and scaled to
+    * integer micro-units BEFORE the per-doc sum, so the aggregation is
+    * order-free (exact integer math) and the DuckDB oracle matches
+    * bit-for-bit — no float-summation-order hazard.
+    *
+    * Scale shape: one term-frequency aggregation over the corpus (the same
+    * shape as the BM25 stats table, shareable with it), then explode + hash
+    * equi-join + integer sum — no broadcast of the vocabulary, no windows.
+    * Output: (id, n_tok, nll). */
+  def unigramNll(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "id"): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val terms = docs.select(col(idCol).as("id"), explode(toks).as("term"))
+    val termStats = terms.groupBy("term").agg(count(lit(1)).as("tf"))
+    val total = termStats.agg(sum("tf").as("_total"))
+    val lnpMicro = termStats.crossJoin(broadcast(total))
+      .select(col("term"),
+        round(log(col("tf").cast("double") / col("_total")) * 1e6, 0)
+          .cast("long").as("_lnp_micro"))
+    terms.join(lnpMicro, "term")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tok"), sum("_lnp_micro").as("_sum_micro"))
+      .select(col("id"), col("n_tok"),
+        round(-col("_sum_micro").cast("double") / 1e6 / col("n_tok"), 6).as("nll"))
+  }
+
   /** Winnowing fingerprint (Schleimer et al. '03): k-gram shingle hashes,
     * sliding window of `w`, keep each window's minimum, distinct. Returns an
     * array<long> column of selected hashes. Backed by the O(n) codegen
