@@ -44,6 +44,28 @@ class TrainingPipelineSpec extends SparkSpec {
       s"global single-partition step in packing plan:\n$plan")
   }
 
+  test("edge cases: empty corpus, zero-token docs, absent domains, zero vectors") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("id", "text", "lang")
+    assert(Packing.packSequences(empty).count() == 0)
+    assert(Curation.mixturePlan(empty, Queries.MixtureTargets).count() == 0)
+    // zero-token docs take no sequence slots but don't break the offsets
+    val sparse = Seq((0L, ""), (1L, "a b c"), (2L, "")).toDF("id", "text")
+    val packed = Packing.packSequences(sparse, seqLen = 2).collect()
+    assert(packed.map(_.getAs[Long]("n_tokens")).sum == 3L)
+    // a target domain absent from the corpus simply yields no row
+    val oneLang = Seq(("en", "the quick brown fox")).toDF("lang", "text")
+    val plan = Curation.mixturePlan(oneLang, Seq(("en", 1L), ("ja", 9L)))
+    assert(plan.select("domain").as[String].collect().toSeq == Seq("en"))
+    // an all-zero embedding quantizes to zero code and scores 0, not NaN
+    import graft.ann.Quantize
+    val zeroVec = Seq((1L, Seq.fill(4)(0.0f)), (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("id", "embedding")
+    val scores = Quantize.quantizedScores(zeroVec, Seq(1.0f, 0.0f, 0.0f, 0.0f))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) == 0.0 && scores(2L) == 1.0)
+  }
+
   test("mixturePlan realizes the target mixture inside the budget") {
     val plan = Curation.mixturePlan(docs, Queries.MixtureTargets)
       .collect().map(r => r.getAs[String]("domain") -> r).toMap
