@@ -19,7 +19,8 @@ import graft.sources.Store
   *                                     replaced by epsilon * mean idf)
   *   <path>/doclens   (id, dl)         token counts (token-less docs absent,
   *                                     same convention as BM25.indexFor)
-  *   <path>/scalars   (n, avgdl, avg_idf)  one row
+  *   <path>/scalars   (n, avgdl)      one row (avg idf is baked into the
+  *                                     stored idf column, not re-read)
   *
   * [[refresh]] is the incremental path: only the ADDED documents are
   * tokenized; df/idf/avgdl shift for the whole vocabulary, but they
@@ -32,8 +33,7 @@ import graft.sources.Store
 object BM25Index {
 
   private val ScalarsSchema = StructType(Seq(
-    StructField("n", LongType), StructField("avgdl", DoubleType),
-    StructField("avg_idf", DoubleType)))
+    StructField("n", LongType), StructField("avgdl", DoubleType)))
 
   /** Tokenize `docs` once and write all four index tables. */
   def build(docs: DataFrame, path: String,
@@ -70,7 +70,7 @@ object BM25Index {
     val totalTokens = post.agg(coalesce(sum("tf"), lit(0L))).head().getLong(0)
     val scalars = spark.createDataFrame(
       java.util.Arrays.asList(
-        Row(n, if (n > 0) totalTokens.toDouble / n else 0.0, avgIdf)),
+        Row(n, if (n > 0) totalTokens.toDouble / n else 0.0)),
       ScalarsSchema)
     Store.save(scalars, s"$path/scalars")
   }

@@ -32,48 +32,69 @@ import graft.functions.TextFunctions
   */
 object StreamDedup {
 
-  /** Per-row fingerprint + normalized exact-dup key. */
+  /** Per-row fingerprint + normalized exact-dup key. Token-less rows get a
+    * NULL fingerprint: the batch operator ([[SimHash.nearDuplicates]] via
+    * `fingerprints`) excludes them from pairing entirely, so the gate must
+    * never near-dup-reject them — a null chunk value joins nothing. */
   def withKeys(rows: DataFrame, textCol: String = "text"): DataFrame =
     rows
       .withColumn("_norm", array_join(TextFunctions.tokens(col(textCol)), " "))
-      .withColumn("_fp", SimHash.fingerprint(col(textCol)))
+      .withColumn("_fp", when(size(TextFunctions.tokens(col(textCol))) > 0,
+        SimHash.fingerprint(col(textCol))))
 
-  /** The static corpus side: (_chunk_i, _chunk_v, _cfp) band rows. */
+  /** The static corpus side: (_chunk_i, _chunk_v, _cfp) band rows.
+    * Token-less corpus docs are excluded, matching the batch operator. */
   def corpusChunkIndex(corpus: DataFrame, textCol: String = "text",
                        chunks: Int = SimHash.Chunks): DataFrame =
     SimHash.withChunks(
-      corpus.select(SimHash.fingerprint(col(textCol)).as("_cfp")), "_cfp", chunks)
+      corpus.filter(size(TextFunctions.tokens(col(textCol))) > 0)
+        .select(SimHash.fingerprint(col(textCol)).as("_cfp")), "_cfp", chunks)
       .select(col("_chunk_i"), col("_chunk_v"), col("_cfp"))
 
   /** Public (not private): Catalyst's generated encoder class lives outside
     * this package and must construct it. */
-  case class ChunkVote(id: Long, text: String, matched: Boolean)
+  case class ChunkVote(id: Long, text: String, norm: String, matched: Boolean)
 
   /** Admission gate: drops exact duplicates (cross-batch, state-store
-    * backed) and rows whose fingerprint is within `maxHamming` of any
-    * corpus fingerprint. `rows` may be a streaming or a batch frame with
-    * (id, text); returns the admitted (id, text) rows. */
+    * backed, KEEP-LOWEST-ID like [[graft.dedup.Dedup.dedupExact]]) and rows
+    * whose fingerprint is within `maxHamming` of any corpus fingerprint.
+    * `rows` may be a streaming or a batch frame with (id, text); returns
+    * the admitted (id, text) rows.
+    *
+    * One stateful operator keyed on the normalized text handles both exact
+    * layers: rows sharing a key have identical token multisets, hence
+    * identical fingerprints and identical near-dup verdicts, so the group
+    * reduce deterministically keeps the minimum id (a bare
+    * `dropDuplicates` would keep a partition-order-dependent row) and the
+    * group state drops re-ingested keys in later micro-batches. */
   def admit(rows: DataFrame, chunkIndex: DataFrame, maxHamming: Int = 3,
             textCol: String = "text"): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
-    val keyed = withKeys(rows, textCol).dropDuplicates("_norm")
-    val banded = SimHash.withChunks(keyed, "_fp")
+    val banded = SimHash.withChunks(withKeys(rows, textCol), "_fp")
     val flagged = banded
       .join(chunkIndex,
         banded("_chunk_i") === chunkIndex("_chunk_i") &&
           banded("_chunk_v") === chunkIndex("_chunk_v"), "left_outer")
       .select(banded("id").as("id"), col(textCol).as("text"),
+        col("_norm").as("norm"),
         (col("_cfp").isNotNull &&
           SimHash.hamming(col("_fp"), col("_cfp")) <= maxHamming).as("matched"))
       .as[ChunkVote]
     flagged
-      .groupByKey(_.id)
+      .groupByKey(_.norm)
       .flatMapGroupsWithState[Boolean, (Long, String)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (id: Long, votes: Iterator[ChunkVote], _: GroupState[Boolean]) =>
-          val vs = votes.toSeq
-          if (vs.exists(_.matched)) Iterator.empty else Iterator((id, vs.head.text))
+        (_: String, votes: Iterator[ChunkVote], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val vs = votes.toSeq
+            val minId = vs.map(_.id).min
+            val rowsOfMin = vs.filter(_.id == minId)
+            if (rowsOfMin.exists(_.matched)) Iterator.empty
+            else Iterator((minId, rowsOfMin.head.text))
+          }
       }
       .toDF("id", "text")
   }

@@ -49,9 +49,12 @@ object Curation {
     val profiled = profile(docs)
     val kept = profiled.filter(
       col("lang") === lang && col("quality") >= minQuality && col("n_ws") >= minTokens)
+    // _norm is retained on the exact frame: it IS the incremental state key
+    // (curateIncrement anti-joins new keys against it without re-tokenizing
+    // the old corpus); registered queries project explicit columns
     val exact = Dedup.dedupExact(
       kept.withColumn("_norm", array_join(TextFunctions.tokens(col("text")), " ")),
-      keyCol = "_norm").drop("_norm")
+      keyCol = "_norm")
     val pairs = MinHashLsh.nearDuplicates(exact, jaccardThreshold)
     val survivors = exact.join(
       pairs.select(col("id_b").as("id")).distinct(), Seq("id"), "left_anti")
@@ -168,7 +171,18 @@ object Curation {
     *
     * At 100 TB this is the point: each ingest batch costs O(batch) profile
     * work plus one banding join against stored shingle/band state, not a
-    * full re-curation. */
+    * full re-curation. The old `exact` frame is touched only through its
+    * retained `_norm` key column and its shingle sets — at scale both live
+    * in stored state tables, appended per batch, so nothing re-tokenizes
+    * the old corpus.
+    *
+    * Known boundary caveat: the `maxBucket` skew guard sizes LSH buckets
+    * over the merged band set, so a bucket that crosses the bound ONLY
+    * after the merge is skipped by a from-scratch recuration while the
+    * increment keeps the old run's inside-bucket drops. Such buckets hold
+    * ≥ maxBucket copies of one shingle signature (degenerate boilerplate,
+    * where the guard deliberately gives up pair generation); inside that
+    * regime the two answers may differ by design. */
   def curateIncrement(old: Stages, newDocs: DataFrame, lang: String = "en",
                       minQuality: Double = 0.5, minTokens: Int = 10,
                       jaccardThreshold: Double = 0.2): DataFrame = {
@@ -178,9 +192,8 @@ object Curation {
     val newExact0 = Dedup.dedupExact(
       kept.withColumn("_norm", array_join(TextFunctions.tokens(col("text")), " ")),
       keyCol = "_norm")
-    val oldNorms = old.exact
-      .select(array_join(TextFunctions.tokens(col("text")), " ").as("_norm"))
-    val newExact = newExact0.join(oldNorms, Seq("_norm"), "left_anti").drop("_norm")
+    val newExact = newExact0
+      .join(old.exact.select("_norm"), Seq("_norm"), "left_anti")
     val pairs = MinHashLsh.nearDuplicatesIncremental(
       MinHashLsh.shingleSets(old.exact), MinHashLsh.shingleSets(newExact),
       jaccardThreshold)

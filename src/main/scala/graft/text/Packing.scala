@@ -29,9 +29,12 @@ object Packing {
   /** (id, n_tok, start) — token counts and exclusive-cumsum start offsets in
     * `idCol` order. Zero-token docs keep a (duplicate) offset and are
     * dropped by the caller. */
-  /** `checkpoint = false` skips the final materialization so tests can
-    * audit the physical plan of the offsets phase (a localCheckpoint hides
-    * it behind a Scan ExistingRDD). */
+  /** `checkpoint = false` returns the un-materialized plan so tests can
+    * audit the offsets phase (a localCheckpoint hides it behind a Scan
+    * ExistingRDD). PLAN INSPECTION ONLY: that branch unpersists the range
+    * partitioning immediately, so EXECUTING the returned frame would
+    * re-sample partition boundaries independently of the already-collected
+    * offsets — only the checkpointed path guarantees correct ids. */
   def tokenOffsets(docs: DataFrame, idCol: String = "id",
                    textCol: String = "text", checkpoint: Boolean = true): DataFrame = {
     val n = docs.sparkSession.sessionState.conf.numShufflePartitions
@@ -57,7 +60,7 @@ object Packing {
     val joined = localCum.join(broadcast(offsetDf), Seq("_pid"))
       .select(col("id"), col("n_tok"),
         (col("_off") + col("_lcum") - col("n_tok")).as("start"))
-    if (!checkpoint) return joined
+    if (!checkpoint) { parted.unpersist(); return joined }
     val out = joined.localCheckpoint(true)
     parted.unpersist()
     out
