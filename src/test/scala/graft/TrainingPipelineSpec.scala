@@ -67,6 +67,25 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(scores(1L) == 0.0 && scores(2L) == 1.0)
   }
 
+  test("quality classifier recovers the rule labels on held-out rows") {
+    import graft.text.QualityModel
+    import org.apache.spark.sql.functions.col
+    val labeled = docs.withColumn("label",
+      (TextAnalysis.qualityScore(col("text")) >= 0.5).cast("double"))
+    val train = labeled.filter(col("id") % 2 === 0)
+    val heldOut = labeled.filter(col("id") % 2 === 1)
+    val model = QualityModel.train(train)
+    val scored = QualityModel.score(model, heldOut)
+    val agree = scored
+      .filter((col("p_keep") >= 0.5) === (col("label") === 1.0)).count()
+    val total = heldOut.count()
+    assert(total > 0 && agree.toDouble / total >= 0.9,
+      s"classifier agrees on only $agree/$total held-out rows")
+    // scoring is a pure map stage: row count preserved, p_keep in [0,1]
+    assert(scored.count() == total)
+    assert(scored.filter(col("p_keep") < 0 || col("p_keep") > 1).count() == 0)
+  }
+
   test("mixturePlan realizes the target mixture inside the budget") {
     val plan = Curation.mixturePlan(docs, Queries.MixtureTargets)
       .collect().map(r => r.getAs[String]("domain") -> r).toMap
