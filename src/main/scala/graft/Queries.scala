@@ -370,6 +370,9 @@ object Queries {
     // unigram-LM perplexity filter (CCNet-style fluency signal)
     "ta_unigram_nll" -> ((s, dir) =>
       TextAnalysis.unigramNll(docs(s, dir)).orderBy("id")),
+    // span-level repeated-passage detection over positioned winnowing
+    "tc_repeated_spans" -> ((s, dir) =>
+      TextAnalysis.repeatedSpans(docs(s, dir)).orderBy("id")),
     // incremental curation: curate the first half, fold the second half in
     // through the retained state — the oracle is the FULL-BATCH curation
     // SQL, so the hash-match proves increment == recuration
@@ -666,6 +669,38 @@ object Queries {
          |  round(-CAST(sum(lnp_micro) AS DOUBLE) / 1e6 / count(*), 6) AS nll
          |FROM uterm JOIN ulnp USING (term)
          |GROUP BY id ORDER BY id""".stripMargin
+    },
+    "tc_repeated_spans" -> {
+      val t = OracleText.toks("text")
+      val hs = s"list_transform(range(1, len($t) - 1), i -> ${OracleText.polyHash(s"array_to_string(list_slice($t, i, i + 2), ' ')")})"
+      s"""WITH wsh AS MATERIALIZED (
+         |  SELECT doc_id AS id, hs AS h
+         |  FROM (SELECT doc_id, $hs AS hs FROM documents WHERE len($t) >= 6)),
+         |wpos AS MATERIALIZED (
+         |  SELECT id, h, unnest(list_distinct(
+         |    list_transform(range(0, len(h) - 3), j ->
+         |      list_max(list_filter(range(j, j + 4),
+         |        p -> h[p + 1] = list_min(h[j+1:j+4])))))) AS pos
+         |  FROM wsh),
+         |wfp AS MATERIALIZED (
+         |  SELECT id, CAST(pos AS BIGINT) AS pos, h[pos + 1] AS fp FROM wpos),
+         |wshare AS (SELECT fp FROM wfp GROUP BY fp HAVING count(DISTINCT id) >= 2),
+         |whit AS (SELECT id, pos FROM wfp WHERE fp IN (SELECT fp FROM wshare)),
+         |wisl AS (
+         |  SELECT id, pos,
+         |    CASE WHEN max(pos + 3) OVER (PARTITION BY id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |      OR pos > max(pos + 3) OVER (PARTITION BY id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      THEN 1 ELSE 0 END AS newf
+         |  FROM whit),
+         |wisl2 AS (SELECT id, pos, sum(newf) OVER (PARTITION BY id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM wisl),
+         |wspans AS (SELECT id, island, min(pos) AS s, max(pos + 3) AS e
+         |  FROM wisl2 GROUP BY 1, 2)
+         |SELECT id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(e - s) AS BIGINT) AS dup_tokens
+         |FROM wspans GROUP BY id ORDER BY id""".stripMargin
     },
     // deliberately the full-batch SQL: the increment must reproduce it
     "tc_curation_incremental" ->

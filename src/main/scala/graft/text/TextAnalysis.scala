@@ -136,6 +136,64 @@ object TextAnalysis {
         round(-col("_sum_micro").cast("double") / 1e6 / col("n_tok"), 6).as("nll"))
   }
 
+  /** Positioned winnowing selection: (id, pos, fp) — one row per selected
+    * shingle with its 0-based position, rightmost-minimum tie rule
+    * (Schleimer et al. '03 §3's robust winnowing convention). Documents
+    * with fewer than `w` shingles contribute nothing (no full window —
+    * same restriction the fp_winnowing oracle applies). The substrate for
+    * span-level dedup: position p covers tokens [p, p+k). */
+  def winnowedPositions(docs: DataFrame, k: Int = 3, w: Int = 4,
+                        textCol: String = "text", idCol: String = "id"): DataFrame = {
+    val h = TextFunctions.shingleHashes(col(textCol), k)
+    docs
+      .select(col(idCol).as("id"), h.as("_h"))
+      .filter(size(col("_h")) >= w)
+      .select(col("id"), col("_h"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("_h")) - w),
+          j => {
+            val minv = array_min(slice(col("_h"), j + 1, lit(w)))
+            // rightmost position of the window minimum
+            array_max(filter(sequence(j, j + lit(w) - 1),
+              p => element_at(col("_h"), p + 1) === minv))
+          }))).as("pos"))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        element_at(col("_h"), col("pos") + 1).as("fp"))
+  }
+
+  /** Span-level repeated-passage detection (the document-internal form of
+    * Lee et al. '21's substring dedup, approximated on winnowing-selected
+    * shingles): positions whose fingerprint occurs in ≥ `minDocs` distinct
+    * documents are merged into maximal token intervals [start, start+…),
+    * overlap or adjacency fusing them. Output one row per document with at
+    * least one shared span: (id, n_spans, dup_tokens) — all integer math,
+    * so the DuckDB oracle matches exactly.
+    *
+    * Scale shape: fingerprint sharing is one groupBy on fp (map-side
+    * combined); the island merge windows are partitioned BY DOCUMENT, so
+    * no global ordering exists anywhere. */
+  def repeatedSpans(docs: DataFrame, k: Int = 3, w: Int = 4,
+                    minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = winnowedPositions(docs, k, w)
+    val shared = fps.groupBy("fp")
+      .agg(count_distinct(col("id")).as("_nd"))
+      .filter(col("_nd") >= minDocs).select("fp")
+    val hits = fps.join(shared, Seq("fp"), "left_semi").select("id", "pos")
+    val before = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevMaxEnd = max(col("pos") + k).over(before)
+    hits
+      .withColumn("_new",
+        when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("_island", sum("_new").over(upTo))
+      .groupBy("id", "_island")
+      .agg(min("pos").as("_s"), max(col("pos") + k).as("_e"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("_e") - col("_s")).as("dup_tokens"))
+  }
+
   /** Winnowing fingerprint (Schleimer et al. '03): k-gram shingle hashes,
     * sliding window of `w`, keep each window's minimum, distinct. Returns an
     * array<long> column of selected hashes. Backed by the O(n) codegen

@@ -16,7 +16,7 @@ class DeterminismSpec extends SparkSpec {
       "tc_contamination", "tc_repetition", "r2_bm25_indexed",
       "tp_pack_sequences", "tp_mixture_plan", "ann_sq8_topk", "ann_sq8_rerank",
       "ann_ivfsq8_topk", "tp_split_leakage", "tc_curation_incremental",
-      "ta_unigram_nll")
+      "ta_unigram_nll", "tc_repeated_spans")
 
   private def rowsAt(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)

@@ -67,6 +67,26 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(scores(1L) == 0.0 && scores(2L) == 1.0)
   }
 
+  test("repeatedSpans finds the planted shared passage and merges islands") {
+    import spark.implicits._
+    // distinct vocabularies except one long shared passage inside each text
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val a = s"aa1 aa2 aa3 aa4 $passage aa5 aa6 aa7 aa8 aa9"
+    val b = s"bb1 bb2 $passage bb3 bb4 bb5 bb6 bb7 bb8 bb9"
+    val c = "cc1 cc2 cc3 cc4 cc5 cc6 cc7 cc8 cc9 cc10 cc11 cc12"
+    val d = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
+    val spans = TextAnalysis.repeatedSpans(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the two passage-carrying docs each report one merged span; the
+    // isolated doc reports none
+    assert(spans.contains(1L) && spans.contains(2L) && !spans.contains(3L))
+    assert(spans(1L)._1 == 1L && spans(2L)._1 == 1L, "one merged island each")
+    // the merged span must cover most of the 10-token passage (winnowing
+    // selects a subset of shingles, so coverage is approximate from the
+    // first to the last selected shared shingle)
+    assert(spans(1L)._2 >= 5L && spans(2L)._2 >= 5L)
+  }
+
   test("quality classifier recovers the rule labels on held-out rows") {
     import graft.text.QualityModel
     import org.apache.spark.sql.functions.col
