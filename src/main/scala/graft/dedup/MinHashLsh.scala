@@ -102,13 +102,17 @@ object MinHashLsh {
   def nearDuplicatesIncremental(oldSh: DataFrame, newSh: DataFrame,
                                 threshold: Double,
                                 maxBucket: Int = 1000): DataFrame = {
-    val allSh = oldSh.unionByName(newSh).localCheckpoint(true)
+    // newSh is read twice (the union AND the new-side semi-join) and its
+    // lineage is the caller's whole profile/dedup pipeline — materialize
+    // the (small) new batch so the semi-join reads blocks, not the pipeline
+    val newShCk = newSh.localCheckpoint(true)
+    val allSh = oldSh.unionByName(newShCk).localCheckpoint(true)
     val sigs = allSh.select(col("id"), signature(col("sh")).as("sig"))
     val banded = bands(sigs)
     val sized = banded.groupBy("band", "key").agg(count(lit(1)).as("cnt"))
     val okAll = banded.join(sized.filter(col("cnt") <= maxBucket), Seq("band", "key"))
       .select("id", "band", "key")
-    val okNew = okAll.join(newSh.select("id"), Seq("id"), "left_semi")
+    val okNew = okAll.join(newShCk.select("id"), Seq("id"), "left_semi")
     val cand = okAll.as("a").join(okNew.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))

@@ -24,19 +24,22 @@ import graft.functions.TextFunctions
   */
 object QualityModel {
 
-  /** Feature columns (all cheap codegen column math over the text). */
+  /** Feature columns (all cheap codegen column math over the text) — the
+    * four rule-quality components from [[TextAnalysis.qualityComponents]]
+    * (single source of truth with the rule score) plus a length signal. */
   def featureColumns(text: Column): Seq[(String, Column)] = {
-    val toks = TextFunctions.tokens(text)
-    val n = size(toks).cast("double")
+    val n = size(TextFunctions.tokens(text)).cast("double")
     val nz = greatest(n, lit(1.0))
+    val (lenSat, stopRatio, uniqueRatio, digitRatio) =
+      TextAnalysis.qualityComponents(text, nz)
     Seq(
-      "f_len_sat" -> least(n / 100.0, lit(1.0)),
-      "f_stop_ratio" -> size(filter(toks,
-        t => t.isInCollection(TextAnalysis.Profiles.head._2))) / nz,
-      "f_unique_ratio" -> size(array_distinct(toks)) / nz,
-      "f_digit_ratio" -> (length(regexp_replace(text, "[^0-9]", "")).cast("double")
-        / greatest(length(text).cast("double"), lit(1.0))),
-      "f_mean_tok_len" -> (length(text).cast("double") / nz))
+      "f_len_sat" -> lenSat,
+      "f_stop_ratio" -> stopRatio,
+      "f_unique_ratio" -> uniqueRatio,
+      "f_digit_ratio" -> digitRatio,
+      // chars per token INCLUDING separators/punctuation — a coarse
+      // verbosity signal, deliberately not "mean token length"
+      "f_chars_per_token" -> (length(text).cast("double") / nz))
   }
 
   /** (id, features vector, original columns) — assembly stage. */

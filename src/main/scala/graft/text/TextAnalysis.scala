@@ -53,15 +53,26 @@ object TextAnalysis {
   /** Quality score in [0,1]: length saturation, stopword ratio, vocabulary
     * diversity, non-digit ratio — the classic cheap pre-filter stack for
     * web-scale corpora (C4/Gopher-style rules, simplified). */
-  def qualityScore(text: Column): Column = {
+  /** The four rule-quality components over a token-count divisor `den`
+    * (length saturation, en-stopword ratio, unique-token ratio, digit
+    * ratio). Shared by [[qualityScore]] (den = raw n behind an n===0
+    * guard) and [[QualityModel]]'s feature assembly (den = greatest(n,1))
+    * so the two can never drift apart. */
+  def qualityComponents(text: Column, den: Column): (Column, Column, Column, Column) = {
     val toks = TextFunctions.tokens(text)
     val n = size(toks).cast("double")
     val enStops = Profiles.head._2
-    val stopRatio = size(filter(toks, t => t.isInCollection(enStops))) / n
-    val uniqueRatio = size(array_distinct(toks)) / n
+    val stopRatio = size(filter(toks, t => t.isInCollection(enStops))) / den
+    val uniqueRatio = size(array_distinct(toks)) / den
     val digitRatio = (length(regexp_replace(text, "[^0-9]", "")).cast("double")
       / greatest(length(text).cast("double"), lit(1.0)))
     val lengthSat = least(n / 100.0, lit(1.0))
+    (lengthSat, stopRatio, uniqueRatio, digitRatio)
+  }
+
+  def qualityScore(text: Column): Column = {
+    val n = size(TextFunctions.tokens(text)).cast("double")
+    val (lengthSat, stopRatio, uniqueRatio, digitRatio) = qualityComponents(text, n)
     when(n === 0, 0.0).otherwise(round(
       lengthSat * 0.3 + stopRatio * 0.2 + uniqueRatio * 0.3 + (lit(1.0) - digitRatio) * 0.2, 6))
   }
@@ -122,7 +133,11 @@ object TextAnalysis {
   def unigramNll(docs: DataFrame, textCol: String = "text",
                  idCol: String = "id"): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
+    // the tokenize+explode pass feeds both the LM aggregation and the
+    // per-doc scoring join — materialize it once (same pattern as
+    // MinHashLsh.nearDuplicates' shingle frame)
     val terms = docs.select(col(idCol).as("id"), explode(toks).as("term"))
+      .localCheckpoint(true)
     val termStats = terms.groupBy("term").agg(count(lit(1)).as("tf"))
     val total = termStats.agg(sum("tf").as("_total"))
     val lnpMicro = termStats.crossJoin(broadcast(total))
@@ -174,7 +189,9 @@ object TextAnalysis {
   def repeatedSpans(docs: DataFrame, k: Int = 3, w: Int = 4,
                     minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fps = winnowedPositions(docs, k, w)
+    // the per-window argmin HOF is the operator's most expensive pass and
+    // feeds both the sharing aggregate and the semi-join — run it once
+    val fps = winnowedPositions(docs, k, w).localCheckpoint(true)
     val shared = fps.groupBy("fp")
       .agg(count_distinct(col("id")).as("_nd"))
       .filter(col("_nd") >= minDocs).select("fp")
