@@ -35,7 +35,8 @@ object Bench {
     "fp_winnowing", "ta_text_profile", "e1_embed_checksum",
     "ann_ivf_topk", "ann_lsh_brp_pairs", "ann_sq8_topk", "ann_ivfsq8_topk",
     "tc_curation_survivors", "tc_corpus_stats", "tc_neardup_clusters",
-    "tc_contamination", "tc_pii_scrub", "tp_pack_sequences", "tp_split_leakage",
+    "tc_contamination", "tc_pii_scrub", "tc_repeated_spans",
+    "tp_pack_sequences", "tp_split_leakage",
     "m5_merge_groups", "m9_policy_enforce", "m11_auto_link",
     "st_event_window_counts", "mm_feature_checksum", "s1_store_swap")
 
@@ -48,7 +49,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: localCheckpoint unpersists log a WARN per RDD
+    // ("lineage has been truncated") and the driver parses the headline
+    // JSON from the LAST 2000 chars of output — WARN spam after the JSON
+    // line can push it out of the window (nearly happened in round 4)
+    spark.sparkContext.setLogLevel("ERROR")
     // warmup: absorb session/codegen/JIT startup outside the timings
     try SparkEntry.queries("q1_lineitem_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }

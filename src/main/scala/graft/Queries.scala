@@ -373,6 +373,10 @@ object Queries {
     // span-level repeated-passage detection over positioned winnowing
     "tc_repeated_spans" -> ((s, dir) =>
       TextAnalysis.repeatedSpans(docs(s, dir)).orderBy("id")),
+    // EXACT substring dedup (Lee et al. '21 ExactSubstr, distributed form):
+    // verbatim g-gram grouping, no fingerprint/winnowing approximation
+    "tc_exact_spans" -> ((s, dir) =>
+      TextAnalysis.exactRepeatedSpans(docs(s, dir), g = 8).orderBy("id")),
     // incremental curation: curate the first half, fold the second half in
     // through the retained state — the oracle is the FULL-BATCH curation
     // SQL, so the hash-match proves increment == recuration
@@ -382,6 +386,28 @@ object Queries {
       val old = graft.text.Curation.curate(d.filter(col("id") < half))
       graft.text.Curation.curateIncrement(old, d.filter(col("id") >= half))
         .select("id", "lang", "quality", "n_ws", "n_bpe").orderBy("id")
+    }),
+    // classifier feature assembly (the SQL-expressible half of the quality
+    // model; the MLlib fit itself stays spec-gated) — goes through the real
+    // withFeatures path so the oracle pins what the model actually consumes
+    "qm_features" -> ((s, dir) =>
+      graft.text.QualityModel.withFeatures(docs(s, dir))
+        .select(col("id"),
+          round(col("f_len_sat"), 6).as("f_len_sat"),
+          round(col("f_stop_ratio"), 6).as("f_stop_ratio"),
+          round(col("f_unique_ratio"), 6).as("f_unique_ratio"),
+          round(col("f_digit_ratio"), 6).as("f_digit_ratio"),
+          round(col("f_chars_per_token"), 6).as("f_chars_per_token"))
+        .orderBy("id")),
+    // streaming admission gate run in BATCH mode (flatMapGroupsWithState on
+    // a batch frame is deterministic: norm-keyed min-id reduce + corpus
+    // SimHash chunk join) — corpus = id%3==0 docs, incoming = the rest
+    "sd_admit_batch" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = graft.streaming.StreamDedup.corpusChunkIndex(
+        d.filter(col("id") % 3 === 0))
+      graft.streaming.StreamDedup.admit(d.filter(col("id") % 3 =!= 0), idx)
+        .orderBy("id")
     })
   )
 
@@ -568,7 +594,7 @@ object Queries {
          |  (SELECT count(*) FROM csurv) AS n_survivors""".stripMargin,
     "tc_corpus_stats" ->
       s"""WITH ${OracleText.curationCtes()}
-         |SELECT lang, count(*) AS n_docs, sum(n_ws) AS total_ws,
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_ws) AS BIGINT) AS total_ws,
          |  round(sum(CAST(round(quality * 1000000) AS BIGINT)) / 1000000.0 / count(*), 6) AS avg_quality,
          |  round(CAST(sum(n_bpe) AS DOUBLE) / count(*), 6) AS avg_bpe
          |FROM cprof GROUP BY lang ORDER BY lang""".stripMargin,
@@ -702,10 +728,64 @@ object Queries {
          |  CAST(sum(e - s) AS BIGINT) AS dup_tokens
          |FROM wspans GROUP BY id ORDER BY id""".stripMargin
     },
+    "tc_exact_spans" -> {
+      val t = OracleText.toks("text")
+      s"""WITH gtk AS MATERIALIZED (
+         |  SELECT doc_id AS id, $t AS t FROM documents WHERE len($t) >= 8),
+         |gr AS MATERIALIZED (
+         |  SELECT id, CAST(u.p AS BIGINT) AS pos,
+         |    array_to_string(t[u.p + 1:u.p + 8], ' ') AS gram
+         |  FROM gtk, unnest(range(0, len(t) - 7)) u(p)),
+         |gshare AS (SELECT gram FROM gr GROUP BY gram HAVING count(DISTINCT id) >= 2),
+         |ghit AS (SELECT id, pos FROM gr WHERE gram IN (SELECT gram FROM gshare)),
+         |gisl AS (
+         |  SELECT id, pos,
+         |    CASE WHEN max(pos + 8) OVER (PARTITION BY id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |      OR pos > max(pos + 8) OVER (PARTITION BY id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      THEN 1 ELSE 0 END AS newf
+         |  FROM ghit),
+         |gisl2 AS (SELECT id, pos, sum(newf) OVER (PARTITION BY id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM gisl),
+         |gspans AS (SELECT id, island, min(pos) AS s, max(pos + 8) AS e
+         |  FROM gisl2 GROUP BY 1, 2)
+         |SELECT id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(e - s) AS BIGINT) AS dup_tokens
+         |FROM gspans GROUP BY id ORDER BY id""".stripMargin
+    },
     // deliberately the full-batch SQL: the increment must reproduce it
     "tc_curation_incremental" ->
       s"""WITH ${OracleText.curationCtes()}
          |SELECT id, lang, quality, n_ws, n_bpe FROM csurv ORDER BY id""".stripMargin,
+    "qm_features" -> {
+      val t = OracleText.toks("text")
+      val stops = TextAnalysis.Profiles.head._2.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""SELECT doc_id AS id,
+         |  round(least(len(t) / 100.0, 1.0), 6) AS f_len_sat,
+         |  round(CAST(len(list_filter(t, x -> list_contains($stops, x))) AS DOUBLE) / nz, 6) AS f_stop_ratio,
+         |  round(CAST(len(list_distinct(t)) AS DOUBLE) / nz, 6) AS f_unique_ratio,
+         |  round(CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / greatest(len(text), 1), 6) AS f_digit_ratio,
+         |  round(CAST(len(text) AS DOUBLE) / nz, 6) AS f_chars_per_token
+         |FROM (SELECT doc_id, text, $t AS t, greatest(len($t), 1) AS nz FROM documents)
+         |ORDER BY id""".stripMargin
+    },
+    // batch-mode streaming gate: exact layer keeps min id per normalized
+    // text; near-dup layer drops rows within hamming<=3 of any corpus
+    // (id%3=0) fingerprint — pigeonhole chunk join == plain hamming<=3
+    "sd_admit_batch" ->
+      s"""WITH ${OracleText.simhashCtes},
+         |inc AS MATERIALIZED (
+         |  SELECT d.doc_id AS id, d.text,
+         |    array_to_string(${OracleText.toks("d.text")}, ' ') AS norm, s.simhash
+         |  FROM documents d LEFT JOIN sfp s ON d.doc_id = s.id
+         |  WHERE d.doc_id % 3 <> 0),
+         |keep AS (SELECT min(id) AS id FROM inc GROUP BY norm)
+         |SELECT i.id, i.text FROM inc i JOIN keep k ON i.id = k.id
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM sfp c WHERE c.id % 3 = 0 AND i.simhash IS NOT NULL
+         |    AND bit_count(xor(i.simhash, c.simhash)) <= 3)
+         |ORDER BY i.id""".stripMargin,
     "ann_sq8_rerank" ->
       s"""WITH ${OracleCtes.memories},
          |${OracleCtes.sq8Ctes()},

@@ -32,9 +32,13 @@ object Clusters {
   def connectedComponentsAuto(pairs: DataFrame,
                               maxDriverEdges: Long = MaxDriverEdges): DataFrame = {
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
-    val nEdges = p.count() // scalar over just-materialized blocks
-    if (nEdges > maxDriverEdges) return connectedComponents(p)
-    val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val spark0 = pairs.sparkSession
+    import spark0.implicits._
+    // take(bound+1) instead of count()-then-collect(): one bounded fetch of
+    // primitive tuples (no GenericRow overhead), and the length doubles as
+    // the over-bound test — > bound rows means route distributed.
+    val edges = p.as[(Long, Long)].take(maxDriverEdges.toInt + 1)
+    if (edges.length > maxDriverEdges) return connectedComponents(p)
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x0: Long): Long = {
       var x = x0
@@ -51,8 +55,6 @@ object Clusters {
     }
     // roots are min-id already (unions always point larger -> smaller)
     val rows = parent.keys.toSeq.sorted.map(x => (x, find(x)))
-    val spark = pairs.sparkSession
-    import spark.implicits._
     rows.toDF("id", "component")
   }
 

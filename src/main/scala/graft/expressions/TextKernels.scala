@@ -236,6 +236,40 @@ object TextKernels {
     new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
   }
 
+  /** Positioned winnowing selection: 0-based position of each window's
+    * RIGHTMOST minimum (Schleimer '03 §3 robust winnowing), distinct, in
+    * increasing order; empty when no full window exists (n < w). Same
+    * monotonic deque as [[winnowSelect]] — popping `>=` on insert means a
+    * later equal value evicts the earlier one, so the deque head is exactly
+    * the rightmost minimum; head indices are non-decreasing across windows,
+    * so dedup is a single last-emitted compare. O(n) vs the HOF form's
+    * O(n·w) per-window argmin scan. */
+  def winnowPositions(sh: ArrayData, w: Int): ArrayData = {
+    val n = sh.numElements()
+    val m = n - (w - 1)
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    val out = new Array[Long](m)
+    var cnt = 0
+    var lastPos = -1
+    var i = 0
+    while (i < n) {
+      val v = sh.getLong(i)
+      while (tail > head && sh.getLong(deque(tail - 1)) >= v) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val p = deque(head)
+        if (p != lastPos) { out(cnt) = p.toLong; cnt += 1; lastPos = p }
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+  }
+
   /** Signed-feature-hashing embedding: bucket = hash % dim, sign from
     * (hash/dim) parity, L2-normalized floats. Matches
     * HashingEmbedder.embeddingColumn. */
@@ -334,6 +368,17 @@ case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
     TextKernels.winnowSelect(input.asInstanceOf[ArrayData], w)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.winnowSelect($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class WinnowPositions(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_positions"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.winnowPositions(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.winnowPositions($c, $w)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -26,9 +26,19 @@ import graft.functions.TextFunctions
   *
   * The chunk index is the same pigeonhole structure
   * [[SimHash.nearDuplicates]] uses for batch dedup (hamming ≤ maxHamming ⇒
-  * at least one of 4 chunks equal), so the gate's semantics are exactly the
-  * batch operator's, applied incrementally. Every transform also runs
-  * unchanged on a batch frame (the equivalence spec drives both modes).
+  * at least one of 4 chunks equal). Every transform also runs unchanged on
+  * a batch frame (the equivalence spec drives both modes).
+  *
+  * SCOPE — the near-dup layer is CORPUS-ONLY: admitted rows are not folded
+  * back into the chunk index, so two near-duplicate (but not
+  * exact-duplicate) rows arriving in the stream are BOTH admitted, whereas
+  * running batch SimHash dedup over the same rows would drop one. This is
+  * deliberate: intra-stream near-dup admission is arrival-order-dependent
+  * (whichever lands first wins), so making it stateful would trade the
+  * gate's determinism — pinned by StreamingSpec's stream≡batch check — for
+  * a coverage gain the periodic batch re-dedup pass already provides.
+  * Callers needing intra-batch near-dup closure should run
+  * [[SimHash.nearDuplicates]] over admitted output as a compaction step.
   */
 object StreamDedup {
 

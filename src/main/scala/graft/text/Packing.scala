@@ -74,11 +74,14 @@ object Packing {
   def packSequences(docs: DataFrame, seqLen: Int = SeqLen,
                     idCol: String = "id", textCol: String = "text"): DataFrame = {
     val w = lit(seqLen.toLong)
+    // `div` (integral division on longs), not floor(x / w): the `/` operator
+    // promotes to double, which loses exactness past 2^53 cumulative tokens
+    // — the DuckDB oracle's `//` is exact integer division.
     tokenOffsets(docs, idCol, textCol)
       .filter(col("n_tok") > 0)
       .select(col("id"), col("start"), col("n_tok"),
-        explode(sequence(floor(col("start") / w),
-          floor((col("start") + col("n_tok") - 1) / w))).as("seq_id"))
+        explode(sequence(expr(s"start div ${seqLen}L"),
+          expr(s"(start + n_tok - 1) div ${seqLen}L"))).as("seq_id"))
       .groupBy("seq_id")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -160,6 +160,23 @@ object TextAnalysis {
   def winnowedPositions(docs: DataFrame, k: Int = 3, w: Int = 4,
                         textCol: String = "text", idCol: String = "id"): DataFrame = {
     val h = TextFunctions.shingleHashes(col(textCol), k)
+    val posArr = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.WinnowPositions(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("_h")), w))
+    docs
+      .select(col(idCol).as("id"), h.as("_h"))
+      .filter(size(col("_h")) >= w)
+      .select(col("id"), col("_h"), explode(posArr).as("pos"))
+      .select(col("id"), col("pos"),
+        element_at(col("_h"), (col("pos") + 1).cast("int")).as("fp"))
+  }
+
+  /** The declarative O(n·w) HOF formulation of [[winnowedPositions]] — the
+    * oracle-shaped reference the codegen kernel is pinned to
+    * (KernelEquivalenceSpec). */
+  def winnowedPositionsHof(docs: DataFrame, k: Int = 3, w: Int = 4,
+                           textCol: String = "text", idCol: String = "id"): DataFrame = {
+    val h = TextFunctions.shingleHashes(col(textCol), k)
     docs
       .select(col(idCol).as("id"), h.as("_h"))
       .filter(size(col("_h")) >= w)
@@ -188,25 +205,69 @@ object TextAnalysis {
     * no global ordering exists anywhere. */
   def repeatedSpans(docs: DataFrame, k: Int = 3, w: Int = 4,
                     minDocs: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // the per-window argmin HOF is the operator's most expensive pass and
+    // the per-window argmin is the operator's most expensive pass and
     // feeds both the sharing aggregate and the semi-join — run it once
     val fps = winnowedPositions(docs, k, w).localCheckpoint(true)
     val shared = fps.groupBy("fp")
       .agg(count_distinct(col("id")).as("_nd"))
       .filter(col("_nd") >= minDocs).select("fp")
     val hits = fps.join(shared, Seq("fp"), "left_semi").select("id", "pos")
+    mergeIslands(hits, k)
+  }
+
+  /** EXACT cross-document substring dedup at fixed granularity (the
+    * distributed form of Lee et al. '21's ExactSubstr: their single-node
+    * suffix array finds repeats of >= L tokens; here a token span is
+    * duplicated iff one of its `g`-token grams occurs VERBATIM in >=
+    * `minDocs` distinct documents — every repeat of length >= 2g-1
+    * contains a complete repeated g-gram, so g plays L/2). Unlike
+    * [[repeatedSpans]] this is not an approximation: grams are grouped by
+    * their actual token text, so there is no fingerprint-collision or
+    * winnowing-selection slack in either direction.
+    *
+    * Scale shape: the explode emits n gram rows per n-token document (a
+    * g-times byte blowup — the deliberate price of exactness over the
+    * winnowed 1/w sample); sharing is ONE shuffle on the gram string with
+    * map-side partial aggregation, the hit join is a left-semi on the same
+    * key, and the island merge windows are partitioned per document. No
+    * global order, no driver-side state, no suffix array.
+    *
+    * Output matches [[repeatedSpans]]: (id, n_spans, dup_tokens), one row
+    * per document with at least one duplicated span. */
+  def exactRepeatedSpans(docs: DataFrame, g: Int = 8, minDocs: Int = 2,
+                         textCol: String = "text", idCol: String = "id"): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val grams = docs
+      .select(col(idCol).as("id"), toks.as("_t"))
+      .filter(size(col("_t")) >= g)
+      .select(col("id"), explode(transform(sequence(lit(0), size(col("_t")) - g),
+        p => struct(p.cast("long").as("pos"),
+          array_join(slice(col("_t"), p + 1, lit(g)), " ").as("gram")))).as("_s"))
+      .select(col("id"), col("_s.pos").as("pos"), col("_s.gram").as("gram"))
+      .localCheckpoint(true) // feeds both the sharing agg and the semi-join
+    val shared = grams.groupBy("gram")
+      .agg(count_distinct(col("id")).as("_nd"))
+      .filter(col("_nd") >= minDocs).select("gram")
+    val hits = grams.join(shared, Seq("gram"), "left_semi").select("id", "pos")
+    mergeIslands(hits, g)
+  }
+
+  /** Merge hit positions (each covering tokens [pos, pos+width)) into
+    * maximal overlapping-or-adjacent islands, per document: (id, n_spans,
+    * dup_tokens). Windows are partitioned BY DOCUMENT — no global order. */
+  private def mergeIslands(hits: DataFrame, width: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val before = Window.partitionBy("id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val upTo = Window.partitionBy("id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val prevMaxEnd = max(col("pos") + k).over(before)
+    val prevMaxEnd = max(col("pos") + width).over(before)
     hits
       .withColumn("_new",
         when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L).otherwise(0L))
       .withColumn("_island", sum("_new").over(upTo))
       .groupBy("id", "_island")
-      .agg(min("pos").as("_s"), max(col("pos") + k).as("_e"))
+      .agg(min("pos").as("_s"), max(col("pos") + width).as("_e"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_spans"), sum(col("_e") - col("_s")).as("dup_tokens"))
   }

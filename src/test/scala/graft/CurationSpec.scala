@@ -120,6 +120,37 @@ class CurationSpec extends SparkSpec {
     assert(out(4L) == ((0.0, 0.0)))
   }
 
+  test("exactRepeatedSpans finds planted verbatim cross-doc repeats and nothing else") {
+    val repeat = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = df(
+      1L -> s"unique lead-in words here $repeat and a unique tail for one",
+      2L -> s"other opening phrase $repeat closing words differ entirely now",
+      3L -> "completely unrelated text with no shared grams at all in it whatsoever",
+      4L -> "short")
+    val out = TextAnalysis.exactRepeatedSpans(docs, g = 8)
+      .orderBy("id").collect()
+    // docs 1 and 2 share the 10-token passage; its 3 complete 8-grams merge
+    // into one island covering exactly the 10 repeated tokens
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.forall(r => r.getLong(1) == 1L && r.getLong(2) == 10L))
+  }
+
+  test("winnowing repeatedSpans recall: every exact-duplicated doc is also flagged") {
+    // Schleimer '03 guarantee: any verbatim match of >= k + w - 1 = 6 tokens
+    // shares a winnowing-selected fingerprint, and tc_exact_spans' g = 8
+    // grams are 8-token verbatim matches — so the exact detector's doc set
+    // must be a subset of the winnowing detector's at default (k=3, w=4)
+    val docs = core.Tables.documents(spark, sf())
+      .withColumnRenamed("doc_id", "id").select("id", "text")
+    val exact = TextAnalysis.exactRepeatedSpans(docs, g = 8)
+      .select("id").distinct()
+    val winnowed = TextAnalysis.repeatedSpans(docs)
+      .select("id").distinct()
+    assert(exact.count() > 0, "fixture corpus should contain verbatim repeats")
+    assert(exact.exceptAll(winnowed).count() == 0,
+      "exact detector flagged a doc the winnowing approximation missed despite the >= 6-token guarantee")
+  }
+
   test("funnel counts are monotone and consistent on the fixture corpus") {
     val docs = core.Tables.documents(spark, sf()).withColumnRenamed("doc_id", "id")
     val st = Curation.curate(docs)

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
+
+/** Machine-independent perf pin for the expensive query families: COUNT the
+  * Spark jobs (scheduler round-trips, incl. AQE stage materializations)
+  * each query runs at fixture scale and fail on regression.
+  *
+  * Wall-clock on the build box has proven uninformative — driver-run bench
+  * times for r10_graph_search ranged 7.7–33.6 s across four rounds on an
+  * unchanged-or-improved plan while machine throughput drifted ~40% — but
+  * the job count is a property of the PLAN (iteration rounds × stages), not
+  * the machine: a refactor that adds a per-iteration join or breaks a
+  * reused exchange shows up here as +jobs regardless of load.
+  *
+  * Ceilings are measured-at-HEAD + ~15% headroom for AQE nondeterminism
+  * (file-listing jobs, skew-split decisions). If a deliberate plan change
+  * raises a count, re-measure and move the ceiling WITH the change — the
+  * point is that it cannot move silently. */
+class JobCountSpec extends SparkSpec {
+
+  /** (query, max jobs) — measured 2026-08-13 at sf0.001, local[4], AQE on:
+    * r10=101 r12=78 r14g=40 r14=32 r4=26 r15=43 d4=23 tcnd=11 d5=19. */
+  private val ceilings: Seq[(String, Int)] = Seq(
+    "r10_graph_search" -> 115,
+    "r12_threshold_graph" -> 90,
+    "r14_explain_graph" -> 46,
+    "r14_explain" -> 37,
+    "r4_hybrid_rrf" -> 30,
+    "r15_batch_search" -> 50,
+    "d4_similar_clusters" -> 27,
+    "tc_neardup_clusters" -> 13,
+    "d5_consolidation_clusters" -> 22
+  )
+
+  private val counter = new AtomicInteger(0)
+  private val group = new AtomicReference[String]("")
+  private lazy val listener: SparkListener = {
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g == group.get) counter.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    l
+  }
+
+  /** The listener bus is async: poll until the count stops moving. */
+  private def settled(): Int = {
+    var last = -1
+    var cur = counter.get
+    while (cur != last) { Thread.sleep(200); last = cur; cur = counter.get }
+    cur
+  }
+
+  private def countJobs(name: String): Int = {
+    listener // install once
+    counter.set(0)
+    group.set(s"jobcount_$name")
+    spark.sparkContext.setJobGroup(s"jobcount_$name", name)
+    try Queries.all(name)(spark, sf()).collect()
+    finally spark.sparkContext.clearJobGroup()
+    settled()
+  }
+
+  test("graph/hybrid/cluster family job counts stay at their pinned ceilings") {
+    // warm the file-status cache so listing jobs don't depend on suite
+    // order (events goes through Tables — it needs the nanosAsLong conf)
+    spark.read.parquet(s"${sf()}/documents.parquet").schema
+    graft.core.Tables.events(spark, sf()).schema
+    val over = ceilings.flatMap { case (name, max) =>
+      val n = countJobs(name)
+      info(s"$name: $n jobs (ceiling $max)")
+      if (n > max) Some(s"$name ran $n jobs > ceiling $max") else None
+    }
+    assert(over.isEmpty, over.mkString("; "))
+  }
+}

@@ -95,6 +95,19 @@ class KernelEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("native winnowPositions == HOF positioned winnowing") {
+    // real corpus plus edges: ties (repeated tokens force equal shingle
+    // hashes, exercising the rightmost-minimum rule) and short inputs
+    val edge = Seq("", "one two three",
+      "a b a b a b a b", "x x x x x x x x x x").zipWithIndex
+      .map { case (t, i) => (i.toLong + 100000L, t) }.toDF("id", "text")
+    for (frame <- Seq(docs.select(col("doc_id").as("id"), col("text")), edge)) {
+      val a = graft.text.TextAnalysis.winnowedPositions(frame)
+      val b = graft.text.TextAnalysis.winnowedPositionsHof(frame)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    }
+  }
+
   test("native termFreqs == declarative explode/groupBy term frequencies") {
     val d = docs.withColumnRenamed("doc_id", "id")
     val a = graft.search.BM25.termFreqs(d)
