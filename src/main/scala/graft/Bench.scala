@@ -35,8 +35,8 @@ object Bench {
     "fp_winnowing", "ta_text_profile", "e1_embed_checksum",
     "ann_ivf_topk", "ann_lsh_brp_pairs", "ann_sq8_topk", "ann_ivfsq8_topk",
     "tc_curation_survivors", "tc_corpus_stats", "tc_neardup_clusters",
-    "tc_contamination", "tc_pii_scrub", "tc_repeated_spans",
-    "tp_pack_sequences", "tp_split_leakage",
+    "tc_contamination", "tc_pii_scrub", "tc_repeated_spans", "tc_exact_spans",
+    "tp_pack_sequences", "tp_split_leakage", "ev_self_retrieval",
     "m5_merge_groups", "m9_policy_enforce", "m11_auto_link",
     "st_event_window_counts", "mm_feature_checksum", "s1_store_swap")
 

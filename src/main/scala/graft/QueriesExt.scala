@@ -92,6 +92,12 @@ object QueriesExt {
         Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
         Queries.hybridParams(s, dir, graphWeight = 0.1)
           .copy(sourcePrefix = Some("src1")))),
+    // retrieval-quality eval harness: truncated self-retrieval recall@k /
+    // MRR over vector (E1 hashing embedder) and BM25 modes
+    "ev_self_retrieval" -> ((s, dir) =>
+      graft.eval.RetrievalEval.selfRetrieval(
+        Tables.documents(s, dir)
+          .select(col("doc_id").as("id"), col("text")))),
     "mm_feature_checksum" -> ((s, dir) => {
       val media = Multimodal.syntheticMediaTable(
         Tables.documents(s, dir).select(col("doc_id").as("id")))
@@ -273,6 +279,43 @@ object QueriesExt {
   private val oracleParams = Queries.oracleHybridParams
 
   val oracles: Map[String, String] = Map(
+    "ev_self_retrieval" -> {
+      val t = OracleText.toks("text")
+      val dot = "list_sum(list_transform(range(1, 65), i -> d.e[i] * q.e[i]))"
+      def met(mode: String, rel: String) =
+        s"""SELECT '$mode' AS mode, CAST(count(*) AS BIGINT) AS n_queries,
+           |  round(CAST(count(*) FILTER (WHERE rnk <= 1) AS DOUBLE) / count(*), 6) AS recall_at_1,
+           |  round(CAST(count(*) FILTER (WHERE rnk <= 5) AS DOUBLE) / count(*), 6) AS recall_at_5,
+           |  round(CAST(count(*) FILTER (WHERE rnk <= 10) AS DOUBLE) / count(*), 6) AS recall_at_10,
+           |  round(CAST(sum(CASE WHEN rnk <= 10 THEN 1000000 // rnk ELSE 0 END) AS DOUBLE) / 1000000.0 / count(*), 6) AS mrr_at_10
+           |FROM $rel""".stripMargin
+      s"""WITH corpus AS MATERIALIZED (SELECT doc_id AS id, text FROM documents),
+         |qdoc AS MATERIALIZED (
+         |  SELECT id AS qid, array_to_string(t[1:greatest(len(t) // 2, 1)], ' ') AS text
+         |  FROM (SELECT id, $t AS t FROM corpus)
+         |  WHERE id % ${graft.eval.RetrievalEval.SampleMod} = 0 AND len(t) >= 4
+         |  ORDER BY qid LIMIT ${graft.eval.RetrievalEval.MaxQueries}),
+         |${OracleText.embedCtesOver("corpus", 64)},
+         |${OracleText.embedCtesOver("(SELECT qid AS id, text FROM qdoc) qsrc", 64, "qe")},
+         |vs AS MATERIALIZED (
+         |  SELECT q.id AS qid, d.id, round($dot, 6) AS sim
+         |  FROM ef d CROSS JOIN qef q),
+         |vself AS (SELECT qid, sim AS ssim FROM vs WHERE id = qid),
+         |vrank AS (
+         |  SELECT v.qid, 1 + count(*) FILTER (
+         |    WHERE v.sim > s.ssim OR (v.sim = s.ssim AND v.id < v.qid)) AS rnk
+         |  FROM vs v JOIN vself s USING (qid) GROUP BY 1),
+         |${OracleHybrid.bm25BatchCtes("corpus", "qdoc")},
+         |bself AS (SELECT qid, bm25 AS sbm FROM bm WHERE id = qid),
+         |brank AS (
+         |  SELECT b.qid, 1 + count(*) FILTER (
+         |    WHERE b.bm25 > s.sbm OR (b.bm25 = s.sbm AND b.id < b.qid)) AS rnk
+         |  FROM bm b JOIN bself s USING (qid) GROUP BY 1)
+         |${met("vector", "vrank")}
+         |UNION ALL
+         |${met("bm25", "brank")}
+         |ORDER BY mode""".stripMargin
+    },
     "d1_novelty" ->
       s"""WITH ${OracleCtes.memories}
          |SELECT m.id, round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) AS sim,

@@ -17,6 +17,32 @@ object OracleHybrid {
   /** BM25 CTE chain ending in `bm(id, bm25)` over the full memories corpus
     * (scores rounded to 6, positives only filtered later). Mirrors
     * [[graft.search.BM25.scores]]. */
+  /** [[bm25Ctes]] generalized to a bounded BATCH of queries over any
+    * (id, text) corpus relation: `queryRel` has (qid, text); emits the same
+    * tf/dl/bmstats/dfreq/idf chain plus qt(qid, term, qn) and
+    * bm(qid, id, bm25). Mirrors [[graft.search.BM25.batchScores]]. */
+  def bm25BatchCtes(corpus: String, queryRel: String): String =
+    s"""tf AS MATERIALIZED (
+       |  SELECT c.id, t.term, count(*) AS tf
+       |  FROM $corpus c, unnest(${toks("c.text")}) AS t(term)
+       |  GROUP BY 1, 2
+       |),
+       |dl AS MATERIALIZED (SELECT id, CAST(len(${toks("text")}) AS DOUBLE) AS dl FROM $corpus),
+       |bmstats AS (SELECT (SELECT count(*) FROM $corpus) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+       |dfreq AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |idf0 AS MATERIALIZED (SELECT term, ln((s.n - df + 0.5) / (df + 0.5)) AS idf FROM dfreq, bmstats s),
+       |aidf AS (SELECT avg(idf) AS a FROM idf0),
+       |idf AS MATERIALIZED (SELECT term, CASE WHEN idf < 0 THEN ${BM25.Epsilon} * (SELECT a FROM aidf) ELSE idf END AS idf FROM idf0),
+       |qt AS (SELECT q.qid, t.term, count(*) AS qn
+       |  FROM $queryRel q, unnest(${toks("q.text")}) AS t(term) GROUP BY 1, 2),
+       |bm AS MATERIALIZED (
+       |  SELECT qt.qid, tf.id,
+       |    round(sum(qt.qn * idf.idf * tf.tf * (${BM25.K1} + 1.0) /
+       |      (tf.tf + ${BM25.K1} * (1.0 - ${BM25.B} + ${BM25.B} * dl.dl / (SELECT avgdl FROM bmstats)))), 6) AS bm25
+       |  FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl USING (id)
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
   def bm25Ctes(queryTokens: Seq[String]): String = {
     val qvals = queryTokens.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
       .map { case (t, n) => s"('$t', $n)" }.mkString(", ")

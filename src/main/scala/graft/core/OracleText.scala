@@ -152,22 +152,24 @@ object OracleText {
     embedCtesOver("(SELECT doc_id AS id, text FROM documents) dsrc", dim)
 
   /** Same chain over any (id, text) relation `src` (a parenthesized
-    * aliased subquery or CTE name). */
-  def embedCtesOver(src: String, dim: Int = 64): String = {
+    * aliased subquery or CTE name). `prefix` renames the emitted CTEs
+    * (${prefix}r/${prefix}n/${prefix}f) so two chains can coexist in one
+    * query (e.g. corpus + query embeddings in the retrieval eval). */
+  def embedCtesOver(src: String, dim: Int = 64, prefix: String = "e"): String = {
     val t = toks("text")
     val hashes = s"list_transform($t, tt -> ${polyHash("tt")})"
-    s"""er AS MATERIALIZED (
+    s"""${prefix}r AS MATERIALIZED (
        |  SELECT id,
        |    list_transform(range(0, $dim), i -> CAST(list_sum(list_transform($hashes,
        |      h -> CASE WHEN h % $dim = i THEN CASE WHEN (h // $dim) % 2 = 0 THEN 1.0 ELSE -1.0 END ELSE 0.0 END)) AS DOUBLE)) AS r
        |  FROM $src
        |),
-       |en AS (SELECT id, r, sqrt(list_sum(list_transform(r, x -> x * x))) AS nrm FROM er),
-       |ef AS MATERIALIZED (
+       |${prefix}n AS (SELECT id, r, sqrt(list_sum(list_transform(r, x -> x * x))) AS nrm FROM ${prefix}r),
+       |${prefix}f AS MATERIALIZED (
        |  SELECT id, CASE WHEN nrm > 0
        |    THEN list_transform(r, x -> CAST(CAST(x / nrm AS FLOAT) AS DOUBLE))
        |    ELSE list_transform(r, x -> 0.0) END AS e
-       |  FROM en
+       |  FROM ${prefix}n
        |)""".stripMargin
   }
 

@@ -1,0 +1,114 @@
+package graft.eval
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.embed.HashingEmbedder
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.search.BM25
+
+/** End-to-end retrieval-quality evaluation — the engine-side analog of the
+  * reference's eval runners (eval/run_longmemeval.py:1-14 drives an LLM
+  * judge; that part is out of scope, but the retrieval-recall half is pure
+  * public-knowledge IR methodology and fully oracle-able).
+  *
+  * Protocol: TRUNCATED SELF-RETRIEVAL. Every `SampleMod`-th document (a
+  * deterministic, order-stable sample) becomes a query whose text is the
+  * first half of its tokens; the ground-truth answer is the document
+  * itself. A retrieval mode earns recall@k when the source document ranks
+  * in its own query's top k, with MRR@k as the graded form. Truncation
+  * makes the task non-trivial (the query is a lossy view of the target)
+  * while keeping labels free and exact — the standard needle protocol.
+  *
+  * Scale shape: the query set is bounded (`MaxQueries`, enforced with an
+  * order-stable TakeOrdered so the sample is deterministic at any corpus
+  * size) and broadcast. Ranks come from COUNTING beaten candidates per
+  * query — one aggregation keyed on qid — never from a global sort: the
+  * vector pass is a map-only broadcast join over the corpus, BM25 rides
+  * [[BM25.batchScores]]'s single term-join pass, and each mode ends in one
+  * Q-row aggregate. No operator materializes a per-query ranking.
+  *
+  * Ties: equal scores resolve by lower id (the engine's standard rule), so
+  * an exact duplicate of a query's source with a lower id legitimately
+  * outranks it — at rank semantics identical to the DuckDB oracle.
+  *
+  * Output: one row per mode — (mode, n_queries, recall_at_1, recall_at_5,
+  * recall_at_10, mrr_at_10). MRR accumulates integer micro-units
+  * (floor(1e6 / rank)) so the cross-engine compare is order-free. */
+object RetrievalEval {
+
+  val SampleMod = 37L
+  val MaxQueries = 1024
+  val K = 10
+
+  /** The bounded, deterministic query set: (qid, qtext) with qtext = the
+    * first max(len/2, 1) tokens of the source document. */
+  def querySet(docs: DataFrame, textCol: String = "text",
+               idCol: String = "id"): DataFrame = {
+    val t = TextFunctions.tokens(col(textCol))
+    docs
+      .filter(col(idCol) % SampleMod === 0 && size(t) >= 4)
+      .select(col(idCol).as("qid"),
+        array_join(
+          slice(t, lit(1), greatest((size(t) / 2).cast("int"), lit(1))), " ")
+          .as("qtext"))
+      .orderBy("qid")
+      .limit(MaxQueries)
+  }
+
+  /** Run the eval over both retrieval modes. `docs` needs (id, text). */
+  def selfRetrieval(docs: DataFrame, dim: Int = 64): DataFrame = {
+    val emb = HashingEmbedder(dim)
+    val queries = querySet(docs)
+    // vector mode: corpus and queries embedded by the SAME provider (E1),
+    // scored by the codegen dot kernel — broadcast queries, map-only pass
+    val corpusVecs = emb.embed(docs.select(col("id"), col("text")))
+      .select("id", "embedding")
+    val qVecs = queries.select(col("qid"),
+      emb.embeddingColumn(col("qtext")).as("qvec"))
+    val vectorScored = corpusVecs.crossJoin(broadcast(qVecs))
+      .select(col("qid"), col("id"),
+        round(VectorFunctions.dot(col("embedding"), col("qvec")), 6).as("score"))
+    // bm25 mode: query tokens keep multiplicity, one batch scoring pass
+    val qTerms = queries
+      .select(col("qid"), explode(TextFunctions.tokens(col("qtext"))).as("term"))
+      .groupBy("qid", "term").agg(count(lit(1)).as("qn"))
+    val bm25Scored = BM25.batchScores(docs, qTerms)
+      .select(col("qid"), col("id"), col("bm25").as("score"))
+    metrics(ranks(vectorScored), "vector")
+      .unionAll(metrics(ranks(bm25Scored), "bm25"))
+      .orderBy("mode")
+  }
+
+  /** Self-rank per query WITHOUT sorting: 1 + how many candidates beat the
+    * source doc (higher score, or equal score with lower id). For BM25 the
+    * candidate pool is term-sharing docs only; the source always shares its
+    * own query's terms, so it is always ranked. */
+  private def ranks(scored: DataFrame): DataFrame = {
+    val self = scored.filter(col("id") === col("qid"))
+      .select(col("qid"), col("score").as("_sscore"))
+    scored.join(broadcast(self), "qid")
+      .groupBy("qid")
+      .agg((sum(when(
+        col("score") > col("_sscore") ||
+          (col("score") === col("_sscore") && col("id") < col("qid")), 1L)
+        .otherwise(0L)) + 1L).as("rank"))
+  }
+
+  private def metrics(ranks: DataFrame, mode: String): DataFrame =
+    ranks
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("rank") <= 1, 1L).otherwise(0L)).as("_h1"),
+        sum(when(col("rank") <= 5, 1L).otherwise(0L)).as("_h5"),
+        sum(when(col("rank") <= K, 1L).otherwise(0L)).as("_hk"),
+        // integer micro-units: floor(1e6/rank) sums exactly in any order
+        sum(when(col("rank") <= K,
+          floor(lit(1000000L) / col("rank")).cast("long")).otherwise(0L))
+          .as("_mrr_micro"))
+      .select(lit(mode).as("mode"), col("n_queries"),
+        round(col("_h1").cast("double") / col("n_queries"), 6).as("recall_at_1"),
+        round(col("_h5").cast("double") / col("n_queries"), 6).as("recall_at_5"),
+        round(col("_hk").cast("double") / col("n_queries"), 6).as("recall_at_10"),
+        round(col("_mrr_micro").cast("double") / 1e6 / col("n_queries"), 6)
+          .as("mrr_at_10"))
+}

@@ -119,6 +119,26 @@ object BM25 {
         .as("bm25"))
   }
 
+  /** Batch form of [[scores]]: `queryTerms` is a bounded (qid, term, qn)
+    * frame (qn = the term's multiplicity in query qid); returns (qid, id,
+    * bm25) for every (query, doc) pair sharing at least one term. Same
+    * formula, same 6dp rounding; the query-term set rides one broadcast, so
+    * scoring all queries is a single map-side join pass over the corpus
+    * term frequencies — the per-query loop form would rebuild that pass per
+    * query. */
+  def batchScores(docs: DataFrame, queryTerms: DataFrame,
+                  textCol: String = "text", idCol: String = "id"): DataFrame = {
+    val ix = indexFor(docs, textCol, idCol)
+    ix.tf
+      .join(broadcast(queryTerms.join(ix.idf, "term")), "term")
+      .join(ix.dl, "id")
+      .groupBy("qid", "id")
+      .agg(round(sum(
+        col("qn") * col("idf") * col("tf") * (lit(K1) + 1.0) /
+          (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("dl") / ix.st.avgdl))), 6)
+        .as("bm25"))
+  }
+
   /** The reference's BM25 branch: score all docs, post-filter visibility
     * (source/archived only — NOT temporal, memory_engine.py:1769-1785),
     * keep positive scores, top-`oversample`. */
