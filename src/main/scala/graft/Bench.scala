@@ -33,7 +33,8 @@ object Bench {
     "d4_similar_clusters", "d5_consolidation_clusters", "d8_smart_import",
     "dd_exact_survivors", "lsh_minhash_neardup", "sh_simhash_neardup",
     "fp_winnowing", "ta_text_profile", "e1_embed_checksum",
-    "ann_ivf_topk", "ann_lsh_brp_pairs", "ann_sq8_topk", "ann_ivfsq8_topk",
+    "ann_ivf_topk", "ann_ivf_indexed", "ann_lsh_brp_pairs", "ann_sq8_topk",
+    "ann_ivfsq8_topk",
     "tc_curation_survivors", "tc_corpus_stats", "tc_neardup_clusters",
     "tc_contamination", "tc_pii_scrub", "tc_repeated_spans", "tc_exact_spans",
     "tp_pack_sequences", "tp_split_leakage", "ev_self_retrieval",

@@ -252,6 +252,18 @@ object Queries {
       Ann.ivfTopK(assigned, cent, queryVec(s, dir), k = 10, nprobe = 2)
         .select("id", "ivf_cell", "sim")
     }),
+    // persisted IVF: build on the first half, O(batch) refresh with the
+    // second — the oracle is the FULL-CORPUS IVF SQL, so the hash-match
+    // proves refresh ≡ rebuild (stored centroids make assignment exact)
+    "ann_ivf_indexed" -> ((s, dir) => {
+      val path = "/root/repo/target/tmp/ivf_index"
+      val mem = Corpus.memories(s, dir)
+      val half = Corpus.nDocs(s, dir) / 2
+      graft.ann.IvfIndex.build(
+        mem.filter(col("id") < half), Tables.embeddings(s, dir), path)
+      graft.ann.IvfIndex.refresh(s, path, mem.filter(col("id") >= half))
+      graft.ann.IvfIndex.topK(s, path, queryVec(s, dir), k = 10, nprobe = 2)
+    }),
     // recall audit for the ANN scale path: |IVF top-10 ∩ exact top-10| / 10 —
     // the metric that decides whether nprobe is sized right at scale
     "ann_ivf_recall" -> ((s, dir) => {
@@ -578,6 +590,8 @@ object Queries {
          |SELECT id, round(list_sum(list_transform(range(1, 65), i -> e[i] * i)), 6) AS checksum
          |FROM ef ORDER BY id""".stripMargin,
     "ann_ivf_topk" -> ivfTopkSql,
+    // full-corpus IVF SQL: the build+refresh split must reproduce it
+    "ann_ivf_indexed" -> ivfTopkSql,
     "ann_ivf_recall" ->
       s"""SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10
          |FROM ($ivfTopkSql) i

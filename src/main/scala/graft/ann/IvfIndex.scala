@@ -1,0 +1,70 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{dot, roundScore}
+import graft.sources.Store
+
+/** Persisted IVF index — the durable form of [[Ann]]'s query-time pruning,
+  * symmetric to [[graft.search.BM25Index]] for the lexical side. The
+  * reference keeps its vectors in a Qdrant collection that persists across
+  * queries (memory_engine.py:130-156); at cluster scale the analogous
+  * structure is a small centroid table plus the assignments written
+  * PARTITIONED BY CELL, so a probe is a planning-time partition prune: the
+  * scan lists only the `nprobe` probed directories and never touches the
+  * other nlist − nprobe cells — not even their parquet footers. AnnSpec
+  * pins both the result (bit-equal to the in-memory [[Ann.ivfTopK]]) and
+  * the pruning (files read < files stored, PartitionFilters in the scan).
+  *
+  * Centroids come from [[Ann.centroidsByLabel]] over the embeddings table,
+  * so they are a function of that table alone — which is what makes
+  * [[refresh]] exact: assigning an append batch against the STORED
+  * centroids (classic IVF ingestion — Faiss `add` never moves centroids)
+  * yields byte-identical assignments to a full rebuild. */
+object IvfIndex {
+
+  /** Build and persist: centroid table + cell-partitioned assignments.
+    * Write-then-swap via [[Store.savePartitioned]], same as every other
+    * persisted table in the engine. */
+  def build(memories: DataFrame, embeddings: DataFrame, path: String,
+            idCol: String = "id"): Unit = {
+    val cents = Ann.centroidsByLabel(embeddings)
+    Store.save(cents, s"$path/centroids")
+    Store.savePartitioned(
+      Ann.assign(memories.select(col(idCol).as("id"), col("embedding")), cents),
+      s"$path/assignments", "ivf_cell")
+  }
+
+  /** O(batch) ingestion: assign ONLY the added rows against the stored
+    * centroids and append their files into the cell directories. The append
+    * is per-cell file creation, not a swap — a mid-write failure can leave
+    * a partial batch (re-run the batch idempotently by id-dedup downstream,
+    * or rebuild); the read path is unaffected because parquet readers
+    * ignore directories' in-flight `_temporary` content. */
+  def refresh(spark: SparkSession, path: String, addedMemories: DataFrame,
+              idCol: String = "id"): Unit = {
+    val cents = Store.load(spark, s"$path/centroids")
+    Ann.assign(addedMemories.select(col(idCol).as("id"), col("embedding")), cents)
+      .write.mode("append").partitionBy("ivf_cell")
+      .parquet(s"$path/assignments")
+  }
+
+  /** The query path: rank stored centroids against the query (a scalar,
+    * driver-side job over ≤ [[Ann.MaxNlist]] rows — the same bounded shape
+    * as BM25Index's query-term pruning), then scan ONLY those cells.
+    * `ivf_cell IN (literals)` on the partition column prunes at planning
+    * time. Output matches [[Ann.ivfTopK]]: (id, ivf_cell, sim). */
+  def topK(spark: SparkSession, path: String, queryVec: Seq[Float],
+           k: Int, nprobe: Int = 2): DataFrame = {
+    val cells = Store.load(spark, s"$path/centroids")
+      .withColumn("_qsim", dot(col("centroid"), typedLit(queryVec)))
+      .orderBy(desc("_qsim"), asc("label")).limit(nprobe)
+      .select("label").collect().map(_.getInt(0)).toSeq
+    Store.load(spark, s"$path/assignments")
+      .filter(col("ivf_cell").isin(cells: _*))
+      .select(col("id"), col("ivf_cell"),
+        roundScore(dot(col("embedding"), typedLit(queryVec))).as("sim"))
+      .orderBy(desc("sim"), asc("id"))
+      .limit(k)
+  }
+}

@@ -29,6 +29,53 @@ class AnnSpec extends SparkSpec {
     assert(ivf.keySet.intersect(exactTop).nonEmpty)
   }
 
+  test("persisted IVF equals in-memory IVF and prunes unprobed cells at the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = "/root/repo/target/tmp/ivf_index_spec"
+    val mem = Corpus.memories(spark, sf())
+    val emb = Tables.embeddings(spark, sf())
+    val qv = Queries.queryVec(spark, sf())
+    graft.ann.IvfIndex.build(mem, emb, path)
+    val fromIndex = graft.ann.IvfIndex.topK(spark, path, qv, k = 10, nprobe = 2)
+    val cent = Ann.centroidsByLabel(emb)
+    val inMemory = Ann.ivfTopK(Ann.assign(mem, cent), cent, qv, k = 10, nprobe = 2)
+      .select("id", "ivf_cell", "sim")
+    assert(fromIndex.collect().toSeq == inMemory.collect().toSeq)
+    // pruning is planning-time: the probe's scan lists strictly fewer files
+    // than the stored index holds, and the scan carries a PartitionFilter
+    // (AQE off so the physical tree is walkable, as in PlanAuditSpec)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val raw = graft.ann.IvfIndex.topK(spark, path, qv, k = 10, nprobe = 2)
+      raw.collect() // populate scan metrics
+      val scans = raw.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty)
+      val probed = scans.map(_.metadata("PartitionFilters"))
+      assert(probed.exists(_.contains("ivf_cell")), probed.mkString("; "))
+      val filesRead = scans.map(_.metrics("numFiles").value).sum
+      val filesStored = spark.read.parquet(s"$path/assignments").inputFiles.length
+      assert(filesRead > 0 && filesRead < filesStored,
+        s"read $filesRead of $filesStored files — no pruning?")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("IVF refresh against stored centroids reproduces the full rebuild") {
+    val pathA = "/root/repo/target/tmp/ivf_index_full"
+    val pathB = "/root/repo/target/tmp/ivf_index_inc"
+    val mem = Corpus.memories(spark, sf())
+    val emb = Tables.embeddings(spark, sf())
+    val half = Corpus.nDocs(spark, sf()) / 2
+    graft.ann.IvfIndex.build(mem, emb, pathA)
+    graft.ann.IvfIndex.build(mem.filter(col("id") < half), emb, pathB)
+    graft.ann.IvfIndex.refresh(spark, pathB, mem.filter(col("id") >= half))
+    val a = spark.read.parquet(s"$pathA/assignments")
+      .select("id", "ivf_cell").orderBy("id").collect().toSeq
+    val b = spark.read.parquet(s"$pathB/assignments")
+      .select("id", "ivf_cell").orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
   test("kmeans IVF build assigns every row to a valid cell") {
     val emb = Tables.embeddings(spark, sf()).select(col("vec_id").as("id"), col("embedding"))
     val (assigned, centroids) = IndexBuild.kmeansIvf(emb, nlist = 4, maxIter = 5)
