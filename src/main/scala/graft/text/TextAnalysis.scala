@@ -225,30 +225,48 @@ object TextAnalysis {
     * their actual token text, so there is no fingerprint-collision or
     * winnowing-selection slack in either direction.
     *
-    * Scale shape: the explode emits n gram rows per n-token document (a
-    * g-times byte blowup — the deliberate price of exactness over the
-    * winnowed 1/w sample); sharing is ONE shuffle on the gram string with
-    * map-side partial aggregation, the hit join is a left-semi on the same
-    * key, and the island merge windows are partitioned per document. No
-    * global order, no driver-side state, no suffix array.
+    * Scale shape: two passes. Candidate generation explodes n (id, pos,
+    * hash) rows per n-token document — 8-byte hashes, not g-token strings —
+    * and shuffles once with map-side partial aggregation; only CANDIDATE
+    * positions (hash shared across >= minDocs docs) pay the verbatim-string
+    * extraction and second, much smaller, exact grouping. No global order,
+    * no driver-side state, no suffix array.
     *
     * Output matches [[repeatedSpans]]: (id, n_spans, dup_tokens), one row
     * per document with at least one duplicated span. */
   def exactRepeatedSpans(docs: DataFrame, g: Int = 8, minDocs: Int = 2,
                          textCol: String = "text", idCol: String = "id"): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    val grams = docs
-      .select(col(idCol).as("id"), toks.as("_t"))
-      .filter(size(col("_t")) >= g)
-      .select(col("id"), explode(transform(sequence(lit(0), size(col("_t")) - g),
-        p => struct(p.cast("long").as("pos"),
-          array_join(slice(col("_t"), p + 1, lit(g)), " ").as("gram")))).as("_s"))
-      .select(col("id"), col("_s.pos").as("pos"), col("_s.gram").as("gram"))
-      .localCheckpoint(true) // feeds both the sharing agg and the semi-join
-    val shared = grams.groupBy("gram")
+    // pass 1 — candidate generation on 8-BYTE shingle hashes (the codegen
+    // kernel hashes each g-gram in place): the wide shuffle carries
+    // (id, pos, hash) rows, never the g-token strings — a ~g× byte cut on
+    // the operator's dominant cost at corpus scale
+    val hashed = docs
+      .select(col(idCol).as("id"),
+        TextFunctions.shingleHashes(col(textCol), g).as("_h"))
+      .filter(size(col("_h")) > 0)
+      .select(col("id"), posexplode(col("_h")).as(Seq("pos", "gh")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("gh"))
+      .localCheckpoint(true) // feeds the hot-hash agg and the semi-join
+    val hot = hashed.groupBy("gh").agg(count_distinct(col("id")).as("_nd"))
+      .filter(col("_nd") >= minDocs).select("gh")
+    val cand = hashed.join(hot, Seq("gh"), "left_semi").select("id", "pos")
+    // pass 2 — exact verify: re-extract the ACTUAL token strings for the
+    // (typically tiny) candidate set and group verbatim. A hash collision
+    // can only ever ADD a candidate that this grouping then rejects, and a
+    // true repeat always reaches it (same gram ⇒ same hash) — zero slack
+    // in either direction. AQE broadcasts the candidate set when small, so
+    // the token re-extraction join is usually map-only.
+    val candGrams = cand
+      .join(docs.select(col(idCol).as("id"), toks.as("_t")), Seq("id"))
+      .select(col("id"), col("pos"),
+        array_join(slice(col("_t"), (col("pos") + 1).cast("int"), lit(g)), " ")
+          .as("gram"))
+      .localCheckpoint(true) // feeds the sharing agg and the hit semi-join
+    val shared = candGrams.groupBy("gram")
       .agg(count_distinct(col("id")).as("_nd"))
       .filter(col("_nd") >= minDocs).select("gram")
-    val hits = grams.join(shared, Seq("gram"), "left_semi").select("id", "pos")
+    val hits = candGrams.join(shared, Seq("gram"), "left_semi").select("id", "pos")
     mergeIslands(hits, g)
   }
 
