@@ -376,6 +376,13 @@ object Queries {
       Ann.ivfSq8TopK(assigned, cent, queryVec(s, dir), k = 10)
     }),
     // train/val hash split + near-dup leakage audit across the split
+    // materialized mixture: one row per (doc, copy) under the plan's rates
+    "tp_mixture_apply" -> ((s, dir) =>
+      graft.text.Curation.mixtureApply(docs(s, dir), MixtureTargets)
+        .orderBy("id", "copy")),
+    // deterministic global shuffle into training shards
+    "tp_shuffle_shards" -> ((s, dir) =>
+      graft.text.Packing.shuffleShards(docs(s, dir)).orderBy("id")),
     "tp_split_leakage" -> ((s, dir) =>
       graft.text.Curation.splitLeakage(docs(s, dir))
         .orderBy("val_id", "train_id")),
@@ -830,23 +837,8 @@ object Queries {
          |  min(id) AS first_doc, max(id) AS last_doc
          |FROM pspan GROUP BY 1 ORDER BY seq_id""".stripMargin,
     "tp_mixture_plan" -> {
-      val vals = MixtureTargets
-        .map { case (d, w) => s"('$d', CAST($w AS BIGINT))" }.mkString(", ")
       val sumW = MixtureTargets.map(_._2).sum.toDouble // short literal, exact
-      s"""WITH pd AS (
-         |  SELECT lang AS domain,
-         |    CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS tokens
-         |  FROM documents GROUP BY 1),
-         |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM pd),
-         |tg AS (SELECT * FROM (VALUES $vals) t(domain, w)),
-         |req AS (
-         |  SELECT pd.domain, pd.tokens, t.total,
-         |    coalesce(tg.w, CAST(0 AS BIGINT)) AS w,
-         |    CAST(floor(CAST(t.total AS DOUBLE) * 0.5) AS BIGINT) AS budget
-         |  FROM pd CROSS JOIN tot t LEFT JOIN tg USING (domain)),
-         |req2 AS (
-         |  SELECT *, CAST(floor(CAST(budget AS DOUBLE) * w / $sumW) AS BIGINT) AS required_tokens
-         |  FROM req)
+      s"""WITH $mixtureReqCtes
          |SELECT domain, tokens,
          |  round(CAST(tokens AS DOUBLE) / total, 6) AS natural_share,
          |  round(CAST(w AS DOUBLE) / $sumW, 6) AS target_share,
@@ -854,8 +846,50 @@ object Queries {
          |  round(CAST(required_tokens AS DOUBLE) / tokens, 6) AS sample_rate,
          |  CAST(ceil(CAST(required_tokens AS DOUBLE) / tokens) AS INT) AS epochs
          |FROM req2 ORDER BY domain""".stripMargin
-    }
+    },
+    "tp_mixture_apply" ->
+      s"""WITH $mixtureReqCtes,
+         |rates AS (SELECT domain, round(CAST(required_tokens AS DOUBLE) / tokens, 6) AS rate FROM req2),
+         |cnt AS (
+         |  SELECT d.doc_id AS id, d.lang AS domain,
+         |    CAST(floor(r.rate) AS BIGINT) +
+         |      CASE WHEN (d.doc_id * 1103515245 + 12345) % 2147483648
+         |           < (r.rate - floor(r.rate)) * 2147483648 THEN 1 ELSE 0 END AS n
+         |  FROM documents d JOIN rates r ON d.lang = r.domain)
+         |SELECT id, domain, CAST(u.c AS BIGINT) AS copy
+         |FROM cnt, unnest(range(0, n)) u(c)
+         |ORDER BY id, copy""".stripMargin,
+    "tp_shuffle_shards" ->
+      """WITH sk AS (
+        |  SELECT doc_id AS id,
+        |    (doc_id * 1103515245 + 12345) % 2147483648 AS k
+        |  FROM documents)
+        |SELECT id, CAST(k % 64 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY k % 64 ORDER BY k, id) - 1 AS BIGINT) AS pos
+        |FROM sk ORDER BY id""".stripMargin
   )
+
+  /** Shared mixture-plan CTE prefix (pd/tot/tg/req/req2) — per-domain token
+    * mass, targets, budget, required_tokens. */
+  private def mixtureReqCtes: String = {
+    val vals = MixtureTargets
+      .map { case (d, w) => s"('$d', CAST($w AS BIGINT))" }.mkString(", ")
+    val sumW = MixtureTargets.map(_._2).sum.toDouble
+    s"""pd AS (
+       |  SELECT lang AS domain,
+       |    CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM pd),
+       |tg AS (SELECT * FROM (VALUES $vals) t(domain, w)),
+       |req AS (
+       |  SELECT pd.domain, pd.tokens, t.total,
+       |    coalesce(tg.w, CAST(0 AS BIGINT)) AS w,
+       |    CAST(floor(CAST(t.total AS DOUBLE) * 0.5) AS BIGINT) AS budget
+       |  FROM pd CROSS JOIN tot t LEFT JOIN tg USING (domain)),
+       |req2 AS (
+       |  SELECT *, CAST(floor(CAST(budget AS DOUBLE) * w / $sumW) AS BIGINT) AS required_tokens
+       |  FROM req)""".stripMargin
+  }
 
   // def, not val: referenced during dedupOracles' initialization above
   private def annSq8TopkSql: String =

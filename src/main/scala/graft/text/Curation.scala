@@ -268,4 +268,29 @@ object Curation {
         round(col("required_tokens").cast("double") / col("tokens"), 6).as("sample_rate"),
         ceil(col("required_tokens").cast("double") / col("tokens")).cast("int").as("epochs"))
   }
+
+  /** MATERIALIZE a [[mixturePlan]]: one output row per (doc, copy). A
+    * domain with sample_rate r contributes floor(r) full epochs of every
+    * doc plus a fractional epoch sampled by the same partition-invariant
+    * LCG as [[deterministicSample]] — so repeats (r > 1, upsampled
+    * domains) and subsampling (r < 1) fall out of one rule, rows are
+    * deterministic under any partitioning, and the realized token mass per
+    * domain converges on the plan's required_tokens. Zero-weight domains
+    * (rate 0) vanish. Broadcast plan join + explode: map-only. */
+  def mixtureApply(docs: DataFrame, targets: Seq[(String, Long)],
+                   budgetFrac: Double = 0.5,
+                   domainCol: String = "lang"): DataFrame = {
+    val plan = mixturePlan(docs, targets, budgetFrac, domainCol)
+      .select(col("domain"), col("sample_rate"))
+    val bucket = (col("id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+    val copies = (floor(col("sample_rate")).cast("long") +
+      when(bucket < (col("sample_rate") - floor(col("sample_rate"))) * lit(2147483648L), 1L)
+        .otherwise(0L))
+    docs.select(col("id"), col(domainCol).as("domain"))
+      .join(broadcast(plan), Seq("domain"))
+      .withColumn("_n", copies)
+      .filter(col("_n") > 0)
+      .select(col("id"), col("domain"),
+        explode(sequence(lit(0L), col("_n") - 1)).as("copy"))
+  }
 }

@@ -90,4 +90,24 @@ object Packing {
         min("id").as("first_doc"),
         max("id").as("last_doc"))
   }
+
+  /** Deterministic global shuffle into training shards — the layout step
+    * between curation and [[packSequences]]: every doc gets a
+    * partition-invariant pseudo-random key (the same LCG family as
+    * Curation.deterministicSample), its shard is `key mod nShards`, and its
+    * position within the shard is the (key, id) order. At scale this IS the
+    * shard writer's plan — repartition on shard + sortWithinPartitions —
+    * expressed as a window PARTITIONED BY SHARD, so no global sort exists;
+    * `nShards` is chosen so one shard fits one writer task, exactly the
+    * parameter a 100 TB run tunes. Output: (id, shard, pos). */
+  def shuffleShards(docs: DataFrame, nShards: Int = 64,
+                    idCol: String = "id"): DataFrame = {
+    val key = (col("id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+    docs.select(col(idCol).as("id"))
+      .withColumn("_k", key)
+      .withColumn("shard", pmod(col("_k"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("_k"), col("id"))).cast("long") - 1)
+      .select("id", "shard", "pos")
+  }
 }

@@ -123,4 +123,39 @@ class TrainingPipelineSpec extends SparkSpec {
       assert(epochs == math.ceil(rate).toInt)
     }
   }
+
+  test("mixtureApply materializes the plan: copy counts honor each domain's rate") {
+    val plan = Curation.mixturePlan(docs, Queries.MixtureTargets)
+      .collect().map(r => r.getAs[String]("domain") -> r.getAs[Double]("sample_rate")).toMap
+    val applied = Curation.mixtureApply(docs, Queries.MixtureTargets)
+    val perDoc = applied.groupBy("id", "domain")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { case (_, domain, n) =>
+      val rate = plan(domain)
+      // every doc gets floor(rate) or floor(rate)+1 copies, never else
+      assert(n == math.floor(rate).toLong || n == math.floor(rate).toLong + 1,
+        s"$domain rate $rate produced $n copies")
+    }
+    // zero-weight domains vanish entirely
+    assert(!perDoc.exists(_._2 == "zh"))
+    // copy indexes are dense 0..n-1 per doc
+    val dense = applied.groupBy("id")
+      .agg(count(lit(1)).as("n"), min("copy").as("lo"), max("copy").as("hi"))
+      .filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1).count()
+    assert(dense == 0)
+  }
+
+  test("shuffleShards: positions are a dense permutation per shard, keys decide order") {
+    val out = Packing.shuffleShards(docs, nShards = 8)
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    assert(perShard.nonEmpty && perShard.forall(r =>
+      r.getLong(2) == 0L && r.getLong(3) == r.getLong(1) - 1))
+    // every doc appears exactly once across shards
+    assert(out.count() == docs.count())
+    assert(out.select("id").distinct().count() == docs.count())
+  }
 }
