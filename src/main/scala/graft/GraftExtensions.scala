@@ -28,62 +28,70 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def intArg(e: Expression, fn: String): Int = {
+  /** Literal positive-int kernel parameter. Builders run at analysis time,
+    * so a `require` here reaches SQL users as a planning error instead of
+    * an executor-side NPE or a garbage-emitting kernel (w = 0 would walk
+    * the winnowing deque past its tail). */
+  private def intArg(e: Expression, fn: String, min: Int = 1): Int = {
     require(e.foldable, s"$fn: parameter must be a literal")
-    e.eval().asInstanceOf[Number].intValue()
+    val v = e.eval()
+    require(v != null, s"$fn: parameter must not be NULL")
+    val i = v.asInstanceOf[Number].intValue()
+    require(i >= min, s"$fn: parameter must be >= $min, got $i")
+    i
   }
+
+  private def arity(es: Seq[Expression], n: Int, fn: String): Seq[Expression] = {
+    require(es.length == n, s"$fn expects $n argument(s), got ${es.length}")
+    es
+  }
+
+  private def fn1(name: String, usage: String)(f: Expression => Expression)
+      : (String, ExpressionInfo, Seq[Expression] => Expression) =
+    (name, info(name, usage), es => f(arity(es, 1, name).head))
+
+  private def fn2(name: String, usage: String)(f: (Expression, Expression) => Expression)
+      : (String, ExpressionInfo, Seq[Expression] => Expression) =
+    (name, info(name, usage), es => { arity(es, 2, name); f(es.head, es(1)) })
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  private def castArrD(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+  private def castD(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.DoubleType)
+
   /** (name, info, builder) for every registered kernel. Names carry the
     * `graft_` prefix so they can never shadow a Spark built-in. */
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
-    ("graft_poly_hash",
-      info("graft_poly_hash", "_FUNC_(str) - polynomial rolling hash of a string"),
-      (es: Seq[Expression]) => PolyHash(es.head)),
-    ("graft_shingle_hashes",
-      info("graft_shingle_hashes", "_FUNC_(str, n) - hashes of all n-token shingles"),
-      (es: Seq[Expression]) => ShingleHashes(es.head, intArg(es(1), "graft_shingle_hashes"))),
-    ("graft_minhash_sig",
-      info("graft_minhash_sig", "_FUNC_(shingles, k) - k-hash MinHash signature"),
-      (es: Seq[Expression]) => MinHashSig(es.head, intArg(es(1), "graft_minhash_sig"))),
-    ("graft_term_freqs",
-      info("graft_term_freqs", "_FUNC_(str) - (term, tf) pairs of the tokenized string"),
-      (es: Seq[Expression]) => TermFreqs(es.head)),
-    ("graft_simhash",
-      info("graft_simhash", "_FUNC_(str, bits) - SimHash fingerprint"),
-      (es: Seq[Expression]) => SimHashFp(es.head, intArg(es(1), "graft_simhash"))),
-    ("graft_winnow_select",
-      info("graft_winnow_select", "_FUNC_(hashes, w) - winnowing-selected hashes"),
-      (es: Seq[Expression]) => WinnowSelect(es.head, intArg(es(1), "graft_winnow_select"))),
-    ("graft_winnow_positions",
-      info("graft_winnow_positions", "_FUNC_(hashes, w) - winnowing-selected positions"),
-      (es: Seq[Expression]) => WinnowPositions(es.head, intArg(es(1), "graft_winnow_positions"))),
-    ("graft_hash_embed",
-      info("graft_hash_embed", "_FUNC_(str, dim) - signed hashing-projection embedding"),
-      (es: Seq[Expression]) => HashEmbed(es.head, intArg(es(1), "graft_hash_embed"))),
-    ("graft_dot",
-      info("graft_dot", "_FUNC_(a, b) - float-array dot product in double"),
-      // same widening cast the Column wrapper (VectorFunctions.dot) applies
-      (es: Seq[Expression]) => DotProductD(
-        org.apache.spark.sql.catalyst.expressions.Cast(es.head,
-          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
-        org.apache.spark.sql.catalyst.expressions.Cast(es(1),
-          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))),
-    ("graft_jaccard",
-      info("graft_jaccard", "_FUNC_(a, b) - Jaccard similarity of two hash arrays"),
-      (es: Seq[Expression]) => JaccardSim(es.head, es(1))),
-    ("graft_sq8_encode",
-      info("graft_sq8_encode", "_FUNC_(vec, scale) - int8 quantization codes"),
-      // widen like the Column wrapper: SQL numeric literals land as DECIMAL
-      (es: Seq[Expression]) => Sq8Encode(
-        org.apache.spark.sql.catalyst.expressions.Cast(es.head,
-          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
-        org.apache.spark.sql.catalyst.expressions.Cast(es(1),
-          org.apache.spark.sql.types.DoubleType))),
-    ("graft_sq8_dot",
-      info("graft_sq8_dot", "_FUNC_(codes_a, codes_b) - exact integer dot of int8 codes"),
-      (es: Seq[Expression]) => Sq8Dot(es.head, es(1)))
+    fn1("graft_poly_hash", "_FUNC_(str) - polynomial rolling hash of a string")(
+      PolyHash(_)),
+    fn2("graft_shingle_hashes", "_FUNC_(str, n) - hashes of all n-token shingles")(
+      (s, n) => ShingleHashes(s, intArg(n, "graft_shingle_hashes"))),
+    fn2("graft_minhash_sig", "_FUNC_(shingles, k) - k-hash MinHash signature")(
+      (s, k) => MinHashSig(s, intArg(k, "graft_minhash_sig"))),
+    fn1("graft_term_freqs", "_FUNC_(str) - (term, tf) pairs of the tokenized string")(
+      TermFreqs(_)),
+    fn2("graft_simhash", "_FUNC_(str, bits) - SimHash fingerprint")(
+      (s, b) => SimHashFp(s, intArg(b, "graft_simhash"))),
+    fn2("graft_winnow_select", "_FUNC_(hashes, w) - winnowing-selected hashes")(
+      (h, w) => WinnowSelect(h, intArg(w, "graft_winnow_select"))),
+    fn2("graft_winnow_positions", "_FUNC_(hashes, w) - winnowing-selected positions")(
+      (h, w) => WinnowPositions(h, intArg(w, "graft_winnow_positions"))),
+    fn2("graft_hash_embed", "_FUNC_(str, dim) - signed hashing-projection embedding")(
+      (s, d) => HashEmbed(s, intArg(d, "graft_hash_embed"))),
+    // the widening casts mirror the Column wrappers (VectorFunctions.dot,
+    // Quantize.sq8Encode): SQL numeric literals arrive as DECIMAL
+    fn2("graft_dot", "_FUNC_(a, b) - float-array dot product in double")(
+      (a, b) => DotProductD(castArrD(a), castArrD(b))),
+    fn2("graft_jaccard", "_FUNC_(a, b) - Jaccard similarity of two hash arrays")(
+      JaccardSim(_, _)),
+    fn2("graft_sq8_encode", "_FUNC_(vec, scale) - int8 quantization codes")(
+      (v, s) => Sq8Encode(castArrD(v), castD(s))),
+    fn2("graft_sq8_dot", "_FUNC_(codes_a, codes_b) - exact integer dot of int8 codes")(
+      Sq8Dot(_, _))
   )
 }

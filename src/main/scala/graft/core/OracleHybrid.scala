@@ -14,9 +14,6 @@ object OracleHybrid {
   def toks(c: String): String =
     s"list_filter(string_split_regex(lower($c), '\\s+'), x -> len(x) > 0)"
 
-  /** BM25 CTE chain ending in `bm(id, bm25)` over the full memories corpus
-    * (scores rounded to 6, positives only filtered later). Mirrors
-    * [[graft.search.BM25.scores]]. */
   /** [[bm25Ctes]] generalized to a bounded BATCH of queries over any
     * (id, text) corpus relation: `queryRel` has (qid, text); emits the same
     * tf/dl/bmstats/dfreq/idf chain plus qt(qid, term, qn) and
@@ -43,6 +40,9 @@ object OracleHybrid {
        |  GROUP BY 1, 2
        |)""".stripMargin
 
+  /** BM25 CTE chain ending in `bm(id, bm25)` over the full memories corpus
+    * (scores rounded to 6, positives only filtered later). Mirrors
+    * [[graft.search.BM25.scores]]. */
   def bm25Ctes(queryTokens: Seq[String]): String = {
     val qvals = queryTokens.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
       .map { case (t, n) => s"('$t', $n)" }.mkString(", ")

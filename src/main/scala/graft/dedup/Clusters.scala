@@ -36,9 +36,12 @@ object Clusters {
     import spark0.implicits._
     // take(bound+1) instead of count()-then-collect(): one bounded fetch of
     // primitive tuples (no GenericRow overhead), and the length doubles as
-    // the over-bound test — > bound rows means route distributed.
-    val edges = p.as[(Long, Long)].take(maxDriverEdges.toInt + 1)
-    if (edges.length > maxDriverEdges) return connectedComponents(p)
+    // the over-bound test — > bound rows means route distributed. A bound
+    // at or beyond Int.MaxValue can't ride a driver array anyway: clamp so
+    // the +1 can't overflow (take(negative)) or wrap the routing test.
+    val bound = math.min(maxDriverEdges, Int.MaxValue - 2L).toInt
+    val edges = p.as[(Long, Long)].take(bound + 1)
+    if (edges.length > bound) return connectedComponents(p)
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x0: Long): Long = {
       var x = x0

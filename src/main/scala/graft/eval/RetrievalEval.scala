@@ -58,7 +58,8 @@ object RetrievalEval {
   /** Run the eval over both retrieval modes. `docs` needs (id, text). */
   def selfRetrieval(docs: DataFrame, dim: Int = 64): DataFrame = {
     val emb = HashingEmbedder(dim)
-    val queries = querySet(docs)
+    // ≤ MaxQueries rows feeding two consumers (vectors + terms): materialize
+    val queries = querySet(docs).localCheckpoint(true)
     // vector mode: corpus and queries embedded by the SAME provider (E1),
     // scored by the codegen dot kernel — broadcast queries, map-only pass
     val corpusVecs = emb.embed(docs.select(col("id"), col("text")))
@@ -80,13 +81,17 @@ object RetrievalEval {
   }
 
   /** Self-rank per query WITHOUT sorting: 1 + how many candidates beat the
-    * source doc (higher score, or equal score with lower id). For BM25 the
-    * candidate pool is term-sharing docs only; the source always shares its
-    * own query's terms, so it is always ranked. */
+    * source doc (higher score, or equal score with lower id). The self
+    * score rides a window over the SAME qid shuffle the final aggregate
+    * needs, so the expensive scored frame (N·Q rows for the vector mode)
+    * executes exactly once — a filter-and-rejoin would run its plan twice.
+    * For BM25 the candidate pool is term-sharing docs only; the source
+    * always shares its own query's terms, so it is always ranked. */
   private def ranks(scored: DataFrame): DataFrame = {
-    val self = scored.filter(col("id") === col("qid"))
-      .select(col("qid"), col("score").as("_sscore"))
-    scored.join(broadcast(self), "qid")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+    scored
+      .withColumn("_sscore",
+        max(when(col("id") === col("qid"), col("score"))).over(w))
       .groupBy("qid")
       .agg((sum(when(
         col("score") > col("_sscore") ||

@@ -279,14 +279,15 @@ object Curation {
     * (rate 0) vanish. Broadcast plan join + explode: map-only. */
   def mixtureApply(docs: DataFrame, targets: Seq[(String, Long)],
                    budgetFrac: Double = 0.5,
-                   domainCol: String = "lang"): DataFrame = {
+                   domainCol: String = "lang",
+                   idCol: String = "id"): DataFrame = {
     val plan = mixturePlan(docs, targets, budgetFrac, domainCol)
       .select(col("domain"), col("sample_rate"))
     val bucket = (col("id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
     val copies = (floor(col("sample_rate")).cast("long") +
       when(bucket < (col("sample_rate") - floor(col("sample_rate"))) * lit(2147483648L), 1L)
         .otherwise(0L))
-    docs.select(col("id"), col(domainCol).as("domain"))
+    docs.select(col(idCol).as("id"), col(domainCol).as("domain"))
       .join(broadcast(plan), Seq("domain"))
       .withColumn("_n", copies)
       .filter(col("_n") > 0)
