@@ -389,6 +389,9 @@ object Queries {
     // unigram-LM perplexity filter (CCNet-style fluency signal)
     "ta_unigram_nll" -> ((s, dir) =>
       TextAnalysis.unigramNll(docs(s, dir)).orderBy("id")),
+    // add-k smoothed bigram LM fluency (the CCNet-filter shape, order 2)
+    "ta_bigram_nll" -> ((s, dir) =>
+      TextAnalysis.bigramNll(docs(s, dir)).orderBy("id")),
     // span-level repeated-passage detection over positioned winnowing
     "tc_repeated_spans" -> ((s, dir) =>
       TextAnalysis.repeatedSpans(docs(s, dir)).orderBy("id")),
@@ -715,6 +718,29 @@ object Queries {
          |SELECT id, CAST(count(*) AS BIGINT) AS n_tok,
          |  round(-CAST(sum(lnp_micro) AS DOUBLE) / 1e6 / count(*), 6) AS nll
          |FROM uterm JOIN ulnp USING (term)
+         |GROUP BY id ORDER BY id""".stripMargin
+    },
+    "ta_bigram_nll" -> {
+      val t = OracleText.toks("text")
+      s"""WITH bbg AS MATERIALIZED (
+         |  SELECT doc_id AS id,
+         |    unnest(list_transform(range(1, len($t)),
+         |      i -> array_to_string(list_slice($t, i, i + 1), ' '))) AS bg
+         |  FROM documents WHERE len($t) >= 2),
+         |bvoc AS (SELECT CAST(count(DISTINCT t.term) AS BIGINT) AS v
+         |  FROM documents, unnest($t) AS t(term)),
+         |bstats AS MATERIALIZED (SELECT bg, count(*) AS cbg FROM bbg GROUP BY 1),
+         |bctx AS MATERIALIZED (
+         |  SELECT string_split(bg, ' ')[1] AS ctx, CAST(sum(cbg) AS BIGINT) AS cctx
+         |  FROM bstats GROUP BY 1),
+         |blnp AS MATERIALIZED (
+         |  SELECT s.bg,
+         |    CAST(round(ln((s.cbg + CAST('0.1' AS DOUBLE)) /
+         |      (c.cctx + CAST('0.1' AS DOUBLE) * bvoc.v)) * 1e6, 0) AS BIGINT) AS lnp_micro
+         |  FROM bstats s JOIN bctx c ON string_split(s.bg, ' ')[1] = c.ctx, bvoc)
+         |SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(-CAST(sum(lnp_micro) AS DOUBLE) / 1e6 / count(*), 6) AS nll
+         |FROM bbg JOIN blnp USING (bg)
          |GROUP BY id ORDER BY id""".stripMargin
     },
     "tc_repeated_spans" -> {

@@ -151,6 +151,48 @@ object TextAnalysis {
         round(-col("_sum_micro").cast("double") / 1e6 / col("n_tok"), 6).as("nll"))
   }
 
+  /** Bigram-LM fluency score — one smoothing step toward CCNet's 5-gram
+    * KenLM filter (Wenzek et al. '19, public method; [[unigramNll]] is the
+    * order-0 form). An add-k smoothed bigram model is fit on the corpus and
+    * scored over its own documents: P(w_i | w_{i-1}) = (c(bigram) + k) /
+    * (c(context) + k·V). Gibberish and boilerplate land in the distribution
+    * tails exactly as with the real KenLM stage; only the model order
+    * differs (the 5-gram model needs external training text this
+    * environment doesn't ship).
+    *
+    * Same exactness discipline as [[unigramNll]]: each distinct bigram's
+    * log-probability is rounded to integer micro-units once, per-document
+    * sums are integer (order-free), one division at the end. Shape: the
+    * bigram explode feeds both the count aggregation and the scoring join
+    * (materialized once); context counts and the vocab scalar broadcast.
+    * Docs with fewer than 2 tokens have no bigrams and are absent. */
+  def bigramNll(docs: DataFrame, k: Double = 0.1, textCol: String = "text",
+                idCol: String = "id"): DataFrame = {
+    val bgs = docs
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.shingles(col(textCol), 2)).as("bg"))
+      .localCheckpoint(true)
+    val vocab = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .agg(count_distinct(col("term")).as("_v"))
+    val bgStats = bgs.groupBy("bg").agg(count(lit(1)).as("_cbg"))
+    val ctxStats = bgs
+      .select(split(col("bg"), " ").getItem(0).as("_ctx"))
+      .groupBy("_ctx").agg(count(lit(1)).as("_cctx"))
+    val lnpMicro = bgStats
+      .withColumn("_ctx", split(col("bg"), " ").getItem(0))
+      .join(ctxStats, "_ctx")
+      .crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        round(log((col("_cbg") + lit(k)) / (col("_cctx") + lit(k) * col("_v"))) * 1e6, 0)
+          .cast("long").as("_lnp_micro"))
+    bgs.join(lnpMicro, "bg")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("_lnp_micro").as("_s"))
+      .select(col("id"), col("n_bigrams"),
+        round(-col("_s").cast("double") / 1e6 / col("n_bigrams"), 6).as("nll"))
+  }
+
   /** Positioned winnowing selection: (id, pos, fp) — one row per selected
     * shingle with its 0-based position, rightmost-minimum tie rule
     * (Schleimer et al. '03 §3's robust winnowing convention). Documents

@@ -120,6 +120,21 @@ class CurationSpec extends SparkSpec {
     assert(out(4L) == ((0.0, 0.0)))
   }
 
+  test("bigramNll ranks corpus-typical text as more fluent than one-off text") {
+    val typical = "the quick brown fox jumps over the lazy dog"
+    val docs = df(((0L to 9L).map(i => i -> typical) :+
+      (10L -> "zeta omega kappa lambda sigma epsilon theta delta iota")): _*)
+    val out = TextAnalysis.bigramNll(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.size == 11)
+    // every bigram of doc 10 occurs once in the corpus; doc 0's bigrams
+    // occur 10 times each — the LM must separate them decisively
+    assert(out(0L) < out(10L),
+      s"typical ${out(0L)} should be more fluent than unique ${out(10L)}")
+    // docs with < 2 tokens contribute no bigrams and are absent
+    assert(TextAnalysis.bigramNll(df(1L -> "single")).count() == 0)
+  }
+
   test("exactRepeatedSpans finds planted verbatim cross-doc repeats and nothing else") {
     val repeat = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     val docs = df(
