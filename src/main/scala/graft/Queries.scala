@@ -392,6 +392,15 @@ object Queries {
     // add-k smoothed bigram LM fluency (the CCNet-filter shape, order 2)
     "ta_bigram_nll" -> ((s, dir) =>
       TextAnalysis.bigramNll(docs(s, dir)).orderBy("id")),
+    // paragraph-level exact dedup with reconstruction; id%7 docs get their
+    // text doubled into two identical paragraphs so the within-doc and
+    // cross-doc claim paths are both exercised
+    "tc_paragraph_dedup" -> ((s, dir) =>
+      graft.text.Curation.dedupParagraphs(
+        docs(s, dir).withColumn("text",
+          when(col("id") % 7 === 0, concat(col("text"), lit("\n\n"), col("text")))
+            .otherwise(col("text"))))
+        .orderBy("id")),
     // span-level repeated-passage detection over positioned winnowing
     "tc_repeated_spans" -> ((s, dir) =>
       TextAnalysis.repeatedSpans(docs(s, dir)).orderBy("id")),
@@ -719,6 +728,30 @@ object Queries {
          |  round(-CAST(sum(lnp_micro) AS DOUBLE) / 1e6 / count(*), 6) AS nll
          |FROM uterm JOIN ulnp USING (term)
          |GROUP BY id ORDER BY id""".stripMargin
+    },
+    "tc_paragraph_dedup" -> {
+      val tp = OracleText.toks("para")
+      s"""WITH pdoc AS (
+         |  SELECT doc_id AS id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || chr(10) || text
+         |         ELSE text END AS t
+         |  FROM documents),
+         |psplit AS (
+         |  SELECT id, list_filter(
+         |    list_transform(string_split_regex(t, '\\n\\s*\\n'), p -> trim(p)),
+         |    p -> len(p) > 0) AS ps
+         |  FROM pdoc),
+         |pp AS MATERIALIZED (
+         |  SELECT id, CAST(u.i - 1 AS INT) AS pos, ps[u.i] AS para
+         |  FROM psplit, unnest(range(1, len(ps) + 1)) u(i)),
+         |pk AS (
+         |  SELECT id, pos, para,
+         |    row_number() OVER (
+         |      PARTITION BY array_to_string($tp, ' ') ORDER BY id, pos) AS rn
+         |  FROM pp)
+         |SELECT id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+         |FROM pk WHERE rn = 1 GROUP BY id ORDER BY id""".stripMargin
     },
     "ta_bigram_nll" -> {
       val t = OracleText.toks("text")

@@ -269,6 +269,38 @@ object Curation {
         ceil(col("required_tokens").cast("double") / col("tokens")).cast("int").as("epochs"))
   }
 
+  /** Paragraph-level exact dedup (the C4/MassiveText sub-document form,
+    * public method): the corpus keeps ONE occurrence of every distinct
+    * normalized paragraph — the first in (id, pos) order — and each
+    * document is reconstructed from its surviving paragraphs in original
+    * order. Paragraphs are blank-line-separated, trimmed, empties dropped;
+    * the dedup key is the whitespace/case-normalized token join, matching
+    * [[graft.dedup.Dedup.dedupExact]]'s key. Documents whose every
+    * paragraph was claimed elsewhere are absent from the output.
+    *
+    * Scale shape: one shuffle on the normalized paragraph (a window keyed
+    * on it picks the first claimant), one groupBy(id) to reassemble.
+    * Paragraph rows carry roughly corpus bytes once — no blowup. */
+  def dedupParagraphs(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = docs
+      .select(col(idCol).as("id"),
+        posexplode(filter(
+          transform(split(col(textCol), "\n\\s*\n"), p => trim(p)),
+          p => length(p) > 0)).as(Seq("pos", "para")))
+      .withColumn("_norm", array_join(TextFunctions.tokens(col("para")), " "))
+    val w = Window.partitionBy("_norm").orderBy("id", "pos")
+    paras
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")), "\n\n").as("text"))
+  }
+
   /** MATERIALIZE a [[mixturePlan]]: one output row per (doc, copy). A
     * domain with sample_rate r contributes floor(r) full epochs of every
     * doc plus a fractional epoch sampled by the same partition-invariant

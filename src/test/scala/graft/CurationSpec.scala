@@ -120,6 +120,25 @@ class CurationSpec extends SparkSpec {
     assert(out(4L) == ((0.0, 0.0)))
   }
 
+  test("dedupParagraphs: first (id, pos) occurrence claims, docs reconstruct in order") {
+    val shared = "this repeated paragraph appears in several documents today"
+    val docs = df(
+      1L -> s"unique opening paragraph one\n\n$shared\n\nunique closing paragraph one",
+      2L -> s"$shared\n\nanother unique paragraph two",
+      3L -> shared, // every paragraph claimed by doc 1 -> absent
+      4L -> s"Standalone   text with odd spacing\n\nstandalone text WITH odd spacing")
+    val out = graft.text.Curation.dedupParagraphs(docs).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 4L), out.mkString("; "))
+    // doc 1 keeps all three (first claimant of the shared paragraph)
+    assert(out(0)._2 == 3 && out(0)._3.contains(shared))
+    // doc 2 loses the shared paragraph, keeps its own, order preserved
+    assert(out(1)._2 == 1 && out(1)._3 == "another unique paragraph two")
+    // normalization is case/whitespace-insensitive: doc 4's two variants
+    // are one paragraph; the FIRST spelling survives
+    assert(out(2)._2 == 1 && out(2)._3 == "Standalone   text with odd spacing")
+  }
+
   test("bigramNll ranks corpus-typical text as more fluent than one-off text") {
     val typical = "the quick brown fox jumps over the lazy dog"
     val docs = df(((0L to 9L).map(i => i -> typical) :+
