@@ -16,7 +16,14 @@ class DeterminismSpec extends SparkSpec {
       "tc_contamination", "tc_repetition", "r2_bm25_indexed",
       "tp_pack_sequences", "tp_mixture_plan", "ann_sq8_topk", "ann_sq8_rerank",
       "ann_ivfsq8_topk", "tp_split_leakage", "tc_curation_incremental",
-      "ta_unigram_nll", "tc_repeated_spans")
+      "ta_unigram_nll", "tc_repeated_spans",
+      // round 5: two-pass exact spans (checkpointed candidates), window
+      // ranks (eval), LCG materialization, per-shard windows, paragraph
+      // claim windows, micro-unit bigram sums, batch-mode stateful gate,
+      // persisted-IVF build+refresh
+      "tc_exact_spans", "ev_self_retrieval", "tp_mixture_apply",
+      "tp_shuffle_shards", "tc_paragraph_dedup", "ta_bigram_nll",
+      "sd_admit_batch", "ann_ivf_indexed")
 
   private def rowsAt(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)
