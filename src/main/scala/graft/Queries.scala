@@ -392,6 +392,21 @@ object Queries {
     // add-k smoothed bigram LM fluency (the CCNet-filter shape, order 2)
     "ta_bigram_nll" -> ((s, dir) =>
       TextAnalysis.bigramNll(docs(s, dir)).orderBy("id")),
+    // Count-Min Sketch term-frequency summary: true top-20 terms vs their
+    // sketch estimates (deterministic pairwise hashes -> exact oracle)
+    "sk_cms_heavy_terms" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val truth = d
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(desc("true_cnt"), asc("term")).limit(20)
+        .localCheckpoint(true) // feeds the estimate probe and the join
+      val cms = graft.text.Sketches.cmsTermCounts(d)
+      graft.text.Sketches.cmsEstimate(cms, truth.select("term"))
+        .join(truth, Seq("term"))
+        .select(col("term"), col("true_cnt"), col("est").as("cms_est"))
+        .orderBy(desc("true_cnt"), col("term"))
+    }),
     // paragraph-level exact dedup with reconstruction; id%7 docs get their
     // text doubled into two identical paragraphs so the within-doc and
     // cross-doc claim paths are both exercised
@@ -728,6 +743,33 @@ object Queries {
          |  round(-CAST(sum(lnp_micro) AS DOUBLE) / 1e6 / count(*), 6) AS nll
          |FROM uterm JOIN ulnp USING (term)
          |GROUP BY id ORDER BY id""".stripMargin
+    },
+    "sk_cms_heavy_terms" -> {
+      val t = OracleText.toks("text")
+      val hterm = OracleText.polyHash("term")
+      val ab = graft.text.Sketches.A.zip(graft.text.Sketches.B).zipWithIndex
+        .map { case ((a, b), d) => s"($d, CAST($a AS BIGINT), CAST($b AS BIGINT))" }
+        .mkString(", ")
+      val (p, w) = (graft.text.Sketches.P, graft.text.Sketches.Width)
+      s"""WITH ctt AS MATERIALIZED (
+         |  SELECT t.term, $hterm AS h FROM documents, unnest($t) AS t(term)),
+         |cab AS (SELECT * FROM (VALUES $ab) x(d, a, b)),
+         |ctruth AS MATERIALIZED (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS true_cnt, min(h) AS h
+         |  FROM ctt GROUP BY 1 ORDER BY true_cnt DESC, term LIMIT 20),
+         |ccms AS MATERIALIZED (
+         |  SELECT cab.d, ((cab.a * ctt.h + cab.b) % $p) % $w AS cell,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM ctt CROSS JOIN cab GROUP BY 1, 2),
+         |cest AS (
+         |  SELECT tr.term, min(c.cnt) AS cms_est
+         |  FROM ctruth tr CROSS JOIN cab
+         |  JOIN ccms c ON c.d = cab.d
+         |    AND c.cell = ((cab.a * tr.h + cab.b) % $p) % $w
+         |  GROUP BY 1)
+         |SELECT tr.term, tr.true_cnt, e.cms_est
+         |FROM ctruth tr JOIN cest e USING (term)
+         |ORDER BY tr.true_cnt DESC, tr.term""".stripMargin
     },
     "tc_paragraph_dedup" -> {
       val tp = OracleText.toks("para")
