@@ -74,9 +74,17 @@ object Curation {
     val rate = rates.foldRight(lit(defaultRate): Column) { case ((p, r), acc) =>
       when(col("source").startsWith(p), lit(r)).otherwise(acc)
     }
-    val bucket = (col("id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
-    docs.filter(bucket < rate * lit(2147483648L))
+    docs.filter(lcgBucket(col("id")) < rate * lit(LcgMod))
   }
+
+  /** The engine's shared sampling hash: glibc-constant LCG of the id into
+    * [0, 2^31) — partition-invariant, cheap, DuckDB-reproducible. Every
+    * deterministic-sampling decision (quota sampling, split flags, mixture
+    * fractional epochs, shard shuffle) keys on this so one id always lands
+    * on the same side of a rate threshold across operators. */
+  val LcgMod = 2147483648L
+  def lcgBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (id * lit(1103515245L) + lit(12345L)) % lit(LcgMod)
 
   /** One-row funnel metrics: row counts at every stage plus the near-dup
     * pair count. Two corpus passes, not five: one aggregate over the profile
@@ -214,8 +222,8 @@ object Curation {
     * the id column joined onto the (small) pair set. */
   def splitLeakage(docs: DataFrame, valFrac: Double = 0.2,
                    jaccardThreshold: Double = 0.2): DataFrame = {
-    val bucket = (col("id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
-    val flags = docs.select(col("id"), (bucket < lit(valFrac) * lit(2147483648L)).as("_v"))
+    val flags = docs.select(col("id"),
+      (lcgBucket(col("id")) < lit(valFrac) * lit(LcgMod)).as("_v"))
     MinHashLsh.nearDuplicates(docs, jaccardThreshold)
       .join(flags.select(col("id").as("id_a"), col("_v").as("_va")), "id_a")
       .join(flags.select(col("id").as("id_b"), col("_v").as("_vb")), "id_b")
@@ -315,9 +323,9 @@ object Curation {
                    idCol: String = "id"): DataFrame = {
     val plan = mixturePlan(docs, targets, budgetFrac, domainCol)
       .select(col("domain"), col("sample_rate"))
-    val bucket = (col("id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
     val copies = (floor(col("sample_rate")).cast("long") +
-      when(bucket < (col("sample_rate") - floor(col("sample_rate"))) * lit(2147483648L), 1L)
+      when(lcgBucket(col("id")) <
+        (col("sample_rate") - floor(col("sample_rate"))) * lit(LcgMod), 1L)
         .otherwise(0L))
     docs.select(col(idCol).as("id"), col(domainCol).as("domain"))
       .join(broadcast(plan), Seq("domain"))

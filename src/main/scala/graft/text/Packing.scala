@@ -102,9 +102,8 @@ object Packing {
     * parameter a 100 TB run tunes. Output: (id, shard, pos). */
   def shuffleShards(docs: DataFrame, nShards: Int = 64,
                     idCol: String = "id"): DataFrame = {
-    val key = (col("id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
     docs.select(col(idCol).as("id"))
-      .withColumn("_k", key)
+      .withColumn("_k", Curation.lcgBucket(col("id")))
       .withColumn("shard", pmod(col("_k"), lit(nShards.toLong)).cast("int"))
       .withColumn("pos", row_number().over(
         Window.partitionBy("shard").orderBy(col("_k"), col("id"))).cast("long") - 1)

@@ -31,11 +31,6 @@ object Sketches {
   val A: Seq[Long] = Seq(31L, 131L, 1313L, 13131L)
   val B: Seq[Long] = Seq(7L, 77L, 777L, 7777L)
 
-  private def polyHash(c: Column): Column =
-    org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.expressions.PolyHash(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
-
   /** The d-th row's cell index for a term hash. */
   def cell(d: Int, h: Column): Column =
     pmod(pmod(lit(A(d)) * h + lit(B(d)), lit(P)), lit(Width.toLong))
@@ -43,7 +38,7 @@ object Sketches {
   /** Build the sketch: (d, cell, cnt) — at most Depth·Width rows however
     * large the corpus. One explode + one map-side-combined groupBy. */
   def cmsTermCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val h = polyHash(col("term"))
+    val h = TextFunctions.polyHash(col("term"))
     docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
       .select(posexplode(array((0 until Depth).map(d => cell(d, h)): _*))
@@ -57,7 +52,7 @@ object Sketches {
     * is ≤ Depth·Width rows and broadcasts. Output (term, est). */
   def cmsEstimate(cms: DataFrame, terms: DataFrame,
                   termCol: String = "term"): DataFrame = {
-    val h = polyHash(col(termCol))
+    val h = TextFunctions.polyHash(col(termCol))
     terms
       .select(col(termCol).as("term"),
         posexplode(array((0 until Depth).map(d => cell(d, h)): _*))
