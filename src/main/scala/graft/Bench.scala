@@ -37,6 +37,7 @@ object Bench {
     "ann_ivfsq8_topk",
     "tc_curation_survivors", "tc_corpus_stats", "tc_neardup_clusters",
     "tc_contamination", "tc_pii_scrub", "tc_repeated_spans", "tc_exact_spans",
+    "tc_paragraph_dedup", "ta_bigram_nll", "sk_cms_heavy_terms",
     "tp_pack_sequences", "tp_split_leakage", "ev_self_retrieval",
     "m5_merge_groups", "m9_policy_enforce", "m11_auto_link",
     "st_event_window_counts", "mm_feature_checksum", "s1_store_swap")

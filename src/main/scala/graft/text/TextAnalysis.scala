@@ -171,14 +171,17 @@ object TextAnalysis {
     val bgs = docs
       .select(col(idCol).as("id"),
         explode(TextFunctions.shingles(col(textCol), 2)).as("bg"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // feeds the LM aggregation and the scoring join
     val vocab = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
       .agg(count_distinct(col("term")).as("_v"))
     val bgStats = bgs.groupBy("bg").agg(count(lit(1)).as("_cbg"))
-    val ctxStats = bgs
-      .select(split(col("bg"), " ").getItem(0).as("_ctx"))
-      .groupBy("_ctx").agg(count(lit(1)).as("_cctx"))
+      .localCheckpoint(true) // feeds the context rollup and the lnp join
+    // context counts roll up from the DISTINCT-bigram stats (sum of counts
+    // by first token), not from raw occurrences — far fewer rows
+    val ctxStats = bgStats
+      .select(split(col("bg"), " ").getItem(0).as("_ctx"), col("_cbg"))
+      .groupBy("_ctx").agg(sum("_cbg").as("_cctx"))
     val lnpMicro = bgStats
       .withColumn("_ctx", split(col("bg"), " ").getItem(0))
       .join(ctxStats, "_ctx")
