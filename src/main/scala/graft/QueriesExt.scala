@@ -119,6 +119,11 @@ object QueriesExt {
         Tables.documents(s, dir).select(col("doc_id").as("id")))
       Multimodal.resizeImages(media).orderBy("media_id")
     }),
+    // gap-based sessionization of the usage log (batch form of the
+    // stateful streaming session machine; 30-min gap cutoff)
+    "st_sessionize" -> ((s, dir) =>
+      EventStream.sessionize(Tables.events(s, dir))
+        .orderBy("user_id", "session_idx")),
     "st_event_window_counts" -> ((s, dir) =>
       EventStream.windowedEventCounts(Tables.events(s, dir))
         .orderBy("window_start", "event_type")),
@@ -521,6 +526,24 @@ object QueriesExt {
         |  ('last friday standup', '2026-07-31T00:00:00Z', '2026-07-31T23:59:59Z', '0.0', '', TRUE),
         |  ('no temporal language here', '', '', '', '', FALSE))
         |AS t(query, since, until, graph_weight, recency_weight, auto_detected)""".stripMargin,
+    "st_sessionize" ->
+      """WITH se AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |sg AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM se WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |ss AS (
+        |  SELECT user_id, us, sum(newf) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM sg)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(us) AS BIGINT) AS start_us,
+        |  CAST(max(us) - min(us) AS BIGINT) AS dur_us
+        |FROM ss GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
     "st_event_window_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, sum(value) AS value_sum

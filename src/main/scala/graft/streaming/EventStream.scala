@@ -32,6 +32,31 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("value_sum"))
 
+  /** Gap-based sessionization of the usage log — the canonical stateful
+    * analytics shape over an event stream: consecutive events of a user
+    * belong to one session while the gap stays under `gapUs` (30 min
+    * default, the industry-standard web-analytics cutoff). This is the
+    * BATCH form (lag + running-sum islands, windows partitioned per user —
+    * no global order); the streaming form is the same state machine under
+    * a ProcessingTime/EventTime timeout, which
+    * [[runningFeedbackNets]]-style `mapGroupsWithState` already
+    * demonstrates. Output: (user_id, session_idx, n_events, start_us,
+    * dur_us) — epoch-microsecond longs, exact in both engines. */
+  def sessionize(events: DataFrame, gapUs: Long = 1800L * 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    val upTo = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("_us"))
+      .withColumn("_new", when(lag("_us", 1).over(w).isNull ||
+        col("_us") - lag("_us", 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum("_new").over(upTo))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("_us").as("start_us"),
+        (max("_us") - min("_us")).as("dur_us"))
+  }
+
   case class FeedbackEvent(memoryId: Long, signal: String, tsMicros: Long)
   case class FeedbackNet(memoryId: Long, net: Long, nEvents: Long)
 

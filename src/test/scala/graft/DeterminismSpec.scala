@@ -23,7 +23,8 @@ class DeterminismSpec extends SparkSpec {
       // persisted-IVF build+refresh
       "tc_exact_spans", "ev_self_retrieval", "tp_mixture_apply",
       "tp_shuffle_shards", "tc_paragraph_dedup", "ta_bigram_nll",
-      "sd_admit_batch", "ann_ivf_indexed")
+      "sd_admit_batch", "ann_ivf_indexed", "sk_cms_heavy_terms",
+      "st_sessionize")
 
   private def rowsAt(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)

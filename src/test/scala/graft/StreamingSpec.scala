@@ -68,6 +68,26 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((ts("2024-01-01 10:00:00"), "view", 2L, 3.0)))
   }
 
+  test("sessionize splits on the 30-minute gap and merges within it") {
+    val s = spark
+    import s.implicits._
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    // user 1: events at 0, 10, 29 min (one session), then 65 min (29+30=59
+    // < 65 -> new session); user 2: 0 and exactly 30 min (gap == cutoff,
+    // NOT greater -> one session)
+    val events = Seq(
+      (1L, 1L, ts(0)), (2L, 1L, ts(10)), (3L, 1L, ts(29)), (4L, 1L, ts(65)),
+      (5L, 2L, ts(0)), (6L, 2L, ts(30)))
+      .toDF("event_id", "user_id", "ts")
+    val out = EventStream.sessionize(events)
+      .orderBy("user_id", "session_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, 29L * 60000000L), // 3 events, 29-min span
+      (1L, 2L, 1L, 0L),
+      (2L, 1L, 2L, 30L * 60000000L)), out.mkString("; "))
+  }
+
   test("streaming ingest gate drops exact and corpus-near duplicates") {
     import graft.streaming.StreamDedup
     implicit val sqlCtx = spark.sqlContext
