@@ -99,7 +99,15 @@ object Bench {
     val measured = results.collect { case (_, v) if v >= 0 => v }
     val nFailed = results.count(_._2 < 0)
     val total = if (measured.nonEmpty) measured.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+    // tail hygiene: the driver reads the LAST 2000 chars, so the headline
+    // must be the FINAL line with nothing logged after it. Silence logging
+    // entirely, stop Spark (its shutdown chatter lands before the line),
+    // THEN print — r5's window still opened mid-INFO-line because stop()
+    // output followed the println through the driver's merged capture.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -36,9 +36,26 @@ object GraftExtensions {
     require(e.foldable, s"$fn: parameter must be a literal")
     val v = e.eval()
     require(v != null, s"$fn: parameter must not be NULL")
-    val i = v.asInstanceOf[Number].intValue()
-    require(i >= min, s"$fn: parameter must be >= $min, got $i")
-    i
+    // explicit integral-type match: a DECIMAL literal (2.5) or DOUBLE
+    // literal (2.9) must surface as the same clean planning error as a bad
+    // range — not a ClassCastException or a silent truncation to 2
+    val l: Long = v match {
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long    => l.longValue()
+      case s: java.lang.Short   => s.longValue()
+      case b: java.lang.Byte    => b.longValue()
+      case d: org.apache.spark.sql.types.Decimal =>
+        require(d.toBigDecimal.isWhole,
+          s"$fn: parameter must be an integer literal, got $d")
+        d.toLong
+      case other =>
+        throw new IllegalArgumentException(
+          s"requirement failed: $fn: parameter must be an integer literal, " +
+            s"got ${other.getClass.getSimpleName} $other")
+    }
+    require(l >= min && l <= Int.MaxValue,
+      s"$fn: parameter must be >= $min, got $l")
+    l.toInt
   }
 
   private def arity(es: Seq[Expression], n: Int, fn: String): Seq[Expression] = {
@@ -71,6 +88,8 @@ object GraftExtensions {
       PolyHash(_)),
     fn2("graft_shingle_hashes", "_FUNC_(str, n) - hashes of all n-token shingles")(
       (s, n) => ShingleHashes(s, intArg(n, "graft_shingle_hashes"))),
+    fn2("graft_shingles", "_FUNC_(str, n) - space-joined n-token shingle strings")(
+      (s, n) => Shingles(s, intArg(n, "graft_shingles"))),
     fn2("graft_minhash_sig", "_FUNC_(shingles, k) - k-hash MinHash signature")(
       (s, k) => MinHashSig(s, intArg(k, "graft_minhash_sig"))),
     fn1("graft_term_freqs", "_FUNC_(str) - (term, tf) pairs of the tokenized string")(

@@ -36,17 +36,37 @@ object IvfIndex {
   }
 
   /** O(batch) ingestion: assign ONLY the added rows against the stored
-    * centroids and append their files into the cell directories. The append
-    * is per-cell file creation, not a swap — a mid-write failure can leave
-    * a partial batch (re-run the batch idempotently by id-dedup downstream,
-    * or rebuild); the read path is unaffected because parquet readers
-    * ignore directories' in-flight `_temporary` content. */
+    * centroids and publish them into the cell directories. The batch is
+    * STAGED first — the long parquet write lands in a sibling tmp dir,
+    * never inside the live assignments tree — and only after it completes
+    * are the finished files renamed per-cell into place (part-file names
+    * carry task UUIDs, so renames never collide with resident files). A
+    * mid-write failure therefore leaves the live index byte-identical;
+    * the unsafe window shrinks to the metadata renames, the same
+    * write-then-swap discipline as [[Store.save]]. (On an HDFS/object-store
+    * deployment the rename loop becomes FileSystem.rename per file — same
+    * shape, still metadata-only on HDFS.) */
   def refresh(spark: SparkSession, path: String, addedMemories: DataFrame,
               idCol: String = "id"): Unit = {
     val cents = Store.load(spark, s"$path/centroids")
+    val staging = s"$path/assignments_batch.tmp"
+    Store.deleteRecursive(staging)
     Ann.assign(addedMemories.select(col(idCol).as("id"), col("embedding")), cents)
-      .write.mode("append").partitionBy("ivf_cell")
-      .parquet(s"$path/assignments")
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(staging)
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val live = Paths.get(s"$path/assignments")
+    Files.list(Paths.get(staging)).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("ivf_cell="))
+      .toSeq.foreach { cellDir =>
+        val dest = live.resolve(cellDir.getFileName.toString)
+        Files.createDirectories(dest)
+        Files.list(cellDir).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .toSeq.foreach(f => Files.move(f, dest.resolve(f.getFileName.toString)))
+      }
+    Store.deleteRecursive(staging)
   }
 
   /** The query path: rank stored centroids against the query (a scalar,

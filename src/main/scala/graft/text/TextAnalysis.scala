@@ -162,20 +162,33 @@ object TextAnalysis {
     *
     * Same exactness discipline as [[unigramNll]]: each distinct bigram's
     * log-probability is rounded to integer micro-units once, per-document
-    * sums are integer (order-free), one division at the end. Shape: the
-    * bigram explode feeds both the count aggregation and the scoring join
-    * (materialized once); context counts and the vocab scalar broadcast.
+    * sums are integer (order-free), one division at the end.
+    *
+    * Shape: the occurrence stream collapses to the per-document bigram
+    * MULTISET `(id, bg, cnt)` in its very first shuffle (map-side combined
+    * groupBy) and every later pass — global counts, context rollup, the
+    * scoring join — works on that far smaller frame, so no per-occurrence
+    * row ever crosses a second shuffle and the Zipf head ("of the"-class
+    * keys) is flattened by the id dimension in the grouping key. The
+    * residual scoring-join skew (one row per document containing a head
+    * bigram) is AQE skew-join territory, not a per-occurrence hot spot.
+    * An 8-byte polyHash join key was considered and rejected: the hash is
+    * mod 1e9+7, so corpus-scale bigram vocabularies collide (birthday
+    * bound ~3e4 keys) and a collision here corrupts the score — unlike
+    * [[exactRepeatedSpans]], which only ever uses hashes as a prefilter
+    * ahead of a verbatim verify.
     * Docs with fewer than 2 tokens have no bigrams and are absent. */
   def bigramNll(docs: DataFrame, k: Double = 0.1, textCol: String = "text",
                 idCol: String = "id"): DataFrame = {
-    val bgs = docs
+    val docBg = docs
       .select(col(idCol).as("id"),
         explode(TextFunctions.shingles(col(textCol), 2)).as("bg"))
+      .groupBy("id", "bg").agg(count(lit(1)).as("_cnt"))
       .localCheckpoint(true) // feeds the LM aggregation and the scoring join
     val vocab = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
       .agg(count_distinct(col("term")).as("_v"))
-    val bgStats = bgs.groupBy("bg").agg(count(lit(1)).as("_cbg"))
+    val bgStats = docBg.groupBy("bg").agg(sum("_cnt").as("_cbg"))
       .localCheckpoint(true) // feeds the context rollup and the lnp join
     // context counts roll up from the DISTINCT-bigram stats (sum of counts
     // by first token), not from raw occurrences — far fewer rows
@@ -189,9 +202,10 @@ object TextAnalysis {
       .select(col("bg"),
         round(log((col("_cbg") + lit(k)) / (col("_cctx") + lit(k) * col("_v"))) * 1e6, 0)
           .cast("long").as("_lnp_micro"))
-    bgs.join(lnpMicro, "bg")
+    docBg.join(lnpMicro, "bg")
       .groupBy("id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("_lnp_micro").as("_s"))
+      .agg(sum("_cnt").as("n_bigrams"),
+        sum(col("_lnp_micro") * col("_cnt")).as("_s"))
       .select(col("id"), col("n_bigrams"),
         round(-col("_s").cast("double") / 1e6 / col("n_bigrams"), 6).as("nll"))
   }

@@ -34,6 +34,11 @@ def frame(rel):
     """DuckDB relation -> pandas frame with columns sorted by name,
     mirroring the driver's compare path."""
     df = rel.df()
+    # duplicate column names would make df[sorted(...)] silently fan out
+    # into repeated columns and surface as a baffling dtype/row diff —
+    # fail loudly instead
+    assert len(set(df.columns)) == len(df.columns), \
+        f"duplicate column names in result: {sorted(df.columns)}"
     return df[sorted(df.columns)]
 
 
