@@ -186,6 +186,38 @@ object Queries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).withColumnRenamed("doc_id", "id")
 
+  /** Deterministic line-structured corpus for the C4-rule queries: the raw
+    * fixture docs carry no line breaks or punctuation, so pages are
+    * synthesized from each doc's tokens — 5-token lines where line i of doc
+    * id ends in '.' or '?' unless (id+i)%3==0 (no terminal mark), shrinks
+    * to 2 words when (id+i)%5==0, and gains a policy phrase when
+    * (id+i)%7==0; docs with id%37==0 get a lorem-ipsum line and id%41==0 a
+    * brace line (page-level drops). Mirrored verbatim in the oracle SQL
+    * ([[OracleText.c4PagesSql]]). */
+  private def c4Pages(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("id"), TextFunctions.tokens(col("text")).as("_t"))
+      .withColumn("_nl", floor(size(col("_t")) / 5).cast("int"))
+      .filter(col("_nl") >= 1)
+    base
+      .withColumn("_lines", transform(sequence(lit(0), col("_nl") - 1), i => {
+        val m = col("id") + i
+        val len = when(pmod(m, lit(5)) === 0, lit(2)).otherwise(lit(5))
+        val words = array_join(slice(col("_t"), i * 5 + 1, len), " ")
+        val policy = when(pmod(m, lit(7)) === 0, lit(" privacy policy"))
+          .otherwise(lit(""))
+        val punct = when(pmod(m, lit(3)) === 0, lit(""))
+          .when(pmod(m, lit(3)) === 1, lit(".")).otherwise(lit("?"))
+        concat(words, policy, punct)
+      }))
+      .select(col("id"), concat(
+        array_join(col("_lines"), "\n"),
+        when(pmod(col("id"), lit(37)) === 0,
+          lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+        when(pmod(col("id"), lit(41)) === 0,
+          lit("\nvar cfg = { mode: 1 };")).otherwise(lit(""))).as("text"))
+  }
+
   private val dedupQueries: Map[String, Q] = Map(
     "dd_exact_survivors" -> ((s, dir) =>
       Dedup.dedupExact(docs(s, dir)).select("id").orderBy("id")),
@@ -256,7 +288,10 @@ object Queries {
     // second — the oracle is the FULL-CORPUS IVF SQL, so the hash-match
     // proves refresh ≡ rebuild (stored centroids make assignment exact)
     "ann_ivf_indexed" -> ((s, dir) => {
-      val path = "/root/repo/target/tmp/ivf_index"
+      // tmp-root + per-process suffix: survives any checkout location and
+      // two concurrent suites/benches never share a live index directory
+      // (build's write-then-swap makes re-runs within one JVM idempotent)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_${ProcessHandle.current().pid()}"
       val mem = Corpus.memories(s, dir)
       val half = Corpus.nDocs(s, dir) / 2
       graft.ann.IvfIndex.build(
@@ -392,6 +427,12 @@ object Queries {
     // add-k smoothed bigram LM fluency (the CCNet-filter shape, order 2)
     "ta_bigram_nll" -> ((s, dir) =>
       TextAnalysis.bigramNll(docs(s, dir)).orderBy("id")),
+    // C4 heuristic cleaning rules (Raffel '20 §2.2) over the synthesized
+    // line-structured pages (raw fixture docs have no lines/punctuation)
+    "tc_c4_filters" -> ((s, dir) =>
+      graft.text.Curation.c4Filters(c4Pages(s, dir)).orderBy("id")),
+    "tc_c4_funnel" -> ((s, dir) =>
+      graft.text.Curation.c4Funnel(c4Pages(s, dir))),
     // Count-Min Sketch term-frequency summary: true top-20 terms vs their
     // sketch estimates (deterministic pairwise hashes -> exact oracle)
     "sk_cms_heavy_terms" -> ((s, dir) => {
@@ -818,6 +859,30 @@ object Queries {
          |FROM bbg JOIN blnp USING (bg)
          |GROUP BY id ORDER BY id""".stripMargin
     },
+    "tc_c4_filters" ->
+      s"""WITH ${OracleText.c4Ctes()}
+         |SELECT id, len(lines) AS n_lines, len(kept) AS n_kept,
+         |  array_to_string(kept, chr(10)) AS text
+         |FROM c4kept
+         |WHERE NOT contains(lower(text), 'lorem ipsum')
+         |  AND NOT contains(text, '{')
+         |  AND len(kept) >= 3
+         |ORDER BY id""".stripMargin,
+    "tc_c4_funnel" ->
+      s"""WITH ${OracleText.c4Ctes()},
+         |c4f AS (
+         |  SELECT contains(lower(text), 'lorem ipsum') AS lorem,
+         |         contains(text, '{') AS brace,
+         |         len(lines) AS nl, len(kept) AS nk
+         |  FROM c4kept)
+         |SELECT count(*) AS n_docs,
+         |  CAST(coalesce(sum(CASE WHEN lorem THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped_lorem,
+         |  CAST(coalesce(sum(CASE WHEN NOT lorem AND brace THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped_brace,
+         |  CAST(coalesce(sum(CASE WHEN NOT lorem AND NOT brace AND nk < 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped_short,
+         |  CAST(coalesce(sum(CASE WHEN NOT lorem AND NOT brace AND nk >= 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_survivors,
+         |  CAST(coalesce(sum(nl), 0) AS BIGINT) AS n_lines_total,
+         |  CAST(coalesce(sum(nk), 0) AS BIGINT) AS n_kept_total
+         |FROM c4f""".stripMargin,
     "tc_repeated_spans" -> {
       val t = OracleText.toks("text")
       val hs = s"list_transform(range(1, len($t) - 1), i -> ${OracleText.polyHash(s"array_to_string(list_slice($t, i, i + 2), ' ')")})"

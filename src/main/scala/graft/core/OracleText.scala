@@ -17,6 +17,43 @@ object OracleText {
   def polyHash(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
 
+  /** Synthesized line-structured C4 pages + the line/keep decomposition —
+    * the WITH-clause prefix shared by the tc_c4_* oracles. Kept in lockstep
+    * with Queries.c4Pages and [[graft.text.Curation.c4Filters]]. Emits CTEs
+    * c4pages(id, text) and c4kept(id, lines, kept, text). */
+  def c4Ctes(minWords: Int = 3): String = {
+    val t = toks("text")
+    s"""c4b AS MATERIALIZED (
+       |  SELECT doc_id AS id, $t AS t, CAST(floor(len($t)/5) AS INT) AS nl
+       |  FROM documents WHERE len($t) >= 5),
+       |c4lines AS (
+       |  SELECT id, list_transform(range(0, nl), i ->
+       |    array_to_string(list_slice(t, i*5 + 1,
+       |      i*5 + (CASE WHEN (id + i) % 5 = 0 THEN 2 ELSE 5 END)), ' ') ||
+       |    (CASE WHEN (id + i) % 7 = 0 THEN ' privacy policy' ELSE '' END) ||
+       |    (CASE WHEN (id + i) % 3 = 0 THEN ''
+       |         WHEN (id + i) % 3 = 1 THEN '.' ELSE '?' END)) AS ls
+       |  FROM c4b),
+       |c4pages AS MATERIALIZED (
+       |  SELECT id, array_to_string(ls, chr(10)) ||
+       |    (CASE WHEN id % 37 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END) ||
+       |    (CASE WHEN id % 41 = 0 THEN chr(10) || 'var cfg = { mode: 1 };' ELSE '' END) AS text
+       |  FROM c4lines),
+       |c4split AS (
+       |  SELECT id, list_filter(list_transform(string_split(text, chr(10)),
+       |    l -> trim(l)), l -> len(l) > 0) AS lines, text
+       |  FROM c4pages),
+       |c4kept AS MATERIALIZED (
+       |  SELECT id, lines, list_filter(lines, l ->
+       |      regexp_matches(l, '[.!?"]${"$"}')
+       |      AND len(list_filter(string_split_regex(l, '\\s+'),
+       |            w -> len(w) > 0)) >= $minWords
+       |      AND NOT regexp_matches(lower(l),
+       |            '(javascript|privacy policy|terms of use|cookie policy|uses cookies)')
+       |    ) AS kept, text
+       |  FROM c4split)""".stripMargin
+  }
+
   /** Distinct 3-gram shingle-hash CTE over documents: sh(id, sh). */
   def shingleCte(n: Int = 3): String = {
     val t = toks("text")

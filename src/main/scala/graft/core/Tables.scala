@@ -16,8 +16,25 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+  /** CPU fan-out for the single-file fixture tables: the driver's parquet
+    * has ONE row group, so the scan arrives as one split and every per-row
+    * kernel downstream (tokenize, shingle, dot product) serializes onto a
+    * single core — measured 6× of ta_bigram_nll's wall time at local[32].
+    * When scan parallelism is far below the cluster's, hash-redistribute by
+    * the row key once (the whole table is ≤1 MB here, so the exchange is
+    * noise); a real multi-file 100 TB table already arrives with thousands
+    * of splits and takes the `else` branch untouched. */
+  private def fanOut(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 4 <= target)
+      df.repartition(target, org.apache.spark.sql.functions.col(key))
+    else df
+  }
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    fanOut(load(spark, sfDir, "documents"), "doc_id")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    fanOut(load(spark, sfDir, "embeddings"), "vec_id")
 
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
     * only reads under the legacy nanosAsLong conf (as an epoch-nanos Long).

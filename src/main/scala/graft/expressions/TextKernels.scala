@@ -67,6 +67,32 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Space-joined n-token shingle STRINGS; empty array when fewer than n
+    * tokens. One pass, no per-window slice allocation — matches the HOF
+    * formulation transform(sequence(1, count), i -> concat_ws(' ',
+    * slice(toks, i, n))) exactly (TextFunctions.shinglesHof), which is
+    * CodegenFallback and ~10× slower per element. */
+  def shingleStrings(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(s)
+    val count = toks.length - (n - 1)
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature over a shingle-hash array: sig[i] = min over x of
     * ((2i+1)·x + 7919·i + 13) mod P. Matches the HOF formulation
     * transform(sequence(0, k-1), i -> array_min(transform(sh, ...))) used by
@@ -322,6 +348,17 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     TextKernels.shingleHashes(input.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingleStrings(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.shingleStrings($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -39,8 +39,18 @@ object TextFunctions {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(s)))
 
   /** Word n-gram shingles: array of space-joined n-token windows.
-    * Returns an empty array when the document has fewer than n tokens. */
-  def shingles(text: Column, n: Int): Column = {
+    * Returns an empty array when the document has fewer than n tokens.
+    * Native one-pass kernel ([[graft.expressions.Shingles]]) — the HOF
+    * formulation ([[shinglesHof]]) is CodegenFallback (every element
+    * interpreted) and allocates a slice per window. */
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.Shingles(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), n))
+
+  /** The declarative HOF formulation of [[shingles]] — the oracle-shaped
+    * reference the codegen kernel is pinned to (KernelEquivalenceSpec). */
+  def shinglesHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     val count = size(toks) - (n - 1)
     when(count > 0,

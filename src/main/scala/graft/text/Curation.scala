@@ -309,6 +309,74 @@ object Curation {
           x => x.getField("para")), "\n\n").as("text"))
   }
 
+  /** C4's heuristic cleaning rules (Raffel et al. '20 §2.2, public):
+    * line-level keeps — a retained line must end in a terminal punctuation
+    * mark, contain at least `minWords` words, and not contain a
+    * policy/boilerplate phrase ("javascript", "privacy policy", "terms of
+    * use", "cookie policy", "uses cookies") — and document-level drops: any
+    * page containing "lorem ipsum" or a curly brace, or retaining fewer
+    * than `minSentences` lines, is removed entirely. Output one row per
+    * surviving document: (id, n_lines, n_kept, text) with `text` rebuilt
+    * from the kept lines in original order.
+    *
+    * Scale shape: pure column math fused into the scan — one pass, no
+    * shuffle, no UDF; the line split and per-line predicates are HOFs over
+    * the row's own text. The RE2-safe regexes run identically in Spark and
+    * DuckDB (same discipline as [[scrubPii]]). */
+  def c4Filters(docs: DataFrame, minWords: Int = 3, minSentences: Int = 3,
+                textCol: String = "text", idCol: String = "id"): DataFrame =
+    c4Flagged(docs, minWords, textCol, idCol)
+      .filter(!col("_lorem") && !col("_brace") && size(col("_kept")) >= minSentences)
+      .select(col("id"), size(col("_lines")).as("n_lines"),
+        size(col("_kept")).as("n_kept"),
+        array_join(col("_kept"), "\n").as("text"))
+
+  /** One-row funnel for the C4 stage: exclusive drop accounting (a page
+    * counts against the FIRST rule that kills it: lorem → brace → too few
+    * kept sentences) plus total/kept line counts — all integer sums, so
+    * the DuckDB oracle matches exactly. */
+  def c4Funnel(docs: DataFrame, minWords: Int = 3, minSentences: Int = 3,
+               textCol: String = "text", idCol: String = "id"): DataFrame =
+    c4Flagged(docs, minWords, textCol, idCol)
+      .select(col("_lorem"), col("_brace"),
+        size(col("_lines")).as("_nl"), size(col("_kept")).as("_nk"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("_lorem"), 1L).otherwise(0L)), lit(0L))
+          .as("n_dropped_lorem"),
+        coalesce(sum(when(!col("_lorem") && col("_brace"), 1L).otherwise(0L)),
+          lit(0L)).as("n_dropped_brace"),
+        coalesce(sum(when(!col("_lorem") && !col("_brace") &&
+          col("_nk") < minSentences, 1L).otherwise(0L)), lit(0L))
+          .as("n_dropped_short"),
+        coalesce(sum(when(!col("_lorem") && !col("_brace") &&
+          col("_nk") >= minSentences, 1L).otherwise(0L)), lit(0L))
+          .as("n_survivors"),
+        coalesce(sum(col("_nl").cast("long")), lit(0L)).as("n_lines_total"),
+        coalesce(sum(col("_nk").cast("long")), lit(0L)).as("n_kept_total"))
+
+  /** RE2-safe phrase list for C4's line-level boilerplate rule. */
+  val C4PolicyRe = "(javascript|privacy policy|terms of use|cookie policy|uses cookies)"
+  /** Terminal punctuation (C4 keeps lines ending in . ! ? or a quote). */
+  val C4TerminalRe = "[.!?\"]$"
+
+  private def c4Flagged(docs: DataFrame, minWords: Int,
+                        textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val keepLine = (l: Column) =>
+      l.rlike(C4TerminalRe) &&
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minWords &&
+        !lower(l).rlike(C4PolicyRe)
+    docs
+      .select(col(idCol).as("id"), col(textCol).as("_raw"))
+      .withColumn("_lines",
+        filter(transform(split(col("_raw"), "\n"), l => trim(l)),
+          l => length(l) > 0))
+      .withColumn("_kept", filter(col("_lines"), keepLine))
+      .withColumn("_lorem", lower(col("_raw")).contains("lorem ipsum"))
+      .withColumn("_brace", col("_raw").contains("{"))
+  }
+
   /** MATERIALIZE a [[mixturePlan]]: one output row per (doc, copy). A
     * domain with sample_rate r contributes floor(r) full epochs of every
     * doc plus a fractional epoch sampled by the same partition-invariant

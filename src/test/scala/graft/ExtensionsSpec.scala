@@ -20,6 +20,7 @@ class ExtensionsSpec extends SparkSpec {
       """SELECT doc_id,
         |  graft_poly_hash(text) AS ph,
         |  graft_shingle_hashes(text, 3) AS sh,
+        |  graft_shingles(text, 2) AS sg,
         |  graft_minhash_sig(graft_shingle_hashes(text, 3), 32) AS mh,
         |  graft_term_freqs(text) AS tf,
         |  graft_simhash(text, 30) AS sf,
@@ -31,6 +32,7 @@ class ExtensionsSpec extends SparkSpec {
     val viaColumns = docs.select(col("doc_id"),
       kernel(PolyHash(ex(col("text")))).as("ph"),
       kernel(sh).as("sh"),
+      kernel(Shingles(ex(col("text")), 2)).as("sg"),
       kernel(MinHashSig(sh, 32)).as("mh"),
       kernel(TermFreqs(ex(col("text")))).as("tf"),
       kernel(SimHashFp(ex(col("text")), 30)).as("sf"),
@@ -72,6 +74,29 @@ class ExtensionsSpec extends SparkSpec {
         .collect()
     }
     assert(err.getMessage.contains("literal"), err.getMessage)
+  }
+
+  test("fractional kernel parameters are rejected as a clean planning error") {
+    FunctionBridge.register(spark)
+    core.Tables.documents(spark, sf()).limit(5)
+      .createOrReplaceTempView("ext_docs_frac")
+    // DECIMAL literal: must be the require message, not a ClassCastException
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_simhash(text, 2.5) FROM ext_docs_frac").collect()
+    }
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
+    // DOUBLE literal: must not silently truncate 2.9 -> 2
+    val err2 = intercept[Exception] {
+      spark.sql("SELECT graft_simhash(text, CAST('2.9' AS DOUBLE)) FROM ext_docs_frac")
+        .collect()
+    }
+    assert(err2.getMessage.contains("integer literal"), err2.getMessage)
+    // a whole-valued DECIMAL (plain SQL "2" parses as INT; "CAST(2 AS DECIMAL)")
+    // still works through the widening path
+    val ok = spark.sql(
+      "SELECT graft_simhash(text, CAST(2 AS DECIMAL(4,1))) FROM ext_docs_frac")
+      .collect()
+    assert(ok.length == 5)
   }
 
   test("the extensions hook applies cleanly at session-builder level") {

@@ -21,7 +21,7 @@ class KernelEquivalenceSpec extends SparkSpec {
       (acc, c) => (acc * TextFunctions.HashMul + ascii(c)) % TextFunctions.HashMod)
 
   private def hofShingleHashes(text: Column, n: Int): Column =
-    transform(TextFunctions.shingles(text, n), s => hofPolyHash(s))
+    transform(TextFunctions.shinglesHof(text, n), s => hofPolyHash(s))
 
   private def hofEmbed(text: Column, dim: Int): Column = {
     val hashes = transform(TextFunctions.tokens(text), t => hofPolyHash(t))
@@ -47,6 +47,23 @@ class KernelEquivalenceSpec extends SparkSpec {
         hofShingleHashes(col("text"), 3).as("b"))
       .filter(col("a") =!= col("b")).count()
     assert(diff == 0)
+  }
+
+  test("native shingles == HOF shingles (incl. short-doc empty arrays)") {
+    for (n <- Seq(2, 3, 8)) {
+      val diff = docs.select(
+          TextFunctions.shingles(col("text"), n).as("a"),
+          TextFunctions.shinglesHof(col("text"), n).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff == 0, s"n=$n")
+    }
+    // sub-n-token edge: both forms must yield the empty array, not null
+    val edge = Seq("one", "two words", "", "  ").toDF("text")
+    val d2 = edge.select(
+        TextFunctions.shingles(col("text"), 3).as("a"),
+        TextFunctions.shinglesHof(col("text"), 3).as("b"))
+      .filter(col("a") =!= col("b") || col("a").isNull).count()
+    assert(d2 == 0)
   }
 
   test("native hashEmbed == HOF embedding column") {
