@@ -311,6 +311,15 @@ object Queries {
       ivf.join(exact, "id")
         .agg(round(count(lit(1)) / 10.0, 6).as("recall_at_10"))
     }),
+    // SemDeDup (Abbas '23): k-means-cell semantic dedup — within-cell
+    // cosine pruning at eps, fixture centroids from the labeled embeddings.
+    // eps=0.3 (not the paper's 0.95): the synthetic hashing embeddings top
+    // out near 0.49 within-cell, and 0.3 drops ~35% — both branches live
+    "tc_semantic_dedup" -> ((s, dir) => {
+      val cent = Ann.centroidsByLabel(Tables.embeddings(s, dir))
+      graft.dedup.SemDedup.semanticDedup(Corpus.memories(s, dir), cent, eps = 0.3)
+        .orderBy("id")
+    }),
     // flagship 100 TB training-data curation pipeline: profile → filter →
     // exact dedup → MinHash-LSH near-dup removal, every stage distributed
     "tc_curation_survivors" -> ((s, dir) => {
@@ -542,6 +551,18 @@ object Queries {
          |ORDER BY sim DESC, m.id LIMIT 10""".stripMargin
 
   private val dedupOracles: Map[String, String] = Map(
+    "tc_semantic_dedup" ->
+      s"""WITH ${OracleCtes.memories},
+         |$ivfCtes,
+         |sdp AS (
+         |  SELECT DISTINCT a.id AS id
+         |  FROM asg a JOIN asg b ON a.ivf_cell = b.ivf_cell AND b.id < a.id
+         |  JOIN memories x ON x.id = a.id
+         |  JOIN memories y ON y.id = b.id
+         |  WHERE round(${OracleCtes.dot64("x.embedding", "y.embedding")}, 6) >= 0.3)
+         |SELECT a.id, a.ivf_cell FROM asg a
+         |WHERE a.id NOT IN (SELECT id FROM sdp)
+         |ORDER BY a.id""".stripMargin,
     "dd_exact_survivors" ->
       """SELECT doc_id AS id FROM (
         |  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn

@@ -1,0 +1,46 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+import graft.functions.VectorFunctions.{dot, roundScore}
+
+/** SemDeDup (Abbas et al. '23, arXiv:2303.09540 — public): semantic
+  * deduplication by k-means cells — embeddings are clustered, and pairwise
+  * cosine similarity is examined only WITHIN a cell; a row is dropped iff
+  * some same-cell row with a smaller id is `eps`-similar to it. That is the
+  * paper's upper-triangular max-similarity rule (keep the first item of
+  * each close pair, no transitive chaining), which is also the engine's D3
+  * drop-higher-id semantics (reference memory_engine.py:2239-2272).
+  *
+  * Scale shape: this is precisely why SemDeDup beats exhaustive
+  * embedding-dedup at corpus scale — the quadratic pair space is bounded
+  * per cell (k grows with n, so cells stay ~constant-sized), and the cell
+  * id is an equi-join key, so candidate generation is one bucketed
+  * self-join, never a global cross product. Centroids are a small broadcast
+  * table ([[Ann.MaxNlist]]-capped); the within-cell join shuffles each row
+  * once on its cell.
+  */
+object SemDedup {
+
+  /** Survivors (id, ivf_cell) after semantic dedup of `rows` (id,
+    * embedding) against fixed `centroids` (label, centroid). Deterministic:
+    * assignment ties break by label ([[Ann.assign]]), similarity is rounded
+    * to 6dp before the threshold, and the drop rule depends only on ids. */
+  def semanticDedup(rows: DataFrame, centroids: DataFrame,
+                    eps: Double = 0.9): DataFrame = {
+    val assigned = Ann.assign(rows.select(col("id"), col("embedding")), centroids)
+      .select(col("id"), col("ivf_cell"), col("embedding"))
+      .localCheckpoint(true) // feeds both sides of the pair join + survivors
+    val a = assigned
+      .select(col("id").as("id_a"), col("ivf_cell"), col("embedding").as("_ea"))
+    val b = assigned
+      .select(col("id").as("id_b"), col("ivf_cell"), col("embedding").as("_eb"))
+    val dropped = a.join(b, Seq("ivf_cell"))
+      .filter(col("id_b") < col("id_a"))
+      .filter(roundScore(dot(col("_ea"), col("_eb"))) >= eps)
+      .select(col("id_a").as("id")).distinct()
+    assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("ivf_cell"))
+  }
+}

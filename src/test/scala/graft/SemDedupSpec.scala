@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Corpus, Tables}
+import graft.dedup.SemDedup
+import graft.functions.VectorFunctions.{dot, roundScore}
+
+/** SemDeDup correctness: with one cell it must equal the exhaustive
+  * embedding-dedup rule (the d2/d3 drop-higher-id semantics it
+  * approximates), and cells must genuinely partition the pair space. */
+class SemDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val eps = 0.3
+
+  private lazy val mem = Corpus.memories(spark, sf())
+    .select("id", "embedding").limit(120).localCheckpoint(true)
+
+  test("single-cell SemDeDup == exhaustive drop-higher-id dedup") {
+    // one all-zero... a single unit centroid puts every row in cell 0
+    val dim = mem.select(size(col("embedding"))).head().getInt(0)
+    val one = Seq((0, Array.fill(dim)(1.0 / math.sqrt(dim))))
+      .toDF("label", "centroid")
+    val got = SemDedup.semanticDedup(mem, one, eps)
+      .select("id").as[Long].collect().sorted
+    // exhaustive: drop any id with a smaller-id eps-neighbor, no cells
+    val a = mem.select(col("id").as("id_a"), col("embedding").as("_ea"))
+    val b = mem.select(col("id").as("id_b"), col("embedding").as("_eb"))
+    val droppedIds = a.crossJoin(b).filter(col("id_b") < col("id_a"))
+      .filter(roundScore(dot(col("_ea"), col("_eb"))) >= eps)
+      .select(col("id_a")).distinct().as[Long].collect().toSet
+    val want = mem.select("id").as[Long].collect().filterNot(droppedIds).sorted
+    assert(got.sameElements(want))
+    assert(got.length < mem.count(), "fixture must actually drop something")
+  }
+
+  test("cells partition the pair space: no cross-cell pair is considered") {
+    // real fixture centroids -> multiple cells; survivors must equal the
+    // union of per-cell exhaustive dedups (a cross-cell eps-pair, if any,
+    // must NOT cause a drop)
+    val cent = graft.ann.Ann.centroidsByLabel(Tables.embeddings(spark, sf()))
+    val assigned = graft.ann.Ann.assign(mem, cent).localCheckpoint(true)
+    assert(assigned.select("ivf_cell").distinct().count() > 1)
+    val got = SemDedup.semanticDedup(mem, cent, eps)
+      .select("id").as[Long].collect().sorted
+    val perCell = assigned.select("ivf_cell").distinct().as[Int].collect()
+      .flatMap { c =>
+        val cellRows = assigned.filter(col("ivf_cell") === c)
+        val a = cellRows.select(col("id").as("id_a"), col("embedding").as("_ea"))
+        val b = cellRows.select(col("id").as("id_b"), col("embedding").as("_eb"))
+        val dropped = a.crossJoin(b).filter(col("id_b") < col("id_a"))
+          .filter(roundScore(dot(col("_ea"), col("_eb"))) >= eps)
+          .select(col("id_a")).distinct().as[Long].collect().toSet
+        cellRows.select("id").as[Long].collect().filterNot(dropped)
+      }.sorted
+    assert(got.sameElements(perCell))
+  }
+}
