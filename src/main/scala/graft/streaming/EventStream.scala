@@ -37,11 +37,9 @@ object EventStream {
     * belong to one session while the gap stays under `gapUs` (30 min
     * default, the industry-standard web-analytics cutoff). This is the
     * BATCH form (lag + running-sum islands, windows partitioned per user —
-    * no global order); the streaming form is the same state machine under
-    * a ProcessingTime/EventTime timeout, which
-    * [[runningFeedbackNets]]-style `mapGroupsWithState` already
-    * demonstrates. Output: (user_id, session_idx, n_events, start_us,
-    * dur_us) — epoch-microsecond longs, exact in both engines. */
+    * no global order); [[sessionizeStream]] is the same state machine under
+    * an event-time timeout. Output: (user_id, session_idx, n_events,
+    * start_us, dur_us) — epoch-microsecond longs, exact in both engines. */
   def sessionize(events: DataFrame, gapUs: Long = 1800L * 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("_us", "event_id")
@@ -55,6 +53,76 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"),
         min("_us").as("start_us"),
         (max("_us") - min("_us")).as("dur_us"))
+  }
+
+  // `ts` rides along only to keep the watermark tag attached through the
+  // projection (the event-time-timeout checker requires it on the stateful
+  // operator's input); the state machine itself works in epoch micros
+  case class SessEvent(userId: Long, eventId: Long, us: Long,
+                       ts: java.sql.Timestamp)
+  case class SessState(nextIdx: Long, startUs: Long, lastUs: Long,
+                       nEvents: Long, open: Boolean)
+  case class Session(user_id: Long, session_idx: Long, n_events: Long,
+                     start_us: Long, dur_us: Long)
+
+  /** Streaming form of [[sessionize]]: the SAME gap state machine run
+    * incrementally under an event-time timeout. A user's open session
+    * closes (emits) either when a later event arrives past the gap, or
+    * when the watermark passes last-event-time + gap (the timeout path —
+    * no later event needed). Session indices are sequential per user
+    * across the whole stream; the per-user counter survives timeouts, so
+    * indices match the batch form's running-sum islands exactly.
+    *
+    * Scale shape: state is one tiny fixed-size record per ACTIVE user
+    * (closed sessions leave only the counter), partitioned by user_id —
+    * the same no-global-order property as the batch form. On a batch
+    * frame the function answers identically for every CLOSED session
+    * (timeouts never fire in batch, so each user's trailing open session
+    * is withheld — StreamingSpec pins stream ≡ batch on that subset). */
+  def sessionizeStream(events: DataFrame, gapUs: Long = 1800L * 1000000L,
+                       watermark: String = "0 seconds"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        unix_micros(col("ts")).as("us"), col("ts"))
+      .as[SessEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            // close the open session, keep the index counter (no new
+            // timeout: nothing is open until the user's next event)
+            state.update(SessState(s.nextIdx + 1, 0L, 0L, 0L, open = false))
+            Iterator.single(
+              Session(uid, s.nextIdx, s.nEvents, s.startUs, s.lastUs - s.startUs))
+          } else {
+            // batch-internal order mirrors the batch window: (us, event_id)
+            val sorted = evs.toSeq.sortBy(e => (e.us, e.eventId))
+            var st = state.getOption
+              .getOrElse(SessState(1L, 0L, 0L, 0L, open = false))
+            val out = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              if (st.open && e.us - st.lastUs <= gapUs)
+                st = st.copy(lastUs = e.us, nEvents = st.nEvents + 1)
+              else {
+                if (st.open) {
+                  out += Session(uid, st.nextIdx, st.nEvents, st.startUs,
+                    st.lastUs - st.startUs)
+                  st = SessState(st.nextIdx + 1, e.us, e.us, 1L, open = true)
+                } else st = SessState(st.nextIdx, e.us, e.us, 1L, open = true)
+              }
+            }
+            state.update(st)
+            if (st.open)
+              state.setTimeoutTimestamp(st.lastUs / 1000L + gapUs / 1000L)
+            out.result().iterator
+          }
+      }
+      .toDF()
   }
 
   case class FeedbackEvent(memoryId: Long, signal: String, tsMicros: Long)

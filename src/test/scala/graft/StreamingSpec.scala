@@ -88,6 +88,69 @@ class StreamingSpec extends SparkSpec {
       (2L, 1L, 2L, 30L * 60000000L)), out.mkString("; "))
   }
 
+  test("streaming sessionize: gap-close, event-time timeout, and stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val s = spark
+    import s.implicits._
+    // off epoch zero: an event at exactly the initial watermark (epoch 0)
+    // would be dropped as late
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def tm(min: Long) = new Timestamp(base + min * 60000L)
+    val allEvents = Seq(
+      (1L, 1L, tm(0)), (2L, 1L, tm(10)), (3L, 1L, tm(29)), // u1 session 1
+      (4L, 1L, tm(65)),                                    // u1 session 2 (gap 36)
+      (5L, 2L, tm(65)),                                    // u2 session 1
+      (6L, 3L, tm(500)),                                   // u3 session 1
+      (7L, 3L, tm(1000)))                                  // u3 session 2 (open)
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val events = input.toDF().toDF("event_id", "user_id", "ts")
+    val q = EventStream.sessionizeStream(events)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_stream").start()
+    try {
+      // batch 1: u1's open session — nothing emits
+      input.addData(allEvents.take(3).map(e => (e._1, e._2, e._3)): _*)
+      q.processAllAvailable()
+      assert(spark.table("sess_stream").count() == 0)
+      // batch 2: event 4 closes u1 session 1 IN-HANDLER (gap 36 > 30)
+      input.addData((4L, 1L, tm(65)), (5L, 2L, tm(65)))
+      q.processAllAvailable()
+      assert(spark.table("sess_stream").as[(Long, Long, Long, Long, Long)]
+        .collect().toSet == Set((1L, 1L, 3L, base * 1000L, 29L * 60000000L)))
+      // batch 3: watermark jumps to 500min -> u1 session 2 and u2 session 1
+      // close by TIMEOUT (their last event + 30min < watermark)
+      input.addData((6L, 3L, tm(500)))
+      q.processAllAvailable()
+      // batch 4: u3's first session closes in-handler (gap 500 > 30)
+      input.addData((7L, 3L, tm(1000)))
+      q.processAllAvailable()
+      val got = spark.table("sess_stream")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // stream == batch on every CLOSED session: the batch form over the
+      // same events, minus u3's trailing still-open session
+      val batch = EventStream.sessionize(
+          allEvents.toDF("event_id", "user_id", "ts"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val open = (3L, 2L, 1L, base * 1000L + 1000L * 60000000L, 0L)
+      assert(batch.contains(open))
+      assert(got == batch - open, s"got=$got batch=$batch")
+    } finally q.stop()
+  }
+
+  test("sessionize batch mode of the streaming form withholds only open tails") {
+    val s = spark
+    import s.implicits._
+    def tm(min: Long) = new Timestamp(min * 60000L)
+    val events = Seq(
+      (1L, 1L, tm(0)), (2L, 1L, tm(10)), (3L, 1L, tm(65)), (4L, 2L, tm(0)))
+      .toDF("event_id", "user_id", "ts")
+    // batch execution of the stateful form: emits each user's closed
+    // sessions; trailing open sessions (u1 idx 2, u2 idx 1) stay withheld
+    val got = EventStream.sessionizeStream(events)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 2L, 0L, 10L * 60000000L)))
+  }
+
   test("streaming ingest gate drops exact and corpus-near duplicates") {
     import graft.streaming.StreamDedup
     implicit val sqlCtx = spark.sqlContext
