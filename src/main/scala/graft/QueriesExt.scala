@@ -98,6 +98,14 @@ object QueriesExt {
       graft.eval.RetrievalEval.selfRetrieval(
         Tables.documents(s, dir)
           .select(col("doc_id").as("id"), col("text")))),
+    // 2-hop graph-lift A/B: the reference's headline graph benchmark
+    // (eval/run_musique_graph_eval.py) — same queries at graph_weight 0 vs
+    // 0.1 over per-question scoped corpora, recall of the linked supports
+    "ev_graph_lift" -> ((s, dir) => {
+      val qvs = graft.eval.GraphLiftEval.Anchors
+        .map(a => a -> Queries.queryVec(s, dir, a)).toMap
+      graft.eval.GraphLiftEval.graphLift(Corpus.memories(s, dir), qvs)
+    }),
     "mm_feature_checksum" -> ((s, dir) => {
       val media = Multimodal.syntheticMediaTable(
         Tables.documents(s, dir).select(col("doc_id").as("id")))
@@ -284,6 +292,47 @@ object QueriesExt {
   private val oracleParams = Queries.oracleHybridParams
 
   val oracles: Map[String, String] = Map(
+    "ev_graph_lift" -> {
+      import graft.eval.GraphLiftEval._
+      // per-question scope: swap the memories CTE for a windowed view —
+      // the SQL mirror of memories.filter(id between A and A+Window)
+      def scopedMem(a: Long): String = {
+        val base = OracleCtes.memories
+        require(base.startsWith("memories AS MATERIALIZED ("),
+          "OracleCtes.memories head changed; update scopedMem")
+        "memories0" + base.stripPrefix("memories") +
+          s""",
+             |memories AS MATERIALIZED (
+             |  SELECT * FROM memories0 WHERE id BETWEEN $a AND ${a + Window})""".stripMargin
+      }
+      def block(a: Long, gw: Double): String = {
+        val p = params(Nil, gw)
+        val sql =
+          if (gw <= 0)
+            OracleHybrid.hybridSql(p, Window + 1, withFeedback = false,
+              vecId = a, memoriesCte = scopedMem(a))
+          else
+            OracleHybrid.graphSql(p, Window + 1, withFeedback = false,
+              vecId = a, memoriesCte = scopedMem(a))
+        s"SELECT CAST($a AS BIGINT) AS anchor, CAST('$gw' AS DOUBLE) AS gw, id FROM (\n$sql\n)"
+      }
+      val union = (for { a <- Anchors; gw <- GraphWeights } yield block(a, gw))
+        .mkString("\nUNION ALL\n")
+      val targets = Anchors.map(a => s"($a, ${a + Hop1}, ${a + Hop2})")
+        .mkString(", ")
+      // no stripMargin here: the embedded blocks are already rendered and
+      // must not be margin-processed twice
+      "WITH results AS (\n" + union + "\n),\n" +
+        s"targets AS (SELECT * FROM (VALUES $targets) AS t(anchor, hop1, hop2))\n" +
+        "SELECT r.gw AS graph_weight,\n" +
+        "  CAST(count(DISTINCT r.anchor) AS BIGINT) AS n_questions,\n" +
+        "  CAST(sum(CASE WHEN r.id = t.hop1 THEN 1 ELSE 0 END) AS BIGINT) AS hop1_hits,\n" +
+        "  CAST(sum(CASE WHEN r.id = t.hop2 THEN 1 ELSE 0 END) AS BIGINT) AS hop2_hits,\n" +
+        "  round(CAST(sum(CASE WHEN r.id = t.hop1 THEN 1 ELSE 0 END) AS DOUBLE) / count(DISTINCT r.anchor), 6) AS recall_hop1,\n" +
+        "  round(CAST(sum(CASE WHEN r.id = t.hop2 THEN 1 ELSE 0 END) AS DOUBLE) / count(DISTINCT r.anchor), 6) AS recall_hop2\n" +
+        "FROM results r JOIN targets t USING (anchor)\n" +
+        "GROUP BY 1 ORDER BY graph_weight"
+    },
     "ev_self_retrieval" -> {
       val t = OracleText.toks("text")
       val dot = "list_sum(list_transform(range(1, 65), i -> d.e[i] * q.e[i]))"

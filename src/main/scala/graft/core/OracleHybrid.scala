@@ -215,11 +215,16 @@ object OracleHybrid {
        |FROM expl e JOIN fused2 f USING (id), cc, fbs""".stripMargin
   }
 
-  /** Full fast-path hybrid oracle: SELECT id, source, category, rrf_score. */
-  def hybridSql(p: HybridSearch.Params, n: Long, withFeedback: Boolean, vecId: Long = 0): String = {
+  /** Full fast-path hybrid oracle: SELECT id, source, category, rrf_score.
+    * `memoriesCte` lets a caller swap in a SCOPED corpus (the graph-lift
+    * eval runs per-question windows, reference run_musique_graph_eval.py's
+    * per-question source_prefix scope). */
+  def hybridSql(p: HybridSearch.Params, n: Long, withFeedback: Boolean,
+                vecId: Long = 0,
+                memoriesCte: String = OracleCtes.memories): String = {
     val k = math.min(p.k, 100)
     val fb = if (withFeedback) s",\n${OracleCtes.searchFeedback}" else ""
-    s"""WITH ${OracleCtes.memories}$fb,
+    s"""WITH $memoriesCte$fb,
        |${fusedCtes(p, n, vecId)}
        |SELECT f.id, m.source, m.category, round(f.rrf, 6) AS rrf_score
        |FROM fused f JOIN memories m USING (id)
@@ -227,8 +232,11 @@ object OracleHybrid {
   }
 
   /** Graph-path oracle: 3 unrolled PPR iterations + reserved-slot merge.
-    * Mirrors [[graft.search.GraphSearch]]. */
-  def graphSql(p: HybridSearch.Params, n: Long, withFeedback: Boolean, vecId: Long = 0): String = {
+    * Mirrors [[graft.search.GraphSearch]]. `memoriesCte` as in
+    * [[hybridSql]]. */
+  def graphSql(p: HybridSearch.Params, n: Long, withFeedback: Boolean,
+               vecId: Long = 0,
+               memoriesCte: String = OracleCtes.memories): String = {
     val k = math.min(p.k, 100)
     val alpha = GraphSearch.Alpha
     val restart = 1.0 - alpha
@@ -250,7 +258,7 @@ object OracleHybrid {
          |  ) GROUP BY 1
          |)""".stripMargin
     }
-    s"""WITH ${OracleCtes.memories}$fb,
+    s"""WITH $memoriesCte$fb,
        |${fusedCtes(p, n, vecId)},
        |${OracleCtes.edges},
        |vis AS (SELECT id FROM memories WHERE TRUE $archPred $prefixPred),

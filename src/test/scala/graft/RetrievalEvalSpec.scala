@@ -58,4 +58,62 @@ class RetrievalEvalSpec extends SparkSpec {
     // truncation keeps the first half of the tokens
     assert(qs.head.getString(1) == "mike november oscar")
   }
+
+  // ------------------------------------------------------ 2-hop graph lift
+
+  private def liftCorpus = {
+    val s = spark
+    import s.implicits._
+    // hand fixture: the query vector is [1,0,...]. Doc 1 (the anchor)
+    // matches it exactly; doc 2 (the linked support) is ORTHOGONAL to the
+    // query, so the base ranker puts it dead last; distractors 3-5 score
+    // 0.9. With graph off, top-3 = {1,3,4} (ties by id). With graph on,
+    // the anchor's entire propagated PPR mass flows down its ONLY edge
+    // 1→2 while the edgeless distractors receive nothing beyond their own
+    // teleport — so doc 2 is the top boosted/injected candidate and must
+    // enter the top-3. No arithmetic needed beyond "sole neighbor of the
+    // top seed beats nodes with zero incoming mass".
+    def vec(x: Float, y: Float) = Seq(x, y, 0f, 0f)
+    Seq(
+      (1L, "anchor", vec(1f, 0f), Seq((("related_to", 2L)))),
+      (2L, "support", vec(0f, 1f), Seq.empty[(String, Long)]),
+      (3L, "noise a", vec(0.9f, 0.1f), Seq.empty[(String, Long)]),
+      (4L, "noise b", vec(0.9f, 0.1f), Seq.empty[(String, Long)]),
+      (5L, "noise c", vec(0.9f, 0.1f), Seq.empty[(String, Long)]))
+      .toDF("id", "text", "embedding", "_l")
+      .withColumn("links", transform(col("_l"),
+        l => struct(l.getField("_1").as("link_type"), l.getField("_2").as("to_id"))))
+      .drop("_l")
+      .withColumn("source", concat(lit("src/"), col("id")))
+      .withColumn("category", lit("detail"))
+      .withColumn("archived", lit(false))
+      .withColumn("created_at", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("updated_at", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("document_at", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("last_reinforced_at", lit(null).cast("timestamp"))
+  }
+
+  test("graph expansion lifts the linked support into the top k") {
+    import graft.search.HybridSearch
+    val qv = Seq(1f, 0f, 0f, 0f)
+    def top3(gw: Double): Seq[Long] =
+      HybridSearch.search(liftCorpus, None,
+          graft.eval.GraphLiftEval.params(qv, gw).copy(k = 3))
+        .select("id").collect().map(_.getLong(0)).toSeq
+    val off = top3(0.0)
+    val on = top3(0.1)
+    assert(off == Seq(1L, 3L, 4L), s"off=$off") // support absent, ties by id
+    assert(on.contains(2L), s"on=$on")          // support lifted by the link
+    assert(on.head == 1L)                       // anchor still first
+  }
+
+  test("the registered graph-lift A/B reports a positive hop-1 lift") {
+    val qvs = graft.eval.GraphLiftEval.Anchors
+      .map(a => a -> Queries.queryVec(spark, sf(), a)).toMap
+    val rows = graft.eval.GraphLiftEval.graphLift(
+        graft.core.Corpus.memories(spark, sf()), qvs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(4)).toMap
+    assert(rows(0.1) > rows(0.0),
+      s"expected positive hop1 lift, got $rows")
+  }
 }
