@@ -27,6 +27,14 @@ object GraphSearch {
   val ReservedSlots = 2
   val SupportCap = 0.33
 
+  /** Session conf key: when "true", [[ppr]]'s final materialization uses a
+    * RELIABLE checkpoint (spark.sparkContext.setCheckpointDir required)
+    * instead of localCheckpoint. Local blocks die with their executor; on
+    * a real cluster a long PPR loop should pay the checkpoint-dir write to
+    * survive executor loss. Default off — at local[32] the local form wins
+    * (GraphSearchSpec exercises both). */
+  val ReliableCheckpointConf = "graft.graph.reliableCheckpoint"
+
   /** R8: bidirectional edge list from inline links — (src, dst), self-edges
     * and dangling targets dropped, deduped (memory_engine.py:1490-1508). */
   def edges(memories: DataFrame, linkType: String = "related_to"): DataFrame = {
@@ -83,6 +91,11 @@ object GraphSearch {
     val pTotal = if (pTotalRaw == 0.0) 1.0 else pTotalRaw
     val restart = 1.0 - alpha
 
+    // reliable (checkpoint-dir-backed) round materialization on request:
+    // local-checkpoint blocks die with their executor, so a real-cluster
+    // deployment can trade speed for loop recoverability via session conf
+    val reliable = edgesDf.sparkSession.conf
+      .get(ReliableCheckpointConf, "false").toBoolean
     var cur = s.select(col("id"), col("p").as("score"), col("deg"))
     for (_ <- 1 to iters) {
       // dangling mass enters as a broadcast 1-row aggregate so each round is
@@ -98,14 +111,16 @@ object GraphSearch {
         .join(e3, col("id") === col("src"))
         .select(col("dst").as("id"), (lit(alpha) * col("score") / col("deg")).as("c"),
           col("deg_dst").as("deg"))
-      cur = teleport.unionAll(prop).groupBy("id")
+      val agged = teleport.unionAll(prop).groupBy("id")
         .agg(sum("c").as("score"), max("deg").as("deg"))
-        // eager per-round checkpoint. Measured alternative (round 3): one
-        // checkpoint after the loop is 30% SLOWER — each round's dangling
-        // broadcast references the previous round's frame a second time, so
-        // without materialization the un-checkpointed subplan is duplicated
-        // per round and the nesting compounds.
-        .localCheckpoint()
+      // eager per-round checkpoint — the MEASURED optimum among three
+      // shapes: one checkpoint after the loop re-executes each round's
+      // subplan through the dangling broadcast (30% slower, round 3), and
+      // lazy per-round persist + one final materialization ADDS jobs under
+      // AQE (cache-build and broadcast materializations: r10 105 -> 118,
+      // r12 85 -> 90 measured this round) — the straight eager checkpoint
+      // stays the floor.
+      cur = if (reliable) agged.checkpoint() else agged.localCheckpoint()
     }
     // the eager checkpoint above makes `cur` lineage-free — the loop inputs
     // can be freed here instead of leaking for the session lifetime

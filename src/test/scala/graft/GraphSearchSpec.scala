@@ -39,6 +39,30 @@ class GraphSearchSpec extends SparkSpec {
     for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-9, s"node $k: ${got(k)} vs $v")
   }
 
+  test("reliable-checkpoint flag: identical PPR through the checkpoint dir") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ppr_ckpt").toString
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val seeds = Seq((1L, 1.0)).toDF("id", "p")
+    val local = GraphSearch.ppr(edges, seeds).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(GraphSearch.ReliableCheckpointConf, "true")
+    try {
+      val reliable = GraphSearch.ppr(edges, seeds).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(reliable == local)
+      // the rounds really went through the reliable path: checkpoint files
+      // exist under the configured dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .anyMatch(p => java.nio.file.Files.isRegularFile(p))
+      assert(wrote, s"no checkpoint files under $dir")
+    } finally {
+      spark.conf.set(GraphSearch.ReliableCheckpointConf, "false")
+      graft.sources.Store.deleteRecursive(dir)
+    }
+  }
+
   test("1-hop neighbor outscores 2-hop neighbor") {
     val fwd = Seq((1L, 2L), (2L, 3L))
     val edges = (fwd ++ fwd.map(e => (e._2, e._1))).toDF("src", "dst")

@@ -23,7 +23,9 @@ class JobCountSpec extends SparkSpec {
   /** (query, max jobs) — measured 2026-08-13 at sf0.001, local[4], AQE on:
     * r10=101 r12=78 r14g=40 r14=32 r4=26 r15=43 d4=23 tcnd=11 d5=19. */
   private val ceilings: Seq[(String, Int)] = Seq(
-    "r10_graph_search" -> 115,
+    // same-code measurements span 105-113 after the Tables fan-out exchange
+    // (AQE stage-count nondeterminism); 113 + ~10%
+    "r10_graph_search" -> 125,
     "r12_threshold_graph" -> 90,
     "r14_explain_graph" -> 46,
     "r14_explain" -> 37,
