@@ -33,14 +33,20 @@ object Bench {
     "d4_similar_clusters", "d5_consolidation_clusters", "d8_smart_import",
     "dd_exact_survivors", "lsh_minhash_neardup", "sh_simhash_neardup",
     "fp_winnowing", "ta_text_profile", "e1_embed_checksum",
-    "ann_ivf_topk", "ann_ivf_indexed", "ann_lsh_brp_pairs", "ann_sq8_topk",
-    "ann_ivfsq8_topk",
+    // ann_sq8_topk dropped from the line (2000-char window budget): SQ8 is
+    // still timed through the ann_ivfsq8_topk composition
+    "ann_ivf_topk", "ann_ivf_indexed", "ann_lsh_brp_pairs", "ann_ivfsq8_topk",
     "tc_curation_survivors", "tc_corpus_stats", "tc_neardup_clusters",
     "tc_contamination", "tc_pii_scrub", "tc_repeated_spans", "tc_exact_spans",
     "tc_paragraph_dedup", "ta_bigram_nll", "sk_cms_heavy_terms",
+    "tc_c4_filters", "tc_semantic_dedup",
     "tp_pack_sequences", "tp_split_leakage", "ev_self_retrieval",
     "m5_merge_groups", "m9_policy_enforce", "m11_auto_link",
-    "st_event_window_counts", "mm_feature_checksum", "s1_store_swap")
+    "st_event_window_counts", "st_sessionize", "mm_feature_checksum",
+    "s1_store_swap")
+    // ev_graph_lift stays off the headline deliberately: it runs 8 full
+    // hybrid+PPR searches (an eval harness, not an operator) and would
+    // both dominate the wall total and crowd the 2000-char parse window
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
