@@ -24,7 +24,10 @@ class DeterminismSpec extends SparkSpec {
       "tc_exact_spans", "ev_self_retrieval", "tp_mixture_apply",
       "tp_shuffle_shards", "tc_paragraph_dedup", "ta_bigram_nll",
       "sd_admit_batch", "ann_ivf_indexed", "sk_cms_heavy_terms",
-      "st_sessionize")
+      "st_sessionize",
+      // round 6: within-cell pair join (semantic dedup), HOF line filters
+      // over synthesized pages, the 8-arm scoped hybrid+PPR A/B
+      "tc_semantic_dedup", "tc_c4_filters", "tc_c4_funnel", "ev_graph_lift")
 
   private def rowsAt(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)
