@@ -48,6 +48,17 @@ object GraftExtensions {
         require(d.toBigDecimal.isWhole,
           s"$fn: parameter must be an integer literal, got $d")
         d.toLong
+      // uniform widening contract: whole-valued DOUBLE/FLOAT literals are
+      // accepted exactly like whole-valued DECIMALs; fractional ones get
+      // the same clean planning error
+      case d: java.lang.Double =>
+        require(d.doubleValue() == math.floor(d.doubleValue()) && !d.isInfinite,
+          s"$fn: parameter must be an integer literal, got $d")
+        d.longValue()
+      case f: java.lang.Float =>
+        require(f.floatValue() == math.floor(f.floatValue()) && !f.isInfinite,
+          s"$fn: parameter must be an integer literal, got $f")
+        f.longValue()
       case other =>
         throw new IllegalArgumentException(
           s"requirement failed: $fn: parameter must be an integer literal, " +

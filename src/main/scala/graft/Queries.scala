@@ -186,6 +186,16 @@ object Queries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).withColumnRenamed("doc_id", "id")
 
+  /** Register a JVM-exit delete for a per-process tmp tree, once per path. */
+  private val reaped = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def reapAtExit(path: String): Unit =
+    reaped.getOrElseUpdate(path, {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try graft.sources.Store.deleteRecursive(path)
+        catch { case _: Throwable => () }))
+      true
+    })
+
   /** Deterministic line-structured corpus for the C4-rule queries: the raw
     * fixture docs carry no line breaks or punctuation, so pages are
     * synthesized from each doc's tokens — 5-token lines where line i of doc
@@ -290,8 +300,10 @@ object Queries {
     "ann_ivf_indexed" -> ((s, dir) => {
       // tmp-root + per-process suffix: survives any checkout location and
       // two concurrent suites/benches never share a live index directory
-      // (build's write-then-swap makes re-runs within one JVM idempotent)
+      // (build's write-then-swap makes re-runs within one JVM idempotent);
+      // a shutdown hook reaps the tree so repeated JVM runs don't litter tmp
       val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_${ProcessHandle.current().pid()}"
+      reapAtExit(path)
       val mem = Corpus.memories(s, dir)
       val half = Corpus.nDocs(s, dir) / 2
       graft.ann.IvfIndex.build(

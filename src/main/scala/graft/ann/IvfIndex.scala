@@ -53,18 +53,24 @@ object IvfIndex {
     Store.deleteRecursive(staging)
     Ann.assign(addedMemories.select(col(idCol).as("id"), col("embedding")), cents)
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(staging)
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Path, Paths}
     import scala.jdk.CollectionConverters._
+    // Files.list holds an open DirectoryStream: drain it under try/finally
+    // or a long-lived ingest loop leaks one fd per call per cell dir
+    def listDir(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toVector finally s.close()
+    }
     val live = Paths.get(s"$path/assignments")
-    Files.list(Paths.get(staging)).iterator().asScala
+    listDir(Paths.get(staging))
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("ivf_cell="))
-      .toSeq.foreach { cellDir =>
+      .foreach { cellDir =>
         val dest = live.resolve(cellDir.getFileName.toString)
         Files.createDirectories(dest)
-        Files.list(cellDir).iterator().asScala
+        listDir(cellDir)
           .filter(_.getFileName.toString.startsWith("part-"))
-          .toSeq.foreach(f => Files.move(f, dest.resolve(f.getFileName.toString)))
+          .foreach(f => Files.move(f, dest.resolve(f.getFileName.toString)))
       }
     Store.deleteRecursive(staging)
   }

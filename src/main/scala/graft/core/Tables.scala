@@ -16,25 +16,33 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** CPU fan-out for the single-file fixture tables: the driver's parquet
-    * has ONE row group, so the scan arrives as one split and every per-row
-    * kernel downstream (tokenize, shingle, dot product) serializes onto a
-    * single core — measured 6× of ta_bigram_nll's wall time at local[32].
-    * When scan parallelism is far below the cluster's, hash-redistribute by
-    * the row key once (the whole table is ≤1 MB here, so the exchange is
-    * noise); a real multi-file 100 TB table already arrives with thousands
-    * of splits and takes the `else` branch untouched. */
-  private def fanOut(df: DataFrame, key: String): DataFrame = {
+  /** CPU fan-out for the single-file documents fixture: the driver's
+    * parquet has ONE row group, so the scan arrives as one split and every
+    * per-row kernel downstream (tokenize, shingle, embed) serializes onto
+    * a single core — measured 6× of ta_bigram_nll's wall time at
+    * local[32]. When scan parallelism is far below the cluster's,
+    * hash-redistribute by the row key once (the whole table is ≤1 MB here,
+    * so the exchange is noise); a real multi-file 100 TB table already
+    * arrives with thousands of splits and takes the `else` branch
+    * untouched. Applied to documents ONLY: the embeddings table's
+    * consumers broadcast it or head() single rows, where an injected
+    * exchange is pure overhead, and its kernel-heavy uses flow through the
+    * memories join whose partitioning follows the documents side. The
+    * split-count probe is memoized per path — `df.rdd` forces physical
+    * planning, which should not rerun on every query. */
+  private val fanOutCache = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def fanOut(df: DataFrame, key: String, cacheKey: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 4 <= target)
-      df.repartition(target, org.apache.spark.sql.functions.col(key))
+    val few = fanOutCache.getOrElseUpdate(s"$cacheKey@$target",
+      df.rdd.getNumPartitions * 4 <= target)
+    if (few) df.repartition(target, org.apache.spark.sql.functions.col(key))
     else df
   }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
-    fanOut(load(spark, sfDir, "documents"), "doc_id")
+    fanOut(load(spark, sfDir, "documents"), "doc_id", s"$sfDir/documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
-    fanOut(load(spark, sfDir, "embeddings"), "vec_id")
+    load(spark, sfDir, "embeddings")
 
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
     * only reads under the legacy nanosAsLong conf (as an epoch-nanos Long).

@@ -117,8 +117,11 @@ object EventStream {
               }
             }
             state.update(st)
+            // ceiling-ms of the true micro deadline: flooring each term
+            // separately could fire the timeout up to ~2ms EARLY, splitting
+            // a session an on-time boundary event should have extended
             if (st.open)
-              state.setTimeoutTimestamp(st.lastUs / 1000L + gapUs / 1000L)
+              state.setTimeoutTimestamp((st.lastUs + gapUs + 999L) / 1000L)
             out.result().iterator
           }
       }

@@ -91,12 +91,16 @@ class ExtensionsSpec extends SparkSpec {
         .collect()
     }
     assert(err2.getMessage.contains("integer literal"), err2.getMessage)
-    // a whole-valued DECIMAL (plain SQL "2" parses as INT; "CAST(2 AS DECIMAL)")
-    // still works through the widening path
+    // whole-valued DECIMAL and DOUBLE both work through the same widening
+    // path (uniform contract: wholeness decides, not the literal's type)
     val ok = spark.sql(
       "SELECT graft_simhash(text, CAST(2 AS DECIMAL(4,1))) FROM ext_docs_frac")
       .collect()
     assert(ok.length == 5)
+    val ok2 = spark.sql(
+      "SELECT graft_simhash(text, CAST('2' AS DOUBLE)) FROM ext_docs_frac")
+      .collect()
+    assert(ok2.length == 5)
   }
 
   test("the extensions hook applies cleanly at session-builder level") {

@@ -20,22 +20,22 @@ import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
   * point is that it cannot move silently. */
 class JobCountSpec extends SparkSpec {
 
-  /** (query, max jobs) — measured 2026-08-13 at sf0.001, local[4], AQE on:
-    * r10=101 r12=78 r14g=40 r14=32 r4=26 r15=43 d4=23 tcnd=11 d5=19. */
+  /** (query, max jobs) — measured 2026-08-13 (round 6) at sf0.001,
+    * local[4], AQE on, after scoping the fixture fan-out to documents
+    * only (the embeddings repartition was pure overhead ahead of
+    * broadcast/head consumers — removing it LOWERED the whole family
+    * below its round-5 floor): r10=97 r12=79 r14g=38 r14=32 r4=25 r15=41
+    * d4=25 tcnd=12 d5=21. Ceilings = measured + ~15%. */
   private val ceilings: Seq[(String, Int)] = Seq(
-    // same-code measurements span 105-113 after the Tables fan-out exchange
-    // (AQE stage-count nondeterminism); 113 + ~10%
-    "r10_graph_search" -> 125,
-    "r12_threshold_graph" -> 90,
-    "r14_explain_graph" -> 46,
+    "r10_graph_search" -> 112,
+    "r12_threshold_graph" -> 91,
+    "r14_explain_graph" -> 44,
     "r14_explain" -> 37,
-    "r4_hybrid_rrf" -> 30,
-    "r15_batch_search" -> 50,
-    "d4_similar_clusters" -> 27,
-    "tc_neardup_clusters" -> 13,
-    // 23 measured after the Tables fan-out exchange (+listener-drain fix
-    // counting previously-missed events); +15%
-    "d5_consolidation_clusters" -> 27
+    "r4_hybrid_rrf" -> 29,
+    "r15_batch_search" -> 47,
+    "d4_similar_clusters" -> 29,
+    "tc_neardup_clusters" -> 14,
+    "d5_consolidation_clusters" -> 24
   )
 
   private val counter = new AtomicInteger(0)

@@ -36,9 +36,9 @@ def frame(rel):
     df = rel.df()
     # duplicate column names would make df[sorted(...)] silently fan out
     # into repeated columns and surface as a baffling dtype/row diff —
-    # fail loudly instead
-    assert len(set(df.columns)) == len(df.columns), \
-        f"duplicate column names in result: {sorted(df.columns)}"
+    # fail loudly (a raise, not an assert: asserts vanish under -O)
+    if len(set(df.columns)) != len(df.columns):
+        raise ValueError(f"duplicate column names in result: {sorted(df.columns)}")
     return df[sorted(df.columns)]
 
 
