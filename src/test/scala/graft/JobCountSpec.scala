@@ -35,7 +35,11 @@ class JobCountSpec extends SparkSpec {
     "r15_batch_search" -> 47,
     "d4_similar_clusters" -> 29,
     "tc_neardup_clusters" -> 14,
-    "d5_consolidation_clusters" -> 24
+    "d5_consolidation_clusters" -> 24,
+    // round-6 reshape pin (pre-agg to (id,bg,cnt) + shared bgStats rollup):
+    // a regression back to a per-occurrence scoring join shows up as +jobs
+    // (measured 16 in-suite — AQE shares no exchanges with prior queries)
+    "ta_bigram_nll" -> 18
   )
 
   private val counter = new AtomicInteger(0)
