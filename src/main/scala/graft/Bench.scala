@@ -37,13 +37,18 @@ object Bench {
     // still timed through the ann_ivfsq8_topk composition
     "ann_ivf_topk", "ann_ivf_indexed", "ann_lsh_brp_pairs", "ann_ivfsq8_topk",
     "tc_curation_survivors", "tc_corpus_stats", "tc_neardup_clusters",
-    "tc_contamination", "tc_pii_scrub", "tc_repeated_spans", "tc_exact_spans",
+    "tc_contamination", "tc_repeated_spans", "tc_exact_spans",
     "tc_paragraph_dedup", "ta_bigram_nll", "sk_cms_heavy_terms",
-    "tc_c4_filters", "tc_semantic_dedup",
+    "tc_c4_filters", "tc_semantic_dedup", "tc_dsir_sample", "gr_pagerank",
     "tp_pack_sequences", "tp_split_leakage", "ev_self_retrieval",
-    "m5_merge_groups", "m9_policy_enforce", "m11_auto_link",
+    "m5_merge_groups", "m11_auto_link",
     "st_event_window_counts", "st_sessionize", "mm_feature_checksum",
     "s1_store_swap")
+    // round-6 budget swap (the 1500-char line estimate): gr_pagerank
+    // (iterative graph analytics) and tc_dsir_sample (hashed-feature
+    // importance scoring) enter; tc_pii_scrub and m9_policy_enforce — the
+    // two cheapest map-only entries, both still oracle-gated in the
+    // correctness run — retire from the TIMED line only
     // ev_graph_lift stays off the headline deliberately: it runs 8 full
     // hybrid+PPR searches (an eval harness, not an operator) and would
     // both dominate the wall total and crowd the 2000-char parse window

@@ -116,7 +116,16 @@ object Queries {
       HybridSearch.search(
         Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
         hybridParams(s, dir, graphWeight = 0.1).copy(threshold = Some(0.2)))
-    })
+    }),
+    // global PageRank over the link graph — the corpus-level authority
+    // prior beside the per-query truncated PPR (integer micro-units,
+    // bit-exact against the unrolled oracle)
+    "gr_pagerank" -> ((s, dir) =>
+      GraphSearch.pageRank(Corpus.memories(s, dir)).orderBy("id")),
+    // connected components of the link graph (min-member-id labels,
+    // singleton components for linkless nodes)
+    "gr_components" -> ((s, dir) =>
+      GraphSearch.components(Corpus.memories(s, dir)).orderBy("id"))
   )
 
   private val retrievalOracles: Map[String, String] = Map(
@@ -155,7 +164,46 @@ object Queries {
         n = 1000000, withFeedback = true),
     "r12_threshold_graph" ->
       OracleHybrid.graphSql(oracleHybridParams.copy(graphWeight = 0.1, threshold = Some(0.2)),
-        n = 1000000, withFeedback = true)
+        n = 1000000, withFeedback = true),
+    "gr_pagerank" -> {
+      // K unrolled integer-micro-unit rounds; // is floor division, which
+      // equals Spark's `div` truncation on the all-positive operands here
+      def prRound(prev: String, curr: String): String =
+        s"""$curr AS MATERIALIZED (
+           |  SELECT n.id,
+           |    CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr
+           |  FROM prnodes n LEFT JOIN (
+           |    SELECT e.dst, CAST(sum(p.pr // d.deg) AS BIGINT) AS s
+           |    FROM edges e JOIN $prev p ON p.id = e.src
+           |    JOIN prdeg d ON d.src = e.src
+           |    GROUP BY 1) s ON s.dst = n.id)""".stripMargin
+      val rounds = (1 to GraphSearch.MaxIters)
+        .map(i => prRound(s"pr${i - 1}", s"pr$i")).mkString(",\n")
+      s"""WITH ${OracleCtes.edges},
+         |prdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+         |prnodes AS (SELECT doc_id AS id FROM documents),
+         |pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM prnodes),
+         |$rounds
+         |SELECT id, round(CAST(pr AS DOUBLE) / 1e6, 6) AS pagerank
+         |FROM pr${GraphSearch.MaxIters} ORDER BY id""".stripMargin
+    },
+    "gr_components" ->
+      s"""WITH RECURSIVE ${OracleCtes.edges},
+         |gced AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS t FROM edges),
+         |gcreach AS (
+         |  SELECT s AS node, s AS r FROM gced
+         |  UNION SELECT e.t, gcreach.r FROM gcreach JOIN gced e ON e.s = gcreach.node),
+         |gccomp AS MATERIALIZED (
+         |  SELECT node AS id, min(r) AS component FROM gcreach GROUP BY 1),
+         |gcfull AS MATERIALIZED (
+         |  SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN gccomp c ON c.id = d.doc_id),
+         |gcsz AS (
+         |  SELECT component, CAST(count(*) AS BIGINT) AS csize
+         |  FROM gcfull GROUP BY 1)
+         |SELECT f.id, f.component, z.csize
+         |FROM gcfull f JOIN gcsz z USING (component)
+         |ORDER BY f.id""".stripMargin
   )
 
   // ---------------------------------------------------------------- analytics smoke
@@ -516,7 +564,16 @@ object Queries {
         d.filter(col("id") % 3 === 0))
       graft.streaming.StreamDedup.admit(d.filter(col("id") % 3 =!= 0), idx)
         .orderBy("id")
-    })
+    }),
+    // per-document top-3 TF-IDF keyword extraction (salient-term summary)
+    "ta_tfidf_keywords" -> ((s, dir) =>
+      TextAnalysis.tfidfKeywords(docs(s, dir), k = 3)
+        .orderBy("id", "kw_rank")),
+    // DSIR importance-resampling scores (hashed-unigram log-likelihood
+    // ratio vs the lang='en' target slice; kept = more target-like than raw)
+    "tc_dsir_sample" -> ((s, dir) =>
+      graft.text.Curation.dsirScores(docs(s, dir), col("lang") === "en")
+        .orderBy("id"))
   )
 
   /** Mixture-plan fixture: integer target weights per language. de is
@@ -891,6 +948,58 @@ object Queries {
          |  round(-CAST(sum(lnp_micro) AS DOUBLE) / 1e6 / count(*), 6) AS nll
          |FROM bbg JOIN blnp USING (bg)
          |GROUP BY id ORDER BY id""".stripMargin
+    },
+    "ta_tfidf_keywords" -> {
+      val t = OracleText.toks("text")
+      s"""WITH kterm AS MATERIALIZED (
+         |  SELECT doc_id AS id, t.term FROM documents, unnest($t) AS t(term)),
+         |ktf AS MATERIALIZED (
+         |  SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM kterm GROUP BY 1, 2),
+         |kdf AS (SELECT term, count(*) AS df FROM ktf GROUP BY 1),
+         |kn AS (SELECT count(*) AS n FROM documents),
+         |ks AS (
+         |  SELECT id, term, tf,
+         |    round(CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / df), 6) AS score
+         |  FROM ktf JOIN kdf USING (term), kn),
+         |kr AS (
+         |  SELECT id, CAST(row_number() OVER (
+         |      PARTITION BY id ORDER BY score DESC, term) AS INT) AS kw_rank,
+         |    term, tf, score
+         |  FROM ks)
+         |SELECT id, kw_rank, term, tf, score FROM kr
+         |WHERE kw_rank <= 3 ORDER BY id, kw_rank""".stripMargin
+    },
+    "tc_dsir_sample" -> {
+      val t = OracleText.toks("text")
+      val h = OracleText.polyHash("t.term")
+      s"""WITH dso AS MATERIALIZED (
+         |  SELECT doc_id AS id, (lang = 'en') AS is_t, $h % 1024 AS bucket
+         |  FROM documents, unnest($t) AS t(term)),
+         |dsc AS MATERIALIZED (
+         |  SELECT id, is_t, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM dso GROUP BY 1, 2, 3),
+         |dsr AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_raw FROM dsc GROUP BY 1),
+         |dst AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_tgt FROM dsc WHERE is_t GROUP BY 1),
+         |dsw AS (
+         |  SELECT r.bucket, r.c_raw, COALESCE(t.c_tgt, 0) AS c_tgt
+         |  FROM dsr r LEFT JOIN dst t USING (bucket)),
+         |dstot AS (
+         |  SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw,
+         |         CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM dsw),
+         |dsm AS MATERIALIZED (
+         |  SELECT bucket, CAST(round((
+         |      ln((c_tgt + CAST('0.5' AS DOUBLE)) / (t_tgt + CAST('512.0' AS DOUBLE)))
+         |    - ln((c_raw + CAST('0.5' AS DOUBLE)) / (t_raw + CAST('512.0' AS DOUBLE)))
+         |    ) * 1e6, 0) AS BIGINT) AS w
+         |  FROM dsw, dstot),
+         |dss AS (
+         |  SELECT id, CAST(sum(cnt) AS BIGINT) AS n_tok,
+         |    round(CAST(sum(w * cnt) AS DOUBLE) / 1e6
+         |      / CAST(sum(cnt) AS BIGINT), 6) AS dsir_score
+         |  FROM dsc JOIN dsm USING (bucket) GROUP BY id)
+         |SELECT id, n_tok, dsir_score,
+         |  dsir_score >= CAST('0.0' AS DOUBLE) AS kept
+         |FROM dss ORDER BY id""".stripMargin
     },
     "tc_c4_filters" ->
       s"""WITH ${OracleText.c4Ctes()}

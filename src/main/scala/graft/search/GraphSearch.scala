@@ -128,6 +128,65 @@ object GraphSearch {
     cur.select(col("id"), col("score").as("ppr"))
   }
 
+  /** Global (non-personalized) PageRank over the link graph — the corpus-
+    * level companion to the per-query truncated [[ppr]]: a static authority
+    * score per memory for analytics/ranking priors (Page et al. '99,
+    * public). Per-node base form, damping 0.85, `iters` rounds:
+    *
+    *   pr_0(v) = 1;  pr_{k+1}(v) = 0.15 + 0.85 · Σ_{u→v} pr_k(u)/deg(u)
+    *
+    * evaluated entirely in integer micro-units with integral division
+    * (contribution = pr div deg, damping = (85·sum) div 100), so every
+    * per-node aggregation is an order-free BIGINT sum and the result is
+    * bit-exact against the unrolled SQL oracle — no float-summation-order
+    * hazard. Dangling nodes keep the base term only (the summation
+    * formulation; no dangling-mass redistribution), matching the truncated
+    * propagation the reference's graph layer uses.
+    *
+    * Scale shape: out-degree is joined onto the edge list ONCE (the
+    * [[ppr]] degrees-travel-with-the-frontier lesson); each round is one
+    * join of the score frame against the persisted (src, dst, deg) frame
+    * plus a map-side-combined groupBy, flattened by an eager per-round
+    * localCheckpoint exactly like the PPR loop's measured optimum. */
+  def pageRank(memories: DataFrame, iters: Int = MaxIters): DataFrame = {
+    val e = edges(memories).persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "src")
+      .select("src", "dst", "deg")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = memories.select("id").persist(StorageLevel.MEMORY_AND_DISK)
+    var pr = nodes.withColumn("pr", lit(1000000L)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inSum = pr.join(ed, pr("id") === ed("src"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      pr = nodes.join(inSum, nodes("id") === inSum("dst"), "left")
+        .select(nodes("id"),
+          (lit(150000L) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
+        .localCheckpoint()
+    }
+    e.unpersist(); ed.unpersist(); nodes.unpersist()
+    pr.select(col("id"), round(col("pr").cast("double") / 1e6, 6).as("pagerank"))
+  }
+
+  /** Connected components of the link graph: (id, component, csize) for
+    * EVERY memory — linkless nodes form singleton components labeled by
+    * their own id. Labels follow the min-member-id convention of
+    * [[graft.dedup.Clusters]], whose size-routed machinery (driver
+    * union-find under the 2M-edge switch, distributed min-label iteration
+    * beyond) does the work; this wrapper only derives the undirected pair
+    * set from [[edges]] and restores the isolated nodes. The third graph
+    * analytics surface beside per-query [[ppr]] and global [[pageRank]]. */
+  def components(memories: DataFrame): DataFrame = {
+    val pairs = edges(memories).filter(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"))
+    val comp = graft.dedup.Clusters.connectedComponentsAuto(pairs)
+    val full = memories.select("id").join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    val sz = full.groupBy("component").agg(count(lit(1)).as("csize"))
+    full.join(sz, "component").select("id", "component", "csize")
+  }
+
   /** R11: contribution trace — for each traced node, the top-`maxVia` seeds
     * explaining its PPR score via 1/2/3-hop paths with decay 1.0/0.5/0.25
     * (memory_engine.py:55-82). Explain-only feature: expressed as self-joins

@@ -234,6 +234,60 @@ object Curation {
         col("jaccard"))
   }
 
+  /** DSIR-style importance resampling scores (Xie et al. '23, "Data
+    * Selection for Language Models via Importance Resampling", public
+    * method): documents are scored by how much more likely their hashed
+    * unigram features are under a target distribution than under the raw
+    * corpus. Features are polyHash(token) mod `buckets`; per-bucket
+    * log-likelihood-ratio weights use add-alpha smoothing:
+    *
+    *   w(b) = ln((c_tgt(b)+α)/(T_tgt+αB)) − ln((c_raw(b)+α)/(T_raw+αB))
+    *
+    * and a document's score is the occurrence-weighted mean of its bucket
+    * weights. `kept` flags score ≥ `threshold` (0 = "more target-like than
+    * raw") — the deterministic thresholded form of the paper's importance
+    * resampling (their Gumbel top-k draw adds randomness this engine's
+    * determinism contract excludes).
+    *
+    * Determinism contract: each bucket weight is rounded to integer
+    * micro-units once; per-document sums are integer (order-free); one
+    * division at the end (the [[TextAnalysis.unigramNll]] discipline).
+    *
+    * Scale shape: the occurrence stream collapses to the per-document
+    * bucket multiset (id, bucket, cnt) in its first map-side-combined
+    * shuffle; the raw and target bucket tables roll up from that frame
+    * (≤ B rows each); totals enter as a broadcast 1-row aggregate; the
+    * scoring join broadcasts the ≤ B-row weight table — the hashed-feature
+    * trick is exactly what makes DSIR run at web scale. `targetPred` is a
+    * predicate over the docs columns (e.g. a trusted-source flag). */
+  def dsirScores(docs: DataFrame, targetPred: org.apache.spark.sql.Column,
+                 buckets: Int = 1024, alpha: Double = 0.5,
+                 threshold: Double = 0.0): DataFrame = {
+    val occ = docs
+      .select(col("id"), targetPred.as("_is_t"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .select(col("id"), col("_is_t"),
+        pmod(TextFunctions.polyHash(col("term")), lit(buckets.toLong)).as("bucket"))
+      .groupBy("id", "_is_t", "bucket").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds both count rollups and the scoring join
+    val raw = occ.groupBy("bucket").agg(sum("cnt").as("c_raw"))
+    val tgt = occ.filter(col("_is_t")).groupBy("bucket").agg(sum("cnt").as("c_tgt"))
+    val cnts = raw.join(tgt, Seq("bucket"), "left").na.fill(0L, Seq("c_tgt"))
+    val tot = cnts.agg(sum("c_raw").as("t_raw"), sum("c_tgt").as("t_tgt"))
+    val aB = alpha * buckets
+    val wMicro = cnts.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round((log((col("c_tgt") + alpha) / (col("t_tgt") + aB))
+          - log((col("c_raw") + alpha) / (col("t_raw") + aB))) * 1e6, 0)
+          .cast("long").as("_w"))
+    occ.join(broadcast(wMicro), "bucket")
+      .groupBy("id")
+      .agg(sum("cnt").as("n_tok"), sum(col("_w") * col("cnt")).as("_s"))
+      .select(col("id"), col("n_tok"),
+        round(col("_s").cast("double") / 1e6 / col("n_tok"), 6).as("dsir_score"))
+      .withColumn("kept", col("dsir_score") >= threshold)
+  }
+
   /** Domain-mixture planning: given per-domain token counts and integer
     * target weights, compute the sampling plan that realizes the target
     * mixture inside a token budget — per domain the required token count,

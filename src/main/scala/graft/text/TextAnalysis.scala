@@ -210,6 +210,40 @@ object TextAnalysis {
         round(-col("_s").cast("double") / 1e6 / col("n_bigrams"), 6).as("nll"))
   }
 
+  /** TF-IDF keyword extraction: the top-k terms of each document by
+    * tf · ln(N/df) — the classic per-document salient-term summary (the
+    * same statistics table BM25 scores from, read document-side instead of
+    * query-side). df ≥ 1 for every term that is scored (it occurs in at
+    * least its own document), so the raw idf needs no smoothing.
+    *
+    * Determinism contract: the score is rounded to 6dp BEFORE ranking and
+    * ties break on the term string, so the emitted top-k is unique.
+    *
+    * Scale shape: the occurrence stream collapses to (id, term, tf) in its
+    * first map-side-combined shuffle; df rolls up from those distinct
+    * stats (occurrences are never re-shuffled); N enters as a broadcast
+    * 1-row aggregate; the ranking window partitions by document id — no
+    * global window anywhere. Output: (id, kw_rank, term, tf, score). */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3, textCol: String = "text",
+                    idCol: String = "id"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds the df rollup and the scoring join
+    val df = tf.groupBy("term").agg(count(lit(1)).as("_df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("score"), asc("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("id"), col("term"), col("tf"),
+        round(col("tf").cast("double")
+          * log(col("_n").cast("double") / col("_df")), 6).as("score"))
+      .withColumn("kw_rank", row_number().over(w))
+      .filter(col("kw_rank") <= k)
+      .select("id", "kw_rank", "term", "tf", "score")
+  }
+
   /** Positioned winnowing selection: (id, pos, fp) — one row per selected
     * shingle with its 0-based position, rightmost-minimum tie rule
     * (Schleimer et al. '03 §3's robust winnowing convention). Documents

@@ -154,6 +154,50 @@ class CurationSpec extends SparkSpec {
     assert(TextAnalysis.bigramNll(df(1L -> "single")).count() == 0)
   }
 
+  test("tfidfKeywords surfaces rare distinctive terms over ubiquitous ones") {
+    val docs = df(
+      1L -> "common common rare1",
+      2L -> "common rare2",
+      3L -> "common")
+    val byDoc = TextAnalysis.tfidfKeywords(docs, k = 2).collect()
+      .groupBy(_.getLong(0))
+    // 'common' occurs in every doc → idf ln(1) = 0; the rare term must top
+    // doc 1 even though 'common' has the higher tf there
+    val top1 = byDoc(1L).minBy(_.getInt(1))
+    assert(top1.getString(2) == "rare1")
+    assert(byDoc(1L).map(_.getInt(1)).sorted.toSeq == Seq(1, 2))
+    for ((_, rows) <- byDoc) {
+      val sorted = rows.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(sorted.zip(sorted.drop(1)).forall { case (a, b) => a >= b },
+        "scores must be non-increasing in rank")
+    }
+    // doc 3 has only the ubiquitous term: one keyword, score exactly 0
+    assert(byDoc(3L).map(_.getString(2)).toSeq == Seq("common"))
+    assert(byDoc(3L).head.getDouble(4) == 0.0)
+  }
+
+  test("dsirScores separates target-like from raw-like vocabulary") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = (
+      (1L to 4L).map(i => (i, "alpha beta gamma delta", "en")) ++
+        (11L to 14L).map(i => (i, "uno dos tres cuatro", "es")) :+
+        ((21L, "alpha beta gamma delta", "es"))) // target-like text, raw slice
+      .toDF("id", "text", "lang")
+    val got = Curation.dsirScores(docs, col("lang") === "en",
+      buckets = 256, alpha = 0.1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(got.size == 9 && got.values.forall(_._1 == 4L))
+    // the score is a function of CONTENT, not of slice membership: the
+    // es-slice probe with target vocabulary scores exactly like a target doc
+    assert(got(21L)._2 == got(1L)._2)
+    assert(got(21L)._2 > got(11L)._2,
+      s"target-vocab ${got(21L)._2} must outscore raw-vocab ${got(11L)._2}")
+    // kept is the thresholded form of the same score
+    assert(got.values.forall(v => v._3 == (v._2 >= 0.0)))
+  }
+
   test("exactRepeatedSpans finds planted verbatim cross-doc repeats and nothing else") {
     val repeat = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     val docs = df(

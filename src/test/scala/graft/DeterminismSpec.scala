@@ -27,7 +27,10 @@ class DeterminismSpec extends SparkSpec {
       "st_sessionize",
       // round 6: within-cell pair join (semantic dedup), HOF line filters
       // over synthesized pages, the 8-arm scoped hybrid+PPR A/B
-      "tc_semantic_dedup", "tc_c4_filters", "tc_c4_funnel", "ev_graph_lift")
+      "tc_semantic_dedup", "tc_c4_filters", "tc_c4_funnel", "ev_graph_lift",
+      // round 6 additions: integer-micro-unit graph iteration, per-doc
+      // rank window over corpus stats, hashed-bucket integer scoring
+      "gr_pagerank", "ta_tfidf_keywords", "tc_dsir_sample", "gr_components")
 
   private def rowsAt(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)

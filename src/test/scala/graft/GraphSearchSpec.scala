@@ -72,6 +72,49 @@ class GraphSearchSpec extends SparkSpec {
     assert(scores(2L) > scores(3L))
   }
 
+  test("pageRank matches the integer hand loop; hub outranks leaves; isolates keep the base") {
+    // star: 1 — {2,3,4} (bidirectional related_to); 5 isolated
+    val mem = Seq(
+      (1L, Seq(2L, 3L, 4L)),
+      (2L, Seq.empty[Long]), (3L, Seq.empty[Long]), (4L, Seq.empty[Long]),
+      (5L, Seq.empty[Long])
+    ).toDF("id", "tos")
+      .withColumn("links", expr(
+        "transform(tos, t -> named_struct('to_id', t, 'link_type', 'related_to', 'created_at', CAST(NULL AS TIMESTAMP)))"))
+    val got = GraphSearch.pageRank(mem).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference integer loop (micro-units, truncating division)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L), (3L, 1L), (4L, 1L))
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((s, d) <- edges) in(d) += pr(s) / deg(s)
+      pr = nodes.map(n => n -> (150000L + 85L * in(n) / 100L)).toMap
+    }
+    assert(got.keySet == nodes.toSet)
+    for (n <- nodes) assert(got(n) == pr(n) / 1e6, s"node $n: ${got(n)} vs ${pr(n)}")
+    assert(got(1L) > got(2L), "the hub must outrank a leaf")
+    assert(got(2L) == got(3L) && got(3L) == got(4L), "symmetric leaves tie")
+    assert(got(5L) == 0.15, "an isolated node keeps only the base term")
+  }
+
+  test("components: chains merge under min labels, linkless nodes are singletons") {
+    // 1-2-3 chain, 4-5 pair, 6 isolated
+    val mem = Seq(
+      (1L, Seq(2L)), (2L, Seq(3L)), (3L, Seq.empty[Long]),
+      (4L, Seq(5L)), (5L, Seq.empty[Long]), (6L, Seq.empty[Long])
+    ).toDF("id", "tos")
+      .withColumn("links", expr(
+        "transform(tos, t -> named_struct('to_id', t, 'link_type', 'related_to', 'created_at', CAST(NULL AS TIMESTAMP)))"))
+    val got = GraphSearch.components(mem).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      4L -> (4L, 2L), 5L -> (4L, 2L), 6L -> (6L, 1L)))
+  }
+
   test("edges(): bidirectional, self/dangling dropped, order-robust") {
     val mem = Seq(
       (1L, Seq((2L, "related_to")), false),
