@@ -39,7 +39,12 @@ class JobCountSpec extends SparkSpec {
     // round-6 reshape pin (pre-agg to (id,bg,cnt) + shared bgStats rollup):
     // a regression back to a per-occurrence scoring join shows up as +jobs
     // (measured 16 in-suite — AQE shares no exchanges with prior queries)
-    "ta_bigram_nll" -> 18
+    "ta_bigram_nll" -> 18,
+    // round-6 graph analytics: 3 checkpointed PageRank rounds / the
+    // size-routed CC wrapper — a per-round join regression shows as +jobs
+    // (measured 31 / 19 in-suite)
+    "gr_pagerank" -> 36,
+    "gr_components" -> 22
   )
 
   private val counter = new AtomicInteger(0)
