@@ -183,6 +183,7 @@ object GraphSearch {
     val comp = graft.dedup.Clusters.connectedComponentsAuto(pairs)
     val full = memories.select("id").join(comp, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .localCheckpoint(true) // feeds the size rollup and the final join
     val sz = full.groupBy("component").agg(count(lit(1)).as("csize"))
     full.join(sz, "component").select("id", "component", "csize")
   }
