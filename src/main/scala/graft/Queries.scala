@@ -565,6 +565,14 @@ object Queries {
       graft.streaming.StreamDedup.admit(d.filter(col("id") % 3 =!= 0), idx)
         .orderBy("id")
     }),
+    // HyperLogLog distinct-term estimate beside the exact count (the
+    // mergeable cardinality sketch next to the CMS frequency sketch)
+    "sk_hll_distinct" -> ((s, dir) =>
+      graft.text.Sketches.hllDistinctTerms(docs(s, dir))),
+    // distributed BPE tokenizer-merge training: top-6 learned merges
+    // (Sennrich '16), oracle = the same 6 rounds unrolled in SQL
+    "tk_bpe_merges" -> ((s, dir) =>
+      graft.text.Bpe.trainMerges(docs(s, dir), k = 6).orderBy("merge_rank")),
     // per-document top-3 TF-IDF keyword extraction (salient-term summary)
     "ta_tfidf_keywords" -> ((s, dir) =>
       TextAnalysis.tfidfKeywords(docs(s, dir), k = 3)
@@ -948,6 +956,65 @@ object Queries {
          |  round(-CAST(sum(lnp_micro) AS DOUBLE) / 1e6 / count(*), 6) AS nll
          |FROM bbg JOIN blnp USING (bg)
          |GROUP BY id ORDER BY id""".stripMargin
+    },
+    "tk_bpe_merges" -> {
+      val t = OracleText.toks("text")
+      val ctes = scala.collection.mutable.ArrayBuffer(
+        s"""wc AS (
+           |  SELECT t.term AS w, count(*) AS freq
+           |  FROM documents, unnest($t) AS t(term) GROUP BY 1)""".stripMargin,
+        """w0 AS MATERIALIZED (
+          |  SELECT chr(1) || array_to_string(list_transform(string_split(w, ''),
+          |    c -> c), chr(1)||chr(1)) || chr(1) AS s, freq
+          |  FROM wc)""".stripMargin)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (i <- 0 until 6) {
+        ctes += s"""p$i AS MATERIALIZED (
+           |  SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, list_filter(string_split(trim(s, chr(1)),
+           |          chr(1)||chr(1)), x -> len(x) > 0) AS sy FROM w$i) q,
+           |    unnest(list_transform(range(1, len(q.sy)),
+           |      i -> {'a': q.sy[i], 'b': q.sy[i+1]})) AS u(p)
+           |  GROUP BY 1, 2)""".stripMargin
+        ctes += s"b$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)"
+        ctes += s"""w${i + 1} AS MATERIALIZED (
+           |  SELECT replace(w.s, chr(1)||b.a||chr(1)||chr(1)||b.b||chr(1),
+           |      chr(1)||b.a||b.b||chr(1)) AS s, w.freq
+           |  FROM w$i w, b$i b)""".stripMargin
+        sel += s"""SELECT CAST(${i + 1} AS INT) AS merge_rank, a AS left_sym,
+           |  b AS right_sym, cnt AS pair_count FROM b$i""".stripMargin
+      }
+      "WITH " + ctes.mkString(",\n") + "\n" +
+        sel.mkString(" UNION ALL ") + " ORDER BY merge_rank"
+    },
+    "sk_hll_distinct" -> {
+      val t = OracleText.toks("text")
+      val h = OracleText.polyHash("t.term")
+      val est = "(CAST('0.709' AS DOUBLE) * 64 * 64) / (s + (64 - n_buckets_used))"
+      s"""WITH hterm0 AS (
+         |  SELECT $h AS h0 FROM documents, unnest($t) AS t(term)),
+         |hterm AS MATERIALIZED (
+         |  SELECT (h0 * h0 + 1313131 * h0 + 777777) % 1000000007 AS h
+         |  FROM hterm0),
+         |hreg AS MATERIALIZED (
+         |  SELECT h % 64 AS bucket,
+         |    max(CASE WHEN h // 64 = 0 THEN 25
+         |             ELSE 25 - length(bin(h // 64)) END) AS r
+         |  FROM hterm GROUP BY 1),
+         |hagg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_buckets_used,
+         |    sum(pow(2.0, -r)) AS s
+         |  FROM hreg),
+         |htruth AS (
+         |  SELECT CAST(count(DISTINCT t.term) AS BIGINT) AS true_distinct
+         |  FROM documents, unnest($t) AS t(term))
+         |SELECT true_distinct,
+         |  round(CASE WHEN $est <= CAST('160.0' AS DOUBLE)
+         |          AND (64 - n_buckets_used) > 0
+         |        THEN 64.0 * ln(64.0 / (64 - n_buckets_used))
+         |        ELSE $est END, 6) AS hll_est,
+         |  n_buckets_used
+         |FROM htruth, hagg""".stripMargin
     },
     "ta_tfidf_keywords" -> {
       val t = OracleText.toks("text")

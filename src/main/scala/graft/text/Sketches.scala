@@ -47,6 +47,70 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** HyperLogLog bucket count (2^6) and the bit width of the post-bucket
+    * hash remainder: the scrambled hash < 1e9+7, so w = g div 64 < 2^24. */
+  val HllBuckets = 64
+  val HllBits = 24
+  /** Standard HLL bias constant alpha_64 (Flajolet et al. '07 §4). */
+  val HllAlpha = 0.709
+  /** Scrambling constants for the quadratic mix applied over polyHash
+    * before the bucket/remainder split: g = (h² + A·h + B) mod P. polyHash
+    * alone is AFFINE in a key's trailing characters, so regular
+    * vocabularies ("tok0".."tok2999") form arithmetic progressions and the
+    * leading-zero statistic degenerates (observed: 10× underestimate; an
+    * affine rescramble still left +54% — an AP times a constant is an AP).
+    * The h² term makes the image quadratic in the progression index, which
+    * scatters it properly. h < P ≈ 1e9 keeps h² inside Long/BIGINT. */
+  val HllA = 1313131L
+  val HllB = 777777L
+
+  /** HyperLogLog registers over corpus terms: (bucket, r) with
+    * r = max over the bucket's terms of the leading-zero rank of the
+    * post-bucket hash remainder (Flajolet et al. '07, public). Like the
+    * CMS, the sketch IS a groupBy: map-side partial max builds one ≤64-row
+    * register set per task and the shuffle moves at most 64 rows per
+    * partition; the union of two corpora sketches as the cell-wise max of
+    * their registers (SketchSpec pins this). Buckets no term hashes into
+    * are absent (rank 0). */
+  def hllRegisters(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val h = TextFunctions.polyHash(col("term"))
+    val g = pmod(h * h + lit(HllA) * h + lit(HllB), lit(P))
+    docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .select(pmod(g, lit(HllBuckets.toLong)).as("bucket"),
+        (g / HllBuckets).cast("long").as("_w"))
+      .select(col("bucket"),
+        when(col("_w") === 0, lit(HllBits + 1))
+          .otherwise(lit(HllBits + 1) - length(bin(col("_w")))).as("r"))
+      .groupBy("bucket").agg(max("r").as("r"))
+  }
+
+  /** Distinct-term estimate from the registers, beside the exact count the
+    * small-SF oracle verifies it against. Every 2^-r term and every partial
+    * sum is an exactly-representable dyadic rational (64 terms, exponents
+    * in [-25, 0] — well inside the 53-bit mantissa), so the indicator sum
+    * is order-free and the estimate is bit-deterministic. Empty buckets
+    * contribute 2^0 = 1 each; the small-range correction (E ≤ 2.5m with
+    * empty buckets) switches to linear counting, both branches mirrored in
+    * the oracle SQL. Output: (true_distinct, hll_est, n_buckets_used). */
+  def hllDistinctTerms(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val m = HllBuckets
+    val regs = hllRegisters(docs, textCol)
+      .agg(count(lit(1)).as("n_buckets_used"),
+        sum(pow(lit(2.0), -col("r"))).as("_s"))
+    val truth = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .agg(count_distinct(col("term")).as("true_distinct"))
+    val est = (lit(HllAlpha) * m * m) / (col("_s") + (lit(m) - col("n_buckets_used")))
+    val zeros = lit(m) - col("n_buckets_used")
+    truth.crossJoin(broadcast(regs))
+      .select(col("true_distinct"),
+        round(when(est <= 2.5 * m && zeros > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(est), 6)
+          .as("hll_est"),
+        col("n_buckets_used"))
+  }
+
   /** Point estimates for a set of query terms against a built sketch:
     * est(term) = min over rows of the term's cell counter. The sketch side
     * is ≤ Depth·Width rows and broadcasts. Output (term, est). */

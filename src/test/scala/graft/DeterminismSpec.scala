@@ -30,7 +30,8 @@ class DeterminismSpec extends SparkSpec {
       "tc_semantic_dedup", "tc_c4_filters", "tc_c4_funnel", "ev_graph_lift",
       // round 6 additions: integer-micro-unit graph iteration, per-doc
       // rank window over corpus stats, hashed-bucket integer scoring
-      "gr_pagerank", "ta_tfidf_keywords", "tc_dsir_sample", "gr_components")
+      "gr_pagerank", "ta_tfidf_keywords", "tc_dsir_sample", "gr_components",
+      "sk_hll_distinct", "tk_bpe_merges")
 
   private def rowsAt(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)

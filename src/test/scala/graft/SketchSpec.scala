@@ -28,6 +28,35 @@ class SketchSpec extends SparkSpec {
     assert(Sketches.cmsTermCounts(docs).count() <= Sketches.Depth.toLong * Sketches.Width)
   }
 
+  test("HLL registers merge as cell-wise max: hll(A union B) == max(hll(A), hll(B))") {
+    val a = docs.filter(col("id") % 2 === 0)
+    val b = docs.filter(col("id") % 2 =!= 0)
+    val merged = Sketches.hllRegisters(a).withColumnRenamed("r", "ra")
+      .join(Sketches.hllRegisters(b).withColumnRenamed("r", "rb"),
+        Seq("bucket"), "full")
+      .select(col("bucket"),
+        greatest(coalesce(col("ra"), lit(0)), coalesce(col("rb"), lit(0))).as("r"))
+    val whole = Sketches.hllRegisters(docs)
+    assert(merged.exceptAll(whole).count() == 0 &&
+      whole.exceptAll(merged).count() == 0)
+  }
+
+  test("HLL estimate lands within the m=64 error envelope on a wide synthetic vocab") {
+    // the fixture vocabulary is tiny (linear-counting branch — exercised by
+    // the sk_hll_distinct oracle); a generated 3000-term corpus drives the
+    // raw-estimate branch, where sigma ~= 1.04/sqrt(64) = 13%
+    val s2 = spark
+    import s2.implicits._
+    val wide = (0 until 300)
+      .map(i => (i.toLong, (0 until 10).map(j => s"tok${i * 10 + j}").mkString(" ")))
+      .toDF("id", "text")
+    val row = Sketches.hllDistinctTerms(wide).head()
+    val (truth, est) = (row.getLong(0), row.getDouble(1))
+    assert(truth == 3000L)
+    assert(math.abs(est / truth - 1.0) < 0.4,
+      s"HLL estimate $est too far from $truth")
+  }
+
   test("sketches merge cell-wise: cms(A union B) == cms(A) + cms(B)") {
     val a = docs.filter(col("id") % 2 === 0)
     val b = docs.filter(col("id") % 2 =!= 0)
