@@ -573,6 +573,23 @@ object Queries {
     // (Sennrich '16), oracle = the same 6 rounds unrolled in SQL
     "tk_bpe_merges" -> ((s, dir) =>
       graft.text.Bpe.trainMerges(docs(s, dir), k = 6).orderBy("merge_rank")),
+    // train → apply composition: per-doc token counts under the learned
+    // table (symbol counts computed per DISTINCT word, joined back to the
+    // occurrence stream — the scale shape of tokenizer application)
+    "tk_bpe_tokenize" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.text.Bpe.trainMerges(d, k = 6)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val words = d.select(col("id"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      val wsize = graft.text.Bpe.applyMerges(words.select("w").distinct(), merges)
+        .select(col("w"), size(col("tokens")).as("_ns"))
+      words.join(wsize, "w")
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_words"), sum(col("_ns")).as("n_bpe"))
+        .orderBy("id")
+    }),
     // per-document top-3 TF-IDF keyword extraction (salient-term summary)
     "ta_tfidf_keywords" -> ((s, dir) =>
       TextAnalysis.tfidfKeywords(docs(s, dir), k = 3)
@@ -958,34 +975,24 @@ object Queries {
          |GROUP BY id ORDER BY id""".stripMargin
     },
     "tk_bpe_merges" -> {
-      val t = OracleText.toks("text")
-      val ctes = scala.collection.mutable.ArrayBuffer(
-        s"""wc AS (
-           |  SELECT t.term AS w, count(*) AS freq
-           |  FROM documents, unnest($t) AS t(term) GROUP BY 1)""".stripMargin,
-        """w0 AS MATERIALIZED (
-          |  SELECT chr(1) || array_to_string(list_transform(string_split(w, ''),
-          |    c -> c), chr(1)||chr(1)) || chr(1) AS s, freq
-          |  FROM wc)""".stripMargin)
-      val sel = scala.collection.mutable.ArrayBuffer.empty[String]
-      for (i <- 0 until 6) {
-        ctes += s"""p$i AS MATERIALIZED (
-           |  SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
-           |  FROM (SELECT freq, list_filter(string_split(trim(s, chr(1)),
-           |          chr(1)||chr(1)), x -> len(x) > 0) AS sy FROM w$i) q,
-           |    unnest(list_transform(range(1, len(q.sy)),
-           |      i -> {'a': q.sy[i], 'b': q.sy[i+1]})) AS u(p)
-           |  GROUP BY 1, 2)""".stripMargin
-        ctes += s"b$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)"
-        ctes += s"""w${i + 1} AS MATERIALIZED (
-           |  SELECT replace(w.s, chr(1)||b.a||chr(1)||chr(1)||b.b||chr(1),
-           |      chr(1)||b.a||b.b||chr(1)) AS s, w.freq
-           |  FROM w$i w, b$i b)""".stripMargin
-        sel += s"""SELECT CAST(${i + 1} AS INT) AS merge_rank, a AS left_sym,
-           |  b AS right_sym, cnt AS pair_count FROM b$i""".stripMargin
-      }
-      "WITH " + ctes.mkString(",\n") + "\n" +
+      val sel = (0 until 6).map(i =>
+        s"""SELECT CAST(${i + 1} AS INT) AS merge_rank, a AS left_sym,
+           |  b AS right_sym, cnt AS pair_count FROM b$i""".stripMargin)
+      "WITH " + OracleText.bpeCtes(6) + "\n" +
         sel.mkString(" UNION ALL ") + " ORDER BY merge_rank"
+    },
+    "tk_bpe_tokenize" -> {
+      val t = OracleText.toks("text")
+      s"""WITH ${OracleText.bpeCtes(6)},
+         |wsz AS MATERIALIZED (
+         |  SELECT w, len(list_filter(string_split(trim(s, chr(1)),
+         |    chr(1)||chr(1)), x -> len(x) > 0)) AS ns
+         |  FROM w6)
+         |SELECT d.doc_id AS id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(z.ns) AS BIGINT) AS n_bpe
+         |FROM documents d, unnest($t) AS t(term)
+         |JOIN wsz z ON z.w = t.term
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "sk_hll_distinct" -> {
       val t = OracleText.toks("text")

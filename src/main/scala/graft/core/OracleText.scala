@@ -210,6 +210,39 @@ object OracleText {
        |)""".stripMargin
   }
 
+  /** BPE merge-training CTE chain (kept in lockstep with
+    * [[graft.text.Bpe]]): wc (word counts) → w0 (SEP-wrapped symbol
+    * encoding, SEP = chr(1)) → per round i: p_i (pair counts), b_i (argmax
+    * pair, ties lexicographic), w_{i+1} (greedy left-to-right fuse via
+    * literal replace). The original word rides every w_i so appliers can
+    * join tokenized symbol counts back to term occurrences. */
+  def bpeCtes(k: Int): String = {
+    val t = toks("text")
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"""wc AS (
+         |  SELECT t.term AS w, count(*) AS freq
+         |  FROM documents, unnest($t) AS t(term) GROUP BY 1)""".stripMargin,
+      """w0 AS MATERIALIZED (
+        |  SELECT w, chr(1) || array_to_string(list_transform(string_split(w, ''),
+        |    c -> c), chr(1)||chr(1)) || chr(1) AS s, freq
+        |  FROM wc)""".stripMargin)
+    for (i <- 0 until k) {
+      ctes += s"""p$i AS MATERIALIZED (
+         |  SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, list_filter(string_split(trim(s, chr(1)),
+         |          chr(1)||chr(1)), x -> len(x) > 0) AS sy FROM w$i) q,
+         |    unnest(list_transform(range(1, len(q.sy)),
+         |      i -> {'a': q.sy[i], 'b': q.sy[i+1]})) AS u(p)
+         |  GROUP BY 1, 2)""".stripMargin
+      ctes += s"b$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)"
+      ctes += s"""w${i + 1} AS MATERIALIZED (
+         |  SELECT w.w, replace(w.s, chr(1)||b.a||chr(1)||chr(1)||b.b||chr(1),
+         |      chr(1)||b.a||b.b||chr(1)) AS s, w.freq
+         |  FROM w$i w, b$i b)""".stripMargin
+    }
+    ctes.mkString(",\n")
+  }
+
   /** Top-5-neighbor cosine dup-pair CTE over memories: pr(id_a,id_b,similarity).
     * Mirrors [[graft.dedup.Dedup.findDuplicates]]. */
   def dupPairsCte(threshold: Double, searchK: Int = 5): String =
