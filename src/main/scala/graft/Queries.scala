@@ -581,8 +581,10 @@ object Queries {
       val merges = graft.text.Bpe.trainMerges(d, k = 6)
         .orderBy("merge_rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
+      // feeds both the distinct-word sizing frame and the occurrence join
       val words = d.select(col("id"),
         explode(TextFunctions.tokens(col("text"))).as("w"))
+        .localCheckpoint(true)
       val wsize = graft.text.Bpe.applyMerges(words.select("w").distinct(), merges)
         .select(col("w"), size(col("tokens")).as("_ns"))
       words.join(wsize, "w")

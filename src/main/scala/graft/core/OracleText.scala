@@ -223,8 +223,8 @@ object OracleText {
          |  SELECT t.term AS w, count(*) AS freq
          |  FROM documents, unnest($t) AS t(term) GROUP BY 1)""".stripMargin,
       """w0 AS MATERIALIZED (
-        |  SELECT w, chr(1) || array_to_string(list_transform(string_split(w, ''),
-        |    c -> c), chr(1)||chr(1)) || chr(1) AS s, freq
+        |  SELECT w, chr(1) || array_to_string(string_split(replace(w, chr(1), ''), ''),
+        |    chr(1)||chr(1)) || chr(1) AS s, freq
         |  FROM wc)""".stripMargin)
     for (i <- 0 until k) {
       ctes += s"""p$i AS MATERIALIZED (
@@ -235,10 +235,15 @@ object OracleText {
          |      i -> {'a': q.sy[i], 'b': q.sy[i+1]})) AS u(p)
          |  GROUP BY 1, 2)""".stripMargin
       ctes += s"b$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)"
+      // LEFT JOIN ON TRUE, not a cross join: when the corpus runs out of
+      // merges before round k, b$i is EMPTY — a cross join would empty the
+      // whole w-chain (and every later round), while the left join keeps s
+      // unchanged (null pattern -> null replace -> coalesce), mirroring
+      // trainMerges' early stop.
       ctes += s"""w${i + 1} AS MATERIALIZED (
-         |  SELECT w.w, replace(w.s, chr(1)||b.a||chr(1)||chr(1)||b.b||chr(1),
-         |      chr(1)||b.a||b.b||chr(1)) AS s, w.freq
-         |  FROM w$i w, b$i b)""".stripMargin
+         |  SELECT w.w, coalesce(replace(w.s, chr(1)||b.a||chr(1)||chr(1)||b.b||chr(1),
+         |      chr(1)||b.a||b.b||chr(1)), w.s) AS s, w.freq
+         |  FROM w$i w LEFT JOIN b$i b ON TRUE)""".stripMargin
     }
     ctes.mkString(",\n")
   }

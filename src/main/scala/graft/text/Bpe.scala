@@ -32,8 +32,10 @@ import graft.functions.TextFunctions
   * Symbol encoding: each symbol is wrapped as SEP+sym+SEP and wrapped
   * symbols concatenated, so a pair pattern SEP+a+SEP+SEP+b+SEP can never
   * match across a symbol boundary and back-to-back occurrences of a pair
-  * both merge ("abab" -> "(ab)(ab)"). SEP is U+0001 — whitespace-split
-  * tokens cannot contain it.
+  * both merge ("abab" -> "(ab)(ab)"). SEP is U+0001; `\s+` does NOT match
+  * it, so a pathological token could carry one — delimit() strips it
+  * before encoding (mirrored by replace(w, chr(1), '') in the oracle's
+  * w0), which makes the SEP-run invariant unconditional.
   */
 object Bpe {
 
@@ -42,7 +44,8 @@ object Bpe {
   /** Wrapped-symbol encoding of a word: SEP+c+SEP per character. */
   private def delimit(word: Column): Column =
     concat(lit(Sep),
-      array_join(filter(split(word, ""), c => length(c) > 0), Sep + Sep),
+      array_join(filter(split(regexp_replace(word, Sep, ""), ""),
+        c => length(c) > 0), Sep + Sep),
       lit(Sep))
 
   /** Symbols back out of the encoding. */
