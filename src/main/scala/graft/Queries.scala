@@ -569,6 +569,18 @@ object Queries {
     // mergeable cardinality sketch next to the CMS frequency sketch)
     "sk_hll_distinct" -> ((s, dir) =>
       graft.text.Sketches.hllDistinctTerms(docs(s, dir))),
+    // per-source HLL: one ≤64-register sketch per partition key — the
+    // grouped form a 100 TB profiling pass ships per shard/source/date
+    "sk_hll_by_source" -> ((s, dir) =>
+      graft.text.Sketches.hllDistinctByKey(docs(s, dir), "source")),
+    // nearest-rank length quantiles (corpus card): histogram-first, the
+    // only ordered pass runs over the distinct-length histogram
+    "ta_length_quantiles" -> ((s, dir) =>
+      TextAnalysis.lengthQuantiles(docs(s, dir))),
+    // Heaps-law vocabulary-growth curve: id-range slices (map-only),
+    // terms charged to their first-occurrence slice, tiny cumsum
+    "ta_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(docs(s, dir), buckets = 10)),
     // distributed BPE tokenizer-merge training: top-6 learned merges
     // (Sennrich '16), oracle = the same 6 rounds unrolled in SQL
     "tk_bpe_merges" -> ((s, dir) =>
@@ -1024,6 +1036,84 @@ object Queries {
          |        ELSE $est END, 6) AS hll_est,
          |  n_buckets_used
          |FROM htruth, hagg""".stripMargin
+    },
+    "sk_hll_by_source" -> {
+      val t = OracleText.toks("text")
+      val h = OracleText.polyHash("t.term")
+      val est = "(CAST('0.709' AS DOUBLE) * 64 * 64) / (s + (64 - n_buckets_used))"
+      s"""WITH gterm0 AS (
+         |  SELECT source, $h AS h0 FROM documents, unnest($t) AS t(term)),
+         |gterm AS MATERIALIZED (
+         |  SELECT source, (h0 * h0 + 1313131 * h0 + 777777) % 1000000007 AS h
+         |  FROM gterm0),
+         |greg AS MATERIALIZED (
+         |  SELECT source, h % 64 AS bucket,
+         |    max(CASE WHEN h // 64 = 0 THEN 25
+         |             ELSE 25 - length(bin(h // 64)) END) AS r
+         |  FROM gterm GROUP BY 1, 2),
+         |gagg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_buckets_used,
+         |    sum(pow(2.0, -r)) AS s
+         |  FROM greg GROUP BY 1),
+         |gtruth AS (
+         |  SELECT source, CAST(count(DISTINCT t.term) AS BIGINT) AS true_distinct
+         |  FROM documents, unnest($t) AS t(term) GROUP BY 1)
+         |SELECT g.source, true_distinct,
+         |  round(CASE WHEN $est <= CAST('160.0' AS DOUBLE)
+         |          AND (64 - n_buckets_used) > 0
+         |        THEN 64.0 * ln(64.0 / (64 - n_buckets_used))
+         |        ELSE $est END, 6) AS hll_est,
+         |  n_buckets_used
+         |FROM gtruth g JOIN gagg a ON g.source = a.source
+         |ORDER BY g.source""".stripMargin
+    },
+    "ta_length_quantiles" -> {
+      val t = OracleText.toks("text")
+      def q(suffix: String) = Seq(50, 90, 99).map(p =>
+        s"CAST(min(CASE WHEN cum >= ($p * n_docs + 99) // 100 THEN v END) AS BIGINT) AS p${p}_$suffix")
+        .mkString(",\n|  ")
+      s"""WITH lens AS MATERIALIZED (
+         |  SELECT CAST(length(text) AS BIGINT) AS vc,
+         |    CAST(len($t) AS BIGINT) AS vw FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM lens),
+         |cc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum
+         |  FROM (SELECT vc AS v, count(*) AS c FROM lens GROUP BY 1)),
+         |cw AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum
+         |  FROM (SELECT vw AS v, count(*) AS c FROM lens GROUP BY 1)),
+         |qc AS (SELECT
+         |  ${q("chars")}
+         |  FROM cc, n),
+         |qw AS (SELECT
+         |  ${q("ws")}
+         |  FROM cw, n)
+         |SELECT n_docs, p50_chars, p90_chars, p99_chars, p50_ws, p90_ws, p99_ws
+         |FROM n, qc, qw""".stripMargin
+    },
+    "ta_vocab_growth" -> {
+      val t = OracleText.toks("text")
+      val bkt = "least(9, ((%s - lo) * 10) // (hi - lo + 1))"
+      s"""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         |vdb AS (
+         |  SELECT CAST(${bkt.format("doc_id")} AS INTEGER) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents, b GROUP BY 1),
+         |vft AS MATERIALIZED (
+         |  SELECT t.term, min(doc_id) AS fid
+         |  FROM documents, unnest($t) AS t(term) GROUP BY 1),
+         |vtb AS (
+         |  SELECT CAST(${bkt.format("fid")} AS INTEGER) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS new_terms
+         |  FROM vft, b GROUP BY 1),
+         |vj AS (
+         |  SELECT coalesce(vdb.bucket, vtb.bucket) AS bucket,
+         |    coalesce(n_docs, 0) AS n_docs,
+         |    coalesce(new_terms, 0) AS new_terms
+         |  FROM vdb FULL JOIN vtb ON vdb.bucket = vtb.bucket)
+         |SELECT bucket,
+         |  CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS docs_cum,
+         |  CAST(sum(new_terms) OVER (ORDER BY bucket) AS BIGINT) AS vocab_cum,
+         |  new_terms
+         |FROM vj ORDER BY bucket""".stripMargin
     },
     "ta_tfidf_keywords" -> {
       val t = OracleText.toks("text")

@@ -72,17 +72,38 @@ object Sketches {
     * partition; the union of two corpora sketches as the cell-wise max of
     * their registers (SketchSpec pins this). Buckets no term hashes into
     * are absent (rank 0). */
-  def hllRegisters(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def hllRegisters(docs: DataFrame, textCol: String = "text"): DataFrame =
+    hllRegistersOfTerms(
+      docs.select(explode(TextFunctions.tokens(col(textCol))).as("term")))
+
+  /** Register build over an already-exploded `term` frame (shared with the
+    * exact-truth count in [[hllDistinctTerms]] so the corpus is scanned
+    * once). `keys` prepends grouping columns — the per-group form keeps the
+    * same shuffle profile, ≤ 64 register rows per key. */
+  private def hllRegistersOfTerms(terms: DataFrame,
+                                  keys: Seq[String] = Nil): DataFrame = {
     val h = TextFunctions.polyHash(col("term"))
     val g = pmod(h * h + lit(HllA) * h + lit(HllB), lit(P))
-    docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .select(pmod(g, lit(HllBuckets.toLong)).as("bucket"),
-        (g / HllBuckets).cast("long").as("_w"))
-      .select(col("bucket"),
-        when(col("_w") === 0, lit(HllBits + 1))
-          .otherwise(lit(HllBits + 1) - length(bin(col("_w")))).as("r"))
-      .groupBy("bucket").agg(max("r").as("r"))
+    val front = keys.map(col)
+    terms
+      .select(front :+ pmod(g, lit(HllBuckets.toLong)).as("bucket")
+        :+ (g / HllBuckets).cast("long").as("_w"): _*)
+      .select(front :+ col("bucket")
+        :+ when(col("_w") === 0, lit(HllBits + 1))
+          .otherwise(lit(HllBits + 1) - length(bin(col("_w")))).as("r"): _*)
+      .groupBy(front :+ col("bucket"): _*).agg(max("r").as("r"))
+  }
+
+  /** The raw-estimate / linear-counting switch over a frame carrying
+    * `_s` (Σ 2^-r) and `n_buckets_used` — both branches mirrored in the
+    * oracle SQL (see [[hllDistinctTerms]] for why it is bit-deterministic). */
+  private def hllEstimate: Column = {
+    val m = HllBuckets
+    val est = (lit(HllAlpha) * m * m) /
+      (col("_s") + (lit(m) - col("n_buckets_used")))
+    val zeros = lit(m) - col("n_buckets_used")
+    round(when(est <= 2.5 * m && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(est), 6)
   }
 
   /** Distinct-term estimate from the registers, beside the exact count the
@@ -94,21 +115,44 @@ object Sketches {
     * empty buckets) switches to linear counting, both branches mirrored in
     * the oracle SQL. Output: (true_distinct, hll_est, n_buckets_used). */
   def hllDistinctTerms(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val m = HllBuckets
-    val regs = hllRegisters(docs, textCol)
+    // one corpus scan feeds both the register build and the exact truth
+    val terms = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .localCheckpoint(true)
+    val regs = hllRegistersOfTerms(terms)
       .agg(count(lit(1)).as("n_buckets_used"),
         sum(pow(lit(2.0), -col("r"))).as("_s"))
-    val truth = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val truth = terms
       .agg(count_distinct(col("term")).as("true_distinct"))
-    val est = (lit(HllAlpha) * m * m) / (col("_s") + (lit(m) - col("n_buckets_used")))
-    val zeros = lit(m) - col("n_buckets_used")
     truth.crossJoin(broadcast(regs))
-      .select(col("true_distinct"),
-        round(when(est <= 2.5 * m && zeros > 0,
-          lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(est), 6)
-          .as("hll_est"),
+      .select(col("true_distinct"), hllEstimate.as("hll_est"),
         col("n_buckets_used"))
+  }
+
+  /** Per-group distinct-term sketch — the shape a 100 TB profiling pass
+    * actually ships: one ≤ 64-register HLL per partition key (source,
+    * shard, date...), exact truth alongside for the small-SF oracle. The
+    * register build is a single (key, bucket) groupBy with map-side
+    * partial max — ≤ 64·|keys| rows cross the wire per task — and the
+    * per-key estimate rolls up from the registers alone, so the plan costs
+    * the same two shuffles however many keys there are. Output one row per
+    * key: (key, true_distinct, hll_est, n_buckets_used). */
+  def hllDistinctByKey(docs: DataFrame, keyCol: String,
+                       textCol: String = "text"): DataFrame = {
+    val terms = docs
+      .select(col(keyCol),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .localCheckpoint(true)
+    val regs = hllRegistersOfTerms(terms, Seq(keyCol))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_buckets_used"),
+        sum(pow(lit(2.0), -col("r"))).as("_s"))
+    val truth = terms.groupBy(keyCol)
+      .agg(count_distinct(col("term")).as("true_distinct"))
+    truth.join(regs, keyCol)
+      .select(col(keyCol), col("true_distinct"), hllEstimate.as("hll_est"),
+        col("n_buckets_used"))
+      .orderBy(keyCol)
   }
 
   /** Point estimates for a set of query terms against a built sketch:

@@ -405,4 +405,78 @@ object TextAnalysis {
       .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
         .otherwise(array().cast("array<long>")))
   }
+
+  /** Nearest-rank length quantiles for the corpus card: the value at
+    * 1-based rank ceil(pct·n/100) over both character and whitespace-token
+    * lengths, pct in {50, 90, 99}. Histogram-first: the only ordered pass
+    * runs over the distinct-length histogram (bounded by max document
+    * length, not corpus size), so the plan is one map-side-combined
+    * groupBy per axis plus a tiny single-partition cumsum — never a global
+    * sort of the corpus. Ranks are computed in pure integer arithmetic —
+    * ceildiv as (p·n + 99) div 100, positive operands only, where
+    * truncating (Spark `div`) and flooring (DuckDB `//`) division agree —
+    * so every output is an exact integer and the oracle comparison is
+    * float-free. Output one row:
+    * (n_docs, p50_chars, p90_chars, p99_chars, p50_ws, p90_ws, p99_ws). */
+  def lengthQuantiles(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pcts = Seq(50, 90, 99)
+    // one corpus scan feeds both length axes
+    val lens = docs
+      .select(length(col(textCol)).cast("long").as("vc"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("vw"))
+      .localCheckpoint(true)
+    val n = lens.agg(count(lit(1)).as("n_docs"))
+    def quantiles(valCol: String, suffix: String): DataFrame = {
+      val hist = lens.groupBy(col(valCol).as("v")).agg(count(lit(1)).as("c"))
+      val cum = hist
+        .select(col("v"), sum("c").over(Window.orderBy("v")).as("cum"))
+      val qs = pcts.map { p =>
+        val rank = expr(s"($p * n_docs + 99) div 100L")
+        min(when(col("cum") >= rank, col("v"))).as(s"p${p}_$suffix")
+      }
+      cum.crossJoin(broadcast(n)).agg(qs.head, qs.tail: _*)
+    }
+    n.crossJoin(broadcast(quantiles("vc", "chars")))
+      .crossJoin(broadcast(quantiles("vw", "ws")))
+  }
+
+  /** Vocabulary-growth (Heaps-law) curve: documents fall into `buckets`
+    * equal id-RANGE slices — a map-only assignment, no global rank — and
+    * each distinct term is charged to the slice of its first-occurrence
+    * doc id. Both axes then accumulate over the ≤ `buckets`-row bucket
+    * dimension, so the whole curve costs one term shuffle (min-id per
+    * term, map-side combined) plus a tiny cumsum. Output per bucket:
+    * (bucket, docs_cum, vocab_cum, new_terms). */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10,
+                  textCol: String = "text", idCol: String = "id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = docs.agg(min(col(idCol)).as("_lo"), max(col(idCol)).as("_hi"))
+    // integral range slice: ((id - lo) * buckets) div (hi - lo + 1)
+    def bucketOf(id: Column): Column =
+      least(lit(buckets - 1),
+        expr(s"(($id - _lo) * $buckets) div (_hi - _lo + 1)")).cast("int")
+    val docsPer = docs.select(col(idCol).as("_id"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucketOf(col("_id")).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val termsPer = docs
+      .select(col(idCol).as("_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(min(col("_id")).as("_fid"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucketOf(col("_fid")).as("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsPer.join(termsPer, Seq("bucket"), "full")
+      .select(col("bucket"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .select(col("bucket"),
+        sum("n_docs").over(w).as("docs_cum"),
+        sum("new_terms").over(w).as("vocab_cum"),
+        col("new_terms"))
+      .orderBy("bucket")
+  }
 }

@@ -198,6 +198,30 @@ class CurationSpec extends SparkSpec {
     assert(got.values.forall(v => v._3 == (v._2 >= 0.0)))
   }
 
+  test("lengthQuantiles: nearest-rank values on a hand-computed fixture") {
+    // doc i = i repetitions of "x": ws length i, char length 2i-1;
+    // n = 10, so rank(p) = ceil(p·10/100) picks ws {5, 9, 10}
+    val docs = df((1L to 10L).map(i => i -> ("x " * i.toInt).trim): _*)
+    val row = TextAnalysis.lengthQuantiles(docs).head()
+    assert(row.getLong(row.fieldIndex("n_docs")) == 10L)
+    assert(row.getLong(row.fieldIndex("p50_ws")) == 5L)
+    assert(row.getLong(row.fieldIndex("p90_ws")) == 9L)
+    assert(row.getLong(row.fieldIndex("p99_ws")) == 10L)
+    assert(row.getLong(row.fieldIndex("p50_chars")) == 9L)
+    assert(row.getLong(row.fieldIndex("p90_chars")) == 17L)
+    assert(row.getLong(row.fieldIndex("p99_chars")) == 19L)
+  }
+
+  test("vocabGrowth charges each term to its first-occurrence slice") {
+    // ids 0..3, buckets=2 → range slices {0,1} and {2,3}; "a","b","c"
+    // first occur in slice 0 (b via doc 0, not its doc-2 reappearance)
+    val docs = df(0L -> "a b", 1L -> "a c", 2L -> "b d", 3L -> "e")
+    val got = TextAnalysis.vocabGrowth(docs, buckets = 2, idCol = "id")
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((0, 2L, 3L, 3L), (1, 4L, 5L, 2L)), s"got $got")
+  }
+
   test("exactRepeatedSpans finds planted verbatim cross-doc repeats and nothing else") {
     val repeat = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     val docs = df(

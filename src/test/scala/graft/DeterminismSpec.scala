@@ -31,7 +31,10 @@ class DeterminismSpec extends SparkSpec {
       // round 6 additions: integer-micro-unit graph iteration, per-doc
       // rank window over corpus stats, hashed-bucket integer scoring
       "gr_pagerank", "ta_tfidf_keywords", "tc_dsir_sample", "gr_components",
-      "sk_hll_distinct", "tk_bpe_merges", "tk_bpe_tokenize")
+      "sk_hll_distinct", "tk_bpe_merges", "tk_bpe_tokenize",
+      // round 6 corpus-card additions: per-key register groupBy,
+      // histogram-cumsum quantiles, id-range-sliced growth curve
+      "sk_hll_by_source", "ta_length_quantiles", "ta_vocab_growth")
 
   private def rowsAt(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)

@@ -57,6 +57,20 @@ class SketchSpec extends SparkSpec {
       s"HLL estimate $est too far from $truth")
   }
 
+  test("grouped HLL per key == the global sketch over that key's slice") {
+    val d = core.Tables.documents(spark, sf())
+      .select(col("doc_id").as("id"), col("text"), col("source"))
+    val grouped = Sketches.hllDistinctByKey(d, "source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    for (key <- grouped.keys.toSeq.sorted.take(3)) {
+      val row = Sketches.hllDistinctTerms(d.filter(col("source") === key)).head()
+      assert(grouped(key) ==
+        ((row.getLong(0), row.getDouble(1), row.getLong(2))),
+        s"per-key sketch for $key diverges from the filtered global build")
+    }
+  }
+
   test("sketches merge cell-wise: cms(A union B) == cms(A) + cms(B)") {
     val a = docs.filter(col("id") % 2 === 0)
     val b = docs.filter(col("id") % 2 =!= 0)

@@ -190,4 +190,34 @@ class StreamingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(out == Set(2L))
   }
+
+  test("CMS and HLL sketches build incrementally over a document stream == batch") {
+    import graft.text.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    // both sketches ARE groupBy aggregations, so the batch operators run
+    // unchanged as streaming state: cells/registers update per micro-batch
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("id", "text")
+    val cms = Sketches.cmsTermCounts(docs)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_stream").start()
+    val hll = Sketches.hllRegisters(docs)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hll_stream").start()
+    try {
+      input.addData(1L -> "alpha beta alpha", 2L -> "beta gamma")
+      cms.processAllAvailable(); hll.processAllAvailable()
+      input.addData(3L -> "gamma delta alpha epsilon")
+      cms.processAllAvailable(); hll.processAllAvailable()
+      val batch = Seq(
+        (1L, "alpha beta alpha"), (2L, "beta gamma"),
+        (3L, "gamma delta alpha epsilon")).toDF("id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      assert(rows(spark.table("cms_stream")) ==
+        rows(Sketches.cmsTermCounts(batch)))
+      assert(rows(spark.table("hll_stream")) ==
+        rows(Sketches.hllRegisters(batch)))
+    } finally { cms.stop(); hll.stop() }
+  }
 }
