@@ -581,6 +581,10 @@ object Queries {
     // terms charged to their first-occurrence slice, tiny cumsum
     "ta_vocab_growth" -> ((s, dir) =>
       TextAnalysis.vocabGrowth(docs(s, dir), buckets = 10)),
+    // Zipf rank-frequency least-squares fit over the top-1000 terms
+    // (integer micro-unit regression sums; slope ≈ -1 for natural text)
+    "ta_zipf_slope" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(docs(s, dir), topN = 1000)),
     // distributed BPE tokenizer-merge training: top-6 learned merges
     // (Sennrich '16), oracle = the same 6 rounds unrolled in SQL
     "tk_bpe_merges" -> ((s, dir) =>
@@ -1088,6 +1092,36 @@ object Queries {
          |  FROM cw, n)
          |SELECT n_docs, p50_chars, p90_chars, p99_chars, p50_ws, p90_ws, p99_ws
          |FROM n, qc, qw""".stripMargin
+    },
+    "ta_zipf_slope" -> {
+      val t = OracleText.toks("text")
+      // double arithmetic mirrors the Spark expression tree token-for-token
+      val (n, sx, sy, sxy, sxx, syy) = (
+        "CAST(n_terms AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
+        "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)")
+      val cov = s"($n * $sxy - $sx * $sy)"
+      val varx = s"($n * $sxx - $sx * $sx)"
+      val vary = s"($n * $syy - $sy * $sy)"
+      s"""WITH ztf AS MATERIALIZED (
+         |  SELECT t.term, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM documents, unnest($t) AS t(term) GROUP BY 1
+         |  ORDER BY cnt DESC, term LIMIT 1000),
+         |zr AS (SELECT cnt,
+         |  row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM ztf),
+         |zm AS (SELECT
+         |  CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+         |  CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+         |  FROM zr),
+         |za AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx,
+         |  CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM zm)
+         |SELECT n_terms,
+         |  round($cov / $varx, 6) AS zipf_slope,
+         |  round(($cov * $cov) / ($varx * $vary), 6) AS r2
+         |FROM za""".stripMargin
     },
     "ta_vocab_growth" -> {
       val t = OracleText.toks("text")

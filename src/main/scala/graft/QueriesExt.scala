@@ -197,6 +197,20 @@ object QueriesExt {
         .withColumn("integrity_ok", lit(ok))
         .orderBy("id")
     }),
+    // Store maintenance: small-files compaction — save 8-way (the
+    // many-tiny-files state an append-heavy store reaches), compact to the
+    // 128 MB byte target (tiny corpus → 1 file), and verify the rewrite
+    // kept every row; the narrow coalesce + write-then-swap are both
+    // inside the measured path
+    "s9_compact" -> ((s, dir) => {
+      import s.implicits._
+      val path = "/root/repo/target/tmp/s9_compact"
+      Store.deleteRecursive(path)
+      Store.save(Corpus.memories(s, dir).repartition(8), path)
+      val (before, after, rows) = Store.compact(s, path)
+      Seq((before.toLong, after.toLong, rows))
+        .toDF("files_before", "files_after", "n_rows")
+    }),
     // S7: 7 dated snapshots at keep=5 must leave exactly the 5 newest
     "s7_snapshot_retention" -> ((s, dir) => {
       import s.implicits._
@@ -531,6 +545,13 @@ object QueriesExt {
          |SELECT id, source, entity_key, archived, TRUE AS integrity_ok
          |FROM memories WHERE source NOT LIKE 'src2%'
          |ORDER BY id""".stripMargin,
+    // files_before is pinned by the 8-way repartition of a non-empty
+    // corpus; files_after = ceil(bytes/128MB) = 1 at oracle scale
+    "s9_compact" ->
+      s"""WITH ${OracleCtes.memories}
+         |SELECT CAST(8 AS BIGINT) AS files_before,
+         |  CAST(1 AS BIGINT) AS files_after,
+         |  CAST(count(*) AS BIGINT) AS n_rows FROM memories""".stripMargin,
     "s7_snapshot_retention" ->
       """SELECT snapshot FROM (VALUES
         |  ('mem_20260803T000000'), ('mem_20260804T000000'),

@@ -48,6 +48,36 @@ object Store {
     n
   }
 
+  /** Small-files compaction: rewrite a parquet directory into
+    * ceil(bytes / targetBytes) files — the maintenance pass a long-lived
+    * store needs after many incremental appends (at 100 TB, thousands of
+    * tiny files per partition turn planning and scan startup into the
+    * bottleneck). The rewrite is a `coalesce` over the existing read
+    * partitions — a narrow dependency, no shuffle — and lands through the
+    * same write-then-swap as [[save]], so readers never observe a partial
+    * table. Per-partition compaction of a [[savePartitioned]] layout is
+    * this call applied under each partition directory. Returns
+    * (files_before, files_after, rows). */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L << 20): (Int, Int, Long) = {
+    val before = parquetFiles(path)
+    val bytes = before.map(p => Files.size(Paths.get(p))).sum
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val n = save(spark.read.parquet(path).coalesce(parts), path)
+    (before.size, parquetFiles(path).size, n)
+  }
+
+  /** Data files of a parquet directory (part files only, no markers).
+    * Files.walk holds open directory streams: drain under try/finally. */
+  private def parquetFiles(path: String): Seq[String] = {
+    val s = Files.walk(Paths.get(path))
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq
+    finally s.close()
+  }
+
   /** Integrity check (memory_engine.py:206-218): metadata row count must
     * equal the vector count — here, rows with a non-null embedding. */
   def integrityCheck(df: DataFrame): (Long, Long, Boolean) = {

@@ -441,6 +441,48 @@ object TextAnalysis {
       .crossJoin(broadcast(quantiles("vw", "ws")))
   }
 
+  /** Zipf rank-frequency fit over the top `topN` corpus terms: the
+    * least-squares slope of ln(freq) on ln(rank) with its R² — the
+    * corpus-card linguistic sanity stat (natural text slopes ≈ −1;
+    * boilerplate-heavy or synthetic corpora flatten or steepen it).
+    * Top-N selection is a TakeOrderedAndProject (distributed heap, never a
+    * global sort) and the rank window runs over ≤ topN rows. The
+    * regression follows the [[unigramNll]] exactness discipline: ln values
+    * are rounded to integer micro-units once, all five regression sums are
+    * integer (order-free), and the closing slope/R² arithmetic combines a
+    * handful of exact BIGINTs in double expressions mirrored token-for-
+    * token by the oracle SQL. Output one row: (n_terms, zipf_slope, r2). */
+  def zipfSlope(docs: DataFrame, topN: Int = 1000,
+                textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("term")).limit(topN)
+    val micro = top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("cnt"), asc("term"))))
+      .select(
+        round(log(col("rank").cast("double")) * 1e6, 0).cast("long").as("x"),
+        round(log(col("cnt").cast("double")) * 1e6, 0).cast("long").as("y"))
+    val (n, sx, sy, sxy, sxx, syy) = (col("n_terms").cast("double"),
+      col("_sx").cast("double"), col("_sy").cast("double"),
+      col("_sxy").cast("double"), col("_sxx").cast("double"),
+      col("_syy").cast("double"))
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    micro
+      .agg(count(lit(1)).as("n_terms"),
+        sum("x").as("_sx"), sum("y").as("_sy"),
+        sum(col("x") * col("y")).as("_sxy"),
+        sum(col("x") * col("x")).as("_sxx"),
+        sum(col("y") * col("y")).as("_syy"))
+      .select(col("n_terms"),
+        round(cov / varx, 6).as("zipf_slope"),
+        round((cov * cov) / (varx * vary), 6).as("r2"))
+  }
+
   /** Vocabulary-growth (Heaps-law) curve: documents fall into `buckets`
     * equal id-RANGE slices — a map-only assignment, no global rank — and
     * each distinct term is charged to the slice of its first-occurrence

@@ -212,6 +212,16 @@ class CurationSpec extends SparkSpec {
     assert(row.getLong(row.fieldIndex("p99_chars")) == 19L)
   }
 
+  test("zipfSlope recovers -1 exactly on a constructed power-law corpus") {
+    // freq(pos) = 12/pos for pos 1..4 → ln f = ln 12 − ln pos: slope −1, R² 1
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val row = TextAnalysis.zipfSlope(df(1L -> text)).head()
+    assert(row.getLong(0) == 4L)
+    assert(math.abs(row.getDouble(1) + 1.0) < 1e-4, s"slope ${row.getDouble(1)}")
+    assert(row.getDouble(2) > 0.9999, s"r2 ${row.getDouble(2)}")
+  }
+
   test("vocabGrowth charges each term to its first-occurrence slice") {
     // ids 0..3, buckets=2 → range slices {0,1} and {2,3}; "a","b","c"
     // first occur in slice 0 (b via doc 0, not its doc-2 reappearance)

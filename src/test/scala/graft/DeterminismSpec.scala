@@ -34,7 +34,8 @@ class DeterminismSpec extends SparkSpec {
       "sk_hll_distinct", "tk_bpe_merges", "tk_bpe_tokenize",
       // round 6 corpus-card additions: per-key register groupBy,
       // histogram-cumsum quantiles, id-range-sliced growth curve
-      "sk_hll_by_source", "ta_length_quantiles", "ta_vocab_growth")
+      "sk_hll_by_source", "ta_length_quantiles", "ta_vocab_growth",
+      "ta_zipf_slope")
 
   private def rowsAt(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)

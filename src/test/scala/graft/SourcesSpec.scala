@@ -51,6 +51,17 @@ class SourcesSpec extends SparkSpec {
     assert(total == 10 && withVec == 10 && ok)
   }
 
+  test("Store.compact merges small files, keeps rows, and stays swappable") {
+    val dir = tmp()
+    val mem = Corpus.memories(spark, sf()).limit(40)
+    Store.save(mem.repartition(8), s"$dir/t")
+    val (before, after, rows) = Store.compact(spark, s"$dir/t")
+    assert(before == 8 && after == 1 && rows == 40)
+    // the compacted table is still a normal store: loadable and swappable
+    assert(Store.load(spark, s"$dir/t").count() == 40)
+    assert(Store.save(mem.limit(5), s"$dir/t") == 5)
+  }
+
   test("snapshots keep only the newest N per prefix") {
     val dir = tmp()
     val df = Seq((1L, "a")).toDF("id", "x")
