@@ -421,6 +421,15 @@ object Queries {
       graft.text.Curation.contamination(d, bench, minShared = 5)
         .orderBy("id", "bench_id")
     }),
+    // bloom-gated decontamination: same semantics, broadcast Bloom probe
+    // fused into the scan so the verify join only sees admitted grams
+    // (different bench fixture than tc_contamination to vary coverage)
+    "tc_bloom_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("id") % 20 === 3).select("id", "text")
+      graft.text.BloomDecontam.bloomContamination(d, bench, minShared = 5)
+        .orderBy("id", "bench_id")
+    }),
     // PII scrub stage: deterministic injected PII (every 7th doc gets an
     // email, an IPv4 and a phone) -> typed-sentinel redaction + counts
     "tc_pii_scrub" -> ((s, dir) => {
@@ -842,6 +851,16 @@ object Queries {
     "tc_contamination" ->
       s"""WITH ${OracleText.shingleCte()},
          |bsh AS MATERIALIZED (SELECT id AS bench_id, sh FROM sh WHERE id % 25 = 7)
+         |SELECT s.id, b.bench_id,
+         |  CAST(len(list_intersect(s.sh, b.sh)) AS BIGINT) AS n_shared
+         |FROM sh s, bsh b
+         |WHERE len(list_intersect(s.sh, b.sh)) >= 5
+         |ORDER BY id, bench_id""".stripMargin,
+    // exact intersection SQL — the bloom prefilter must be invisible in
+    // the result (no false negatives; verify join kills false positives)
+    "tc_bloom_decontam" ->
+      s"""WITH ${OracleText.shingleCte()},
+         |bsh AS MATERIALIZED (SELECT id AS bench_id, sh FROM sh WHERE id % 20 = 3)
          |SELECT s.id, b.bench_id,
          |  CAST(len(list_intersect(s.sh, b.sh)) AS BIGINT) AS n_shared
          |FROM sh s, bsh b
@@ -1447,8 +1466,8 @@ object Queries {
 
 
   val all: Map[String, Q] =
-    retrievalQueries ++ sanityQueries ++ dedupQueries ++ QueriesOps.queries ++ QueriesExt.queries
+    retrievalQueries ++ sanityQueries ++ dedupQueries ++ QueriesOps.queries ++ QueriesExt.queries ++ QueriesJoins.queries
 
   val oracles: Map[String, String] =
-    retrievalOracles ++ sanityOracles ++ dedupOracles ++ QueriesOps.oracles ++ QueriesExt.oracles
+    retrievalOracles ++ sanityOracles ++ dedupOracles ++ QueriesOps.oracles ++ QueriesExt.oracles ++ QueriesJoins.oracles
 }
