@@ -44,10 +44,15 @@ object Tables {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * only reads under the legacy nanosAsLong conf (as an epoch-nanos Long).
-    * Enable it here and normalize back to a TimestampType column so every
-    * downstream operator sees a plain timestamp. */
+  /** `events.parquet` has shipped `ts` in two physical forms across driver
+    * testdata generations: parquet TIMESTAMP(NANOS), which Spark 4 only
+    * reads under the legacy nanosAsLong conf (as an epoch-nanos Long), and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 reads as
+    * TIMESTAMP_NTZ. Normalize BOTH to a plain TimestampType column so every
+    * downstream operator (`unix_micros`, watermarks, window ranges) sees
+    * one type. The NTZ→LTZ cast interprets the wall-clock in the session
+    * timezone — pinned to UTC in every entrypoint — so epoch micros equal
+    * DuckDB's `epoch_us` on the same naive timestamp, exactly. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
@@ -59,6 +64,10 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
