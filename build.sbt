@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify contract: the driver parses the headline JSON out of the
+// LAST 2000 chars of captured output. Forked run output is normally
+// re-logged with an "[info] " prefix and followed by sbt's own
+// "[success] Total time..." line — strip both so the JSON line the mains
+// print is genuinely the final, unprefixed line of the process output.
+run / connectInput := false
+outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -55,6 +55,10 @@ object Tables {
     * DuckDB's `epoch_us` on the same naive timestamp, exactly. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // self-contained timezone pin (ADVICE r6): the NTZ→LTZ cast below is
+    // only epoch-exact when the session zone is UTC; a future entrypoint
+    // that forgets the builder-level pin must not silently shift micros
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
