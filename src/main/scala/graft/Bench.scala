@@ -32,7 +32,11 @@ object Bench {
     "d2_neardup_cosine", "d2_neardup_lsh", "d3_dedup_survivors",
     "d4_similar_clusters", "d5_consolidation_clusters", "d8_smart_import",
     "dd_exact_survivors", "lsh_minhash_neardup", "sh_simhash_neardup",
-    "fp_winnowing", "ta_text_profile", "e1_embed_checksum",
+    // round-7 budget swap: fp_winnowing / ta_text_profile /
+    // e1_embed_checksum / st_event_window_counts — the four cheapest
+    // map-only scans (each <0.6 s at sf0.1, all oracle-gated in the
+    // correctness run) — retire from the TIMED line to fund the new plans
+    // below with genuine shuffle shapes
     // ann_sq8_topk dropped from the line (2000-char window budget): SQ8 is
     // still timed through the ann_ivfsq8_topk composition
     "ann_ivf_topk", "ann_ivf_indexed", "ann_lsh_brp_pairs", "ann_ivfsq8_topk",
@@ -42,8 +46,13 @@ object Bench {
     "tc_c4_filters", "tc_semantic_dedup", "tc_dsir_sample", "gr_pagerank",
     "tp_pack_sequences", "tp_split_leakage", "ev_self_retrieval",
     "m5_merge_groups", "m11_auto_link",
-    "st_event_window_counts", "st_sessionize", "mm_feature_checksum",
-    "s1_store_swap")
+    "st_sessionize", "mm_feature_checksum",
+    "s1_store_swap",
+    // round 7: the PQ coding path and its IVF composition, the cross-doc
+    // line census, and the degree-ordered triangle join — the new plans
+    // with genuine shuffle shapes (mrl/pq recalls and the weighted top-n
+    // are cheap rescans of already-timed plans, left to the oracle run)
+    "ann_pq_topk", "ann_ivfpq_topk", "tc_boilerplate_lines", "gr_triangles")
     // round-6 budget swap (the 1500-char line estimate): gr_pagerank
     // (iterative graph analytics) and tc_dsir_sample (hashed-feature
     // importance scoring) enter; tc_pii_scrub and m9_policy_enforce — the

@@ -231,7 +231,7 @@ object Queries {
 
   // ------------------------------------------------------- dedup / text / ann
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).withColumnRenamed("doc_id", "id")
 
   /** Register a JVM-exit delete for a per-process tmp tree, once per path. */
@@ -252,7 +252,7 @@ object Queries {
     * (id+i)%7==0; docs with id%37==0 get a lorem-ipsum line and id%41==0 a
     * brace line (page-level drops). Mirrored verbatim in the oracle SQL
     * ([[OracleText.c4PagesSql]]). */
-  private def c4Pages(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def c4Pages(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir)
       .select(col("id"), TextFunctions.tokens(col("text")).as("_t"))
       .withColumn("_nl", floor(size(col("_t")) / 5).cast("int"))
@@ -638,7 +638,7 @@ object Queries {
   /** IVF CTE chain: cent0/centn/cent (centroids), asg (cell assignment),
     * probe (the nprobe=2 query-nearest cells) — shared by the IVF and
     * IVF×SQ8 oracles. */
-  private def ivfCtes: String =
+  private[graft] def ivfCtes: String =
     s"""cent0 AS (
        |  SELECT label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
        |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
@@ -1466,8 +1466,8 @@ object Queries {
 
 
   val all: Map[String, Q] =
-    retrievalQueries ++ sanityQueries ++ dedupQueries ++ QueriesOps.queries ++ QueriesExt.queries ++ QueriesJoins.queries
+    retrievalQueries ++ sanityQueries ++ dedupQueries ++ QueriesOps.queries ++ QueriesExt.queries ++ QueriesJoins.queries ++ QueriesScale.queries
 
   val oracles: Map[String, String] =
-    retrievalOracles ++ sanityOracles ++ dedupOracles ++ QueriesOps.oracles ++ QueriesExt.oracles ++ QueriesJoins.oracles
+    retrievalOracles ++ sanityOracles ++ dedupOracles ++ QueriesOps.oracles ++ QueriesExt.oracles ++ QueriesJoins.oracles ++ QueriesScale.oracles
 }

@@ -1,0 +1,301 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ann.{Ann, Pq}
+import graft.core.{Corpus, OracleCtes, OracleText, Tables}
+import graft.functions.VectorFunctions
+import graft.search.{Filters, VectorSearch}
+import graft.text.Curation
+
+/** Registry section 5 — the compressed-index / corpus-hygiene tier:
+  * product quantization (PQ and IVF-PQ), Matryoshka truncation recall,
+  * corpus-level boilerplate line removal, weighted sampling, and the
+  * triangle census of the similarity graph.
+  */
+object QueriesScale {
+
+  import Queries.Q
+
+  /** Truncation dim for the Matryoshka recall audit (first 16 of 64). */
+  private val MrlDim = 16
+
+  /** Web-page fixture for the boilerplate census: the deterministic C4
+    * pages ([[Queries.c4Pages]]) plus injected cross-site boilerplate — a
+    * cookie banner on every page and a nav footer on even ids — so the
+    * corpus-level census has both planted all-corpus lines and the organic
+    * repeats among the short 2-token lines. Mirrored in the oracle CTE
+    * `bpp`. */
+  private def boilerPages(s: SparkSession, dir: String): DataFrame =
+    Queries.c4Pages(s, dir).select(col("id"), concat(
+      col("text"), lit("\ncookie notice accept all cookies"),
+      when(pmod(col("id"), lit(2)) === 0, lit("\nsite map home contact"))
+        .otherwise(lit(""))).as("text"))
+
+  val queries: Map[String, Q] = Map(
+    // PQ ADC top-k: scores computed from 1-byte-per-subspace codes through
+    // the m×ks lookup table only — the raw vectors are never read
+    "ann_pq_topk" -> ((s, dir) => {
+      val books = Pq.codebooks(Tables.embeddings(s, dir))
+      val enc = Pq.encode(Corpus.memories(s, dir), books)
+      Pq.pqTopK(enc, books, Queries.queryVec(s, dir), k = 10)
+    }),
+    // recall audit for the PQ tier: |ADC top-10 ∩ exact top-10| / 10
+    "ann_pq_recall" -> ((s, dir) => {
+      val mem = Corpus.memories(s, dir)
+      val qv = Queries.queryVec(s, dir)
+      val books = Pq.codebooks(Tables.embeddings(s, dir))
+      val pq = Pq.pqTopK(Pq.encode(mem, books), books, qv, k = 10).select("id")
+      val exact = VectorSearch.topK(mem, qv, k = 10).select("id")
+      pq.join(exact, "id")
+        .agg(round(count(lit(1)) / 10.0, 6).as("recall_at_10"))
+    }),
+    // Faiss-IVFPQ shape: IVF prunes cells, ADC ranks codes, exact re-rank
+    // reads only `candidates` full vectors
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = Ann.centroidsByLabel(emb)
+      val assigned = Ann.assign(Corpus.memories(s, dir), cent)
+      Pq.ivfPqTopK(assigned, cent, Pq.codebooks(emb), Queries.queryVec(s, dir),
+        k = 10, nprobe = 2, candidates = 50)
+    }),
+    // Matryoshka truncation audit (Kusupati et al. '22, public): how much
+    // top-10 recall survives keeping only the first 16 of 64 dims (with
+    // re-normalization) — the question MRL embeddings answer at serving
+    // time. Renormalized cosine = dot16 / (||x16||·||q16||), no
+    // materialized truncated vectors.
+    "ann_mrl_recall" -> ((s, dir) => {
+      val mem = Corpus.memories(s, dir)
+      val qv = Queries.queryVec(s, dir)
+      val q16 = typedLit(qv.take(MrlDim))
+      val x16 = slice(col("embedding"), 1, MrlDim)
+      val sim16 = round(
+        VectorFunctions.dot(x16, q16) /
+          (VectorFunctions.l2Norm(x16) * VectorFunctions.l2Norm(q16)), 6)
+      val trunc = mem.filter(Filters.visible(None, false, None, None))
+        .select(col("id"), sim16.as("sim"))
+        .orderBy(desc("sim"), asc("id")).limit(10).select("id")
+      val full = VectorSearch.topK(mem, qv, k = 10).select("id")
+      trunc.join(full, "id")
+        .agg(round(count(lit(1)) / 10.0, 6).as("recall_at_10"))
+    }),
+    // corpus-level boilerplate line removal over the planted web pages
+    "tc_boilerplate_lines" -> ((s, dir) =>
+      Curation.boilerplateLines(boilerPages(s, dir), minDocs = 10)
+        .orderBy("id")),
+    // Efraimidis-Spirakis quality-weighted sample of the profiled corpus
+    "tc_sample_weighted" -> ((s, dir) =>
+      Curation.weightedSample(Curation.profile(Queries.docs(s, dir)), n = 100)
+        .select("id", "quality", "es_key")),
+    // triangle census of the near-dup similarity graph: transitivity
+    // measures how clique-like the duplicate neighborhoods are
+    "gr_triangles" -> ((s, dir) =>
+      graft.search.GraphSearch.triangleCensus(
+        graft.dedup.Dedup.findDuplicates(Corpus.memories(s, dir), threshold = 0.35)
+          .select("id_a", "id_b"))),
+    // PMI collocations: the corpus's most associated adjacent word pairs
+    "ta_pmi_collocations" -> ((s, dir) =>
+      graft.text.TextAnalysis.pmiCollocations(Queries.docs(s, dir))),
+    // per-term JS drift between the src1* slice and the rest — the
+    // distribution-shift monitor between crawls/sources
+    "ta_term_drift" -> ((s, dir) =>
+      graft.text.TextAnalysis.termDrift(Queries.docs(s, dir),
+        col("source").startsWith("src1"))),
+    "ta_js_divergence" -> ((s, dir) =>
+      graft.text.TextAnalysis.jsDivergence(Queries.docs(s, dir),
+        col("source").startsWith("src1"))))
+
+  /** PQ CTEs over a source relation `src(id, embedding)`: pqc (per-subspace
+    * codebooks from the labeled embeddings), pqe (codes for src rows), pqlut
+    * (query micro-unit ADC table), pqadc (per-id ADC score). Kept in
+    * lockstep with [[graft.ann.Pq]]. */
+  private def pqCtes(src: String): String =
+    s"""pqc0 AS (
+       |  SELECT label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
+       |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+       |pqc AS MATERIALIZED (
+       |  SELECT CAST((i - 1) // 8 AS INT) AS sub, label, list(m ORDER BY i) AS codevec
+       |  FROM pqc0 GROUP BY 1, 2),
+       |pqe AS MATERIALIZED (
+       |  SELECT id, sub, label AS code FROM (
+       |    SELECT m.id, c.sub, c.label, row_number() OVER (PARTITION BY m.id, c.sub ORDER BY
+       |      round(list_sum(list_transform(range(1, 9), i ->
+       |        (CAST(m.embedding[c.sub * 8 + i] AS DOUBLE) - c.codevec[i]) *
+       |        (CAST(m.embedding[c.sub * 8 + i] AS DOUBLE) - c.codevec[i]))), 6), c.label) AS rn
+       |    FROM $src m, pqc c) WHERE rn = 1),
+       |pqlut AS MATERIALIZED (
+       |  SELECT c.sub, c.label,
+       |    CAST(round(round(list_sum(list_transform(range(1, 9), i ->
+       |      c.codevec[i] * CAST(q.qv[c.sub * 8 + i] AS DOUBLE))), 6) * 1e6, 0) AS BIGINT) AS micro
+       |  FROM pqc c CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q),
+       |pqadc AS MATERIALIZED (
+       |  SELECT e.id, round(CAST(sum(l.micro) AS DOUBLE) / 1e6, 6) AS adc
+       |  FROM pqe e JOIN pqlut l ON e.sub = l.sub AND e.code = l.label
+       |  GROUP BY e.id)""".stripMargin
+
+  private val annPqTopkSql: String =
+    s"""WITH ${OracleCtes.memories},
+       |${pqCtes("memories")}
+       |SELECT id, adc FROM pqadc ORDER BY adc DESC, id LIMIT 10""".stripMargin
+
+  private val mrlQ =
+    "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
+
+  /** Shared drift CTEs: tdn(term, n_a, n_b, js_nano) — per-term JS
+    * contributions in integer nano-units between the src1* slice and the
+    * rest. Kept in lockstep with
+    * [[graft.text.TextAnalysis.termDrift]]/[[graft.text.TextAnalysis.jsDivergence]]. */
+  private def termDriftCtes: String = {
+    val t = OracleText.toks("text")
+    val p = "(CAST(n_a AS DOUBLE) / ta)"
+    val q = "(CAST(n_b AS DOUBLE) / tb)"
+    s"""tdt AS MATERIALIZED (
+       |  SELECT (source LIKE 'src1%') AS a, u.term
+       |  FROM documents, unnest($t) AS u(term)),
+       |tdc AS MATERIALIZED (
+       |  SELECT term,
+       |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM tdt GROUP BY 1),
+       |tdtot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+       |  CAST(sum(n_b) AS BIGINT) AS tb FROM tdc),
+       |tdn AS MATERIALIZED (
+       |  SELECT term, n_a, n_b,
+       |    CAST(round((CASE WHEN n_a > 0
+       |        THEN 0.5 * $p * ln(2.0 * $p / ($p + $q)) ELSE 0.0 END
+       |      + CASE WHEN n_b > 0
+       |        THEN 0.5 * $q * ln(2.0 * $q / ($p + $q)) ELSE 0.0 END) * 1e9, 0)
+       |      AS BIGINT) AS js_nano
+       |  FROM tdc, tdtot)""".stripMargin
+  }
+
+  private def dotN(n: Int, a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def normN(n: Int, a: String): String =
+    s"sqrt(list_sum(list_transform(range(1, ${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))"
+
+  val oracles: Map[String, String] = Map(
+    "ann_pq_topk" -> annPqTopkSql,
+    "ann_pq_recall" ->
+      s"""WITH ${OracleCtes.memories},
+         |${pqCtes("memories")},
+         |pqt AS (SELECT id FROM pqadc ORDER BY adc DESC, id LIMIT 10),
+         |ext AS (
+         |  SELECT m.id FROM memories m CROSS JOIN $mrlQ q
+         |  WHERE NOT m.archived
+         |  ORDER BY round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id LIMIT 10)
+         |SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10
+         |FROM pqt JOIN ext USING (id)""".stripMargin,
+    "ann_ivfpq_topk" ->
+      s"""WITH ${OracleCtes.memories},
+         |${Queries.ivfCtes},
+         |pool AS MATERIALIZED (
+         |  SELECT m.id, a.ivf_cell, m.embedding
+         |  FROM memories m JOIN asg a ON m.id = a.id
+         |  JOIN probe p ON a.ivf_cell = p.label),
+         |${pqCtes("pool")},
+         |cand AS (SELECT id FROM pqadc ORDER BY adc DESC, id LIMIT 50)
+         |SELECT o.id, o.ivf_cell,
+         |  round(${OracleCtes.dot64("o.embedding", "q2.qv")}, 6) AS sim
+         |FROM pool o JOIN cand USING (id) CROSS JOIN $mrlQ q2
+         |ORDER BY sim DESC, o.id LIMIT 10""".stripMargin,
+    "ann_mrl_recall" ->
+      s"""WITH ${OracleCtes.memories},
+         |trc AS (
+         |  SELECT m.id FROM memories m CROSS JOIN $mrlQ q
+         |  WHERE NOT m.archived
+         |  ORDER BY round(${dotN(MrlDim, "m.embedding", "q.qv")} /
+         |    (${normN(MrlDim, "m.embedding")} * ${normN(MrlDim, "q.qv")}), 6) DESC, m.id
+         |  LIMIT 10),
+         |ful AS (
+         |  SELECT m.id FROM memories m CROSS JOIN $mrlQ q
+         |  WHERE NOT m.archived
+         |  ORDER BY round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id LIMIT 10)
+         |SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10
+         |FROM trc JOIN ful USING (id)""".stripMargin,
+    "tc_boilerplate_lines" -> {
+      s"""WITH ${OracleText.c4Ctes()},
+         |bpp AS MATERIALIZED (
+         |  SELECT id, text || chr(10) || 'cookie notice accept all cookies' ||
+         |    CASE WHEN id % 2 = 0 THEN chr(10) || 'site map home contact' ELSE '' END AS text
+         |  FROM c4pages),
+         |bps AS (SELECT id, string_split(text, chr(10)) AS ls FROM bpp),
+         |bpl AS MATERIALIZED (
+         |  SELECT id, u.i - 1 AS pos, ls[u.i] AS line,
+         |    ${OracleText.polyHash("trim(ls[u.i])")} AS k,
+         |    len(trim(ls[u.i])) > 0 AS ne
+         |  FROM bps, unnest(range(1, len(ls) + 1)) AS u(i)),
+         |bpc AS MATERIALIZED (
+         |  SELECT k FROM (
+         |    SELECT k, count(DISTINCT id) AS nd FROM bpl WHERE ne GROUP BY k)
+         |  WHERE nd >= 10)
+         |SELECT l.id, CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN c.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  coalesce(string_agg(CASE WHEN c.k IS NULL THEN l.line END, chr(10) ORDER BY l.pos), '') AS text_clean
+         |FROM bpl l LEFT JOIN bpc c ON l.k = c.k
+         |GROUP BY l.id ORDER BY l.id""".stripMargin
+    },
+    "tc_sample_weighted" ->
+      s"""WITH ${OracleText.curationCtes()}
+         |SELECT id, quality,
+         |  round(ln(((id * 1103515245 + 12345) % 2147483648 + 0.5) / 2147483648.0)
+         |    / quality, 6) AS es_key
+         |FROM cprof WHERE quality > 0
+         |ORDER BY es_key DESC, id LIMIT 100""".stripMargin,
+    "ta_pmi_collocations" -> {
+      val t = OracleText.toks("text")
+      s"""WITH pmu AS MATERIALIZED (
+         |  SELECT u.term, count(*) AS c
+         |  FROM documents, unnest($t) AS u(term) GROUP BY 1),
+         |pmnu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM pmu),
+         |pmbg AS MATERIALIZED (
+         |  SELECT u.bg, count(*) AS n_pair
+         |  FROM documents, unnest(list_transform(range(1, len($t)),
+         |    i -> array_to_string(list_slice($t, i, i + 1), ' '))) AS u(bg)
+         |  GROUP BY 1 HAVING count(*) >= 5),
+         |pmnb AS (
+         |  SELECT CAST(sum(greatest(len($t) - 1, 0)) AS BIGINT) AS nb
+         |  FROM documents)
+         |SELECT w1, w2, n_pair,
+         |  round(ln((CAST(n_pair AS DOUBLE) * nu * nu) /
+         |    (CAST(nb AS DOUBLE) * a.c * b.c)), 6) AS pmi
+         |FROM (SELECT bg, n_pair, split_part(bg, ' ', 1) AS w1,
+         |        split_part(bg, ' ', 2) AS w2 FROM pmbg) g
+         |JOIN pmu a ON a.term = g.w1
+         |JOIN pmu b ON b.term = g.w2
+         |CROSS JOIN pmnu CROSS JOIN pmnb
+         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+    },
+    "ta_term_drift" ->
+      s"""WITH ${termDriftCtes}
+         |SELECT term, n_a, n_b, js_nano FROM tdn
+         |ORDER BY js_nano DESC, term LIMIT 20""".stripMargin,
+    "ta_js_divergence" ->
+      s"""WITH ${termDriftCtes}
+         |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         |  round(CAST(sum(js_nano) AS DOUBLE) / 1e9, 6) AS js
+         |FROM tdn""".stripMargin,
+    "gr_triangles" ->
+      s"""WITH ${OracleCtes.memories},
+         |${OracleText.dupPairsCte(0.35)},
+         |tund AS MATERIALIZED (
+         |  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+         |  FROM pr WHERE id_a <> id_b),
+         |tdeg AS (
+         |  SELECT v, count(*) AS deg FROM (
+         |    SELECT a AS v FROM tund UNION ALL SELECT b FROM tund) GROUP BY 1),
+         |ttri AS (
+         |  SELECT count(*) AS n_triangles
+         |  FROM tund e1 JOIN tund e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN tund e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |tnod AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT) AS n_wedges
+         |  FROM tdeg),
+         |tedg AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM tund)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |  CASE WHEN n_wedges > 0
+         |       THEN round(3.0 * n_triangles / n_wedges, 6) ELSE 0.0 END AS transitivity
+         |FROM tnod, tedg, ttri""".stripMargin)
+}

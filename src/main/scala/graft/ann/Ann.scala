@@ -54,7 +54,7 @@ object Ann {
   }
 
   /** The `nprobe` cells nearest to the query: (ivf_cell). */
-  private def probeCells(centroids: DataFrame, queryVec: Seq[Float],
+  private[ann] def probeCells(centroids: DataFrame, queryVec: Seq[Float],
                          nprobe: Int): DataFrame =
     centroids
       .withColumn("_qsim", dot(col("centroid"), typedLit(queryVec)))

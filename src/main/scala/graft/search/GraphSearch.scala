@@ -188,6 +188,58 @@ object GraphSearch {
     full.join(sz, "component").select("id", "component", "csize")
   }
 
+  /** Triangle census of an undirected pair graph — one row:
+    * (n_nodes, n_edges, n_wedges, n_triangles, transitivity) with global
+    * transitivity = 3·T / wedges (Newman '03, public; wedges = Σ_v
+    * deg(v)·(deg(v)−1)/2). Works over ANY (id_a, id_b) pair frame — the
+    * link graph via [[edges]], or a similarity pair set from
+    * [[graft.dedup.Dedup]], where triangle density measures how clique-like
+    * the near-dup neighborhoods are (tight clusters → high transitivity).
+    *
+    * Scale shape: the classic degree-ordered orientation (Chiba-Nishizeki /
+    * Suri-Vassilvitskii "MR-ApproxCount" orientation, public) — each edge
+    * points from its lower-(deg, id) endpoint to the higher, which bounds
+    * every vertex's out-degree at O(√m), so the wedge self-join fans out
+    * O(m^1.5) worst-case instead of Σ deg² on the raw adjacency (a
+    * hub-skew blowup at corpus scale). Wedge closure is one equi-join back
+    * against the canonical edge set; the census metrics are order-free
+    * integer aggregates crossed as 1-row frames. */
+  def triangleCensus(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(
+        least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("deg").as("_da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("_db")), "b")
+      .select(
+        when(col("_da") < col("_db") ||
+          (col("_da") === col("_db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("lo"),
+        when(col("_da") < col("_db") ||
+          (col("_da") === col("_db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("hi"))
+    val w1 = oriented.select(col("lo"), col("hi").as("_h1"))
+    val w2 = oriented.select(col("lo"), col("hi").as("_h2"))
+    val tri = w1.join(w2, "lo").filter(col("_h1") < col("_h2"))
+      .join(und, least(col("_h1"), col("_h2")) === col("a") &&
+        greatest(col("_h1"), col("_h2")) === col("b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("n_wedges"))
+    val out = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(nodes).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .otherwise(lit(0.0)).as("transitivity"))
+    out
+  }
+
   /** R11: contribution trace — for each traced node, the top-`maxVia` seeds
     * explaining its PPR score via 1/2/3-hop paths with decay 1.0/0.5/0.25
     * (memory_engine.py:55-82). Explain-only feature: expressed as self-joins

@@ -456,4 +456,69 @@ object Curation {
       .select(col("id"), col("domain"),
         explode(sequence(lit(0L), col("_n") - 1)).as("copy"))
   }
+
+  /** Corpus-level boilerplate line removal (Rae et al. '21 MassiveText
+    * §A1.2's "repeated boilerplate" notion combined with CCNet's cross-
+    * document line hashing, Wenzek '19 §4.1 — both public): a line whose
+    * trimmed form appears in ≥ `minDocs` DISTINCT documents is boilerplate
+    * (cookie banners, nav menus, footers) and is removed from every
+    * document. Returns (id, n_lines, n_boiler, text_clean) with line order
+    * preserved.
+    *
+    * Scale shape: the census and the removal join are keyed by the 8-byte
+    * polyHash of the trimmed line — the line STRING is never shuffled
+    * (the `exactRepeatedSpans` lesson). A hash collision would fold two
+    * distinct lines into one census key on BOTH engines identically (the
+    * oracle uses the same hash), and CCNet itself dedups on line hashes.
+    * One distinct-(key, doc) aggregation + one count per key + one
+    * hash-keyed join back: two shuffles total, no windows, nothing on the
+    * driver. */
+  def boilerplateLines(docs: DataFrame, minDocs: Int = 10,
+                       textCol: String = "text",
+                       idCol: String = "id"): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n")))
+      .select(col("id"), col("pos"),
+        col("col").as("line"),
+        TextFunctions.polyHash(trim(col("col"))).as("_k"),
+        (length(trim(col("col"))) > 0).as("_ne"))
+    val boiler = lines.filter(col("_ne"))
+      .select(col("_k"), col("id")).distinct()
+      .groupBy("_k").agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_k"), lit(true).as("_boiler"))
+    lines.join(boiler, Seq("_k"), "left")
+      .withColumn("_b", coalesce(col("_boiler"), lit(false)))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("_b"), 1L).otherwise(0L)).as("n_boiler"),
+        array_join(transform(array_sort(collect_list(
+          when(!col("_b"), struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("text_clean"))
+  }
+
+  /** Deterministic weighted sampling without replacement — Efraimidis &
+    * Spirakis '06 (public): each row draws u ∈ (0,1) from the partition-
+    * invariant LCG and scores key = ln(u)/w; the n LARGEST keys win, which
+    * realizes inclusion probability proportional to weight w. The quality
+    * score from [[profile]] is the natural weight: higher-quality docs are
+    * proportionally likelier to enter the sample, yet every positive-weight
+    * doc has a chance — the standard quality-weighted subsample of a
+    * curation run (vs the hard threshold of [[curate]]).
+    *
+    * Zero/negative weights never sample. key is rounded to 6dp before
+    * ranking (ties by id) so the DuckDB oracle agrees despite ln ulp
+    * differences. Scale shape: map-only scoring fused into the scan +
+    * one TakeOrderedAndProject — no shuffle beyond top-n. */
+  def weightedSample(weighted: DataFrame, n: Int,
+                     weightCol: String = "quality",
+                     idCol: String = "id"): DataFrame = {
+    val u = (lcgBucket(col(idCol)) + lit(0.5)) / lit(LcgMod.toDouble)
+    weighted
+      .filter(col(weightCol) > 0)
+      .withColumn("es_key", round(log(u) / col(weightCol), 6))
+      .orderBy(desc("es_key"), asc(idCol))
+      .limit(n)
+  }
 }

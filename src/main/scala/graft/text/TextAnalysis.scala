@@ -521,4 +521,99 @@ object TextAnalysis {
         col("new_terms"))
       .orderBy("bucket")
   }
+
+  /** Pointwise-mutual-information collocations (Church & Hanks '90,
+    * public): the corpus's most associated word pairs —
+    *
+    *   pmi(a,b) = ln( p(ab) / (p(a)·p(b)) )
+    *            = ln( c(ab)·Nu² / (Nb·c(a)·c(b)) )
+    *
+    * over adjacent-token bigrams, with a minimum pair count (PMI is
+    * degenerate on hapax pairs). Output: top-`topK` rows
+    * (w1, w2, n_pair, pmi), pmi rounded 6dp, ties by (w1, w2).
+    *
+    * Scale shape: one (bigram) shuffle and one (token) shuffle, both with
+    * map-side combine; the two unigram joins key on the token, the corpus
+    * totals enter as broadcast 1-row aggregates; top-k is a
+    * TakeOrderedAndProject. The ln argument is a single fixed-shape double
+    * expression (no sum of logs), so DuckDB reproduces it exactly. */
+  def pmiCollocations(docs: DataFrame, minPair: Int = 5, topK: Int = 20,
+                      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val uni = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val uniTot = uni.agg(sum("c").cast("long").as("_nu"))
+    val bg = docs
+      .select(explode(TextFunctions.shingles(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPair)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val bgTot = docs
+      .select(size(TextFunctions.tokens(col(textCol))).as("_n"))
+      .agg(sum(greatest(col("_n") - 1, lit(0))).cast("long").as("_nb"))
+    bg
+      .join(uni.select(col("term").as("w1"), col("c").as("_ca")), "w1")
+      .join(uni.select(col("term").as("w2"), col("c").as("_cb")), "w2")
+      .crossJoin(uniTot).crossJoin(bgTot)
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log(
+          (col("n_pair").cast("double") * col("_nu") * col("_nu")) /
+            (col("_nb").cast("double") * col("_ca") * col("_cb"))), 6).as("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      .limit(topK)
+  }
+
+  /** Per-term Jensen-Shannon drift between two corpus slices — the
+    * distribution-shift monitor a 100 TB ingest runs between crawls /
+    * sources (Lin '91 JS divergence, public). For term t with unigram
+    * probabilities p (slice A) and q (slice B):
+    *
+    *   contrib(t) = ½·p·ln(2p/(p+q)) + ½·q·ln(2q/(p+q))   (0 where c=0)
+    *
+    * and JS(A,B) = Σ_t contrib(t) ∈ [0, ln 2]. Each term's contribution is
+    * rounded to integer NANO-units before any summation, so the corpus
+    * total is an order-free BIGINT sum (the micro-unit NLL discipline, one
+    * scale finer because contributions are ≪ 1).
+    *
+    * Returns per-term rows: (term, n_a, n_b, js_nano), the `topK` largest
+    * drift contributors (ties by term) — the terms that moved most between
+    * the slices. [[jsDivergence]] rolls the SAME frame up to the scalar.
+    *
+    * Scale shape: one (term) shuffle with map-side combine (the side flag
+    * rides as two conditional sums); totals are broadcast 1-row
+    * aggregates; map-only scoring. */
+  def termDrift(docs: DataFrame, sideA: Column, topK: Int = 20,
+                textCol: String = "text"): DataFrame =
+    termDriftAll(docs, sideA, textCol)
+      .orderBy(desc("js_nano"), asc("term"))
+      .limit(topK)
+
+  /** Scalar JS divergence over the same per-term frame: 1 row
+    * (n_terms, js) with js = Σ nano / 1e9 rounded 6dp. */
+  def jsDivergence(docs: DataFrame, sideA: Column,
+                   textCol: String = "text"): DataFrame =
+    termDriftAll(docs, sideA, textCol)
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum("js_nano").cast("double") / 1e9, 6).as("js"))
+
+  private def termDriftAll(docs: DataFrame, sideA: Column,
+                           textCol: String): DataFrame = {
+    val terms = docs
+      .select(sideA.as("_a"), explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val cnt = terms.groupBy("term").agg(
+      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"))
+    val tot = cnt.agg(
+      sum("n_a").cast("long").as("_ta"), sum("n_b").cast("long").as("_tb"))
+    val p = col("n_a").cast("double") / col("_ta")
+    val q = col("n_b").cast("double") / col("_tb")
+    val contrib =
+      when(col("n_a") > 0,
+        lit(0.5) * p * log(lit(2.0) * p / (p + q))).otherwise(lit(0.0)) +
+      when(col("n_b") > 0,
+        lit(0.5) * q * log(lit(2.0) * q / (p + q))).otherwise(lit(0.0))
+    cnt.crossJoin(tot)
+      .select(col("term"), col("n_a"), col("n_b"),
+        round(contrib * 1e9, 0).cast("long").as("js_nano"))
+  }
 }

@@ -35,7 +35,13 @@ class DeterminismSpec extends SparkSpec {
       // round 6 corpus-card additions: per-key register groupBy,
       // histogram-cumsum quantiles, id-range-sliced growth curve
       "sk_hll_by_source", "ta_length_quantiles", "ta_vocab_growth",
-      "ta_zipf_slope")
+      "ta_zipf_slope",
+      // round 7: per-(id,sub) argmin coding + literal-map ADC fold,
+      // degree-ordered wedge join, cross-doc line census + order-preserving
+      // reconstruction, LCG-keyed weighted top-n
+      "ann_pq_topk", "ann_ivfpq_topk", "gr_triangles",
+      "tc_boilerplate_lines", "tc_sample_weighted",
+      "ta_pmi_collocations", "ta_term_drift", "ta_js_divergence")
 
   private def rowsAt(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)
