@@ -236,7 +236,7 @@ object Queries {
 
   /** Register a JVM-exit delete for a per-process tmp tree, once per path. */
   private val reaped = scala.collection.concurrent.TrieMap.empty[String, Boolean]
-  private def reapAtExit(path: String): Unit =
+  private[graft] def reapAtExit(path: String): Unit =
     reaped.getOrElseUpdate(path, {
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         try graft.sources.Store.deleteRecursive(path)

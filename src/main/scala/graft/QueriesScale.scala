@@ -59,6 +59,26 @@ object QueriesScale {
       Pq.ivfPqTopK(assigned, cent, Pq.codebooks(emb), Queries.queryVec(s, dir),
         k = 10, nprobe = 2, candidates = 50)
     }),
+    // persisted IVF-PQ: build on the first half, O(batch) refresh with the
+    // second — the oracle is the FULL-CORPUS IVFPQ SQL, so the hash-match
+    // proves refresh ≡ rebuild (stored centroids + codebooks make both the
+    // assignment and the codes exact)
+    "ann_ivfpq_indexed" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_index_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(path)
+      val mem = Corpus.memories(s, dir)
+      val half = Corpus.nDocs(s, dir) / 2
+      graft.ann.IvfPqIndex.build(
+        mem.filter(col("id") < half), Tables.embeddings(s, dir), path)
+      graft.ann.IvfPqIndex.refresh(s, path, mem.filter(col("id") >= half))
+      graft.ann.IvfPqIndex.topK(s, path, Queries.queryVec(s, dir),
+        k = 10, nprobe = 2, candidates = 50)
+    }),
+    // Gopher §A1.1 char-fraction repetition member: max char coverage by
+    // any repeated trigram per doc
+    "tc_dup_ngram_frac" -> ((s, dir) =>
+      graft.text.TextAnalysis.dupNgramCharFrac(Queries.docs(s, dir), n = 3)
+        .orderBy("id")),
     // Matryoshka truncation audit (Kusupati et al. '22, public): how much
     // top-10 recall survives keeping only the first 16 of 64 dims (with
     // re-normalization) — the question MRL embeddings answer at serving
@@ -93,6 +113,11 @@ object QueriesScale {
       graft.search.GraphSearch.triangleCensus(
         graft.dedup.Dedup.findDuplicates(Corpus.memories(s, dir), threshold = 0.35)
           .select("id_a", "id_b"))),
+    // OPH MinHash near-dup: one hash pass per shingle instead of k — the
+    // production MinHash at corpus scale; same banding + exact verify
+    "lsh_oph_neardup" -> ((s, dir) =>
+      graft.dedup.MinHashLsh.nearDuplicatesOph(Queries.docs(s, dir), threshold = 0.2)
+        .orderBy("id_a", "id_b")),
     // PMI collocations: the corpus's most associated adjacent word pairs
     "ta_pmi_collocations" -> ((s, dir) =>
       graft.text.TextAnalysis.pmiCollocations(Queries.docs(s, dir))),
@@ -137,6 +162,20 @@ object QueriesScale {
     s"""WITH ${OracleCtes.memories},
        |${pqCtes("memories")}
        |SELECT id, adc FROM pqadc ORDER BY adc DESC, id LIMIT 10""".stripMargin
+
+  private lazy val annIvfPqTopkSql: String =
+    s"""WITH ${OracleCtes.memories},
+       |${Queries.ivfCtes},
+       |pool AS MATERIALIZED (
+       |  SELECT m.id, a.ivf_cell, m.embedding
+       |  FROM memories m JOIN asg a ON m.id = a.id
+       |  JOIN probe p ON a.ivf_cell = p.label),
+       |${pqCtes("pool")},
+       |cand AS (SELECT id FROM pqadc ORDER BY adc DESC, id LIMIT 50)
+       |SELECT o.id, o.ivf_cell,
+       |  round(${OracleCtes.dot64("o.embedding", "q2.qv")}, 6) AS sim
+       |FROM pool o JOIN cand USING (id) CROSS JOIN $mrlQ q2
+       |ORDER BY sim DESC, o.id LIMIT 10""".stripMargin
 
   private val mrlQ =
     "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
@@ -187,19 +226,27 @@ object QueriesScale {
          |  ORDER BY round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id LIMIT 10)
          |SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10
          |FROM pqt JOIN ext USING (id)""".stripMargin,
-    "ann_ivfpq_topk" ->
-      s"""WITH ${OracleCtes.memories},
-         |${Queries.ivfCtes},
-         |pool AS MATERIALIZED (
-         |  SELECT m.id, a.ivf_cell, m.embedding
-         |  FROM memories m JOIN asg a ON m.id = a.id
-         |  JOIN probe p ON a.ivf_cell = p.label),
-         |${pqCtes("pool")},
-         |cand AS (SELECT id FROM pqadc ORDER BY adc DESC, id LIMIT 50)
-         |SELECT o.id, o.ivf_cell,
-         |  round(${OracleCtes.dot64("o.embedding", "q2.qv")}, 6) AS sim
-         |FROM pool o JOIN cand USING (id) CROSS JOIN $mrlQ q2
-         |ORDER BY sim DESC, o.id LIMIT 10""".stripMargin,
+    "ann_ivfpq_topk" -> annIvfPqTopkSql,
+    // full-corpus IVFPQ SQL: the build+refresh split must reproduce it
+    "ann_ivfpq_indexed" -> annIvfPqTopkSql,
+    "tc_dup_ngram_frac" -> {
+      val t = OracleText.toks("text")
+      s"""WITH dng AS MATERIALIZED (
+         |  SELECT doc_id AS id, len(text) AS chars, $t AS t FROM documents),
+         |dgc AS MATERIALIZED (
+         |  SELECT id, u.g, count(*) AS cnt
+         |  FROM dng, unnest(list_transform(range(1, len(t) - 1),
+         |    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS u(g)
+         |  GROUP BY 1, 2),
+         |dgm AS (
+         |  SELECT id, CAST(max(cnt * len(g)) AS BIGINT) AS cov
+         |  FROM dgc WHERE cnt >= 2 GROUP BY 1)
+         |SELECT d.id,
+         |  CASE WHEN d.chars > 0
+         |       THEN round(CAST(coalesce(m.cov, 0) AS DOUBLE) / d.chars, 6)
+         |       ELSE 0.0 END AS dup_char_frac
+         |FROM dng d LEFT JOIN dgm m USING (id) ORDER BY d.id""".stripMargin
+    },
     "ann_mrl_recall" ->
       s"""WITH ${OracleCtes.memories},
          |trc AS (
@@ -243,6 +290,30 @@ object QueriesScale {
          |    / quality, 6) AS es_key
          |FROM cprof WHERE quality > 0
          |ORDER BY es_key DESC, id LIMIT 100""".stripMargin,
+    "lsh_oph_neardup" -> {
+      val dense = (0 until 32).map(off => s"m[(i + $off) % 32 + 1]")
+        .mkString("coalesce(", ", ", ")")
+      s"""WITH ${OracleText.shingleCte()},
+         |om AS MATERIALIZED (
+         |  SELECT id, list_transform(range(0, 32),
+         |    i -> list_min(list_filter(sh, x -> x % 32 = i))) AS m
+         |  FROM sh),
+         |osig AS MATERIALIZED (
+         |  SELECT id, list_transform(range(0, 32), i -> $dense) AS sig
+         |  FROM om),
+         |oband AS MATERIALIZED (
+         |  SELECT id, t.b, array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), ',') AS key
+         |  FROM osig, range(0, 8) t(b)),
+         |ocp AS MATERIALIZED (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM oband a JOIN oband b ON a.b = b.b AND a.key = b.key AND a.id < b.id)
+         |SELECT * FROM (
+         |  SELECT ocp.id_a, ocp.id_b,
+         |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |      / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+         |  FROM ocp JOIN sh x ON ocp.id_a = x.id JOIN sh y ON ocp.id_b = y.id)
+         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
+    },
     "ta_pmi_collocations" -> {
       val t = OracleText.toks("text")
       s"""WITH pmu AS MATERIALIZED (

@@ -53,6 +53,15 @@ object IvfIndex {
     Store.deleteRecursive(staging)
     Ann.assign(addedMemories.select(col(idCol).as("id"), col("embedding")), cents)
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(staging)
+    promoteStagedCells(staging, s"$path/assignments")
+    Store.deleteRecursive(staging)
+  }
+
+  /** Rename a staged cell-partitioned batch's part files into the live
+    * assignments tree (metadata-only moves; task-UUID part names never
+    * collide with resident files). Shared by [[refresh]] and
+    * [[IvfPqIndex.refresh]]. */
+  private[ann] def promoteStagedCells(staging: String, livePath: String): Unit = {
     import java.nio.file.{Files, Path, Paths}
     import scala.jdk.CollectionConverters._
     // Files.list holds an open DirectoryStream: drain it under try/finally
@@ -61,7 +70,7 @@ object IvfIndex {
       val s = Files.list(p)
       try s.iterator().asScala.toVector finally s.close()
     }
-    val live = Paths.get(s"$path/assignments")
+    val live = Paths.get(livePath)
     listDir(Paths.get(staging))
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("ivf_cell="))
@@ -72,7 +81,6 @@ object IvfIndex {
           .filter(_.getFileName.toString.startsWith("part-"))
           .foreach(f => Files.move(f, dest.resolve(f.getFileName.toString)))
       }
-    Store.deleteRecursive(staging)
   }
 
   /** The query path: rank stored centroids against the query (a scalar,

@@ -1,0 +1,82 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{dot, roundScore}
+import graft.sources.Store
+
+/** Persisted IVF-PQ index — the durable Faiss-IVFPQ layout: [[IvfIndex]]'s
+  * cell-partitioned store with each row's PQ codes materialized at write
+  * time. A probe then composes THREE prunes before any float vector is
+  * read:
+  *
+  *  1. partition prune — `ivf_cell IN (...)` lists only the nprobe probed
+  *     directories (planning time, like [[IvfIndex]]);
+  *  2. column prune — the ADC ranking selects (id, ivf_cell, pq_codes)
+  *     only, so the parquet reader never decodes the `embedding` column
+  *     for the pruned cells (1 byte/subspace of index traffic, the whole
+  *     point of PQ at 100 TB);
+  *  3. late materialization — only the `candidates` ADC survivors re-read
+  *     their full vectors for the exact re-rank.
+  *
+  * Codebooks are a function of the embeddings table alone (the
+  * [[Pq.codebooks]] label-group seeding), so [[refresh]] is exact for the
+  * same reason [[IvfIndex.refresh]] is: encoding an append batch against
+  * the STORED centroids + codebooks is byte-identical to a full rebuild —
+  * Faiss `add` never moves centroids or codewords. */
+object IvfPqIndex {
+
+  /** Build and persist: centroids + codebooks + cell-partitioned
+    * (id, embedding, ivf_cell, pq_codes) assignments. */
+  def build(memories: DataFrame, embeddings: DataFrame, path: String,
+            idCol: String = "id"): Unit = {
+    val cents = Ann.centroidsByLabel(embeddings)
+    val books = Pq.codebooks(embeddings)
+    Store.save(cents, s"$path/centroids")
+    Store.save(books, s"$path/codebooks")
+    Store.savePartitioned(
+      Pq.encode(
+        Ann.assign(memories.select(col(idCol).as("id"), col("embedding")), cents),
+        books),
+      s"$path/assignments", "ivf_cell")
+  }
+
+  /** O(batch) ingestion against the stored centroids + codebooks; staged
+    * write, then metadata-only renames into the live cell directories
+    * (shared discipline with [[IvfIndex.refresh]]). */
+  def refresh(spark: SparkSession, path: String, addedMemories: DataFrame,
+              idCol: String = "id"): Unit = {
+    val cents = Store.load(spark, s"$path/centroids")
+    val books = Store.load(spark, s"$path/codebooks")
+    val staging = s"$path/assignments_batch.tmp"
+    Store.deleteRecursive(staging)
+    Pq.encode(
+        Ann.assign(addedMemories.select(col(idCol).as("id"), col("embedding")), cents),
+        books)
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(staging)
+    IvfIndex.promoteStagedCells(staging, s"$path/assignments")
+    Store.deleteRecursive(staging)
+  }
+
+  /** Probe: rank stored centroids (bounded driver-side job), ADC-rank the
+    * probed cells FROM CODES ONLY, exact-rerank the `candidates` survivors.
+    * Output matches the in-memory [[Pq.ivfPqTopK]]: (id, ivf_cell, sim). */
+  def topK(spark: SparkSession, path: String, queryVec: Seq[Float],
+           k: Int, nprobe: Int = 2, candidates: Int = 50): DataFrame = {
+    val cells = Store.load(spark, s"$path/centroids")
+      .withColumn("_qsim", dot(col("centroid"), typedLit(queryVec)))
+      .orderBy(desc("_qsim"), asc("label")).limit(nprobe)
+      .select("label").collect().map(_.getInt(0)).toSeq
+    val books = Store.load(spark, s"$path/codebooks")
+    val probed = Store.load(spark, s"$path/assignments")
+      .filter(col("ivf_cell").isin(cells: _*))
+    // ADC stage reads (id, pq_codes) only — embedding stays un-decoded
+    val cand = Pq.adcScores(probed.select("id", "pq_codes"), books, queryVec)
+      .orderBy(desc("adc"), asc("id")).limit(candidates)
+    probed.join(cand.select("id"), Seq("id"), "left_semi")
+      .select(col("id"), col("ivf_cell"),
+        roundScore(dot(col("embedding"), typedLit(queryVec))).as("sim"))
+      .orderBy(desc("sim"), asc("id"))
+      .limit(k)
+  }
+}

@@ -39,6 +39,30 @@ object MinHashLsh {
   def signature(sh: Column, numHashes: Int = NumHashes): Column =
     TextFunctions.minHashSig(sh, numHashes)
 
+  /** One-permutation MinHash signatures (Li, Owen & Zhang '12; rotation
+    * densification after Shrivastava & Li '14, simplified without the
+    * offset term — all public): ONE hash evaluation per shingle instead of
+    * `numHashes`. Shingle hashes are binned by x mod k, each bin keeps its
+    * min, and an empty bin borrows the value of the next non-empty bin
+    * rightward (wrapping) — so the signature build does k× less hashing
+    * work per shingle than the k-permutation family, the reason OPH is
+    * the production MinHash at corpus scale.
+    *
+    * Both stages are codegen HOF column math over the shingle array (the
+    * bin mins are a named intermediate so whole-stage subexpression
+    * elimination computes them once per row); `sh` must be non-empty (as
+    * [[shingleSets]] guarantees), so at least one bin is non-null and the
+    * rotation always terminates. Deterministic and SQL-reproducible. */
+  def ophSignatures(sh: DataFrame, numHashes: Int = NumHashes): DataFrame = {
+    val k = numHashes
+    sh.withColumn("_m", transform(sequence(lit(0), lit(k - 1)),
+        i => array_min(filter(col("sh"), x => pmod(x, lit(k.toLong)) === i.cast("long")))))
+      .withColumn("sig", transform(sequence(lit(0), lit(k - 1)), i =>
+        coalesce((0 until k).map(off =>
+          element_at(col("_m"), (pmod(i + lit(off), lit(k)) + lit(1)).cast("int"))): _*)))
+      .select(col("id"), col("sig"))
+  }
+
   /** (id, band, key) — one row per band; key is the joined band slice. */
   def bands(sigs: DataFrame, numBands: Int = NumBands,
             numHashes: Int = NumHashes): DataFrame = {
@@ -58,8 +82,12 @@ object MinHashLsh {
 
   /** As [[candidatePairs]] but over a precomputed (id, sh) shingle frame, so
     * pipelines that also verify with exact Jaccard hash the shingles once. */
-  def candidatePairsFromShingles(sh: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    val sigs = sh.select(col("id"), signature(col("sh")).as("sig"))
+  def candidatePairsFromShingles(sh: DataFrame, maxBucket: Int = 1000): DataFrame =
+    bandedPairs(sh.select(col("id"), signature(col("sh")).as("sig")), maxBucket)
+
+  /** Banding + skew-guarded bucket self-join over any (id, sig) frame —
+    * shared by the k-permutation and OPH signature families. */
+  private def bandedPairs(sigs: DataFrame, maxBucket: Int): DataFrame = {
     val banded = bands(sigs)
     val sized = banded.groupBy("band", "key").agg(count(lit(1)).as("cnt"))
     val ok = banded.join(sized.filter(col("cnt") <= maxBucket), Seq("band", "key"))
@@ -69,6 +97,19 @@ object MinHashLsh {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+  }
+
+  /** [[nearDuplicates]] with the OPH signature family: identical banding,
+    * verification, and output contract — only the signature build changes
+    * (one hash pass instead of k). */
+  def nearDuplicatesOph(df: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    val sh = shingleSets(df, n).localCheckpoint(true)
+    bandedPairs(ophSignatures(sh), maxBucket = 1000)
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
+      .withColumn("jaccard", round(TextFunctions.jaccardSim(col("sha"), col("shb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Full near-dup pipeline: LSH candidates verified by exact n-gram Jaccard

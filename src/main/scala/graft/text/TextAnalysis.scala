@@ -522,6 +522,36 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** Duplicate n-gram character coverage — the char-fraction member of the
+    * Gopher repetition family (Rae et al. '21 §A1.1 measures "fraction of
+    * characters contained in the most frequently-occurring n-gram" for
+    * n = 2..4; public). Formulated as max char COVERAGE by any repeated
+    * n-gram so the per-doc reduction is an order-free max over integer
+    * products (no argmax tie ambiguity between equally frequent grams):
+    *
+    *   dup_frac(d) = max over n-grams g with count ≥ 2 of
+    *                 count(g) · chars(g) / chars(d)      (0 if none)
+    *
+    * Scale shape: one (id, gram) shuffle with map-side combine — the term-
+    * frequency shape — then a per-doc max and a map-only join back; no
+    * windows. Output: (id, dup_char_frac) for every doc, 6dp. */
+  def dupNgramCharFrac(docs: DataFrame, n: Int = 3,
+                       textCol: String = "text",
+                       idCol: String = "id"): DataFrame = {
+    val cov = docs
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("_g"))
+      .groupBy("id", "_g").agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= 2)
+      .groupBy("id").agg(max(col("_cnt") * length(col("_g"))).as("_cov"))
+    docs.select(col(idCol).as("id"), length(col(textCol)).as("_chars"))
+      .join(cov, Seq("id"), "left")
+      .select(col("id"),
+        when(col("_chars") > 0,
+          round(coalesce(col("_cov"), lit(0L)).cast("double") / col("_chars"), 6))
+          .otherwise(lit(0.0)).as("dup_char_frac"))
+  }
+
   /** Pointwise-mutual-information collocations (Church & Hanks '90,
     * public): the corpus's most associated word pairs —
     *

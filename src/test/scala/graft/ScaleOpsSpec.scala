@@ -72,6 +72,65 @@ class ScaleOpsSpec extends SparkSpec {
     hits.foreach { case (id, _, s) => assert(exact(id) == s) }
   }
 
+  test("persisted IVF-PQ equals the in-memory composition and prunes the embedding column off the ADC scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = "/root/repo/target/tmp/ivfpq_index_spec"
+    val mem = Corpus.memories(spark, sf())
+    val emb = Tables.embeddings(spark, sf())
+    val qv = Queries.queryVec(spark, sf())
+    graft.ann.IvfPqIndex.build(mem, emb, path)
+    val fromIndex = graft.ann.IvfPqIndex.topK(spark, path, qv, k = 10)
+    val cent = Ann.centroidsByLabel(emb)
+    val inMemory = Pq.ivfPqTopK(Ann.assign(mem, cent), cent, Pq.codebooks(emb), qv, k = 10)
+    assert(fromIndex.collect().toSeq == inMemory.collect().toSeq)
+    // the ADC ranking stage must read codes, not vectors: its scan's
+    // ReadSchema carries pq_codes and NOT embedding (AQE off so the
+    // physical tree is walkable, as in AnnSpec)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val books = graft.sources.Store.load(spark, s"$path/codebooks")
+      val probedCodes = graft.sources.Store.load(spark, s"$path/assignments")
+        .filter(org.apache.spark.sql.functions.col("ivf_cell").isin(0, 1))
+        .select("id", "pq_codes")
+      val adc = Pq.adcScores(probedCodes, books, qv)
+      adc.collect()
+      val scans = adc.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty)
+      val schemas = scans.map(_.metadata("ReadSchema"))
+      assert(schemas.exists(_.contains("pq_codes")), schemas.mkString("; "))
+      assert(!schemas.exists(_.contains("embedding")), schemas.mkString("; "))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("IVF-PQ refresh against stored centroids and codebooks reproduces the full rebuild") {
+    val pathA = "/root/repo/target/tmp/ivfpq_index_full"
+    val pathB = "/root/repo/target/tmp/ivfpq_index_inc"
+    val mem = Corpus.memories(spark, sf())
+    val emb = Tables.embeddings(spark, sf())
+    val half = Corpus.nDocs(spark, sf()) / 2
+    graft.ann.IvfPqIndex.build(mem, emb, pathA)
+    graft.ann.IvfPqIndex.build(mem.filter(col("id") < half), emb, pathB)
+    graft.ann.IvfPqIndex.refresh(spark, pathB, mem.filter(col("id") >= half))
+    def rows(p: String) = spark.read.parquet(s"$p/assignments")
+      .select(col("id"), col("ivf_cell"), col("pq_codes").cast("string"))
+      .orderBy("id").collect().toSeq
+    assert(rows(pathA) == rows(pathB))
+  }
+
+  test("duplicate-trigram char fraction covers planted repetition and zeroes clean docs") {
+    // "a b c" repeated 3x: the trigram "a b c" occurs with count >= 2;
+    // cov = 3 * 5 chars = 15 over 17 chars of text
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "all tokens unique here now")
+    ).toDF("id", "text")
+    val out = graft.text.TextAnalysis.dupNgramCharFrac(docs, n = 3)
+      .orderBy("id").as[(Long, Double)].collect()
+    assert(out(0)._2 == math.rint(15.0 / 17.0 * 1e6) / 1e6)
+    assert(out(1)._2 == 0.0)
+  }
+
   test("triangle census counts a hand-built graph correctly") {
     // K3 on {1,2,3} plus pendant edge 3-4: 1 triangle; degrees 2,2,3,1 →
     // wedges = 1+1+3+0 = 5; transitivity = 3/5
@@ -111,6 +170,27 @@ class ScaleOpsSpec extends SparkSpec {
     val c99 = Curation.boilerplateLines(allBoiler, minDocs = 10)
       .filter(col("id") === 99).select("text_clean").as[String].collect().head
     assert(c99 == "")
+  }
+
+  test("OPH rotation densification fills empty bins from the next non-empty bin") {
+    // bins: 32 % 32 = 0 (min 32), 65 % 32 = 1 (65); every other bin is
+    // empty and rotates rightward (wrapping) to bin 0's value
+    val sh = Seq((1L, Seq(32L, 65L))).toDF("id", "sh")
+    val sig = graft.dedup.MinHashLsh.ophSignatures(sh)
+      .select("sig").as[Seq[Long]].collect().head
+    assert(sig.length == 32)
+    assert(sig(0) == 32L && sig(1) == 65L)
+    (2 until 32).foreach(i => assert(sig(i) == 32L, s"bin $i"))
+  }
+
+  test("OPH near-dup pairs are exact-verified true positives with nonzero recall") {
+    val docs = Queries.docs(spark, sf())
+    val oph = graft.dedup.MinHashLsh.nearDuplicatesOph(docs, threshold = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Queries.all("lsh_jaccard_exact")(spark, sf())
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(oph.nonEmpty)
+    assert(oph.subsetOf(exact), s"false positives: ${oph.diff(exact)}")
   }
 
   test("PMI ranks a planted collocation above independent pairs") {
