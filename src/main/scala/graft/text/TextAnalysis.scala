@@ -626,13 +626,26 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"),
         round(sum("js_nano").cast("double") / 1e9, 6).as("js"))
 
-  private def termDriftAll(docs: DataFrame, sideA: Column,
-                           textCol: String): DataFrame = {
-    val terms = docs
+  /** The STREAMABLE stage of the drift monitor: per-term occurrence counts
+    * in each slice — one conditional-sum groupBy, so it runs unchanged as
+    * a Structured Streaming complete-mode aggregation (StreamingSpec pins
+    * stream ≡ batch); [[termDriftFromCounts]] is then a cheap batch pass
+    * over the ≤|vocab|-row counts table per trigger. */
+  def termSliceCounts(docs: DataFrame, sideA: Column,
+                      textCol: String = "text"): DataFrame =
+    docs
       .select(sideA.as("_a"), explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val cnt = terms.groupBy("term").agg(
-      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
-      sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"))
+      .groupBy("term").agg(
+        sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"))
+
+  private def termDriftAll(docs: DataFrame, sideA: Column,
+                           textCol: String): DataFrame =
+    termDriftFromCounts(termSliceCounts(docs, sideA, textCol))
+
+  /** Per-term nano-unit JS contributions from a (term, n_a, n_b) counts
+    * frame (see [[termDrift]] for the math and determinism contract). */
+  def termDriftFromCounts(cnt: DataFrame): DataFrame = {
     val tot = cnt.agg(
       sum("n_a").cast("long").as("_ta"), sum("n_b").cast("long").as("_tb"))
     val p = col("n_a").cast("double") / col("_ta")

@@ -220,4 +220,32 @@ class StreamingSpec extends SparkSpec {
         rows(Sketches.hllRegisters(batch)))
     } finally { cms.stop(); hll.stop() }
   }
+
+  test("term-slice counts stream == batch, and drift rolls up identically from the streamed state") {
+    import org.apache.spark.sql.functions.col
+    import graft.text.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    // the drift monitor's streamable stage is one conditional-sum groupBy;
+    // the JS rollup is a batch pass over the <=|vocab|-row counts table
+    val input = MemoryStream[(String, String)]
+    val docs = input.toDF().toDF("source", "text")
+    val counts = TextAnalysis.termSliceCounts(docs, col("source") === "a")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("drift_stream").start()
+    try {
+      input.addData("a" -> "x y x", "b" -> "y z")
+      counts.processAllAvailable()
+      input.addData("a" -> "z w", "b" -> "w w y")
+      counts.processAllAvailable()
+      val batch = Seq(("a", "x y x"), ("b", "y z"), ("a", "z w"), ("b", "w w y"))
+        .toDF("source", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      assert(rows(spark.table("drift_stream")) ==
+        rows(TextAnalysis.termSliceCounts(batch, col("source") === "a")))
+      assert(rows(TextAnalysis.termDriftFromCounts(spark.table("drift_stream"))) ==
+        rows(TextAnalysis.termDriftFromCounts(
+          TextAnalysis.termSliceCounts(batch, col("source") === "a"))))
+    } finally counts.stop()
+  }
 }
