@@ -64,11 +64,41 @@ object Pq {
       lit(0.0), (a, x) => a + x), 6)
 
   /** Encode: adds `pq_codes` (array<int>, one code per subspace, ordered by
-    * subspace index). Write-time job: broadcast join against the bounded
-    * codebook frame, per-(id,sub) argmin as a map-side-combinable
-    * min(struct) — no window, one shuffle keyed by id. */
+    * subspace index). MAP-ONLY: the bounded codebook frame (≤ m·ks rows)
+    * is collected and baked into literal arrays, and each row's m argmins
+    * run as a fused whole-stage-codegen fold — PQ encoding is
+    * embarrassingly parallel, so the write path carries ZERO shuffles and
+    * no join (ScaleOpsSpec pins bit-equality to the broadcast-join
+    * formulation [[encodeJoin]]). */
   def encode(df: DataFrame, books: DataFrame, vecCol: String = "embedding",
              subDim: Int = SubDim): DataFrame = {
+    // (sub → (labels, codevecs)) sorted by label for the tiebreak-by-
+    // first-scan argmin below
+    val bySub = books.select(col("sub"), col("label"), col("codevec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, rs) => (s, rs.sortBy(_._2).map(r => (r._2, r._3))) }
+    val codeFor = bySub.map { case (sub, entries) =>
+      val sv = slice(col(vecCol), sub * subDim + 1, subDim)
+      // array_min over (dist, label) structs = lexicographic argmin with
+      // the ascending-label tiebreak — identical to min(struct(d, label)),
+      // and LINEAR in ks (a when/otherwise fold would duplicate the
+      // accumulator expression per step and blow up codegen)
+      val scored = entries.map { case (label, cv) =>
+        struct(subDist(sv, typedLit(cv)).as("d"), lit(label).as("l"))
+      }
+      array_min(array(scored: _*)).getField("l").cast("int")
+    }
+    df.withColumn("pq_codes", array(codeFor: _*))
+  }
+
+  /** The broadcast-join formulation of [[encode]] — per-(id,sub) argmin as
+    * a map-side-combinable min(struct) over the exploded codebook join.
+    * Kept as the semantic pin (ScaleOpsSpec asserts bit-equality); the
+    * literal-fold form is the shipping path. */
+  def encodeJoin(df: DataFrame, books: DataFrame, vecCol: String = "embedding",
+                 subDim: Int = SubDim): DataFrame = {
     val best = df.select(col("id"), col(vecCol).as("_v"))
       .join(broadcast(books))
       .withColumn("_d", subDist(

@@ -46,12 +46,13 @@ class JobCountSpec extends SparkSpec {
     "gr_pagerank" -> 36,
     "gr_components" -> 22,
     // round-7 additions, measured 2026-08-13 in-suite at sf0.001:
-    // ann_pq_topk=15 (codebook agg + encode shuffle + LUT collect + scan)
+    // ann_pq_topk=14 (codebook agg + LUT collect + map-only encode+scan —
+    // the literal-fold encode carries no shuffle)
     // ann_ivfpq_topk=20 (adds probe + rerank) gr_triangles=32 (d2 pair
     // kernel + orient/wedge joins) tc_boilerplate_lines=7 (census +
     // join-back) lsh_oph_neardup=10 (one signature pass + banding +
     // verify). Ceilings = measured + ~15%.
-    "ann_pq_topk" -> 18,
+    "ann_pq_topk" -> 16,
     "ann_ivfpq_topk" -> 23,
     "gr_triangles" -> 37,
     "tc_boilerplate_lines" -> 9,

@@ -31,6 +31,16 @@ class ScaleOpsSpec extends SparkSpec {
     rows.foreach { case (id, codes) => assert(enc2(id) == codes) }
   }
 
+  test("map-only literal-fold encoding equals the broadcast-join formulation") {
+    val emb = Tables.embeddings(spark, sf())
+    val books = Pq.codebooks(emb)
+    val mem = Corpus.memories(spark, sf())
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("pq_codes").cast("string"))
+        .orderBy("id").collect().toSeq
+    assert(rows(Pq.encode(mem, books)) == rows(Pq.encodeJoin(mem, books)))
+  }
+
   test("ADC lookup-table scoring equals the decode-and-dot reconstruction") {
     val emb = Tables.embeddings(spark, sf())
     val books = Pq.codebooks(emb)
