@@ -113,6 +113,20 @@ object QueriesScale {
       graft.search.GraphSearch.triangleCensus(
         graft.dedup.Dedup.findDuplicates(Corpus.memories(s, dir), threshold = 0.35)
           .select("id_a", "id_b"))),
+    // per-source top-quality docs through the bounded TopKScored aggregate:
+    // map-side combine keeps ~2k entries per group per partition, so only
+    // |groups|·k rows cross the wire — the shuffle-frugal form of the
+    // row_number window (which shuffles EVERY row to its group partition)
+    "tc_top_per_source" -> ((s, dir) => {
+      val prof = Curation.profile(Queries.docs(s, dir)).select("id", "quality")
+      val d = prof.join(Queries.docs(s, dir).select("id", "source"), "id")
+      d.groupBy("source")
+        .agg(graft.expressions.TopKScored.topK(col("quality"), col("id"), 3).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("id"), col("col.score").as("quality"))
+        .orderBy("source", "rank")
+    }),
     // OPH MinHash near-dup: one hash pass per shingle instead of k — the
     // production MinHash at corpus scale; same banding + exact verify
     "lsh_oph_neardup" -> ((s, dir) =>
@@ -290,6 +304,15 @@ object QueriesScale {
          |    / quality, 6) AS es_key
          |FROM cprof WHERE quality > 0
          |ORDER BY es_key DESC, id LIMIT 100""".stripMargin,
+    "tc_top_per_source" ->
+      s"""WITH ${OracleText.curationCtes()},
+         |tps AS (
+         |  SELECT d.source, c.id, c.quality,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY c.quality DESC, c.id) AS rank
+         |  FROM cprof c JOIN documents d ON d.doc_id = c.id)
+         |SELECT source, CAST(rank AS INTEGER) AS rank, id, quality
+         |FROM tps WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
     "lsh_oph_neardup" -> {
       val dense = (0 until 32).map(off => s"m[(i + $off) % 32 + 1]")
         .mkString("coalesce(", ", ", ")")

@@ -42,7 +42,8 @@ class DeterminismSpec extends SparkSpec {
       "ann_pq_topk", "ann_ivfpq_topk", "gr_triangles",
       "tc_boilerplate_lines", "tc_sample_weighted",
       "ta_pmi_collocations", "ta_term_drift", "ta_js_divergence",
-      "ann_ivfpq_indexed", "tc_dup_ngram_frac", "lsh_oph_neardup")
+      "ann_ivfpq_indexed", "tc_dup_ngram_frac", "lsh_oph_neardup",
+      "tc_top_per_source")
 
   private def rowsAt(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)

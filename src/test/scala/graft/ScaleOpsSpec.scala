@@ -236,6 +236,24 @@ class ScaleOpsSpec extends SparkSpec {
     rows.foreach { case (_, a, b) => assert((a == 0) != (b == 0)) }
   }
 
+  test("per-source top-k plans as a bounded aggregate, not a window shuffle") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // AQE off so the physical tree is walkable (as in AnnSpec/PlanAuditSpec)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Queries.all("tc_top_per_source")(spark, sf())
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        "TopKScored query must not plan a Window")
+      val aggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }
+      assert(aggs.nonEmpty, "expected the TypedImperativeAggregate in the plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("weighted sampling excludes non-positive weights and is deterministic") {
     val docs = Seq((1L, 0.9), (2L, 0.5), (3L, 0.0), (4L, -1.0), (5L, 0.7))
       .toDF("id", "quality")
