@@ -132,6 +132,20 @@ object QueriesScale {
     "lsh_oph_neardup" -> ((s, dir) =>
       graft.dedup.MinHashLsh.nearDuplicatesOph(Queries.docs(s, dir), threshold = 0.2)
         .orderBy("id_a", "id_b")),
+    // graph-analytics completions over the similarity graph: degree
+    // histogram and Newman degree assortativity
+    "gr_degree_dist" -> ((s, dir) =>
+      graft.search.GraphSearch.degreeDistribution(
+        graft.dedup.Dedup.findDuplicates(Corpus.memories(s, dir), threshold = 0.35)
+          .select("id_a", "id_b"))),
+    "gr_assortativity" -> ((s, dir) =>
+      graft.search.GraphSearch.assortativity(
+        graft.dedup.Dedup.findDuplicates(Corpus.memories(s, dir), threshold = 0.35)
+          .select("id_a", "id_b"))),
+    // Flesch reading ease over the line-structured pages (the raw fixture
+    // docs carry no terminal punctuation)
+    "ta_readability" -> ((s, dir) =>
+      graft.text.TextAnalysis.readability(Queries.c4Pages(s, dir)).orderBy("id")),
     // PMI collocations: the corpus's most associated adjacent word pairs
     "ta_pmi_collocations" -> ((s, dir) =>
       graft.text.TextAnalysis.pmiCollocations(Queries.docs(s, dir))),
@@ -304,6 +318,51 @@ object QueriesScale {
          |    / quality, 6) AS es_key
          |FROM cprof WHERE quality > 0
          |ORDER BY es_key DESC, id LIMIT 100""".stripMargin,
+    "gr_degree_dist" ->
+      s"""WITH ${OracleCtes.memories},
+         |${OracleText.dupPairsCte(0.35)},
+         |gdu AS MATERIALIZED (
+         |  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+         |  FROM pr WHERE id_a <> id_b),
+         |gdd AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS v FROM gdu UNION ALL SELECT b FROM gdu) GROUP BY 1)
+         |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM gdd GROUP BY deg ORDER BY deg""".stripMargin,
+    "gr_assortativity" ->
+      s"""WITH ${OracleCtes.memories},
+         |${OracleText.dupPairsCte(0.35)},
+         |gau AS MATERIALIZED (
+         |  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+         |  FROM pr WHERE id_a <> id_b),
+         |gad AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS v FROM gau UNION ALL SELECT b FROM gau) GROUP BY 1),
+         |gas AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(dj.deg * dk.deg) AS BIGINT) AS sjk,
+         |    CAST(sum(dj.deg + dk.deg) AS BIGINT) AS sj,
+         |    CAST(sum(dj.deg * dj.deg + dk.deg * dk.deg) AS BIGINT) AS sq
+         |  FROM gau e JOIN gad dj ON dj.v = e.a JOIN gad dk ON dk.v = e.b)
+         |SELECT m AS n_edges,
+         |  CASE WHEN (2.0 * m * sq - sj * sj) <> 0.0
+         |       THEN round((4.0 * m * sjk - sj * sj) / (2.0 * m * sq - sj * sj), 6)
+         |       ELSE 0.0 END AS assortativity
+         |FROM gas""".stripMargin,
+    "ta_readability" -> {
+      s"""WITH ${OracleText.c4Ctes()},
+         |rdt AS (
+         |  SELECT id, text, ${OracleText.toks("text")} AS t FROM c4pages)
+         |SELECT id,
+         |  CAST(len(t) AS BIGINT) AS n_words,
+         |  CAST(greatest(len(text) - len(regexp_replace(text, '[.!?]', '', 'g')), 1) AS BIGINT) AS n_sentences,
+         |  CAST(list_sum(list_transform(t, x -> len(regexp_extract_all(x, '[aeiouy]+')))) AS BIGINT) AS n_syllables,
+         |  round(206.835 - 1.015 * (CAST(len(t) AS DOUBLE) /
+         |      greatest(len(text) - len(regexp_replace(text, '[.!?]', '', 'g')), 1))
+         |    - 84.6 * (CAST(list_sum(list_transform(t, x -> len(regexp_extract_all(x, '[aeiouy]+')))) AS DOUBLE)
+         |      / len(t)), 6) AS flesch
+         |FROM rdt WHERE len(t) > 0 ORDER BY id""".stripMargin
+    },
     "tc_top_per_source" ->
       s"""WITH ${OracleText.curationCtes()},
          |tps AS (

@@ -240,6 +240,53 @@ object GraphSearch {
     out
   }
 
+  /** Degree distribution of an undirected pair graph: (deg, n_nodes)
+    * histogram — the first scale-sanity plot of any corpus graph (hub
+    * detection, power-law eyeballing). Two bounded aggregations: per-node
+    * degree, then the ≤max-degree-row histogram. */
+  def degreeDistribution(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(
+        least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    und.select(col("a").as("v")).unionAll(und.select(col("b")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("deg")
+  }
+
+  /** Degree assortativity of an undirected pair graph (Newman '02, public):
+    * the Pearson correlation of end degrees over edges, in the
+    * integer-sums form
+    *
+    *   r = (4M·Σjk − (Σ(j+k))²) / (2M·Σ(j²+k²) − (Σ(j+k))²)
+    *
+    * where (j,k) are the two endpoint degrees of each of the M undirected
+    * edges. Every Σ is an order-free BIGINT sum; the closing division is
+    * ONE double expression mirrored token-for-token by the oracle (the
+    * zipfSlope discipline), rounded 6dp. Degenerate denominator (regular
+    * graph) → 0.0. One degree join per endpoint, one 1-row aggregate. */
+  def assortativity(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(
+        least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val sums = und
+      .join(deg.select(col("v").as("a"), col("deg").as("j")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("k")), "b")
+      .agg(count(lit(1)).as("m"),
+        sum(col("j") * col("k")).as("_sjk"),
+        sum(col("j") + col("k")).as("_sj"),
+        sum(col("j") * col("j") + col("k") * col("k")).as("_sq"))
+    val num = lit(4.0) * col("m") * col("_sjk") - col("_sj") * col("_sj")
+    val den = lit(2.0) * col("m") * col("_sq") - col("_sj") * col("_sj")
+    sums.select(col("m").as("n_edges"),
+      when(den =!= 0.0, round(num / den, 6)).otherwise(lit(0.0))
+        .as("assortativity"))
+  }
+
   /** R11: contribution trace — for each traced node, the top-`maxVia` seeds
     * explaining its PPR score via 1/2/3-hop paths with decay 1.0/0.5/0.25
     * (memory_engine.py:55-82). Explain-only feature: expressed as self-joins

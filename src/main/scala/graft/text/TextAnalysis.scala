@@ -522,6 +522,38 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** Flesch reading-ease score (Flesch '48, public) — the classic
+    * readability member of the quality-signal family:
+    *
+    *   206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    *
+    * with the standard cheap approximations: sentences = count of terminal
+    * marks [.!?] (min 1), words = whitespace tokens, syllables = vowel
+    * GROUPS ([aeiouy]+) per token (min 1 per word happens naturally for
+    * vowelless tokens contributing 0 — kept as-is and mirrored exactly in
+    * the oracle). Pure codegen column math fused into the scan; the
+    * closing expression is token-identical on both engines, rounded 6dp.
+    * Zero-token docs are dropped (un-scoreable, like [[langId]]). */
+  def readability(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "id"): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val w = size(toks).cast("double")
+    val s = greatest(
+      length(col(textCol)) - length(regexp_replace(col(textCol), "[.!?]", "")),
+      lit(1)).cast("double")
+    val syl = aggregate(
+      transform(toks, t => size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0)))),
+      lit(0), (a, x) => a + x).cast("double")
+    docs
+      .filter(size(toks) > 0)
+      .select(col(idCol).as("id"),
+        size(toks).cast("long").as("n_words"),
+        s.cast("long").as("n_sentences"),
+        syl.cast("long").as("n_syllables"),
+        round(lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (syl / w), 6)
+          .as("flesch"))
+  }
+
   /** Duplicate n-gram character coverage — the char-fraction member of the
     * Gopher repetition family (Rae et al. '21 §A1.1 measures "fraction of
     * characters contained in the most frequently-occurring n-gram" for

@@ -158,6 +158,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(GraphSearch.triangleCensus(noisy).collect().head == r)
   }
 
+  test("a star graph is perfectly disassortative and its degree histogram is exact") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    // degrees 3,1,1,1: M=3, sum jk=9, sum(j+k)=12, sum(j^2+k^2)=30
+    // -> r = (4*3*9-144)/(2*3*30-144) = -36/36 = -1
+    val r = GraphSearch.assortativity(star).collect().head
+    assert(r.getAs[Long]("n_edges") == 3)
+    assert(r.getAs[Double]("assortativity") == -1.0)
+    val hist = GraphSearch.degreeDistribution(star)
+      .as[(Long, Long)].collect().toSeq
+    assert(hist == Seq((1L, 3L), (3L, 1L)))
+  }
+
+  test("Flesch score matches the hand computation") {
+    val docs = Seq((1L, "the cat. a dog.")).toDF("id", "text")
+    val r = graft.text.TextAnalysis.readability(docs).collect().head
+    assert(r.getAs[Long]("n_words") == 4)
+    assert(r.getAs[Long]("n_sentences") == 2)
+    assert(r.getAs[Long]("n_syllables") == 4)
+    // 206.835 - 1.015*(4/2) - 84.6*(4/4) = 120.205
+    assert(r.getAs[Double]("flesch") == 120.205)
+  }
+
   test("boilerplate removal drops corpus-wide lines, keeps order, and leaves rare lines") {
     val docs = (0 until 12).map { i =>
       (i.toLong, s"unique opening $i\nshared footer line\nunique closing $i")
