@@ -142,6 +142,13 @@ object QueriesScale {
       graft.search.GraphSearch.assortativity(
         graft.dedup.Dedup.findDuplicates(Corpus.memories(s, dir), threshold = 0.35)
           .select("id_a", "id_b"))),
+    // 2-core of the similarity graph: the dense near-dup nests surviving
+    // iterated peeling (oracle reaches the same unique fixpoint by fixed
+    // unrolling; ScaleOpsSpec pins convergence within the unroll depth)
+    "gr_kcore" -> ((s, dir) =>
+      graft.search.GraphSearch.kCore(
+        graft.dedup.Dedup.findDuplicates(Corpus.memories(s, dir), threshold = 0.35)
+          .select("id_a", "id_b"), k = 2)),
     // Flesch reading ease over the line-structured pages (the raw fixture
     // docs carry no terminal punctuation)
     "ta_readability" -> ((s, dir) =>
@@ -349,6 +356,28 @@ object QueriesScale {
          |       THEN round((4.0 * m * sjk - sj * sj) / (2.0 * m * sq - sj * sj), 6)
          |       ELSE 0.0 END AS assortativity
          |FROM gas""".stripMargin,
+    "gr_kcore" -> {
+      // 12 unrolled peels reach the fixture's fixpoint (measured 9 rounds
+      // at sf0.01; ScaleOpsSpec asserts maxRounds=12 ≡ maxRounds=20 at
+      // the SAME scale the oracle runs, so the depth cannot rot silently)
+      val chain = (0 until 12).map { i =>
+        s"""kd$i AS (SELECT v, count(*) AS deg FROM (
+           |    SELECT a AS v FROM kc$i UNION ALL SELECT b FROM kc$i) GROUP BY 1),
+           |kn$i AS (SELECT v FROM kd$i WHERE deg >= 2),
+           |kc${i + 1} AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM kc$i e
+           |  JOIN kn$i x ON x.v = e.a JOIN kn$i y ON y.v = e.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${OracleCtes.memories},
+         |${OracleText.dupPairsCte(0.35)},
+         |kc0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+         |  FROM pr WHERE id_a <> id_b),
+         |$chain
+         |SELECT v AS id, CAST(count(*) AS BIGINT) AS core_deg FROM (
+         |  SELECT a AS v FROM kc12 UNION ALL SELECT b FROM kc12) GROUP BY 1
+         |ORDER BY id""".stripMargin
+    },
     "ta_readability" -> {
       s"""WITH ${OracleText.c4Ctes()},
          |rdt AS (

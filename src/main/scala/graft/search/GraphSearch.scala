@@ -240,6 +240,48 @@ object GraphSearch {
     out
   }
 
+  /** k-core of an undirected pair graph (Seidman '83, public): the maximal
+    * subgraph where every node has degree ≥ k, found by iterated peeling —
+    * drop nodes with degree < k, recompute, repeat to the (unique)
+    * fixpoint. Returns (id, core_deg) for the surviving nodes with their
+    * in-core degree — the standard "dense neighborhood" extractor over a
+    * similarity graph (near-dup nests, citation cores).
+    *
+    * Scale shape: each round is one degree aggregation + one semi-join of
+    * the edge frame against the surviving nodes, flattened by an eager
+    * localCheckpoint exactly like the PPR loop's measured optimum; the
+    * loop exits when the edge count stops shrinking (a scalar per round).
+    * The fixpoint is unique, so the result is independent of round
+    * batching — the oracle reaches the same set by fixed unrolling. */
+  def kCore(pairs: DataFrame, k: Int = 2, maxRounds: Int = 20): DataFrame = {
+    var und = pairs.select(
+        least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var prev = und.count()
+    var rounds = 0
+    var stable = prev == 0
+    while (!stable && rounds < maxRounds) {
+      val deg = und.select(col("a").as("v")).unionAll(und.select(col("b")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("v")
+      val next = und
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      val n = next.count()
+      stable = n == prev
+      prev = n
+      und = next
+      rounds += 1
+    }
+    und.select(col("a").as("v")).unionAll(und.select(col("b")))
+      .groupBy("v").agg(count(lit(1)).as("core_deg"))
+      .select(col("v").as("id"), col("core_deg"))
+      .orderBy("id")
+  }
+
   /** Degree distribution of an undirected pair graph: (deg, n_nodes)
     * histogram — the first scale-sanity plot of any corpus graph (hub
     * detection, power-law eyeballing). Two bounded aggregations: per-node

@@ -158,6 +158,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(GraphSearch.triangleCensus(noisy).collect().head == r)
   }
 
+  test("2-core keeps the triangle, peels the tail, and dissolves a chain") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val core = GraphSearch.kCore(g, k = 2).as[(Long, Long)].collect().toSeq
+    assert(core == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    assert(GraphSearch.kCore(chain, k = 2).count() == 0)
+  }
+
+  test("the k-core oracle's unroll depth covers the sf0.01 fixpoint") {
+    // the oracle unrolls 12 peels; pin that 12 rounds reach the fixpoint
+    // at the SAME scale the driver's oracle runs (measured 9 in round 7)
+    val pairs = graft.dedup.Dedup
+      .findDuplicates(Corpus.memories(spark, sf("sf0.01")), threshold = 0.35)
+      .select("id_a", "id_b").localCheckpoint(true)
+    def rows(maxRounds: Int) =
+      GraphSearch.kCore(pairs, k = 2, maxRounds = maxRounds)
+        .collect().map(_.toString).toSeq
+    assert(rows(12) == rows(20))
+  }
+
   test("a star graph is perfectly disassortative and its degree histogram is exact") {
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
     // degrees 3,1,1,1: M=3, sum jk=9, sum(j+k)=12, sum(j^2+k^2)=30
