@@ -56,7 +56,12 @@ class JobCountSpec extends SparkSpec {
     "ann_ivfpq_topk" -> 23,
     "gr_triangles" -> 37,
     "tc_boilerplate_lines" -> 9,
-    "lsh_oph_neardup" -> 12
+    "lsh_oph_neardup" -> 12,
+    // k-core: the iterative peel (measured 76 in-suite at sf0.001 — the d2
+    // pair kernel + ~7 peel rounds of checkpoint+count) — a per-round job
+    // regression multiplies by the round count, exactly what this pin
+    // exists to catch
+    "gr_kcore" -> 88
   )
 
   private val counter = new AtomicInteger(0)
