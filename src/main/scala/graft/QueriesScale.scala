@@ -8,10 +8,14 @@ import graft.functions.VectorFunctions
 import graft.search.{Filters, VectorSearch}
 import graft.text.Curation
 
-/** Registry section 5 — the compressed-index / corpus-hygiene tier:
-  * product quantization (PQ and IVF-PQ), Matryoshka truncation recall,
-  * corpus-level boilerplate line removal, weighted sampling, and the
-  * triangle census of the similarity graph.
+/** Registry section 5 (round 7) — the compressed-index, corpus-hygiene,
+  * and graph-analytics tier: product quantization (PQ, IVF-PQ, and the
+  * persisted IVF-PQ index), Matryoshka truncation recall, corpus-level
+  * boilerplate line removal, weighted sampling, OPH MinHash, the Gopher
+  * duplicate-trigram fraction, PMI collocations, Jensen-Shannon source
+  * drift, Flesch readability, per-source bounded top-k, and the
+  * similarity-graph analytics (triangles, degree histogram,
+  * assortativity, k-core).
   */
 object QueriesScale {
 
