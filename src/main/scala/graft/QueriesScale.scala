@@ -78,6 +78,22 @@ object QueriesScale {
       graft.ann.IvfPqIndex.topK(s, path, Queries.queryVec(s, dir),
         k = 10, nprobe = 2, candidates = 50)
     }),
+    // the nprobe sizing curve: IVF recall@10 at nprobe 1/2/4 in one
+    // result — the measurement that decides the recall/latency trade
+    // before a 100 TB deployment fixes its probe width
+    "ann_ivf_nprobe_sweep" -> ((s, dir) => {
+      val mem = Corpus.memories(s, dir)
+      val qv = Queries.queryVec(s, dir)
+      val cent = Ann.centroidsByLabel(Tables.embeddings(s, dir))
+      val assigned = Ann.assign(mem, cent).localCheckpoint(true)
+      val exact = VectorSearch.topK(mem, qv, k = 10).select("id")
+      Seq(1, 2, 4).map { np =>
+        Ann.ivfTopK(assigned, cent, qv, k = 10, nprobe = np).select("id")
+          .join(exact, "id")
+          .agg(round(count(lit(1)) / 10.0, 6).as("recall_at_10"))
+          .select(lit(np).cast("int").as("nprobe"), col("recall_at_10"))
+      }.reduce(_ unionAll _).orderBy("nprobe")
+    }),
     // Gopher §A1.1 char-fraction repetition member: max char coverage by
     // any repeated trigram per doc
     "tc_dup_ngram_frac" -> ((s, dir) =>
@@ -329,6 +345,34 @@ object QueriesScale {
          |    / quality, 6) AS es_key
          |FROM cprof WHERE quality > 0
          |ORDER BY es_key DESC, id LIMIT 100""".stripMargin,
+    "ann_ivf_nprobe_sweep" -> {
+      def probe(n: Int) =
+        s"""probe$n AS (
+           |  SELECT label FROM (
+           |    SELECT c.label, row_number() OVER (ORDER BY
+           |      list_sum(list_transform(range(1, 65), i -> c.centroid[i] * CAST(q.qv[i] AS DOUBLE))) DESC,
+           |      c.label) AS rn
+           |    FROM cent c, $mrlQ q)
+           |  WHERE rn <= $n)""".stripMargin
+      def arm(n: Int) =
+        s"""(SELECT CAST($n AS INTEGER) AS nprobe,
+           |  round(CAST((SELECT count(*) FROM (
+           |    SELECT m.id FROM memories m
+           |    JOIN asg a ON m.id = a.id JOIN probe$n p ON a.ivf_cell = p.label
+           |    CROSS JOIN $mrlQ q2
+           |    ORDER BY round(${OracleCtes.dot64("m.embedding", "q2.qv")}, 6) DESC, m.id
+           |    LIMIT 10) t JOIN swext USING (id)) AS DOUBLE) / 10.0, 6) AS recall_at_10)""".stripMargin
+      s"""WITH ${OracleCtes.memories},
+         |${Queries.ivfCtes},
+         |${probe(1)}, ${probe(4)},
+         |swext AS MATERIALIZED (
+         |  SELECT m.id FROM memories m CROSS JOIN $mrlQ q
+         |  WHERE NOT m.archived
+         |  ORDER BY round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id LIMIT 10)
+         |SELECT * FROM (
+         |${arm(1)} UNION ALL ${arm(2).replace("probe2", "probe")} UNION ALL ${arm(4)})
+         |ORDER BY nprobe""".stripMargin
+    },
     "gr_degree_dist" ->
       s"""WITH ${OracleCtes.memories},
          |${OracleText.dupPairsCte(0.35)},

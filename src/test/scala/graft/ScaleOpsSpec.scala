@@ -158,6 +158,14 @@ class ScaleOpsSpec extends SparkSpec {
     assert(GraphSearch.triangleCensus(noisy).collect().head == r)
   }
 
+  test("IVF recall is monotone non-decreasing in nprobe") {
+    val rows = Queries.all("ann_ivf_nprobe_sweep")(spark, sf())
+      .as[(Int, Double)].collect().toSeq.sortBy(_._1)
+    assert(rows.map(_._1) == Seq(1, 2, 4))
+    assert(rows.map(_._2) == rows.map(_._2).sorted,
+      s"recall not monotone: $rows")
+  }
+
   test("2-core keeps the triangle, peels the tail, and dissolves a chain") {
     val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
     val core = GraphSearch.kCore(g, k = 2).as[(Long, Long)].collect().toSeq
