@@ -152,6 +152,10 @@ object QueriesScale {
     "lsh_oph_neardup" -> ((s, dir) =>
       graft.dedup.MinHashLsh.nearDuplicatesOph(Queries.docs(s, dir), threshold = 0.2)
         .orderBy("id_a", "id_b")),
+    // hard-negative mining (DPR recipe): per self-retrieval query, the 5
+    // highest-scoring non-gold docs — contrastive training pairs
+    "ev_hard_negatives" -> ((s, dir) =>
+      graft.eval.RetrievalEval.hardNegatives(Queries.docs(s, dir), k = 5)),
     // graph-analytics completions over the similarity graph: degree
     // histogram and Newman degree assortativity
     "gr_degree_dist" -> ((s, dir) =>
@@ -372,6 +376,27 @@ object QueriesScale {
          |SELECT * FROM (
          |${arm(1)} UNION ALL ${arm(2).replace("probe2", "probe")} UNION ALL ${arm(4)})
          |ORDER BY nprobe""".stripMargin
+    },
+    "ev_hard_negatives" -> {
+      val t = OracleText.toks("text")
+      val dot = "list_sum(list_transform(range(1, 65), i -> d.e[i] * q.e[i]))"
+      s"""WITH corpus AS MATERIALIZED (SELECT doc_id AS id, text FROM documents),
+         |qdoc AS MATERIALIZED (
+         |  SELECT id AS qid, array_to_string(t[1:greatest(len(t) // 2, 1)], ' ') AS text
+         |  FROM (SELECT id, $t AS t FROM corpus)
+         |  WHERE id % ${graft.eval.RetrievalEval.SampleMod} = 0 AND len(t) >= 4
+         |  ORDER BY qid LIMIT ${graft.eval.RetrievalEval.MaxQueries}),
+         |${OracleText.embedCtesOver("corpus", 64)},
+         |${OracleText.embedCtesOver("(SELECT qid AS id, text FROM qdoc) qsrc", 64, "qe")},
+         |hvs AS MATERIALIZED (
+         |  SELECT q.id AS qid, d.id, round($dot, 6) AS sim
+         |  FROM ef d CROSS JOIN qef q WHERE d.id <> q.id),
+         |hrk AS (
+         |  SELECT qid, id AS neg_id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank
+         |  FROM hvs)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, neg_id, sim
+         |FROM hrk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
     "gr_degree_dist" ->
       s"""WITH ${OracleCtes.memories},

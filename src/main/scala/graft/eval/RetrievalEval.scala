@@ -80,6 +80,36 @@ object RetrievalEval {
       .orderBy("mode")
   }
 
+  /** Hard-negative mining for contrastive retrieval training (the DPR
+    * recipe, Karpukhin '20 §4.2 — public): for each query of the
+    * self-retrieval protocol, the `k` highest-scoring NON-gold documents
+    * under the vector mode — the near-misses a bi-encoder trains against.
+    * Output: (qid, rank, neg_id, sim), rank 1-based per query.
+    *
+    * Scale shape: broadcast query vectors, map-only scoring over the
+    * corpus, then the per-qid top-k through the bounded [[graft
+    * .expressions.TopKScored]] aggregate — map-side combine keeps ~2k
+    * entries per query per partition, so only Q·k rows shuffle and no
+    * window ever sees the N·Q scored stream. */
+  def hardNegatives(docs: DataFrame, dim: Int = 64, k: Int = 5): DataFrame = {
+    val emb = HashingEmbedder(dim)
+    val queries = querySet(docs)
+    val corpusVecs = emb.embed(docs.select(col("id"), col("text")))
+      .select("id", "embedding")
+    val qVecs = queries.select(col("qid"),
+      emb.embeddingColumn(col("qtext")).as("qvec"))
+    corpusVecs.crossJoin(broadcast(qVecs))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        round(VectorFunctions.dot(col("embedding"), col("qvec")), 6).as("sim"))
+      .groupBy("qid")
+      .agg(graft.expressions.TopKScored.topK(col("sim"), col("id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neg_id"), col("col.score").as("sim"))
+      .orderBy("qid", "rank")
+  }
+
   /** Self-rank per query WITHOUT sorting: 1 + how many candidates beat the
     * source doc (higher score, or equal score with lower id). The self
     * score rides a window over the SAME qid shuffle the final aggregate

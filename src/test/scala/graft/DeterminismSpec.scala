@@ -44,7 +44,8 @@ class DeterminismSpec extends SparkSpec {
       "ta_pmi_collocations", "ta_term_drift", "ta_js_divergence",
       "ann_ivfpq_indexed", "tc_dup_ngram_frac", "lsh_oph_neardup",
       "tc_top_per_source", "gr_degree_dist", "gr_assortativity",
-      "ta_readability", "gr_kcore", "ann_ivf_nprobe_sweep")
+      "ta_readability", "gr_kcore", "ann_ivf_nprobe_sweep",
+      "ev_hard_negatives")
 
   private def rowsAt(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)

@@ -158,6 +158,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(GraphSearch.triangleCensus(noisy).collect().head == r)
   }
 
+  test("hard negatives exclude the gold doc and rank by descending similarity") {
+    val rows = Queries.all("ev_hard_negatives")(spark, sf())
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, _, neg, _) => assert(neg != qid) }
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2) == (1 to sorted.length))
+      assert(sorted.map(_._4) == sorted.map(_._4).sorted.reverse)
+    }
+  }
+
   test("IVF recall is monotone non-decreasing in nprobe") {
     val rows = Queries.all("ann_ivf_nprobe_sweep")(spark, sf())
       .as[(Int, Double)].collect().toSeq.sortBy(_._1)
