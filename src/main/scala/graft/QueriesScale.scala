@@ -54,14 +54,15 @@ object QueriesScale {
       pq.join(exact, "id")
         .agg(round(count(lit(1)) / 10.0, 6).as("recall_at_10"))
     }),
-    // Faiss-IVFPQ shape: IVF prunes cells, ADC ranks codes, exact re-rank
-    // reads only `candidates` full vectors
+    // Faiss-IVFPQ shape: IVF prunes cells, RESIDUAL ADC ranks codes
+    // (x − centroid quantized; q·centroid added back in the fold), exact
+    // re-rank reads only `candidates` full vectors
     "ann_ivfpq_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cent = Ann.centroidsByLabel(emb)
       val assigned = Ann.assign(Corpus.memories(s, dir), cent)
-      Pq.ivfPqTopK(assigned, cent, Pq.codebooks(emb), Queries.queryVec(s, dir),
-        k = 10, nprobe = 2, candidates = 50)
+      Pq.ivfPqTopK(assigned, cent, Pq.residualCodebooks(emb, cent),
+        Queries.queryVec(s, dir), k = 10, nprobe = 2, candidates = 50)
     }),
     // persisted IVF-PQ: build on the first half, O(batch) refresh with the
     // second — the oracle is the FULL-CORPUS IVFPQ SQL, so the hash-match
@@ -222,6 +223,56 @@ object QueriesScale {
        |${pqCtes("memories")}
        |SELECT id, adc FROM pqadc ORDER BY adc DESC, id LIMIT 10""".stripMargin
 
+  /** Residual-PQ CTEs over `pool(id, ivf_cell, embedding)` (requires the
+    * `cent` CTE from [[Queries.ivfCtes]] in scope): rcb (per-subspace
+    * residual codebooks from the labeled embeddings), rres (pool residuals
+    * against the row's own cell centroid), rpe (residual codes), rlut
+    * (query micro-unit residual ADC table), rcd (per-cell q·centroid
+    * micro-units), radc (per-id ADC = cell term + code terms). Kept in
+    * lockstep with [[graft.ann.Pq.residualCodebooks]]/
+    * [[graft.ann.Pq.adcScoresResidual]]. */
+  private def pqResCtes: String = {
+    def bit(j: Int, w: Int) =
+      s"CASE WHEN round(res[((t.i - 1) // 8) * 8 + $j], 6) > 0 THEN $w ELSE 0 END"
+    s"""rtr AS MATERIALIZED (
+       |  SELECT list_transform(range(1, 65),
+       |    i -> CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) AS res
+       |  FROM embeddings e JOIN cent c USING (label)),
+       |rcb0 AS (
+       |  SELECT CAST((t.i - 1) // 8 AS INT) AS sub,
+       |    CAST(${bit(1, 8)} + ${bit(2, 4)} + ${bit(3, 2)} + ${bit(4, 1)} AS INT) AS label,
+       |    t.i, avg(res[t.i]) AS m
+       |  FROM rtr, range(1, 65) t(i) GROUP BY 1, 2, t.i),
+       |rcb AS MATERIALIZED (
+       |  SELECT sub, label, list(m ORDER BY i) AS codevec
+       |  FROM rcb0 GROUP BY 1, 2),
+       |rres AS MATERIALIZED (
+       |  SELECT p.id, p.ivf_cell,
+       |    list_transform(range(1, 65), i -> CAST(p.embedding[i] AS DOUBLE) - c.centroid[i]) AS res
+       |  FROM pool p JOIN cent c ON c.label = p.ivf_cell),
+       |rpe AS MATERIALIZED (
+       |  SELECT id, ivf_cell, sub, label AS code FROM (
+       |    SELECT r.id, r.ivf_cell, c.sub, c.label, row_number() OVER (PARTITION BY r.id, c.sub ORDER BY
+       |      round(list_sum(list_transform(range(1, 9), i ->
+       |        (r.res[c.sub * 8 + i] - c.codevec[i]) * (r.res[c.sub * 8 + i] - c.codevec[i]))), 6), c.label) AS rn
+       |    FROM rres r, rcb c) WHERE rn = 1),
+       |rlut AS MATERIALIZED (
+       |  SELECT c.sub, c.label,
+       |    CAST(round(round(list_sum(list_transform(range(1, 9), i ->
+       |      c.codevec[i] * CAST(q.qv[c.sub * 8 + i] AS DOUBLE))), 6) * 1e6, 0) AS BIGINT) AS micro
+       |  FROM rcb c CROSS JOIN $mrlQ q),
+       |rcd AS (
+       |  SELECT c.label AS ivf_cell,
+       |    CAST(round(round(list_sum(list_transform(range(1, 65), i ->
+       |      c.centroid[i] * CAST(q.qv[i] AS DOUBLE))), 6) * 1e6, 0) AS BIGINT) AS cmicro
+       |  FROM cent c CROSS JOIN $mrlQ q),
+       |radc AS MATERIALIZED (
+       |  SELECT e.id, round(CAST(d.cmicro + sum(l.micro) AS DOUBLE) / 1e6, 6) AS adc
+       |  FROM rpe e JOIN rlut l ON e.sub = l.sub AND e.code = l.label
+       |  JOIN rcd d ON d.ivf_cell = e.ivf_cell
+       |  GROUP BY e.id, d.cmicro)""".stripMargin
+  }
+
   private lazy val annIvfPqTopkSql: String =
     s"""WITH ${OracleCtes.memories},
        |${Queries.ivfCtes},
@@ -229,8 +280,8 @@ object QueriesScale {
        |  SELECT m.id, a.ivf_cell, m.embedding
        |  FROM memories m JOIN asg a ON m.id = a.id
        |  JOIN probe p ON a.ivf_cell = p.label),
-       |${pqCtes("pool")},
-       |cand AS (SELECT id FROM pqadc ORDER BY adc DESC, id LIMIT 50)
+       |$pqResCtes,
+       |cand AS (SELECT id FROM radc ORDER BY adc DESC, id LIMIT 50)
        |SELECT o.id, o.ivf_cell,
        |  round(${OracleCtes.dot64("o.embedding", "q2.qv")}, 6) AS sim
        |FROM pool o JOIN cand USING (id) CROSS JOIN $mrlQ q2

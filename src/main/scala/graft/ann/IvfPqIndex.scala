@@ -19,25 +19,29 @@ import graft.sources.Store
   *  3. late materialization — only the `candidates` ADC survivors re-read
   *     their full vectors for the exact re-rank.
   *
-  * Codebooks are a function of the embeddings table alone (the
-  * [[Pq.codebooks]] label-group seeding), so [[refresh]] is exact for the
-  * same reason [[IvfIndex.refresh]] is: encoding an append batch against
-  * the STORED centroids + codebooks is byte-identical to a full rebuild —
+  * Codes are RESIDUAL (Faiss IVFPQ, Jégou '11 §IV.A): each stored row's
+  * `pq_codes` quantize `x − centroid[ivf_cell]` against
+  * [[Pq.residualCodebooks]], so the byte budget describes within-cell
+  * variation and the probe adds the per-cell `q·centroid` constant back
+  * in the ADC fold. Centroids and codebooks are a deterministic function
+  * of the embeddings table alone, so [[refresh]] is exact for the same
+  * reason [[IvfIndex.refresh]] is: encoding an append batch against the
+  * STORED centroids + codebooks is byte-identical to a full rebuild —
   * Faiss `add` never moves centroids or codewords. */
 object IvfPqIndex {
 
-  /** Build and persist: centroids + codebooks + cell-partitioned
+  /** Build and persist: centroids + residual codebooks + cell-partitioned
     * (id, embedding, ivf_cell, pq_codes) assignments. */
   def build(memories: DataFrame, embeddings: DataFrame, path: String,
             idCol: String = "id"): Unit = {
     val cents = Ann.centroidsByLabel(embeddings)
-    val books = Pq.codebooks(embeddings)
+    val books = Pq.residualCodebooks(embeddings, cents)
     Store.save(cents, s"$path/centroids")
     Store.save(books, s"$path/codebooks")
     Store.savePartitioned(
-      Pq.encode(
+      Pq.encodeResidual(
         Ann.assign(memories.select(col(idCol).as("id"), col("embedding")), cents),
-        books),
+        books, cents),
       s"$path/assignments", "ivf_cell")
   }
 
@@ -50,28 +54,31 @@ object IvfPqIndex {
     val books = Store.load(spark, s"$path/codebooks")
     val staging = s"$path/assignments_batch.tmp"
     Store.deleteRecursive(staging)
-    Pq.encode(
+    Pq.encodeResidual(
         Ann.assign(addedMemories.select(col(idCol).as("id"), col("embedding")), cents),
-        books)
+        books, cents)
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(staging)
     IvfIndex.promoteStagedCells(staging, s"$path/assignments")
     Store.deleteRecursive(staging)
   }
 
-  /** Probe: rank stored centroids (bounded driver-side job), ADC-rank the
-    * probed cells FROM CODES ONLY, exact-rerank the `candidates` survivors.
-    * Output matches the in-memory [[Pq.ivfPqTopK]]: (id, ivf_cell, sim). */
+  /** Probe: rank stored centroids (bounded driver-side job), residual-ADC
+    * rank the probed cells FROM CODES ONLY (ivf_cell is the partition
+    * column — free), exact-rerank the `candidates` survivors. Output
+    * matches the in-memory [[Pq.ivfPqTopK]]: (id, ivf_cell, sim). */
   def topK(spark: SparkSession, path: String, queryVec: Seq[Float],
            k: Int, nprobe: Int = 2, candidates: Int = 50): DataFrame = {
-    val cells = Store.load(spark, s"$path/centroids")
-      .withColumn("_qsim", dot(col("centroid"), typedLit(queryVec)))
-      .orderBy(desc("_qsim"), asc("label")).limit(nprobe)
-      .select("label").collect().map(_.getInt(0)).toSeq
-    val books = Store.load(spark, s"$path/codebooks")
+    val centRows = Pq.collectCentroids(Store.load(spark, s"$path/centroids"))
+    val qd = queryVec.map(_.toDouble)
+    val cells = centRows.map { case (l, cv) => (l, Pq.dotFold(cv, qd)) }
+      .sortBy { case (l, s) => (-s, l) }.take(nprobe).map(_._1)
+    val probedCents = centRows.filter(c => cells.contains(c._1))
+    val bookRows = Pq.collectBooks(Store.load(spark, s"$path/codebooks"))
     val probed = Store.load(spark, s"$path/assignments")
       .filter(col("ivf_cell").isin(cells: _*))
     // ADC stage reads (id, pq_codes) only — embedding stays un-decoded
-    val cand = Pq.adcScores(probed.select("id", "pq_codes"), books, queryVec)
+    val cand = Pq.adcScoresResidualRows(probed.select("id", "ivf_cell", "pq_codes"),
+        bookRows, probedCents, queryVec, Pq.SubDim)
       .orderBy(desc("adc"), asc("id")).limit(candidates)
     probed.join(cand.select("id"), Seq("id"), "left_semi")
       .select(col("id"), col("ivf_cell"),

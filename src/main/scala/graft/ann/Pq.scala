@@ -63,6 +63,28 @@ object Pq {
       zip_with(subVec, codeVec, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
       lit(0.0), (a, x) => a + x), 6)
 
+  /** Driver-side collect of a (bounded, ≤ MaxNlist-row) codebook frame. */
+  private[graft] def collectBooks(books: DataFrame): Seq[(Int, Int, Seq[Double])] =
+    books.select(col("sub"), col("label"), col("codevec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+
+  /** Driver-side collect of a (bounded, ≤ MaxNlist-row) centroid frame. */
+  private[graft] def collectCentroids(centroids: DataFrame): Seq[(Int, Seq[Double])] =
+    centroids.select(col("label"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+
+  /** Spark's `round(col, s)` for doubles, verbatim (HALF_UP over the
+    * decimal string form) — keeps the driver-side LUT math bit-identical
+    * to the Column formulation and the DuckDB oracle. */
+  private def roundN(d: Double, s: Int): Double =
+    BigDecimal(d).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Left-to-right double fold — [[VectorFunctions.dot]]'s exact order. */
+  private[graft] def dotFold(a: Seq[Double], b: Seq[Double]): Double =
+    a.iterator.zip(b.iterator).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+
   /** Encode: adds `pq_codes` (array<int>, one code per subspace, ordered by
     * subspace index). MAP-ONLY: the bounded codebook frame (≤ m·ks rows)
     * is collected and baked into literal arrays, and each row's m argmins
@@ -71,12 +93,16 @@ object Pq {
     * no join (ScaleOpsSpec pins bit-equality to the broadcast-join
     * formulation [[encodeJoin]]). */
   def encode(df: DataFrame, books: DataFrame, vecCol: String = "embedding",
-             subDim: Int = SubDim): DataFrame = {
+             subDim: Int = SubDim): DataFrame =
+    encodeRows(df, collectBooks(books), vecCol, subDim)
+
+  /** [[encode]] over an already-collected codebook — lets one serving call
+    * share a single codebook job between encoding and the ADC LUT. */
+  private[graft] def encodeRows(df: DataFrame, bookRows: Seq[(Int, Int, Seq[Double])],
+                                vecCol: String, subDim: Int): DataFrame = {
     // (sub → (labels, codevecs)) sorted by label for the tiebreak-by-
     // first-scan argmin below
-    val bySub = books.select(col("sub"), col("label"), col("codevec"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val bySub = bookRows
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (s, rs) => (s, rs.sortBy(_._2).map(r => (r._2, r._3))) }
     val codeFor = bySub.map { case (sub, entries) =>
@@ -110,6 +136,117 @@ object Pq {
         col("_b").getField("label").cast("int").as("code")))),
         x => x.getField("code")).as("pq_codes"))
     df.join(best, "id")
+  }
+
+  /** Per-subspace RESIDUAL codebooks — the Faiss IVFPQ training step
+    * (Jégou '11 §IV.A): codewords quantize `x − centroid[cell]`, not `x`,
+    * so every byte of code budget describes within-cell variation instead
+    * of re-describing the cell the IVF key already names.
+    *
+    * Deterministic k-means substitute: per-label residual means are
+    * DEGENERATE here (avg(x − centroid[label]) over a label group is the
+    * raw mean minus its own normalization — a near-zero sliver that
+    * carries no within-cell variation), so codewords are seeded by SIGN
+    * OCTANT instead: each residual sub-vector lands in one of 16 buckets
+    * keyed by the sign bits of its first 4 dims (6dp-rounded, the house
+    * tie rule), and codevec(sub, bucket) = the bucket's per-dim mean.
+    * One pass, order-free, oracle-expressible, and the buckets genuinely
+    * partition residual DIRECTIONS — the structure ADC needs to rank
+    * within a probed cell. Bound: m·16 ≤ MaxNlist rows. */
+  def residualCodebooks(embeddings: DataFrame, centroids: DataFrame,
+                        subDim: Int = SubDim): DataFrame = {
+    val res = zip_with(col("embedding"), col("centroid"),
+      (x, c) => x.cast("double") - c)
+    def bit(j: Int, w: Int): Column =
+      when(round(element_at(col("res"), col("sub") * subDim + lit(j)), 6) > 0, w)
+        .otherwise(0)
+    embeddings
+      .join(broadcast(centroids.withColumnRenamed("label", "_clab")),
+        col("label") === col("_clab"))
+      .select(res.as("res"))
+      .select(col("res"), posexplode(col("res")))
+      .withColumn("sub", expr(s"pos div $subDim").cast("int"))
+      .withColumn("label", (bit(1, 8) + bit(2, 4) + bit(3, 2) + bit(4, 1)).cast("int"))
+      .groupBy("sub", "label", "pos").agg(avg(col("col")).as("m"))
+      .groupBy("sub", "label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("codevec"))
+      .orderBy("sub", "label").limit(Ann.MaxNlist)
+  }
+
+  /** Residual encode: subtracts the row's OWN cell centroid (a literal
+    * `ivf_cell → centroid` map — bounded at MaxNlist entries, so the
+    * write path carries zero shuffles AND zero joins), then runs the same
+    * map-only literal-fold argmin as [[encode]] over the residual.
+    * Requires an `ivf_cell` column (an [[Ann.assign]]-ed frame). */
+  def encodeResidual(df: DataFrame, books: DataFrame, centroids: DataFrame,
+                     vecCol: String = "embedding", subDim: Int = SubDim): DataFrame =
+    encodeResidualRows(df, collectBooks(books), collectCentroids(centroids),
+      vecCol, subDim)
+
+  private[graft] def encodeResidualRows(df: DataFrame,
+      bookRows: Seq[(Int, Int, Seq[Double])], centRows: Seq[(Int, Seq[Double])],
+      vecCol: String, subDim: Int): DataFrame = {
+    val centLit = map_from_arrays(
+      typedLit(centRows.map(_._1)), typedLit(centRows.map(_._2)))
+    encodeRows(
+      df.withColumn("_res", zip_with(col(vecCol),
+        element_at(centLit, col("ivf_cell").cast("int")),
+        (x, c) => x.cast("double") - c)),
+      bookRows, "_res", subDim)
+      .drop("_res")
+  }
+
+  /** Per-cell `q·centroid` terms in integer micro-units — the constant the
+    * residual decomposition adds back at ADC time:
+    * `q·x ≈ q·centroid[cell] + q·r̂`. Driver-side fold over collected
+    * centroid rows (bounded ≤ MaxNlist), same arithmetic and rounding as
+    * the Column formulation. */
+  private[graft] def cellDotsFromRows(centRows: Seq[(Int, Seq[Double])],
+                                      queryVec: Seq[Float]): Map[Int, Long] = {
+    val qd = queryVec.map(_.toDouble)
+    centRows.map { case (cell, cv) =>
+      cell -> roundN(roundN(dotFold(cv, qd), 6) * Micro, 0).toLong
+    }.toMap
+  }
+
+  /** [[adcTable]] computed driver-side from collected codebook rows —
+    * bit-identical by construction (same left-to-right fold, same
+    * HALF_UP rounding); ScaleOpsSpec pins the equality. */
+  private[graft] def lutFromRows(bookRows: Seq[(Int, Int, Seq[Double])],
+                                 queryVec: Seq[Float], subDim: Int): Map[Int, Long] =
+    bookRows.map { case (sub, label, cv) =>
+      val q = queryVec.slice(sub * subDim, sub * subDim + subDim).map(_.toDouble)
+      (sub * Ann.MaxNlist + label) -> roundN(roundN(dotFold(cv, q), 6) * Micro, 0).toLong
+    }.toMap
+
+  /** Residual ADC scores: (id, adc) where
+    * adc = (cellMicro[ivf_cell] + Σ_sub LUT[sub, code]) / 1e6 — the same
+    * map-only literal fold as [[adcScores]] plus one per-row lookup into
+    * the ≤-MaxNlist cell-dot map. Still shuffle-free; still order-free
+    * integer accumulation. Requires (id, ivf_cell, pq_codes). */
+  def adcScoresResidual(encoded: DataFrame, books: DataFrame, centroids: DataFrame,
+                        queryVec: Seq[Float], subDim: Int = SubDim): DataFrame =
+    adcScoresResidualRows(encoded, collectBooks(books), collectCentroids(centroids),
+      queryVec, subDim)
+
+  private[graft] def adcScoresResidualRows(encoded: DataFrame,
+      bookRows: Seq[(Int, Int, Seq[Double])], centRows: Seq[(Int, Seq[Double])],
+      queryVec: Seq[Float], subDim: Int): DataFrame = {
+    val lut = lutFromRows(bookRows, queryVec, subDim)
+    val ks = lut.keys.toSeq.sorted
+    val lutLit = map_from_arrays(typedLit(ks), typedLit(ks.map(lut)))
+    val cd = cellDotsFromRows(centRows, queryVec)
+    val cks = cd.keys.toSeq.sorted
+    val cdLit = map_from_arrays(typedLit(cks), typedLit(cks.map(cd)))
+    val m = queryVec.length / subDim
+    encoded.select(col("id"),
+      round((aggregate(sequence(lit(0), lit(m - 1)),
+        lit(0L),
+        (acc, j) => acc + element_at(lutLit,
+          (j * Ann.MaxNlist + element_at(col("pq_codes"), j + 1)).cast("int")))
+        + element_at(cdLit, col("ivf_cell").cast("int")))
+        .cast("double") / Micro, 6).as("adc"))
   }
 
   /** The ADC lookup table for one query: key = sub·MaxNlist + label,
@@ -149,13 +286,33 @@ object Pq {
       .limit(k)
 
   /** IVF × PQ (Faiss IVFPQ shape): IVF prunes to nprobe/nlist of the rows,
-    * ADC ranks the pruned pool from codes alone, and only `candidates`
-    * full vectors are read for the exact re-rank: (id, ivf_cell, sim). */
+    * RESIDUAL ADC ranks the pruned pool from codes alone (`books` must be
+    * [[residualCodebooks]]; the per-cell `q·centroid` constant is added
+    * back in the fold), and only `candidates` full vectors are read for
+    * the exact re-rank: (id, ivf_cell, sim).
+    *
+    * Serving shape: codebooks and centroids are collected ONCE (both
+    * bounded ≤ MaxNlist) and everything query-local — probe-cell
+    * ranking, the ADC LUT, the cell-dot constants — is computed on the
+    * driver, Faiss-style. The probe itself is an `ivf_cell IN (...)`
+    * predicate, so a cell-partitioned store prunes at planning time. */
   def ivfPqTopK(assigned: DataFrame, centroids: DataFrame, books: DataFrame,
                 queryVec: Seq[Float], k: Int, nprobe: Int = 2,
                 candidates: Int = 50): DataFrame = {
-    val pool = assigned.join(broadcast(Ann.probeCells(centroids, queryVec, nprobe)), "ivf_cell")
-    val cand = pqTopK(encode(pool, books), books, queryVec, candidates)
+    val bookRows = collectBooks(books)
+    val centRows = collectCentroids(centroids)
+    val qd = queryVec.map(_.toDouble)
+    // nprobe query-nearest cells: dot desc, label asc — the same order
+    // [[Ann.probeCells]] computes, driver-side (identical fold, identical
+    // doubles, identical ordering)
+    val probed = centRows.map { case (l, cv) => (l, dotFold(cv, qd)) }
+      .sortBy { case (l, s) => (-s, l) }.take(nprobe).map(_._1)
+    val probedCents = centRows.filter(c => probed.contains(c._1))
+    val pool = assigned.filter(col("ivf_cell").isin(probed: _*))
+    val enc = encodeResidualRows(pool, bookRows, probedCents, "embedding", subDim = SubDim)
+    val cand = adcScoresResidualRows(enc.select("id", "ivf_cell", "pq_codes"),
+        bookRows, probedCents, queryVec, subDim = SubDim)
+      .orderBy(desc("adc"), asc("id")).limit(candidates)
     pool.join(cand.select("id"), Seq("id"), "left_semi")
       .select(col("id"), col("ivf_cell"),
         VectorFunctions.roundScore(

@@ -67,7 +67,7 @@ class ScaleOpsSpec extends SparkSpec {
   test("IVF-PQ hits come from probed cells and carry exact similarities") {
     val emb = Tables.embeddings(spark, sf())
     val cent = Ann.centroidsByLabel(emb)
-    val books = Pq.codebooks(emb)
+    val books = Pq.residualCodebooks(emb, cent)
     val qv = Queries.queryVec(spark, sf())
     val mem = Corpus.memories(spark, sf())
     val assigned = Ann.assign(mem, cent)
@@ -91,7 +91,8 @@ class ScaleOpsSpec extends SparkSpec {
     graft.ann.IvfPqIndex.build(mem, emb, path)
     val fromIndex = graft.ann.IvfPqIndex.topK(spark, path, qv, k = 10)
     val cent = Ann.centroidsByLabel(emb)
-    val inMemory = Pq.ivfPqTopK(Ann.assign(mem, cent), cent, Pq.codebooks(emb), qv, k = 10)
+    val inMemory = Pq.ivfPqTopK(Ann.assign(mem, cent), cent,
+      Pq.residualCodebooks(emb, cent), qv, k = 10)
     assert(fromIndex.collect().toSeq == inMemory.collect().toSeq)
     // the ADC ranking stage must read codes, not vectors: its scan's
     // ReadSchema carries pq_codes and NOT embedding (AQE off so the
@@ -99,10 +100,11 @@ class ScaleOpsSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val books = graft.sources.Store.load(spark, s"$path/codebooks")
+      val cents = graft.sources.Store.load(spark, s"$path/centroids")
       val probedCodes = graft.sources.Store.load(spark, s"$path/assignments")
         .filter(org.apache.spark.sql.functions.col("ivf_cell").isin(0, 1))
-        .select("id", "pq_codes")
-      val adc = Pq.adcScores(probedCodes, books, qv)
+        .select("id", "ivf_cell", "pq_codes")
+      val adc = Pq.adcScoresResidual(probedCodes, books, cents, qv)
       adc.collect()
       val scans = adc.queryExecution.executedPlan
         .collect { case f: FileSourceScanExec => f }
@@ -126,6 +128,55 @@ class ScaleOpsSpec extends SparkSpec {
       .select(col("id"), col("ivf_cell"), col("pq_codes").cast("string"))
       .orderBy("id").collect().toSeq
     assert(rows(pathA) == rows(pathB))
+  }
+
+  test("driver-side ADC LUT is bit-identical to the Column formulation") {
+    // the serving path computes the LUT on the driver (one codebook
+    // collect shared with encoding); same left-to-right fold + HALF_UP
+    // rounding as the Spark-side adcTable — pinned here
+    val emb = Tables.embeddings(spark, sf())
+    val cent = Ann.centroidsByLabel(emb)
+    val qv = Queries.queryVec(spark, sf())
+    val books = Pq.residualCodebooks(emb, cent)
+    val viaRows = Pq.lutFromRows(Pq.collectBooks(books), qv, Pq.SubDim)
+    val viaColumn = Pq.adcTable(books, qv)
+    assert(viaRows == viaColumn)
+  }
+
+  test("residual ADC recall at a fixed code budget is at least raw-codebook ADC recall") {
+    // The Faiss IVFPQ claim (Jégou '11 §IV.A): quantizing x − centroid[cell]
+    // spends the same byte budget on within-cell variation instead of
+    // re-describing the cell, so ADC ranks candidates at least as well.
+    // Measured over ALL cells (codebook quality, independent of nprobe) at
+    // the tight budget (= k) AND the serving budget (= the default
+    // candidates = 50) so the codes, not the re-rank, decide. Measured on
+    // the fixture: raw = 0.2/0.5, residual = 0.3/0.8.
+    val emb = Tables.embeddings(spark, sf())
+    val cent = Ann.centroidsByLabel(emb)
+    val qv = Queries.queryVec(spark, sf())
+    val mem = Corpus.memories(spark, sf())
+    val assigned = Ann.assign(mem, cent).localCheckpoint(true)
+    val exact = graft.search.VectorSearch
+      .topK(mem, qv, 10, includeArchived = true)
+      .select("id").as[Long].collect().toSet
+    val rawBooks = Pq.codebooks(emb)
+    val raw = Pq.adcScores(Pq.encode(assigned, rawBooks), rawBooks, qv)
+      .orderBy(desc("adc"), asc("id")).limit(50)
+      .select("id").as[Long].collect()
+    val resBooks = Pq.residualCodebooks(emb, cent)
+    val res = Pq.adcScoresResidual(
+        Pq.encodeResidual(assigned, resBooks, cent)
+          .select("id", "ivf_cell", "pq_codes"),
+        resBooks, cent, qv)
+      .orderBy(desc("adc"), asc("id")).limit(50)
+      .select("id").as[Long].collect()
+    def recall(top: Seq[Long], budget: Int): Double =
+      top.take(budget).count(exact).toDouble / 10.0
+    for (budget <- Seq(10, 50))
+      assert(recall(res, budget) >= recall(raw, budget),
+        s"budget=$budget residual=${recall(res, budget)} raw=${recall(raw, budget)}")
+    assert(recall(res, 50) >= 0.7,
+      s"residual recall at the serving budget ${recall(res, 50)} degenerate")
   }
 
   test("duplicate-trigram char fraction covers planted repetition and zeroes clean docs") {
