@@ -55,10 +55,16 @@ object Tables {
     * DuckDB's `epoch_us` on the same naive timestamp, exactly. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // self-contained timezone pin (ADVICE r6): the NTZ→LTZ cast below is
-    // only epoch-exact when the session zone is UTC; a future entrypoint
-    // that forgets the builder-level pin must not silently shift micros
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // the NTZ→LTZ cast below is only epoch-exact when the session zone is
+    // UTC. REQUIRE it rather than set it: the cast resolves its zone
+    // lazily at analysis time, so a save/restore would not scope it, and
+    // silently mutating the session zone here would reconfigure every
+    // subsequent query in the caller's session (ADVICE r7). Entrypoints
+    // pin UTC at build; one that forgets must fail loudly, not shift µs.
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Tables.events requires spark.sql.session.timeZone=UTC " +
+        "(pin it in the SparkSession builder) — the NTZ→LTZ ts cast " +
+        "would silently shift epoch micros under any other zone")
     val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -52,9 +52,20 @@ object MinHashLsh {
     * bin mins are a named intermediate so whole-stage subexpression
     * elimination computes them once per row); `sh` must be non-empty (as
     * [[shingleSets]] guarantees), so at least one bin is non-null and the
-    * rotation always terminates. Deterministic and SQL-reproducible. */
+    * rotation always terminates. Deterministic and SQL-reproducible.
+    *
+    * NOTE the rotation coalesce is QUADRATIC in `numHashes`: each of the k
+    * signature slots enumerates up to k fallback bins, so the projected
+    * expression tree holds k² element_at nodes (1,024 at the default
+    * k = 32). Raising k risks codegen blowup (64KB JVM method limit →
+    * whole-stage fallback), so the k ≤ 64 bound below is enforced, not
+    * advisory; beyond that, densify via an extra per-row HOF pass instead. */
   def ophSignatures(sh: DataFrame, numHashes: Int = NumHashes): DataFrame = {
     val k = numHashes
+    require(k <= 64,
+      s"ophSignatures: numHashes=$k would emit ~${k * k} coalesce arms " +
+        "(quadratic rotation-densification) and break whole-stage codegen; " +
+        "use <= 64 or add a second densification pass")
     sh.withColumn("_m", transform(sequence(lit(0), lit(k - 1)),
         i => array_min(filter(col("sh"), x => pmod(x, lit(k.toLong)) === i.cast("long")))))
       .withColumn("sig", transform(sequence(lit(0), lit(k - 1)), i =>

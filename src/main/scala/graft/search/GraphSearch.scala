@@ -27,13 +27,20 @@ object GraphSearch {
   val ReservedSlots = 2
   val SupportCap = 0.33
 
-  /** Session conf key: when "true", [[ppr]]'s final materialization uses a
-    * RELIABLE checkpoint (spark.sparkContext.setCheckpointDir required)
-    * instead of localCheckpoint. Local blocks die with their executor; on
-    * a real cluster a long PPR loop should pay the checkpoint-dir write to
-    * survive executor loss. Default off — at local[32] the local form wins
+  /** Session conf key: when "true", the iterative loops ([[ppr]],
+    * [[pageRank]], [[kCore]]) materialize each round through a RELIABLE
+    * checkpoint (spark.sparkContext.setCheckpointDir required) instead of
+    * localCheckpoint. Local blocks die with their executor; on a real
+    * cluster a long loop should pay the checkpoint-dir write to survive
+    * executor loss. Default off — at local[32] the local form wins
     * (GraphSearchSpec exercises both). */
   val ReliableCheckpointConf = "graft.graph.reliableCheckpoint"
+
+  /** Eager per-round materialization honoring [[ReliableCheckpointConf]]. */
+  private def roundCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get(ReliableCheckpointConf, "false").toBoolean)
+      df.checkpoint()
+    else df.localCheckpoint(true)
 
   /** R8: bidirectional edge list from inline links — (src, dst), self-edges
     * and dangling targets dropped, deduped (memory_engine.py:1490-1508). */
@@ -91,11 +98,6 @@ object GraphSearch {
     val pTotal = if (pTotalRaw == 0.0) 1.0 else pTotalRaw
     val restart = 1.0 - alpha
 
-    // reliable (checkpoint-dir-backed) round materialization on request:
-    // local-checkpoint blocks die with their executor, so a real-cluster
-    // deployment can trade speed for loop recoverability via session conf
-    val reliable = edgesDf.sparkSession.conf
-      .get(ReliableCheckpointConf, "false").toBoolean
     var cur = s.select(col("id"), col("p").as("score"), col("deg"))
     for (_ <- 1 to iters) {
       // dangling mass enters as a broadcast 1-row aggregate so each round is
@@ -120,7 +122,7 @@ object GraphSearch {
       // AQE (cache-build and broadcast materializations: r10 105 -> 118,
       // r12 85 -> 90 measured this round) — the straight eager checkpoint
       // stays the floor.
-      cur = if (reliable) agged.checkpoint() else agged.localCheckpoint()
+      cur = roundCheckpoint(agged)
     }
     // the eager checkpoint above makes `cur` lineage-free — the loop inputs
     // can be freed here instead of leaking for the session lifetime
@@ -155,15 +157,14 @@ object GraphSearch {
       .select("src", "dst", "deg")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = memories.select("id").persist(StorageLevel.MEMORY_AND_DISK)
-    var pr = nodes.withColumn("pr", lit(1000000L)).localCheckpoint()
+    var pr = roundCheckpoint(nodes.withColumn("pr", lit(1000000L)))
     for (_ <- 1 to iters) {
       val inSum = pr.join(ed, pr("id") === ed("src"))
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
-      pr = nodes.join(inSum, nodes("id") === inSum("dst"), "left")
+      pr = roundCheckpoint(nodes.join(inSum, nodes("id") === inSum("dst"), "left")
         .select(nodes("id"),
-          (lit(150000L) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
-        .localCheckpoint()
+          (lit(150000L) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr")))
     }
     e.unpersist(); ed.unpersist(); nodes.unpersist()
     pr.select(col("id"), round(col("pr").cast("double") / 1e6, 6).as("pagerank"))
@@ -237,7 +238,12 @@ object GraphSearch {
         when(col("n_wedges") > 0,
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
           .otherwise(lit(0.0)).as("transitivity"))
-    out
+    // materialize the 1-row census eagerly so the loop inputs can be freed
+    // here — otherwise each invocation leaks two cached frames for the
+    // session lifetime (the verify/bench drivers run many queries per JVM)
+    val materialized = out.localCheckpoint(true)
+    und.unpersist(); deg.unpersist()
+    materialized
   }
 
   /** k-core of an undirected pair graph (Seidman '83, public): the maximal
@@ -254,11 +260,10 @@ object GraphSearch {
     * The fixpoint is unique, so the result is independent of round
     * batching — the oracle reaches the same set by fixed unrolling. */
   def kCore(pairs: DataFrame, k: Int = 2, maxRounds: Int = 20): DataFrame = {
-    var und = pairs.select(
+    var und = roundCheckpoint(pairs.select(
         least(col("id_a"), col("id_b")).as("a"),
         greatest(col("id_a"), col("id_b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .filter(col("a") =!= col("b")).distinct())
     var prev = und.count()
     var rounds = 0
     var stable = prev == 0
@@ -266,16 +271,22 @@ object GraphSearch {
       val deg = und.select(col("a").as("v")).unionAll(und.select(col("b")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("v")
-      val next = und
+      val next = roundCheckpoint(und
         .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-        .localCheckpoint(true)
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi"))
       val n = next.count()
       stable = n == prev
       prev = n
       und = next
       rounds += 1
     }
+    // never silently cap: a superset of the true k-core (a peel that still
+    // had work to do at maxRounds) is a WRONG answer, not a degraded one —
+    // a 100× graph whose degeneracy-driven peel depth exceeds the budget
+    // must fail loudly, not pass quietly
+    require(stable,
+      s"kCore did not reach the peel fixpoint within $maxRounds rounds " +
+        s"($prev edges still shrinking) — raise maxRounds")
     und.select(col("a").as("v")).unionAll(und.select(col("b")))
       .groupBy("v").agg(count(lit(1)).as("core_deg"))
       .select(col("v").as("id"), col("core_deg"))

@@ -678,8 +678,14 @@ object TextAnalysis {
   /** Per-term nano-unit JS contributions from a (term, n_a, n_b) counts
     * frame (see [[termDrift]] for the math and determinism contract). */
   def termDriftFromCounts(cnt: DataFrame): DataFrame = {
+    // greatest(·, 1) guards an entirely-empty slice (all n_a = 0 → _ta =
+    // 0 → p = 0/0 = NaN INSIDE the active n_b branch, since p appears in
+    // its mix denominator). With the floor, an empty slice degrades to
+    // p = 0 and each term contributes 0.5·q·ln2 — the disjoint-support
+    // limit — instead of NaN. No-op for any non-empty slice (total ≥ 1).
     val tot = cnt.agg(
-      sum("n_a").cast("long").as("_ta"), sum("n_b").cast("long").as("_tb"))
+      greatest(sum("n_a").cast("long"), lit(1L)).as("_ta"),
+      greatest(sum("n_b").cast("long"), lit(1L)).as("_tb"))
     val p = col("n_a").cast("double") / col("_ta")
     val q = col("n_b").cast("double") / col("_tb")
     val contrib =

@@ -237,6 +237,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(GraphSearch.kCore(chain, k = 2).count() == 0)
   }
 
+  test("kCore fails loudly when the peel budget is exhausted") {
+    // a 12-node chain peels its 2 endpoints per round: the 2-core is empty
+    // but reaching it takes ~6 rounds, so a 2-round budget must THROW —
+    // returning the partially-peeled superset would be a wrong answer with
+    // no signal at 100× scale
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      GraphSearch.kCore(chain, k = 2, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("fixpoint"))
+    assert(GraphSearch.kCore(chain, k = 2).count() == 0)
+  }
+
+  test("reliable-checkpoint flag: identical kCore through the checkpoint dir") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kcore_ckpt").toString
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val local = GraphSearch.kCore(g, k = 2).collect().toSeq
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(GraphSearch.ReliableCheckpointConf, "true")
+    try {
+      assert(GraphSearch.kCore(g, k = 2).collect().toSeq == local)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .anyMatch(p => java.nio.file.Files.isRegularFile(p))
+      assert(wrote, s"no checkpoint files under $dir")
+    } finally {
+      spark.conf.set(GraphSearch.ReliableCheckpointConf, "false")
+      graft.sources.Store.deleteRecursive(dir)
+    }
+  }
+
   test("the k-core oracle's unroll depth covers the sf0.01 fixpoint") {
     // the oracle unrolls 12 peels; pin that 12 rounds reach the fixpoint
     // at the SAME scale the driver's oracle runs (measured 9 in round 7)
