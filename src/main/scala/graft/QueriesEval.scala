@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.core.{OracleHybrid, OracleText}
+import graft.search.HybridSearch
+
+/** Registry section 6 (round 8) — retrieval benchmarking: the
+  * LongMemEval-shaped session-recall harness. */
+object QueriesEval {
+
+  import Queries.Q
+
+  val queries: Map[String, Q] = Map(
+    // the engine's analog of the reference's headline Recall@5: seed
+    // haystack sessions, ask lossy-view questions, score session-level
+    // R@5 per category through the real hybrid (vector+BM25 RRF) plan
+    "ev_longmem_recall" -> ((s, dir) =>
+      graft.eval.LongMemEval.recallAt5(Queries.docs(s, dir))))
+
+  private def longMemSql: String = {
+    val w = HybridSearch.Weights.resolve(0.7, 0.0, 0.0, 0.0)
+    val k = graft.eval.LongMemEval.RetrievalK
+    val over = 3 * k
+    val nb = graft.eval.LongMemEval.NumBuckets
+    val sm = graft.eval.LongMemEval.SampleMod
+    val t = OracleText.toks("text")
+    s"""WITH lmd AS MATERIALIZED (SELECT doc_id AS id, $t AS t FROM documents),
+       |lmch AS MATERIALIZED (
+       |  SELECT d.id * 2 + c.c AS id, d.id AS session, d.id % $nb AS bucket,
+       |    array_to_string(CASE WHEN c.c = 0 THEN d.t[1:(len(d.t) + 1) // 2]
+       |      ELSE d.t[(len(d.t) + 1) // 2 + 1:len(d.t)] END, ' ') AS text
+       |  FROM lmd d, (VALUES (0), (1)) c(c)
+       |  WHERE len(d.t) >= 1 AND (c.c = 0 OR len(d.t) > (len(d.t) + 1) // 2)),
+       |lmq AS MATERIALIZED (
+       |  SELECT id AS qid, id % $nb AS bucket,
+       |    CASE id % 3 WHEN 0 THEN 'interleaved' WHEN 1 THEN 'verbatim-tail'
+       |      ELSE 'sparse-keywords' END AS category,
+       |    CASE id % 3
+       |      WHEN 0 THEN array_to_string(list_transform(range(1, len(t) + 1, 2), i -> t[i]), ' ')
+       |      WHEN 1 THEN array_to_string(t[(len(t) + 1) // 2 + 1:len(t)], ' ')
+       |      ELSE array_to_string(list_transform(range(1, len(t) + 1, 4), i -> t[i]), ' ')
+       |    END AS qtext
+       |  FROM lmd WHERE id % $sm = 0 AND len(t) >= 8
+       |  ORDER BY qid LIMIT ${graft.eval.LongMemEval.MaxQuestions}),
+       |${OracleText.embedCtesOver("lmch", 64, "lce")},
+       |${OracleText.embedCtesOver("(SELECT qid AS id, qtext AS text FROM lmq) lqsrc", 64, "lqe")},
+       |lvs AS MATERIALIZED (
+       |  SELECT q.qid, m.id,
+       |    round(list_sum(list_transform(range(1, 65), i -> ce.e[i] * qe.e[i])), 6) AS sim
+       |  FROM lmq q JOIN lmch m ON m.bucket = q.bucket
+       |  JOIN lcef ce ON ce.id = m.id
+       |  JOIN lqef qe ON qe.id = q.qid),
+       |lvr AS (SELECT qid, id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn FROM lvs),
+       |lvc AS (SELECT qid, id, ${w.vec} / (rn - 1 + ${HybridSearch.RrfK}) AS c
+       |  FROM lvr WHERE rn <= $over),
+       |${OracleHybrid.bm25BatchCtes("lmch", "(SELECT qid, qtext AS text FROM lmq)")},
+       |lbs AS MATERIALIZED (
+       |  SELECT b.qid, b.id, b.bm25 FROM bm b
+       |  JOIN lmch m ON m.id = b.id
+       |  JOIN lmq q ON q.qid = b.qid AND q.bucket = m.bucket
+       |  WHERE b.bm25 > 0),
+       |lbr AS (SELECT qid, id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, id) AS rn FROM lbs),
+       |lbc AS (SELECT qid, id, ${w.bm25} / (rn - 1 + ${HybridSearch.RrfK}) AS c
+       |  FROM lbr WHERE rn <= $over),
+       |lfu AS MATERIALIZED (
+       |  SELECT qid, id, sum(c) AS rrf
+       |  FROM (SELECT * FROM lvc UNION ALL SELECT * FROM lbc) GROUP BY 1, 2),
+       |lcr AS (SELECT qid, id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS crn FROM lfu),
+       |lsr AS (SELECT qid, id // 2 AS session, min(crn) AS srn
+       |  FROM lcr WHERE crn <= $k GROUP BY 1, 2),
+       |lsk AS (SELECT qid, session,
+       |    row_number() OVER (PARTITION BY qid ORDER BY srn) AS sk FROM lsr),
+       |lhit AS MATERIALIZED (
+       |  SELECT q.qid, q.category,
+       |    CASE WHEN EXISTS (SELECT 1 FROM lsk s
+       |      WHERE s.qid = q.qid AND s.sk <= ${graft.eval.LongMemEval.SessionK}
+       |        AND s.session = q.qid) THEN 1 ELSE 0 END AS hit
+       |  FROM lmq q)
+       |SELECT category, CAST(count(*) AS BIGINT) AS n_questions,
+       |  round(avg(hit), 6) AS recall_any_at_5
+       |FROM lhit GROUP BY category
+       |UNION ALL
+       |SELECT 'overall', CAST(count(*) AS BIGINT), round(avg(hit), 6) FROM lhit
+       |ORDER BY category""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "ev_longmem_recall" -> longMemSql)
+}

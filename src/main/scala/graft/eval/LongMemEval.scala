@@ -1,0 +1,212 @@
+package graft.eval
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.embed.HashingEmbedder
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.search.{BM25, HybridSearch}
+
+/** LongMemEval-shaped retrieval benchmark — the deterministic analog of the
+  * reference's flagship published metric (eval/run_longmemeval.py:1-14,
+  * eval/longmemeval.py:19-40; README headline Recall@5 98.3%). The LLM
+  * judge half is out of scope; this is the RETRIEVAL half, which is pure
+  * IR methodology: seed haystack sessions as memories, ask a question set,
+  * score session-level Recall@5 against labeled evidence, report per
+  * category.
+  *
+  * Protocol (every step deterministic and oracle-expressible):
+  *
+  *  - SESSIONS: each fixture document is one conversation session
+  *    (MemPalace's one-doc-per-session convention, the methodology the
+  *    reference's `compute_recall_at_k` docstring cites —
+  *    eval/longmemeval.py:255-268). Sessions are chunked into TWO memories
+  *    on the token midpoint (the reference chunks sessions into bounded
+  *    memories and dedups results back to sessions), with memory id =
+  *    2·session + chunk and source `eval/lme/b{bucket}/s{session}/c{chunk}`
+  *    — the reference's `/s{idx}/c{chunk}` source shape.
+  *  - HAYSTACKS: per-question scoped corpora, like the reference's
+  *    per-question source prefixes. Question q's haystack is the sessions
+  *    with `session % NumBuckets == q % NumBuckets` — its gold session
+  *    plus ~1/NumBuckets of the corpus as distractors, scope-addressable
+  *    by the source prefix `eval/lme/b{bucket}/`.
+  *  - QUESTIONS: every `SampleMod`-th document with ≥ 8 tokens asks about
+  *    its own session; the question text is NOT a truncation of the
+  *    document (the self-retrieval shortcut) but one of three lossy
+  *    views, which double as the reported categories:
+  *      qid % 3 == 0 → `interleaved`     — every 2nd token (a paraphrase-
+  *                                         grade scramble of the evidence)
+  *      qid % 3 == 1 → `verbatim-tail`   — the second token half (an exact
+  *                                         quote from the gold session's
+  *                                         SECOND chunk)
+  *      qid % 3 == 2 → `sparse-keywords` — every 4th token (keyword soup)
+  *  - RETRIEVAL: the engine's real hybrid plan — vector + BM25 RRF with
+  *    the default weight resolution (vectorWeight 0.7 → 0.7/0.3), RrfK
+  *    60, oversample = 3k branch cutoffs, k = [[RetrievalK]] — scoped to
+  *    the question's haystack. LongMemEvalSpec pins this batch formulation
+  *    result-for-result against [[graft.search.HybridSearch.search]] run
+  *    per-question over the seeded frame with the source-prefix filter.
+  *  - SCORING: the reference's session-level recall@5
+  *    (eval/longmemeval.py:262-305): dedup the top-[[RetrievalK]] chunk
+  *    results to unique sessions by first appearance, take the first
+  *    [[SessionK]]; recall_any = 1 iff the gold session is among them.
+  *
+  * Scale shape: questions are bounded ([[MaxQuestions]]) and ride
+  * broadcasts; chunk scoring joins are bucket-equi-joins (each question
+  * scores only its haystack, never the corpus); every rank window is
+  * PARTITIONED BY qid over a branch-bounded pool (≤ oversample rows per
+  * question); the BM25 index is the one global [[BM25.batchScores]] stats
+  * pass (corpus-wide df, exactly like the engine's serving path, which
+  * scores on the global index and post-filters scope).
+  */
+object LongMemEval {
+
+  /** Haystack count: sessions are dealt into this many scoped corpora. */
+  val NumBuckets = 16L
+
+  /** Every SampleMod-th document becomes a question (RetrievalEval's rule). */
+  val SampleMod = 37L
+
+  val MaxQuestions = 256
+  /** Chunk results retrieved per question (reference retrieval_k = 50). */
+  val RetrievalK = 50
+  /** Unique sessions scored against gold (the "@5" of Recall@5). */
+  val SessionK = 5
+
+  private val emb = HashingEmbedder(64)
+
+  /** Session chunks: (id, session, bucket, text). Chunk 0 = first
+    * ceil(n/2) tokens, chunk 1 = the rest (absent for 1-token docs);
+    * id = 2·session + chunk. */
+  def chunks(docs: DataFrame): DataFrame = {
+    val t = TextFunctions.tokens(col("text"))
+    val half = ((size(col("_t")) + 1) / 2).cast("int")
+    docs.select(col("id").as("session"), t.as("_t"))
+      .filter(size(col("_t")) >= 1)
+      .select(col("session"), col("_t"),
+        explode(when(size(col("_t")) > half, array(lit(0), lit(1)))
+          .otherwise(array(lit(0)))).as("chunk"))
+      .select(
+        (col("session") * 2 + col("chunk")).as("id"),
+        col("session"),
+        pmod(col("session"), lit(NumBuckets)).as("bucket"),
+        array_join(
+          when(col("chunk") === 0, slice(col("_t"), lit(1), half))
+            .otherwise(slice(col("_t"), half + 1, size(col("_t")))), " ")
+          .as("text"))
+  }
+
+  /** The seeded memories frame — chunks wearing the engine's corpus schema
+    * (visibility columns + E1 embedding + the reference's source shape) so
+    * the REAL hybrid plan runs on it unmodified. */
+  def seededMemories(docs: DataFrame): DataFrame =
+    emb.embed(chunks(docs))
+      .select(col("id"), col("text"),
+        concat(lit("eval/lme/b"), col("bucket"), lit("/s"), col("session"),
+          lit("/c"), pmod(col("id"), lit(2L))).as("source"),
+        lit(false).as("archived"), lit(false).as("pinned"),
+        lit(null).cast("timestamp").as("document_at"),
+        lit(null).cast("timestamp").as("created_at"),
+        lit(null).cast("timestamp").as("updated_at"),
+        lit(null).cast("timestamp").as("last_reinforced_at"),
+        lit("session-chunk").as("category"),
+        col("embedding"), col("session"), col("bucket"))
+
+  /** The bounded question set: (qid, bucket, category, qtext). */
+  def questions(docs: DataFrame): DataFrame = {
+    val t = TextFunctions.tokens(col("text"))
+    val pick = (step: Int, from: Column) =>
+      array_join(transform(sequence(from, size(col("_t")), lit(step)),
+        i => element_at(col("_t"), i)), " ")
+    docs.select(col("id").as("qid"), t.as("_t"))
+      .filter(col("qid") % SampleMod === 0 && size(col("_t")) >= 8)
+      .select(col("qid"), pmod(col("qid"), lit(NumBuckets)).as("bucket"),
+        when(col("qid") % 3 === 0, "interleaved")
+          .when(col("qid") % 3 === 1, "verbatim-tail")
+          .otherwise("sparse-keywords").as("category"),
+        when(col("qid") % 3 === 0, pick(2, lit(1)))
+          .when(col("qid") % 3 === 1,
+            pick(1, ((size(col("_t")) + 1) / 2).cast("int") + 1))
+          .otherwise(pick(4, lit(1))).as("qtext"))
+      .orderBy("qid")
+      .limit(MaxQuestions)
+  }
+
+  /** Per-question top-[[RetrievalK]] chunk results under the hybrid plan:
+    * (qid, id, session, crn) with crn the 1-based result rank. The batch
+    * (set-based) formulation of [[HybridSearch.search]] over every scoped
+    * haystack at once — same weights, same RrfK, same oversample cutoffs,
+    * same (score desc, id asc) ties; LongMemEvalSpec pins the equality. */
+  def batchResults(docs: DataFrame): DataFrame = {
+    val w = HybridSearch.Weights.resolve(0.7, 0.0, 0.0, 0.0)
+    val k = RetrievalK
+    val oversample = 3 * k
+    val mem = seededMemories(docs).localCheckpoint(true)
+    val qs = questions(docs).localCheckpoint(true)
+    // vector branch: scoped bucket join, per-qid rank over sims
+    val qVecs = qs.select(col("qid"), col("bucket"),
+      emb.embeddingColumn(col("qtext")).as("qvec"))
+    val vScored = mem.select(col("id"), col("bucket"), col("embedding"))
+      .join(broadcast(qVecs), "bucket")
+      .select(col("qid"), col("id"),
+        VectorFunctions.roundScore(
+          VectorFunctions.dot(col("embedding"), col("qvec"))).as("sim"))
+    val vw = Window.partitionBy("qid").orderBy(desc("sim"), asc("id"))
+    val vContrib = vScored.withColumn("rn", row_number().over(vw))
+      .filter(col("rn") <= oversample)
+      .select(col("qid"), col("id"),
+        (lit(w.vec) / (col("rn") - 1 + HybridSearch.RrfK)).as("c"))
+    // bm25 branch: global index stats (the engine scores on the corpus-wide
+    // index and post-filters scope — BM25.ranked's exact order of
+    // operations), then scope filter, positives, per-qid rank
+    val qTerms = qs
+      .select(col("qid"), explode(TextFunctions.tokens(col("qtext"))).as("term"))
+      .groupBy("qid", "term").agg(count(lit(1)).as("qn"))
+    val bScored = BM25.batchScores(mem, qTerms)
+      .join(mem.select(col("id"), col("bucket")), "id")
+      .join(broadcast(qs.select(col("qid"), col("bucket"))), Seq("qid", "bucket"))
+      .filter(col("bm25") > 0)
+    val bw = Window.partitionBy("qid").orderBy(desc("bm25"), asc("id"))
+    val bContrib = bScored.withColumn("rn", row_number().over(bw))
+      .filter(col("rn") <= oversample)
+      .select(col("qid"), col("id"),
+        (lit(w.bm25) / (col("rn") - 1 + HybridSearch.RrfK)).as("c"))
+    // fuse and rank chunks (≤ 2 contributions per (qid, id): the double
+    // sum is order-free because IEEE addition is commutative)
+    val cw = Window.partitionBy("qid").orderBy(desc("rrf"), asc("id"))
+    vContrib.unionAll(bContrib)
+      .groupBy("qid", "id").agg(sum("c").as("rrf"))
+      .withColumn("crn", row_number().over(cw))
+      .filter(col("crn") <= k)
+      .withColumn("session", expr("id div 2"))
+      .select("qid", "id", "session", "crn")
+  }
+
+  /** The benchmark: (category, n_questions, recall_any_at_5) per question
+    * category plus the `overall` row — the engine's analog of the
+    * reference's published Recall@5 table. */
+  def recallAt5(docs: DataFrame): DataFrame = {
+    val res = batchResults(docs)
+    // dedup chunks → sessions by first appearance, keep the top SessionK
+    val sw = Window.partitionBy("qid").orderBy(asc("srn"))
+    val topSessions = res.groupBy("qid", "session")
+      .agg(min("crn").as("srn"))
+      .withColumn("sk", row_number().over(sw))
+      .filter(col("sk") <= SessionK)
+    val hits = questions(docs).alias("q")
+      .join(topSessions.alias("s"),
+        col("s.qid") === col("q.qid") && col("s.session") === col("q.qid"),
+        "left")
+      .groupBy(col("q.qid").as("qid"), col("q.category").as("category"))
+      .agg(max(when(col("s.session").isNotNull, 1).otherwise(0)).as("hit"))
+    val byCat = hits.groupBy("category")
+      .agg(count(lit(1)).as("n_questions"),
+        round(avg(col("hit")), 6).as("recall_any_at_5"))
+    val overall = hits.groupBy()
+      .agg(count(lit(1)).as("n_questions"),
+        round(avg(col("hit")), 6).as("recall_any_at_5"))
+      .select(lit("overall").as("category"), col("n_questions"),
+        col("recall_any_at_5"))
+    byCat.unionAll(overall).orderBy("category")
+  }
+}
