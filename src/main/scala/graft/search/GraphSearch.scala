@@ -421,7 +421,13 @@ object GraphSearch {
         .otherwise(1.0).as("_maxppr"))
     val maxPpr = col("_maxppr")
 
-    // candidate filter + scaled support/inject (memory_engine.py:1614-1642)
+    // candidate filter + scaled support/inject (memory_engine.py:1614-1642).
+    // Eager checkpoint: the ≤-pool-sized candidate frame feeds THREE
+    // consumers (the reserved-slot count, the boosted-direct branch, and
+    // the graph-only branch) — unmaterialized, each re-executes the
+    // scores⋈seeds⋈direct multi-join with its broadcast sub-jobs
+    // (measured: r12 79 → 74, r10 97 → 96 jobs with the single
+    // materialization; JobCountSpec ceilings lowered with the change)
     val cand = scores
       .join(seeds, Seq("id"), "left")
       .join(direct.select(col("id"), lit(true).as("is_direct")), Seq("id"), "left")
@@ -438,6 +444,7 @@ object GraphSearch {
           lit(SupportCap * topRrf))).as("graph_support"),
         roundScore(least(col("ppr") / maxPpr * topRrf,
           lit(SupportCap * topRrf))).as("inject_score"))
+      .localCheckpoint(true)
 
     // merge (memory_engine.py:1666-1700)
     val boosted = direct

@@ -27,8 +27,11 @@ class JobCountSpec extends SparkSpec {
     * below its round-5 floor): r10=97 r12=79 r14g=38 r14=32 r4=25 r15=41
     * d4=25 tcnd=12 d5=21. Ceilings = measured + ~15%. */
   private val ceilings: Seq[(String, Int)] = Seq(
-    "r10_graph_search" -> 112,
-    "r12_threshold_graph" -> 91,
+    // round-8: expandAndMerge checkpoints the candidate frame once instead
+    // of re-executing its multi-join for the slot count and both ranked
+    // branches (measured r10 96, r12 74 in-suite) — ceilings LOWERED
+    "r10_graph_search" -> 110,
+    "r12_threshold_graph" -> 85,
     "r14_explain_graph" -> 44,
     "r14_explain" -> 37,
     "r4_hybrid_rrf" -> 29,
@@ -57,6 +60,12 @@ class JobCountSpec extends SparkSpec {
     "gr_triangles" -> 37,
     "tc_boilerplate_lines" -> 9,
     "lsh_oph_neardup" -> 12,
+    // round-8 drifter pins (VERDICT r7 "what's wrong" #3): these four moved
+    // in the r7 bench with no code change in their paths — pinned so a real
+    // plan regression is distinguishable from machine drift (measured
+    // in-suite at sf0.001: tp=14 dd=6)
+    "tp_pack_sequences" -> 16,
+    "dd_exact_survivors" -> 7,
     // k-core: the iterative peel (measured 76 in-suite at sf0.001 — the d2
     // pair kernel + ~7 peel rounds of checkpoint+count) — a per-round job
     // regression multiplies by the round count, exactly what this pin
