@@ -20,6 +20,29 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.Headline.distinct.size == Bench.Headline.size)
   }
 
+  test("anchor subset is timed (⊆ headline), unique, and frozen at 32") {
+    val missing = Bench.Anchor.filterNot(Bench.Headline.contains)
+    assert(missing.isEmpty, s"anchor names not timed by the headline: $missing")
+    assert(Bench.Anchor.distinct.size == Bench.Anchor.size)
+    // the longitudinal series only works if the set NEVER changes: 32 is
+    // the r4..r7 intersection, frozen — additions would reset the series
+    assert(Bench.Anchor.size == 32)
+  }
+
+  test("median is the sorted middle (odd) or mid-pair mean (even)") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
+    assert(Bench.median(Seq(7.0)) == 7.0)
+  }
+
+  test("emitted line carries the anchor and rep fields the driver parses") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/Bench.scala")))
+    for (field <- Seq("\"anchor_total\":", "\"anchor_n\":", "\"reps\":",
+        "\"stat\":\"median\""))
+      assert(src.contains(field), s"bench line must carry $field")
+  }
+
   test("worst-case bench line fits the driver's 2000-char tail window " +
     "with >500 chars of slack") {
     // value worst case: 4-digit seconds at 3 decimals ("9999.999" = 8 chars);
@@ -28,7 +51,8 @@ class BenchSpec extends AnyFunSuite {
     // capture window opens mid-line in earlier output, the whole headline
     // line plus a cushion fits.
     val perQuery = Bench.Headline.map(n => n.length + 2 + 1 + 8 + 1).sum
-    val overhead = 120 + "/root/testdata/sf0.1".length
+    // fixed template + the round-8 anchor/reps/stat fields (~70 chars)
+    val overhead = 200 + "/root/testdata/sf0.1".length
     val worst = perQuery + overhead
     assert(worst <= 1500, s"estimated worst-case line $worst chars; " +
       "trim Bench.Headline or shorten names — the driver window is 2000 " +
