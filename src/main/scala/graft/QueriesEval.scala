@@ -15,7 +15,14 @@ object QueriesEval {
     // haystack sessions, ask lossy-view questions, score session-level
     // R@5 per category through the real hybrid (vector+BM25 RRF) plan
     "ev_longmem_recall" -> ((s, dir) =>
-      graft.eval.LongMemEval.recallAt5(Queries.docs(s, dir))))
+      graft.eval.LongMemEval.recallAt5(Queries.docs(s, dir))),
+    // unigram-LM (SentencePiece-style) tokenizer training, Kudo '18:
+    // sign: Viterbi hard-EM in integer micro-nat costs, 2 unrolled rounds
+    "tk_unigram_vocab" -> ((s, dir) =>
+      graft.text.Unigram.train(Queries.docs(s, dir))),
+    // train → apply: per-doc word/piece counts under the learned vocab
+    "tk_unigram_tokenize" -> ((s, dir) =>
+      graft.text.Unigram.tokenizeCounts(Queries.docs(s, dir))))
 
   private def longMemSql: String = {
     val w = HybridSearch.Weights.resolve(0.7, 0.0, 0.0, 0.0)
@@ -88,5 +95,26 @@ object QueriesEval {
   }
 
   val oracles: Map[String, String] = Map(
-    "ev_longmem_recall" -> longMemSql)
+    "ev_longmem_recall" -> longMemSql,
+    "tk_unigram_vocab" ->
+      s"""WITH ${OracleText.unigramCtes()}
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT) AS rank,
+         |  piece, cnt,
+         |  CAST(round(ln(CAST(t.total AS DOUBLE) / cnt) * 1e6, 0) AS BIGINT) AS nll_micro
+         |FROM ugfin, (SELECT sum(cnt) AS total FROM ugfin) t
+         |ORDER BY rank""".stripMargin,
+    "tk_unigram_tokenize" -> {
+      val t = OracleText.toks("text")
+      s"""WITH ${OracleText.unigramCtes()},
+         |${OracleText.unigramDpCtes("ug3", "ugvf")},
+         |ugnp AS (SELECT w, CAST(count(*) AS BIGINT) AS np FROM ug3p GROUP BY 1),
+         |ugocc AS (
+         |  SELECT doc_id AS id, t.term AS w
+         |  FROM documents, unnest($t) AS t(term)
+         |  WHERE len(t.term) BETWEEN 1 AND ${graft.text.Unigram.MaxWordLen})
+         |SELECT o.id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(z.np) AS BIGINT) AS n_pieces
+         |FROM ugocc o JOIN ugnp z USING (w)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    })
 }

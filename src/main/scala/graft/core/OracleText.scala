@@ -248,6 +248,108 @@ object OracleText {
     ctes.mkString(",\n")
   }
 
+  /** One unrolled Viterbi DP over `wordsCte(w, len, freq)` with piece
+    * costs `vocabCte(piece, cost)`: forward CTEs ${prefix}d1..d{maxLen}
+    * (min integer path cost + backpointer length per position, ties by
+    * (cost, l) — [[graft.text.Unigram.segmentCol]]'s array_min order),
+    * backtrack CTEs ${prefix}b1..b{maxLen}, the piece stream ${prefix}p
+    * (w, piece), and weighted counts ${prefix}c(piece, cnt). */
+  def unigramDpCtes(prefix: String, vocabCte: String,
+                    wordsCte: String = "ugw"): String = {
+    val maxLen = graft.text.Unigram.MaxWordLen
+    val maxPiece = graft.text.Unigram.MaxPieceLen
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"${prefix}d0 AS (SELECT w, len, CAST(0 AS BIGINT) AS c, 0 AS l FROM $wordsCte)")
+    for (i <- 1 to maxLen) {
+      val arms = (1 to math.min(maxPiece, i)).map { l =>
+        s"""SELECT p.w, p.len, p.c + v.cost AS c, $l AS l
+           |      FROM ${prefix}d${i - l} p JOIN $vocabCte v
+           |        ON v.piece = substr(p.w, ${i - l + 1}, $l)
+           |      WHERE p.len >= $i""".stripMargin
+      }.mkString("\n      UNION ALL\n      ")
+      ctes += s"""${prefix}d$i AS MATERIALIZED (
+         |  SELECT w, len, c, l FROM (
+         |    SELECT q.*, row_number() OVER (PARTITION BY q.w ORDER BY q.c, q.l) AS rn
+         |    FROM (
+         |      $arms
+         |    ) q) WHERE rn = 1)""".stripMargin
+    }
+    ctes += (1 to maxLen)
+      .map(i => s"SELECT w, $i AS i, l FROM ${prefix}d$i")
+      .mkString(s"${prefix}a AS MATERIALIZED (", " UNION ALL ", ")")
+    ctes += s"${prefix}b0 AS (SELECT w, len AS pos FROM $wordsCte)"
+    for (s <- 1 to maxLen) {
+      ctes += s"""${prefix}b$s AS MATERIALIZED (
+         |  SELECT b.w,
+         |    CASE WHEN b.pos > 0 THEN b.pos - d.l ELSE 0 END AS pos,
+         |    CASE WHEN b.pos > 0 THEN substr(b.w, b.pos - d.l + 1, d.l) END AS piece
+         |  FROM ${prefix}b${s - 1} b
+         |  LEFT JOIN ${prefix}a d ON d.w = b.w AND d.i = b.pos)""".stripMargin
+    }
+    ctes += (1 to maxLen)
+      .map(s => s"SELECT w, piece FROM ${prefix}b$s")
+      .mkString(s"${prefix}p AS MATERIALIZED (SELECT w, piece FROM (",
+        " UNION ALL ", ") WHERE piece IS NOT NULL)")
+    ctes += s"""${prefix}c AS MATERIALIZED (
+       |  SELECT p.piece, CAST(sum(u.freq) AS BIGINT) AS cnt
+       |  FROM ${prefix}p p JOIN $wordsCte u USING (w) GROUP BY 1)""".stripMargin
+    ctes.mkString(",\n")
+  }
+
+  /** counts → integer micro-nat costs CTE: `$name(piece, cost)` =
+    * round(ln(total/cnt)·1e6) over `$countsCte(piece, cnt)`. */
+  private def unigramVocabCte(name: String, countsCte: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(round(ln(CAST(t.total AS DOUBLE) / cnt) * 1e6, 0) AS BIGINT) AS cost
+       |  FROM $countsCte, (SELECT sum(cnt) AS total FROM $countsCte) t)""".stripMargin
+
+  /** The full unigram-LM training chain (kept in lockstep with
+    * [[graft.text.Unigram]]): ugw (trainable word counts) → ugseed (seed
+    * counts: chars + capped multi-char substrings) → ugv0 (seed costs) →
+    * per EM round r: DP ug{r}* + counts ug{r}c + costs ugv{r} → final
+    * pruned vocabulary ugfin(piece, cnt) (top-TopMulti multi + floored
+    * chars) and its costs ugvf. */
+  def unigramCtes(): String = {
+    val u = graft.text.Unigram
+    val t = toks("text")
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"""ugw AS MATERIALIZED (
+         |  SELECT t.term AS w, CAST(len(t.term) AS INT) AS len,
+         |    CAST(count(*) AS BIGINT) AS freq
+         |  FROM documents, unnest($t) AS t(term)
+         |  WHERE len(t.term) BETWEEN 1 AND ${u.MaxWordLen} GROUP BY 1, 2)""".stripMargin,
+      s"""ugs0 AS MATERIALIZED (
+         |  SELECT s.piece, CAST(sum(w.freq) AS BIGINT) AS cnt
+         |  FROM ugw w, unnest(flatten(list_transform(range(1, w.len + 1), i ->
+         |    list_transform(range(1, least(${u.MaxPieceLen}, w.len - i + 1) + 1), l ->
+         |      substr(w.w, CAST(i AS INT), CAST(l AS INT)))))) AS s(piece)
+         |  GROUP BY 1)""".stripMargin,
+      s"""ugseed AS MATERIALIZED (
+         |  SELECT piece, cnt FROM ugs0 WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt FROM ugs0
+         |    WHERE len(piece) > 1 AND cnt >= ${u.MinSeedCount}
+         |    ORDER BY cnt DESC, piece LIMIT ${u.MaxSeed}))""".stripMargin,
+      unigramVocabCte("ugv0", "ugseed"))
+    for (r <- 1 to u.EmRounds) {
+      ctes += unigramDpCtes(s"ug$r", s"ugv${r - 1}")
+      ctes += unigramVocabCte(s"ugv$r", s"ug${r}c")
+    }
+    val last = s"ug${u.EmRounds}c"
+    ctes += s"""ugfin AS MATERIALIZED (
+       |  SELECT s.piece, greatest(coalesce(c.cnt, 0), 1) AS cnt
+       |  FROM (SELECT piece FROM ugseed WHERE len(piece) = 1) s
+       |  LEFT JOIN $last c USING (piece)
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM $last WHERE len(piece) > 1
+       |    ORDER BY cnt DESC, piece LIMIT ${u.TopMulti}))""".stripMargin
+    ctes += unigramVocabCte("ugvf", "ugfin")
+    ctes.mkString(",\n")
+  }
+
   /** Top-5-neighbor cosine dup-pair CTE over memories: pr(id_a,id_b,similarity).
     * Mirrors [[graft.dedup.Dedup.findDuplicates]]. */
   def dupPairsCte(threshold: Double, searchK: Int = 5): String =
