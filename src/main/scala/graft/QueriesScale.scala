@@ -79,6 +79,22 @@ object QueriesScale {
       graft.ann.IvfPqIndex.topK(s, path, Queries.queryVec(s, dir),
         k = 10, nprobe = 2, candidates = 50)
     }),
+    // end-to-end recall of the residual IVF-PQ serving path (prune + ADC
+    // + re-rank) against the exact scan — the one number that says the
+    // composed approximations still find the true neighbors (r8)
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = Ann.centroidsByLabel(emb)
+      val mem = Corpus.memories(s, dir)
+      val qv = Queries.queryVec(s, dir)
+      val hits = Pq.ivfPqTopK(Ann.assign(mem, cent), cent,
+        Pq.residualCodebooks(emb, cent), qv, k = 10, nprobe = 2,
+        candidates = 50).select("id")
+      val exact = VectorSearch.topK(mem, qv, k = 10, includeArchived = true)
+        .select("id")
+      hits.join(exact, "id")
+        .agg(round(count(lit(1)) / 10.0, 6).as("recall_at_10"))
+    }),
     // the nprobe sizing curve: IVF recall@10 at nprobe 1/2/4 in one
     // result — the measurement that decides the recall/latency trade
     // before a 100 TB deployment fixes its probe width
@@ -339,6 +355,25 @@ object QueriesScale {
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     // full-corpus IVFPQ SQL: the build+refresh split must reproduce it
     "ann_ivfpq_indexed" -> annIvfPqTopkSql,
+    "ann_ivfpq_recall" ->
+      s"""WITH ${OracleCtes.memories},
+         |${Queries.ivfCtes},
+         |pool AS MATERIALIZED (
+         |  SELECT m.id, a.ivf_cell, m.embedding
+         |  FROM memories m JOIN asg a ON m.id = a.id
+         |  JOIN probe p ON a.ivf_cell = p.label),
+         |$pqResCtes,
+         |cand AS (SELECT id FROM radc ORDER BY adc DESC, id LIMIT 50),
+         |ivh AS (
+         |  SELECT o.id FROM pool o JOIN cand USING (id) CROSS JOIN $mrlQ q2
+         |  ORDER BY round(${OracleCtes.dot64("o.embedding", "q2.qv")}, 6) DESC, o.id
+         |  LIMIT 10),
+         |ivx AS (
+         |  SELECT m.id FROM memories m CROSS JOIN $mrlQ q
+         |  ORDER BY round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id
+         |  LIMIT 10)
+         |SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10
+         |FROM ivh JOIN ivx USING (id)""".stripMargin,
     "tc_dup_ngram_frac" -> {
       val t = OracleText.toks("text")
       s"""WITH dng AS MATERIALIZED (
