@@ -4,8 +4,9 @@ import org.apache.spark.sql.DataFrame
 import graft.core.{OracleHybrid, OracleText}
 import graft.search.HybridSearch
 
-/** Registry section 6 (round 8) — retrieval benchmarking: the
-  * LongMemEval-shaped session-recall harness. */
+/** Registry section 6 (round 8) — retrieval benchmarking and tokenizer
+  * training: the LongMemEval-shaped session-recall harness and the
+  * unigram-LM (SentencePiece-style) train/tokenize pair. */
 object QueriesEval {
 
   import Queries.Q

@@ -137,12 +137,14 @@ object LongMemEval {
     * (set-based) formulation of [[HybridSearch.search]] over every scoped
     * haystack at once — same weights, same RrfK, same oversample cutoffs,
     * same (score desc, id asc) ties; LongMemEvalSpec pins the equality. */
-  def batchResults(docs: DataFrame): DataFrame = {
+  def batchResults(docs: DataFrame): DataFrame =
+    batchResultsFrom(seededMemories(docs).localCheckpoint(true),
+      questions(docs).localCheckpoint(true))
+
+  private def batchResultsFrom(mem: DataFrame, qs: DataFrame): DataFrame = {
     val w = HybridSearch.Weights.resolve(0.7, 0.0, 0.0, 0.0)
     val k = RetrievalK
     val oversample = 3 * k
-    val mem = seededMemories(docs).localCheckpoint(true)
-    val qs = questions(docs).localCheckpoint(true)
     // vector branch: scoped bucket join, per-qid rank over sims
     val qVecs = qs.select(col("qid"), col("bucket"),
       emb.embeddingColumn(col("qtext")).as("qvec"))
@@ -186,14 +188,18 @@ object LongMemEval {
     * category plus the `overall` row — the engine's analog of the
     * reference's published Recall@5 table. */
   def recallAt5(docs: DataFrame): DataFrame = {
-    val res = batchResults(docs)
+    // one materialization of the bounded question set feeds both the
+    // batch retrieval and the scoring join — questions(docs) is a full
+    // docs scan and must not run twice inside the benchmark's own path
+    val qs = questions(docs).localCheckpoint(true)
+    val res = batchResultsFrom(seededMemories(docs).localCheckpoint(true), qs)
     // dedup chunks → sessions by first appearance, keep the top SessionK
     val sw = Window.partitionBy("qid").orderBy(asc("srn"))
     val topSessions = res.groupBy("qid", "session")
       .agg(min("crn").as("srn"))
       .withColumn("sk", row_number().over(sw))
       .filter(col("sk") <= SessionK)
-    val hits = questions(docs).alias("q")
+    val hits = qs.alias("q")
       .join(topSessions.alias("s"),
         col("s.qid") === col("q.qid") && col("s.session") === col("q.qid"),
         "left")

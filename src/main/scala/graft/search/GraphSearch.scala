@@ -275,7 +275,10 @@ object GraphSearch {
         .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi"))
       val n = next.count()
-      stable = n == prev
+      // an empty edge set IS the fixpoint (one more round would be a
+      // no-op) — without the n == 0 arm a peel that empties exactly on
+      // the last budgeted round would spuriously fail the require below
+      stable = n == prev || n == 0
       prev = n
       und = next
       rounds += 1

@@ -35,12 +35,19 @@ class LongMemEvalSpec extends SparkSpec {
   }
 
   test("recall@5 on a hand haystack: gold session found, counted per category") {
-    // bucket 0 haystack: gold session 0 plus distractors 16 and 32;
-    // sessions 1..3 live in other buckets and never score for question 0
+    // bucket 0 haystack: gold session 0 plus SIX distractor sessions
+    // (ids ≡ 0 mod 16) — more than SessionK, so a mis-ranking (inverted
+    // RRF, broken bm25 join) demotes gold out of the top 5 and FAILS
+    // this assertion; sessions 1..3 live in other buckets and never
+    // score for question 0
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta"),
       (16L, "one two three four five six seven eight"),
       (32L, "red orange yellow green blue indigo violet pink"),
+      (48L, "cat dog bird fish horse sheep goat cow"),
+      (64L, "north south east west up down left right"),
+      (80L, "iron copper silver gold tin lead zinc nickel"),
+      (96L, "jazz rock folk blues soul funk punk opera"),
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
       (2L, "noise words here only for the other buckets"),
       (3L, "more unrelated filler text in another bucket")).toDF("id", "text")

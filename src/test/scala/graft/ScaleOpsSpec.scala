@@ -250,6 +250,14 @@ class ScaleOpsSpec extends SparkSpec {
     assert(GraphSearch.kCore(chain, k = 2).count() == 0)
   }
 
+  test("kCore accepts a peel that empties exactly on the last budgeted round") {
+    // 5-node chain: round 1 → 2 edges, round 2 → 0. With maxRounds = 2
+    // the count changed on the final round, but empty IS the fixpoint —
+    // this must return the empty 2-core, not throw (round-8 review find)
+    val chain = (1L to 4L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assert(GraphSearch.kCore(chain, k = 2, maxRounds = 2).count() == 0)
+  }
+
   test("reliable-checkpoint flag: identical kCore through the checkpoint dir") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_kcore_ckpt").toString
