@@ -23,7 +23,18 @@ object QueriesEval {
       graft.text.Unigram.train(Queries.docs(s, dir))),
     // train → apply: per-doc word/piece counts under the learned vocab
     "tk_unigram_tokenize" -> ((s, dir) =>
-      graft.text.Unigram.tokenizeCounts(Queries.docs(s, dir))))
+      graft.text.Unigram.tokenizeCounts(Queries.docs(s, dir))),
+    // the deployment shape: train → persist the vocabulary artifact →
+    // load → tokenize. Oracle = the in-memory tokenize SQL, so the
+    // hash-match proves the store round-trip is exact (the
+    // ann_ivfpq_indexed discipline)
+    "tk_unigram_stored" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_unigram_vocab_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(path)
+      graft.text.Unigram.saveVocab(Queries.docs(s, dir), path)
+      graft.text.Unigram.tokenizeCounts(Queries.docs(s, dir),
+        vocab = Some(graft.text.Unigram.loadVocab(s, path)))
+    }))
 
   private def longMemSql: String = {
     val w = HybridSearch.Weights.resolve(0.7, 0.0, 0.0, 0.0)
@@ -104,18 +115,22 @@ object QueriesEval {
          |  CAST(round(ln(CAST(t.total AS DOUBLE) / cnt) * 1e6, 0) AS BIGINT) AS nll_micro
          |FROM ugfin, (SELECT sum(cnt) AS total FROM ugfin) t
          |ORDER BY rank""".stripMargin,
-    "tk_unigram_tokenize" -> {
-      val t = OracleText.toks("text")
-      s"""WITH ${OracleText.unigramCtes()},
-         |${OracleText.unigramDpCtes("ug3", "ugvf")},
-         |ugnp AS (SELECT w, CAST(count(*) AS BIGINT) AS np FROM ug3p GROUP BY 1),
-         |ugocc AS (
-         |  SELECT doc_id AS id, t.term AS w
-         |  FROM documents, unnest($t) AS t(term)
-         |  WHERE len(t.term) BETWEEN 1 AND ${graft.text.Unigram.MaxWordLen})
-         |SELECT o.id, CAST(count(*) AS BIGINT) AS n_words,
-         |  CAST(sum(z.np) AS BIGINT) AS n_pieces
-         |FROM ugocc o JOIN ugnp z USING (w)
-         |GROUP BY 1 ORDER BY 1""".stripMargin
-    })
+    "tk_unigram_tokenize" -> unigramTokenizeSql,
+    // in-memory tokenize SQL: the save→load split must reproduce it
+    "tk_unigram_stored" -> unigramTokenizeSql)
+
+  private lazy val unigramTokenizeSql: String = {
+    val t = OracleText.toks("text")
+    s"""WITH ${OracleText.unigramCtes()},
+       |${OracleText.unigramDpCtes("ug3", "ugvf")},
+       |ugnp AS (SELECT w, CAST(count(*) AS BIGINT) AS np FROM ug3p GROUP BY 1),
+       |ugocc AS (
+       |  SELECT doc_id AS id, t.term AS w
+       |  FROM documents, unnest($t) AS t(term)
+       |  WHERE len(t.term) BETWEEN 1 AND ${graft.text.Unigram.MaxWordLen})
+       |SELECT o.id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(z.np) AS BIGINT) AS n_pieces
+       |FROM ugocc o JOIN ugnp z USING (w)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

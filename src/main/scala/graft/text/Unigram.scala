@@ -161,15 +161,34 @@ object Unigram {
       .toDF("rank", "piece", "cnt", "nll_micro")
   }
 
+  /** Persist a trained vocabulary: (piece, cnt, cost_micro) parquet — the
+    * artifact a tokenizer SHIPS (SentencePiece's .model file); at 100 TB
+    * the vocabulary is trained once and loaded by every consumer job, so
+    * the train → save → load → tokenize path is the deployment shape.
+    * [[loadVocab]] restores the exact cost map ([[UnigramSpec]] pins
+    * store ≡ in-memory tokenization bit-for-bit). */
+  def saveVocab(docs: DataFrame, path: String, textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.sources.Store.save(
+      trainVocabRows(docs, textCol).toDF("piece", "cnt", "cost_micro"), path)
+  }
+
+  def loadVocab(spark: org.apache.spark.sql.SparkSession, path: String): Map[String, Long] =
+    graft.sources.Store.load(spark, path)
+      .select("piece", "cost_micro")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** `tk_unigram_tokenize`: per-document (id, n_words, n_pieces) under the
     * trained vocabulary — pieces computed once per DISTINCT word and
     * joined back to the occurrence stream (the [[Bpe]] tokenize shape).
     * Words over MaxWordLen chars are outside the tokenizer's domain and
     * excluded from both counts. */
   def tokenizeCounts(docs: DataFrame, textCol: String = "text",
-                     idCol: String = "id"): DataFrame = {
-    val finalVocab = trainVocabRows(docs, textCol)
-      .map { case (p, _, cost) => p -> cost }.toMap
+                     idCol: String = "id",
+                     vocab: Option[Map[String, Long]] = None): DataFrame = {
+    val finalVocab = vocab.getOrElse(trainVocabRows(docs, textCol)
+      .map { case (p, _, cost) => p -> cost }.toMap)
     val occ = docs
       .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("w"))
       .filter(length(col("w")).between(1, MaxWordLen))

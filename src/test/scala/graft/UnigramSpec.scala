@@ -53,6 +53,18 @@ class UnigramSpec extends SparkSpec {
     assert(t.head._2 == 2L) // n_words counts only trainable words
   }
 
+  test("persisted vocabulary round-trips and tokenizes identically") {
+    val docs = Seq((1L, "ababab ab"), (2L, "ababab cd")).toDF("id", "text")
+    val path = "/root/repo/target/tmp/unigram_vocab_spec"
+    Unigram.saveVocab(docs, path)
+    val loaded = Unigram.loadVocab(spark, path)
+    val direct = Unigram.trainVocabRows(docs)
+      .map { case (p, _, c) => p -> c }.toMap
+    assert(loaded == direct)
+    assert(Unigram.tokenizeCounts(docs).collect().toSeq ==
+      Unigram.tokenizeCounts(docs, vocab = Some(loaded)).collect().toSeq)
+  }
+
   test("training is partition-invariant") {
     val docs = Queries.docs(spark, sf()).limit(200)
     val a = Unigram.train(docs).collect().map(_.toString).toSeq
