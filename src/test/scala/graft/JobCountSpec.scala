@@ -33,6 +33,10 @@ class JobCountSpec extends SparkSpec {
     "r10_graph_search" -> 110,
     "r12_threshold_graph" -> 85,
     "r14_explain_graph" -> 44,
+    // r8: the one graph-family query that had no pin (regressed 3.3 →
+    // 4.0 s in a contended r8 run — drift, but now measurable: 38
+    // in-suite at sf0.001)
+    "r11_graph_via" -> 44,
     "r14_explain" -> 37,
     "r4_hybrid_rrf" -> 29,
     "r15_batch_search" -> 47,
