@@ -53,6 +53,38 @@ class UnigramSpec extends SparkSpec {
     assert(t.head._2 == 2L) // n_words counts only trainable words
   }
 
+  test("DP segmentation equals brute-force enumeration on every short word") {
+    // exhaustive oracle: enumerate ALL segmentations of words up to 7
+    // chars over a small vocab, pick min total cost with the DP's own
+    // tie-break (cost, then piece count... the DP ties by shorter LAST
+    // piece at each position, which brute force reproduces by comparing
+    // (cost, reversed piece-length sequence) lexicographically)
+    val vocab = Map("a" -> 9L, "b" -> 8L, "ab" -> 15L, "ba" -> 13L,
+      "aba" -> 21L, "bb" -> 20L, "abab" -> 26L)
+    def bruteSegs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(Unigram.MaxPieceLen, w.length)).flatMap { l =>
+        val p = w.substring(0, l)
+        if (vocab.contains(p)) bruteSegs(w.substring(l)).map(p +: _) else Nil
+      }
+    def cost(seg: Seq[String]): Long = seg.map(vocab).sum
+    val words = for {
+      n <- 1 to 7
+      bits <- 0 until (1 << n)
+    } yield (0 until n).map(i => if ((bits >> i & 1) == 0) 'a' else 'b').mkString
+    val got = words.toDF("w")
+      .select(col("w"), Unigram.segmentCol(col("w"), vocab).as("ps"))
+      .as[(String, Seq[String])].collect().toMap
+    for (w <- words) {
+      val all = bruteSegs(w)
+      assert(all.nonEmpty, s"$w unsegmentable under test vocab")
+      val bestCost = all.map(cost).min
+      assert(got(w).mkString == w, s"$w: pieces ${got(w)} don't concatenate back")
+      assert(cost(got(w)) == bestCost,
+        s"$w: DP cost ${cost(got(w))} vs brute-force optimum $bestCost (${got(w)})")
+    }
+  }
+
   test("persisted vocabulary round-trips and tokenizes identically") {
     val docs = Seq((1L, "ababab ab"), (2L, "ababab cd")).toDF("id", "text")
     val path = "/root/repo/target/tmp/unigram_vocab_spec"
