@@ -95,6 +95,27 @@ object QueriesScale {
       hits.join(exact, "id")
         .agg(round(count(lit(1)) / 10.0, 6).as("recall_at_10"))
     }),
+    // the same sizing curve for the COMPOSED residual IVF-PQ serving
+    // path: end-to-end recall@10 at probe widths 1/2/4 — at 100 TB the
+    // prune width is the dominant recall/latency lever and this is the
+    // measurement that sets it (r8)
+    "ann_ivfpq_nprobe_sweep" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = Ann.centroidsByLabel(emb)
+      val mem = Corpus.memories(s, dir)
+      val qv = Queries.queryVec(s, dir)
+      val assigned = Ann.assign(mem, cent).localCheckpoint(true)
+      val books = Pq.residualCodebooks(emb, cent)
+      val exact = VectorSearch.topK(mem, qv, k = 10, includeArchived = true)
+        .select("id")
+      Seq(1, 2, 4).map { np =>
+        Pq.ivfPqTopK(assigned, cent, books, qv, k = 10, nprobe = np,
+            candidates = 50)
+          .select("id").join(exact, "id")
+          .agg(round(count(lit(1)) / 10.0, 6).as("recall_at_10"))
+          .select(lit(np).cast("int").as("nprobe"), col("recall_at_10"))
+      }.reduce(_ unionAll _).orderBy("nprobe")
+    }),
     // the nprobe sizing curve: IVF recall@10 at nprobe 1/2/4 in one
     // result — the measurement that decides the recall/latency trade
     // before a 100 TB deployment fixes its probe width
@@ -247,7 +268,10 @@ object QueriesScale {
     * micro-units), radc (per-id ADC = cell term + code terms). Kept in
     * lockstep with [[graft.ann.Pq.residualCodebooks]]/
     * [[graft.ann.Pq.adcScoresResidual]]. */
-  private def pqResCtes: String = {
+  /** Pool-independent half of the residual chain: residual codebooks
+    * (rtr/rcb0/rcb), the query ADC table (rlut), and per-cell q·centroid
+    * terms (rcd) — shared by every probe-width arm. */
+  private def pqResSharedCtes: String = {
     def bit(j: Int, w: Int) =
       s"CASE WHEN round(res[((t.i - 1) // 8) * 8 + $j], 6) > 0 THEN $w ELSE 0 END"
     s"""rtr AS MATERIALIZED (
@@ -262,16 +286,6 @@ object QueriesScale {
        |rcb AS MATERIALIZED (
        |  SELECT sub, label, list(m ORDER BY i) AS codevec
        |  FROM rcb0 GROUP BY 1, 2),
-       |rres AS MATERIALIZED (
-       |  SELECT p.id, p.ivf_cell,
-       |    list_transform(range(1, 65), i -> CAST(p.embedding[i] AS DOUBLE) - c.centroid[i]) AS res
-       |  FROM pool p JOIN cent c ON c.label = p.ivf_cell),
-       |rpe AS MATERIALIZED (
-       |  SELECT id, ivf_cell, sub, label AS code FROM (
-       |    SELECT r.id, r.ivf_cell, c.sub, c.label, row_number() OVER (PARTITION BY r.id, c.sub ORDER BY
-       |      round(list_sum(list_transform(range(1, 9), i ->
-       |        (r.res[c.sub * 8 + i] - c.codevec[i]) * (r.res[c.sub * 8 + i] - c.codevec[i]))), 6), c.label) AS rn
-       |    FROM rres r, rcb c) WHERE rn = 1),
        |rlut AS MATERIALIZED (
        |  SELECT c.sub, c.label,
        |    CAST(round(round(list_sum(list_transform(range(1, 9), i ->
@@ -281,13 +295,30 @@ object QueriesScale {
        |  SELECT c.label AS ivf_cell,
        |    CAST(round(round(list_sum(list_transform(range(1, 65), i ->
        |      c.centroid[i] * CAST(q.qv[i] AS DOUBLE))), 6) * 1e6, 0) AS BIGINT) AS cmicro
-       |  FROM cent c CROSS JOIN $mrlQ q),
-       |radc AS MATERIALIZED (
+       |  FROM cent c CROSS JOIN $mrlQ q)""".stripMargin
+  }
+
+  /** Pool-dependent half: residuals, codes, and ADC scores of one probed
+    * pool, with CTE names `${px}res`/`${px}pe`/`${px}adc`. */
+  private def pqResPoolCtes(px: String, pool: String): String =
+    s"""${px}res AS MATERIALIZED (
+       |  SELECT p.id, p.ivf_cell,
+       |    list_transform(range(1, 65), i -> CAST(p.embedding[i] AS DOUBLE) - c.centroid[i]) AS res
+       |  FROM $pool p JOIN cent c ON c.label = p.ivf_cell),
+       |${px}pe AS MATERIALIZED (
+       |  SELECT id, ivf_cell, sub, label AS code FROM (
+       |    SELECT r.id, r.ivf_cell, c.sub, c.label, row_number() OVER (PARTITION BY r.id, c.sub ORDER BY
+       |      round(list_sum(list_transform(range(1, 9), i ->
+       |        (r.res[c.sub * 8 + i] - c.codevec[i]) * (r.res[c.sub * 8 + i] - c.codevec[i]))), 6), c.label) AS rn
+       |    FROM ${px}res r, rcb c) WHERE rn = 1),
+       |${px}adc AS MATERIALIZED (
        |  SELECT e.id, round(CAST(d.cmicro + sum(l.micro) AS DOUBLE) / 1e6, 6) AS adc
-       |  FROM rpe e JOIN rlut l ON e.sub = l.sub AND e.code = l.label
+       |  FROM ${px}pe e JOIN rlut l ON e.sub = l.sub AND e.code = l.label
        |  JOIN rcd d ON d.ivf_cell = e.ivf_cell
        |  GROUP BY e.id, d.cmicro)""".stripMargin
-  }
+
+  private def pqResCtes: String =
+    pqResSharedCtes + ",\n" + pqResPoolCtes("r", "pool")
 
   private lazy val annIvfPqTopkSql: String =
     s"""WITH ${OracleCtes.memories},
@@ -355,6 +386,43 @@ object QueriesScale {
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     // full-corpus IVFPQ SQL: the build+refresh split must reproduce it
     "ann_ivfpq_indexed" -> annIvfPqTopkSql,
+    "ann_ivfpq_nprobe_sweep" -> {
+      def probe(n: Int) =
+        s"""rprobe$n AS (
+           |  SELECT label FROM (
+           |    SELECT c.label, row_number() OVER (ORDER BY
+           |      list_sum(list_transform(range(1, 65), i -> c.centroid[i] * CAST(q.qv[i] AS DOUBLE))) DESC,
+           |      c.label) AS rn
+           |    FROM cent c, $mrlQ q)
+           |  WHERE rn <= $n)""".stripMargin
+      def poolN(n: Int) =
+        s"""rpool$n AS MATERIALIZED (
+           |  SELECT m.id, a.ivf_cell, m.embedding
+           |  FROM memories m JOIN asg a ON m.id = a.id
+           |  JOIN rprobe$n p ON a.ivf_cell = p.label)""".stripMargin
+      def arm(n: Int) =
+        s"""(SELECT CAST($n AS INTEGER) AS nprobe,
+           |  round(CAST((SELECT count(*) FROM (
+           |    SELECT o.id FROM rpool$n o
+           |    JOIN (SELECT id FROM s${n}adc ORDER BY adc DESC, id LIMIT 50) c USING (id)
+           |    CROSS JOIN $mrlQ q2
+           |    ORDER BY round(${OracleCtes.dot64("o.embedding", "q2.qv")}, 6) DESC, o.id
+           |    LIMIT 10) t JOIN rext USING (id)) AS DOUBLE) / 10.0, 6) AS recall_at_10)""".stripMargin
+      s"""WITH ${OracleCtes.memories},
+         |${Queries.ivfCtes},
+         |${probe(1)}, ${probe(2)}, ${probe(4)},
+         |${poolN(1)}, ${poolN(2)}, ${poolN(4)},
+         |$pqResSharedCtes,
+         |${pqResPoolCtes("s1", "rpool1")},
+         |${pqResPoolCtes("s2", "rpool2")},
+         |${pqResPoolCtes("s4", "rpool4")},
+         |rext AS MATERIALIZED (
+         |  SELECT m.id FROM memories m CROSS JOIN $mrlQ q
+         |  ORDER BY round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id LIMIT 10)
+         |SELECT * FROM (
+         |${arm(1)} UNION ALL ${arm(2)} UNION ALL ${arm(4)})
+         |ORDER BY nprobe""".stripMargin
+    },
     "ann_ivfpq_recall" ->
       s"""WITH ${OracleCtes.memories},
          |${Queries.ivfCtes},
