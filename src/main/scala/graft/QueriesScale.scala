@@ -108,13 +108,18 @@ object QueriesScale {
       val books = Pq.residualCodebooks(emb, cent)
       val exact = VectorSearch.topK(mem, qv, k = 10, includeArchived = true)
         .select("id")
-      Seq(1, 2, 4).map { np =>
+      // the (4, 100) arm is the sizing lesson: at fixed candidates the
+      // ADC budget becomes the binding cut as the probed pool widens, so
+      // candidates scales with nprobe — 25·nprobe keeps the ADC survivor
+      // fraction of the pool constant
+      Seq((1, 50), (2, 50), (4, 50), (4, 100)).map { case (np, cd) =>
         Pq.ivfPqTopK(assigned, cent, books, qv, k = 10, nprobe = np,
-            candidates = 50)
+            candidates = cd)
           .select("id").join(exact, "id")
           .agg(round(count(lit(1)) / 10.0, 6).as("recall_at_10"))
-          .select(lit(np).cast("int").as("nprobe"), col("recall_at_10"))
-      }.reduce(_ unionAll _).orderBy("nprobe")
+          .select(lit(np).cast("int").as("nprobe"),
+            lit(cd).cast("int").as("candidates"), col("recall_at_10"))
+      }.reduce(_ unionAll _).orderBy("nprobe", "candidates")
     }),
     // the nprobe sizing curve: IVF recall@10 at nprobe 1/2/4 in one
     // result — the measurement that decides the recall/latency trade
@@ -400,11 +405,11 @@ object QueriesScale {
            |  SELECT m.id, a.ivf_cell, m.embedding
            |  FROM memories m JOIN asg a ON m.id = a.id
            |  JOIN rprobe$n p ON a.ivf_cell = p.label)""".stripMargin
-      def arm(n: Int) =
-        s"""(SELECT CAST($n AS INTEGER) AS nprobe,
+      def arm(n: Int, cand: Int) =
+        s"""(SELECT CAST($n AS INTEGER) AS nprobe, CAST($cand AS INTEGER) AS candidates,
            |  round(CAST((SELECT count(*) FROM (
            |    SELECT o.id FROM rpool$n o
-           |    JOIN (SELECT id FROM s${n}adc ORDER BY adc DESC, id LIMIT 50) c USING (id)
+           |    JOIN (SELECT id FROM s${n}adc ORDER BY adc DESC, id LIMIT $cand) c USING (id)
            |    CROSS JOIN $mrlQ q2
            |    ORDER BY round(${OracleCtes.dot64("o.embedding", "q2.qv")}, 6) DESC, o.id
            |    LIMIT 10) t JOIN rext USING (id)) AS DOUBLE) / 10.0, 6) AS recall_at_10)""".stripMargin
@@ -420,8 +425,9 @@ object QueriesScale {
          |  SELECT m.id FROM memories m CROSS JOIN $mrlQ q
          |  ORDER BY round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id LIMIT 10)
          |SELECT * FROM (
-         |${arm(1)} UNION ALL ${arm(2)} UNION ALL ${arm(4)})
-         |ORDER BY nprobe""".stripMargin
+         |${arm(1, 50)} UNION ALL ${arm(2, 50)} UNION ALL ${arm(4, 50)}
+         | UNION ALL ${arm(4, 100)})
+         |ORDER BY nprobe, candidates""".stripMargin
     },
     "ann_ivfpq_recall" ->
       s"""WITH ${OracleCtes.memories},
