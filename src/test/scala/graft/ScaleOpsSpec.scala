@@ -250,6 +250,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(GraphSearch.kCore(chain, k = 2).count() == 0)
   }
 
+  test("IVF-PQ recall is monotone non-decreasing in the ADC candidate budget") {
+    // a larger candidate budget reranks a SUPERSET of the pool by exact
+    // similarity, so recall@k vs the exact top-k cannot decrease — the
+    // guarantee behind the sweep's scaled-candidates remedy
+    val emb = Tables.embeddings(spark, sf())
+    val cent = Ann.centroidsByLabel(emb)
+    val mem = Corpus.memories(spark, sf())
+    val qv = Queries.queryVec(spark, sf())
+    val assigned = Ann.assign(mem, cent).localCheckpoint(true)
+    val books = Pq.residualCodebooks(emb, cent)
+    val exact = graft.search.VectorSearch
+      .topK(mem, qv, 10, includeArchived = true)
+      .select("id").as[Long].collect().toSet
+    val recalls = Seq(10, 50, 100).map { cand =>
+      Pq.ivfPqTopK(assigned, cent, books, qv, k = 10, nprobe = 4,
+          candidates = cand)
+        .select("id").as[Long].collect().count(exact)
+    }
+    assert(recalls == recalls.sorted, s"not monotone: $recalls")
+  }
+
   test("kCore accepts a peel that empties exactly on the last budgeted round") {
     // 5-node chain: round 1 → 2 edges, round 2 → 0. With maxRounds = 2
     // the count changed on the final round, but empty IS the fixpoint —
