@@ -1466,8 +1466,8 @@ object Queries {
 
 
   val all: Map[String, Q] =
-    retrievalQueries ++ sanityQueries ++ dedupQueries ++ QueriesOps.queries ++ QueriesExt.queries ++ QueriesJoins.queries ++ QueriesScale.queries ++ QueriesEval.queries
+    retrievalQueries ++ sanityQueries ++ dedupQueries ++ QueriesOps.queries ++ QueriesExt.queries ++ QueriesJoins.queries ++ QueriesScale.queries ++ QueriesEval.queries ++ QueriesTiers.queries
 
   val oracles: Map[String, String] =
-    retrievalOracles ++ sanityOracles ++ dedupOracles ++ QueriesOps.oracles ++ QueriesExt.oracles ++ QueriesJoins.oracles ++ QueriesScale.oracles ++ QueriesEval.oracles
+    retrievalOracles ++ sanityOracles ++ dedupOracles ++ QueriesOps.oracles ++ QueriesExt.oracles ++ QueriesJoins.oracles ++ QueriesScale.oracles ++ QueriesEval.oracles ++ QueriesTiers.oracles
 }

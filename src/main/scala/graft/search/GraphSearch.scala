@@ -343,6 +343,93 @@ object GraphSearch {
         .as("assortativity"))
   }
 
+  /** Canonical undirected edge frame of a pair graph: (a, b) with
+    * a < b, self-loops dropped, deduped — the shared head of every
+    * similarity-graph analytic. */
+  private def undirected(pairs: DataFrame): DataFrame =
+    pairs.select(
+        least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert, Kumar '07, public), determinized: every node starts labeled
+    * with its own id and each round adopts the most frequent label among
+    * its neighbors, ties broken by the SMALLEST label — so the result is a
+    * pure function of the graph (the paper's random tie-breaks and visit
+    * order are replaced by (count desc, label asc), the standard
+    * deterministic variant). A FIXED number of synchronous rounds is run
+    * (no convergence test): synchronous LPA can 2-cycle on bipartite
+    * structures, so "run r rounds" is the reproducible contract, and the
+    * oracle reaches the identical state by unrolling the same r rounds.
+    * Returns (id, community) for every non-isolated vertex.
+    *
+    * Scale shape: each round is one edge ⋈ labels join (both directions),
+    * one (v, label) count aggregation, and one order-free argmax via
+    * max(struct(cnt, −label)) — no windows, no driver data. Rounds are
+    * flattened through [[roundCheckpoint]] like the PPR/k-core loops, so
+    * lineage stays O(1) and the reliable-checkpoint flag applies. */
+  def labelPropagation(pairs: DataFrame, rounds: Int = 4): DataFrame = {
+    val und = roundCheckpoint(undirected(pairs))
+    var labels = und.select(col("a").as("v")).unionAll(und.select(col("b")))
+      .distinct().select(col("v"), col("v").as("lab"))
+    for (_ <- 0 until rounds) {
+      val nbr = und.join(labels.select(col("v").as("b"), col("lab")), "b")
+        .select(col("a").as("v"), col("lab"))
+        .unionAll(
+          und.join(labels.select(col("v").as("a"), col("lab")), "a")
+            .select(col("b").as("v"), col("lab")))
+      labels = roundCheckpoint(nbr
+        .groupBy("v", "lab").agg(count(lit(1)).as("c"))
+        .groupBy("v")
+        .agg(max(struct(col("c"), (-col("lab")).as("_nl"))).as("_best"))
+        .select(col("v"), (-col("_best._nl")).as("lab")))
+    }
+    labels.select(col("v").as("id"), col("lab").as("community"))
+  }
+
+  /** Newman modularity of a vertex partition over an undirected pair graph
+    * (Newman-Girvan '04, public):
+    *
+    *   Q = Σ_c (e_c/M − (d_c/2M)²)  =  (4M·Σe_c − Σd_c²) / 4M²
+    *
+    * where e_c = edges inside community c, d_c = degree sum of c, M =
+    * total edges — the right-hand integer-sums form is what's computed:
+    * every Σ is an order-free BIGINT sum and the closing division is ONE
+    * double expression rounded 6dp (the assortativity discipline).
+    * `labels` is (id, community); returns one row
+    * (n_communities, n_edges, modularity). Plan: two broadcast-or-shuffle
+    * hash joins of edges against labels, one per-community aggregate, one
+    * 1-row cross — no windows, no iteration. */
+  def modularity(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val und = undirected(pairs).localCheckpoint(true)
+    val lab = labels.select(col("id"), col("community"))
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // per-community degree mass (every community has ≥1 member with ≥1
+    // edge — labels come from the same edge set)
+    val dc = deg.join(lab.withColumnRenamed("id", "v"), "v")
+      .groupBy("community").agg(sum("deg").as("d_c"))
+    // per-community internal edges; communities with none contribute only
+    // the degree term, hence the left join + coalesce
+    val ec = und
+      .join(lab.select(col("id").as("a"), col("community").as("_ca")), "a")
+      .join(lab.select(col("id").as("b"), col("community").as("_cb")), "b")
+      .filter(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("community")).agg(count(lit(1)).as("e_c"))
+    val m = und.agg(count(lit(1)).as("m"))
+    dc.join(ec, Seq("community"), "left")
+      .agg(count(lit(1)).as("n_communities"),
+        sum(coalesce(col("e_c"), lit(0L))).as("_se"),
+        sum(col("d_c") * col("d_c")).as("_sd"))
+      .crossJoin(broadcast(m))
+      .select(col("n_communities"), col("m").as("n_edges"),
+        when(col("m") > 0,
+          round((lit(4.0) * col("m") * col("_se") - col("_sd")) /
+            (lit(4.0) * col("m") * col("m")), 6))
+          .otherwise(lit(0.0)).as("modularity"))
+  }
+
   /** R11: contribution trace — for each traced node, the top-`maxVia` seeds
     * explaining its PPR score via 1/2/3-hop paths with decay 1.0/0.5/0.25
     * (memory_engine.py:55-82). Explain-only feature: expressed as self-joins

@@ -331,6 +331,37 @@ object Curation {
         ceil(col("required_tokens").cast("double") / col("tokens")).cast("int").as("epochs"))
   }
 
+  /** Temperature-flattened sampling mixture at T = 2 (public recipe:
+    * exponentiated-share sampling q_d ∝ p_d^(1/T), the multilingual
+    * up-sampling rule of XLM-R/mT5; T = 2 makes the exponent exactly 1/2,
+    * i.e. q_d ∝ √n_d). Returns per domain the natural share p_d, the
+    * flattened share q_d, and the sampling boost q_d/p_d (>1 = up-sample
+    * low-resource domain, <1 = down-sample the head).
+    *
+    * Determinism contract: √n_d is IEEE-correctly-rounded in BOTH engines
+    * (sqrt is an exactly-rounded operation, unlike pow — the reason T = 2
+    * is the tier implemented), scaled to integer micro-units BEFORE the
+    * normalizing sum, so every aggregate is order-free integer math and
+    * each output double is one mirrored expression.
+    *
+    * Scale shape: one map-side-combined groupBy over the corpus, then
+    * arithmetic over |domains| rows against a broadcast 1-row total. */
+  def temperatureMix(docs: DataFrame, domainCol: String = "lang"): DataFrame = {
+    val (_, bpe) = TextAnalysis.tokenCounts(col("text"))
+    val perDomain = docs
+      .select(col(domainCol).as("domain"), bpe.cast("long").as("_tok"))
+      .groupBy("domain").agg(sum("_tok").as("tokens"))
+      .withColumn("_s_micro",
+        round(sqrt(col("tokens").cast("double")) * 1e6, 0).cast("long"))
+    val tot = perDomain.agg(sum("tokens").as("_total"), sum("_s_micro").as("_s_sum"))
+    perDomain.crossJoin(broadcast(tot))
+      .select(col("domain"), col("tokens"),
+        round(col("tokens").cast("double") / col("_total"), 6).as("natural_share"),
+        round(col("_s_micro").cast("double") / col("_s_sum"), 6).as("sampled_share"),
+        round(col("_s_micro").cast("double") * col("_total") /
+          (col("_s_sum").cast("double") * col("tokens")), 6).as("boost"))
+  }
+
   /** Paragraph-level exact dedup (the C4/MassiveText sub-document form,
     * public method): the corpus keeps ONE occurrence of every distinct
     * normalized paragraph — the first in (id, pos) order — and each

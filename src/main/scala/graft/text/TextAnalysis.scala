@@ -151,6 +151,41 @@ object TextAnalysis {
         round(-col("_sum_micro").cast("double") / 1e6 / col("n_tok"), 6).as("nll"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. '19 §4.3, public):
+    * rank documents by LM score and split the corpus into head / middle /
+    * tail thirds — the data-quality tiers LLaMA-style pipelines sample
+    * from. The LM here is [[unigramNll]] (the same order-0 stand-in the
+    * other CCNet-shaped filters use); `head` = LOWEST nll (most fluent),
+    * ties at a threshold go to the better bucket.
+    *
+    * Scale shape — no global sort, no per-doc window: nll is quantized to
+    * a 1e-4 integer grid (per-token ln-prob magnitudes are bounded — nll
+    * stays under a few tens of units — so the histogram is ≤ a few
+    * hundred thousand rows at ANY corpus size, vs one row per doc for an
+    * exact split), the two nearest-rank tercile thresholds come from a
+    * cumulative count over that bounded histogram, and each doc is
+    * labeled map-side against the two broadcast scalars. Rank arithmetic
+    * is pure-integer ceildiv ((n + 2) div 3 — positive operands, so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree), the
+    * lengthQuantiles discipline. Output: (id, n_tok, nll, bucket). */
+  def perplexityBuckets(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = unigramNll(docs, textCol)
+      .withColumn("_bin", round(col("nll") * 10000, 0).cast("long"))
+      .localCheckpoint(true)
+    val n = binned.agg(count(lit(1)).as("n_docs"))
+    val cum = binned.groupBy("_bin").agg(count(lit(1)).as("_c"))
+      .select(col("_bin"), sum("_c").over(Window.orderBy("_bin")).as("_cum"))
+    val cuts = cum.crossJoin(broadcast(n)).agg(
+      min(when(col("_cum") >= expr("(n_docs + 2) div 3"), col("_bin"))).as("_t1"),
+      min(when(col("_cum") >= expr("(2 * n_docs + 2) div 3"), col("_bin"))).as("_t2"))
+    binned.crossJoin(broadcast(cuts))
+      .select(col("id"), col("n_tok"), col("nll"),
+        when(col("_bin") <= col("_t1"), lit("head"))
+          .when(col("_bin") <= col("_t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Bigram-LM fluency score — one smoothing step toward CCNet's 5-gram
     * KenLM filter (Wenzek et al. '19, public method; [[unigramNll]] is the
     * order-0 form). An add-k smoothed bigram model is fit on the corpus and

@@ -45,7 +45,10 @@ class DeterminismSpec extends SparkSpec {
       "ann_ivfpq_indexed", "tc_dup_ngram_frac", "lsh_oph_neardup",
       "tc_top_per_source", "gr_degree_dist", "gr_assortativity",
       "ta_readability", "gr_kcore", "ann_ivf_nprobe_sweep",
-      "ev_hard_negatives")
+      "ev_hard_negatives",
+      // round 8 tiers: packed-long Hamming TakeOrdered, histogram-cumsum
+      // tercile thresholds, synchronous-LPA struct argmax + modularity sums
+      "ann_bq_topk", "tc_ppl_buckets", "gr_communities", "gr_modularity")
 
   private def rowsAt(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)

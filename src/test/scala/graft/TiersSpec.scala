@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.BinaryQuant
+import graft.core.Corpus
+import graft.search.{GraphSearch, VectorSearch}
+import graft.text.TextAnalysis
+
+/** Round-8 tier invariants: binary-quantized retrieval (bit packing is
+  * faithful, exhaustive pool = exact search, recall monotone in the
+  * candidate budget), CCNet perplexity terciles (total partition, ordered
+  * buckets, tercile-sized head), and deterministic LPA communities with a
+  * hand-computed two-triangle fixture + modularity value. */
+class TiersSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("packed-long Hamming equals the semantic per-dim sign disagreement on every row") {
+    val mem = Corpus.memories(spark, sf())
+    val qv = Queries.queryVec(spark, sf())
+    val (q0, q1) = BinaryQuant.packQuery(qv)
+    // semantic form: count dims whose sign side differs from the query's
+    val qSigns = typedLit(qv.map(v => v > 0f))
+    val sem = aggregate(
+      zip_with(col("embedding").cast("array<double>"), qSigns,
+        (x, s) => when((x > 0) =!= s, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("int")
+    val mismatches = BinaryQuant.encode(mem)
+      .select(BinaryQuant.hamming(q0, q1).as("packed"), sem.as("semantic"))
+      .filter(col("packed") =!= col("semantic"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("binary top-k with an exhaustive candidate pool IS the exact search") {
+    val mem = Corpus.memories(spark, sf())
+    val qv = Queries.queryVec(spark, sf())
+    val n = mem.count().toInt
+    val bq = BinaryQuant.topKBinary(mem, qv, k = 10, candidates = n)
+      .select("id", "sim").as[(Long, Double)].collect().toSeq
+    val exact = VectorSearch.topK(mem, qv, k = 10)
+      .select("id", "sim").as[(Long, Double)].collect().toSeq
+    assert(bq == exact)
+  }
+
+  test("binary recall@10 is monotone in the candidate budget") {
+    val mem = Corpus.memories(spark, sf())
+    val qv = Queries.queryVec(spark, sf())
+    val exactTop = VectorSearch.topK(mem, qv, k = 10)
+      .select("id").as[Long].collect().toSet
+    def recall(candidates: Int): Int =
+      BinaryQuant.topKBinary(mem, qv, k = 10, candidates = candidates)
+        .select("id").as[Long].collect().count(exactTop.contains)
+    // a wider Hamming pool is a superset (prefix of the same ordering), and
+    // any true-top-10 member in the pool survives the exact re-rank — so
+    // recall can only grow with the budget
+    assert(recall(200) >= recall(50))
+  }
+
+  test("perplexity buckets: total partition, ordered tiers, tercile-sized head") {
+    val docs = Queries.docs(spark, sf())
+    val out = TextAnalysis.perplexityBuckets(docs)
+      .select("id", "nll", "bucket").as[(Long, Double, String)].collect().toSeq
+    val n = out.length
+    assert(n == TextAnalysis.unigramNll(docs).count())
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // tiers are ordered on the centi-grid: every head bin <= every middle
+    // bin <= every tail bin (strict between tiers — a shared bin would have
+    // landed both docs in the better bucket)
+    def bins(b: String) = byBucket(b).map(v => math.round(v * 10000))
+    assert(bins("head").max < bins("middle").min)
+    assert(bins("middle").max < bins("tail").min)
+    // nearest-rank head: at least ceil(n/3) docs, over only by bin ties
+    assert(bins("head").size >= (n + 2) / 3)
+  }
+
+  // two triangles joined by a bridge: deterministic synchronous LPA with
+  // (count desc, label asc) tie-breaks converges by round 4 to one label
+  // per triangle (hand-traced: [2,1,1,3,4,4] -> [1,1,1,4,3,3] ->
+  // [1,1,1,3,3,3] -> stable)
+  private def twoTriangles = Seq(
+    (1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    .toDF("id_a", "id_b")
+
+  test("LPA on the two-triangle fixture: one community per triangle") {
+    val labels = GraphSearch.labelPropagation(twoTriangles, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("modularity of the two-triangle partition is the hand value 70/196") {
+    val pairs = twoTriangles
+    val labels = GraphSearch.labelPropagation(pairs, rounds = 4)
+    val row = GraphSearch.modularity(pairs, labels)
+      .as[(Long, Long, Double)].collect().head
+    // M = 7 edges; each triangle: e_c = 3, d_c = 7
+    // Q = (4*7*6 - (49 + 49)) / (4*49) = 70/196 = 0.357143 (6dp)
+    assert(row == ((2L, 7L, 0.357143)))
+  }
+
+  test("fixture LPA finds real structure: labels are vertex ids, communities merge, Q > 0") {
+    val pairs = graft.dedup.Dedup
+      .findDuplicates(Corpus.memories(spark, sf()), threshold = 0.35)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val labels = GraphSearch.labelPropagation(pairs, rounds = QueriesTiers.LpaRounds)
+    val rows = labels.as[(Long, Long)].collect().toSeq
+    val vertices = rows.map(_._1).toSet
+    // every community label is itself a vertex (labels only ever copy ids)
+    assert(rows.map(_._2).toSet.subsetOf(vertices))
+    // propagation actually merged: fewer communities than vertices
+    assert(rows.map(_._2).distinct.size < vertices.size)
+    // and the partition beats the null model on the similarity graph
+    val q = GraphSearch.modularity(pairs, labels)
+      .select("modularity").as[Double].collect().head
+    assert(q > 0.0)
+  }
+}
