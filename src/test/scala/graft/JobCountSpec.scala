@@ -74,7 +74,16 @@ class JobCountSpec extends SparkSpec {
     // pair kernel + ~7 peel rounds of checkpoint+count) — a per-round job
     // regression multiplies by the round count, exactly what this pin
     // exists to catch
-    "gr_kcore" -> 88
+    "gr_kcore" -> 88,
+    // round-8 tiers, measured 2026-08-14 in-suite at sf0.001 (+~15%):
+    // gr_communities=44 (d2 pair kernel + 4 checkpointed LPA rounds);
+    // gr_modularity=59 (re-runs LPA, then 3 label joins + 1-row cross);
+    // tc_ppl_buckets=17 (unigram NLL + bounded-histogram cumsum + label);
+    // ann_bq_indexed=18 (build + staged refresh + packed scan + rerank)
+    "gr_communities" -> 51,
+    "gr_modularity" -> 68,
+    "tc_ppl_buckets" -> 20,
+    "ann_bq_indexed" -> 21
   )
 
   private val counter = new AtomicInteger(0)
