@@ -236,7 +236,7 @@ object QueriesScale {
     * codebooks from the labeled embeddings), pqe (codes for src rows), pqlut
     * (query micro-unit ADC table), pqadc (per-id ADC score). Kept in
     * lockstep with [[graft.ann.Pq]]. */
-  private def pqCtes(src: String): String =
+  private[graft] def pqCtes(src: String): String =
     s"""pqc0 AS (
        |  SELECT label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
        |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ann.BinaryQuant
-import graft.core.{Corpus, OracleCtes, OracleText}
+import graft.ann.{BinaryQuant, Pq, Quantize}
+import graft.core.{Corpus, OracleCtes, OracleText, Tables}
 import graft.search.{GraphSearch, VectorSearch}
 import graft.text.TextAnalysis
 
@@ -57,6 +57,33 @@ object QueriesTiers {
       graft.ann.BinaryIndex.refresh(s, path, mem.filter(col("id") >= half))
       graft.ann.BinaryIndex.topK(s, path, mem, Queries.queryVec(s, dir),
         k = 10, candidates = 50)
+    }),
+    // the compression-tier sizing table: candidate recall@10 at a FIXED
+    // 50-candidate budget for each quantized pre-filter (SQ8 72 B/vec,
+    // PQ 8 B/vec, binary 16 B/vec) against the exact top-10 — since the
+    // exact re-rank preserves every true neighbor in the pool, pool
+    // recall IS serving recall, and this one table is the measurement
+    // that picks a tier (memory budget × recall floor) before a 100 TB
+    // deployment commits to one
+    "ann_tier_sweep" -> ((s, dir) => {
+      val mem = Corpus.memories(s, dir)
+      val vis = mem.filter(graft.search.Filters.notArchived(false))
+      val qv = Queries.queryVec(s, dir)
+      val exact = VectorSearch.topK(mem, qv, k = 10).select("id")
+        .localCheckpoint(true)
+      val books = Pq.codebooks(Tables.embeddings(s, dir))
+      def arm(cand: org.apache.spark.sql.DataFrame, tier: String, bytes: Int) =
+        cand.join(exact, "id")
+          .agg(round(count(lit(1)) / 10.0, 6).as("recall_at_10"))
+          .select(lit(tier).as("tier"),
+            lit(bytes).cast("int").as("bytes_per_vec"), col("recall_at_10"))
+      val sq8 = Quantize.quantizedScores(vis, qv)
+        .orderBy(desc("qscore"), asc("id")).limit(50).select("id")
+      val pq = Pq.pqTopK(Pq.encode(vis, books), books, qv, k = 50).select("id")
+      val bq = BinaryQuant.candidatesByHamming(mem, qv, candidates = 50)
+        .select("id")
+      arm(sq8, "sq8", 72).unionAll(arm(pq, "pq", 8)).unionAll(arm(bq, "bq", 16))
+        .orderBy("tier")
     }),
     // CCNet head/middle/tail perplexity tiers over the document corpus
     "tc_ppl_buckets" -> ((s, dir) =>
@@ -187,6 +214,25 @@ object QueriesTiers {
          |FROM bqic c JOIN memories m USING (id) CROSS JOIN $bqQ q
          |WHERE NOT m.archived
          |ORDER BY sim DESC, c.id LIMIT 10""".stripMargin,
+    "ann_tier_sweep" -> {
+      def arm(tier: String, bytes: Int, candSel: String) =
+        s"""(SELECT '$tier' AS tier, CAST($bytes AS INTEGER) AS bytes_per_vec,
+           |  round(CAST((SELECT count(*) FROM ($candSel) c JOIN swxt USING (id)) AS DOUBLE) / 10.0, 6) AS recall_at_10)""".stripMargin
+      s"""WITH ${OracleCtes.memories},
+         |vism AS MATERIALIZED (SELECT * FROM memories WHERE NOT archived),
+         |$bqCtes,
+         |${OracleCtes.sq8Ctes()},
+         |${QueriesScale.pqCtes("vism")},
+         |swxt AS MATERIALIZED (
+         |  SELECT m.id FROM memories m CROSS JOIN $bqQ q WHERE NOT m.archived
+         |  ORDER BY round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id
+         |  LIMIT 10)
+         |SELECT * FROM (
+         |${arm("sq8", 72, "SELECT id FROM sq8 ORDER BY qscore DESC, id LIMIT 50")}
+         | UNION ALL ${arm("pq", 8, "SELECT id FROM pqadc ORDER BY adc DESC, id LIMIT 50")}
+         | UNION ALL ${arm("bq", 16, "SELECT id FROM bqc")})
+         |ORDER BY tier""".stripMargin
+    },
     "tp_temperature_mix" ->
       s"""WITH tmt AS MATERIALIZED (
          |  SELECT lang AS domain,

@@ -48,7 +48,8 @@ class DeterminismSpec extends SparkSpec {
       "ev_hard_negatives",
       // round 8 tiers: packed-long Hamming TakeOrdered, histogram-cumsum
       // tercile thresholds, synchronous-LPA struct argmax + modularity sums
-      "ann_bq_topk", "tc_ppl_buckets", "gr_communities", "gr_modularity")
+      "ann_bq_topk", "tc_ppl_buckets", "gr_communities", "gr_modularity",
+      "ann_tier_sweep")
 
   private def rowsAt(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)

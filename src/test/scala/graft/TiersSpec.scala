@@ -57,6 +57,18 @@ class TiersSpec extends SparkSpec {
     assert(recall(200) >= recall(50))
   }
 
+  test("tier sweep: pool recall equals served recall for the binary arm") {
+    // the exact re-rank preserves every true-top-10 member of the pool
+    // (at most 9 pool rows out-score such a member), so the sweep's
+    // pool-recall must equal ann_bq_recall's served recall exactly
+    val sweep = Queries.all("ann_tier_sweep")(spark, sf())
+      .filter(col("tier") === "bq")
+      .select("recall_at_10").as[Double].collect().head
+    val served = Queries.all("ann_bq_recall")(spark, sf())
+      .select("recall_at_10").as[Double].collect().head
+    assert(sweep == served)
+  }
+
   test("perplexity buckets: total partition, ordered tiers, tercile-sized head") {
     val docs = Queries.docs(spark, sf())
     val out = TextAnalysis.perplexityBuckets(docs)
