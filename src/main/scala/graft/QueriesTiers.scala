@@ -91,6 +91,14 @@ object QueriesTiers {
     // T=2 temperature sampling plan per language (√-flattened shares)
     "tp_temperature_mix" -> ((s, dir) =>
       graft.text.Curation.temperatureMix(Queries.docs(s, dir)).orderBy("domain")),
+    // fill-in-the-middle training examples (PSM serialization), cut points
+    // a pure LCG function of the doc id — map-only, partition-invariant
+    "tp_fim_transform" -> ((s, dir) =>
+      graft.text.Packing.fimTransform(Queries.docs(s, dir)).orderBy("id")),
+    // sliding 64-token windows at stride 48 — the RAG-ingestion chunker
+    "tp_chunk_windows" -> ((s, dir) =>
+      graft.text.Packing.chunkWindows(Queries.docs(s, dir))
+        .orderBy("id", "chunk_id")),
     // deterministic label-propagation communities of the similarity graph
     "gr_communities" -> ((s, dir) =>
       GraphSearch.labelPropagation(dupPairs(s, dir), rounds = LpaRounds)
@@ -250,6 +258,44 @@ object QueriesTiers {
          |  round(CAST(s_micro AS DOUBLE) / s_sum, 6) AS sampled_share,
          |  round(CAST(s_micro AS DOUBLE) * total / (CAST(s_sum AS DOUBLE) * tokens), 6) AS boost
          |FROM tms, tmtot ORDER BY domain""".stripMargin,
+    "tp_fim_transform" -> {
+      val t = OracleText.toks("text")
+      s"""WITH ffa AS MATERIALIZED (
+         |  SELECT doc_id AS id, $t AS t FROM documents),
+         |ffb AS (
+         |  SELECT id, t, CAST(len(t) AS BIGINT) AS n,
+         |    1 + ((id * 1103515245 + 12345) % 2147483648) % (CAST(len(t) AS BIGINT) - 2) AS a
+         |  FROM ffa WHERE len(t) >= 3),
+         |ffc AS (
+         |  SELECT id, t, n, a,
+         |    a + 1 + ((id * 69069 + 1) % 2147483648) % (n - a - 1) AS b
+         |  FROM ffb),
+         |ffd AS (
+         |  SELECT id, n,
+         |    array_to_string(list_slice(t, 1, a), ' ') AS prefix,
+         |    array_to_string(list_slice(t, a + 1, b), ' ') AS middle,
+         |    array_to_string(list_slice(t, b + 1, n), ' ') AS suffix
+         |  FROM ffc)
+         |SELECT id, n AS n_tok, prefix, middle, suffix,
+         |  '<fim_prefix>' || prefix || '<fim_suffix>' || suffix ||
+         |    '<fim_middle>' || middle AS fim
+         |FROM ffd ORDER BY id""".stripMargin
+    },
+    "tp_chunk_windows" -> {
+      val t = OracleText.toks("text")
+      s"""WITH cwa AS MATERIALIZED (
+         |  SELECT doc_id AS id, $t AS t FROM documents),
+         |cwb AS (
+         |  SELECT id, t, CAST(len(t) AS BIGINT) AS n,
+         |    CASE WHEN len(t) <= 64 THEN 1
+         |         ELSE 1 + (CAST(len(t) AS BIGINT) - 64 + 47) // 48 END AS nw
+         |  FROM cwa WHERE len(t) > 0)
+         |SELECT id, CAST(u.k AS INTEGER) AS chunk_id,
+         |  CAST(len(list_slice(t, u.k * 48 + 1, u.k * 48 + 64)) AS BIGINT) AS n_tok_chunk,
+         |  array_to_string(list_slice(t, u.k * 48 + 1, u.k * 48 + 64), ' ') AS chunk_text
+         |FROM cwb, unnest(range(0, nw)) AS u(k)
+         |ORDER BY id, chunk_id""".stripMargin
+    },
     "tc_ppl_buckets" ->
       s"""WITH $pplCtes
          |SELECT id, n_tok, nll,

@@ -109,4 +109,74 @@ object Packing {
         Window.partitionBy("shard").orderBy(col("_k"), col("id"))).cast("long") - 1)
       .select("id", "shard", "pos")
   }
+
+  /** Fill-in-the-middle transform (Bavarian et al. '22 "Efficient Training
+    * of Language Models to Fill in the Middle", public; the PSM
+    * serialization code-model pipelines ship): each document with ≥ 3
+    * tokens is split into non-empty prefix / middle / suffix at two
+    * deterministic pseudo-random cut points and re-serialized as
+    * `<fim_prefix>P<fim_suffix>S<fim_middle>M` — the training example that
+    * teaches infilling. Cut points come from two classic LCGs on the doc
+    * id (the Curation.deterministicSample family), so the transform is a
+    * pure function of (id, text): partition-invariant, oracle-exact.
+    *
+    * Scale shape: map-only — tokenize, two integer hashes, three array
+    * slices, one concat, all codegen fused into the scan; no shuffle, no
+    * state. Output: (id, n_tok, prefix, middle, suffix, fim). */
+  def fimTransform(docs: DataFrame, idCol: String = "id",
+                   textCol: String = "text"): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("_t"))
+      .withColumn("_n", size(col("_t")).cast("long"))
+      .filter(col("_n") >= 3)
+      // prefix end a ∈ [1, n−2]; middle end b ∈ [a+1, n−1] — all three
+      // parts non-empty by construction
+      .withColumn("_a", lit(1L) + pmod(
+        pmod(col("id") * 1103515245L + 12345L, lit(2147483648L)),
+        col("_n") - 2))
+      .withColumn("_b", col("_a") + 1 + pmod(
+        pmod(col("id") * 69069L + 1L, lit(2147483648L)),
+        col("_n") - col("_a") - 1))
+    val pre = concat_ws(" ", slice(col("_t"), lit(1), col("_a").cast("int")))
+    val mid = concat_ws(" ",
+      slice(col("_t"), (col("_a") + 1).cast("int"), (col("_b") - col("_a")).cast("int")))
+    val suf = concat_ws(" ",
+      slice(col("_t"), (col("_b") + 1).cast("int"), (col("_n") - col("_b")).cast("int")))
+    base.select(col("id"), col("_n").as("n_tok"),
+      pre.as("prefix"), mid.as("middle"), suf.as("suffix"),
+      concat(lit("<fim_prefix>"), pre, lit("<fim_suffix>"), suf,
+        lit("<fim_middle>"), mid).as("fim"))
+  }
+
+  /** Sliding token-window chunking with overlap — the ingestion chunker of
+    * retrieval/RAG pipelines (fixed window W, stride S < W, so consecutive
+    * chunks share W−S tokens of context; public standard practice). Window
+    * count is closed-form — 1 + ceil((n−W)/S) for n > W, else 1 — so the
+    * operator is one `posexplode(sequence(...))` over a scan: map-side
+    * fan-out, no shuffle, no window functions. The final chunk may be
+    * shorter (both engines' slice clamps at the array end). Output:
+    * (id, chunk_id, n_tok_chunk, chunk_text). */
+  def chunkWindows(docs: DataFrame, window: Int = 64, stride: Int = 48,
+                   idCol: String = "id", textCol: String = "text"): DataFrame = {
+    require(stride > 0 && stride <= window,
+      s"chunkWindows needs 0 < stride <= window, got ($window, $stride)")
+    val base = docs
+      .select(col(idCol).as("id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("_t"))
+      .withColumn("_n", size(col("_t")).cast("long"))
+      .filter(col("_n") > 0)
+      // integer ceildiv with positive operands (the lengthQuantiles
+      // discipline): truncating and flooring division agree
+      .withColumn("_nw", when(col("_n") <= window, lit(1L))
+        .otherwise(lit(1L) + expr(s"(_n - $window + ${stride - 1}) div $stride")))
+    base
+      .select(col("id"), col("_t"),
+        posexplode(sequence(lit(0), (col("_nw") - 1).cast("int"))))
+      .select(col("id"), col("col").as("chunk_id"),
+        slice(col("_t"), col("col") * stride + 1, lit(window)).as("_c"))
+      .select(col("id"), col("chunk_id"),
+        size(col("_c")).cast("long").as("n_tok_chunk"),
+        concat_ws(" ", col("_c")).as("chunk_text"))
+  }
 }

@@ -87,6 +87,49 @@ class TiersSpec extends SparkSpec {
     assert(bins("head").size >= (n + 2) / 3)
   }
 
+  test("FIM transform: three non-empty parts that reassemble the document") {
+    val docs = Queries.docs(spark, sf())
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val expected = docs.select(col("id"), concat_ws(" ", toks).as("full"))
+      .filter(size(toks) >= 3).as[(Long, String)].collect().toMap
+    val out = graft.text.Packing.fimTransform(docs)
+      .select("id", "prefix", "middle", "suffix", "fim")
+      .as[(Long, String, String, String, String)].collect()
+    assert(out.length == expected.size)
+    out.foreach { case (id, p, m, sfx, fim) =>
+      assert(p.nonEmpty && m.nonEmpty && sfx.nonEmpty)
+      // PSM re-orders but loses nothing: P+M+S re-joins to the original
+      assert(s"$p $m $sfx" == expected(id))
+      assert(fim == s"<fim_prefix>$p<fim_suffix>$sfx<fim_middle>$m")
+    }
+  }
+
+  test("chunk windows: full coverage, W-bounded, stride-overlapping") {
+    val (w, s) = (64, 48)
+    val docs = Queries.docs(spark, sf())
+    val nTok = docs
+      .select(col("id"), size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0).as[(Long, Long)].collect().toMap
+    val chunks = graft.text.Packing.chunkWindows(docs, w, s)
+      .select("id", "chunk_id", "n_tok_chunk")
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+    assert(chunks.keySet == nTok.keySet)
+    chunks.foreach { case (id, cs) =>
+      val n = nTok(id)
+      val sorted = cs.sortBy(_._2)
+      // ids dense from 0; every chunk at most W tokens; all full-W except
+      // possibly the last; the last window reaches the document end
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq)
+      assert(sorted.forall(_._3 <= w))
+      assert(sorted.init.forall(_._3 == w))
+      val lastStart = (sorted.size - 1).toLong * s
+      assert(lastStart + sorted.last._3 == n)
+      // and the PREVIOUS window already ended past this one's start
+      // (overlap w - s) whenever there are at least two windows
+      if (sorted.size > 1) assert(lastStart < (sorted.size - 2).toLong * s + w)
+    }
+  }
+
   // two triangles joined by a bridge: deterministic synchronous LPA with
   // (count desc, label asc) tie-breaks converges by round 4 to one label
   // per triangle (hand-traced: [2,1,1,3,4,4] -> [1,1,1,4,3,3] ->
