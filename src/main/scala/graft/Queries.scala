@@ -187,24 +187,30 @@ object Queries {
          |SELECT id, round(CAST(pr AS DOUBLE) / 1e6, 6) AS pagerank
          |FROM pr${GraphSearch.MaxIters} ORDER BY id""".stripMargin
     },
-    "gr_components" ->
-      s"""WITH RECURSIVE ${OracleCtes.edges},
-         |gced AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS t FROM edges),
-         |gcreach AS (
-         |  SELECT s AS node, s AS r FROM gced
-         |  UNION SELECT e.t, gcreach.r FROM gcreach JOIN gced e ON e.s = gcreach.node),
-         |gccomp AS MATERIALIZED (
-         |  SELECT node AS id, min(r) AS component FROM gcreach GROUP BY 1),
-         |gcfull AS MATERIALIZED (
-         |  SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS component
-         |  FROM documents d LEFT JOIN gccomp c ON c.id = d.doc_id),
-         |gcsz AS (
-         |  SELECT component, CAST(count(*) AS BIGINT) AS csize
-         |  FROM gcfull GROUP BY 1)
-         |SELECT f.id, f.component, z.csize
-         |FROM gcfull f JOIN gcsz z USING (component)
-         |ORDER BY f.id""".stripMargin
+    "gr_components" -> grComponentsSql
   )
+
+  /** Shared by gr_components and gr_components_stars (QueriesTiers): both
+    * CC algorithms must reproduce this exact labeling. A def (not a map
+    * lookup) so QueriesTiers' oracle map never references Queries.oracles
+    * during initialization (circular-init hazard). */
+  private[graft] def grComponentsSql: String =
+    s"""WITH RECURSIVE ${OracleCtes.edges},
+       |gced AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS t FROM edges),
+       |gcreach AS (
+       |  SELECT s AS node, s AS r FROM gced
+       |  UNION SELECT e.t, gcreach.r FROM gcreach JOIN gced e ON e.s = gcreach.node),
+       |gccomp AS MATERIALIZED (
+       |  SELECT node AS id, min(r) AS component FROM gcreach GROUP BY 1),
+       |gcfull AS MATERIALIZED (
+       |  SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN gccomp c ON c.id = d.doc_id),
+       |gcsz AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS csize
+       |  FROM gcfull GROUP BY 1)
+       |SELECT f.id, f.component, z.csize
+       |FROM gcfull f JOIN gcsz z USING (component)
+       |ORDER BY f.id""".stripMargin
 
   // ---------------------------------------------------------------- analytics smoke
 

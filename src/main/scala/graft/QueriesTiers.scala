@@ -99,6 +99,13 @@ object QueriesTiers {
     "tp_chunk_windows" -> ((s, dir) =>
       graft.text.Packing.chunkWindows(Queries.docs(s, dir))
         .orderBy("id", "chunk_id")),
+    // the SAME component labels as gr_components, computed by the
+    // alternating large-star/small-star edge rewriting (Kiveris '14) —
+    // the O(log² n)-round massive-graph formulation; the shared oracle
+    // SQL is what proves the two algorithms agree through the driver
+    "gr_components_stars" -> ((s, dir) =>
+      GraphSearch.components(Corpus.memories(s, dir),
+        graft.dedup.Clusters.connectedComponentsStars(_)).orderBy("id")),
     // deterministic label-propagation communities of the similarity graph
     "gr_communities" -> ((s, dir) =>
       GraphSearch.labelPropagation(dupPairs(s, dir), rounds = LpaRounds)
@@ -258,6 +265,9 @@ object QueriesTiers {
          |  round(CAST(s_micro AS DOUBLE) / s_sum, 6) AS sampled_share,
          |  round(CAST(s_micro AS DOUBLE) * total / (CAST(s_sum AS DOUBLE) * tokens), 6) AS boost
          |FROM tms, tmtot ORDER BY domain""".stripMargin,
+    // identical SQL to gr_components: the stars rewriting must produce the
+    // exact same (id, component, csize) labeling as the min-label loop
+    "gr_components_stars" -> Queries.grComponentsSql,
     "tp_fim_transform" -> {
       val t = OracleText.toks("text")
       s"""WITH ffa AS MATERIALIZED (

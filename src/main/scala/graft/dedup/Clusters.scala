@@ -106,6 +106,79 @@ object Clusters {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii '14 "Connected
+    * Components in MapReduce and Beyond", public) — the third CC
+    * formulation next to the driver union-find (≤ 2M edges) and the
+    * min-label + pointer-jumping loop, and the one with the strongest
+    * massive-graph guarantee: O(log² n) rounds with per-round work that is
+    * ONE neighborhood-min aggregation + one equi-join, no pointer-chase
+    * self-join of the full label table. Each round rewrites the EDGE SET:
+    * large-star connects every neighbor larger than the center to the
+    * neighborhood min; small-star connects the center and its smaller
+    * neighbors to that min; the unique fixpoint is a star per component
+    * centered on its minimum id, read off as (id, component).
+    *
+    * Convergence is detected by an order-free edge-set signature
+    * (count + sum of per-edge xxhash64) — two scalars per round, no
+    * set-difference join — and the loop FAILS LOUDLY if the fixpoint is
+    * not reached within `maxRounds` (the kCore lesson: never silently
+    * return a non-converged superset). Rounds are flattened through eager
+    * localCheckpoints like every other iterative loop here. */
+  def connectedComponentsStars(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var e = canon(pairs.select(col("id_a").as("a"), col("id_b").as("b")))
+      .localCheckpoint(true)
+    val vertices = e.select(col("a").as("id")).unionAll(e.select(col("b")))
+      .distinct().localCheckpoint(true)
+    // per-edge hash reduced mod a prime before the sum so the order-free
+    // signature sum cannot overflow ANSI long arithmetic below ~9e9 edges
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("c"),
+        sum(pmod(xxhash64(col("a"), col("b")), lit(1000000007L))).as("h")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(e)
+    var stable = sig._1 == 0 // an empty edge set IS the fixpoint
+    var rounds = 0
+    while (!stable && rounds < maxRounds) {
+      // large-star: per center v over BOTH edge directions, m = min(Γ⁺(v));
+      // every strictly larger neighbor re-attaches to m
+      val adj = e.select(col("a").as("v"), col("b").as("u"))
+        .unionAll(e.select(col("b").as("v"), col("a").as("u")))
+      val mOf = adj.groupBy("v").agg(min("u").as("_mn"))
+        .select(col("v"), least(col("v"), col("_mn")).as("m"))
+      val ls = canon(adj.join(mOf, "v").filter(col("u") > col("v"))
+          .select(col("m").as("a"), col("u").as("b")))
+        .localCheckpoint(true)
+      // small-star on the canonical (a < b) set: center = b, smaller
+      // neighbors = a; both the center and each smaller neighbor
+      // re-attach to the min smaller neighbor
+      val mOf2 = ls.groupBy(col("b").as("_v")).agg(min("a").as("_mn"))
+      val ss = canon(
+        ls.select(col("a").as("_sa"), col("b").as("_v"))
+          .join(mOf2, "_v")
+          .select(col("_mn").as("a"), col("_sa").as("b"))
+          .unionAll(mOf2.select(col("_mn").as("a"), col("_v").as("b"))))
+      e = ss.localCheckpoint(true)
+      val s2 = signature(e)
+      stable = s2 == sig
+      sig = s2
+      rounds += 1
+    }
+    require(stable,
+      s"connectedComponentsStars did not reach its fixpoint within " +
+        s"$maxRounds alternating rounds — raise maxRounds (the edge set " +
+        "was still changing; a silent cap would return wrong components)")
+    // fixpoint = stars: every non-min vertex appears exactly once as b,
+    // attached to its component min a; minima label themselves
+    vertices
+      .join(e.select(col("b").as("id"), col("a").as("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
   /** Reference cluster semantics: components over `pairs`, tighten by
     * majority-similarity, drop clusters below `minClusterSize`. `pairs` must
     * carry (id_a, id_b, similarity) from [[Dedup.findDuplicates]].

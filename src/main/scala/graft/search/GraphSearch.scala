@@ -178,10 +178,12 @@ object GraphSearch {
     * beyond) does the work; this wrapper only derives the undirected pair
     * set from [[edges]] and restores the isolated nodes. The third graph
     * analytics surface beside per-query [[ppr]] and global [[pageRank]]. */
-  def components(memories: DataFrame): DataFrame = {
+  def components(memories: DataFrame,
+                 cc: DataFrame => DataFrame =
+                   graft.dedup.Clusters.connectedComponentsAuto(_)): DataFrame = {
     val pairs = edges(memories).filter(col("src") < col("dst"))
       .select(col("src").as("id_a"), col("dst").as("id_b"))
-    val comp = graft.dedup.Clusters.connectedComponentsAuto(pairs)
+    val comp = cc(pairs)
     val full = memories.select("id").join(comp, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
       .localCheckpoint(true) // feeds the size rollup and the final join

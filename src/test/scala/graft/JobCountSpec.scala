@@ -83,7 +83,11 @@ class JobCountSpec extends SparkSpec {
     "gr_communities" -> 51,
     "gr_modularity" -> 68,
     "tc_ppl_buckets" -> 20,
-    "ann_bq_indexed" -> 21
+    "ann_bq_indexed" -> 21,
+    // alternating-stars CC (measured 97 in-suite at sf0.001): the rewrite
+    // rounds on the fixture link graph, 2 checkpoints + 1 signature agg
+    // each — a per-round job regression multiplies by the round count
+    "gr_components_stars" -> 112
   )
 
   private val counter = new AtomicInteger(0)

@@ -130,6 +130,34 @@ class TiersSpec extends SparkSpec {
     }
   }
 
+  test("alternating-stars CC: chain and island collapse to min-id components") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (11L, 10L))
+      .toDF("id_a", "id_b")
+    val got = graft.dedup.Clusters.connectedComponentsStars(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("alternating-stars CC equals the min-label/union-find labels on the fixture graph") {
+    val pairs = graft.dedup.Dedup
+      .findDuplicates(Corpus.memories(spark, sf()), threshold = 0.35)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val stars = graft.dedup.Clusters.connectedComponentsStars(pairs)
+      .as[(Long, Long)].collect().toMap
+    val auto = graft.dedup.Clusters.connectedComponentsAuto(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(stars == auto)
+  }
+
+  test("alternating-stars CC fails loudly when the round budget is too small") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L)).toDF("id_a", "id_b")
+    assertThrows[IllegalArgumentException] {
+      graft.dedup.Clusters.connectedComponentsStars(chain, maxRounds = 1).collect()
+    }
+  }
+
   // two triangles joined by a bridge: deterministic synchronous LPA with
   // (count desc, label asc) tie-breaks converges by round 4 to one label
   // per triangle (hand-traced: [2,1,1,3,4,4] -> [1,1,1,4,3,3] ->
