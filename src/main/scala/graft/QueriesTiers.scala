@@ -91,6 +91,21 @@ object QueriesTiers {
     // T=2 temperature sampling plan per language (√-flattened shares)
     "tp_temperature_mix" -> ((s, dir) =>
       graft.text.Curation.temperatureMix(Queries.docs(s, dir)).orderBy("domain")),
+    // hot-key (5-language) totals join executed through the SALTED path:
+    // probe rows salted by xxhash64(id), build side replicated 8×, join on
+    // (lang, salt) — row-identical to the plain join (the oracle is the
+    // plain SQL join), while each hot language spreads over 8 reducers
+    "tc_lang_share" -> ((s, dir) => {
+      val (_, bpe) = TextAnalysis.tokenCounts(col("text"))
+      val d = Queries.docs(s, dir)
+        .select(col("id"), col("lang"), bpe.cast("long").as("n_tok"))
+      val totals = d.groupBy("lang").agg(sum("n_tok").as("_lt"))
+      graft.joins.Joins.saltedJoin(d, totals, Seq("lang"),
+          salts = 8, saltOn = xxhash64(col("id")))
+        .select(col("id"), col("lang"), col("n_tok"),
+          round(col("n_tok").cast("double") / col("_lt"), 6).as("lang_share"))
+        .orderBy("id")
+    }),
     // fill-in-the-middle training examples (PSM serialization), cut points
     // a pure LCG function of the doc id — map-only, partition-invariant
     "tp_fim_transform" -> ((s, dir) =>
@@ -268,6 +283,15 @@ object QueriesTiers {
     // identical SQL to gr_components: the stars rewriting must produce the
     // exact same (id, component, csize) labeling as the min-label loop
     "gr_components_stars" -> Queries.grComponentsSql,
+    "tc_lang_share" ->
+      s"""WITH lsd AS MATERIALIZED (
+         |  SELECT doc_id AS id, lang,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |lst AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS lt FROM lsd GROUP BY 1)
+         |SELECT d.id, d.lang, d.n_tok,
+         |  round(CAST(d.n_tok AS DOUBLE) / t.lt, 6) AS lang_share
+         |FROM lsd d JOIN lst t USING (lang) ORDER BY d.id""".stripMargin,
     "tp_fim_transform" -> {
       val t = OracleText.toks("text")
       s"""WITH ffa AS MATERIALIZED (

@@ -118,4 +118,33 @@ object Joins {
     // extraKeys exist on both sides; keep the left copy
     extraKeys.foldLeft(joined)((df, k) => df.drop(build(k)))
   }
+
+  /** Skew-safe equi-join by key salting — the classic hot-key treatment
+    * for BIG ⋈ BIG joins whose key distribution is dominated by a few
+    * values (a 5-language corpus, a hub domain, a null-ish default key),
+    * where a plain hash join funnels each hot key's rows through ONE
+    * reducer. Each probe row gets a deterministic salt in [0, salts) from
+    * `saltOn` (pass a stable per-row expression — e.g. xxhash64 of the
+    * row's id — so the result is partition-invariant, never rand()); the
+    * build side is replicated `salts`× with every salt value; the join
+    * runs on (keys..., salt), spreading each hot key over `salts`
+    * reducers. Every qualifying pair matches EXACTLY once (a probe row
+    * carries one salt; the build copy with that salt exists uniquely), so
+    * the result is row-identical to `probe.join(build, keys)`.
+    *
+    * Routing note: when the build side is broadcast-small, broadcast and
+    * skip salting entirely — salting pays `salts`× build replication to
+    * buy probe-side spread, which only wins when BOTH sides must shuffle.
+    * AQE's skew-split covers sort-merge skew at runtime; explicit salting
+    * remains the tool when the skew survives AQE (hot keys inside one
+    * huge post-filter stage, or deliberate partitioning reuse). */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                 salts: Int, saltOn: Column): DataFrame = {
+    require(salts > 0, "saltedJoin needs salts > 0")
+    require(keys.nonEmpty, "saltedJoin needs at least one key column")
+    val p = probe.withColumn("_salt", pmod(saltOn, lit(salts.toLong)).cast("int"))
+    val b = build.withColumn("_salt",
+      explode(array((0 until salts).map(s => lit(s)): _*)))
+    p.join(b, keys :+ "_salt").drop("_salt")
+  }
 }

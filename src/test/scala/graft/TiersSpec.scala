@@ -87,6 +87,23 @@ class TiersSpec extends SparkSpec {
     assert(bins("head").size >= (n + 2) / 3)
   }
 
+  test("salted join is row-identical to the plain equi-join") {
+    val probe = Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "de", 5L),
+      (4L, "en", 7L), (5L, "fr", 3L)).toDF("id", "lang", "v")
+    val build = Seq(("en", 100L), ("de", 200L), ("fr", 300L))
+      .toDF("lang", "total")
+    val plain = probe.join(build, "lang")
+      .select("id", "lang", "v", "total")
+      .as[(Long, String, Long, Long)].collect().toSeq.sorted
+    for (salts <- Seq(1, 3, 8)) {
+      val salted = graft.joins.Joins
+        .saltedJoin(probe, build, Seq("lang"), salts, xxhash64(col("id")))
+        .select("id", "lang", "v", "total")
+        .as[(Long, String, Long, Long)].collect().toSeq.sorted
+      assert(salted == plain, s"salts=$salts diverged")
+    }
+  }
+
   test("FIM transform: three non-empty parts that reassemble the document") {
     val docs = Queries.docs(spark, sf())
     val toks = graft.functions.TextFunctions.tokens(col("text"))
