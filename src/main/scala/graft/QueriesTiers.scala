@@ -91,6 +91,16 @@ object QueriesTiers {
     // T=2 temperature sampling plan per language (√-flattened shares)
     "tp_temperature_mix" -> ((s, dir) =>
       graft.text.Curation.temperatureMix(Queries.docs(s, dir)).orderBy("domain")),
+    // click↔view interval join (the stream-stream attribution shape) run
+    // in batch mode over the events table; StreamingSpec pins the same
+    // transform fed through two watermarked MemoryStreams ≡ this
+    "st_click_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.streaming.EventStream.clickViewPairs(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "view"))
+        .orderBy("click_id", "view_id")
+    }),
     // hot-key (5-language) totals join executed through the SALTED path:
     // probe rows salted by xxhash64(id), build side replicated 8×, join on
     // (lang, salt) — row-identical to the plain join (the oracle is the
@@ -283,6 +293,13 @@ object QueriesTiers {
     // identical SQL to gr_components: the stars rewriting must produce the
     // exact same (id, component, csize) labeling as the min-label loop
     "gr_components_stars" -> Queries.grComponentsSql,
+    "st_click_attribution" ->
+      s"""SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+         |  CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+         |FROM events c JOIN events v ON c.user_id = v.user_id
+         |  AND c.event_type = 'click' AND v.event_type = 'view'
+         |  AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 6 HOUR
+         |ORDER BY click_id, view_id""".stripMargin,
     "tc_lang_share" ->
       s"""WITH lsd AS MATERIALIZED (
          |  SELECT doc_id AS id, lang,

@@ -128,6 +128,35 @@ object EventStream {
       .toDF()
   }
 
+  /** Interval join of two event frames — every click paired with EVERY
+    * view by the same user inside the preceding `toleranceUs` window
+    * (inclusive both ends), the stream-stream attribution shape
+    * Structured Streaming supports natively: an equi-key (user) plus a
+    * bounded event-time range condition. On BATCH frames it is one
+    * shuffled equi-join with the range as a post-predicate; on STREAMING
+    * frames (callers attach `withWatermark` on both inputs first) the
+    * same plan becomes Spark's watermarked stream-stream inner join — the
+    * time bound is exactly what lets each side's buffered state be
+    * dropped once the other side's watermark passes, so state stays
+    * O(tolerance × rate), not O(stream). Inner-join matches emit as soon
+    * as both rows have arrived (no watermark wait), which is what the
+    * stream ≡ batch spec exercises.
+    *
+    * Output: (user_id, click_id, view_id, gap_us ≥ 0). */
+  def clickViewPairs(clicks: DataFrame, views: DataFrame,
+                     toleranceUs: Long = 6L * 3600L * 1000000L): DataFrame = {
+    val c = clicks.select(col("user_id"),
+      col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val v = views.select(col("user_id").as("_vu"),
+      col("event_id").as("view_id"), col("ts").as("v_ts"))
+    c.join(v,
+        col("user_id") === col("_vu") &&
+          col("v_ts") <= col("c_ts") &&
+          col("v_ts") >= col("c_ts") - expr(s"INTERVAL $toleranceUs MICROSECOND"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
   case class FeedbackEvent(memoryId: Long, signal: String, tsMicros: Long)
   case class FeedbackNet(memoryId: Long, net: Long, nEvents: Long)
 

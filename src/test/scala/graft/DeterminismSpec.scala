@@ -49,7 +49,8 @@ class DeterminismSpec extends SparkSpec {
       // round 8 tiers: packed-long Hamming TakeOrdered, histogram-cumsum
       // tercile thresholds, synchronous-LPA struct argmax + modularity sums
       "ann_bq_topk", "tc_ppl_buckets", "gr_communities", "gr_modularity",
-      "ann_tier_sweep", "gr_components_stars", "tc_lang_share")
+      "ann_tier_sweep", "gr_components_stars", "tc_lang_share",
+      "st_click_attribution")
 
   private def rowsAt(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)

@@ -248,4 +248,48 @@ class StreamingSpec extends SparkSpec {
           TextAnalysis.termSliceCounts(batch, col("source") === "a"))))
     } finally counts.stop()
   }
+
+  test("stream-stream interval join: click-view pairs == batch, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    def tm(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    // (event_id, user_id, ts); tolerance 30 min for the test
+    val tolUs = 30L * 60L * 1000000L
+    val clickRows = Seq((100L, 1L, tm(40)), (101L, 2L, tm(50)), (102L, 1L, tm(95)))
+    val viewRows = Seq(
+      (1L, 1L, tm(15)),  // 25 min before click 100 -> pair
+      (2L, 1L, tm(39)),  // 1 min before click 100 AND 56 before 102 (out)
+      (3L, 2L, tm(5)),   // 45 min before click 101 -> outside tolerance
+      (4L, 2L, tm(50)),  // same instant as click 101 -> inclusive pair
+      (5L, 1L, tm(70)))  // 25 min before click 102 -> pair
+    val cIn = MemoryStream[(Long, Long, Timestamp)]
+    val vIn = MemoryStream[(Long, Long, Timestamp)]
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "user_id", "ts").withWatermark("ts", "10 minutes")
+    val joined = EventStream.clickViewPairs(
+      shape(cIn.toDF()), shape(vIn.toDF()), tolUs)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("cv_pairs").start()
+    try {
+      // views arrive across micro-batches, clicks interleaved — inner-join
+      // matches emit as both sides arrive, no watermark wait
+      vIn.addData(viewRows.take(3): _*)
+      cIn.addData(clickRows.take(2): _*)
+      q.processAllAvailable()
+      vIn.addData(viewRows.drop(3): _*)
+      cIn.addData(clickRows.drop(2): _*)
+      q.processAllAvailable()
+      val streamRows = spark.table("cv_pairs")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = EventStream.clickViewPairs(
+        clickRows.toDF("event_id", "user_id", "ts"),
+        viewRows.toDF("event_id", "user_id", "ts"), tolUs)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamRows == batch)
+      assert(streamRows == Set(
+        (1L, 100L, 1L, 25L * 60L * 1000000L),
+        (1L, 100L, 2L, 1L * 60L * 1000000L),
+        (2L, 101L, 4L, 0L),
+        (1L, 102L, 5L, 25L * 60L * 1000000L)))
+    } finally q.stop()
+  }
 }
