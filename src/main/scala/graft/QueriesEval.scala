@@ -17,6 +17,10 @@ object QueriesEval {
     // R@5 per category through the real hybrid (vector+BM25 RRF) plan
     "ev_longmem_recall" -> ((s, dir) =>
       graft.eval.LongMemEval.recallAt5(Queries.docs(s, dir))),
+    // graded companion: chunk-level nDCG@10 per category — WHERE the gold
+    // chunks landed, not just whether the session was found
+    "ev_longmem_ndcg" -> ((s, dir) =>
+      graft.eval.LongMemEval.ndcgAt10(Queries.docs(s, dir))),
     // unigram-LM (SentencePiece-style) tokenizer training, Kudo '18:
     // sign: Viterbi hard-EM in integer micro-nat costs, 2 unrolled rounds
     "tk_unigram_vocab" -> ((s, dir) =>
@@ -36,14 +40,16 @@ object QueriesEval {
         vocab = Some(graft.text.Unigram.loadVocab(s, path)))
     }))
 
-  private def longMemSql: String = {
+  /** Shared core of the LongMemEval oracles: sessions/chunks/questions →
+    * hybrid RRF → per-question chunk ranks (lmch, lmq, lcr in scope). */
+  private def longMemCoreCtes: String = {
     val w = HybridSearch.Weights.resolve(0.7, 0.0, 0.0, 0.0)
     val k = graft.eval.LongMemEval.RetrievalK
     val over = 3 * k
     val nb = graft.eval.LongMemEval.NumBuckets
     val sm = graft.eval.LongMemEval.SampleMod
     val t = OracleText.toks("text")
-    s"""WITH lmd AS MATERIALIZED (SELECT doc_id AS id, $t AS t FROM documents),
+    s"""lmd AS MATERIALIZED (SELECT doc_id AS id, $t AS t FROM documents),
        |lmch AS MATERIALIZED (
        |  SELECT d.id * 2 + c.c AS id, d.id AS session, d.id % $nb AS bucket,
        |    array_to_string(CASE WHEN c.c = 0 THEN d.t[1:(len(d.t) + 1) // 2]
@@ -86,8 +92,13 @@ object QueriesEval {
        |lfu AS MATERIALIZED (
        |  SELECT qid, id, sum(c) AS rrf
        |  FROM (SELECT * FROM lvc UNION ALL SELECT * FROM lbc) GROUP BY 1, 2),
-       |lcr AS (SELECT qid, id,
-       |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS crn FROM lfu),
+       |lcr AS MATERIALIZED (SELECT qid, id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS crn FROM lfu)""".stripMargin
+  }
+
+  private def longMemSql: String = {
+    val k = graft.eval.LongMemEval.RetrievalK
+    s"""WITH $longMemCoreCtes,
        |lsr AS (SELECT qid, id // 2 AS session, min(crn) AS srn
        |  FROM lcr WHERE crn <= $k GROUP BY 1, 2),
        |lsk AS (SELECT qid, session,
@@ -106,8 +117,33 @@ object QueriesEval {
        |ORDER BY category""".stripMargin
   }
 
+  private def longMemNdcgSql: String = {
+    val k = 10
+    val disc = (r: String) => s"CAST(round(1e6 / log2($r + 1), 0) AS BIGINT)"
+    s"""WITH $longMemCoreCtes,
+       |lgn AS (SELECT session, CAST(count(*) AS BIGINT) AS ng FROM lmch GROUP BY 1),
+       |ldc AS (
+       |  SELECT qid, CAST(sum(${disc("crn")}) AS BIGINT) AS dcg_micro
+       |  FROM lcr WHERE crn <= $k AND id // 2 = qid GROUP BY 1),
+       |lnq AS MATERIALIZED (
+       |  SELECT q.qid, q.category,
+       |    CAST(round(1e6 * CAST(coalesce(d.dcg_micro, 0) AS DOUBLE) /
+       |      CAST(list_sum(list_transform(range(1, least(g.ng, $k) + 1),
+       |        i -> ${disc("i")})) AS BIGINT), 0) AS BIGINT) AS ndcg_micro
+       |  FROM lmq q JOIN lgn g ON g.session = q.qid
+       |  LEFT JOIN ldc d ON d.qid = q.qid)
+       |SELECT category, CAST(count(*) AS BIGINT) AS n_questions,
+       |  round(CAST(sum(ndcg_micro) AS DOUBLE) / count(*) / 1e6, 6) AS ndcg_at_10
+       |FROM lnq GROUP BY category
+       |UNION ALL
+       |SELECT 'overall', CAST(count(*) AS BIGINT),
+       |  round(CAST(sum(ndcg_micro) AS DOUBLE) / count(*) / 1e6, 6) FROM lnq
+       |ORDER BY category""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "ev_longmem_recall" -> longMemSql,
+    "ev_longmem_ndcg" -> longMemNdcgSql,
     "tk_unigram_vocab" ->
       s"""WITH ${OracleText.unigramCtes()}
          |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT) AS rank,

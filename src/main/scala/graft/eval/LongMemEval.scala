@@ -215,4 +215,47 @@ object LongMemEval {
         col("recall_any_at_5"))
     byCat.unionAll(overall).orderBy("category")
   }
+
+  /** Chunk-level nDCG@`k` per question category (+ overall) — the graded
+    * companion to [[recallAt5]]: where recall-any asks "was the gold
+    * session found at all", nDCG scores WHERE its chunks landed, with the
+    * standard 1/log2(rank+1) discount (Järvelin-Kekäläinen '02, public).
+    * Gains are 1 for each chunk of the question's own session, so
+    * IDCG = Σ_{i≤min(nGoldChunks,k)} 1/log2(i+1) and a question with both
+    * gold chunks at ranks 1–2 scores exactly 1.0.
+    *
+    * Determinism contract: every discount is rounded to integer
+    * micro-units BEFORE any sum (the unigramNll ln discipline — log2 is
+    * the only transcendental and it is 6dp-hardened on both sides), each
+    * question's nDCG becomes one mirrored micro-unit division, and the
+    * category average is an order-free BIGINT sum. */
+  def ndcgAt10(docs: DataFrame, k: Int = 10): DataFrame = {
+    val qs = questions(docs).localCheckpoint(true)
+    val mem = seededMemories(docs).localCheckpoint(true)
+    val res = batchResultsFrom(mem, qs)
+    val discMicro = (r: Column) =>
+      round(lit(1e6) / log2(r.cast("double") + 1), 0).cast("long")
+    val dcg = res.filter(col("crn") <= k && col("session") === col("qid"))
+      .groupBy("qid").agg(sum(discMicro(col("crn"))).as("dcg_micro"))
+    val gn = mem.groupBy("session").agg(count(lit(1)).as("ng"))
+    val perQ = qs.join(gn.withColumnRenamed("session", "qid"), "qid")
+      .withColumn("idcg_micro",
+        aggregate(sequence(lit(1), least(col("ng"), lit(k.toLong)).cast("int")),
+          lit(0L), (acc, i) => acc + discMicro(i)))
+      .join(dcg, Seq("qid"), "left")
+      .select(col("qid"), col("category"),
+        round(lit(1e6) * coalesce(col("dcg_micro"), lit(0L)).cast("double")
+          / col("idcg_micro"), 0).cast("long").as("ndcg_micro"))
+    val byCat = perQ.groupBy("category")
+      .agg(count(lit(1)).as("n_questions"),
+        round(sum("ndcg_micro").cast("double") / count(lit(1)) / 1e6, 6)
+          .as("ndcg_at_10"))
+    val overall = perQ.groupBy()
+      .agg(count(lit(1)).as("n_questions"),
+        round(sum("ndcg_micro").cast("double") / count(lit(1)) / 1e6, 6)
+          .as("ndcg_at_10"))
+      .select(lit("overall").as("category"), col("n_questions"),
+        col("ndcg_at_10"))
+    byCat.unionAll(overall).orderBy("category")
+  }
 }

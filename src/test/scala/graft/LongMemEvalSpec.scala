@@ -79,4 +79,33 @@ class LongMemEvalSpec extends SparkSpec {
       assert(batch(qid) == real, s"qid=$qid batch=${batch(qid)} real=$real")
     }
   }
+
+  test("ndcg@10 equals a driver-side recomputation from the ranked results") {
+    val docs = Queries.docs(spark, sf())
+    val res = LongMemEval.batchResults(docs)
+      .select("qid", "session", "crn").as[(Long, Long, Int)].collect()
+    val ng = LongMemEval.seededMemories(docs)
+      .groupBy("session").count().as[(Long, Long)].collect().toMap
+    val qs = LongMemEval.questions(docs)
+      .select("qid", "category").as[(Long, String)].collect()
+    def disc(r: Long): Long =
+      math.round(1e6 / (math.log(r + 1.0) / math.log(2.0)))
+    val ndcgMicro = qs.map { case (qid, cat) =>
+      val dcg = res.collect {
+        case (q, s, crn) if q == qid && s == qid && crn <= 10 => disc(crn.toLong)
+      }.sum
+      val idcg = (1L to math.min(ng(qid), 10L)).map(disc).sum
+      (cat, math.round(1e6 * dcg.toDouble / idcg))
+    }
+    val expected = (ndcgMicro.groupBy(_._1).view.mapValues(v =>
+      (v.size.toLong, BigDecimal(v.map(_._2).sum.toDouble / v.size / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+      + ("overall" -> ((ndcgMicro.size.toLong,
+        BigDecimal(ndcgMicro.map(_._2).sum.toDouble / ndcgMicro.size / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))))
+    val got = LongMemEval.ndcgAt10(docs)
+      .as[(String, Long, Double)].collect()
+      .map { case (c, n, v) => c -> ((n, v)) }.toMap
+    assert(got == expected)
+  }
 }
