@@ -131,6 +131,10 @@ object QueriesTiers {
     "gr_components_stars" -> ((s, dir) =>
       GraphSearch.components(Corpus.memories(s, dir),
         graft.dedup.Clusters.connectedComponentsStars(_)).orderBy("id")),
+    // per-node clustering coefficient over the similarity graph — which
+    // near-dup neighborhoods are clique-like, node by node
+    "gr_local_clustering" -> ((s, dir) =>
+      GraphSearch.localClustering(dupPairs(s, dir)).orderBy("id")),
     // deterministic label-propagation communities of the similarity graph
     "gr_communities" -> ((s, dir) =>
       GraphSearch.labelPropagation(dupPairs(s, dir), rounds = LpaRounds)
@@ -357,6 +361,33 @@ object QueriesTiers {
     "gr_communities" ->
       s"""WITH $lpaHead
          |SELECT v AS id, lab AS community FROM lp$LpaRounds ORDER BY id""".stripMargin,
+    "gr_local_clustering" ->
+      s"""WITH ${OracleCtes.memories},
+         |${OracleText.dupPairsCte(0.35)},
+         |lcu AS MATERIALIZED (
+         |  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+         |  FROM pr WHERE id_a <> id_b),
+         |lcd AS MATERIALIZED (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS v FROM lcu UNION ALL SELECT b FROM lcu) GROUP BY 1),
+         |lco AS MATERIALIZED (
+         |  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS lo,
+         |         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS hi
+         |  FROM (SELECT e.a, e.b, dj.deg AS da, dk.deg AS db
+         |        FROM lcu e JOIN lcd dj ON dj.v = e.a JOIN lcd dk ON dk.v = e.b)),
+         |lct AS MATERIALIZED (
+         |  SELECT w1.lo, w1.hi AS h1, w2.hi AS h2
+         |  FROM lco w1 JOIN lco w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+         |  JOIN lcu e ON w1.hi = e.a AND w2.hi = e.b),
+         |lcn AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT lo AS v FROM lct UNION ALL SELECT h1 FROM lct
+         |    UNION ALL SELECT h2 FROM lct) GROUP BY 1)
+         |SELECT d.v AS id, d.deg, CAST(coalesce(n.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CASE WHEN d.deg >= 2
+         |       THEN round(2.0 * coalesce(n.n_tri, 0) / (d.deg * (d.deg - 1)), 6)
+         |       ELSE 0.0 END AS lcc
+         |FROM lcd d LEFT JOIN lcn n ON n.v = d.v ORDER BY id""".stripMargin,
     "gr_modularity" ->
       s"""WITH $lpaHead,
          |lmd AS (

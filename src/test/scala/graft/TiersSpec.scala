@@ -87,6 +87,29 @@ class TiersSpec extends SparkSpec {
     assert(bins("head").size >= (n + 2) / 3)
   }
 
+  test("local clustering: hand values on the two-triangle bridge fixture") {
+    val lcc = GraphSearch.localClustering(twoTriangles)
+      .select("id", "deg", "n_tri", "lcc")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // nodes 1,2,5,6: deg 2, 1 triangle -> lcc 1.0
+    // nodes 3,4: deg 3 (triangle + bridge), 1 triangle -> 2/(3*2) = 0.333333
+    assert(lcc(1L) == ((2L, 1L, 1.0)) && lcc(2L) == ((2L, 1L, 1.0)))
+    assert(lcc(5L) == ((2L, 1L, 1.0)) && lcc(6L) == ((2L, 1L, 1.0)))
+    assert(lcc(3L) == ((3L, 1L, 0.333333)) && lcc(4L) == ((3L, 1L, 0.333333)))
+  }
+
+  test("local clustering sums to 3x the global triangle census") {
+    val pairs = graft.dedup.Dedup
+      .findDuplicates(Corpus.memories(spark, sf()), threshold = 0.35)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val perNode = GraphSearch.localClustering(pairs)
+      .agg(sum("n_tri")).as[Long].collect().head
+    val global = GraphSearch.triangleCensus(pairs)
+      .select("n_triangles").as[Long].collect().head
+    assert(perNode == 3 * global)
+  }
+
   test("salted join is row-identical to the plain equi-join") {
     val probe = Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "de", 5L),
       (4L, "en", 7L), (5L, "fr", 3L)).toDF("id", "lang", "v")
