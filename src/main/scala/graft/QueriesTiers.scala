@@ -131,6 +131,12 @@ object QueriesTiers {
     "gr_components_stars" -> ((s, dir) =>
       GraphSearch.components(Corpus.memories(s, dir),
         graft.dedup.Clusters.connectedComponentsStars(_)).orderBy("id")),
+    // MMR diversity re-ranking: greedy λ·rel − μ·maxSim selection over
+    // the 20-candidate vector pool — the de-redundancy step between
+    // retrieval and a context window
+    "r16_mmr_rerank" -> ((s, dir) =>
+      graft.search.Mmr.rerank(Corpus.memories(s, dir),
+        Queries.queryVec(s, dir), n = 5, candidates = 20)),
     // per-node clustering coefficient over the similarity graph — which
     // near-dup neighborhoods are clique-like, node by node
     "gr_local_clustering" -> ((s, dir) =>
@@ -361,6 +367,45 @@ object QueriesTiers {
     "gr_communities" ->
       s"""WITH $lpaHead
          |SELECT v AS id, lab AS community FROM lp$LpaRounds ORDER BY id""".stripMargin,
+    "r16_mmr_rerank" -> {
+      // fixed unrolling of the 5-step greedy chain; penalty = correlated
+      // max over the already-selected prefix, scores 6dp-rounded BEFORE
+      // the (mmr desc, id) argmax exactly like the driver-side greedy
+      def step(k: Int) =
+        s"""ms$k AS (
+           |  SELECT c.id, c.rel, round(0.7 * c.rel - 0.3 *
+           |      (SELECT max(p.s) FROM mps p JOIN mp${k - 1} w ON p.ib = w.id
+           |       WHERE p.ia = c.id), 6) AS mmr
+           |  FROM mcand c WHERE c.id NOT IN (SELECT id FROM mp${k - 1})
+           |  ORDER BY mmr DESC, c.id LIMIT 1),
+           |mp$k AS (SELECT id FROM mp${k - 1} UNION ALL SELECT id FROM ms$k)""".stripMargin
+      s"""WITH ${OracleCtes.memories},
+         |mq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |mcand AS MATERIALIZED (
+         |  SELECT m.id, round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) AS rel
+         |  FROM memories m CROSS JOIN mq q WHERE NOT m.archived
+         |  ORDER BY rel DESC, id LIMIT 20),
+         |mce AS MATERIALIZED (
+         |  SELECT c.id, m.embedding FROM mcand c JOIN memories m USING (id)),
+         |mps AS MATERIALIZED (
+         |  SELECT a.id AS ia, b.id AS ib,
+         |    round(${OracleCtes.dot64("a.embedding", "b.embedding")}, 6) AS s
+         |  FROM mce a JOIN mce b ON a.id <> b.id),
+         |ms1 AS (SELECT id, rel, round(0.7 * rel, 6) AS mmr
+         |  FROM mcand ORDER BY rel DESC, id LIMIT 1),
+         |mp1 AS (SELECT id FROM ms1),
+         |${step(2)},
+         |${step(3)},
+         |${step(4)},
+         |${step(5)}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS INTEGER) AS rank, id, rel, mmr FROM ms1
+         |  UNION ALL SELECT 2, id, rel, mmr FROM ms2
+         |  UNION ALL SELECT 3, id, rel, mmr FROM ms3
+         |  UNION ALL SELECT 4, id, rel, mmr FROM ms4
+         |  UNION ALL SELECT 5, id, rel, mmr FROM ms5)
+         |ORDER BY rank""".stripMargin
+    },
     "gr_local_clustering" ->
       s"""WITH ${OracleCtes.memories},
          |${OracleText.dupPairsCte(0.35)},

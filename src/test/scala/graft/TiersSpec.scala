@@ -110,6 +110,26 @@ class TiersSpec extends SparkSpec {
     assert(perNode == 3 * global)
   }
 
+  test("MMR rerank: top-1 = relevance top-1, pool-bounded, scores non-increasing") {
+    val mem = Corpus.memories(spark, sf())
+    val qv = Queries.queryVec(spark, sf())
+    val out = graft.search.Mmr.rerank(mem, qv, n = 5, candidates = 20)
+      .orderBy("rank").as[(Int, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == (1 to 5))
+    val pool = VectorSearch.topK(mem, qv, k = 20).select("id")
+      .as[Long].collect().toSet
+    assert(out.map(_._2).toSet.subsetOf(pool) && out.map(_._2).distinct.size == 5)
+    // the first pick IS the relevance argmax, scored without penalty
+    val top1 = VectorSearch.topK(mem, qv, k = 1)
+      .select("id", "sim").as[(Long, Double)].collect().head
+    assert(out.head._2 == top1._1)
+    assert(out.head._4 ==
+      BigDecimal(0.7 * top1._2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // each round maximizes over a shrinking set with growing penalties, so
+    // the greedy score sequence cannot increase
+    assert(out.map(_._4).sliding(2).forall(p => p.head >= p.last))
+  }
+
   test("salted join is row-identical to the plain equi-join") {
     val probe = Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "de", 5L),
       (4L, "en", 7L), (5L, "fr", 3L)).toDF("id", "lang", "v")
