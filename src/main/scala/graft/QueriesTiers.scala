@@ -131,6 +131,20 @@ object QueriesTiers {
     "gr_components_stars" -> ((s, dir) =>
       GraphSearch.components(Corpus.memories(s, dir),
         graft.dedup.Clusters.connectedComponentsStars(_)).orderBy("id")),
+    // snapshot diff: added/removed/changed classification between two
+    // corpus states — the audit between snapshots that a rollback or an
+    // incremental re-embed reads. "after" applies a deterministic edit
+    // set (rev2 texts on id%7=0, deletions of id%13=5, re-idded adds)
+    "s10_snapshot_diff" -> ((s, dir) => {
+      val mem = Corpus.memories(s, dir)
+        .select(col("id"), col("text"), col("source"), col("archived"))
+      val after = mem.filter(pmod(col("id"), lit(13)) =!= 5)
+        .withColumn("text", when(pmod(col("id"), lit(7)) === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        .unionByName(mem.filter(pmod(col("id"), lit(31)) === 0)
+          .withColumn("id", col("id") + 1000000L))
+      graft.sources.Store.diff(mem, after).orderBy("id")
+    }),
     // MMR diversity re-ranking: greedy λ·rel − μ·maxSim selection over
     // the 20-candidate vector pool — the de-redundancy step between
     // retrieval and a context window
@@ -367,6 +381,25 @@ object QueriesTiers {
     "gr_communities" ->
       s"""WITH $lpaHead
          |SELECT v AS id, lab AS community FROM lp$LpaRounds ORDER BY id""".stripMargin,
+    "s10_snapshot_diff" ->
+      s"""WITH ${OracleCtes.memories},
+         |sbef AS MATERIALIZED (SELECT id, text, source, archived FROM memories),
+         |saft AS MATERIALIZED (
+         |  SELECT id,
+         |    CASE WHEN id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+         |    source, archived
+         |  FROM sbef WHERE id % 13 <> 5
+         |  UNION ALL
+         |  SELECT id + 1000000, text, source, archived
+         |  FROM sbef WHERE id % 31 = 0)
+         |SELECT * FROM (
+         |  SELECT coalesce(b.id, a.id) AS id,
+         |    CASE WHEN b.id IS NULL THEN 'added'
+         |         WHEN a.id IS NULL THEN 'removed'
+         |         WHEN b.text <> a.text OR b.source <> a.source
+         |           OR b.archived <> a.archived THEN 'changed' END AS change
+         |  FROM sbef b FULL OUTER JOIN saft a ON b.id = a.id)
+         |WHERE change IS NOT NULL ORDER BY id""".stripMargin,
     "r16_mmr_rerank" -> {
       // fixed unrolling of the 5-step greedy chain; penalty = correlated
       // max over the already-selected prefix, scores 6dp-rounded BEFORE

@@ -3,6 +3,7 @@ package graft.sources
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** S1/S2/S7: table persistence, atomic swap, and snapshot retention
   * (reference memory_engine.py:2643-2697 save/load + integrity check;
@@ -100,6 +101,24 @@ object Store {
       .drop(keep)
     old.foreach(p => deleteRecursive(p.toString))
     dest
+  }
+
+  /** Snapshot diff: classify every row as added / removed / changed
+    * between two corpus states keyed by `idCol`, comparing the `cols`
+    * projection (unchanged rows are excluded). The audit step between two
+    * [[snapshot]]s — what a rollback decision or an incremental re-embed
+    * reads. One full-outer hash join on id, struct equality for the
+    * change test — no windows, no driver data, any corpus size. */
+  def diff(before: DataFrame, after: DataFrame, idCol: String = "id",
+           cols: Seq[String] = Seq("text", "source", "archived")): DataFrame = {
+    val b = before.select(col(idCol).as("id"), struct(cols.map(col): _*).as("_b"))
+    val a = after.select(col(idCol).as("id"), struct(cols.map(col): _*).as("_a"))
+    b.join(a, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("_b").isNull, lit("added"))
+          .when(col("_a").isNull, lit("removed"))
+          .when(col("_b") =!= col("_a"), lit("changed")).as("change"))
+      .filter(col("change").isNotNull)
   }
 
   def listSnapshots(backupDir: String, prefix: String): Seq[String] = {

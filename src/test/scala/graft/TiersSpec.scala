@@ -110,6 +110,16 @@ class TiersSpec extends SparkSpec {
     assert(perNode == 3 * global)
   }
 
+  test("snapshot diff classifies added/removed/changed and drops unchanged") {
+    val before = Seq((1L, "a", "s", false), (2L, "b", "s", false),
+      (3L, "c", "s", false)).toDF("id", "text", "source", "archived")
+    val after = Seq((1L, "a", "s", false), (2L, "B", "s", false),
+      (4L, "d", "s", false)).toDF("id", "text", "source", "archived")
+    val got = graft.sources.Store.diff(before, after)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("MMR rerank: top-1 = relevance top-1, pool-bounded, scores non-increasing") {
     val mem = Corpus.memories(spark, sf())
     val qv = Queries.queryVec(spark, sf())
