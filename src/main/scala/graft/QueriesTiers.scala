@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ann.{BinaryQuant, Pq, Quantize}
+import graft.ann.{Ann, BinaryQuant, Pq, Quantize}
 import graft.core.{Corpus, OracleCtes, OracleText, Tables}
 import graft.search.{GraphSearch, VectorSearch}
 import graft.text.TextAnalysis
@@ -131,6 +131,36 @@ object QueriesTiers {
     "gr_components_stars" -> ((s, dir) =>
       GraphSearch.components(Corpus.memories(s, dir),
         graft.dedup.Clusters.connectedComponentsStars(_)).orderBy("id")),
+    // IVF × binary composition: cell pruning, then the 16-byte Hamming
+    // pre-filter on the pool, then exact re-rank — the maximal-compression
+    // serving path on the tier-sweep curve
+    "ann_ivfbq_topk" -> ((s, dir) => {
+      val cent = Ann.centroidsByLabel(Tables.embeddings(s, dir))
+      Ann.ivfBqTopK(Ann.assign(Corpus.memories(s, dir), cent), cent,
+        Queries.queryVec(s, dir), k = 10, nprobe = 2, candidates = 50)
+    }),
+    // packing-efficiency table: packed (concat-and-chunk) vs padded
+    // (one-doc-per-sequence) fill rates at three context lengths — the
+    // decision table that justifies the packing stage's existence
+    "tp_pack_efficiency" -> ((s, dir) => {
+      val (_, bpe) = TextAnalysis.tokenCounts(col("text"))
+      val toks = Queries.docs(s, dir)
+        .select(bpe.cast("long").as("n")).filter(col("n") > 0)
+        .localCheckpoint(true)
+      Seq(128, 512, 2048).map { l =>
+        toks.agg(
+            count(lit(1)).as("n_docs"),
+            sum("n").as("total_tokens"),
+            expr(s"CAST((sum(n) + ${l - 1}) div $l AS BIGINT)").as("packed_seqs"),
+            sum(expr(s"(n + ${l - 1}) div $l")).as("padded_seqs"))
+          .select(lit(l).cast("int").as("seq_len"), col("n_docs"),
+            col("total_tokens"), col("packed_seqs"), col("padded_seqs"),
+            round(col("total_tokens").cast("double") / (col("packed_seqs") * l), 6)
+              .as("packed_fill"),
+            round(col("total_tokens").cast("double") / (col("padded_seqs") * l), 6)
+              .as("padded_fill"))
+      }.reduce(_ unionAll _).orderBy("seq_len")
+    }),
     // snapshot diff: added/removed/changed classification between two
     // corpus states — the audit between snapshots that a rollback or an
     // incremental re-embed reads. "after" applies a deterministic edit
@@ -381,6 +411,39 @@ object QueriesTiers {
     "gr_communities" ->
       s"""WITH $lpaHead
          |SELECT v AS id, lab AS community FROM lp$LpaRounds ORDER BY id""".stripMargin,
+    "ann_ivfbq_topk" ->
+      s"""WITH ${OracleCtes.memories},
+         |${Queries.ivfCtes},
+         |bqpool AS MATERIALIZED (
+         |  SELECT m.id, a.ivf_cell, m.embedding
+         |  FROM memories m JOIN asg a ON m.id = a.id
+         |  JOIN probe p ON a.ivf_cell = p.label),
+         |bqph AS MATERIALIZED (
+         |  SELECT o.id, CAST(len(list_filter(range(1, 65), i ->
+         |    (CAST(o.embedding[i] AS DOUBLE) > 0) <> (CAST(q.qv[i] AS DOUBLE) > 0))) AS INTEGER) AS hamming
+         |  FROM bqpool o CROSS JOIN $bqQ q),
+         |bqpc AS (SELECT id, hamming FROM bqph ORDER BY hamming, id LIMIT 50)
+         |SELECT o.id, o.ivf_cell, c.hamming,
+         |  round(${OracleCtes.dot64("o.embedding", "q.qv")}, 6) AS sim
+         |FROM bqpool o JOIN bqpc c USING (id) CROSS JOIN $bqQ q
+         |ORDER BY sim DESC, o.id LIMIT 10""".stripMargin,
+    "tp_pack_efficiency" -> {
+      def arm(l: Int) =
+        s"""(SELECT CAST($l AS INTEGER) AS seq_len,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n) AS BIGINT) AS total_tokens,
+           |  CAST((sum(n) + ${l - 1}) // $l AS BIGINT) AS packed_seqs,
+           |  CAST(sum((n + ${l - 1}) // $l) AS BIGINT) AS padded_seqs,
+           |  round(CAST(sum(n) AS DOUBLE) / (((sum(n) + ${l - 1}) // $l) * $l), 6) AS packed_fill,
+           |  round(CAST(sum(n) AS DOUBLE) / (sum((n + ${l - 1}) // $l) * $l), 6) AS padded_fill
+           |  FROM pet)""".stripMargin
+      s"""WITH pet AS MATERIALIZED (
+         |  SELECT CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n
+         |  FROM documents
+         |  WHERE len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) > 0)
+         |SELECT * FROM (${arm(128)} UNION ALL ${arm(512)} UNION ALL ${arm(2048)})
+         |ORDER BY seq_len""".stripMargin
+    },
     "s10_snapshot_diff" ->
       s"""WITH ${OracleCtes.memories},
          |sbef AS MATERIALIZED (SELECT id, text, source, archived FROM memories),

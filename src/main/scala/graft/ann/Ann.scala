@@ -86,4 +86,25 @@ object Ann {
       .orderBy(desc("sim"), asc("id"))
       .limit(k)
   }
+
+  /** IVF × binary — the maximal-compression composition: IVF prunes to
+    * nprobe/nlist of the rows, the 16-byte sign codes Hamming-rank the
+    * pruned pool (two XOR+popcounts per row, no array traffic), and only
+    * `candidates` full vectors are read for the exact re-rank. Sits next
+    * to [[ivfSq8TopK]] (72 B) and the residual IVF-PQ (8 B) as the 16 B
+    * point on the ann_tier_sweep curve, with binary's unique property
+    * that the code sidecar needs no training artifact at all. */
+  def ivfBqTopK(assigned: DataFrame, centroids: DataFrame, queryVec: Seq[Float],
+                k: Int, nprobe: Int = 2, candidates: Int = 50): DataFrame = {
+    val pool = assigned.join(broadcast(probeCells(centroids, queryVec, nprobe)), "ivf_cell")
+    val (q0, q1) = BinaryQuant.packQuery(queryVec)
+    val cand = BinaryQuant.encode(pool)
+      .select(col("id"), BinaryQuant.hamming(q0, q1).as("hamming"))
+      .orderBy(asc("hamming"), asc("id")).limit(candidates)
+    pool.join(cand, "id")
+      .select(col("id"), col("ivf_cell"), col("hamming"),
+        roundScore(dot(col("embedding"), typedLit(queryVec))).as("sim"))
+      .orderBy(desc("sim"), asc("id"))
+      .limit(k)
+  }
 }
