@@ -139,6 +139,17 @@ object QueriesTiers {
       Ann.ivfBqTopK(Ann.assign(Corpus.memories(s, dir), cent), cent,
         Queries.queryVec(s, dir), k = 10, nprobe = 2, candidates = 50)
     }),
+    // batched multi-query IVF: 3 query vectors served by ONE probed scan —
+    // the amortization a neighbor-mining pipeline runs
+    "ann_ivf_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = Ann.centroidsByLabel(emb)
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Ann.ivfBatchTopK(Ann.assign(Corpus.memories(s, dir), cent), cent, qs,
+          k = 10, nprobe = 2)
+        .orderBy("qid", "rank")
+    }),
     // packing-efficiency table: packed (concat-and-chunk) vs padded
     // (one-doc-per-sequence) fill rates at three context lengths — the
     // decision table that justifies the packing stage's existence
@@ -411,6 +422,33 @@ object QueriesTiers {
     "gr_communities" ->
       s"""WITH $lpaHead
          |SELECT v AS id, lab AS community FROM lp$LpaRounds ORDER BY id""".stripMargin,
+    "ann_ivf_batch" -> {
+      def qv(v: Int) =
+        s"(SELECT embedding AS qv FROM embeddings WHERE vec_id = $v)"
+      def probe(v: Int) =
+        s"""abp$v AS (
+           |  SELECT label FROM (
+           |    SELECT c.label, row_number() OVER (ORDER BY
+           |      list_sum(list_transform(range(1, 65), i -> c.centroid[i] * CAST(q.qv[i] AS DOUBLE))) DESC,
+           |      c.label) AS rn
+           |    FROM cent c, ${qv(v)} q)
+           |  WHERE rn <= 2)""".stripMargin
+      def arm(v: Int) =
+        s"""(SELECT CAST($v AS BIGINT) AS qid, CAST(rn AS INTEGER) AS rank, id, ivf_cell, sim
+           |  FROM (
+           |    SELECT m.id, a.ivf_cell,
+           |      round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) AS sim,
+           |      row_number() OVER (ORDER BY
+           |        round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id) AS rn
+           |    FROM memories m JOIN asg a ON m.id = a.id
+           |    JOIN abp$v p ON a.ivf_cell = p.label CROSS JOIN ${qv(v)} q)
+           |  WHERE rn <= 10)""".stripMargin
+      s"""WITH ${OracleCtes.memories},
+         |${Queries.ivfCtes},
+         |${probe(0)}, ${probe(1)}, ${probe(2)}
+         |SELECT * FROM (${arm(0)} UNION ALL ${arm(1)} UNION ALL ${arm(2)})
+         |ORDER BY qid, rank""".stripMargin
+    },
     "ann_ivfbq_topk" ->
       s"""WITH ${OracleCtes.memories},
          |${Queries.ivfCtes},

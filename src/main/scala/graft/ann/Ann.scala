@@ -107,4 +107,33 @@ object Ann {
       .orderBy(desc("sim"), asc("id"))
       .limit(k)
   }
+
+  /** Batched multi-query IVF serving: N query vectors answered by ONE
+    * probed scan instead of N sequential jobs — the amortization that
+    * matters when a training pipeline mines neighbors for a whole batch
+    * at once. `queries` is (qid, qv); the per-query probe table is a
+    * bounded (|queries| × ≤ MaxNlist) cross ranked per qid, broadcast
+    * against the assignments so each corpus row is read once and scored
+    * only for the queries probing its cell. Per-qid ranking is a window
+    * over the probed pool (bounded by the probed cells' mass per query,
+    * the LongMemEval branch-bounded window discipline).
+    * Output: (qid, rank, id, ivf_cell, sim). */
+  def ivfBatchTopK(assigned: DataFrame, centroids: DataFrame,
+                   queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pw = Window.partitionBy("qid").orderBy(desc("_cs"), asc("label"))
+    val probes = queries.crossJoin(centroids)
+      .select(col("qid"), col("qv"), col("label"),
+        dot(col("centroid"), col("qv")).as("_cs"))
+      .withColumn("_rn", row_number().over(pw))
+      .filter(col("_rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("label").as("ivf_cell"))
+    val rw = Window.partitionBy("qid").orderBy(desc("sim"), asc("id"))
+    assigned.join(broadcast(probes), "ivf_cell")
+      .select(col("qid"), col("id"), col("ivf_cell"),
+        roundScore(dot(col("embedding"), col("qv"))).as("sim"))
+      .withColumn("rank", row_number().over(rw).cast("int"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "id", "ivf_cell", "sim")
+  }
 }

@@ -51,7 +51,7 @@ class DeterminismSpec extends SparkSpec {
       "ann_bq_topk", "tc_ppl_buckets", "gr_communities", "gr_modularity",
       "ann_tier_sweep", "gr_components_stars", "tc_lang_share",
       "st_click_attribution", "gr_local_clustering", "s10_snapshot_diff",
-      "ann_ivfbq_topk", "tp_pack_efficiency")
+      "ann_ivfbq_topk", "tp_pack_efficiency", "ann_ivf_batch")
 
   private def rowsAt(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)

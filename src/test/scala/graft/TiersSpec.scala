@@ -110,6 +110,24 @@ class TiersSpec extends SparkSpec {
     assert(perNode == 3 * global)
   }
 
+  test("batched IVF equals the single-query path for every query vector") {
+    val emb = graft.core.Tables.embeddings(spark, sf())
+    val cent = graft.ann.Ann.centroidsByLabel(emb)
+    val assigned = graft.ann.Ann
+      .assign(Corpus.memories(spark, sf()), cent).localCheckpoint(true)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = graft.ann.Ann.ivfBatchTopK(assigned, cent, qs, k = 10, nprobe = 2)
+      .select("qid", "id", "sim").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSeq).toMap
+    for (v <- 0L until 3L) {
+      val single = graft.ann.Ann.ivfTopK(assigned, cent,
+          Queries.queryVec(spark, sf(), vecId = v), k = 10, nprobe = 2)
+        .select("id", "sim").as[(Long, Double)].collect().toSeq
+      assert(batch(v) == single, s"vec $v diverged")
+    }
+  }
+
   test("snapshot diff classifies added/removed/changed and drops unchanged") {
     val before = Seq((1L, "a", "s", false), (2L, "b", "s", false),
       (3L, "c", "s", false)).toDF("id", "text", "source", "archived")
