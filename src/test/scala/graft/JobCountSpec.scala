@@ -87,7 +87,12 @@ class JobCountSpec extends SparkSpec {
     // alternating-stars CC (measured 97 in-suite at sf0.001): the rewrite
     // rounds on the fixture link graph, 2 checkpoints + 1 signature agg
     // each — a per-round job regression multiplies by the round count
-    "gr_components_stars" -> 112
+    "gr_components_stars" -> 112,
+    // round-8 ANN compositions (measured in-suite at sf0.001: 14 / 15):
+    // ivfbq = centroid fetch + probe + packed Hamming + rerank;
+    // ivf_batch = per-qid probe ranking + one probed scan for 3 queries
+    "ann_ivfbq_topk" -> 17,
+    "ann_ivf_batch" -> 18
   )
 
   private val counter = new AtomicInteger(0)
