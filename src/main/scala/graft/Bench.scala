@@ -28,6 +28,30 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  // JIT sink for the calibration kernel: volatile write defeats dead-code
+  // elimination without perturbing the timing
+  @volatile private var calSink: Long = 0L
+
+  /** Contention calibration: wall-time (ms) of a fixed single-threaded
+    * pure-CPU kernel (10^8 xorshift64 steps, no allocation, no I/O). On an
+    * idle box this is a machine constant (~±5%); on a loaded box the OS
+    * scheduler stretches it in direct proportion to contention. Emitted at
+    * run start AND end (`cal_start_ms`/`cal_end_ms`) so any reader of the
+    * bench artifact can detect a contaminated run from the artifact itself
+    * — the driver's r6/r8 numbers inflated 2-4x from machine load and
+    * nothing in the line recorded it. */
+  private[graft] def calibrate(): Long = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 100000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    calSink = x
+    (System.nanoTime() - t0) / 1000000L
+  }
+
   /** One representative per operator family; the graph/hybrid/dedup/ANN/
     * curation heavyweights are all present — this is the perf signal set.
     * BenchSpec pins every name to the registry and the emitted line to the
@@ -48,11 +72,19 @@ object Bench {
     // ann_sq8_topk dropped from the line (2000-char window budget): SQ8 is
     // still timed through the ann_ivfsq8_topk composition
     "ann_ivf_topk", "ann_ivf_indexed", "ann_lsh_brp_pairs", "ann_ivfsq8_topk",
+    // round-9 budget swap (funding value_min/anchor_total_min/cal_* on the
+    // line): sk_cms_heavy_terms (0.6 s sketch scan) and tc_c4_filters
+    // (0.5 s map-only filter) — the two cheapest non-anchor entries, both
+    // still oracle-gated in the correctness run — retire from the TIMED
+    // line only
     "tc_curation_survivors", "tc_corpus_stats", "tc_neardup_clusters",
     "tc_contamination", "tc_repeated_spans", "tc_exact_spans",
-    "ta_bigram_nll", "sk_cms_heavy_terms",
-    "tc_c4_filters", "tc_semantic_dedup", "gr_pagerank",
-    "tp_pack_sequences", "tp_split_leakage", "ev_self_retrieval",
+    "ta_bigram_nll",
+    "tc_semantic_dedup", "gr_pagerank",
+    // round-9: ev_self_retrieval also retires from the TIMED line — it is
+    // an eval harness re-running the r1/r2/r4 retrieval plans already
+    // timed above, so it carried no new plan shape; still oracle-gated
+    "tp_pack_sequences", "tp_split_leakage",
     "m5_merge_groups", "m11_auto_link",
     "mm_feature_checksum",
     "s1_store_swap",
@@ -133,6 +165,11 @@ object Bench {
     // blocks) are dropped between runs so later runs aren't reading
     // earlier runs' persisted intermediates.
     val reps = 3
+    // contention sentinel #1: calibrate BEFORE any timed query (r8 verdict
+    // item — the driver's gate number inflated 2-4x from machine load in 2
+    // of 3 recent rounds, indistinguishable from a code regression without
+    // an in-artifact load signal)
+    val calStart = calibrate()
     val results = names
       .filter(n => !Excluded.contains(n) && SparkEntry.queries.contains(n))
       .map { name =>
@@ -153,24 +190,33 @@ object Bench {
           if (ok) Some(dt) else None
         }
         // all runs failed -> -1 marks the query broken instead of
-        // reporting a failure duration as a measurement
-        name -> (if (times.isEmpty) -1.0 else median(times))
+        // reporting a failure duration as a measurement; alongside the
+        // median, keep the MIN of reps — the contention-robust statistic
+        // for warm repeated runs (any rep that dodged the load is the
+        // true cost; median still inherits whole-run contention)
+        if (times.isEmpty) (name, -1.0, -1.0)
+        else (name, median(times), times.min)
       }
+    val calEnd = calibrate()
     def f3(v: Double): String = (math.rint(v * 1000) / 1000).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // failed queries (-1 sentinel) are COUNTED, never summed — a broken
     // query must not silently deflate the headline total by 1s
-    val measured = results.collect { case (_, v) if v >= 0 => v }
+    val measured = results.collect { case (_, v, _) if v >= 0 => v }
     val nFailed = results.count(_._2 < 0)
     val total = if (measured.nonEmpty) measured.sum else 0.0
+    val totalMin = results.collect { case (_, _, m) if m >= 0 => m }.sum
     // the rotation-proof longitudinal metric: sum over the fixed Anchor
     // subset (r4-era queries timed every round) — comparable across
-    // rounds regardless of headline-set rotation
-    val byName = results.toMap
-    val anchorTimes = Anchor.flatMap(byName.get).filter(_ >= 0)
-    val anchorTotal = anchorTimes.sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"reps":$reps,"stat":"median","anchor_total":${f3(anchorTotal)},"anchor_n":${anchorTimes.length},"queries":$qs,"sf":"$sfDir"}"""
+    // rounds regardless of headline-set rotation. Both stats carried:
+    // median (continuity with r7/r8) and min (contention-robust — compare
+    // anchor_total_min across rounds when cal_* flags a loaded machine)
+    val byName = results.map(r => r._1 -> r).toMap
+    val anchorRows = Anchor.flatMap(byName.get).filter(_._2 >= 0)
+    val anchorTotal = anchorRows.map(_._2).sum
+    val anchorMin = anchorRows.map(_._3).sum
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"reps":$reps,"stat":"median","value_min":${f3(totalMin)},"anchor_total":${f3(anchorTotal)},"anchor_total_min":${f3(anchorMin)},"anchor_n":${anchorRows.length},"cal_start_ms":$calStart,"cal_end_ms":$calEnd,"queries":$qs,"sf":"$sfDir"}"""
     // tail hygiene: the driver reads the LAST 2000 chars, so the headline
     // must be the FINAL line with nothing logged after it. Silence logging
     // entirely, stop Spark (its shutdown chatter lands before the line),

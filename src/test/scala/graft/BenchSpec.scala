@@ -39,8 +39,24 @@ class BenchSpec extends AnyFunSuite {
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("src/main/scala/graft/Bench.scala")))
     for (field <- Seq("\"anchor_total\":", "\"anchor_n\":", "\"reps\":",
-        "\"stat\":\"median\""))
+        "\"stat\":\"median\"",
+        // round-9 contention defenses: min-of-reps totals + the start/end
+        // CPU calibration scalars that make a loaded machine visible from
+        // the artifact itself (r6/r8 gate numbers were contaminated)
+        "\"value_min\":", "\"anchor_total_min\":",
+        "\"cal_start_ms\":", "\"cal_end_ms\":"))
       assert(src.contains(field), s"bench line must carry $field")
+  }
+
+  test("calibration kernel is repeatable within 3x on this machine") {
+    // not an absolute-speed assertion (machines differ) — only that two
+    // back-to-back runs of the fixed kernel agree within a loose factor,
+    // i.e. the scalar is stable enough to flag 2-4x contention stretches
+    val a = Bench.calibrate()
+    val b = Bench.calibrate()
+    assert(a > 0 && b > 0)
+    assert(math.max(a, b) <= 3L * math.min(a, b),
+      s"calibration kernel unstable: $a ms vs $b ms")
   }
 
   test("worst-case bench line fits the driver's 2000-char tail window " +
@@ -52,7 +68,8 @@ class BenchSpec extends AnyFunSuite {
     // line plus a cushion fits.
     val perQuery = Bench.Headline.map(n => n.length + 2 + 1 + 8 + 1).sum
     // fixed template + the round-8 anchor/reps/stat fields (~70 chars)
-    val overhead = 200 + "/root/testdata/sf0.1".length
+    // + the round-9 min/calibration fields (~90 chars worst case)
+    val overhead = 290 + "/root/testdata/sf0.1".length
     val worst = perQuery + overhead
     assert(worst <= 1500, s"estimated worst-case line $worst chars; " +
       "trim Bench.Headline or shorten names — the driver window is 2000 " +
