@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.analytics.Analytics
 import graft.core.{Corpus, OracleCtes, Tables}
-import graft.ops.{Mutations, Presentation}
+import graft.ops.{Mutations, Presentation, Versioning}
 import graft.search.VectorSearch
 
 /** Registry section 2: analytics (A1-A8), presentation (O2-O6), and
@@ -126,8 +126,34 @@ object QueriesOps {
     "r13_reinforce" -> ((s, dir) => {
       val ids = VectorSearch.topK(mem(s, dir), Queries.queryVec(s, dir), 10).select("id")
       Mutations.reinforce(mem(s, dir), ids)
-    })
+    }),
+    // ------------------------------------------------------- version chains
+    // M12: full supersede-chain reconstruction (get_memory_history);
+    // O7: the corpus as-of 2024-01-01 + 200 days (time travel)
+    "m12_version_chain" -> ((s, dir) =>
+      Versioning.versionChains(Versioning.versionedFixture(mem(s, dir)))),
+    "o7_as_of_snapshot" -> ((s, dir) =>
+      Versioning.asOfSnapshot(Versioning.versionedFixture(mem(s, dir)),
+        Corpus.BaseEpoch + 200L * 86400))
   )
+
+  /** Versioned-corpus fixture as a DuckDB CTE (mirrors
+    * Versioning.versionedFixture: arithmetic version ids, +100 d / +200 d
+    * creation offsets, 1/2/3-deep chains side by side). */
+  private val versionsCte =
+    """versions AS MATERIALIZED (
+      |  SELECT id, text, source, created_at, CAST(NULL AS BIGINT) AS supersedes,
+      |         NOT (id % 100 = 7) AS is_latest
+      |  FROM memories
+      |  UNION ALL
+      |  SELECT id + 100000, 'v2: ' || text, source,
+      |         created_at + to_seconds(8640000), id, NOT (id % 200 = 7)
+      |  FROM memories WHERE id % 100 = 7
+      |  UNION ALL
+      |  SELECT id + 200000, 'v3: ' || text, source,
+      |         created_at + to_seconds(17280000), id + 100000, TRUE
+      |  FROM memories WHERE id % 200 = 7
+      |)""".stripMargin
 
   /** extraction_outcomes fixture as a DuckDB CTE (mirrors
     * Corpus.extractionOutcomes). */
@@ -452,6 +478,29 @@ object QueriesOps {
     "r13_reinforce" ->
       s"""WITH ${OracleCtes.memories},
          |$vecTopIds
-         |SELECT id, $NowSql AS last_reinforced_at FROM vtop ORDER BY id""".stripMargin
+         |SELECT id, $NowSql AS last_reinforced_at FROM vtop ORDER BY id""".stripMargin,
+    "m12_version_chain" ->
+      s"""WITH RECURSIVE ${OracleCtes.memories},
+         |$versionsCte,
+         |chain AS (
+         |  SELECT id AS head_id, id AS version_id, supersedes AS sup,
+         |         CAST(0 AS INT) AS depth
+         |  FROM versions WHERE is_latest AND supersedes IS NOT NULL
+         |  UNION ALL
+         |  SELECT c.head_id, v.id, v.supersedes, c.depth + 1
+         |  FROM chain c JOIN versions v ON c.sup = v.id)
+         |SELECT head_id, version_id, depth FROM chain
+         |ORDER BY head_id, depth""".stripMargin,
+    "o7_as_of_snapshot" ->
+      s"""WITH ${OracleCtes.memories},
+         |$versionsCte,
+         |succ AS (SELECT supersedes AS pid, created_at AS valid_to
+         |         FROM versions WHERE supersedes IS NOT NULL)
+         |SELECT v.id, v.supersedes, v.source, v.created_at
+         |FROM versions v LEFT JOIN succ s ON v.id = s.pid
+         |WHERE v.created_at <= TIMESTAMP '2024-01-01 00:00:00' + to_seconds(17280000)
+         |  AND (s.valid_to IS NULL
+         |       OR s.valid_to > TIMESTAMP '2024-01-01 00:00:00' + to_seconds(17280000))
+         |ORDER BY v.id""".stripMargin
   )
 }
