@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analytics.Analytics
+import graft.analytics.{Analytics, AuditLog}
 import graft.core.{Corpus, OracleCtes, Tables}
 import graft.ops.{Mutations, Presentation, Versioning}
 import graft.search.VectorSearch
@@ -134,8 +134,38 @@ object QueriesOps {
       Versioning.versionChains(Versioning.versionedFixture(mem(s, dir)))),
     "o7_as_of_snapshot" -> ((s, dir) =>
       Versioning.asOfSnapshot(Versioning.versionedFixture(mem(s, dir)),
-        Corpus.BaseEpoch + 200L * 86400))
+        Corpus.BaseEpoch + 200L * 86400)),
+    // ----------------------------------------------------------- audit log
+    // A9: filtered+paginated audit page (newest first, same-filter total
+    // fused in) and the 10-day retention purge as-of 2024-01-31
+    "a9_audit_query" -> ((s, dir) =>
+      AuditLog.query(AuditLog.auditLog(s, dir, Corpus.nDocs(s, dir)),
+        action = Some("memory.search"), keyId = Some("k3"),
+        limit = 25, offset = 10)),
+    "a9_audit_purge" -> ((s, dir) =>
+      AuditLog.purge(AuditLog.auditLog(s, dir, Corpus.nDocs(s, dir)),
+        retentionDays = 10, nowEpoch = AuditNowEpoch))
   )
+
+  /** Purge reference instant: just past the events fixture's span. */
+  private val AuditNowEpoch: Long =
+    java.time.Instant.parse("2024-01-31T00:00:00Z").getEpochSecond
+
+  /** Audit-trail fixture as a DuckDB CTE (mirrors AuditLog.auditLog). */
+  private val auditCte =
+    """audit AS MATERIALIZED (
+      |  SELECT event_id AS id, ts,
+      |    CASE event_type WHEN 'view' THEN 'memory.read'
+      |      WHEN 'click' THEN 'memory.search'
+      |      WHEN 'purchase' THEN 'memory.write'
+      |      WHEN 'signup' THEN 'key.create'
+      |      ELSE 'auth.denied' END AS action,
+      |    'k' || CAST(user_id % 7 AS VARCHAR) AS key_id,
+      |    'key-' || CAST(user_id % 7 AS VARCHAR) AS key_name,
+      |    'mem/' || CAST(event_id % (SELECT count(*) FROM documents) AS VARCHAR) AS resource_id,
+      |    'src' || CAST(user_id % 3 AS VARCHAR) AS source_prefix,
+      |    '10.0.0.' || CAST(user_id % 50 AS VARCHAR) AS ip
+      |  FROM events)""".stripMargin
 
   /** Versioned-corpus fixture as a DuckDB CTE (mirrors
     * Versioning.versionedFixture: arithmetic version ids, +100 d / +200 d
@@ -501,6 +531,17 @@ object QueriesOps {
          |WHERE v.created_at <= TIMESTAMP '2024-01-01 00:00:00' + to_seconds(17280000)
          |  AND (s.valid_to IS NULL
          |       OR s.valid_to > TIMESTAMP '2024-01-01 00:00:00' + to_seconds(17280000))
-         |ORDER BY v.id""".stripMargin
+         |ORDER BY v.id""".stripMargin,
+    "a9_audit_query" ->
+      s"""WITH $auditCte,
+         |f AS MATERIALIZED (SELECT * FROM audit
+         |  WHERE action = 'memory.search' AND key_id = 'k3')
+         |SELECT f.*, (SELECT count(*) FROM f) AS total_matched
+         |FROM f ORDER BY id DESC LIMIT 25 OFFSET 10""".stripMargin,
+    "a9_audit_purge" ->
+      s"""WITH $auditCte
+         |SELECT id, ts, action FROM audit
+         |WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'
+         |ORDER BY id""".stripMargin
   )
 }
