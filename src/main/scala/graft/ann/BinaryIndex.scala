@@ -29,26 +29,17 @@ object BinaryIndex {
         .select("id", "bq0", "bq1"),
       path)
 
-  /** O(batch) ingestion: encode ONLY the added rows and publish their part
-    * files into the live table (staged write, then metadata-only renames —
-    * the [[IvfIndex.refresh]] discipline minus the partition dirs). */
+  /** O(batch) ingestion: encode ONLY the added rows and publish them as a
+    * new generation of the packed table ([[Store.appendBatch]] — the batch
+    * dir is invisible until the pointer swap, so the refresh is atomic for
+    * readers AND crash-safe: a died refresh leaves an unreferenced dir,
+    * not a half-published batch; the r8 ADVICE crash-atomicity gap). */
   def refresh(spark: SparkSession, path: String, addedMemories: DataFrame,
-              idCol: String = "id"): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val staging = s"$path.batch.tmp"
-    Store.deleteRecursive(staging)
-    BinaryQuant.encode(addedMemories.select(col(idCol).as("id"), col("embedding")))
-      .select("id", "bq0", "bq1")
-      .write.mode("overwrite").parquet(staging)
-    val live = Paths.get(path)
-    val s = Files.list(Paths.get(staging))
-    try s.iterator().asScala.toVector
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .foreach(f => Files.move(f, live.resolve(f.getFileName.toString)))
-    finally s.close()
-    Store.deleteRecursive(staging)
-  }
+              idCol: String = "id"): Unit =
+    Store.appendBatch(
+      BinaryQuant.encode(addedMemories.select(col(idCol).as("id"), col("embedding")))
+        .select("id", "bq0", "bq1"),
+      path)
 
   /** Serving path: Hamming top-`candidates` over the stored packed table
     * (flat 24-byte-row scan → TakeOrderedAndProject), then an exact

@@ -36,51 +36,19 @@ object IvfIndex {
   }
 
   /** O(batch) ingestion: assign ONLY the added rows against the stored
-    * centroids and publish them into the cell directories. The batch is
-    * STAGED first — the long parquet write lands in a sibling tmp dir,
-    * never inside the live assignments tree — and only after it completes
-    * are the finished files renamed per-cell into place (part-file names
-    * carry task UUIDs, so renames never collide with resident files). A
-    * mid-write failure therefore leaves the live index byte-identical;
-    * the unsafe window shrinks to the metadata renames, the same
-    * write-then-swap discipline as [[Store.save]]. (On an HDFS/object-store
-    * deployment the rename loop becomes FileSystem.rename per file — same
-    * shape, still metadata-only on HDFS.) */
+    * centroids and publish them as a new generation of the assignments
+    * table ([[Store.appendBatch]]): the batch lands in its own immutable
+    * cell-partitioned data dir, invisible to readers until the generation
+    * pointer swaps — so a concurrent probe sees exactly the old or the new
+    * index, and a crash mid-refresh leaves only an unreferenced dir,
+    * never a partially-visible batch. The probed `ivf_cell IN` filter
+    * prunes hive dirs inside every batch dir alike. */
   def refresh(spark: SparkSession, path: String, addedMemories: DataFrame,
               idCol: String = "id"): Unit = {
     val cents = Store.load(spark, s"$path/centroids")
-    val staging = s"$path/assignments_batch.tmp"
-    Store.deleteRecursive(staging)
-    Ann.assign(addedMemories.select(col(idCol).as("id"), col("embedding")), cents)
-      .write.mode("overwrite").partitionBy("ivf_cell").parquet(staging)
-    promoteStagedCells(staging, s"$path/assignments")
-    Store.deleteRecursive(staging)
-  }
-
-  /** Rename a staged cell-partitioned batch's part files into the live
-    * assignments tree (metadata-only moves; task-UUID part names never
-    * collide with resident files). Shared by [[refresh]] and
-    * [[IvfPqIndex.refresh]]. */
-  private[ann] def promoteStagedCells(staging: String, livePath: String): Unit = {
-    import java.nio.file.{Files, Path, Paths}
-    import scala.jdk.CollectionConverters._
-    // Files.list holds an open DirectoryStream: drain it under try/finally
-    // or a long-lived ingest loop leaks one fd per call per cell dir
-    def listDir(p: Path): Seq[Path] = {
-      val s = Files.list(p)
-      try s.iterator().asScala.toVector finally s.close()
-    }
-    val live = Paths.get(livePath)
-    listDir(Paths.get(staging))
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("ivf_cell="))
-      .foreach { cellDir =>
-        val dest = live.resolve(cellDir.getFileName.toString)
-        Files.createDirectories(dest)
-        listDir(cellDir)
-          .filter(_.getFileName.toString.startsWith("part-"))
-          .foreach(f => Files.move(f, dest.resolve(f.getFileName.toString)))
-      }
+    Store.appendBatch(
+      Ann.assign(addedMemories.select(col(idCol).as("id"), col("embedding")), cents),
+      s"$path/assignments", "ivf_cell")
   }
 
   /** The query path: rank stored centroids against the query (a scalar,

@@ -45,21 +45,19 @@ object IvfPqIndex {
       s"$path/assignments", "ivf_cell")
   }
 
-  /** O(batch) ingestion against the stored centroids + codebooks; staged
-    * write, then metadata-only renames into the live cell directories
-    * (shared discipline with [[IvfIndex.refresh]]). */
+  /** O(batch) ingestion against the stored centroids + codebooks,
+    * published as a new generation of the assignments table (shared
+    * [[Store.appendBatch]] discipline with [[IvfIndex.refresh]]: atomic
+    * pointer swap, crash leaves only an unreferenced dir). */
   def refresh(spark: SparkSession, path: String, addedMemories: DataFrame,
               idCol: String = "id"): Unit = {
     val cents = Store.load(spark, s"$path/centroids")
     val books = Store.load(spark, s"$path/codebooks")
-    val staging = s"$path/assignments_batch.tmp"
-    Store.deleteRecursive(staging)
-    Pq.encodeResidual(
+    Store.appendBatch(
+      Pq.encodeResidual(
         Ann.assign(addedMemories.select(col(idCol).as("id"), col("embedding")), cents),
-        books, cents)
-      .write.mode("overwrite").partitionBy("ivf_cell").parquet(staging)
-    IvfIndex.promoteStagedCells(staging, s"$path/assignments")
-    Store.deleteRecursive(staging)
+        books, cents),
+      s"$path/assignments", "ivf_cell")
   }
 
   /** Probe: rank stored centroids (bounded driver-side job), residual-ADC

@@ -5,49 +5,172 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** S1/S2/S7: table persistence, atomic swap, and snapshot retention
+/** S1/S2/S7: table persistence, atomic publish, and snapshot retention
   * (reference memory_engine.py:2643-2697 save/load + integrity check;
   * 427-459, 654-681 timestamped backups with keep-N retention;
   * qdrant_store.py:243-294 snapshot/restore).
   *
   * The reference persists one JSON array + a vector store; here state is
-  * parquet directories. Writes are write-new-then-swap (the E2 atomicity
-  * rule: embed/build BEFORE any destructive replace), snapshots are dated
-  * copies with retention, and integrity is a row-count invariant check.
+  * parquet directories published through a GENERATION POINTER (the r8
+  * verdict's object-store item — directory renames are not atomic on
+  * S3/GCS, so the old write-then-rename discipline only held on a local
+  * or HDFS filesystem). Layout of a published table at `path`:
+  *
+  *   path/GENERATION        one small file naming the live generation (the
+  *                          only thing ever overwritten — a single-key PUT,
+  *                          atomic on every store)
+  *   path/manifests/gen-N   newline list of the data dirs generation N reads
+  *   path/data/bK[...]      immutable data dirs; never modified once any
+  *                          manifest references them
+  *
+  * A full [[save]] writes one new data dir and a one-line manifest; an
+  * incremental [[appendBatch]] writes ONLY the batch dir and a manifest =
+  * previous + batch (O(batch) I/O). Readers resolve the pointer once at
+  * planning, so a reader concurrent with any publish sees exactly the old
+  * or the new generation, never a mix — and a crash mid-publish leaves
+  * only an unreferenced data dir (garbage), never a corrupt table. The
+  * previous generation's dirs are retained one publish as a grace window
+  * for in-flight readers; older unreferenced dirs are pruned.
+  * [[load]] falls back to a plain parquet read when no pointer exists
+  * (driver fixtures, snapshots).
   */
 object Store {
 
-  /** Save with write-then-swap atomicity: write to `<path>.tmp`, verify
-    * readable + row count, then move into place. */
-  def save(df: DataFrame, path: String): Long = {
+  private val PointerName = "GENERATION"
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  /** Live (generation, data-dir names) from the pointer + manifest; None
+    * for an unpublished/plain path. */
+  def currentManifest(path: String): Option[(Int, Seq[String])] = {
+    val ptr = Paths.get(path, PointerName)
+    if (!Files.exists(ptr)) None
+    else {
+      val gen = new String(Files.readAllBytes(ptr), Utf8).trim.toInt
+      val dirs = Files.readAllLines(Paths.get(path, "manifests", s"gen-$gen"))
+        .asScala.map(_.trim).filter(_.nonEmpty).toSeq
+      Some((gen, dirs))
+    }
+  }
+
+  /** Absolute data dirs the live generation reads ([[load]]'s file set). */
+  def resolveDataDirs(spark: SparkSession, path: String): Seq[String] =
+    currentManifest(path) match {
+      case Some((_, dirs)) => dirs.map(d => s"$path/data/$d")
+      case None => Seq(path)
+    }
+
+  /** Publish generation `gen` reading `dirs`: write its manifest, then
+    * atomically swap the pointer (write-tmp + ATOMIC_MOVE — on an object
+    * store this is the single-key PUT of the pointer object). Everything
+    * before the swap is invisible to readers. */
+  private def publish(path: String, gen: Int, dirs: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(path, "manifests"))
+    Files.write(Paths.get(path, "manifests", s"gen-$gen"),
+      dirs.mkString("\n").getBytes(Utf8))
+    val tmp = Paths.get(path, PointerName + ".tmp")
+    Files.write(tmp, gen.toString.getBytes(Utf8))
+    Files.move(tmp, Paths.get(path, PointerName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Drop data dirs referenced by neither the live nor the previous
+    * generation (grace window for in-flight readers), plus manifests older
+    * than the previous. Pre-generational root files (a legacy plain dir
+    * being upgraded in place) are removed too — AFTER the pointer swap, so
+    * the write-before-destroy order holds. */
+  private def prune(path: String, gen: Int): Unit = {
+    val keep = (math.max(1, gen - 1) to gen).flatMap { g =>
+      val m = Paths.get(path, "manifests", s"gen-$g")
+      if (Files.exists(m)) Files.readAllLines(m).asScala.map(_.trim).filter(_.nonEmpty)
+      else Seq.empty
+    }.toSet
+    val dataDir = Paths.get(path, "data")
+    if (Files.exists(dataDir)) {
+      val s = Files.list(dataDir)
+      try s.iterator().asScala.toVector
+        .filterNot(p => keep(p.getFileName.toString))
+        .foreach(p => deleteRecursive(p.toString))
+      finally s.close()
+    }
+    val manifests = Paths.get(path, "manifests")
+    if (Files.exists(manifests)) {
+      val s = Files.list(manifests)
+      try s.iterator().asScala.toVector
+        .filter(_.getFileName.toString.stripPrefix("gen-").toIntOption
+          .exists(_ < gen - 1))
+        .foreach(Files.delete)
+      finally s.close()
+    }
+    // legacy plain-dir leftovers from before the table was generational
+    val root = Files.list(Paths.get(path))
+    try root.iterator().asScala.toVector
+      .filterNot(p => Set(PointerName, "manifests", "data")(p.getFileName.toString))
+      .foreach(p => deleteRecursive(p.toString))
+    finally root.close()
+  }
+
+  private def writeGeneration(df: DataFrame, path: String,
+                              partitionCols: Seq[String]): Long = {
     val spark = df.sparkSession
-    val tmp = path + ".tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    val n = spark.read.parquet(tmp).count()
-    val target = Paths.get(path)
-    if (Files.exists(target)) deleteRecursive(path)
-    Files.move(Paths.get(tmp), target)
+    val gen = currentManifest(path).map(_._1).getOrElse(0) + 1
+    val dirName = s"b$gen"
+    val dataDir = s"$path/data/$dirName"
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dataDir)
+    // verify the new generation reads back before ANY reader can see it
+    val n = spark.read.parquet(dataDir).count()
+    publish(path, gen, Seq(dirName))
+    prune(path, gen)
     n
   }
 
-  def load(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+  /** Full save: one new immutable data dir + atomic pointer swap. */
+  def save(df: DataFrame, path: String): Long =
+    writeGeneration(df, path, Seq.empty)
 
-  /** Save partitioned by `partitionCols` (hive-style directories) with the
-    * same write-then-swap atomicity as [[save]]. At 100 TB the memories
-    * table is partitioned by the top-level source folder: an F1
-    * source-prefix query then prunes whole directories at planning time
-    * (PartitionFilters in the scan) instead of reading and filtering —
-    * pinned by PlanAuditSpec "partitioned store prunes directories". */
-  def savePartitioned(df: DataFrame, path: String, partitionCols: String*): Long = {
-    val spark = df.sparkSession
-    val tmp = path + ".tmp"
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp)
-    val n = spark.read.parquet(tmp).count()
-    val target = Paths.get(path)
-    if (Files.exists(target)) deleteRecursive(path)
-    Files.move(Paths.get(tmp), target)
+  /** Incremental publish: write ONLY `batch` as a new data dir and point a
+    * new generation at previous-dirs + batch — O(batch) I/O regardless of
+    * table size, crash-safe (an unpublished batch dir is invisible), and
+    * atomic for readers. `partitionCols` keeps hive-style pruning inside
+    * the batch dir; readers merge the multi-dir roots transparently. */
+  def appendBatch(df: DataFrame, path: String, partitionCols: String*): Long = {
+    val (gen, dirs) = currentManifest(path).getOrElse(throw new IllegalArgumentException(
+      s"appendBatch target $path is not a published generational table — save() it first"))
+    val dirName = s"b${gen + 1}"
+    val dataDir = s"$path/data/$dirName"
+    val w = df.write.mode("overwrite") // overwrite clobbers a crashed attempt
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dataDir)
+    val n = df.sparkSession.read.parquet(dataDir).count()
+    publish(path, gen + 1, dirs :+ dirName)
+    prune(path, gen + 1)
     n
   }
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    currentManifest(path) match {
+      case Some((_, dirs)) =>
+        // one scan per data dir, unioned by name: a single multi-root read
+        // trips CONFLICTING_DIRECTORY_STRUCTURES when the dirs are hive-
+        // partitioned (b1/b2 sit between the common ancestor and the
+        // key=value dirs). Partition-column filters push through the Union
+        // into every branch scan, so hive pruning is preserved per dir.
+        dirs.map(d => spark.read.parquet(s"$path/data/$d"))
+          .reduce(_ unionByName _)
+      case None => spark.read.parquet(path)
+    }
+
+  /** Save partitioned by `partitionCols` (hive-style directories inside
+    * the generation's data dir) with the same pointer-publish atomicity as
+    * [[save]]. At 100 TB the memories table is partitioned by the
+    * top-level source folder: an F1 source-prefix query then prunes whole
+    * directories at planning time (PartitionFilters in the scan) instead
+    * of reading and filtering — pinned by PlanAuditSpec "partitioned store
+    * prunes directories". */
+  def savePartitioned(df: DataFrame, path: String, partitionCols: String*): Long =
+    writeGeneration(df, path, partitionCols)
 
   /** Small-files compaction: rewrite a parquet directory into
     * ceil(bytes / targetBytes) files — the maintenance pass a long-lived
@@ -61,11 +184,14 @@ object Store {
     * (files_before, files_after, rows). */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L << 20): (Int, Int, Long) = {
-    val before = parquetFiles(path)
+    // count only the LIVE generation's files (older dirs are already
+    // garbage, not compaction input)
+    def liveFiles() = resolveDataDirs(spark, path).flatMap(parquetFiles)
+    val before = liveFiles()
     val bytes = before.map(p => Files.size(Paths.get(p))).sum
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val n = save(spark.read.parquet(path).coalesce(parts), path)
-    (before.size, parquetFiles(path).size, n)
+    val n = save(load(spark, path).coalesce(parts), path)
+    (before.size, liveFiles().size, n)
   }
 
   /** Data files of a parquet directory (part files only, no markers).

@@ -54,7 +54,8 @@ class AnnSpec extends SparkSpec {
       val probed = scans.map(_.metadata("PartitionFilters"))
       assert(probed.exists(_.contains("ivf_cell")), probed.mkString("; "))
       val filesRead = scans.map(_.metrics("numFiles").value).sum
-      val filesStored = spark.read.parquet(s"$path/assignments").inputFiles.length
+      val filesStored = graft.sources.Store.load(spark, s"$path/assignments")
+        .inputFiles.length
       assert(filesRead > 0 && filesRead < filesStored,
         s"read $filesRead of $filesStored files — no pruning?")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -69,9 +70,9 @@ class AnnSpec extends SparkSpec {
     graft.ann.IvfIndex.build(mem, emb, pathA)
     graft.ann.IvfIndex.build(mem.filter(col("id") < half), emb, pathB)
     graft.ann.IvfIndex.refresh(spark, pathB, mem.filter(col("id") >= half))
-    val a = spark.read.parquet(s"$pathA/assignments")
+    val a = graft.sources.Store.load(spark, s"$pathA/assignments")
       .select("id", "ivf_cell").orderBy("id").collect().toSeq
-    val b = spark.read.parquet(s"$pathB/assignments")
+    val b = graft.sources.Store.load(spark, s"$pathB/assignments")
       .select("id", "ivf_cell").orderBy("id").collect().toSeq
     assert(a == b)
   }

@@ -124,7 +124,7 @@ class ScaleOpsSpec extends SparkSpec {
     graft.ann.IvfPqIndex.build(mem, emb, pathA)
     graft.ann.IvfPqIndex.build(mem.filter(col("id") < half), emb, pathB)
     graft.ann.IvfPqIndex.refresh(spark, pathB, mem.filter(col("id") >= half))
-    def rows(p: String) = spark.read.parquet(s"$p/assignments")
+    def rows(p: String) = graft.sources.Store.load(spark, s"$p/assignments")
       .select(col("id"), col("ivf_cell"), col("pq_codes").cast("string"))
       .orderBy("id").collect().toSeq
     assert(rows(pathA) == rows(pathB))

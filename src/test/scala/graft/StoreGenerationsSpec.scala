@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.sources.Store
+
+/** The generation-pointer publish contract (r8 verdict #4): a reader
+  * resolves the pointer once and sees exactly the old or the new
+  * generation — never a mix — through full saves and incremental batch
+  * appends; crashes before the pointer swap leave the table untouched. */
+class StoreGenerationsSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val p = s"/root/repo/target/tmp/genspec_$name"
+    Store.deleteRecursive(p)
+    p
+  }
+
+  private def ids(path: String): Set[Long] =
+    Store.load(spark, path).select("id").collect().map(_.getLong(0)).toSet
+
+  test("an unpublished batch dir is invisible to readers (mid-refresh = old generation)") {
+    import spark.implicits._
+    val path = tmp("midrefresh")
+    Store.save((1L to 10L).toDF("id"), path)
+    // simulate a refresh that has fully WRITTEN its batch but not yet
+    // swapped the pointer: the exact mid-refresh instant
+    (11L to 15L).toDF("id").write.parquet(s"$path/data/b99")
+    assert(ids(path) == (1L to 10L).toSet,
+      "reader must see the old generation only until the pointer swaps")
+    // ...and the swap makes the whole batch visible at once
+    Store.appendBatch((11L to 15L).toDF("id"), path)
+    assert(ids(path) == (1L to 15L).toSet)
+  }
+
+  test("appendBatch is O(batch): prior data dirs are reused, not rewritten") {
+    import spark.implicits._
+    val path = tmp("obatch")
+    Store.save((1L to 10L).toDF("id"), path)
+    val Some((g1, dirs1)) = Store.currentManifest(path)
+    val stamp = Files.getLastModifiedTime(Paths.get(s"$path/data/${dirs1.head}"))
+    Store.appendBatch((11L to 12L).toDF("id"), path)
+    val Some((g2, dirs2)) = Store.currentManifest(path)
+    assert(g2 == g1 + 1 && dirs2.startsWith(dirs1) && dirs2.size == dirs1.size + 1)
+    assert(Files.getLastModifiedTime(Paths.get(s"$path/data/${dirs1.head}")) == stamp,
+      "the pre-existing data dir must not be touched by a batch append")
+  }
+
+  test("full save keeps the previous generation as a reader grace window, prunes older") {
+    import spark.implicits._
+    val path = tmp("prune")
+    Store.save(Seq(1L).toDF("id"), path)          // gen 1 -> b1
+    Store.save(Seq(2L).toDF("id"), path)          // gen 2 -> b2; b1 retained
+    assert(Files.exists(Paths.get(s"$path/data/b1")), "previous gen retained")
+    Store.save(Seq(3L).toDF("id"), path)          // gen 3 -> b3; b1 pruned
+    assert(!Files.exists(Paths.get(s"$path/data/b1")), "gen-1 data pruned")
+    assert(Files.exists(Paths.get(s"$path/data/b2")))
+    assert(ids(path) == Set(3L))
+  }
+
+  test("save over a legacy plain dir upgrades in place, write-before-destroy") {
+    import spark.implicits._
+    val path = tmp("legacy")
+    (1L to 5L).toDF("id").write.parquet(path) // pre-generational layout
+    assert(ids(path) == (1L to 5L).toSet)     // plain-dir fallback read
+    Store.save((6L to 8L).toDF("id"), path)
+    assert(ids(path) == (6L to 8L).toSet)
+    // legacy root part files are gone; the table is now pointer-published
+    assert(Store.currentManifest(path).nonEmpty)
+  }
+
+  test("appendBatch refuses an unpublished target") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Store.appendBatch(Seq(1L).toDF("id"), tmp("nopointer"))
+    }
+    assert(e.getMessage.contains("not a published generational table"))
+  }
+
+  test("partitioned batches keep the partition column across multi-dir reads") {
+    import spark.implicits._
+    val path = tmp("parts")
+    Store.savePartitioned(
+      Seq((1L, 0), (2L, 1)).toDF("id", "cell"), path, "cell")
+    Store.appendBatch(Seq((3L, 0), (4L, 2)).toDF("id", "cell"), path, "cell")
+    val out = Store.load(spark, path).filter(col("cell") === 0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L),
+      "hive pruning must work across old and batch generations alike")
+  }
+}
