@@ -346,7 +346,7 @@ object QueriesTiers {
          |tms AS (
          |  SELECT domain, tokens,
          |    CAST(round(sqrt(CAST(tokens AS DOUBLE)) * 1e6, 0) AS BIGINT) AS s_micro
-         |  FROM tmt),
+         |  FROM tmt WHERE tokens > 0),
          |tmtot AS (
          |  SELECT CAST(sum(tokens) AS BIGINT) AS total,
          |    CAST(sum(s_micro) AS BIGINT) AS s_sum FROM tms)
@@ -380,11 +380,11 @@ object QueriesTiers {
          |  SELECT doc_id AS id, $t AS t FROM documents),
          |ffb AS (
          |  SELECT id, t, CAST(len(t) AS BIGINT) AS n,
-         |    1 + ((id * 1103515245 + 12345) % 2147483648) % (CAST(len(t) AS BIGINT) - 2) AS a
+         |    1 + (((id % 2147483648) * 1103515245 + 12345) % 2147483648) % (CAST(len(t) AS BIGINT) - 2) AS a
          |  FROM ffa WHERE len(t) >= 3),
          |ffc AS (
          |  SELECT id, t, n, a,
-         |    a + 1 + ((id * 69069 + 1) % 2147483648) % (n - a - 1) AS b
+         |    a + 1 + (((id % 2147483648) * 69069 + 1) % 2147483648) % (n - a - 1) AS b
          |  FROM ffb),
          |ffd AS (
          |  SELECT id, n,

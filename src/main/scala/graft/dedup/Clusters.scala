@@ -134,11 +134,18 @@ object Clusters {
     val vertices = e.select(col("a").as("id")).unionAll(e.select(col("b")))
       .distinct().localCheckpoint(true)
     // per-edge hash reduced mod a prime before the sum so the order-free
-    // signature sum cannot overflow ANSI long arithmetic below ~9e9 edges
-    def signature(df: DataFrame): (Long, Long) = {
+    // signature sum cannot overflow ANSI long arithmetic below ~9e9 edges;
+    // the third component xors the FULL 64-bit hashes — two independent
+    // order-free aggregates over 64-bit values make an undetected
+    // same-signature collision between different edge sets practically
+    // impossible (≈2⁻⁹⁴), closing the silent-wrong-fixpoint hole a
+    // sum-only signature left open
+    def signature(df: DataFrame): (Long, Long, Long) = {
       val r = df.agg(count(lit(1)).as("c"),
-        sum(pmod(xxhash64(col("a"), col("b")), lit(1000000007L))).as("h")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        sum(pmod(xxhash64(col("a"), col("b")), lit(1000000007L))).as("h"),
+        expr("bit_xor(xxhash64(a, b))").as("x")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
     }
     var sig = signature(e)
     var stable = sig._1 == 0 // an empty edge set IS the fixpoint

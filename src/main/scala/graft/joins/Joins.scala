@@ -142,6 +142,8 @@ object Joins {
                  salts: Int, saltOn: Column): DataFrame = {
     require(salts > 0, "saltedJoin needs salts > 0")
     require(keys.nonEmpty, "saltedJoin needs at least one key column")
+    require(!probe.columns.contains("_salt") && !build.columns.contains("_salt"),
+      "saltedJoin reserves the column name _salt; rename it on the input first")
     val p = probe.withColumn("_salt", pmod(saltOn, lit(salts.toLong)).cast("int"))
     val b = build.withColumn("_salt",
       explode(array((0 until salts).map(s => lit(s)): _*)))

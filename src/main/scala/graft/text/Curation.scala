@@ -351,6 +351,10 @@ object Curation {
     val perDomain = docs
       .select(col(domainCol).as("domain"), bpe.cast("long").as("_tok"))
       .groupBy("domain").agg(sum("_tok").as("tokens"))
+      // a domain whose every document tokenizes to zero tokens has no
+      // defined boost (q_d/p_d is 0/0) — exclude it explicitly rather
+      // than emitting a null boost row (mirrored in the oracle SQL)
+      .filter(col("tokens") > 0)
       .withColumn("_s_micro",
         round(sqrt(col("tokens").cast("double")) * 1e6, 0).cast("long"))
     val tot = perDomain.agg(sum("tokens").as("_total"), sum("_s_micro").as("_s_sum"))

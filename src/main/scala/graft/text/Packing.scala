@@ -131,12 +131,16 @@ object Packing {
       .withColumn("_n", size(col("_t")).cast("long"))
       .filter(col("_n") >= 3)
       // prefix end a ∈ [1, n−2]; middle end b ∈ [a+1, n−1] — all three
-      // parts non-empty by construction
+      // parts non-empty by construction. The id is reduced mod 2³¹ BEFORE
+      // the LCG multiply so the product is bounded by 2³¹·1103515245 ≈
+      // 2.4e18 < 2⁶³ — no ANSI overflow at any id, instead of an
+      // undocumented id < 2⁶³/1103515245 ceiling (mirrored in the oracle)
       .withColumn("_a", lit(1L) + pmod(
-        pmod(col("id") * 1103515245L + 12345L, lit(2147483648L)),
+        pmod(pmod(col("id"), lit(2147483648L)) * 1103515245L + 12345L,
+          lit(2147483648L)),
         col("_n") - 2))
       .withColumn("_b", col("_a") + 1 + pmod(
-        pmod(col("id") * 69069L + 1L, lit(2147483648L)),
+        pmod(pmod(col("id"), lit(2147483648L)) * 69069L + 1L, lit(2147483648L)),
         col("_n") - col("_a") - 1))
     val pre = concat_ws(" ", slice(col("_t"), lit(1), col("_a").cast("int")))
     val mid = concat_ws(" ",
