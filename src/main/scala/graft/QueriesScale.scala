@@ -54,6 +54,31 @@ object QueriesScale {
       pq.join(exact, "id")
         .agg(round(count(lit(1)) / 10.0, 6).as("recall_at_10"))
     }),
+    // OPQ-lite A/B: recall@10 of plain contiguous-block PQ vs PQ over the
+    // energy-sorted dimension permutation (Ge '13 non-parametric branch),
+    // same code budget, same codebook trainer, same exact ground truth
+    // (dot is permutation-invariant) — the measurement that justifies
+    // shipping the rotation at zero serving cost (0.2 -> 0.4 on fixture)
+    "ann_opq_recall" -> ((s, dir) => {
+      val mem = Corpus.memories(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val qv = Queries.queryVec(s, dir)
+      val exact = VectorSearch.topK(mem, qv, k = 10).select("id")
+        .localCheckpoint(true)
+      def recall(variant: String, m: DataFrame, e: DataFrame, q: Seq[Float]) = {
+        val books = Pq.codebooks(e)
+        Pq.pqTopK(Pq.encode(m, books), books, q, k = 10).select("id")
+          .join(exact, "id")
+          .agg(round(count(lit(1)) / 10.0, 6).as("recall_at_10"))
+          .select(lit(variant).as("variant"), col("recall_at_10"))
+      }
+      val perm = Pq.energyPermutation(emb)
+      val rot = Pq.rotate(col("embedding"), perm)
+      recall("opq", mem.withColumn("embedding", rot),
+          emb.withColumn("embedding", rot), perm.map(qv))
+        .unionByName(recall("raw", mem, emb, qv))
+        .orderBy("variant")
+    }),
     // Faiss-IVFPQ shape: IVF prunes cells, RESIDUAL ADC ranks codes
     // (x − centroid quantized; q·centroid added back in the fold), exact
     // re-rank reads only `candidates` full vectors
@@ -232,32 +257,35 @@ object QueriesScale {
       graft.text.TextAnalysis.jsDivergence(Queries.docs(s, dir),
         col("source").startsWith("src1"))))
 
-  /** PQ CTEs over a source relation `src(id, embedding)`: pqc (per-subspace
-    * codebooks from the labeled embeddings), pqe (codes for src rows), pqlut
-    * (query micro-unit ADC table), pqadc (per-id ADC score). Kept in
+  /** PQ CTEs over a source relation `src(id, embedding)`: ${p}c (per-
+    * subspace codebooks from the labeled `emb` vectors), ${p}e (codes for
+    * src rows), ${p}lut (query micro-unit ADC table — the query is `emb`'s
+    * vec_id = 0 row), ${p}adc (per-id ADC score). `emb` defaults to the
+    * base embeddings table; the OPQ arm passes a rotated CTE. Kept in
     * lockstep with [[graft.ann.Pq]]. */
-  private[graft] def pqCtes(src: String): String =
-    s"""pqc0 AS (
+  private[graft] def pqCtes(src: String, emb: String = "embeddings",
+                            p: String = "pq"): String =
+    s"""${p}c0 AS (
        |  SELECT label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
-       |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
-       |pqc AS MATERIALIZED (
+       |  FROM $emb, range(1, 65) t(i) GROUP BY 1, 2),
+       |${p}c AS MATERIALIZED (
        |  SELECT CAST((i - 1) // 8 AS INT) AS sub, label, list(m ORDER BY i) AS codevec
-       |  FROM pqc0 GROUP BY 1, 2),
-       |pqe AS MATERIALIZED (
+       |  FROM ${p}c0 GROUP BY 1, 2),
+       |${p}e AS MATERIALIZED (
        |  SELECT id, sub, label AS code FROM (
        |    SELECT m.id, c.sub, c.label, row_number() OVER (PARTITION BY m.id, c.sub ORDER BY
        |      round(list_sum(list_transform(range(1, 9), i ->
        |        (CAST(m.embedding[c.sub * 8 + i] AS DOUBLE) - c.codevec[i]) *
        |        (CAST(m.embedding[c.sub * 8 + i] AS DOUBLE) - c.codevec[i]))), 6), c.label) AS rn
-       |    FROM $src m, pqc c) WHERE rn = 1),
-       |pqlut AS MATERIALIZED (
+       |    FROM $src m, ${p}c c) WHERE rn = 1),
+       |${p}lut AS MATERIALIZED (
        |  SELECT c.sub, c.label,
        |    CAST(round(round(list_sum(list_transform(range(1, 9), i ->
        |      c.codevec[i] * CAST(q.qv[c.sub * 8 + i] AS DOUBLE))), 6) * 1e6, 0) AS BIGINT) AS micro
-       |  FROM pqc c CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q),
-       |pqadc AS MATERIALIZED (
+       |  FROM ${p}c c CROSS JOIN (SELECT embedding AS qv FROM $emb WHERE vec_id = 0) q),
+       |${p}adc AS MATERIALIZED (
        |  SELECT e.id, round(CAST(sum(l.micro) AS DOUBLE) / 1e6, 6) AS adc
-       |  FROM pqe e JOIN pqlut l ON e.sub = l.sub AND e.code = l.label
+       |  FROM ${p}e e JOIN ${p}lut l ON e.sub = l.sub AND e.code = l.label
        |  GROUP BY e.id)""".stripMargin
 
   private val annPqTopkSql: String =
@@ -388,6 +416,44 @@ object QueriesScale {
          |  ORDER BY round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id LIMIT 10)
          |SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10
          |FROM pqt JOIN ext USING (id)""".stripMargin,
+    // the permutation CTEs mirror Pq.energyPermutation: integer milli-unit
+    // energy per dim, rank by (energy desc, dim asc), rank r lands at new
+    // position r (energy-sorted subspace bands); exact ground truth is
+    // the RAW scan (dot is permutation-invariant, but re-deriving it from
+    // rotated vectors would re-order the fp fold)
+    "ann_opq_recall" ->
+      s"""WITH ${OracleCtes.memories},
+         |oen AS (
+         |  SELECT t.i AS pos, sum(
+         |    CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000, 0) AS BIGINT) *
+         |    CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000, 0) AS BIGINT)) AS e
+         |  FROM embeddings, range(1, 65) t(i) GROUP BY 1),
+         |operm AS MATERIALIZED (
+         |  SELECT r + 1 AS newpos, pos AS oldpos
+         |  FROM (SELECT pos, row_number() OVER (ORDER BY e DESC, pos) - 1 AS r FROM oen)),
+         |oremb AS MATERIALIZED (
+         |  SELECT e.label, e.vec_id,
+         |    list(CAST(e.embedding[p.oldpos] AS DOUBLE) ORDER BY p.newpos) AS embedding
+         |  FROM embeddings e, operm p GROUP BY 1, 2),
+         |ormem AS MATERIALIZED (
+         |  SELECT m.id,
+         |    list(CAST(m.embedding[p.oldpos] AS DOUBLE) ORDER BY p.newpos) AS embedding
+         |  FROM memories m, operm p GROUP BY 1),
+         |${pqCtes("memories")},
+         |${pqCtes("ormem", "oremb", "oq")},
+         |oext AS MATERIALIZED (
+         |  SELECT m.id FROM memories m CROSS JOIN $mrlQ q
+         |  WHERE NOT m.archived
+         |  ORDER BY round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id LIMIT 10)
+         |SELECT variant, recall_at_10 FROM (
+         |  SELECT 'raw' AS variant, round(CAST((SELECT count(*) FROM
+         |    (SELECT id FROM pqadc ORDER BY adc DESC, id LIMIT 10) t
+         |    JOIN oext USING (id)) AS DOUBLE) / 10.0, 6) AS recall_at_10
+         |  UNION ALL
+         |  SELECT 'opq' AS variant, round(CAST((SELECT count(*) FROM
+         |    (SELECT id FROM oqadc ORDER BY adc DESC, id LIMIT 10) t
+         |    JOIN oext USING (id)) AS DOUBLE) / 10.0, 6) AS recall_at_10)
+         |ORDER BY variant""".stripMargin,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     // full-corpus IVFPQ SQL: the build+refresh split must reproduce it
     "ann_ivfpq_indexed" -> annIvfPqTopkSql,

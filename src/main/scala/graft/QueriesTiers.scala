@@ -82,7 +82,16 @@ object QueriesTiers {
       val pq = Pq.pqTopK(Pq.encode(vis, books), books, qv, k = 50).select("id")
       val bq = BinaryQuant.candidatesByHamming(mem, qv, candidates = 50)
         .select("id")
+      // the energy-sorted OPQ permutation at the same 8 B/vec budget —
+      // the zero-serving-cost arm that decides rotated vs plain PQ
+      val perm = Pq.energyPermutation(Tables.embeddings(s, dir))
+      val rot = Pq.rotate(col("embedding"), perm)
+      val oBooks = Pq.codebooks(
+        Tables.embeddings(s, dir).withColumn("embedding", rot))
+      val opq = Pq.pqTopK(Pq.encode(vis.withColumn("embedding", rot), oBooks),
+        oBooks, perm.map(qv), k = 50).select("id")
       arm(sq8, "sq8", 72).unionAll(arm(pq, "pq", 8)).unionAll(arm(bq, "bq", 16))
+        .unionAll(arm(opq, "opq", 8))
         .orderBy("tier")
     }),
     // CCNet head/middle/tail perplexity tiers over the document corpus
@@ -328,6 +337,23 @@ object QueriesTiers {
          |$bqCtes,
          |${OracleCtes.sq8Ctes()},
          |${QueriesScale.pqCtes("vism")},
+         |oen AS (
+         |  SELECT t.i AS pos, sum(
+         |    CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000, 0) AS BIGINT) *
+         |    CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000, 0) AS BIGINT)) AS e
+         |  FROM embeddings, range(1, 65) t(i) GROUP BY 1),
+         |operm AS MATERIALIZED (
+         |  SELECT r + 1 AS newpos, pos AS oldpos
+         |  FROM (SELECT pos, row_number() OVER (ORDER BY e DESC, pos) - 1 AS r FROM oen)),
+         |oremb AS MATERIALIZED (
+         |  SELECT e.label, e.vec_id,
+         |    list(CAST(e.embedding[p.oldpos] AS DOUBLE) ORDER BY p.newpos) AS embedding
+         |  FROM embeddings e, operm p GROUP BY 1, 2),
+         |ovism AS MATERIALIZED (
+         |  SELECT m.id,
+         |    list(CAST(m.embedding[p.oldpos] AS DOUBLE) ORDER BY p.newpos) AS embedding
+         |  FROM vism m, operm p GROUP BY 1),
+         |${QueriesScale.pqCtes("ovism", "oremb", "oq")},
          |swxt AS MATERIALIZED (
          |  SELECT m.id FROM memories m CROSS JOIN $bqQ q WHERE NOT m.archived
          |  ORDER BY round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id
@@ -335,7 +361,8 @@ object QueriesTiers {
          |SELECT * FROM (
          |${arm("sq8", 72, "SELECT id FROM sq8 ORDER BY qscore DESC, id LIMIT 50")}
          | UNION ALL ${arm("pq", 8, "SELECT id FROM pqadc ORDER BY adc DESC, id LIMIT 50")}
-         | UNION ALL ${arm("bq", 16, "SELECT id FROM bqc")})
+         | UNION ALL ${arm("bq", 16, "SELECT id FROM bqc")}
+         | UNION ALL ${arm("opq", 8, "SELECT id FROM oqadc ORDER BY adc DESC, id LIMIT 50")})
          |ORDER BY tier""".stripMargin
     },
     "tp_temperature_mix" ->
