@@ -104,6 +104,19 @@ object Queries {
         Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
         hybridParams(s, dir))
     }),
+    // the R6 signal fed by the STREAM-maintained net table instead of the
+    // raw log: runningFeedbackNets (mapGroupsWithState — identical code
+    // path on a batch frame) feeds HybridSearch.search directly; the
+    // oracle is r4's batch-aggregated SQL, so the hash-match proves
+    // stream-fed ≡ batch-aggregated, closing the loop the streaming
+    // scaladoc promises
+    "r6_feedback_stream" -> ((s, dir) => {
+      HybridSearch.search(
+        Corpus.memories(s, dir),
+        Some(graft.streaming.EventStream.runningFeedbackNets(
+          Corpus.searchFeedback(s, dir))),
+        hybridParams(s, dir))
+    }),
     "r10_graph_search" -> ((s, dir) => {
       HybridSearch.search(
         Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
@@ -158,6 +171,10 @@ object Queries {
          |WHERE b.bm25 > 0 AND NOT m.archived
          |ORDER BY b.bm25 DESC, b.id LIMIT 10""".stripMargin,
     "r4_hybrid_rrf" ->
+      OracleHybrid.hybridSql(oracleHybridParams, n = 1000000, withFeedback = true),
+    // identical SQL to r4: the stream-maintained net table must reproduce
+    // the batch-aggregated feedback signal exactly
+    "r6_feedback_stream" ->
       OracleHybrid.hybridSql(oracleHybridParams, n = 1000000, withFeedback = true),
     "r10_graph_search" ->
       OracleHybrid.graphSql(oracleHybridParams.copy(graphWeight = 0.1),

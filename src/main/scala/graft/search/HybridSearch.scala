@@ -84,6 +84,29 @@ object HybridSearch {
   private def contrib(weight: Double, rnk: Column): Column =
     lit(weight) / (rnk + lit(RrfK))
 
+  /** R6 net table from a raw feedback log: (id, net) — one map-side-
+    * combinable groupBy. This is exactly the table
+    * [[graft.streaming.EventStream.runningFeedbackNets]] maintains
+    * incrementally, which is what makes the stream-fed composition a
+    * drop-in: at 100 TB the feedback log is re-aggregated ONCE by the
+    * stream, not once per search. */
+  def feedbackNets(fb: DataFrame): DataFrame =
+    fb.groupBy(col("memory_id").as("id"))
+      .agg(sum(when(col("signal") === "useful", 1).otherwise(-1)).as("net"))
+
+  /** Normalize the feedback input: a raw log (memory_id, signal, ...) is
+    * aggregated by [[feedbackNets]]; an already-aggregated net table —
+    * (id|memoryId, net), e.g. the in-memory sink of
+    * `EventStream.runningFeedbackNets` — passes through as-is, so a
+    * stream-maintained table can drive the R6 signal directly
+    * (`r6_feedback_stream` pins stream-fed ≡ batch-aggregated). */
+  private def asNets(fb: DataFrame): DataFrame =
+    if (fb.columns.contains("net"))
+      fb.select(
+        col(if (fb.columns.contains("memoryId")) "memoryId" else "id").as("id"),
+        col("net"))
+    else feedbackNets(fb)
+
   /** Labeled per-signal RRF contributions: (id, signal, c) — the shared
     * core of [[rrfScores]] and the R14 explain variant. */
   def signalContribs(memories: DataFrame, feedback: Option[DataFrame], p: Params): DataFrame = {
@@ -130,8 +153,7 @@ object HybridSearch {
           .select(col("id"), lit("recency").as("signal"), contrib(w.recency, rank0(col("rs"))).as("c"))
       } else None,
       if (p.feedbackWeight > 0) feedback.map { fb =>
-        val net = fb.groupBy(col("memory_id").as("id"))
-          .agg(sum(when(col("signal") === "useful", 1).otherwise(-1)).as("net"))
+        val net = asNets(fb)
         cand.join(net, "id").filter(col("net") > 0)
           .select(col("id"), lit("feedback").as("signal"), contrib(w.feedback, rank0(col("net"))).as("c"))
       } else None,

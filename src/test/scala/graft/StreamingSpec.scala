@@ -58,6 +58,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-maintained feedback nets drive HybridSearch identically to the raw log") {
+    // the r6_feedback_stream composition, driven through a REAL stream:
+    // feedback arrives in two micro-batches, runningFeedbackNets maintains
+    // the net table in a memory sink, and search fed from that table must
+    // equal search fed the raw log (stream-fed == batch-aggregated)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.Corpus
+    import graft.search.HybridSearch
+    val fbRows = Corpus.searchFeedback(spark, sf())
+      .select("id", "memory_id", "signal", "ts")
+      .as[(Long, Long, String, Timestamp)].collect().toSeq
+    assert(fbRows.nonEmpty)
+    val input = MemoryStream[(Long, Long, String, Timestamp)]
+    val fb = input.toDF().toDF("id", "memory_id", "signal", "ts")
+    val q = EventStream.runningFeedbackNets(fb)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("fb_nets_search").start()
+    try {
+      val (a, b) = fbRows.splitAt(fbRows.length / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    // latest state per memory = the row with the highest event count
+    val nets = spark.table("fb_nets_search")
+      .groupBy("memoryId")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct("nEvents", "net")).as("s"))
+      .selectExpr("memoryId", "s.net AS net")
+    val p = Queries.hybridParams(spark, sf())
+    val mem = Corpus.memories(spark, sf())
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().toSeq
+    assert(rows(HybridSearch.search(mem, Some(nets), p)) ==
+      rows(HybridSearch.search(mem, Some(Corpus.searchFeedback(spark, sf())), p)))
+  }
+
   test("the same transform answers identically in batch mode (oracle form)") {
     val events = Seq(
       (1L, ts("2024-01-01 10:05:00"), 1L, "view", 1.0, ""),
