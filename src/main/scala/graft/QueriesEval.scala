@@ -21,6 +21,18 @@ object QueriesEval {
     // chunks landed, not just whether the session was found
     "ev_longmem_ndcg" -> ((s, dir) =>
       graft.eval.LongMemEval.ndcgAt10(Queries.docs(s, dir))),
+    // gap analysis: recall-any@5 (was the session found at all) joined
+    // with nDCG@10 (how well its chunks ranked) per category — the
+    // found-but-buried gap per question family, in one oracled table
+    "ev_longmem_gap" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Queries.docs(s, dir).localCheckpoint()
+      graft.eval.LongMemEval.recallAt5(docs)
+        .join(graft.eval.LongMemEval.ndcgAt10(docs)
+          .select("category", "ndcg_at_10"), "category")
+        .withColumn("gap", round(col("recall_any_at_5") - col("ndcg_at_10"), 6))
+        .orderBy("category")
+    }),
     // unigram-LM (SentencePiece-style) tokenizer training, Kudo '18:
     // sign: Viterbi hard-EM in integer micro-nat costs, 2 unrolled rounds
     "tk_unigram_vocab" -> ((s, dir) =>
@@ -96,10 +108,10 @@ object QueriesEval {
        |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS crn FROM lfu)""".stripMargin
   }
 
-  private def longMemSql: String = {
+  /** Recall tail over the core: lhit(qid, category, hit) in scope. */
+  private def longMemRecallTailCtes: String = {
     val k = graft.eval.LongMemEval.RetrievalK
-    s"""WITH $longMemCoreCtes,
-       |lsr AS (SELECT qid, id // 2 AS session, min(crn) AS srn
+    s"""lsr AS (SELECT qid, id // 2 AS session, min(crn) AS srn
        |  FROM lcr WHERE crn <= $k GROUP BY 1, 2),
        |lsk AS (SELECT qid, session,
        |    row_number() OVER (PARTITION BY qid ORDER BY srn) AS sk FROM lsr),
@@ -108,20 +120,21 @@ object QueriesEval {
        |    CASE WHEN EXISTS (SELECT 1 FROM lsk s
        |      WHERE s.qid = q.qid AND s.sk <= ${graft.eval.LongMemEval.SessionK}
        |        AND s.session = q.qid) THEN 1 ELSE 0 END AS hit
-       |  FROM lmq q)
-       |SELECT category, CAST(count(*) AS BIGINT) AS n_questions,
+       |  FROM lmq q)""".stripMargin
+  }
+
+  private val longMemRecallSelect: String =
+    s"""SELECT category, CAST(count(*) AS BIGINT) AS n_questions,
        |  round(avg(hit), 6) AS recall_any_at_5
        |FROM lhit GROUP BY category
        |UNION ALL
-       |SELECT 'overall', CAST(count(*) AS BIGINT), round(avg(hit), 6) FROM lhit
-       |ORDER BY category""".stripMargin
-  }
+       |SELECT 'overall', CAST(count(*) AS BIGINT), round(avg(hit), 6) FROM lhit""".stripMargin
 
-  private def longMemNdcgSql: String = {
+  /** nDCG tail over the core: lnq(qid, category, ndcg_micro) in scope. */
+  private def longMemNdcgTailCtes: String = {
     val k = 10
     val disc = (r: String) => s"CAST(round(1e6 / log2($r + 1), 0) AS BIGINT)"
-    s"""WITH $longMemCoreCtes,
-       |lgn AS (SELECT session, CAST(count(*) AS BIGINT) AS ng FROM lmch GROUP BY 1),
+    s"""lgn AS (SELECT session, CAST(count(*) AS BIGINT) AS ng FROM lmch GROUP BY 1),
        |ldc AS (
        |  SELECT qid, CAST(sum(${disc("crn")}) AS BIGINT) AS dcg_micro
        |  FROM lcr WHERE crn <= $k AND id // 2 = qid GROUP BY 1),
@@ -131,19 +144,46 @@ object QueriesEval {
        |      CAST(list_sum(list_transform(range(1, least(g.ng, $k) + 1),
        |        i -> ${disc("i")})) AS BIGINT), 0) AS BIGINT) AS ndcg_micro
        |  FROM lmq q JOIN lgn g ON g.session = q.qid
-       |  LEFT JOIN ldc d ON d.qid = q.qid)
-       |SELECT category, CAST(count(*) AS BIGINT) AS n_questions,
+       |  LEFT JOIN ldc d ON d.qid = q.qid)""".stripMargin
+  }
+
+  private val longMemNdcgSelect: String =
+    s"""SELECT category, CAST(count(*) AS BIGINT) AS n_questions,
        |  round(CAST(sum(ndcg_micro) AS DOUBLE) / count(*) / 1e6, 6) AS ndcg_at_10
        |FROM lnq GROUP BY category
        |UNION ALL
        |SELECT 'overall', CAST(count(*) AS BIGINT),
-       |  round(CAST(sum(ndcg_micro) AS DOUBLE) / count(*) / 1e6, 6) FROM lnq
+       |  round(CAST(sum(ndcg_micro) AS DOUBLE) / count(*) / 1e6, 6) FROM lnq""".stripMargin
+
+  private def longMemSql: String =
+    s"""WITH $longMemCoreCtes,
+       |$longMemRecallTailCtes
+       |$longMemRecallSelect
        |ORDER BY category""".stripMargin
-  }
+
+  private def longMemNdcgSql: String =
+    s"""WITH $longMemCoreCtes,
+       |$longMemNdcgTailCtes
+       |$longMemNdcgSelect
+       |ORDER BY category""".stripMargin
+
+  /** One retrieval pass, both metrics joined per category with the
+    * found-vs-ranked gap — the table that names the weak category. */
+  private def longMemGapSql: String =
+    s"""WITH $longMemCoreCtes,
+       |$longMemRecallTailCtes,
+       |$longMemNdcgTailCtes,
+       |lgr AS ($longMemRecallSelect),
+       |lgd AS ($longMemNdcgSelect)
+       |SELECT r.category, r.n_questions, r.recall_any_at_5, d.ndcg_at_10,
+       |  round(r.recall_any_at_5 - d.ndcg_at_10, 6) AS gap
+       |FROM lgr r JOIN lgd d USING (category)
+       |ORDER BY category""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ev_longmem_recall" -> longMemSql,
     "ev_longmem_ndcg" -> longMemNdcgSql,
+    "ev_longmem_gap" -> longMemGapSql,
     "tk_unigram_vocab" ->
       s"""WITH ${OracleText.unigramCtes()}
          |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT) AS rank,
