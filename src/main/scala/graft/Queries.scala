@@ -403,6 +403,20 @@ object Queries {
       graft.dedup.SemDedup.semanticDedup(Corpus.memories(s, dir), cent, eps = 0.3)
         .orderBy("id")
     }),
+    // embedding-level decontamination: bench slice (id%20==3, the
+    // tc_bloom_decontam convention) vs the train rest, candidate pairs
+    // cell-bucketed, exact cosine on candidates only — catches the
+    // paraphrased contamination the n-gram Bloom gate misses. eps=0.3:
+    // cross-slice same-cell sims top out near 0.38 on the fixture, so
+    // 0.3 keeps the flagged set live and selective
+    "tc_semantic_decontam" -> ((s, dir) => {
+      val mem = Corpus.memories(s, dir)
+      val cent = Ann.centroidsByLabel(Tables.embeddings(s, dir))
+      graft.dedup.SemDedup.semanticContamination(
+        mem.filter(col("id") % 20 =!= 3), mem.filter(col("id") % 20 === 3),
+        cent, eps = 0.3)
+        .orderBy("id", "bench_id")
+    }),
     // flagship 100 TB training-data curation pipeline: profile → filter →
     // exact dedup → MinHash-LSH near-dup removal, every stage distributed
     "tc_curation_survivors" -> ((s, dir) => {
@@ -528,6 +542,12 @@ object Queries {
     // add-k smoothed bigram LM fluency (the CCNet-filter shape, order 2)
     "ta_bigram_nll" -> ((s, dir) =>
       TextAnalysis.bigramNll(docs(s, dir)).orderBy("id")),
+    // interpolated Kneser-Ney bigram LM trained on the src1 slice (the
+    // termDrift reference-domain convention), scoring all docs — the
+    // CCNet in-domain-vs-off-domain perplexity tiering signal
+    "ta_kn_bigram_nll" -> ((s, dir) =>
+      TextAnalysis.knBigramNll(docs(s, dir),
+        col("source").startsWith("src1")).orderBy("id")),
     // C4 heuristic cleaning rules (Raffel '20 §2.2) over the synthesized
     // line-structured pages (raw fixture docs have no lines/punctuation)
     "tc_c4_filters" -> ((s, dir) =>
@@ -707,6 +727,17 @@ object Queries {
          |SELECT a.id, a.ivf_cell FROM asg a
          |WHERE a.id NOT IN (SELECT id FROM sdp)
          |ORDER BY a.id""".stripMargin,
+    "tc_semantic_decontam" ->
+      s"""WITH ${OracleCtes.memories},
+         |$ivfCtes
+         |SELECT a.id, b.id AS bench_id,
+         |  round(${OracleCtes.dot64("x.embedding", "y.embedding")}, 6) AS sim
+         |FROM asg a JOIN asg b ON a.ivf_cell = b.ivf_cell
+         |JOIN memories x ON x.id = a.id
+         |JOIN memories y ON y.id = b.id
+         |WHERE a.id % 20 <> 3 AND b.id % 20 = 3
+         |  AND round(${OracleCtes.dot64("x.embedding", "y.embedding")}, 6) >= 0.3
+         |ORDER BY a.id, bench_id""".stripMargin,
     "dd_exact_survivors" ->
       """SELECT doc_id AS id FROM (
         |  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
@@ -1032,6 +1063,44 @@ object Queries {
          |SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  round(-CAST(sum(lnp_micro) AS DOUBLE) / 1e6 / count(*), 6) AS nll
          |FROM bbg JOIN blnp USING (bg)
+         |GROUP BY id ORDER BY id""".stripMargin
+    },
+    "ta_kn_bigram_nll" -> {
+      val t = OracleText.toks("text")
+      val pc = "(coalesce(o.cont, 0) + 1.0) / (t.tt + kv.v + 1.0)"
+      s"""WITH kbg AS MATERIALIZED (
+         |  SELECT doc_id AS id, (source LIKE 'src1%') AS tr,
+         |    unnest(list_transform(range(1, len($t)),
+         |      i -> array_to_string(list_slice($t, i, i + 1), ' '))) AS bg
+         |  FROM documents WHERE len($t) >= 2),
+         |kdb AS MATERIALIZED (
+         |  SELECT id, tr, bg, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM kbg GROUP BY 1, 2, 3),
+         |kbs AS MATERIALIZED (
+         |  SELECT bg, CAST(sum(cnt) AS BIGINT) AS cbg FROM kdb WHERE tr GROUP BY 1),
+         |kcx AS MATERIALIZED (
+         |  SELECT string_split(bg, ' ')[1] AS u, CAST(sum(cbg) AS BIGINT) AS cctx,
+         |    CAST(count(*) AS BIGINT) AS n1ctx
+         |  FROM kbs GROUP BY 1),
+         |kct AS MATERIALIZED (
+         |  SELECT string_split(bg, ' ')[2] AS w, CAST(count(*) AS BIGINT) AS cont
+         |  FROM kbs GROUP BY 1),
+         |ktt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM kbs),
+         |kv AS (SELECT CAST(count(DISTINCT u.term) AS BIGINT) AS v
+         |  FROM documents, unnest($t) AS u(term) WHERE source LIKE 'src1%'),
+         |klnp AS MATERIALIZED (
+         |  SELECT d.bg, CAST(round(ln(
+         |    CASE WHEN c.cctx IS NOT NULL THEN
+         |      (greatest(coalesce(s.cbg, 0) - 0.75, 0.0)
+         |        + 0.75 * c.n1ctx * ($pc)) / c.cctx
+         |    ELSE $pc END) * 1e6, 0) AS BIGINT) AS lnp_micro
+         |  FROM (SELECT DISTINCT bg FROM kdb) d
+         |  LEFT JOIN kbs s USING (bg)
+         |  LEFT JOIN kcx c ON string_split(d.bg, ' ')[1] = c.u
+         |  LEFT JOIN kct o ON string_split(d.bg, ' ')[2] = o.w, ktt t, kv)
+         |SELECT id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         |  round(-CAST(sum(lnp_micro * cnt) AS DOUBLE) / 1e6 / sum(cnt), 6) AS nll
+         |FROM kdb JOIN klnp USING (bg)
          |GROUP BY id ORDER BY id""".stripMargin
     },
     "tk_bpe_merges" -> {

@@ -43,4 +43,36 @@ object SemDedup {
     assigned.join(dropped, Seq("id"), "left_anti")
       .select(col("id"), col("ivf_cell"))
   }
+
+  /** Embedding-level train/benchmark decontamination — the semantic
+    * companion of [[graft.text.BloomDecontam]]'s n-gram gate: an eval
+    * example contaminates a training doc when their embeddings are
+    * `eps`-cosine-close even after paraphrase (the n-gram gate only
+    * catches verbatim overlap; near-verbatim rewrites survive it —
+    * the gap the embedding check closes; public method, e.g. the
+    * paraphrase-contamination audits of Yang et al. '23,
+    * arXiv:2311.04850).
+    *
+    * Same cell-bucketed shape as [[semanticDedup]]: both sides are
+    * assigned to centroid cells, candidate pairs live in one equi-joined
+    * cell, the exact cosine runs on candidates only. At 100 TB the bench
+    * side is tiny (benchmarks are ~10⁴ rows): it broadcast-joins against
+    * the train side's cell-partitioned scan, so the pass is one
+    * map-side pipeline over the corpus — no shuffle of the big side at
+    * all beyond its (reusable) cell assignment.
+    *
+    * Output: (id, bench_id, sim) — every contaminated (train, bench)
+    * pair at 6dp-rounded cosine ≥ eps. Dropping flagged ids is the
+    * caller's anti-join (same discipline as BloomDecontam). */
+  def semanticContamination(train: DataFrame, bench: DataFrame,
+                            centroids: DataFrame, eps: Double): DataFrame = {
+    val t = Ann.assign(train.select(col("id"), col("embedding")), centroids)
+      .select(col("id"), col("ivf_cell"), col("embedding").as("_et"))
+    val b = Ann.assign(bench.select(col("id"), col("embedding")), centroids)
+      .select(col("id").as("bench_id"), col("ivf_cell"), col("embedding").as("_eb"))
+    t.join(broadcast(b), Seq("ivf_cell"))
+      .withColumn("sim", roundScore(dot(col("_et"), col("_eb"))))
+      .filter(col("sim") >= eps)
+      .select(col("id"), col("bench_id"), col("sim"))
+  }
 }

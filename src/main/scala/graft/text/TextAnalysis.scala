@@ -245,6 +245,80 @@ object TextAnalysis {
         round(-col("_s").cast("double") / 1e6 / col("n_bigrams"), 6).as("nll"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM trained on a corpus slice, scoring
+    * every document — the real shape of the CCNet/KenLM perplexity filter
+    * (public: Kneser & Ney '95; Chen & Goodman '98 §2.7, whose
+    * interpolated form and D = 0.75 discount this implements; CCNet,
+    * Wenzek et al. '19, uses exactly such an LM trained on a reference
+    * domain to tier web text). Distinct from [[bigramNll]] (add-k, trained
+    * on the full corpus): KN discounts observed bigrams by an absolute D
+    * and backs off to the CONTINUATION probability — how many contexts a
+    * word completes, not how often it occurs — which is what makes
+    * high-frequency-but-context-bound words ("Francisco") cheap only
+    * after their context.
+    *
+    *   P(w|u) = (max(c(uw)−D, 0) + D·N1+(u·)·Pc(w)) / c(u·)   if u seen
+    *          = Pc(w)                                          otherwise
+    *   Pc(w)  = (N1+(·w) + 1) / (T + V + 1)
+    *
+    * where N1+(u·)/N1+(·w) are distinct continuation/context type counts,
+    * T = bigram types, V = train vocab. The +1/+V+1 floor on Pc is
+    * add-one over the continuation types — the standard open-vocabulary
+    * escape so unseen words score finitely (documented deviation from the
+    * closed-vocab textbook form).
+    *
+    * Determinism contract: every count is an exact integer; P is ONE
+    * fixed arithmetic expression over those integers (mirrored
+    * token-for-token in the oracle), ln·1e6 is rounded to integer micro
+    * BEFORE the per-doc weighted sum, so accumulation is order-free.
+    *
+    * Scale shape: stats tables are type-counted (bigram-type sized, far
+    * smaller than occurrences); the score join runs on DISTINCT bigrams;
+    * totals enter as a broadcast 1-row frame. Train slice docs score low
+    * (in-domain), off-slice docs high — the CCNet tiering signal.
+    * Output: (id, n_bigrams, nll) for every doc with ≥ 2 tokens. */
+  def knBigramNll(docs: DataFrame, trainPred: Column, discount: Double = 0.75,
+                  textCol: String = "text", idCol: String = "id"): DataFrame = {
+    val docBg = docs
+      .select(col(idCol).as("id"), trainPred.as("_train"),
+        explode(TextFunctions.shingles(col(textCol), 2)).as("bg"))
+      .groupBy("id", "_train", "bg").agg(count(lit(1)).as("_cnt"))
+      .localCheckpoint(true) // feeds the LM aggregations and the score join
+    val bgStats = docBg.filter(col("_train"))
+      .groupBy("bg").agg(sum("_cnt").as("_cbg"))
+      .localCheckpoint(true) // feeds ctx, cont, T, and the lnp join
+    val ctxStats = bgStats
+      .select(split(col("bg"), " ").getItem(0).as("_u"), col("_cbg"))
+      .groupBy("_u").agg(sum("_cbg").as("_cctx"), count(lit(1)).as("_n1ctx"))
+    val contStats = bgStats
+      .select(split(col("bg"), " ").getItem(1).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_cont"))
+    val totals = bgStats.agg(count(lit(1)).as("_tt")).crossJoin(
+      docs.filter(trainPred)
+        .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+        .agg(count_distinct(col("term")).as("_v")))
+    val pc = (coalesce(col("_cont"), lit(0L)) + lit(1.0)) /
+      (col("_tt") + col("_v") + lit(1.0))
+    val lnp = docBg.select("bg").distinct()
+      .withColumn("_u", split(col("bg"), " ").getItem(0))
+      .withColumn("_w", split(col("bg"), " ").getItem(1))
+      .join(bgStats, Seq("bg"), "left")
+      .join(ctxStats, Seq("_u"), "left")
+      .join(contStats, Seq("_w"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("_p", when(col("_cctx").isNotNull,
+          (greatest(coalesce(col("_cbg"), lit(0L)) - lit(discount), lit(0.0))
+            + lit(discount) * col("_n1ctx") * pc) / col("_cctx"))
+        .otherwise(pc))
+      .select(col("bg"), round(log(col("_p")) * 1e6, 0).cast("long").as("_lnp_micro"))
+    docBg.join(lnp, "bg")
+      .groupBy("id")
+      .agg(sum("_cnt").as("n_bigrams"),
+        sum(col("_lnp_micro") * col("_cnt")).as("_s"))
+      .select(col("id"), col("n_bigrams"),
+        round(-col("_s").cast("double") / 1e6 / col("n_bigrams"), 6).as("nll"))
+  }
+
   /** TF-IDF keyword extraction: the top-k terms of each document by
     * tf · ln(N/df) — the classic per-document salient-term summary (the
     * same statistics table BM25 scores from, read document-side instead of

@@ -154,6 +154,37 @@ class CurationSpec extends SparkSpec {
     assert(TextAnalysis.bigramNll(df(1L -> "single")).count() == 0)
   }
 
+  test("knBigramNll: hand-checked KN probability, in-domain separation, finite OOV") {
+    val s = spark
+    import s.implicits._
+    // train slice: "a b" ×2 and "a c" ×1 -> c(a·)=3, N1+(a·)=2, T=2
+    // vocab {a,b,c} V=3; cont(b)=1, cont(c)=1
+    val docs = Seq(
+      (0L, "a b", true), (1L, "a b", true), (2L, "a c", true),
+      (3L, "a b", false),  // in-domain bigram
+      (4L, "a z", false),  // seen context, unseen word
+      (5L, "q r", false))  // fully OOV
+      .toDF("id", "text", "tr")
+    val out = TextAnalysis.knBigramNll(docs, col("tr")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 3 "a b": P = (max(2-.75,0) + .75*2*((1+1)/(2+3+1))) / 3
+    val pcB = (1.0 + 1.0) / (2 + 3 + 1.0)
+    val pAB = (2.0 - 0.75 + 0.75 * 2 * pcB) / 3.0
+    assert(math.abs(out(3L) - (-math.round(math.log(pAB) * 1e6) / 1e6)) < 1e-6)
+    // unseen word after a seen context: P = D*N1+(a·)*Pc(z)/c(a·), Pc(z)=1/(T+V+1)
+    val pAZ = 0.75 * 2 * (1.0 / (2 + 3 + 1.0)) / 3.0
+    assert(math.abs(out(4L) - (-math.round(math.log(pAZ) * 1e6) / 1e6)) < 1e-6)
+    // fully OOV bigram: pure continuation floor Pc(r) = 1/(T+V+1) — finite
+    val pQR = 1.0 / (2 + 3 + 1.0)
+    assert(math.abs(out(5L) - (-math.round(math.log(pQR) * 1e6) / 1e6)) < 1e-6)
+    // seen bigrams are always cheapest; note the unseen-word case costs
+    // MORE than the unseen-context case here because the a-context's
+    // backoff weight λ(a) = D·N1+(a·)/c(a·) = 0.5 scales Pc down, while
+    // an unseen context escapes to Pc unscaled — a KN property, not a bug
+    assert(out(3L) < out(4L) && out(3L) < out(5L))
+    assert(!out.values.exists(_.isNaN))
+  }
+
   test("tfidfKeywords surfaces rare distinctive terms over ubiquitous ones") {
     val docs = df(
       1L -> "common common rare1",

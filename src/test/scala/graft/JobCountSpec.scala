@@ -83,7 +83,10 @@ class JobCountSpec extends SparkSpec {
     "gr_communities" -> 51,
     "gr_modularity" -> 68,
     "tc_ppl_buckets" -> 20,
-    "ann_bq_indexed" -> 21,
+    // +1 over the pre-generational 21: the pointer-publish path verifies
+    // each batch dir with a read-back count before the swap (Store
+    // .appendBatch) — a deliberate durability job, not a plan regression
+    "ann_bq_indexed" -> 22,
     // alternating-stars CC (measured 97 in-suite at sf0.001): the rewrite
     // rounds on the fixture link graph, 2 checkpoints + 1 signature agg
     // each — a per-round job regression multiplies by the round count

@@ -35,6 +35,37 @@ class SemDedupSpec extends SparkSpec {
     assert(got.length < mem.count(), "fixture must actually drop something")
   }
 
+  test("semanticContamination flags exactly the same-cell cross-slice pairs over eps") {
+    val cent = graft.ann.Ann.centroidsByLabel(Tables.embeddings(spark, sf()))
+    val bench = mem.filter(col("id") % 20 === 3)
+    val train = mem.filter(col("id") % 20 =!= 3)
+    // eps low enough that the tiny sf0.001 slice yields live pairs — the
+    // point here is exhaustive-reference equality, not the threshold
+    val ceps = 0.05
+    val got = SemDedup.semanticContamination(train, bench, cent, ceps)
+      .as[(Long, Long, Double)].collect().toSet
+    // exhaustive cross-slice reference restricted to same-cell pairs
+    val assigned = graft.ann.Ann.assign(mem, cent)
+    val t = assigned.filter(col("id") % 20 =!= 3)
+      .select(col("id"), col("ivf_cell"), col("embedding").as("_et"))
+    val b = assigned.filter(col("id") % 20 === 3)
+      .select(col("id").as("bench_id"), col("ivf_cell"), col("embedding").as("_eb"))
+    val want = t.join(b, "ivf_cell")
+      .withColumn("sim", roundScore(dot(col("_et"), col("_eb"))))
+      .filter(col("sim") >= ceps)
+      .select("id", "bench_id", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must produce at least one flagged pair")
+    // a planted duplicate of a bench row in the train slice is always
+    // caught: identical unit vectors share a cell and cosine 1.0
+    val benchRow = bench.orderBy("id").limit(1)
+    val planted = benchRow.select((col("id") + 1000000L).as("id"), col("embedding"))
+    val hit = SemDedup.semanticContamination(planted, bench, cent, eps = 0.999)
+      .as[(Long, Long, Double)].collect()
+    assert(hit.length == 1 && hit.head._3 >= 0.999)
+  }
+
   test("cells partition the pair space: no cross-cell pair is considered") {
     // real fixture centroids -> multiple cells; survivors must equal the
     // union of per-cell exhaustive dedups (a cross-cell eps-pair, if any,
