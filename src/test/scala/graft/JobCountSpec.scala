@@ -95,7 +95,16 @@ class JobCountSpec extends SparkSpec {
     // ivfbq = centroid fetch + probe + packed Hamming + rerank;
     // ivf_batch = per-qid probe ranking + one probed scan for 3 queries
     "ann_ivfbq_topk" -> 17,
-    "ann_ivf_batch" -> 18
+    "ann_ivf_batch" -> 18,
+    // round-9 additions (measured in-suite at sf0.001: 26/25/14/22 + ~15%):
+    // opq = two full codebook-train+encode+topk arms + the energy agg;
+    // r6_stream = r4's plan with the stateful nets stage in place of the
+    // feedback groupBy; decontam = two assigns + the bucketed pair join;
+    // kn = type-count stats chain + distinct-bigram score join
+    "ann_opq_recall" -> 30,
+    "r6_feedback_stream" -> 29,
+    "tc_semantic_decontam" -> 17,
+    "ta_kn_bigram_nll" -> 26
   )
 
   private val counter = new AtomicInteger(0)

@@ -118,6 +118,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(scanLine.nonEmpty)
   }
 
+  test("semantic decontamination broadcasts the bench side against the train scan") {
+    // the 100 TB claim: the train corpus is never shuffled for the pair
+    // join — the (tiny) assigned bench side arrives as a broadcast, so
+    // the contamination pass is one map-side pipeline over train
+    val mem = Corpus.memories(spark, sf())
+    val cent = graft.ann.Ann.centroidsByLabel(Tables.embeddings(spark, sf()))
+    val plan = graft.dedup.SemDedup.semanticContamination(
+        mem.filter(col("id") % 20 =!= 3), mem.filter(col("id") % 20 === 3),
+        cent, eps = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench side should broadcast into the cell join:\n${plan.take(2000)}")
+  }
+
+  test("OPQ rotation stays a map-only projection fused into codegen") {
+    // rotate is a literal array gather — over a plain scan it must be one
+    // codegen'd Project with no exchange and no join (AQE off so the
+    // physical tree is printed, the rawPlan discipline)
+    val perm = (0 until 64).reverse // any fixed permutation: plan-shape only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val s = try spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(graft.ann.Pq.rotate(col("embedding"), perm).as("r"))
+      .queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the "*(1)" prefix IS the whole-stage-codegen stage marker in the
+    // compact plan string (the spelled-out node name only appears in the
+    // tree dump)
+    assert(s.contains("*(1) Project"),
+      s"rotation should fuse into codegen stage 1:\n${s.take(1500)}")
+    assert(!s.contains("Exchange"), s"rotation added an exchange:\n${s.take(1500)}")
+  }
+
   test("flagship hybrid search stays within bounded exchanges") {
     val plan = planOf("r4_hybrid_rrf")
     // oversample-bounded rank windows: every window in the fused plan runs
