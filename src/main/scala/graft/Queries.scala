@@ -138,7 +138,20 @@ object Queries {
     // connected components of the link graph (min-member-id labels,
     // singleton components for linkless nodes)
     "gr_components" -> ((s, dir) =>
-      GraphSearch.components(Corpus.memories(s, dir)).orderBy("id"))
+      GraphSearch.components(Corpus.memories(s, dir)).orderBy("id")),
+    // O(batch) CC maintenance: base labels from 90% of the edges, the
+    // id_a%10==7 slice folded in as the ingest batch via component-level
+    // merges + one broadcast relabel — oracle is the FULL-recompute SQL,
+    // so the hash-match proves increment ≡ recompute (the
+    // ann_ivf_indexed refresh discipline on the graph tier)
+    "gr_components_incremental" -> ((s, dir) =>
+      GraphSearch.components(Corpus.memories(s, dir), pairs => {
+        val p = pairs.localCheckpoint(true) // split reads it twice
+        val labels = graft.dedup.Clusters
+          .connectedComponentsAuto(p.filter(col("id_a") % 10 =!= 7))
+        graft.dedup.Clusters.connectedComponentsIncremental(
+          labels, p.filter(col("id_a") % 10 === 7))
+      }).orderBy("id"))
   )
 
   private val retrievalOracles: Map[String, String] = Map(
@@ -204,7 +217,10 @@ object Queries {
          |SELECT id, round(CAST(pr AS DOUBLE) / 1e6, 6) AS pagerank
          |FROM pr${GraphSearch.MaxIters} ORDER BY id""".stripMargin
     },
-    "gr_components" -> grComponentsSql
+    "gr_components" -> grComponentsSql,
+    // identical SQL: the incremental fold must reproduce the full
+    // recompute exactly
+    "gr_components_incremental" -> grComponentsSql
   )
 
   /** Shared by gr_components and gr_components_stars (QueriesTiers): both

@@ -61,6 +61,71 @@ object Clusters {
     rows.toDF("id", "component")
   }
 
+  /** Incremental connected components: fold a BATCH of new edges into an
+    * existing (id, component) labeling without touching the old edge set —
+    * the O(batch) maintenance form of CC (the `ann_ivf_indexed` refresh ≡
+    * rebuild discipline applied to the graph tier; at 100 TB the full
+    * edge scan is the cost you run once, not per ingest).
+    *
+    * Correctness argument: if `labels` is a components fixpoint of its
+    * edge set (component = min reachable id), then every new edge
+    * connects two WHOLE old components, so merging at component level is
+    * exact: (1) map each new edge endpoint to its old component (ids new
+    * to the graph label themselves); (2) union-find over the tiny
+    * component-level edge list ON THE DRIVER — bounded by 2·|batch|
+    * nodes, and the loud `require` keeps the bound honest; (3) ONE
+    * broadcast relabel join over the label table — map-only, no shuffle
+    * of the corpus, no iterative loop. Min-id labels are preserved
+    * because unions always point larger roots at smaller ones.
+    *
+    * Output: (id, component) over old ∪ batch ids. */
+  def connectedComponentsIncremental(labels: DataFrame, newPairs: DataFrame,
+                                     maxBatchEdges: Long = MaxDriverEdges): DataFrame = {
+    val spark0 = labels.sparkSession
+    import spark0.implicits._
+    val lab = labels.select(col("id"), col("component"))
+      .localCheckpoint(true) // feeds the endpoint lookups and the relabel
+    // endpoint -> old component; unseen endpoints are their own component
+    val compEdges = newPairs.select(col("id_a"), col("id_b"))
+      .join(lab.select(col("id").as("id_a"), col("component").as("_ca")),
+        Seq("id_a"), "left")
+      .join(lab.select(col("id").as("id_b"), col("component").as("_cb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("_ca"), col("id_a")).as("ca"),
+        coalesce(col("_cb"), col("id_b")).as("cb"))
+      .filter(col("ca") =!= col("cb")).distinct()
+    val bound = math.min(maxBatchEdges, Int.MaxValue - 2L).toInt
+    val merges = compEdges.as[(Long, Long)].take(bound + 1)
+    require(merges.length <= bound,
+      s"incremental CC batch produced > $bound component merges — run the " +
+        "full recompute instead (a silent truncation would mislabel)")
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val g = parent.getOrElse(parent(x), parent(x))
+        parent(x) = g; x = g
+      }
+      x
+    }
+    merges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val remap = parent.keys.toSeq.sorted.map(c => (c, find(c))).filter(p => p._1 != p._2)
+    // ids appearing only in the batch enter the label table labeling
+    // themselves, then everything relabels through the broadcast merge map
+    val newNodes = newPairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      .join(lab, Seq("id"), "left_anti")
+    val all = lab.unionByName(newNodes.select(col("id"), col("id").as("component")))
+    if (remap.isEmpty) all
+    else all
+      .join(broadcast(remap.toDF("component", "_newc")), Seq("component"), "left")
+      .select(col("id"), coalesce(col("_newc"), col("component")).as("component"))
+  }
+
   /** Connected components of an undirected edge list (id_a, id_b):
     * returns (id, component) where component = min id reachable. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {

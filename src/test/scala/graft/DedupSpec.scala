@@ -148,4 +148,30 @@ class DedupSpec extends SparkSpec {
       .select("id", "to_id").as[(Long, Long)].collect().toSet
     assert(links == Set((2L, 1L))) // sim(2,1)=1.0; orthogonal rest < 0.2
   }
+
+  test("incremental CC: batch merges, brand-new nodes, no-op batch, fail-loud bound") {
+    import graft.dedup.Clusters
+    def cc(rows: (Long, Long)*) = rows.toDF("id_a", "id_b")
+    // base: {1-2-3} and {10-11}; batch bridges them (3,10), extends with a
+    // brand-new chain (20,21) and hooks 21 into 11
+    val base = cc(1L -> 2L, 2L -> 3L, 10L -> 11L)
+    val labels = Clusters.connectedComponentsAuto(base)
+    val got = Clusters.connectedComponentsIncremental(
+        labels, cc(3L -> 10L, 20L -> 21L, 21L -> 11L))
+      .as[(Long, Long)].collect().toMap
+    val full = Clusters.connectedComponentsAuto(
+        base.unionAll(cc(3L -> 10L, 20L -> 21L, 21L -> 11L)))
+      .as[(Long, Long)].collect().toMap
+    assert(got == full)
+    assert(got(21L) == 1L && got(20L) == 1L) // everything reached min id 1
+    // a batch that merges nothing returns the labels unchanged
+    val noop = Clusters.connectedComponentsIncremental(labels, cc(1L -> 3L))
+      .as[(Long, Long)].collect().toMap
+    assert(noop == labels.as[(Long, Long)].collect().toMap)
+    // the driver bound fails loudly instead of silently truncating
+    intercept[IllegalArgumentException] {
+      Clusters.connectedComponentsIncremental(labels, cc(3L -> 10L, 20L -> 21L),
+        maxBatchEdges = 1L)
+    }
+  }
 }
