@@ -121,6 +121,14 @@ object QueriesExt {
         .toDF("media_id", "frame_idx", "frame_hash")
         .orderBy("media_id", "frame_idx")
     }),
+    // ViT patchification (1 image -> 2-D indexed patch grid: the batch
+    // shape that turns an image table into a training-token table)
+    "mm_patchify" -> ((s, dir) => {
+      val media = Multimodal.syntheticMediaTable(
+        Tables.documents(s, dir).select(col("doc_id").as("id")))
+      Multimodal.patchify(media)
+        .orderBy("media_id", "patch_row", "patch_col")
+    }),
     // multimodal resize (1:1 batch shape with size-changing payload)
     "mm_resize" -> ((s, dir) => {
       val media = Multimodal.syntheticMediaTable(
@@ -445,6 +453,27 @@ object QueriesExt {
          |    list_transform(range(0, 16), j -> CAST(ascii(s[(j * n) // 16 + 1]) AS BIGINT))),
          |    (acc, x) -> (acc * 31 + x) % 1000000007) AS resized_hash
          |FROM im ORDER BY media_id""".stripMargin
+    },
+    "mm_patchify" -> {
+      val blob = "'blob-' || repeat(CAST(id AS VARCHAR), CAST(id % 7 + 1 AS INT))"
+      s"""WITH mm AS (
+         |  SELECT doc_id AS id, $blob AS s
+         |  FROM (SELECT doc_id FROM documents)),
+         |im AS (SELECT id, s, len(s) AS n, (len(s) + 7) // 8 AS h
+         |  FROM mm WHERE id % 3 = 0),
+         |g AS (
+         |  SELECT id, CAST(pr.x AS INT) AS patch_row, CAST(pc.x AS INT) AS patch_col, s,
+         |    list_filter(list_transform(range(0, 16),
+         |      k -> (pr.x * 4 + k // 4) * 8 + (pc.x * 4 + k % 4)), p -> p < n) AS ps
+         |  FROM im, range(0, 100) pr(x), range(0, 2) pc(x)
+         |  WHERE pr.x < (h + 3) // 4)
+         |SELECT id AS media_id, patch_row, patch_col,
+         |  CAST(len(ps) AS INT) AS n_px,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(ps, p -> CAST(ascii(s[p + 1]) AS BIGINT))),
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS patch_hash
+         |FROM g WHERE len(ps) > 0
+         |ORDER BY media_id, patch_row, patch_col""".stripMargin
     },
     "mm_feature_checksum" -> {
       val blob = "'blob-' || repeat(CAST(id AS VARCHAR), CAST(id % 7 + 1 AS INT))"

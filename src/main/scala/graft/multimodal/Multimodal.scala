@@ -122,6 +122,58 @@ object Multimodal {
       .toDF("media_id", "out_len", "resized_hash")
   }
 
+  case class MediaPatch(mediaId: Long, patchRow: Int, patchCol: Int,
+                        nPx: Int, patchHash: Long)
+
+  /** ViT-style patchification (Dosovitskiy '20 "An Image is Worth 16x16
+    * Words", public): the decoded pixel plane splits into a grid of
+    * P×P patches, one output row per patch with its grid position — the
+    * transform that turns an image table into a training-token table.
+    * The third batched plumbing shape next to extract (1:1) and
+    * frame-sample (1:N flat): 1 image → a 2-D indexed grid.
+    *
+    * Fake geometry under the stub codec: the blob is a row-major byte
+    * plane of width [[PatchPlaneW]]; a real decoder supplies real pixels
+    * and this function's plan (schema, batching, grid math) is unchanged.
+    * Patches overhanging the plane's tail keep their in-bounds pixels
+    * (n_px < P²); fully-empty patches are not emitted. Patch identity is
+    * the polyHash fold of its pixels in row-major order. */
+  val PatchPlaneW = 8
+
+  def patchify(media: DataFrame, patch: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val w = PatchPlaneW
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val n = bytes.length
+        val h = (n + w - 1) / w
+        val prMax = (h + patch - 1) / patch
+        val pcMax = (w + patch - 1) / patch
+        for {
+          pr <- (0 until prMax).iterator
+          pc <- 0 until pcMax
+          res = {
+            var acc = 0L; var px = 0
+            var r = pr * patch
+            while (r < math.min((pr + 1) * patch, h)) {
+              var c = pc * patch
+              while (c < math.min((pc + 1) * patch, w)) {
+                val p = r * w + c
+                if (p < n) { acc = (acc * 31 + (bytes(p) & 0xff)) % 1000000007L; px += 1 }
+                c += 1
+              }
+              r += 1
+            }
+            (px, acc)
+          }
+          if res._1 > 0
+        } yield MediaPatch(id, pr, pc, res._1, res._2)
+      })
+      .toDF("media_id", "patch_row", "patch_col", "n_px", "patch_hash")
+  }
+
   /** Feature checksum projection (oracle-able scalar per media row);
     * rounding happens in the plan so the SQL oracle's round() matches. */
   def featureChecksums(features: Dataset[MediaFeature]): DataFrame = {

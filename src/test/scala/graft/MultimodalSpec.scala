@@ -29,6 +29,28 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.collect().forall(_.feature.length == 8))
   }
 
+  test("patchify: hand-checked grid, tail clipping, and partition invariance") {
+    // a 10-byte plane at width 8: h = 2, one patch band, two patch cols.
+    // patch (0,0) = rows 0-1 x cols 0-3 -> bytes 0,1,2,3,8,9 (6 px);
+    // patch (0,1) = cols 4-7 -> bytes 4..7 only (row 1 clipped, 4 px)
+    val bytes = "abcdefghij".getBytes("UTF-8")
+    val media = Seq((0L, "image", bytes)).toDF("media_id", "kind", "blob")
+    def poly(bs: Seq[Byte]) =
+      bs.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    val got = Multimodal.patchify(media)
+      .as[(Long, Int, Int, Int, Long)].collect().sortBy(r => (r._2, r._3))
+    assert(got.toSeq == Seq(
+      (0L, 0, 0, 6, poly(Seq(0, 1, 2, 3, 8, 9).map(bytes(_)))),
+      (0L, 0, 1, 4, poly(Seq(4, 5, 6, 7).map(bytes(_))))))
+    // non-images are ignored; the grid is partition-invariant
+    val mixed = Multimodal.syntheticMediaTable((0L until 30L).toDF("id"))
+    val p1 = Multimodal.patchify(mixed.repartition(1))
+      .orderBy("media_id", "patch_row", "patch_col").collect().map(_.toString)
+    val p7 = Multimodal.patchify(mixed.repartition(7))
+      .orderBy("media_id", "patch_row", "patch_col").collect().map(_.toString)
+    assert(p1.toSeq == p7.toSeq && p1.nonEmpty)
+  }
+
   test("blobs never flow past the feature stage (narrow output schema)") {
     val media = Multimodal.syntheticMediaTable((0L until 4L).toDF("id"))
     val out = Multimodal.featureChecksums(
