@@ -144,6 +144,12 @@ object Queries {
     // merges + one broadcast relabel — oracle is the FULL-recompute SQL,
     // so the hash-match proves increment ≡ recompute (the
     // ann_ivf_indexed refresh discipline on the graph tier)
+    // landmark BFS tables: exact hop distances from 3 fixed landmarks out
+    // to 4 hops — the d(u,l)+d(l,v) distance-estimation sketch for massive
+    // graphs (one BFS table per landmark, no per-query traversal)
+    "gr_landmark_bfs" -> ((s, dir) =>
+      GraphSearch.landmarkDistances(Corpus.memories(s, dir), Seq(0L, 1L, 2L))
+        .orderBy("landmark", "id")),
     "gr_components_incremental" -> ((s, dir) =>
       GraphSearch.components(Corpus.memories(s, dir), pairs => {
         val p = pairs.localCheckpoint(true) // split reads it twice
@@ -220,7 +226,18 @@ object Queries {
     "gr_components" -> grComponentsSql,
     // identical SQL: the incremental fold must reproduce the full
     // recompute exactly
-    "gr_components_incremental" -> grComponentsSql
+    "gr_components_incremental" -> grComponentsSql,
+    "gr_landmark_bfs" ->
+      s"""WITH RECURSIVE ${OracleCtes.edges},
+         |lb AS (
+         |  SELECT CAST(l.x AS BIGINT) AS landmark, CAST(l.x AS BIGINT) AS id, 0 AS dist
+         |  FROM (VALUES (0), (1), (2)) l(x)
+         |  UNION
+         |  SELECT b.landmark, e.dst AS id, b.dist + 1
+         |  FROM lb b JOIN edges e ON e.src = b.id
+         |  WHERE b.dist < 4)
+         |SELECT landmark, id, CAST(min(dist) AS INT) AS dist
+         |FROM lb GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** Shared by gr_components and gr_components_stars (QueriesTiers): both

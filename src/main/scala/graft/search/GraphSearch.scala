@@ -42,6 +42,46 @@ object GraphSearch {
       df.checkpoint()
     else df.localCheckpoint(true)
 
+  /** Landmark BFS: exact hop distances from a small fixed set of landmark
+    * nodes, out to `maxHops` (the landmark/sketch family of shortest-path
+    * estimation on massive graphs — Potamias et al. '09 "Fast Shortest
+    * Path Distance Estimation in Large Networks", public: d(u,v) is
+    * bounded by min over landmarks of d(u,l)+d(l,v), so one BFS table per
+    * landmark answers distance queries with no per-query traversal).
+    *
+    * The loop is level-synchronous frontier expansion — per hop ONE
+    * edge⋈frontier join + an anti-join against the settled set, both
+    * checkpointed like every iterative loop here; a node's first
+    * discovery IS its exact distance, so no min-relaxation rounds are
+    * needed. Frontiers shrink monotonically and the loop early-outs on an
+    * empty frontier (result identical to running all `maxHops` rounds —
+    * the oracle unrolls depth-bounded recursion and takes min(dist)).
+    *
+    * Output: (landmark, id, dist ≤ maxHops) for every reached node,
+    * including (l, l, 0). */
+  def landmarkDistances(memories: DataFrame, landmarks: Seq[Long],
+                        maxHops: Int = 4): DataFrame = {
+    require(landmarks.nonEmpty, "landmarkDistances needs at least one landmark")
+    val spark = memories.sparkSession
+    import spark.implicits._
+    val e = edges(memories).localCheckpoint(true)
+    var settled = landmarks.map(l => (l, l, 0))
+      .toDF("landmark", "id", "dist").localCheckpoint(true)
+    var frontier = settled
+    var hop = 1
+    while (hop <= maxHops && frontier.limit(1).count() > 0) {
+      val next = roundCheckpoint(frontier
+        .join(e, frontier("id") === e("src"))
+        .select(col("landmark"), col("dst").as("id"), lit(hop).as("dist"))
+        .distinct()
+        .join(settled.select("landmark", "id"), Seq("landmark", "id"), "left_anti"))
+      settled = roundCheckpoint(settled.unionByName(next))
+      frontier = next
+      hop += 1
+    }
+    settled
+  }
+
   /** R8: bidirectional edge list from inline links — (src, dst), self-edges
     * and dangling targets dropped, deduped (memory_engine.py:1490-1508). */
   def edges(memories: DataFrame, linkType: String = "related_to"): DataFrame = {

@@ -115,6 +115,32 @@ class GraphSearchSpec extends SparkSpec {
       4L -> (4L, 2L), 5L -> (4L, 2L), 6L -> (6L, 1L)))
   }
 
+  test("landmarkDistances: exact hops on a chain, depth bound, early-out island") {
+    // chain 1-2-3-4-5-6-7 plus isolated 9: from landmark 1, dist = hops
+    // along the chain capped at maxHops; the isolate is its own landmark
+    // whose BFS early-outs after one empty frontier
+    val mem = Seq(
+      (1L, Seq(2L)), (2L, Seq(3L)), (3L, Seq(4L)), (4L, Seq(5L)),
+      (5L, Seq(6L)), (6L, Seq(7L)), (7L, Seq.empty[Long]), (9L, Seq.empty[Long])
+    ).toDF("id", "tos")
+      .withColumn("links", expr(
+        "transform(tos, t -> named_struct('to_id', t, 'link_type', 'related_to', 'created_at', CAST(NULL AS TIMESTAMP)))"))
+    val got = GraphSearch.landmarkDistances(mem, Seq(1L, 9L), maxHops = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 0), (1L, 2L, 1), (1L, 3L, 2), (1L, 4L, 3), (1L, 5L, 4),
+      (9L, 9L, 0))) // 6,7 beyond the depth bound; 9 reaches nothing
+    // first discovery is the exact distance even with a shortcut edge
+    val mem2 = Seq(
+      (1L, Seq(2L, 3L)), (2L, Seq(3L)), (3L, Seq.empty[Long])
+    ).toDF("id", "tos")
+      .withColumn("links", expr(
+        "transform(tos, t -> named_struct('to_id', t, 'link_type', 'related_to', 'created_at', CAST(NULL AS TIMESTAMP)))"))
+    val got2 = GraphSearch.landmarkDistances(mem2, Seq(1L), maxHops = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got2 == Set((1L, 1L, 0), (1L, 2L, 1), (1L, 3L, 1)))
+  }
+
   test("edges(): bidirectional, self/dangling dropped, order-robust") {
     val mem = Seq(
       (1L, Seq((2L, "related_to")), false),
