@@ -99,6 +99,15 @@ object Queries {
         .limit(10)
         .select("id", "bm25")
     }),
+    // RM3-lite pseudo-relevance feedback: top-10 feedback docs mine up to
+    // 5 POSITIVE-weight expansion terms (tf-idf relevance-model weights),
+    // final score = bm25(original) + 0.4*bm25(expansion). The fixture's
+    // synthetic vocabulary is saturated (1 positive-idf term corpus-wide),
+    // so this pins the do-no-harm degenerate path — empty expansion ≡
+    // base ranking; real vocabulary-mismatch recovery is pinned by the
+    // hand-built corpus in BM25IndexSpec
+    "r17_prf_expansion" -> ((s, dir) =>
+      BM25.prfExpanded(Corpus.memories(s, dir), QueryTokens)),
     "r4_hybrid_rrf" -> ((s, dir) => {
       HybridSearch.search(
         Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
@@ -189,6 +198,27 @@ object Queries {
          |SELECT b.id, b.bm25 FROM bm b JOIN memories m USING (id)
          |WHERE b.bm25 > 0 AND NOT m.archived
          |ORDER BY b.bm25 DESC, b.id LIMIT 10""".stripMargin,
+    "r17_prf_expansion" ->
+      s"""WITH ${OracleCtes.memories},
+         |${OracleHybrid.bm25Ctes(QueryTokens)},
+         |fbtop AS (SELECT id FROM bm WHERE bm25 > 0 ORDER BY bm25 DESC, id LIMIT 10),
+         |expw AS (
+         |  SELECT tf.term, round(sum(tf.tf * idf.idf), 6) AS w
+         |  FROM tf JOIN fbtop USING (id) JOIN idf USING (term)
+         |  WHERE tf.term NOT IN (SELECT term FROM qt)
+         |  GROUP BY 1),
+         |expt AS (SELECT term FROM expw WHERE w > 0 ORDER BY w DESC, term LIMIT 5),
+         |bmexp AS (
+         |  SELECT tf.id,
+         |    round(sum(idf.idf * tf.tf * (${graft.search.BM25.K1} + 1.0) /
+         |      (tf.tf + ${graft.search.BM25.K1} * (1.0 - ${graft.search.BM25.B} + ${graft.search.BM25.B} * dl.dl / (SELECT avgdl FROM bmstats)))), 6) AS bm25e
+         |  FROM tf JOIN expt USING (term) JOIN idf USING (term) JOIN dl USING (id)
+         |  GROUP BY 1)
+         |SELECT coalesce(b.id, e.id) AS id,
+         |  coalesce(b.bm25, 0.0) AS bm25_base, coalesce(e.bm25e, 0.0) AS bm25_exp,
+         |  round(coalesce(b.bm25, 0.0) + 0.4 * coalesce(e.bm25e, 0.0), 6) AS score
+         |FROM bm b FULL JOIN bmexp e ON b.id = e.id
+         |ORDER BY score DESC, id LIMIT 10""".stripMargin,
     "r4_hybrid_rrf" ->
       OracleHybrid.hybridSql(oracleHybridParams, n = 1000000, withFeedback = true),
     // identical SQL to r4: the stream-maintained net table must reproduce

@@ -139,6 +139,58 @@ object BM25 {
         .as("bm25"))
   }
 
+  /** RM3-lite pseudo-relevance feedback expansion (Lavrenko & Croft '01
+    * relevance models; the Anserini/Indri RM3 recipe, public): run the
+    * query, treat the top `fbDocs` results as pseudo-relevant, mine their
+    * highest-weight non-query terms (w(t) = Σ_fb tf·idf — the tf-idf
+    * estimate of the relevance model, 6dp-rounded, ties by term), and
+    * re-score with the expanded query: score = bm25(original) +
+    * β·bm25(expansion). Recovers vocabulary-mismatch docs that share no
+    * literal query term — the classic lexical-retrieval quality lever
+    * before any neural reranker.
+    *
+    * Scale shape: both scoring passes reuse the memoized term-stats index
+    * (one tokenize of the corpus total); the expansion-term mining joins
+    * the ≤fbDocs feedback set against the tf table and collects exactly
+    * `fbTerms` rows (bounded, the MMR discipline). Output: (id,
+    * bm25_base, bm25_exp, score), top-k by (score desc, id). */
+  def prfExpanded(docs: DataFrame, queryTokens: Seq[String], k: Int = 10,
+                  fbDocs: Int = 10, fbTerms: Int = 5, beta: Double = 0.4,
+                  textCol: String = "text", idCol: String = "id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ix = indexFor(docs, textCol, idCol)
+    val base = scores(docs, queryTokens, textCol, idCol).localCheckpoint(true)
+    val fbTop = base.filter(col("bm25") > 0)
+      .orderBy(desc("bm25"), asc("id")).limit(fbDocs).select("id")
+    val qset = queryTokens.distinct
+    // only POSITIVE-weight terms expand (the RM3 stopword discipline: a
+    // negative-idf term is in more than half the corpus and carries no
+    // relevance signal — expanding with it would subtract score from
+    // every candidate). On a fully saturated vocabulary the mined set is
+    // empty and the ranking degrades gracefully to the base query —
+    // do-no-harm, pinned by the fixture query; real recovery is pinned
+    // by the hand-built spec corpus.
+    val expTerms = ix.tf.join(fbTop, "id")
+      .filter(!col("term").isin(qset: _*))
+      .join(ix.idf, "term")
+      .groupBy("term").agg(round(sum(col("tf") * col("idf")), 6).as("w"))
+      .filter(col("w") > 0)
+      .orderBy(desc("w"), asc("term")).limit(fbTerms)
+      .select("term").as[String].collect().toSeq // bounded ≤ fbTerms rows
+    val exp =
+      if (expTerms.isEmpty)
+        base.select(col("id"), lit(0.0).as("bm25e")).limit(0)
+      else scores(docs, expTerms, textCol, idCol).withColumnRenamed("bm25", "bm25e")
+    base.join(exp, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("bm25"), lit(0.0)).as("bm25_base"),
+        coalesce(col("bm25e"), lit(0.0)).as("bm25_exp"),
+        round(coalesce(col("bm25"), lit(0.0))
+          + lit(beta) * coalesce(col("bm25e"), lit(0.0)), 6).as("score"))
+      .orderBy(desc("score"), asc("id")).limit(k)
+  }
+
   /** The reference's BM25 branch: score all docs, post-filter visibility
     * (source/archived only — NOT temporal, memory_engine.py:1769-1785),
     * keep positive scores, top-`oversample`. */
