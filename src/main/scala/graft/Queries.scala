@@ -99,6 +99,15 @@ object Queries {
         .limit(10)
         .select("id", "bm25")
     }),
+    // O8: query-focused snippets over the BM25 top-10 — the best 8-token
+    // window by query-term density per hit (most hits, earliest start),
+    // map-only over the bounded hit set
+    "o8_snippets" -> ((s, dir) => {
+      val mem = Corpus.memories(s, dir)
+      val hits = BM25.ranked(mem, QueryTokens, oversample = 10)
+        .join(mem.select("id", "text"), "id")
+      graft.ops.Presentation.snippets(hits, QueryTokens).orderBy("id")
+    }),
     // RM3-lite pseudo-relevance feedback: top-10 feedback docs mine up to
     // 5 POSITIVE-weight expansion terms (tf-idf relevance-model weights),
     // final score = bm25(original) + 0.4*bm25(expansion). The fixture's
@@ -198,6 +207,30 @@ object Queries {
          |SELECT b.id, b.bm25 FROM bm b JOIN memories m USING (id)
          |WHERE b.bm25 > 0 AND NOT m.archived
          |ORDER BY b.bm25 DESC, b.id LIMIT 10""".stripMargin,
+    "o8_snippets" -> {
+      val qlist = QueryTokens.distinct.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH ${OracleCtes.memories},
+         |${OracleHybrid.bm25Ctes(QueryTokens)},
+         |sh AS (
+         |  SELECT b.id, b.bm25, ${graft.core.OracleText.toks("m.text")} AS t
+         |  FROM bm b JOIN memories m USING (id)
+         |  WHERE b.bm25 > 0 AND NOT m.archived
+         |  ORDER BY b.bm25 DESC, b.id LIMIT 10),
+         |shw AS (
+         |  SELECT id, bm25, t, least(len(t), 8) AS w, len(t) AS n
+         |  FROM sh WHERE len(t) > 0),
+         |swin AS (
+         |  SELECT id, bm25, t, w, CAST(s.x AS INT) AS start_pos,
+         |    CAST(len(list_filter(list_slice(t, s.x, s.x + w - 1),
+         |      x -> list_contains($qlist, x))) AS INT) AS n_hits
+         |  FROM shw, unnest(range(1, n - w + 2)) s(x)),
+         |sbest AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id
+         |    ORDER BY n_hits DESC, start_pos) AS rn FROM swin)
+         |SELECT id, bm25, start_pos, n_hits,
+         |  array_to_string(list_slice(t, start_pos, start_pos + w - 1), ' ') AS snippet
+         |FROM sbest WHERE rn = 1 ORDER BY id""".stripMargin
+    },
     "r17_prf_expansion" ->
       s"""WITH ${OracleCtes.memories},
          |${OracleHybrid.bm25Ctes(QueryTokens)},

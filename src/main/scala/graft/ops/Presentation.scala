@@ -127,4 +127,38 @@ object Presentation {
       count(lit(1)).as("total"),
       sum(when(col("source").startsWith(prefix), 1).otherwise(0)).as("with_prefix"),
       sum(when(!col("archived"), 1).otherwise(0)).as("visible"))
+
+  /** O8: query-focused snippets — for each hit, the best `window`-token
+    * span by query-term density (the keyword-in-context highlight every
+    * search result page shows; classic passage retrieval, e.g. Callan '94
+    * passage-level evidence, public). Best = most query-token occurrences,
+    * ties by earliest start; documents shorter than the window emit whole.
+    *
+    * Scale shape: MAP-ONLY over the (already top-k-bounded) hit set — the
+    * window scan is a codegen-fused fold over each doc's token array
+    * (array ops, no explode, no shuffle); the argmax is array_min over
+    * (-hits, start) structs, the [[graft.ann.Pq]] lexicographic-argmin
+    * idiom. Output adds (start_pos, n_hits, snippet) to the input. */
+  def snippets(hits: DataFrame, queryTokens: Seq[String], window: Int = 8,
+               textCol: String = "text"): DataFrame = {
+    val q = typedLit(queryTokens.distinct)
+    val t = graft.functions.TextFunctions.tokens(col(textCol))
+    val withBest = hits
+      .withColumn("_t", t)
+      .withColumn("_n", size(col("_t")))
+      .withColumn("_w", least(col("_n"), lit(window)))
+      .filter(col("_n") > 0)
+      .withColumn("_best", array_min(transform(
+        sequence(lit(1), col("_n") - col("_w") + 1),
+        s => struct(
+          (-size(org.apache.spark.sql.functions.filter(
+            slice(col("_t"), s, col("_w")), x => array_contains(q, x)))).as("nh"),
+          s.as("s")))))
+    withBest
+      .withColumn("start_pos", col("_best.s"))
+      .withColumn("n_hits", (-col("_best.nh")).cast("int"))
+      .withColumn("snippet",
+        concat_ws(" ", slice(col("_t"), col("_best.s"), col("_w"))))
+      .drop("_t", "_n", "_w", "_best", textCol)
+  }
 }

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Presentation
+
+/** O8 snippet extraction: the best query-density window is chosen with the
+  * documented tie rule, and short docs emit whole. (O2-O6 are oracle-gated;
+  * snippets get a hand-checkable spec because the window argmax has edge
+  * cases a fixture corpus does not pin.) */
+class PresentationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("snippets: densest window wins, earliest start on ties, short docs emit whole") {
+    val hits = Seq(
+      // two hits early, three hits clustered late -> late window wins
+      (1L, "cat x x x x x x x x x x cat dog cat y z"),
+      // equal density windows -> earliest start
+      (2L, "cat a b c d e f g h cat i j k l m n"),
+      // shorter than the window -> whole doc, start 1
+      (3L, "just cat here"))
+      .toDF("id", "text")
+    val out = Presentation.snippets(hits, Seq("cat", "dog"), window = 8)
+      .select("id", "start_pos", "n_hits", "snippet")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == 3, s"late cluster has 3 hits: ${out(1L)}")
+    assert(out(1L)._4.split(" ").count(Set("cat", "dog")) == 3)
+    assert(out(2L)._2 == 1, s"tie must pick the earliest window: ${out(2L)}")
+    assert(out(3L) == ((3L, 1, 1, "just cat here")))
+    // no query token anywhere -> n_hits 0, first window
+    val none = Presentation.snippets(
+        Seq((9L, "alpha beta gamma delta")).toDF("id", "text"), Seq("zz"))
+      .select("id", "start_pos", "n_hits").as[(Long, Int, Int)].head()
+    assert(none == ((9L, 1, 0)))
+  }
+}
