@@ -760,6 +760,31 @@ object Queries {
     "ta_tfidf_keywords" -> ((s, dir) =>
       TextAnalysis.tfidfKeywords(docs(s, dir), k = 3)
         .orderBy("id", "kw_rank")),
+    // per-day trending terms by share-lift vs the corpus baseline — the
+    // temporal drift monitor of a continuously-ingesting corpus
+    "ta_trending_terms" -> ((s, dir) =>
+      TextAnalysis.trendingTerms(Corpus.memories(s, dir))
+        .orderBy("day", "rank")),
+    // per-language BPE fertility (pieces per word) under the trained merge
+    // table — the mT5/XLM-R tokenizer-equity table: a high-fertility
+    // language pays more sequence length per word of content
+    "tk_fertility" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.text.Bpe.trainMerges(d, k = 6)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val words = d.select(col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+        .localCheckpoint(true)
+      val wsize = graft.text.Bpe.applyMerges(words.select("w").distinct(), merges)
+        .select(col("w"), size(col("tokens")).as("_ns"))
+      words.join(wsize, "w")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"), sum(col("_ns")).as("n_pieces"))
+        .select(col("lang"), col("n_words"), col("n_pieces"),
+          round(col("n_pieces").cast("double") / col("n_words"), 6).as("fertility"))
+        .orderBy("lang")
+    }),
     // DSIR importance-resampling scores (hashed-unigram log-likelihood
     // ratio vs the lang='en' target slice; kept = more target-like than raw)
     "tc_dsir_sample" -> ((s, dir) =>
@@ -1160,6 +1185,41 @@ object Queries {
          |  round(-CAST(sum(lnp_micro) AS DOUBLE) / 1e6 / count(*), 6) AS nll
          |FROM bbg JOIN blnp USING (bg)
          |GROUP BY id ORDER BY id""".stripMargin
+    },
+    "ta_trending_terms" -> {
+      val t = OracleText.toks("m.text")
+      s"""WITH ${OracleCtes.memories},
+         |ttd AS MATERIALIZED (
+         |  SELECT CAST(date_trunc('day', m.created_at) AS DATE) AS day, u.term
+         |  FROM memories m, unnest($t) AS u(term)),
+         |ttc AS MATERIALIZED (
+         |  SELECT day, term, CAST(count(*) AS BIGINT) AS n FROM ttd GROUP BY 1, 2),
+         |ttn AS (SELECT day, CAST(sum(n) AS BIGINT) AS dn FROM ttc GROUP BY 1),
+         |ttg AS (SELECT term, CAST(sum(n) AS BIGINT) AS cn FROM ttc GROUP BY 1),
+         |ttt AS (SELECT CAST(sum(n) AS BIGINT) AS ct FROM ttc),
+         |ttr AS (
+         |  SELECT c.day, c.term, c.n,
+         |    round(CAST(c.n * t.ct AS DOUBLE) / (d.dn * g.cn), 6) AS lift
+         |  FROM ttc c JOIN ttn d USING (day) JOIN ttg g USING (term), ttt t
+         |  WHERE c.n >= 2),
+         |ttk AS (SELECT *, row_number() OVER (PARTITION BY day
+         |  ORDER BY lift DESC, term) AS rank FROM ttr)
+         |SELECT day, CAST(rank AS INT) AS rank, term, n, lift
+         |FROM ttk WHERE rank <= 3 ORDER BY day, rank""".stripMargin
+    },
+    "tk_fertility" -> {
+      val t = OracleText.toks("text")
+      s"""WITH ${OracleText.bpeCtes(6)},
+         |wsz AS MATERIALIZED (
+         |  SELECT w, len(list_filter(string_split(trim(s, chr(1)),
+         |    chr(1)||chr(1)), x -> len(x) > 0)) AS ns
+         |  FROM w6)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(z.ns) AS BIGINT) AS n_pieces,
+         |  round(CAST(sum(z.ns) AS DOUBLE) / count(*), 6) AS fertility
+         |FROM documents d, unnest($t) AS u(term)
+         |JOIN wsz z ON z.w = u.term
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "ta_kn_bigram_nll" -> {
       val t = OracleText.toks("text")

@@ -319,6 +319,46 @@ object TextAnalysis {
         round(-col("_s").cast("double") / 1e6 / col("n_bigrams"), 6).as("nll"))
   }
 
+  /** Trending terms per day: for each calendar day, the terms whose
+    * per-day share most exceeds their corpus share —
+    * lift = (n/dayTotal)/(cn/corpusTotal) — the temporal drift monitor a
+    * continuously-ingesting corpus runs (a spiking term is the first
+    * sign of a scraper loop, an event burst, or a contamination wave;
+    * same burst-detection lineage as Kleinberg '02, in ratio form).
+    * `minCount` floors one-off noise; lift is computed as ONE mirrored
+    * integer-product division (n·corpusTotal / (dayTotal·cn), all BIGINT
+    * products, 6dp-rounded) so ranking is deterministic; ties by term.
+    *
+    * Scale shape: occurrences collapse to (day, term) stats in their
+    * first map-side-combined shuffle; day totals and corpus term totals
+    * roll up from those stats (occurrences never re-shuffle); the rank
+    * window partitions by day over the stats — never the raw stream.
+    * Output: (day, rank ≤ k, term, n, lift). */
+  def trendingTerms(docs: DataFrame, k: Int = 3, minCount: Long = 2,
+                    textCol: String = "text",
+                    tsCol: String = "created_at"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayTerm = docs
+      .select(date_trunc("DAY", col(tsCol)).cast("date").as("day"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("day", "term").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds day totals, corpus totals, and ranking
+    val dayTot = dayTerm.groupBy("day").agg(sum("n").as("_dn"))
+    val corpTerm = dayTerm.groupBy("term").agg(sum("n").as("_cn"))
+    val corpTot = dayTerm.agg(sum("n").as("_ct"))
+    val w = Window.partitionBy("day").orderBy(desc("lift"), asc("term"))
+    dayTerm.filter(col("n") >= minCount)
+      .join(dayTot, "day")
+      .join(corpTerm, "term")
+      .crossJoin(broadcast(corpTot))
+      .withColumn("lift",
+        round((col("n") * col("_ct")).cast("double") / (col("_dn") * col("_cn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("day"), col("rank").cast("int").as("rank"),
+        col("term"), col("n"), col("lift"))
+  }
+
   /** TF-IDF keyword extraction: the top-k terms of each document by
     * tf · ln(N/df) — the classic per-document salient-term summary (the
     * same statistics table BM25 scores from, read document-side instead of

@@ -185,6 +185,32 @@ class CurationSpec extends SparkSpec {
     assert(!out.values.exists(_.isNaN))
   }
 
+  test("trendingTerms: a planted one-day burst ranks first with lift > 1; flat terms near 1") {
+    val s = spark
+    import s.implicits._
+    // 'steady' appears twice every day; 'burst' only on day 2, heavily
+    val docs = Seq(
+      (1L, "steady steady filler", "2024-01-01 01:00:00"),
+      (2L, "steady steady filler", "2024-01-02 01:00:00"),
+      (3L, "burst burst burst burst", "2024-01-02 02:00:00"),
+      (4L, "steady steady filler", "2024-01-03 01:00:00"))
+      .toDF("id", "text", "ts")
+      .withColumn("created_at", col("ts").cast("timestamp"))
+    val out = TextAnalysis.trendingTerms(docs, k = 2).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> (r.getString(2), r.getDouble(4)))
+      .toMap
+    val (topTerm, topLift) = out(("2024-01-02", 1))
+    assert(topTerm == "burst" && topLift > 1.5, s"burst should lead day 2: $out")
+    // steady's day-1 share ~= its corpus share -> lift near 1
+    val steady1 = out(("2024-01-01", 1))
+    assert(steady1._2 < topLift)
+    // minCount floors singletons: a day with only unique terms emits nothing
+    val sparse = Seq((9L, "one two three", "2024-02-01 00:00:00"))
+      .toDF("id", "text", "ts")
+      .withColumn("created_at", col("ts").cast("timestamp"))
+    assert(TextAnalysis.trendingTerms(sparse).count() == 0)
+  }
+
   test("tfidfKeywords surfaces rare distinctive terms over ubiquitous ones") {
     val docs = df(
       1L -> "common common rare1",
