@@ -57,7 +57,13 @@ object QueriesJoins {
       val parts = Tables.load(s, dir, "part")
       graft.dedup.EntityResolution.bestFuzzyMatches(parts, "p_name", maxDist = 3)
         .orderBy("name")
-    }))
+    }),
+    // blocking-quality audit: reduction ratio + pair completeness of the
+    // last-token blocking vs the exact all-pairs truth — the decision
+    // table that grades a blocking scheme before it ships
+    "er_blocking_metrics" -> ((s, dir) =>
+      graft.dedup.EntityResolution.blockingMetrics(
+        Tables.load(s, dir, "part"), "p_name", maxDist = 3)))
 
   val oracles: Map[String, String] = Map(
     "aj_click_attribution" ->
@@ -94,5 +100,23 @@ object QueriesJoins {
         |         PARTITION BY name ORDER BY dist, match_name) AS rn
         |       FROM cand)
         |SELECT name, CAST(n_records AS BIGINT) AS n_records, match_name, dist
-        |FROM rk WHERE rn = 1 ORDER BY name""".stripMargin)
+        |FROM rk WHERE rn = 1 ORDER BY name""".stripMargin,
+    "er_blocking_metrics" ->
+      """WITH bn AS (
+        |  SELECT DISTINCT lower(p_name) AS name,
+        |         regexp_extract(lower(p_name), '([^ ]+)$', 1) AS blk
+        |  FROM part),
+        |bp AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS all_pairs,
+        |    CAST(sum(CASE WHEN a.blk = b.blk THEN 1 ELSE 0 END) AS BIGINT) AS candidate_pairs,
+        |    CAST(sum(CASE WHEN levenshtein(a.name, b.name) <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS true_pairs,
+        |    CAST(sum(CASE WHEN a.blk = b.blk AND levenshtein(a.name, b.name) <= 3
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS matched_true_pairs
+        |  FROM bn a JOIN bn b ON a.name < b.name)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM bn) AS n_entities,
+        |  all_pairs, candidate_pairs, true_pairs, matched_true_pairs,
+        |  round(1.0 - CAST(candidate_pairs AS DOUBLE) / all_pairs, 6) AS reduction_ratio,
+        |  CASE WHEN true_pairs > 0
+        |    THEN round(CAST(matched_true_pairs AS DOUBLE) / true_pairs, 6) END AS pair_completeness
+        |FROM bp""".stripMargin)
 }

@@ -48,4 +48,42 @@ object EntityResolution {
       .filter(col("_rn") === 1)
       .select("name", "n_records", "match_name", "dist")
   }
+
+  /** Blocking-quality audit — the two numbers every ER blocking scheme is
+    * judged by (standard record-linkage evaluation, e.g. Christen '12):
+    * reduction ratio (how much of the all-pairs space the blocking prunes)
+    * and pair completeness (what fraction of TRUE matching pairs survive
+    * into a shared block — the recall the blocking rule forfeits).
+    *
+    * The all-pairs ground truth is quadratic in DISTINCT entities — this
+    * is the EVALUATION harness, run on a bounded sample of the entity
+    * space at 100 TB (the lsh_jaccard_exact discipline: the exact
+    * baseline exists to grade the scale path, not to be it); candidate
+    * generation itself stays the blocked equi-join.
+    *
+    * One row: (n_entities, all_pairs, candidate_pairs, true_pairs,
+    * matched_true_pairs, reduction_ratio, pair_completeness). */
+  def blockingMetrics(records: DataFrame, nameCol: String, maxDist: Int): DataFrame = {
+    val names = records
+      .select(lower(col(nameCol)).as("name")).distinct()
+      .withColumn("blk", regexp_extract(col("name"), "([^ ]+)$", 1))
+      .localCheckpoint(true) // feeds both pair sides and the entity count
+    val a = names.select(col("name").as("na"), col("blk").as("ba"))
+    val b = names.select(col("name").as("nb"), col("blk").as("bb"))
+    val flags = a.crossJoin(b).filter(col("na") < col("nb"))
+      .select((col("ba") === col("bb")).cast("long").as("sameblk"),
+        (levenshtein(col("na"), col("nb")) <= maxDist).cast("long").as("istrue"))
+      .agg(count(lit(1)).as("all_pairs"),
+        sum("sameblk").as("candidate_pairs"),
+        sum("istrue").as("true_pairs"),
+        sum(col("sameblk") * col("istrue")).as("matched_true_pairs"))
+    names.agg(count(lit(1)).as("n_entities")).crossJoin(flags)
+      .select(col("n_entities"), col("all_pairs"), col("candidate_pairs"),
+        col("true_pairs"), col("matched_true_pairs"),
+        round(lit(1.0) - col("candidate_pairs").cast("double") / col("all_pairs"), 6)
+          .as("reduction_ratio"),
+        when(col("true_pairs") > 0,
+          round(col("matched_true_pairs").cast("double") / col("true_pairs"), 6))
+          .as("pair_completeness"))
+  }
 }

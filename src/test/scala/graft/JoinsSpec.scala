@@ -119,6 +119,17 @@ class JoinsSpec extends SparkSpec {
       n.split(" ").last == m.split(" ").last })
   }
 
+  test("blockingMetrics: hand-computed reduction ratio and pair completeness") {
+    // 4 entities: "red nut"/"red cap" are a TRUE pair (dist 3) split
+    // across blocks (nut/cap) — the blocking recall loss; "green bolt"/
+    // "grean bolt" are a true pair SHARING a block. all_pairs = C(4,2)=6,
+    // candidate = 1 (the bolt pair), true = 2, matched = 1
+    val recs = Seq("red nut", "red cap", "green bolt", "grean bolt").toDF("nm")
+    val r = graft.dedup.EntityResolution.blockingMetrics(recs, "nm", maxDist = 3)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].head()
+    assert(r == ((4L, 6L, 1L, 2L, 1L, 0.833333, 0.5)))
+  }
+
   test("registered er_fuzzy_parts returns rows at sf0.001") {
     assert(Queries.all("er_fuzzy_parts")(spark, sf()).count() > 0)
   }
