@@ -513,6 +513,27 @@ object Queries {
         cent, eps = 0.3)
         .orderBy("id", "bench_id")
     }),
+    // unified decontamination report: every flagged (train, bench) pair
+    // with WHICH gate caught it — n-gram overlap, embedding cosine, or
+    // both. The attribution table a decontamination review reads: pairs
+    // caught ONLY semantically are the paraphrased leaks the n-gram gate
+    // would have shipped
+    "tc_decontam_report" -> ((s, dir) => {
+      val mem = Corpus.memories(s, dir)
+      val bench = mem.filter(col("id") % 20 === 3)
+      val train = mem.filter(col("id") % 20 =!= 3)
+      val ng = graft.text.Curation.contamination(
+        train.select("id", "text"), bench.select("id", "text"), minShared = 5)
+      val sem = graft.dedup.SemDedup.semanticContamination(train, bench,
+        Ann.centroidsByLabel(Tables.embeddings(s, dir)), eps = 0.3)
+      ng.join(sem, Seq("id", "bench_id"), "full_outer")
+        .select(col("id"), col("bench_id"),
+          col("n_shared").isNotNull.as("ngram_hit"),
+          col("sim").isNotNull.as("semantic_hit"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          coalesce(col("sim"), lit(0.0)).as("sim"))
+        .orderBy("id", "bench_id")
+    }),
     // flagship 100 TB training-data curation pipeline: profile → filter →
     // exact dedup → MinHash-LSH near-dup removal, every stage distributed
     "tc_curation_survivors" -> ((s, dir) => {
@@ -848,6 +869,31 @@ object Queries {
          |SELECT a.id, a.ivf_cell FROM asg a
          |WHERE a.id NOT IN (SELECT id FROM sdp)
          |ORDER BY a.id""".stripMargin,
+    "tc_decontam_report" ->
+      s"""WITH ${OracleCtes.memories},
+         |${OracleText.shingleCte()},
+         |$ivfCtes,
+         |drb AS (SELECT id AS bench_id, sh FROM sh WHERE id % 20 = 3),
+         |drt AS (SELECT id, sh FROM sh WHERE id % 20 <> 3),
+         |drn AS MATERIALIZED (
+         |  SELECT t.id, b.bench_id,
+         |    CAST(len(list_intersect(t.sh, b.sh)) AS BIGINT) AS n_shared
+         |  FROM drt t, drb b
+         |  WHERE len(list_intersect(t.sh, b.sh)) >= 5),
+         |drs AS MATERIALIZED (
+         |  SELECT a.id, b.id AS bench_id,
+         |    round(${OracleCtes.dot64("x.embedding", "y.embedding")}, 6) AS sim
+         |  FROM asg a JOIN asg b ON a.ivf_cell = b.ivf_cell
+         |  JOIN memories x ON x.id = a.id
+         |  JOIN memories y ON y.id = b.id
+         |  WHERE a.id % 20 <> 3 AND b.id % 20 = 3
+         |    AND round(${OracleCtes.dot64("x.embedding", "y.embedding")}, 6) >= 0.3)
+         |SELECT coalesce(n.id, s.id) AS id,
+         |  coalesce(n.bench_id, s.bench_id) AS bench_id,
+         |  n.id IS NOT NULL AS ngram_hit, s.id IS NOT NULL AS semantic_hit,
+         |  coalesce(n.n_shared, 0) AS n_shared, coalesce(s.sim, 0.0) AS sim
+         |FROM drn n FULL JOIN drs s ON n.id = s.id AND n.bench_id = s.bench_id
+         |ORDER BY id, bench_id""".stripMargin,
     "tc_semantic_decontam" ->
       s"""WITH ${OracleCtes.memories},
          |$ivfCtes
