@@ -781,6 +781,10 @@ object Queries {
     "ta_tfidf_keywords" -> ((s, dir) =>
       TextAnalysis.tfidfKeywords(docs(s, dir), k = 3)
         .orderBy("id", "kw_rank")),
+    // signal-agreement audit: Pearson r between heuristic quality and
+    // unigram-LM NLL — does the cheap filter proxy the expensive one?
+    "ta_quality_nll_corr" -> ((s, dir) =>
+      graft.text.Curation.qualityFluencyCorr(docs(s, dir))),
     // per-day trending terms by share-lift vs the corpus baseline — the
     // temporal drift monitor of a continuously-ingesting corpus
     "ta_trending_terms" -> ((s, dir) =>
@@ -1231,6 +1235,35 @@ object Queries {
          |  round(-CAST(sum(lnp_micro) AS DOUBLE) / 1e6 / count(*), 6) AS nll
          |FROM bbg JOIN blnp USING (bg)
          |GROUP BY id ORDER BY id""".stripMargin
+    },
+    "ta_quality_nll_corr" -> {
+      val t = OracleText.toks("text")
+      s"""WITH qft AS MATERIALIZED (
+         |  SELECT doc_id AS id, text, $t AS t FROM documents),
+         |qfq AS MATERIALIZED (
+         |  SELECT id, CAST(round(${OracleText.qualityExpr("text", "t")} * 1e6, 0) AS BIGINT) AS x
+         |  FROM qft WHERE len(t) > 0),
+         |qfu AS MATERIALIZED (
+         |  SELECT id, t.term FROM qft, unnest(qft.t) AS t(term)),
+         |qfs AS MATERIALIZED (SELECT term, count(*) AS tf FROM qfu GROUP BY 1),
+         |qfl AS MATERIALIZED (
+         |  SELECT term, CAST(round(ln(CAST(tf AS DOUBLE) /
+         |    (SELECT CAST(sum(tf) AS BIGINT) FROM qfs)) * 1e6, 0) AS BIGINT) AS lnp_micro
+         |  FROM qfs),
+         |qfn AS MATERIALIZED (
+         |  SELECT id, CAST(round(round(-CAST(sum(lnp_micro) AS DOUBLE) / 1e6 / count(*), 6) * 1e3, 0) AS BIGINT) AS y
+         |  FROM qfu JOIN qfl USING (term) GROUP BY id),
+         |qfa AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM qfq JOIN qfn USING (id))
+         |SELECT n_docs,
+         |  round((CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    sqrt((CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+         |         (CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+         |FROM qfa""".stripMargin
     },
     "ta_trending_terms" -> {
       val t = OracleText.toks("m.text")

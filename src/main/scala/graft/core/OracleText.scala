@@ -95,6 +95,17 @@ object OracleText {
   private def stopList(lang: String): String =
     TextAnalysis.Profiles.toMap.apply(lang).map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** The heuristic quality score over a text column `txt` with its token
+    * list `t` in scope — mirrors [[graft.text.TextAnalysis.qualityScore]]
+    * (length saturation, en-stopword ratio, unique ratio, digit ratio),
+    * 6dp-rounded. Shared by the profile SELECT and the signal-agreement
+    * audit so the two can never drift. */
+  def qualityExpr(txt: String, t: String): String =
+    s"""round(least(len($t) / 100.0, 1.0) * 0.3
+       |    + (CAST(len(list_filter($t, x -> list_contains(${stopList("en")}, x))) AS DOUBLE) / len($t)) * 0.2
+       |    + (CAST(len(list_distinct($t)) AS DOUBLE) / len($t)) * 0.3
+       |    + (1.0 - CAST(len(regexp_replace($txt, '[^0-9]', '', 'g')) AS DOUBLE) / greatest(len($txt), 1)) * 0.2, 6)""".stripMargin
+
   /** Per-doc language/quality/token-count profile SELECT over documents. */
   val textProfileSql: String = {
     val t = toks("text")
@@ -114,10 +125,7 @@ object OracleText {
        |         ELSE 'es' END
        |    ELSE 'und' END AS lang,
        |  greatest(s_en, s_de, s_fr, s_es) AS lang_score,
-       |  round(least(len(t) / 100.0, 1.0) * 0.3
-       |    + (CAST(len(list_filter(t, x -> list_contains(${stopList("en")}, x))) AS DOUBLE) / len(t)) * 0.2
-       |    + (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 0.3
-       |    + (1.0 - CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / greatest(len(text), 1)) * 0.2, 6) AS quality,
+       |  ${qualityExpr("text", "t")} AS quality,
        |  len(t) AS n_ws,
        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
        |FROM sc ORDER BY id""".stripMargin

@@ -41,6 +41,40 @@ object Curation {
         ws.as("n_ws"), bpe.as("n_bpe"))
   }
 
+  /** Signal-agreement audit: Pearson correlation between the heuristic
+    * quality score and unigram-LM fluency (NLL) per document — the
+    * "measure, don't guess" check before trusting the cheap heuristic as
+    * a proxy for the expensive LM signal in a curation run (FineWeb-style
+    * ablation practice, public). A strongly negative r (high quality ↔
+    * low NLL) licenses filtering on the heuristic alone; r near 0 says
+    * the two filters remove different documents and both gates earn
+    * their keep.
+    *
+    * Determinism: quality rides in exact integer micro-units (it is
+    * already 6dp-rounded), NLL in milli-units; the five sums are
+    * order-free BIGINT aggregates (Σx² ≤ 1e12·n — exact below ~9e6 docs;
+    * at larger corpora run the audit on a bounded sample, which is how
+    * a correlation audit is used anyway) and the closing Pearson
+    * arithmetic is ONE mirrored double expression. Output: one row
+    * (n_docs, corr). */
+  def qualityFluencyCorr(docs: DataFrame): DataFrame = {
+    val q = profile(docs).select(col("id"),
+      round(col("quality") * 1e6, 0).cast("long").as("x"))
+    val f = TextAnalysis.unigramNll(docs).select(col("id"),
+      round(col("nll") * 1e3, 0).cast("long").as("y"))
+    def d(c: String) = col(c).cast("double")
+    q.join(f, "id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n_docs"),
+        round((d("n_docs") * d("sxy") - d("sx") * d("sy")) /
+          sqrt((d("n_docs") * d("sxx") - d("sx") * d("sx")) *
+            (d("n_docs") * d("syy") - d("sy") * d("sy"))), 6).as("corr"))
+  }
+
   /** Run the pipeline. `docs` needs (id, text). NOTE: the near-dup stage
     * materializes its shingle frame eagerly (checkpoint), so calling this
     * runs jobs; use [[profile]] for profile-only consumers. */

@@ -185,6 +185,22 @@ class CurationSpec extends SparkSpec {
     assert(!out.values.exists(_.isNaN))
   }
 
+  test("qualityFluencyCorr: clean-common vs junk-rare corpus correlates strongly negative") {
+    val s = spark
+    import s.implicits._
+    // 10 clean docs share one fluent stopword-rich sentence (high quality,
+    // LOW nll — every term is corpus-frequent); 5 junk docs are digit
+    // soup with unique rare tokens (low quality, HIGH nll)
+    val clean = "the and for you are all can had her was one our out day get"
+    val docs = ((1L to 10L).map(i => (i, clean)) ++
+      (11L to 15L).map(i => (i, s"99$i 88$i 77$i zq${i}x")))
+      .toDF("id", "text")
+    val r = graft.text.Curation.qualityFluencyCorr(docs)
+      .as[(Long, Double)].head()
+    assert(r._1 == 15L)
+    assert(r._2 < -0.5, s"expected strong negative quality-nll correlation, got $r")
+  }
+
   test("trendingTerms: a planted one-day burst ranks first with lift > 1; flat terms near 1") {
     val s = spark
     import s.implicits._
