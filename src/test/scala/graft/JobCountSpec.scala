@@ -104,7 +104,18 @@ class JobCountSpec extends SparkSpec {
     "ann_opq_recall" -> 30,
     "r6_feedback_stream" -> 29,
     "tc_semantic_decontam" -> 17,
-    "ta_kn_bigram_nll" -> 26
+    "ta_kn_bigram_nll" -> 26,
+    // round-9 second batch (measured in-suite at sf0.001: 49/30/20/11
+    // + ~15%) — the iterative/composed plans where a per-round or
+    // per-stage job regression would multiply: landmark BFS runs
+    // 2 checkpoints + 1 frontier probe per hop x 2 landmark rounds;
+    // incremental CC adds the split + driver union-find to the base CC;
+    // the decontam report composes the shingle and cell-pair passes;
+    // PRF is two scoring passes + the bounded term mine
+    "gr_landmark_bfs" -> 57,
+    "gr_components_incremental" -> 35,
+    "tc_decontam_report" -> 23,
+    "r17_prf_expansion" -> 13
   )
 
   private val counter = new AtomicInteger(0)
