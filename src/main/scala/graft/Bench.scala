@@ -79,7 +79,11 @@ object Bench {
     // line only
     "tc_curation_survivors", "tc_corpus_stats", "tc_neardup_clusters",
     "tc_contamination", "tc_repeated_spans", "tc_exact_spans",
-    "ta_bigram_nll",
+    // round-9 shape swap: the slice-trained Kneser-Ney chain (adds the
+    // continuation/context stat joins) replaces the add-k bigram LM on
+    // the timed line — same family, strictly richer plan; add-k stays
+    // oracle-gated
+    "ta_kn_bigram_nll",
     "tc_semantic_dedup", "gr_pagerank",
     // round-9: ev_self_retrieval also retires from the TIMED line — it is
     // an eval harness re-running the r1/r2/r4 retrieval plans already
@@ -105,7 +109,11 @@ object Bench {
     // and tc_boilerplate_lines (0.50 s, JobCountSpec-pinned) — the two
     // cheapest non-anchor entries, both still oracle-gated — retire from
     // the TIMED line to keep the 1500-char BenchSpec budget (1481 after).
-    "ann_bq_topk", "gr_communities")
+    // round-9 shape swap: gr_landmark_bfs (level-synchronous BFS loop —
+    // a per-hop job regression multiplies, worth timing) replaces
+    // ann_bq_topk (a plain TakeOrdered scan whose packed-Hamming kernel
+    // stays timed inside the bq recall/indexed oracle gates)
+    "gr_landmark_bfs", "gr_communities")
   /** The rotation-proof comparison set: the 32 queries timed in EVERY
     * round since r4 (intersection of BENCH_r04..r07's timed dicts). The
     * emitted line carries their sum as `anchor_total`, so round-over-round
