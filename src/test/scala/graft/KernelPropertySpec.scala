@@ -95,4 +95,25 @@ class KernelPropertySpec extends SparkSpec {
       assert(diff == 0, s"seed $seed")
     }
   }
+
+  test("Pq.rotate: permutation round-trips and preserves the element multiset") {
+    val dim = 16
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-1000, 1000).map(_ / 1000.0f))
+    for (seed <- 1L to 6L) {
+      // seed-shuffled permutation + its inverse
+      val perm = sample(Gen.const(()).flatMap(_ =>
+        Gen.pick(dim, 0 until dim).map(_.toList)), seed)
+      val inv = new Array[Int](dim)
+      perm.zipWithIndex.foreach { case (p, i) => inv(p) = i }
+      val df = sample(Gen.listOfN(20, vecGen), seed)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val out = df.select(col("id"), col("v"),
+          graft.ann.Pq.rotate(graft.ann.Pq.rotate(col("v"), perm), inv.toSeq).as("rt"),
+          array_sort(col("v")).as("s1"),
+          array_sort(graft.ann.Pq.rotate(col("v"), perm)).as("s2"))
+      // rotate(inv) ∘ rotate(perm) = identity, and the multiset survives
+      assert(out.filter(col("v") =!= col("rt")).count() == 0, s"seed $seed roundtrip")
+      assert(out.filter(col("s1") =!= col("s2")).count() == 0, s"seed $seed multiset")
+    }
+  }
 }
