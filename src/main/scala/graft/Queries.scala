@@ -742,6 +742,12 @@ object Queries {
     // grouped form a 100 TB profiling pass ships per shard/source/date
     "sk_hll_by_source" -> ((s, dir) =>
       graft.text.Sketches.hllDistinctByKey(docs(s, dir), "source")),
+    // sketch algebra: vocab overlap between the src1 slice and the rest
+    // via HLL inclusion-exclusion (union = cell-wise register max) —
+    // cross-slice questions answered from per-slice sketches alone
+    "sk_hll_overlap" -> ((s, dir) =>
+      graft.text.Sketches.hllOverlap(docs(s, dir),
+        col("source").startsWith("src1"))),
     // nearest-rank length quantiles (corpus card): histogram-first, the
     // only ordered pass runs over the distinct-length histogram
     "ta_length_quantiles" -> ((s, dir) =>
@@ -1386,6 +1392,43 @@ object Queries {
          |        ELSE $est END, 6) AS hll_est,
          |  n_buckets_used
          |FROM htruth, hagg""".stripMargin
+    },
+    "sk_hll_overlap" -> {
+      val t = OracleText.toks("text")
+      val h = OracleText.polyHash("t.term")
+      def estSel(src: String, name: String) =
+        s"""(SELECT round(CASE WHEN (CAST('0.709' AS DOUBLE) * 64 * 64) / (s + (64 - n_buckets_used)) <= CAST('160.0' AS DOUBLE)
+           |    AND (64 - n_buckets_used) > 0
+           |  THEN 64.0 * ln(64.0 / (64 - n_buckets_used))
+           |  ELSE (CAST('0.709' AS DOUBLE) * 64 * 64) / (s + (64 - n_buckets_used)) END, 6)
+           |  FROM (SELECT CAST(count(*) AS BIGINT) AS n_buckets_used,
+           |    sum(pow(2.0, -r)) AS s FROM $src)) AS $name""".stripMargin
+      s"""WITH vterm0 AS (
+         |  SELECT (source LIKE 'src1%') AS a, $h AS h0
+         |  FROM documents, unnest($t) AS t(term)),
+         |vterm AS MATERIALIZED (
+         |  SELECT a, (h0 * h0 + 1313131 * h0 + 777777) % 1000000007 AS h
+         |  FROM vterm0),
+         |vreg AS MATERIALIZED (
+         |  SELECT a, h % 64 AS bucket,
+         |    max(CASE WHEN h // 64 = 0 THEN 25
+         |             ELSE 25 - length(bin(h // 64)) END) AS r
+         |  FROM vterm GROUP BY 1, 2),
+         |vuni AS (SELECT bucket, max(r) AS r FROM vreg GROUP BY 1),
+         |vtruth AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS true_overlap FROM (
+         |    SELECT DISTINCT t.term FROM documents, unnest($t) AS t(term)
+         |    WHERE source LIKE 'src1%'
+         |    INTERSECT
+         |    SELECT DISTINCT t.term FROM documents, unnest($t) AS t(term)
+         |    WHERE source NOT LIKE 'src1%'))
+         |SELECT true_overlap, est_a, est_b, est_union,
+         |  round(est_a + est_b - est_union, 6) AS overlap_est
+         |FROM (SELECT true_overlap,
+         |  ${estSel("(SELECT r FROM vreg WHERE a)", "est_a")},
+         |  ${estSel("(SELECT r FROM vreg WHERE NOT a)", "est_b")},
+         |  ${estSel("vuni", "est_union")}
+         |FROM vtruth)""".stripMargin
     },
     "sk_hll_by_source" -> {
       val t = OracleText.toks("text")

@@ -155,6 +155,41 @@ object Sketches {
       .orderBy(keyCol)
   }
 
+  /** Vocabulary overlap between a corpus slice and the rest by HLL
+    * inclusion-exclusion: |A∩B| ≈ |A| + |B| − |A∪B|, with |A∪B| read off
+    * the per-bucket MAX of the two register sets — the sketch-algebra
+    * property (registers merge by cell-wise max) that lets a profiling
+    * pass answer cross-slice overlap questions from per-slice sketches
+    * ALONE, without re-scanning either slice (Flajolet '07 §5, public;
+    * the standard HLL set-operation recipe). Exact truth alongside for
+    * the small-SF oracle. The estimate error compounds across three
+    * sketches — the documented trade of the inclusion-exclusion form.
+    *
+    * Output one row: (true_overlap, est_a, est_b, est_union,
+    * overlap_est). */
+  def hllOverlap(docs: DataFrame, slicePred: Column,
+                 textCol: String = "text"): DataFrame = {
+    val terms = docs
+      .select(slicePred.as("_a"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .localCheckpoint(true) // feeds both register builds and the truth
+    val sideRegs = hllRegistersOfTerms(terms, Seq("_a")).localCheckpoint(true)
+    def est(regs: DataFrame, name: String) = regs
+      .agg(count(lit(1)).as("n_buckets_used"),
+        sum(pow(lit(2.0), -col("r"))).as("_s"))
+      .select(hllEstimate.as(name))
+    val ea = est(sideRegs.filter(col("_a")), "est_a")
+    val eb = est(sideRegs.filter(!col("_a")), "est_b")
+    val eu = est(sideRegs.groupBy("bucket").agg(max("r").as("r")), "est_union")
+    val truth = terms.filter(col("_a")).select("term").distinct()
+      .join(terms.filter(!col("_a")).select("term").distinct(), "term")
+      .agg(count(lit(1)).as("true_overlap"))
+    truth.crossJoin(broadcast(ea)).crossJoin(broadcast(eb))
+      .crossJoin(broadcast(eu))
+      .select(col("true_overlap"), col("est_a"), col("est_b"), col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 6).as("overlap_est"))
+  }
+
   /** Point estimates for a set of query terms against a built sketch:
     * est(term) = min over rows of the term's cell counter. The sketch side
     * is ≤ Depth·Width rows and broadcasts. Output (term, est). */

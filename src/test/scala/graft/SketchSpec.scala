@@ -57,6 +57,38 @@ class SketchSpec extends SparkSpec {
       s"HLL estimate $est too far from $truth")
   }
 
+  test("HLL overlap: inclusion-exclusion tracks constructed partial/zero overlap") {
+    val s2 = spark
+    import s2.implicits._
+    // slice A: 200 own terms + 800 shared; slice B: 200 own + the same
+    // 800 shared -> true overlap 800 of a 1200-term union; then a fully
+    // disjoint pair -> overlap 0. With m = 64 the inclusion-exclusion
+    // noise floor is ~sigma*(|A|+|B|+|A∪B|) ≈ 0.13 * 3-4k terms — a few
+    // hundred absolute — so the pinned properties are a WIDE envelope on
+    // the large overlap plus the ordering vs the disjoint case (the
+    // resolution a 64-bucket sketch honestly has)
+    def corpus(sharedB: Boolean) = (
+      (0 until 20).map(i => (i.toLong, "src1/x",
+        (0 until 10).map(j => s"a${i * 10 + j}").mkString(" "))) ++
+      (0 until 80).map(i => (100L + i, "src1/x",
+        (0 until 10).map(j => s"s${i * 10 + j}").mkString(" "))) ++
+      (0 until 20).map(i => (200L + i, "other/y",
+        (0 until 10).map(j => s"b${i * 10 + j}").mkString(" "))) ++
+      (0 until 80).map(i => (300L + i, "other/y",
+        (0 until 10).map(j => s"${if (sharedB) "s" else "c"}${i * 10 + j}").mkString(" ")))
+      ).toDF("id", "source", "text")
+    val part = Sketches.hllOverlap(corpus(sharedB = true),
+      col("source").startsWith("src1")).head()
+    assert(part.getLong(0) == 800L)
+    val est = part.getDouble(4)
+    assert(est / 800.0 > 0.3 && est / 800.0 < 1.7, s"overlap est $est vs 800")
+    val none = Sketches.hllOverlap(corpus(sharedB = false),
+      col("source").startsWith("src1")).head()
+    assert(none.getLong(0) == 0L)
+    assert(part.getDouble(4) - none.getDouble(4) > 200.0,
+      s"partial (${part.getDouble(4)}) must clearly exceed disjoint (${none.getDouble(4)})")
+  }
+
   test("grouped HLL per key == the global sketch over that key's slice") {
     val d = core.Tables.documents(spark, sf())
       .select(col("doc_id").as("id"), col("text"), col("source"))
