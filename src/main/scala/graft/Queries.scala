@@ -336,6 +336,50 @@ object Queries {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // TPC-H Q3 shape (shipping priority): 3-way join + revenue top-10 —
+    // the classic multi-join OLAP plan over the warehouse tables; revenue
+    // accumulates in exact integer cents (order-free), one closing divide
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100, 0).cast("long")
+      Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.load(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(cents).as("_c"))
+        .select(col("l_orderkey"),
+          round(col("_c").cast("double") / 100, 2).as("revenue"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }),
+    // TPC-H Q5 shape (local supplier volume): 6-way join where customer
+    // and supplier must share a nation, revenue rolled up per nation —
+    // nation/region broadcast, the fact tables shuffle on their keys
+    "q5_local_supplier_volume" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100, 0).cast("long")
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum(cents).as("_c"))
+        .select(col("n_name"),
+          round(col("_c").cast("double") / 100, 2).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
     })
   )
 
@@ -345,7 +389,30 @@ object Queries {
         |  round(sum(l_quantity), 4) AS sum_qty,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
         |  count(*) AS n
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
   )
 
   // ------------------------------------------------------- dedup / text / ann
