@@ -545,6 +545,28 @@ object Queries {
       graft.ann.IvfIndex.refresh(s, path, mem.filter(col("id") >= half))
       graft.ann.IvfIndex.topK(s, path, queryVec(s, dir), k = 10, nprobe = 2)
     }),
+    // multi-generation refresh: build on the first quarter, then THREE
+    // successive O(batch) refreshes — four pointer swaps, four
+    // generations — against the same full-corpus oracle, proving the
+    // generation chain accumulates no drift however many refreshes a
+    // long-lived index absorbs (the single-refresh case is
+    // ann_ivf_indexed; a real ingest pipeline refreshes forever)
+    "ann_ivf_multigen" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_mg_${ProcessHandle.current().pid()}"
+      reapAtExit(path)
+      val mem = Corpus.memories(s, dir)
+      val quarter = Corpus.nDocs(s, dir) / 4
+      graft.ann.IvfIndex.build(
+        mem.filter(col("id") < quarter), Tables.embeddings(s, dir), path)
+      for (i <- 1 to 3) {
+        val lo = quarter * i
+        val batch =
+          if (i < 3) mem.filter(col("id") >= lo && col("id") < quarter * (i + 1))
+          else mem.filter(col("id") >= lo)
+        graft.ann.IvfIndex.refresh(s, path, batch)
+      }
+      graft.ann.IvfIndex.topK(s, path, queryVec(s, dir), k = 10, nprobe = 2)
+    }),
     // recall audit for the ANN scale path: |IVF top-10 ∩ exact top-10| / 10 —
     // the metric that decides whether nprobe is sized right at scale
     "ann_ivf_recall" -> ((s, dir) => {
@@ -1107,6 +1129,8 @@ object Queries {
     "ann_ivf_topk" -> ivfTopkSql,
     // full-corpus IVF SQL: the build+refresh split must reproduce it
     "ann_ivf_indexed" -> ivfTopkSql,
+    // same full-corpus SQL: 4 generations of refresh must equal a rebuild
+    "ann_ivf_multigen" -> ivfTopkSql,
     "ann_ivf_recall" ->
       s"""SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10
          |FROM ($ivfTopkSql) i
