@@ -143,6 +143,12 @@ object QueriesExt {
     "st_event_window_counts" -> ((s, dir) =>
       EventStream.windowedEventCounts(Tables.events(s, dir))
         .orderBy("window_start", "event_type")),
+    // ingest-quality monitor: per-day corpus-health stats (count, mean
+    // quality, low-quality fraction, language spread) — the streaming
+    // dashboard aggregate, here in its batch oracle form
+    "st_quality_window" -> ((s, dir) =>
+      EventStream.qualityWindowStats(Corpus.memories(s, dir))
+        .orderBy("window_start")),
     "sf_feedback_nets" -> ((s, dir) =>
       EventStream.runningFeedbackNets(Corpus.searchFeedback(s, dir))
         .select(col("memoryId").as("memory_id"), col("net"), col("nEvents").as("n_events"))
@@ -647,6 +653,23 @@ object QueriesExt {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, sum(value) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "st_quality_window" -> {
+      val t = graft.core.OracleText.toks("text")
+      s"""WITH ${OracleCtes.memories},
+         |qw0 AS MATERIALIZED (
+         |  SELECT created_at, lang, text, $t AS t FROM memories),
+         |qwt AS MATERIALIZED (
+         |  SELECT date_trunc('day', created_at) AS ws, lang,
+         |    CAST(round((CASE WHEN len(t) = 0 THEN 0.0
+         |      ELSE ${graft.core.OracleText.qualityExpr("text", "t")} END) * 1e6, 0) AS BIGINT) AS qm
+         |  FROM qw0)
+         |SELECT ws AS window_start, count(*) AS n_docs,
+         |  CAST((2 * sum(qm) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_quality_micro,
+         |  CAST((2 * 1000000 * sum(CASE WHEN qm < 500000 THEN 1 ELSE 0 END) + count(*))
+         |    // (2 * count(*)) AS BIGINT) AS low_quality_ppm,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM qwt GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "sf_feedback_nets" ->
       s"""WITH ${OracleCtes.searchFeedback}
          |SELECT memory_id, CAST(sum(CASE WHEN signal = 'useful' THEN 1 ELSE -1 END) AS BIGINT) AS net,

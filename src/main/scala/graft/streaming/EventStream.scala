@@ -183,6 +183,48 @@ object EventStream {
       .toDF()
   }
 
+  /** Ingest-quality monitor: per tumbling window of document arrival time,
+    * the corpus-health numbers an ingest dashboard watches — document
+    * count, mean quality (exact integer micro-unit sum, one closing
+    * division), low-quality fraction, and distinct languages. A quality
+    * collapse or language-mix shift inside one window is the first sign
+    * of a broken scraper or an upstream format change — at 100 TB you
+    * want that signal per window, not after the next full profile.
+    *
+    * Defined on a DataFrame so the SAME code runs as a watermarked
+    * streaming aggregation (append mode once the watermark passes) and as
+    * the batch oracle form. The aggregate is one map-side-combined
+    * groupBy(window) — sketch-free, bounded state per open window. */
+  def qualityWindowStats(docs: DataFrame,
+                         window: String = "1 day",
+                         watermark: String = "2 days",
+                         lowQuality: Double = 0.5,
+                         tsCol: String = "created_at"): DataFrame = {
+    val q = graft.text.TextAnalysis.qualityScore(col("text"))
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col("lang"),
+        round(q * 1e6, 0).cast("long").as("_qm"))
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_qm").as("_qsum"),
+        sum(when(col("_qm") < lowQuality * 1e6, 1L).otherwise(0L)).as("_nlow"),
+        // collect_set, not count_distinct: distinct aggregates are
+        // rejected in streaming mode, the set (bounded by the language
+        // cardinality) is legal in both and exact
+        collect_set(col("lang")).as("_langs"))
+      // integer half-up division — (2a + b) div 2b — for both ratios: a
+      // double mean can land EXACTLY on a .XXXXXX5 tie (sum/1e6/n with
+      // small n), where Spark's BigDecimal HALF_UP and a multiply-then-
+      // nearbyint round disagree by 1 ulp; integer arithmetic cannot.
+      // mean quality in micro-units, low-quality share in ppm.
+      .select(col("window.start").as("window_start"),
+        col("n_docs"),
+        expr("(2 * _qsum + n_docs) div (2 * n_docs)").as("mean_quality_micro"),
+        expr("(2 * 1000000 * _nlow + n_docs) div (2 * n_docs)").as("low_quality_ppm"),
+        size(col("_langs")).cast("long").as("n_langs"))
+  }
+
   /** Wire a file-based event stream end-to-end (readStream → transform →
     * memory sink); used by the streaming spec and as the deployment shape. */
   def startWindowedCounts(spark: SparkSession, sourceDir: String,

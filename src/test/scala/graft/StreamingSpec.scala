@@ -58,6 +58,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest-quality monitor aggregates incrementally == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("good long text with many useful and unique words here", "en", "2024-01-01 03:00:00"),
+      ("1234 5678 9012", "en", "2024-01-01 09:00:00"),
+      ("another fine document of reasonable length and variety", "de", "2024-01-02 01:00:00"),
+      ("2222 3333", "fr", "2024-01-02 04:00:00"))
+      .map { case (t, l, ts) => (t, l, Timestamp.valueOf(ts)) }
+    val input = MemoryStream[(String, String, Timestamp)]
+    val stream = input.toDF().toDF("text", "lang", "created_at")
+    val q = EventStream.qualityWindowStats(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("qw_stats").start()
+    try {
+      val (a, b) = rows.splitAt(2)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      val streamed = spark.table("qw_stats")
+        .orderBy("window_start").collect().map(_.toString).toSeq
+      val batch = EventStream.qualityWindowStats(
+          rows.toDF("text", "lang", "created_at"))
+        .orderBy("window_start").collect().map(_.toString).toSeq
+      assert(streamed == batch && batch.size == 2)
+    } finally q.stop()
+  }
+
   test("stream-maintained feedback nets drive HybridSearch identically to the raw log") {
     // the r6_feedback_stream composition, driven through a REAL stream:
     // feedback arrives in two micro-batches, runningFeedbackNets maintains
