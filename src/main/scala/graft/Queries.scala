@@ -602,6 +602,16 @@ object Queries {
         cent, eps = 0.3)
         .orderBy("id", "bench_id")
     }),
+    // incremental-maintenance worklist: for a 2%-changed batch, exactly
+    // which ivf cells / bm25 terms / decontam shingles need refresh —
+    // the O(batch) planner behind every incremental artifact here
+    "op_invalidation_plan" -> ((s, dir) => {
+      val mem = Corpus.memories(s, dir)
+      graft.ops.Invalidation.plan(
+        mem.filter(col("id") % 50 === 0),
+        Ann.centroidsByLabel(Tables.embeddings(s, dir)))
+        .orderBy("id", "artifact", "key")
+    }),
     // unified decontamination report: every flagged (train, bench) pair
     // with WHICH gate caught it — n-gram overlap, embedding cosine, or
     // both. The attribution table a decontamination review reads: pairs
@@ -968,6 +978,23 @@ object Queries {
          |SELECT a.id, a.ivf_cell FROM asg a
          |WHERE a.id NOT IN (SELECT id FROM sdp)
          |ORDER BY a.id""".stripMargin,
+    "op_invalidation_plan" -> {
+      val t = OracleText.toks("m.text")
+      s"""WITH ${OracleCtes.memories},
+         |$ivfCtes,
+         |${OracleText.shingleCte()},
+         |inb AS (SELECT id FROM memories WHERE id % 50 = 0)
+         |SELECT * FROM (
+         |  SELECT a.id, 'ivf_cell' AS artifact, CAST(a.ivf_cell AS VARCHAR) AS key
+         |  FROM asg a JOIN inb USING (id)
+         |  UNION ALL
+         |  SELECT DISTINCT m.id, 'bm25_term' AS artifact, u.term AS key
+         |  FROM memories m JOIN inb ON m.id = inb.id, unnest($t) u(term)
+         |  UNION ALL
+         |  SELECT s.id, 'shingle' AS artifact, CAST(u.h AS VARCHAR) AS key
+         |  FROM sh s JOIN inb USING (id), unnest(s.sh) u(h))
+         |ORDER BY id, artifact, key""".stripMargin
+    },
     "tc_decontam_report" ->
       s"""WITH ${OracleCtes.memories},
          |${OracleText.shingleCte()},
