@@ -157,17 +157,17 @@ object Queries {
     // singleton components for linkless nodes)
     "gr_components" -> ((s, dir) =>
       GraphSearch.components(Corpus.memories(s, dir)).orderBy("id")),
-    // O(batch) CC maintenance: base labels from 90% of the edges, the
-    // id_a%10==7 slice folded in as the ingest batch via component-level
-    // merges + one broadcast relabel — oracle is the FULL-recompute SQL,
-    // so the hash-match proves increment ≡ recompute (the
-    // ann_ivf_indexed refresh discipline on the graph tier)
     // landmark BFS tables: exact hop distances from 3 fixed landmarks out
     // to 4 hops — the d(u,l)+d(l,v) distance-estimation sketch for massive
     // graphs (one BFS table per landmark, no per-query traversal)
     "gr_landmark_bfs" -> ((s, dir) =>
       GraphSearch.landmarkDistances(Corpus.memories(s, dir), Seq(0L, 1L, 2L))
         .orderBy("landmark", "id")),
+    // O(batch) CC maintenance: base labels from 90% of the edges, the
+    // id_a%10==7 slice folded in as the ingest batch via component-level
+    // merges + one broadcast relabel — oracle is the FULL-recompute SQL,
+    // so the hash-match proves increment ≡ recompute (the
+    // ann_ivf_indexed refresh discipline on the graph tier)
     "gr_components_incremental" -> ((s, dir) =>
       GraphSearch.components(Corpus.memories(s, dir), pairs => {
         val p = pairs.localCheckpoint(true) // split reads it twice

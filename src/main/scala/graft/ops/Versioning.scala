@@ -65,12 +65,23 @@ object Versioning {
   }
 
   /** The corpus as it stood at epoch second `asOfEpoch`: (id, supersedes,
-    * source, created_at) of every version visible at that instant. */
+    * source, created_at) of every version visible at that instant.
+    *
+    * Corrupt-state guard (r9 verdict): the writers never produce two rows
+    * claiming the same `supersedes` target, but time travel is exactly the
+    * tool reached for when state IS corrupt — so the successor side
+    * aggregates `_valid_to = min(created_at)` per predecessor before the
+    * join. The join is then 1:1 by construction: a double-successor row
+    * can never fan a version out into duplicates (its validity simply ends
+    * at the EARLIEST successor, the only reading under which "not yet
+    * superseded at T" stays well-defined). VersioningSpec plants a double
+    * successor and pins the no-duplicate, earliest-wins behavior. */
   def asOfSnapshot(versions: DataFrame, asOfEpoch: Long): DataFrame = {
     val t = timestamp_seconds(lit(asOfEpoch))
-    // a version's validity ends when its successor is created
+    // a version's validity ends when its FIRST successor is created
     val succ = versions.filter(col("supersedes").isNotNull)
-      .select(col("supersedes").as("_pid"), col("created_at").as("_valid_to"))
+      .select(col("supersedes").as("_pid"), col("created_at"))
+      .groupBy("_pid").agg(min("created_at").as("_valid_to"))
     versions.join(succ, col("id") === col("_pid"), "left")
       .filter(col("created_at") <= t &&
         (col("_valid_to").isNull || col("_valid_to") > t))

@@ -328,6 +328,12 @@ object TextAnalysis {
     * `minCount` floors one-off noise; lift is computed as ONE mirrored
     * integer-product division (n·corpusTotal / (dayTotal·cn), all BIGINT
     * products, 6dp-rounded) so ranking is deterministic; ties by term.
+    * Overflow bound: both products are ≤ corpusTotal², so the BIGINT form
+    * is exact while the corpus holds < 2^31.5 ≈ 3.0e9 tokens; past that,
+    * ANSI arithmetic raises (fail-loud, never silently wrong) and the
+    * lift must be rephrased as two double divisions
+    * (n/dayTotal)·(corpusTotal/cn) — kept integer here because the 6dp
+    * hash oracle mirrors the product form bit-for-bit.
     *
     * Scale shape: occurrences collapse to (day, term) stats in their
     * first map-side-combined shuffle; day totals and corpus term totals

@@ -63,6 +63,23 @@ class VersioningSpec extends SparkSpec {
     assert(out == Set(11L, 2L, 3L))
   }
 
+  test("asOfSnapshot under a planted double successor: no duplicates, earliest wins") {
+    import spark.implicits._
+    // corrupt state: 11 and 12 BOTH claim supersedes=1 (day 10 / day 15)
+    val corrupt = Seq(
+      (1L, "v1", "s", ts(0), None: Option[Long], false),
+      (11L, "v2a", "s", ts(10), Some(1L), true),
+      (12L, "v2b", "s", ts(15), Some(1L), true)
+    ).toDF("id", "text", "source", "created_at", "supersedes", "is_latest")
+    def idsAt(day: Int) = Versioning.asOfSnapshot(corrupt, asOfEpoch =
+      java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond + day * 86400L)
+      .collect().map(_.getLong(0)).toSeq
+    // day 5: only v1, and exactly ONCE (the naive left join fans it out x2)
+    assert(idsAt(5) == Seq(1L))
+    // day 12: v1's validity ended at the EARLIEST successor (day 10)
+    assert(idsAt(12) == Seq(11L))
+  }
+
   test("asOfSnapshot before any supersede returns the original corpus") {
     val out = Versioning.asOfSnapshot(versions(), asOfEpoch =
       java.time.Instant.parse("2024-01-02T00:00:00Z").getEpochSecond)
