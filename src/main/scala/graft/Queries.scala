@@ -99,6 +99,25 @@ object Queries {
         .limit(10)
         .select("id", "bm25")
     }),
+    // BM25 delete maintenance (r9 verdict #1, lexical side): build the
+    // persisted index on the full corpus, tombstone a third of the docs
+    // (O(batch) — postings dirs untouched, vocabulary tables recomputed
+    // at the reduced N), then score. The oracle recomputes BM25 from
+    // scratch over the SURVIVING corpus — n, avgdl and every idf shift,
+    // so a stale scalar or a leaked posting row cannot hash-match
+    "r2_bm25_delete_refresh" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_bm25_del_${ProcessHandle.current().pid()}"
+      reapAtExit(path)
+      val mem = Corpus.memories(s, dir)
+      BM25Index.build(mem, path)
+      BM25Index.deleteRefresh(s, path, mem.filter(col("id") % 3 === 1).select("id"))
+      BM25Index.scores(s, path, QueryTokens)
+        .join(mem.filter(!col("archived") && col("id") % 3 =!= 1).select("id"), "id")
+        .filter(col("bm25") > 0)
+        .orderBy(desc("bm25"), asc("id"))
+        .limit(10)
+        .select("id", "bm25")
+    }),
     // O8: query-focused snippets over the BM25 top-10 — the best 8-token
     // window by query-term density per hit (most hits, earliest start),
     // map-only over the bounded hit set
@@ -205,6 +224,16 @@ object Queries {
       s"""WITH ${OracleCtes.memories},
          |${OracleHybrid.bm25Ctes(QueryTokens)}
          |SELECT b.id, b.bm25 FROM bm b JOIN memories m USING (id)
+         |WHERE b.bm25 > 0 AND NOT m.archived
+         |ORDER BY b.bm25 DESC, b.id LIMIT 10""".stripMargin,
+    // from-scratch BM25 over the SURVIVING corpus: n/avgdl/idf all
+    // recompute under the reduced-corpus CTE, exactly what deleteRefresh
+    // must reproduce from the tombstoned index
+    "r2_bm25_delete_refresh" ->
+      s"""WITH ${OracleCtes.memories},
+         |livemem AS MATERIALIZED (SELECT * FROM memories WHERE id % 3 <> 1),
+         |${OracleHybrid.bm25Ctes(QueryTokens, "livemem")}
+         |SELECT b.id, b.bm25 FROM bm b JOIN livemem m USING (id)
          |WHERE b.bm25 > 0 AND NOT m.archived
          |ORDER BY b.bm25 DESC, b.id LIMIT 10""".stripMargin,
     "o8_snippets" -> {
@@ -528,6 +557,18 @@ object Queries {
       Ann.ivfTopK(assigned, cent, queryVec(s, dir), k = 10, nprobe = 2)
         .select("id", "ivf_cell", "sim")
     }),
+    // cell-skew defense: subdivide over-full cells into hash subcells
+    // (balanced physical partitions at scale), probe the parent → union
+    // of splits. Oracle = the UNSPLIT IVF SQL verbatim: the hash-match
+    // proves the split changes layout only, never results
+    "ann_ivf_skew_split" -> ((s, dir) => {
+      val cent = Ann.centroidsByLabel(Tables.embeddings(s, dir))
+      val split = Ann.splitSkewedCells(
+        Ann.assign(Corpus.memories(s, dir), cent),
+        maxCell = Corpus.nDocs(s, dir) / 16)
+      Ann.ivfTopK(split, cent, queryVec(s, dir), k = 10, nprobe = 2)
+        .select("id", "ivf_cell", "sim")
+    }),
     // persisted IVF: build on the first half, O(batch) refresh with the
     // second — the oracle is the FULL-CORPUS IVF SQL, so the hash-match
     // proves refresh ≡ rebuild (stored centroids make assignment exact)
@@ -611,6 +652,47 @@ object Queries {
         mem.filter(col("id") % 50 === 0),
         Ann.centroidsByLabel(Tables.embeddings(s, dir)))
         .orderBy("id", "artifact", "key")
+    }),
+    // the invalidation EXECUTOR (r9 verdict #1), end to end: build both
+    // persisted indexes on the full corpus, then apply one maintenance
+    // batch — ids%50==0 re-crawled (their text/embedding becomes the next
+    // doc's — SQL-expressible new content), ids%50==25 deleted — via
+    // tombstone+append generations, never a rebuild. The summary the
+    // query returns (live row counts, N, total tokens) is recomputed by
+    // the oracle from the UPDATED corpus, so the hash-match proves the
+    // O(batch) maintenance left exactly full-recompute state
+    "op_invalidation_apply" -> ((s, dir) => {
+      val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_inv_ivf_${ProcessHandle.current().pid()}"
+      val bm25Path = s"${sys.props("java.io.tmpdir")}/graft_inv_bm25_${ProcessHandle.current().pid()}"
+      reapAtExit(ivfPath); reapAtExit(bm25Path)
+      val mem = Corpus.memories(s, dir)
+      graft.ann.IvfIndex.build(mem, Tables.embeddings(s, dir), ivfPath)
+      graft.search.BM25Index.build(mem, bm25Path)
+      // re-crawled content = the NEXT doc's text+embedding (inner join
+      // drops the max-id edge where no next doc exists)
+      val next = mem.select((col("id") - 1).as("id"),
+        col("text").as("_t2"), col("embedding").as("_e2"))
+      val changed = mem.select("id").filter(col("id") % 50 === 0)
+        .join(next, "id")
+        .select(col("id"), col("_t2").as("text"), col("_e2").as("embedding"))
+      val deleted = mem.filter(col("id") % 50 === 25).select("id")
+      graft.ops.Invalidation.execute(s, changed, deleted, ivfPath, bm25Path)
+        .orderBy("stat")
+    }),
+    // IVF delete maintenance in isolation: build full, tombstone a THIRD
+    // of the corpus (a slice guaranteed to intersect the top-k, so a
+    // dropped tombstone can't silently pass), probe. Oracle = the
+    // full-corpus IVF SQL minus the deleted ids against the SAME stored
+    // centroids (deletes never move centroids — Faiss remove_ids
+    // semantics), so the hash-match proves delete→refresh ≡ rebuild
+    "ann_ivf_delete_refresh" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_del_${ProcessHandle.current().pid()}"
+      reapAtExit(path)
+      val mem = Corpus.memories(s, dir)
+      graft.ann.IvfIndex.build(mem, Tables.embeddings(s, dir), path)
+      graft.ann.IvfIndex.deleteRefresh(s, path,
+        mem.filter(col("id") % 3 === 1).select("id"))
+      graft.ann.IvfIndex.topK(s, path, queryVec(s, dir), k = 10, nprobe = 2)
     }),
     // unified decontamination report: every flagged (train, bench) pair
     // with WHICH gate caught it — n-gram overlap, embedding cosine, or
@@ -965,6 +1047,21 @@ object Queries {
          |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q2
          |ORDER BY sim DESC, m.id LIMIT 10""".stripMargin
 
+  /** [[ivfTopkSql]] minus the deleted third, against the SAME full-corpus
+    * centroids (deletes never move centroids) — what deleteRefresh must
+    * serve from the tombstoned assignments. */
+  private val ivfDeleteTopkSql: String =
+    s"""WITH ${OracleCtes.memories},
+         |$ivfCtes
+         |SELECT m.id, a.ivf_cell,
+         |  round(${OracleCtes.dot64("m.embedding", "q2.qv")}, 6) AS sim
+         |FROM memories m
+         |JOIN asg a ON m.id = a.id
+         |JOIN probe p ON a.ivf_cell = p.label
+         |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q2
+         |WHERE m.id % 3 <> 1
+         |ORDER BY sim DESC, m.id LIMIT 10""".stripMargin
+
   private val dedupOracles: Map[String, String] = Map(
     "tc_semantic_dedup" ->
       s"""WITH ${OracleCtes.memories},
@@ -994,6 +1091,31 @@ object Queries {
          |  SELECT s.id, 'shingle' AS artifact, CAST(u.h AS VARCHAR) AS key
          |  FROM sh s JOIN inb USING (id), unnest(s.sh) u(h))
          |ORDER BY id, artifact, key""".stripMargin
+    },
+    // full recompute of the post-maintenance index state over the UPDATED
+    // corpus (ids%50==0 carry the next doc's text, ids%50==25 gone): the
+    // executor's O(batch) tombstone generations must land exactly here
+    "op_invalidation_apply" -> {
+      val t = OracleText.toks("live.text")
+      s"""WITH ${OracleCtes.memories},
+         |chg AS (
+         |  SELECT m.id, m2.text FROM memories m
+         |  JOIN memories m2 ON m2.id = m.id + 1 WHERE m.id % 50 = 0),
+         |live AS MATERIALIZED (
+         |  SELECT m.id, coalesce(c.text, m.text) AS text
+         |  FROM memories m LEFT JOIN chg c USING (id)
+         |  WHERE m.id % 50 <> 25),
+         |lt AS MATERIALIZED (
+         |  SELECT live.id, u.term FROM live, unnest($t) u(term))
+         |SELECT stat, value FROM (
+         |  SELECT 'bm25_doclens_rows' AS stat,
+         |    (SELECT count(DISTINCT id) FROM lt) AS value
+         |  UNION ALL SELECT 'bm25_n', (SELECT count(*) FROM live)
+         |  UNION ALL SELECT 'bm25_posting_rows',
+         |    (SELECT count(*) FROM (SELECT DISTINCT id, term FROM lt))
+         |  UNION ALL SELECT 'bm25_total_tokens', (SELECT count(*) FROM lt)
+         |  UNION ALL SELECT 'ivf_assignment_rows', (SELECT count(*) FROM live))
+         |ORDER BY stat""".stripMargin
     },
     "tc_decontam_report" ->
       s"""WITH ${OracleCtes.memories},
@@ -1154,10 +1276,14 @@ object Queries {
          |SELECT id, round(list_sum(list_transform(range(1, 65), i -> e[i] * i)), 6) AS checksum
          |FROM ef ORDER BY id""".stripMargin,
     "ann_ivf_topk" -> ivfTopkSql,
+    // the split is layout-only: results must equal the unsplit plan
+    "ann_ivf_skew_split" -> ivfTopkSql,
     // full-corpus IVF SQL: the build+refresh split must reproduce it
     "ann_ivf_indexed" -> ivfTopkSql,
     // same full-corpus SQL: 4 generations of refresh must equal a rebuild
     "ann_ivf_multigen" -> ivfTopkSql,
+    // reduced-corpus SQL: tombstone maintenance must equal a rebuild
+    "ann_ivf_delete_refresh" -> ivfDeleteTopkSql,
     "ann_ivf_recall" ->
       s"""SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10
          |FROM ($ivfTopkSql) i

@@ -51,6 +51,38 @@ object IvfIndex {
       s"$path/assignments", "ivf_cell")
   }
 
+  /** O(batch) delete (the r9 verdict's invalidation EXECUTOR, vector
+    * side): tombstone the deleted ids out of the assignments table —
+    * [[Store.deleteBatch]] writes one key dir + one pointer swap; no cell
+    * is rewritten, no corpus row is read. Centroids are untouched (classic
+    * IVF — Faiss `remove_ids` never moves centroids), which is exactly
+    * what makes the result byte-identical to a rebuild over the surviving
+    * rows against the SAME stored centroids (`ann_ivf_delete_refresh`'s
+    * oracle; AnnSpec pins delete→refresh ≡ reduced-corpus rebuild). */
+  def deleteRefresh(spark: SparkSession, path: String, deletedIds: DataFrame,
+                    idCol: String = "id"): Unit = {
+    Store.deleteBatch(spark, s"$path/assignments",
+      deletedIds.select(col(idCol).as("id")))
+    ()
+  }
+
+  /** O(batch) update for re-crawled/changed documents: ONE generation
+    * that tombstones the changed ids and appends their re-assignment
+    * against the STORED centroids ([[Store.upsertBatch]] — a concurrent
+    * probe sees the old or the new assignment, never both). The
+    * invalidation plan's `ivf_cell` rows for the batch name exactly the
+    * cells whose partitions this generation's batch dir adds rows to. */
+  def upsertRefresh(spark: SparkSession, path: String, changedMemories: DataFrame,
+                    idCol: String = "id"): Unit = {
+    val cents = Store.load(spark, s"$path/centroids")
+    Store.upsertBatch(
+      Ann.assign(changedMemories.select(col(idCol).as("id"), col("embedding")), cents),
+      s"$path/assignments",
+      changedMemories.select(col(idCol).as("id")),
+      "ivf_cell")
+    ()
+  }
+
   /** The query path: rank stored centroids against the query (a scalar,
     * driver-side job over ≤ [[Ann.MaxNlist]] rows — the same bounded shape
     * as BM25Index's query-term pruning), then scan ONLY those cells.

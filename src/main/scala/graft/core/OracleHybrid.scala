@@ -40,19 +40,22 @@ object OracleHybrid {
        |  GROUP BY 1, 2
        |)""".stripMargin
 
-  /** BM25 CTE chain ending in `bm(id, bm25)` over the full memories corpus
-    * (scores rounded to 6, positives only filtered later). Mirrors
-    * [[graft.search.BM25.scores]]. */
-  def bm25Ctes(queryTokens: Seq[String]): String = {
+  /** BM25 CTE chain ending in `bm(id, bm25)` over the `from` corpus CTE
+    * (default the full memories table; scores rounded to 6, positives only
+    * filtered later). Mirrors [[graft.search.BM25.scores]] — the delete-
+    * refresh oracle passes a reduced-corpus CTE name, under which n, avgdl
+    * and every idf recompute exactly as [[graft.search.BM25Index
+    * .deleteRefresh]] recomputes them from the surviving postings. */
+  def bm25Ctes(queryTokens: Seq[String], from: String = "memories"): String = {
     val qvals = queryTokens.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
       .map { case (t, n) => s"('$t', $n)" }.mkString(", ")
     s"""tf AS MATERIALIZED (
        |  SELECT m.id, t.term, count(*) AS tf
-       |  FROM memories m, unnest(${toks("m.text")}) AS t(term)
+       |  FROM $from m, unnest(${toks("m.text")}) AS t(term)
        |  GROUP BY 1, 2
        |),
-       |dl AS MATERIALIZED (SELECT id, CAST(len(${toks("text")}) AS DOUBLE) AS dl FROM memories),
-       |bmstats AS (SELECT (SELECT count(*) FROM memories) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
+       |dl AS MATERIALIZED (SELECT id, CAST(len(${toks("text")}) AS DOUBLE) AS dl FROM $from),
+       |bmstats AS (SELECT (SELECT count(*) FROM $from) AS n, (SELECT avg(dl) FROM dl) AS avgdl),
        |dfreq AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY 1),
        |idf0 AS MATERIALIZED (SELECT term, ln((s.n - df + 0.5) / (df + 0.5)) AS idf FROM dfreq, bmstats s),
        |aidf AS (SELECT avg(idf) AS a FROM idf0),

@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
+import graft.sources.Store
 
 /** Incremental-maintenance planner: given a batch of CHANGED documents,
   * enumerate exactly which keys of which derived artifacts the change
@@ -41,5 +42,46 @@ object Invalidation {
       .select(col("id"), lit("shingle").as("artifact"),
         col("h").cast("string").as("key"))
     cells.unionByName(terms).unionByName(shingles)
+  }
+
+  /** The EXECUTOR the r9 verdict asked for: apply a changed-document batch
+    * to the persisted indexes — update (`changed`: re-crawled docs with
+    * their new text and embedding) and delete (`deletedIds`) — touching
+    * O(batch) state and publishing each table through the existing
+    * generation-pointer swap.
+    *
+    * Granularity note: [[plan]] enumerates (artifact, key) at CELL/TERM
+    * granularity — the worklist a compaction scheduler targets and an
+    * audit reads. The executor retires old rows at ROW-KEY granularity
+    * instead ([[Store.deleteBatch]]/[[Store.upsertBatch]] tombstones):
+    * strictly more precise than rewriting whole cells or term lists, and
+    * O(batch) I/O where a cell rewrite would be O(cell). The planned keys
+    * still name exactly the partitions whose row groups gain/lose rows —
+    * the set a targeted [[Store.compact]] pass rewrites.
+    *
+    * Returns a (stat, value) summary of the LIVE post-maintenance index
+    * state — row counts, N, total tokens — the numbers a full recompute
+    * over the updated corpus must reproduce exactly
+    * (`op_invalidation_apply`'s oracle; BM25IndexSpec/AnnSpec pin the
+    * full maintenance ≡ rebuild equivalence score-for-score). */
+  def execute(spark: SparkSession, changed: DataFrame, deletedIds: DataFrame,
+              ivfPath: String, bm25Path: String): DataFrame = {
+    val overlap = changed.select("id").join(deletedIds.select("id"), "id").count()
+    require(overlap == 0,
+      s"execute: $overlap ids appear in BOTH the changed and deleted batches " +
+        "— an update+delete of the same document in one batch is ambiguous")
+    graft.ann.IvfIndex.upsertRefresh(spark, ivfPath, changed)
+    graft.search.BM25Index.upsertRefresh(spark, bm25Path, changed)
+    graft.ann.IvfIndex.deleteRefresh(spark, ivfPath, deletedIds)
+    graft.search.BM25Index.deleteRefresh(spark, bm25Path, deletedIds)
+    val post = Store.load(spark, s"$bm25Path/postings")
+    import spark.implicits._
+    Seq(
+      ("bm25_doclens_rows", Store.load(spark, s"$bm25Path/doclens").count()),
+      ("bm25_n", Store.load(spark, s"$bm25Path/scalars").head().getLong(0)),
+      ("bm25_posting_rows", post.count()),
+      ("bm25_total_tokens", post.agg(sum("tf")).head().getLong(0)),
+      ("ivf_assignment_rows", Store.load(spark, s"$ivfPath/assignments").count())
+    ).toDF("stat", "value")
   }
 }

@@ -22,13 +22,27 @@ import graft.sources.Store
   *   <path>/scalars   (n, avgdl)      one row (avg idf is baked into the
   *                                     stored idf column, not re-read)
   *
-  * [[refresh]] is the incremental path: only the ADDED documents are
-  * tokenized; df/idf/avgdl shift for the whole vocabulary, but they
-  * recompute from the stored postings — one aggregation over the index,
-  * never a re-tokenize of the existing corpus. All four tables write with
-  * [[Store.save]]'s write-then-swap atomicity, so readers never observe a
-  * half-refreshed index. BM25IndexSpec pins build and build+refresh
-  * bit-for-bit to the from-scratch [[BM25.scores]].
+  * [[refresh]] / [[deleteRefresh]] / [[upsertRefresh]] are the
+  * incremental paths (the r9 verdict's invalidation EXECUTOR, lexical
+  * side): only the CHANGED documents are ever tokenized; their postings
+  * and doclens rows land/leave through [[Store]]'s O(batch)
+  * appendBatch/deleteBatch/upsertBatch generations. df/idf/avgdl shift
+  * for the whole vocabulary when N changes (idf = ln((N−df+.5)/(df+.5))
+  * is global by definition), so the small derived tables recompute from
+  * the stored postings — one aggregation over the index, never a
+  * re-tokenize of the existing corpus. Each table publishes with the
+  * pointer-swap atomicity, so readers never observe a half-refreshed
+  * table (cross-table consistency is the caller's batch boundary, as in
+  * the reference's single-writer engine, memory_engine.py:616-620).
+  * BM25IndexSpec pins build, build+refresh, and build+deleteRefresh
+  * bit-for-bit to the from-scratch [[BM25.scores]] over the equivalent
+  * corpus.
+  *
+  * Maintainability contract: a document is maintainable iff it has a
+  * doclens row (token-less docs never enter postings/doclens — they
+  * cannot be incrementally retired, and [[deleteRefresh]] fail-louds on
+  * ids it cannot find rather than silently leaving N stale; the engine's
+  * corpora contain none — the chunker drops <20-char fragments).
   */
 object BM25Index {
 
@@ -37,27 +51,82 @@ object BM25Index {
 
   /** Tokenize `docs` once and write all four index tables. */
   def build(docs: DataFrame, path: String,
-            textCol: String = "text", idCol: String = "id"): Unit =
-    writeDerived(BM25.termFreqs(docs, textCol, idCol), docs.count(), path)
-
-  /** Incremental refresh: tokenize ONLY `addedDocs`, union with the stored
-    * postings, recompute the derived tables from the merged postings. */
-  def refresh(spark: SparkSession, path: String, addedDocs: DataFrame,
-              textCol: String = "text", idCol: String = "id"): Unit = {
-    val oldN = Store.load(spark, s"$path/scalars").head().getLong(0)
-    val merged = Store.load(spark, s"$path/postings")
-      .unionByName(BM25.termFreqs(addedDocs, textCol, idCol))
-    writeDerived(merged, oldN + addedDocs.count(), path)
-  }
-
-  private def writeDerived(tf: DataFrame, n: Long, path: String): Unit = {
-    val spark = tf.sparkSession
+            textCol: String = "text", idCol: String = "id"): Unit = {
+    val spark = docs.sparkSession
+    val tf = BM25.termFreqs(docs, textCol, idCol)
     // term-clustered layout: the scores() filter on query terms skips
     // whole row groups via min/max term statistics
     Store.save(tf.repartition(col("term")).sortWithinPartitions("term"),
       s"$path/postings")
-    // derived tables aggregate the STORED postings (refresh never pays a
-    // second tokenize pass over pre-existing documents)
+    // doclens aggregates the STORED postings (one tokenize pass total)
+    Store.save(doclensOf(Store.load(spark, s"$path/postings")), s"$path/doclens")
+    writeStats(spark, path, docs.count())
+  }
+
+  /** Incremental add: tokenize ONLY `addedDocs` and append their postings
+    * and doclens rows as new generations — O(batch) I/O (the pre-existing
+    * posting dirs are reused, never rewritten); the vocabulary tables
+    * recompute from the stored postings. */
+  def refresh(spark: SparkSession, path: String, addedDocs: DataFrame,
+              textCol: String = "text", idCol: String = "id"): Unit = {
+    val oldN = Store.load(spark, s"$path/scalars").head().getLong(0)
+    val tf = BM25.termFreqs(addedDocs, textCol, idCol)
+      .repartition(col("term")).sortWithinPartitions("term")
+      .localCheckpoint(true) // feeds postings AND doclens; tokenize once
+    Store.appendBatch(tf, s"$path/postings")
+    Store.appendBatch(doclensOf(tf), s"$path/doclens")
+    writeStats(spark, path, oldN + addedDocs.count())
+  }
+
+  /** O(batch) delete: tombstone the deleted docs' postings and doclens
+    * rows (no posting list is rewritten — readers anti-join the id keys
+    * until compaction) and recompute the vocabulary tables at the reduced
+    * N. Fail-loud: every deleted id must have a doclens row — an unknown
+    * or token-less id would silently leave N wrong for every future
+    * score, so it raises instead (see the maintainability contract). */
+  def deleteRefresh(spark: SparkSession, path: String, deletedIds: DataFrame,
+                    idCol: String = "id"): Unit = {
+    val ids = deletedIds.select(col(idCol).as("id")).distinct()
+      .localCheckpoint(true) // read 3x: presence check + two tombstone dirs
+    val asked = ids.count()
+    val present = Store.load(spark, s"$path/doclens").join(ids, "id").count()
+    require(present == asked,
+      s"deleteRefresh: only $present of $asked ids are indexed — deleting " +
+        "documents unknown to the index (absent or token-less) would leave " +
+        "N stale; rebuild instead")
+    val oldN = Store.load(spark, s"$path/scalars").head().getLong(0)
+    Store.deleteBatch(spark, s"$path/postings", ids)
+    Store.deleteBatch(spark, s"$path/doclens", ids)
+    writeStats(spark, path, oldN - asked)
+  }
+
+  /** O(batch) update for re-crawled/changed documents: ONE generation per
+    * table that tombstones the batch ids and appends their fresh postings
+    * and doclens rows ([[Store.upsertBatch]] — a reader sees a doc's old
+    * postings or its new ones, never a mix). Batch ids with a doclens row
+    * are updates (N unchanged); ids without one are NEW documents (N
+    * grows) — see the maintainability contract above. */
+  def upsertRefresh(spark: SparkSession, path: String, changedDocs: DataFrame,
+                    textCol: String = "text", idCol: String = "id"): Unit = {
+    val ids = changedDocs.select(col(idCol).as("id")).distinct()
+      .localCheckpoint(true)
+    val present = Store.load(spark, s"$path/doclens").join(ids, "id").count()
+    val oldN = Store.load(spark, s"$path/scalars").head().getLong(0)
+    val tf = BM25.termFreqs(changedDocs, textCol, idCol)
+      .repartition(col("term")).sortWithinPartitions("term")
+      .localCheckpoint(true)
+    Store.upsertBatch(tf, s"$path/postings", ids)
+    Store.upsertBatch(doclensOf(tf), s"$path/doclens", ids)
+    writeStats(spark, path, oldN - present + changedDocs.count())
+  }
+
+  private def doclensOf(postings: DataFrame): DataFrame =
+    postings.groupBy("id").agg(sum("tf").cast("double").as("dl"))
+
+  /** The vocabulary-global tables from the LIVE postings view: (term, df,
+    * idf) and the (n, avgdl) scalars. One aggregation over the stored
+    * index — never a tokenize. */
+  private def writeStats(spark: SparkSession, path: String, n: Long): Unit = {
     val post = Store.load(spark, s"$path/postings")
     val dfs = post.groupBy("term").agg(count(lit(1)).as("df"))
     val idfRaw = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
@@ -65,8 +134,6 @@ object BM25Index {
     Store.save(dfs.withColumn("idf",
       when(idfRaw < 0, lit(BM25.Epsilon * avgIdf)).otherwise(idfRaw)),
       s"$path/terms")
-    Store.save(post.groupBy("id").agg(sum("tf").cast("double").as("dl")),
-      s"$path/doclens")
     val totalTokens = post.agg(coalesce(sum("tf"), lit(0L))).head().getLong(0)
     val scalars = spark.createDataFrame(
       java.util.Arrays.asList(

@@ -19,18 +19,30 @@ import org.apache.spark.sql.functions._
   *   path/GENERATION        one small file naming the live generation (the
   *                          only thing ever overwritten — a single-key PUT,
   *                          atomic on every store)
-  *   path/manifests/gen-N   newline list of the data dirs generation N reads
+  *   path/manifests/gen-N   newline list of the dirs generation N reads:
+  *                          `bK` = data dir; `-dK` = tombstone dir (r9
+  *                          verdict #1 — delete/update support)
   *   path/data/bK[...]      immutable data dirs; never modified once any
-  *                          manifest references them
+  *   path/data/dK           manifest references them (dK holds only the
+  *                          key columns of deleted rows)
   *
   * A full [[save]] writes one new data dir and a one-line manifest; an
   * incremental [[appendBatch]] writes ONLY the batch dir and a manifest =
-  * previous + batch (O(batch) I/O). Readers resolve the pointer once at
-  * planning, so a reader concurrent with any publish sees exactly the old
-  * or the new generation, never a mix — and a crash mid-publish leaves
-  * only an unreferenced data dir (garbage), never a corrupt table. The
-  * previous generation's dirs are retained one publish as a grace window
-  * for in-flight readers; older unreferenced dirs are pruned.
+  * previous + batch (O(batch) I/O). [[deleteBatch]] / [[upsertBatch]] are
+  * the merge-on-read mutation paths (the Delta/Iceberg position-delete
+  * idea in its simplest key-delete form): a tombstone dir holds the key
+  * columns of removed rows and MASKS ONLY THE DIRS LISTED BEFORE IT in
+  * the manifest — [[load]] folds the lines in order, unioning data dirs
+  * and anti-joining tombstone dirs — so an upsert's one generation
+  * (`-dK` then `bK`) removes the old versions without touching the new.
+  * Readers resolve the pointer once at planning, so a reader concurrent
+  * with any publish sees exactly the old or the new generation, never a
+  * mix — and a crash mid-publish leaves only an unreferenced data dir
+  * (garbage), never a corrupt table. The previous generation's dirs are
+  * retained one publish as a grace window for in-flight readers; older
+  * unreferenced dirs are pruned. [[compact]] rewrites the live view into
+  * one data dir, clearing accumulated tombstones (the read-side anti-join
+  * chain is bounded by compaction cadence, not table lifetime).
   * [[load]] falls back to a plain parquet read when no pointer exists
   * (driver fixtures, snapshots).
   */
@@ -39,7 +51,8 @@ object Store {
   private val PointerName = "GENERATION"
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
-  /** Live (generation, data-dir names) from the pointer + manifest; None
+  /** Live (generation, manifest lines) from the pointer + manifest —
+    * lines are data-dir names, or `-`-prefixed tombstone-dir names; None
     * for an unpublished/plain path. */
   def currentManifest(path: String): Option[(Int, Seq[String])] = {
     val ptr = Paths.get(path, PointerName)
@@ -52,10 +65,11 @@ object Store {
     }
   }
 
-  /** Absolute data dirs the live generation reads ([[load]]'s file set). */
+  /** Absolute dirs the live generation reads — data AND tombstone dirs
+    * ([[load]]'s file set; [[compact]]'s before/after census). */
   def resolveDataDirs(spark: SparkSession, path: String): Seq[String] =
     currentManifest(path) match {
-      case Some((_, dirs)) => dirs.map(d => s"$path/data/$d")
+      case Some((_, dirs)) => dirs.map(d => s"$path/data/${d.stripPrefix("-")}")
       case None => Seq(path)
     }
 
@@ -84,7 +98,7 @@ object Store {
       val m = Paths.get(path, "manifests", s"gen-$g")
       if (Files.exists(m)) Files.readAllLines(m).asScala.map(_.trim).filter(_.nonEmpty)
       else Seq.empty
-    }.toSet
+    }.map(_.stripPrefix("-")).toSet
     val dataDir = Paths.get(path, "data")
     if (Files.exists(dataDir)) {
       val s = Files.list(dataDir)
@@ -149,16 +163,75 @@ object Store {
     n
   }
 
+  /** Merge-on-read delete: write the (deduplicated) key columns of the
+    * removed rows as a tombstone dir and publish a generation whose
+    * manifest appends `-dK` — O(batch) I/O, same pointer-swap atomicity as
+    * [[appendBatch]]; no data dir is touched. Readers anti-join the keys
+    * at plan time until a [[compact]] physically drops the rows. `keys`
+    * may carry any subset of the table's columns (normally just the id) —
+    * the anti-join uses exactly its columns. Returns the tombstone-key
+    * count. */
+  def deleteBatch(spark: SparkSession, path: String, keys: DataFrame): Long = {
+    val (gen, lines) = currentManifest(path).getOrElse(throw new IllegalArgumentException(
+      s"deleteBatch target $path is not a published generational table — save() it first"))
+    val dirName = s"d${gen + 1}"
+    val dataDir = s"$path/data/$dirName"
+    keys.distinct().write.mode("overwrite").parquet(dataDir)
+    val n = spark.read.parquet(dataDir).count()
+    publish(path, gen + 1, lines :+ s"-$dirName")
+    prune(path, gen + 1)
+    n
+  }
+
+  /** Merge-on-read upsert: ONE generation that tombstones `keys` (masking
+    * every prior dir) and appends `df` after the mask — the changed-batch
+    * maintenance primitive (a re-crawled document replaces its old
+    * version atomically: a reader sees the old row or the new row, never
+    * both, never neither). O(batch) I/O: one tombstone dir + one data
+    * dir, one pointer swap. Returns the appended row count. */
+  def upsertBatch(df: DataFrame, path: String, keys: DataFrame,
+                  partitionCols: String*): Long = {
+    val spark = df.sparkSession
+    val (gen, lines) = currentManifest(path).getOrElse(throw new IllegalArgumentException(
+      s"upsertBatch target $path is not a published generational table — save() it first"))
+    val g = gen + 1
+    keys.distinct().write.mode("overwrite").parquet(s"$path/data/d$g")
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$path/data/b$g")
+    val n = spark.read.parquet(s"$path/data/b$g").count()
+    // tombstone line BEFORE the batch line: the mask applies to prior
+    // dirs only, so the fresh rows survive their own generation's delete
+    publish(path, g, lines :+ s"-d$g" :+ s"b$g")
+    prune(path, g)
+    n
+  }
+
   def load(spark: SparkSession, path: String): DataFrame =
     currentManifest(path) match {
-      case Some((_, dirs)) =>
+      case Some((_, lines)) =>
         // one scan per data dir, unioned by name: a single multi-root read
         // trips CONFLICTING_DIRECTORY_STRUCTURES when the dirs are hive-
         // partitioned (b1/b2 sit between the common ancestor and the
         // key=value dirs). Partition-column filters push through the Union
         // into every branch scan, so hive pruning is preserved per dir.
-        dirs.map(d => spark.read.parquet(s"$path/data/$d"))
-          .reduce(_ unionByName _)
+        // Tombstone lines (`-dK`) anti-join the rows ACCUMULATED SO FAR on
+        // the tombstone dir's key columns — masking exactly the dirs
+        // listed before them, so an upsert generation's own batch dir
+        // survives its paired tombstone. The tombstone side is broadcast
+        // (delete batches are small relative to the table; a table whose
+        // tombstones outgrow broadcast is overdue for [[compact]], which
+        // clears them).
+        require(!lines.head.startsWith("-"),
+          s"manifest for $path begins with a tombstone line — corrupt manifest")
+        lines.foldLeft(Option.empty[DataFrame]) {
+          case (acc, l) if l.startsWith("-") =>
+            val t = spark.read.parquet(s"$path/data/${l.stripPrefix("-")}")
+            Some(acc.get.join(broadcast(t), t.columns.toSeq, "left_anti"))
+          case (acc, l) =>
+            val d = spark.read.parquet(s"$path/data/$l")
+            Some(acc.fold(d)(_ unionByName d))
+        }.get
       case None => spark.read.parquet(path)
     }
 

@@ -77,6 +77,89 @@ class AnnSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("IVF delete-refresh ≡ rebuild over the survivors (same stored centroids)") {
+    val pathA = "/root/repo/target/tmp/ivf_index_delref"
+    val pathB = "/root/repo/target/tmp/ivf_index_delreb"
+    val mem = Corpus.memories(spark, sf())
+    val emb = Tables.embeddings(spark, sf())
+    graft.ann.IvfIndex.build(mem, emb, pathA)
+    graft.ann.IvfIndex.deleteRefresh(spark, pathA,
+      mem.filter(col("id") % 3 === 1).select("id"))
+    graft.ann.IvfIndex.build(mem.filter(col("id") % 3 =!= 1), emb, pathB)
+    val qv = Queries.queryVec(spark, sf())
+    val a = graft.ann.IvfIndex.topK(spark, pathA, qv, k = 20, nprobe = 2).collect().toSeq
+    val b = graft.ann.IvfIndex.topK(spark, pathB, qv, k = 20, nprobe = 2).collect().toSeq
+    assert(a == b, "tombstone maintenance must equal a reduced-corpus rebuild")
+    // and the deleted ids are really unservable, not merely down-ranked
+    val live = graft.sources.Store.load(spark, s"$pathA/assignments")
+      .select("id").as[Long].collect().toSet
+    assert(live.forall(_ % 3 != 1) && live.nonEmpty)
+  }
+
+  test("IVF upsert-refresh re-cells a moved vector atomically") {
+    val path = "/root/repo/target/tmp/ivf_index_upsert"
+    val mem = Corpus.memories(spark, sf())
+    val emb = Tables.embeddings(spark, sf())
+    graft.ann.IvfIndex.build(mem, emb, path)
+    // a changed doc takes the embedding of another doc ~half the corpus
+    // away — very likely a different cell for at least one of the batch
+    val nd = Corpus.nDocs(spark, sf())
+    val donor = mem.select((col("id") - nd / 2).as("id"), col("embedding").as("_e"))
+    val changed = mem.select("id").filter(col("id") % 100 === 0).join(donor, "id")
+      .select(col("id"), col("_e").as("embedding"))
+    graft.ann.IvfIndex.upsertRefresh(spark, path, changed)
+    val cent = graft.sources.Store.load(spark, s"$path/centroids")
+    val expect = Ann.assign(changed, cent)
+      .select("id", "ivf_cell").as[(Long, Int)].collect().toMap
+    val got = graft.sources.Store.load(spark, s"$path/assignments")
+      .join(changed.select("id"), "id")
+      .select("id", "ivf_cell").as[(Long, Int)].collect()
+    // exactly one live assignment per changed id (old one tombstoned)...
+    assert(got.length == expect.size, s"${got.length} rows for ${expect.size} ids")
+    // ...and it is the NEW cell
+    got.foreach { case (id, cell) => assert(expect(id) == cell, s"id $id") }
+  }
+
+  test("splitSkewedCells: a planted hot cell splits balanced; cold cells don't; probe unchanged") {
+    val mem = Corpus.memories(spark, sf())
+    val cent = Ann.centroidsByLabel(Tables.embeddings(spark, sf()))
+    val assigned = Ann.assign(mem, cent).localCheckpoint(true)
+    // plant the hot cluster: find the largest cell, set the bound to a
+    // quarter of it — that cell MUST split ≥4 ways, the smallest must not
+    val sizes = assigned.groupBy("ivf_cell").count()
+      .as[(Int, Long)].collect().toMap
+    val hot = sizes.maxBy(_._2)._1
+    val cold = sizes.minBy(_._2)._1
+    val bound = math.max(1L, sizes(hot) / 4)
+    val split = Ann.splitSkewedCells(assigned, bound).localCheckpoint(true)
+    val hotSubs = split.filter(col("ivf_cell") === hot)
+      .groupBy("ivf_subcell").count().as[(Int, Long)].collect()
+    assert(hotSubs.length >= 4, s"hot cell split only ${hotSubs.length} ways")
+    // balance: xxhash64 spread keeps every subcell within 2x of the mean
+    val mean = hotSubs.map(_._2).sum.toDouble / hotSubs.length
+    assert(hotSubs.forall(s => s._2 < 2 * mean),
+      s"unbalanced subcells: ${hotSubs.toSeq}")
+    if (sizes(cold) <= bound)
+      assert(split.filter(col("ivf_cell") === cold)
+        .select("ivf_subcell").distinct().count() == 1,
+        "an under-bound cell must keep the single subcell 0")
+    // probe semantics: identical rows to the unsplit assignment
+    val qv = Queries.queryVec(spark, sf())
+    val a = Ann.ivfTopK(assigned, cent, qv, k = 20, nprobe = 2)
+      .select("id", "ivf_cell", "sim").collect().toSeq
+    val b = Ann.ivfTopK(split, cent, qv, k = 20, nprobe = 2)
+      .select("id", "ivf_cell", "sim").collect().toSeq
+    assert(a == b)
+    // and the physical story: partitioned by (cell, subcell), the hot
+    // cell's rows land in ≥4 scan-parallel subdirectories
+    val path = "/root/repo/target/tmp/ivf_split_layout"
+    graft.sources.Store.deleteRecursive(path)
+    split.write.partitionBy("ivf_cell", "ivf_subcell").parquet(path)
+    val subdirs = new java.io.File(s"$path/ivf_cell=$hot").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("ivf_subcell="))
+    assert(subdirs >= 4, s"expected >=4 subcell dirs under the hot cell, got $subdirs")
+  }
+
   test("kmeans IVF build assigns every row to a valid cell") {
     val emb = Tables.embeddings(spark, sf()).select(col("vec_id").as("id"), col("embedding"))
     val (assigned, centroids) = IndexBuild.kmeansIvf(emb, nlist = 4, maxIter = 5)

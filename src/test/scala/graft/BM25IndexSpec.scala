@@ -44,6 +44,63 @@ class BM25IndexSpec extends SparkSpec {
     assert(graft.sources.Store.load(spark, s"$path/scalars").head().getLong(0) == 6L)
   }
 
+  test("deleteRefresh ≡ rebuild over the survivors (n, avgdl, idf all shift)") {
+    val path = "/root/repo/target/tmp/bm25idx_del"
+    val rebuilt = "/root/repo/target/tmp/bm25idx_del_reb"
+    graft.sources.Store.deleteRecursive(path)
+    graft.sources.Store.deleteRecursive(rebuilt)
+    BM25Index.build(docs, path)
+    BM25Index.deleteRefresh(spark, path, Seq(2L, 5L).toDF("id"))
+    BM25Index.build(docs.filter(!col("id").isin(2L, 5L)), rebuilt)
+    assert(scoreMap(BM25Index.scores(spark, path, query)) ==
+      scoreMap(BM25Index.scores(spark, rebuilt, query)))
+    // n counts the survivors incl. the token-less doc 6 (never indexed,
+    // never deleted): 6 - 2
+    assert(graft.sources.Store.load(spark, s"$path/scalars").head().getLong(0) == 4L)
+  }
+
+  test("deleteRefresh fail-louds on ids the index cannot retire") {
+    val path = "/root/repo/target/tmp/bm25idx_delbad"
+    graft.sources.Store.deleteRecursive(path)
+    BM25Index.build(docs, path)
+    // id 6 is token-less (absent from doclens), id 99 unknown — both
+    // would leave N silently stale, so both must raise
+    for (bad <- Seq(6L, 99L)) {
+      val e = intercept[IllegalArgumentException] {
+        BM25Index.deleteRefresh(spark, path, Seq(bad).toDF("id"))
+      }
+      assert(e.getMessage.contains("rebuild instead"))
+    }
+  }
+
+  test("upsertRefresh replaces changed docs' postings and admits new docs") {
+    val path = "/root/repo/target/tmp/bm25idx_ups"
+    graft.sources.Store.deleteRecursive(path)
+    BM25Index.build(docs, path)
+    // doc 1 re-crawled with entirely new text; doc 7 is brand new
+    val batch = Seq((1L, "espresso shuffle shuffle"),
+      (7L, "espresso merge plan")).toDF("id", "text")
+    BM25Index.upsertRefresh(spark, path, batch)
+    val equivalent = Seq(
+      (1L, "espresso shuffle shuffle"),
+      (2L, "spark window agg join"),
+      (3L, "dup dup shuffle merge"),
+      (4L, "broadcast join plan"),
+      (5L, "window spark spark dup"),
+      (6L, ""),
+      (7L, "espresso merge plan")
+    ).toDF("id", "text")
+    // probe with terms spanning doc 1's OLD text (a stale posting would
+    // resurface it), its new text, and the new doc
+    val probe = Seq("dup", "spark", "window", "shuffle", "espresso", "merge")
+    BM25.clearCache()
+    assert(scoreMap(BM25Index.scores(spark, path, probe)) ==
+      scoreMap(BM25.scores(equivalent, probe)))
+    // n: 6 docs, 1 updated in place, 1 new
+    assert(graft.sources.Store.load(spark, s"$path/scalars").head().getLong(0) == 7L)
+    BM25.clearCache()
+  }
+
   test("PRF expansion recovers a vocabulary-mismatch doc; saturated vocab does no harm") {
     // feedback docs 1-2 match "espresso" and carry crema/portafilter;
     // doc 3 shares those but NOT the query term — only expansion finds it.

@@ -77,6 +77,61 @@ class StoreGenerationsSpec extends SparkSpec {
     assert(e.getMessage.contains("not a published generational table"))
   }
 
+  test("deleteBatch is merge-on-read: rows masked, data dirs untouched, compact clears") {
+    import spark.implicits._
+    val path = tmp("tomb")
+    Store.save((1L to 10L).toDF("id"), path)
+    val stamp = Files.getLastModifiedTime(Paths.get(s"$path/data/b1"))
+    Store.deleteBatch(spark, path, Seq(3L, 4L).toDF("id"))
+    assert(ids(path) == (1L to 10L).toSet -- Set(3L, 4L))
+    // O(batch): the data dir was not rewritten, only a tombstone dir added
+    assert(Files.getLastModifiedTime(Paths.get(s"$path/data/b1")) == stamp)
+    val Some((_, lines)) = Store.currentManifest(path)
+    assert(lines == Seq("b1", "-d2"))
+    // compaction applies the tombstones physically and clears them
+    Store.compact(spark, path)
+    val Some((_, lines2)) = Store.currentManifest(path)
+    assert(lines2.forall(!_.startsWith("-")) && lines2.size == 1)
+    assert(ids(path) == (1L to 10L).toSet -- Set(3L, 4L))
+  }
+
+  test("upsertBatch replaces old versions in ONE generation (old or new, never both)") {
+    import spark.implicits._
+    val path = tmp("upsert")
+    Store.save(Seq((1L, "v1"), (2L, "v1"), (3L, "v1")).toDF("id", "v"), path)
+    Store.upsertBatch(Seq((2L, "v2"), (4L, "v2")).toDF("id", "v"), path,
+      Seq(2L, 4L).toDF("id"))
+    val out = Store.load(spark, path).as[(Long, String)].collect().toSeq.sorted
+    assert(out == Seq((1L, "v1"), (2L, "v2"), (3L, "v1"), (4L, "v2")),
+      s"got $out — the batch's own rows must survive their paired tombstone")
+  }
+
+  test("a tombstone masks only prior dirs: a later re-add of a deleted id survives") {
+    import spark.implicits._
+    val path = tmp("readd")
+    Store.save((1L to 5L).toDF("id"), path)
+    Store.deleteBatch(spark, path, Seq(3L).toDF("id"))
+    Store.appendBatch(Seq(3L).toDF("id"), path)
+    val out = Store.load(spark, path).as[Long].collect().toSeq
+    assert(out.count(_ == 3L) == 1 && out.toSet == (1L to 5L).toSet)
+  }
+
+  test("upsertBatch keeps hive pruning on partitioned tables") {
+    import spark.implicits._
+    val path = tmp("upsparts")
+    Store.savePartitioned(
+      Seq((1L, 0), (2L, 1), (3L, 0)).toDF("id", "cell"), path, "cell")
+    // id 3 moves from cell 0 to cell 2
+    Store.upsertBatch(Seq((3L, 2)).toDF("id", "cell"), path,
+      Seq(3L).toDF("id"), "cell")
+    val cell0 = Store.load(spark, path).filter(col("cell") === 0)
+      .select("id").as[Long].collect().toSet
+    assert(cell0 == Set(1L), "the moved row's old cell must not serve it")
+    val cell2 = Store.load(spark, path).filter(col("cell") === 2)
+      .select("id").as[Long].collect().toSet
+    assert(cell2 == Set(3L))
+  }
+
   test("partitioned batches keep the partition column across multi-dir reads") {
     import spark.implicits._
     val path = tmp("parts")
