@@ -36,10 +36,12 @@ object Bench {
     * pure-CPU kernel (10^8 xorshift64 steps, no allocation, no I/O). On an
     * idle box this is a machine constant (~±5%); on a loaded box the OS
     * scheduler stretches it in direct proportion to contention. Emitted at
-    * run start AND end (`cal_start_ms`/`cal_end_ms`) so any reader of the
-    * bench artifact can detect a contaminated run from the artifact itself
-    * — the driver's r6/r8 numbers inflated 2-4x from machine load and
-    * nothing in the line recorded it. */
+    * run start, END-TO-END THROUGH THE RUN (`cal_ms`: one sample every
+    * [[CalEvery]] timed queries — r9 verdict: BENCH_r09 read idle at both
+    * ENDPOINTS, cal 221/218, while a mid-run burst inflated r10 to 11.9 s
+    * vs 7.3 idle; endpoint sampling provably misses interior load), and at
+    * run end. `cal_start_ms`/`cal_end_ms` stay on the line as the
+    * first/last samples for round-over-round continuity. */
   private[graft] def calibrate(): Long = {
     val t0 = System.nanoTime()
     var x = 0x9E3779B97F4A7C15L
@@ -77,13 +79,15 @@ object Bench {
     // (0.5 s map-only filter) — the two cheapest non-anchor entries, both
     // still oracle-gated in the correctness run — retire from the TIMED
     // line only
+    // round-10 budget swap (funding the anchor_reps + cal_ms audit
+    // fields, r9 verdict #2): tc_repeated_spans / tc_exact_spans (the
+    // two cheapest entries, 1.5/2.5 s map-heavy span scans of one
+    // family), ann_pq_topk (PQ stays timed through the ann_ivfpq_topk
+    // composition — the r7 sq8 precedent), and ta_kn_bigram_nll (1.8 s,
+    // the KN stat-join chain) retire from the TIMED line; all four stay
+    // oracle-gated in the correctness run
     "tc_curation_survivors", "tc_corpus_stats", "tc_neardup_clusters",
-    "tc_contamination", "tc_repeated_spans", "tc_exact_spans",
-    // round-9 shape swap: the slice-trained Kneser-Ney chain (adds the
-    // continuation/context stat joins) replaces the add-k bigram LM on
-    // the timed line — same family, strictly richer plan; add-k stays
-    // oracle-gated
-    "ta_kn_bigram_nll",
+    "tc_contamination",
     "tc_semantic_dedup", "gr_pagerank",
     // round-9: ev_self_retrieval also retires from the TIMED line — it is
     // an eval harness re-running the r1/r2/r4 retrieval plans already
@@ -101,7 +105,7 @@ object Bench {
     // line census, and the degree-ordered triangle join — the new plans
     // with genuine shuffle shapes (mrl/pq recalls and the weighted top-n
     // are cheap rescans of already-timed plans, left to the oracle run)
-    "ann_pq_topk", "ann_ivfpq_topk", "gr_triangles",
+    "ann_ivfpq_topk", "gr_triangles",
     // round-8 tiers budget swap: ann_bq_topk (packed-long Hamming scan)
     // and gr_communities (iterative LPA join) enter — the two genuinely
     // new plan shapes (ppl buckets reuse the unigram-NLL plan, modularity
@@ -173,14 +177,19 @@ object Bench {
     // blocks) are dropped between runs so later runs aren't reading
     // earlier runs' persisted intermediates.
     val reps = 3
-    // contention sentinel #1: calibrate BEFORE any timed query (r8 verdict
-    // item — the driver's gate number inflated 2-4x from machine load in 2
-    // of 3 recent rounds, indistinguishable from a code regression without
-    // an in-artifact load signal)
-    val calStart = calibrate()
+    // contention sentinel: calibrate BEFORE any timed query (r8 verdict —
+    // the driver's gate number inflated 2-4x from machine load in 2 of 3
+    // recent rounds), then EVERY CalEvery QUERIES through the run (r9
+    // verdict #2 — endpoint-only sampling missed a mid-run burst that
+    // inflated 4 queries 1.6-2.3x while both endpoints read idle), then
+    // once more at the end. ~0.2 s per sample: ≤1.5 s overhead total.
+    val CalEvery = 8
+    val calSamples = scala.collection.mutable.ArrayBuffer[Long](calibrate())
     val results = names
       .filter(n => !Excluded.contains(n) && SparkEntry.queries.contains(n))
-      .map { name =>
+      .zipWithIndex
+      .map { case (name, qi) =>
+        if (qi > 0 && qi % CalEvery == 0) calSamples += calibrate()
         val fn = SparkEntry.queries(name)
         val times = (1 to reps).flatMap { _ =>
           val t0 = System.nanoTime()
@@ -201,20 +210,23 @@ object Bench {
         // reporting a failure duration as a measurement; alongside the
         // median, keep the MIN of reps — the contention-robust statistic
         // for warm repeated runs (any rep that dodged the load is the
-        // true cost; median still inherits whole-run contention)
-        if (times.isEmpty) (name, -1.0, -1.0)
-        else (name, median(times), times.min)
+        // true cost; median still inherits whole-run contention) — and
+        // the raw per-rep vector (feeds the auditable anchor_reps sums)
+        if (times.isEmpty) (name, -1.0, -1.0, times)
+        else (name, median(times), times.min, times)
       }
-    val calEnd = calibrate()
+    calSamples += calibrate()
+    val calStart = calSamples.head
+    val calEnd = calSamples.last
     def f3(v: Double): String = (math.rint(v * 1000) / 1000).toString
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // failed queries (-1 sentinel) are COUNTED, never summed — a broken
     // query must not silently deflate the headline total by 1s
-    val measured = results.collect { case (_, v, _) if v >= 0 => v }
+    val measured = results.collect { case (_, v, _, _) if v >= 0 => v }
     val nFailed = results.count(_._2 < 0)
     val total = if (measured.nonEmpty) measured.sum else 0.0
-    val totalMin = results.collect { case (_, _, m) if m >= 0 => m }.sum
+    val totalMin = results.collect { case (_, _, m, _) if m >= 0 => m }.sum
     // the rotation-proof longitudinal metric: sum over the fixed Anchor
     // subset (r4-era queries timed every round) — comparable across
     // rounds regardless of headline-set rotation. Both stats carried:
@@ -224,7 +236,15 @@ object Bench {
     val anchorRows = Anchor.flatMap(byName.get).filter(_._2 >= 0)
     val anchorTotal = anchorRows.map(_._2).sum
     val anchorMin = anchorRows.map(_._3).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"reps":$reps,"stat":"median","value_min":${f3(totalMin)},"anchor_total":${f3(anchorTotal)},"anchor_total_min":${f3(anchorMin)},"anchor_n":${anchorRows.length},"cal_start_ms":$calStart,"cal_end_ms":$calEnd,"queries":$qs,"sf":"$sfDir"}"""
+    // per-rep anchor sums (r9 verdict #2): rep i's total across the anchor
+    // queries whose reps all succeeded — makes the min AUDITABLE from the
+    // artifact (a contended run shows spread across anchor_reps; the min
+    // is not a black box). Rep indexes only align on fully-measured rows.
+    val anchorFull = anchorRows.filter(_._4.length == reps)
+    val anchorReps = (0 until reps)
+      .map(r => f3(anchorFull.map(_._4(r)).sum)).mkString("[", ",", "]")
+    val calArr = calSamples.mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"reps":$reps,"stat":"median","value_min":${f3(totalMin)},"anchor_total":${f3(anchorTotal)},"anchor_total_min":${f3(anchorMin)},"anchor_reps":$anchorReps,"anchor_n":${anchorRows.length},"cal_start_ms":$calStart,"cal_end_ms":$calEnd,"cal_ms":$calArr,"queries":$qs,"sf":"$sfDir"}"""
     // tail hygiene: the driver reads the LAST 2000 chars, so the headline
     // must be the FINAL line with nothing logged after it. Silence logging
     // entirely, stop Spark (its shutdown chatter lands before the line),

@@ -33,6 +33,12 @@ object QueriesEval {
         .withColumn("gap", round(col("recall_any_at_5") - col("ndcg_at_10"), 6))
         .orderBy("category")
     }),
+    // acting on the gap analysis (r9 verdict #3): recall@5 per category
+    // with RM3 expansion behind the sparse-query trigger, vs the base
+    // plan — the measured category move, with the rich categories as the
+    // do-no-harm control rows
+    "ev_longmem_prf_lift" -> ((s, dir) =>
+      graft.eval.LongMemEval.prfRecallLift(Queries.docs(s, dir))),
     // unigram-LM (SentencePiece-style) tokenizer training, Kudo '18:
     // sign: Viterbi hard-EM in integer micro-nat costs, 2 unrolled rounds
     "tk_unigram_vocab" -> ((s, dir) =>
@@ -155,6 +161,92 @@ object QueriesEval {
        |SELECT 'overall', CAST(count(*) AS BIGINT),
        |  round(CAST(sum(ndcg_micro) AS DOUBLE) / count(*) / 1e6, 6) FROM lnq""".stripMargin
 
+  /** Batch RM3 over the core (mirrors LongMemEval.batchResultsFrom with
+    * prf=true): triggered sparse questions mine expansion terms from
+    * their scoped feedback docs, the BM25 branch ranks base+β·expansion,
+    * fusion re-runs with the SAME vector contributions. Ends with
+    * lphit(qid, category, hit). */
+  private def longMemPrfCtes: String = {
+    import graft.search.BM25
+    val lme = graft.eval.LongMemEval
+    val w = HybridSearch.Weights.resolve(0.7, 0.0, 0.0, 0.0)
+    val k = lme.RetrievalK
+    val over = 3 * k
+    val qt = OracleText.toks("q.qtext")
+    s"""lptrig AS (SELECT qid FROM lmq q WHERE len(list_distinct($qt)) <= ${lme.PrfTriggerTerms}),
+       |lpqt AS (SELECT DISTINCT q.qid, t.term FROM lmq q, unnest($qt) t(term)),
+       |lpw AS (
+       |  SELECT f.qid, tf.term, round(sum(tf.tf * idf.idf), 6) AS w
+       |  FROM (SELECT l.qid, l.id FROM lbr l JOIN lptrig USING (qid)
+       |        WHERE l.rn <= ${lme.PrfFbDocs}) f
+       |  JOIN tf ON tf.id = f.id
+       |  JOIN idf ON idf.term = tf.term
+       |  WHERE NOT EXISTS (SELECT 1 FROM lpqt p
+       |    WHERE p.qid = f.qid AND p.term = tf.term)
+       |  GROUP BY 1, 2),
+       |lpe AS (SELECT qid, term FROM (
+       |    SELECT qid, term, row_number() OVER (PARTITION BY qid
+       |      ORDER BY w DESC, term) AS wrn
+       |    FROM lpw WHERE w > 0) WHERE wrn <= ${lme.PrfTerms}),
+       |lpes AS (
+       |  SELECT e.qid, tf.id,
+       |    round(sum(1 * idf.idf * tf.tf * (${BM25.K1} + 1.0) /
+       |      (tf.tf + ${BM25.K1} * (1.0 - ${BM25.B} + ${BM25.B} * dl.dl / (SELECT avgdl FROM bmstats)))), 6) AS bm25e
+       |  FROM lpe e JOIN tf ON tf.term = e.term
+       |  JOIN idf ON idf.term = e.term
+       |  JOIN dl ON dl.id = tf.id
+       |  GROUP BY 1, 2),
+       |lpesf AS (
+       |  SELECT s.qid, s.id, s.bm25e FROM lpes s
+       |  JOIN lmch m ON m.id = s.id
+       |  JOIN lmq q ON q.qid = s.qid AND q.bucket = m.bucket),
+       |lpbm AS MATERIALIZED (
+       |  SELECT qid, id, bm25 FROM (
+       |    SELECT coalesce(b.qid, e.qid) AS qid, coalesce(b.id, e.id) AS id,
+       |      round(coalesce(b.bm25, 0) + ${lme.PrfBeta} * coalesce(e.bm25e, 0), 6) AS bm25
+       |    FROM lbs b FULL OUTER JOIN lpesf e ON b.qid = e.qid AND b.id = e.id)
+       |  WHERE bm25 > 0),
+       |lpbr AS (SELECT qid, id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, id) AS rn FROM lpbm),
+       |lpbc AS (SELECT qid, id, ${w.bm25} / (rn - 1 + ${HybridSearch.RrfK}) AS c
+       |  FROM lpbr WHERE rn <= $over),
+       |lpfu AS MATERIALIZED (
+       |  SELECT qid, id, sum(c) AS rrf
+       |  FROM (SELECT * FROM lvc UNION ALL SELECT * FROM lpbc) GROUP BY 1, 2),
+       |lpcr AS MATERIALIZED (SELECT qid, id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS crn FROM lpfu),
+       |lpsr AS (SELECT qid, id // 2 AS session, min(crn) AS srn
+       |  FROM lpcr WHERE crn <= $k GROUP BY 1, 2),
+       |lpsk AS (SELECT qid, session,
+       |    row_number() OVER (PARTITION BY qid ORDER BY srn) AS sk FROM lpsr),
+       |lphit AS MATERIALIZED (
+       |  SELECT q.qid, q.category,
+       |    CASE WHEN EXISTS (SELECT 1 FROM lpsk s
+       |      WHERE s.qid = q.qid AND s.sk <= ${lme.SessionK}
+       |        AND s.session = q.qid) THEN 1 ELSE 0 END AS hit
+       |  FROM lmq q)""".stripMargin
+  }
+
+  private def longMemPrfLiftSql: String =
+    s"""WITH $longMemCoreCtes,
+       |$longMemRecallTailCtes,
+       |$longMemPrfCtes,
+       |lgr AS (
+       |  SELECT category, CAST(count(*) AS BIGINT) AS n_questions,
+       |    round(avg(hit), 6) AS recall_base
+       |  FROM lhit GROUP BY category
+       |  UNION ALL
+       |  SELECT 'overall', CAST(count(*) AS BIGINT), round(avg(hit), 6) FROM lhit),
+       |lgp AS (
+       |  SELECT category, round(avg(hit), 6) AS recall_prf
+       |  FROM lphit GROUP BY category
+       |  UNION ALL
+       |  SELECT 'overall', round(avg(hit), 6) FROM lphit)
+       |SELECT r.category, r.n_questions, r.recall_base, p.recall_prf,
+       |  round(p.recall_prf - r.recall_base, 6) AS lift
+       |FROM lgr r JOIN lgp p USING (category)
+       |ORDER BY category""".stripMargin
+
   private def longMemSql: String =
     s"""WITH $longMemCoreCtes,
        |$longMemRecallTailCtes
@@ -184,6 +276,7 @@ object QueriesEval {
     "ev_longmem_recall" -> longMemSql,
     "ev_longmem_ndcg" -> longMemNdcgSql,
     "ev_longmem_gap" -> longMemGapSql,
+    "ev_longmem_prf_lift" -> longMemPrfLiftSql,
     "tk_unigram_vocab" ->
       s"""WITH ${OracleText.unigramCtes()}
          |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT) AS rank,

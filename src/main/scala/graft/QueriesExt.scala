@@ -149,6 +149,37 @@ object QueriesExt {
     "st_quality_window" -> ((s, dir) =>
       EventStream.qualityWindowStats(Corpus.memories(s, dir))
         .orderBy("window_start")),
+    // streaming index maintenance, batch oracle form: build both persisted
+    // indexes on half the corpus, ingest the rest as TWO micro-batches
+    // (exactly what foreachBatch feeds startIndexRefresh per trigger —
+    // StreamingSpec drives the real MemoryStream form), then serve a
+    // lexical and a vector probe from the streamed-up indexes. Oracle =
+    // the full-corpus BM25 + IVF SQL, so the hash-match proves streamed
+    // ingest converges on the one-shot build
+    "st_index_refresh" -> ((s, dir) => {
+      val bm25Path = s"${sys.props("java.io.tmpdir")}/graft_stix_bm25_${ProcessHandle.current().pid()}"
+      val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_stix_ivf_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(bm25Path); Queries.reapAtExit(ivfPath)
+      val mem = Corpus.memories(s, dir)
+      val nd = Corpus.nDocs(s, dir)
+      graft.search.BM25Index.build(mem.filter(col("id") < nd / 2), bm25Path)
+      graft.ann.IvfIndex.build(mem.filter(col("id") < nd / 2),
+        Tables.embeddings(s, dir), ivfPath)
+      for ((lo, hi) <- Seq((nd / 2, 3 * nd / 4), (3 * nd / 4, nd))) {
+        val b = mem.filter(col("id") >= lo && col("id") < hi)
+        graft.search.BM25Index.refresh(s, bm25Path, b)
+        graft.ann.IvfIndex.refresh(s, ivfPath, b)
+      }
+      val bm = graft.search.BM25Index.scores(s, bm25Path, Queries.QueryTokens)
+        .join(mem.filter(!col("archived")).select("id"), "id")
+        .filter(col("bm25") > 0)
+        .orderBy(desc("bm25"), asc("id")).limit(10)
+        .select(lit("bm25").as("kind"), col("id"), col("bm25").as("score"))
+      val iv = graft.ann.IvfIndex.topK(s, ivfPath, Queries.queryVec(s, dir),
+        k = 10, nprobe = 2)
+        .select(lit("vector").as("kind"), col("id"), col("sim").as("score"))
+      bm.unionByName(iv).orderBy("kind", "id")
+    }),
     "sf_feedback_nets" -> ((s, dir) =>
       EventStream.runningFeedbackNets(Corpus.searchFeedback(s, dir))
         .select(col("memoryId").as("memory_id"), col("net"), col("nEvents").as("n_events"))
@@ -653,6 +684,26 @@ object QueriesExt {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, sum(value) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // full-corpus lexical + vector probes: what the build-half + two
+    // streamed micro-batches must converge to
+    "st_index_refresh" ->
+      s"""WITH ${OracleCtes.memories},
+         |${OracleHybrid.bm25Ctes(Queries.QueryTokens)},
+         |${Queries.ivfCtes}
+         |SELECT kind, id, score FROM (
+         |  SELECT 'bm25' AS kind, id, bm25 AS score FROM (
+         |    SELECT b.id, b.bm25 FROM bm b JOIN memories m USING (id)
+         |    WHERE b.bm25 > 0 AND NOT m.archived
+         |    ORDER BY b.bm25 DESC, b.id LIMIT 10)
+         |  UNION ALL
+         |  SELECT 'vector' AS kind, id, sim AS score FROM (
+         |    SELECT m.id, round(${OracleCtes.dot64("m.embedding", "q2.qv")}, 6) AS sim
+         |    FROM memories m
+         |    JOIN asg a ON m.id = a.id
+         |    JOIN probe p ON a.ivf_cell = p.label
+         |    CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q2
+         |    ORDER BY sim DESC, m.id LIMIT 10))
+         |ORDER BY kind, id""".stripMargin,
     "st_quality_window" -> {
       val t = graft.core.OracleText.toks("text")
       s"""WITH ${OracleCtes.memories},

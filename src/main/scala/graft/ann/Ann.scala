@@ -53,6 +53,32 @@ object Ann {
       .withColumnRenamed("label", "ivf_cell")
   }
 
+  /** Cell-skew defense (r9 verdict #4): real embedding distributions give
+    * hot cells — one cell holding 10× the mean turns every probe touching
+    * it into a single straggler task at 100 TB (the same skew story
+    * [[graft.dedup.MinHashLsh]] bounds with maxBucket). Subdivide every
+    * cell whose population exceeds `maxCell` into ⌈n/maxCell⌉ subcells by
+    * a deterministic id hash, adding `ivf_subcell`; cells under the bound
+    * get the single subcell 0. At scale the assignments table partitions
+    * by (ivf_cell, ivf_subcell), so the hot cell's rows land in many
+    * balanced file partitions scanned in parallel. PROBE SEMANTICS ARE
+    * UNTOUCHED: probing a parent cell reads the union of its subcells —
+    * the cell→rows mapping is unchanged, only its physical layout splits
+    * (`ann_ivf_skew_split`'s oracle is the UNSPLIT top-k verbatim; the
+    * planted-hot-cluster split and the balanced layout are pinned by
+    * AnnSpec). One extra map-side-combined count per cell + a broadcast
+    * join — O(nlist) state, no extra shuffle of the assignments. */
+  def splitSkewedCells(assigned: DataFrame, maxCell: Long): DataFrame = {
+    require(maxCell > 0, s"maxCell must be positive, got $maxCell")
+    val sizes = assigned.groupBy("ivf_cell").agg(count(lit(1)).as("_cn"))
+    assigned.join(broadcast(sizes), "ivf_cell")
+      .withColumn("ivf_subcell",
+        pmod(xxhash64(col("id")),
+          greatest(ceil(col("_cn").cast("double") / maxCell), lit(1.0)).cast("long"))
+          .cast("int"))
+      .drop("_cn")
+  }
+
   /** The `nprobe` cells nearest to the query: (ivf_cell). */
   private[ann] def probeCells(centroids: DataFrame, queryVec: Seq[Float],
                          nprobe: Int): DataFrame =

@@ -73,6 +73,15 @@ object LongMemEval {
   /** Unique sessions scored against gold (the "@5" of Recall@5). */
   val SessionK = 5
 
+  /** PRF trigger (r9 verdict #3): questions with ≤ this many DISTINCT
+    * terms get RM3 expansion — the sparse-keyword regime `ev_longmem_gap`
+    * names as the weak category. Query-property-based, never
+    * category-based: any question sparse enough triggers. */
+  val PrfTriggerTerms = 6
+  val PrfFbDocs = 10
+  val PrfTerms = 5
+  val PrfBeta = 0.4
+
   private val emb = HashingEmbedder(64)
 
   /** Session chunks: (id, session, bucket, text). Chunk 0 = first
@@ -141,7 +150,8 @@ object LongMemEval {
     batchResultsFrom(seededMemories(docs).localCheckpoint(true),
       questions(docs).localCheckpoint(true))
 
-  private def batchResultsFrom(mem: DataFrame, qs: DataFrame): DataFrame = {
+  private def batchResultsFrom(mem: DataFrame, qs: DataFrame,
+                               prf: Boolean = false): DataFrame = {
     val w = HybridSearch.Weights.resolve(0.7, 0.0, 0.0, 0.0)
     val k = RetrievalK
     val oversample = 3 * k
@@ -164,12 +174,51 @@ object LongMemEval {
     val qTerms = qs
       .select(col("qid"), explode(TextFunctions.tokens(col("qtext"))).as("term"))
       .groupBy("qid", "term").agg(count(lit(1)).as("qn"))
-    val bScored = BM25.batchScores(mem, qTerms)
+    val bBase0 = BM25.batchScores(mem, qTerms)
       .join(mem.select(col("id"), col("bucket")), "id")
       .join(broadcast(qs.select(col("qid"), col("bucket"))), Seq("qid", "bucket"))
       .filter(col("bm25") > 0)
+    // under PRF the base ranking is read twice (feedback mining + the
+    // combination); one checkpoint, not two executions
+    val bBase = if (prf) bBase0.localCheckpoint(true) else bBase0
     val bw = Window.partitionBy("qid").orderBy(desc("bm25"), asc("id"))
-    val bContrib = bScored.withColumn("rn", row_number().over(bw))
+    // the batch RM3 form of BM25.prfCombinedScores, per TRIGGERED qid:
+    // feedback docs = the scoped top-PrfFbDocs of the base ranking, mined
+    // expansion terms = top-PrfTerms positive Σtf·idf non-query terms,
+    // effective score = base + β·expansion. Untriggered questions simply
+    // contribute no expansion rows, so one uniform combination serves all.
+    val bEff = if (!prf) bBase else {
+      val trig = qs.filter(
+        size(array_distinct(TextFunctions.tokens(col("qtext")))) <= PrfTriggerTerms)
+        .select("qid")
+      val fb = bBase.join(broadcast(trig), Seq("qid"), "left_semi")
+        .withColumn("rn", row_number().over(bw))
+        .filter(col("rn") <= PrfFbDocs)
+        .select("qid", "id")
+      val (tfTab, idfTab) = BM25.miningStats(mem)
+      val qTermSet = qs.select(col("qid"),
+        explode(array_distinct(TextFunctions.tokens(col("qtext")))).as("term"))
+      val ww = Window.partitionBy("qid").orderBy(desc("w"), asc("term"))
+      val expTerms = tfTab.join(fb, "id")
+        .join(idfTab.select("term", "idf"), "term")
+        .join(qTermSet, Seq("qid", "term"), "left_anti")
+        .groupBy("qid", "term").agg(round(sum(col("tf") * col("idf")), 6).as("w"))
+        .filter(col("w") > 0)
+        .withColumn("wrn", row_number().over(ww))
+        .filter(col("wrn") <= PrfTerms)
+        .select(col("qid"), col("term"), lit(1L).as("qn"))
+      val expScored = BM25.batchScores(mem, expTerms)
+        .join(mem.select(col("id"), col("bucket")), "id")
+        .join(broadcast(qs.select(col("qid"), col("bucket"))), Seq("qid", "bucket"))
+        .select(col("qid"), col("id"), col("bm25").as("bm25e"))
+      bBase.select("qid", "id", "bm25")
+        .join(expScored, Seq("qid", "id"), "full_outer")
+        .select(col("qid"), col("id"),
+          round(coalesce(col("bm25"), lit(0.0))
+            + lit(PrfBeta) * coalesce(col("bm25e"), lit(0.0)), 6).as("bm25"))
+        .filter(col("bm25") > 0)
+    }
+    val bContrib = bEff.withColumn("rn", row_number().over(bw))
       .filter(col("rn") <= oversample)
       .select(col("qid"), col("id"),
         (lit(w.bm25) / (col("rn") - 1 + HybridSearch.RrfK)).as("c"))
@@ -193,18 +242,7 @@ object LongMemEval {
     // docs scan and must not run twice inside the benchmark's own path
     val qs = questions(docs).localCheckpoint(true)
     val res = batchResultsFrom(seededMemories(docs).localCheckpoint(true), qs)
-    // dedup chunks → sessions by first appearance, keep the top SessionK
-    val sw = Window.partitionBy("qid").orderBy(asc("srn"))
-    val topSessions = res.groupBy("qid", "session")
-      .agg(min("crn").as("srn"))
-      .withColumn("sk", row_number().over(sw))
-      .filter(col("sk") <= SessionK)
-    val hits = qs.alias("q")
-      .join(topSessions.alias("s"),
-        col("s.qid") === col("q.qid") && col("s.session") === col("q.qid"),
-        "left")
-      .groupBy(col("q.qid").as("qid"), col("q.category").as("category"))
-      .agg(max(when(col("s.session").isNotNull, 1).otherwise(0)).as("hit"))
+    val hits = hitsFrom(res, qs)
     val byCat = hits.groupBy("category")
       .agg(count(lit(1)).as("n_questions"),
         round(avg(col("hit")), 6).as("recall_any_at_5"))
@@ -214,6 +252,48 @@ object LongMemEval {
       .select(lit("overall").as("category"), col("n_questions"),
         col("recall_any_at_5"))
     byCat.unionAll(overall).orderBy("category")
+  }
+
+  /** Session-level recall-any hits per question: (qid, category, hit) —
+    * dedup result chunks → sessions by first appearance, top [[SessionK]],
+    * hit iff the gold session is among them. */
+  private def hitsFrom(res: DataFrame, qs: DataFrame): DataFrame = {
+    val sw = Window.partitionBy("qid").orderBy(asc("srn"))
+    val topSessions = res.groupBy("qid", "session")
+      .agg(min("crn").as("srn"))
+      .withColumn("sk", row_number().over(sw))
+      .filter(col("sk") <= SessionK)
+    qs.alias("q")
+      .join(topSessions.alias("s"),
+        col("s.qid") === col("q.qid") && col("s.session") === col("q.qid"),
+        "left")
+      .groupBy(col("q.qid").as("qid"), col("q.category").as("category"))
+      .agg(max(when(col("s.session").isNotNull, 1).otherwise(0)).as("hit"))
+  }
+
+  /** The PRF on/off comparison (r9 verdict #3): per-category recall-any@5
+    * under the base plan vs the plan with RM3 expansion behind the
+    * sparse-query trigger, plus the lift. The trigger is a property of
+    * the QUERY (≤ [[PrfTriggerTerms]] distinct terms), so rich categories
+    * ride through both runs untouched — their rows double as the
+    * do-no-harm control. */
+  def prfRecallLift(docs: DataFrame): DataFrame = {
+    val qs = questions(docs).localCheckpoint(true)
+    val mem = seededMemories(docs).localCheckpoint(true)
+    val hBase = hitsFrom(batchResultsFrom(mem, qs), qs)
+    val hPrf = hitsFrom(batchResultsFrom(mem, qs, prf = true), qs)
+    def perCat(h: DataFrame, cName: String): DataFrame = {
+      val byCat = h.groupBy("category")
+        .agg(count(lit(1)).as("n_questions"), round(avg(col("hit")), 6).as(cName))
+      val overall = h.groupBy()
+        .agg(count(lit(1)).as("n_questions"), round(avg(col("hit")), 6).as(cName))
+        .select(lit("overall").as("category"), col("n_questions"), col(cName))
+      byCat.unionAll(overall)
+    }
+    perCat(hBase, "recall_base")
+      .join(perCat(hPrf, "recall_prf").drop("n_questions"), "category")
+      .withColumn("lift", round(col("recall_prf") - col("recall_base"), 6))
+      .orderBy("category")
   }
 
   /** Chunk-level nDCG@`k` per question category (+ overall) — the graded

@@ -97,6 +97,17 @@ object BM25 {
       Index(tf, idf, dl, st)
     })
 
+  /** The RM3 mining view of the memoized index: (tf(id, term, tf),
+    * idf(term, df, idf)) — what expansion-term mining joins feedback docs
+    * against, in [[prfExpanded]] and in the LongMemEval batch PRF form
+    * ([[graft.eval.LongMemEval]]). Read-only frames from the same
+    * memoization as [[scores]] — no extra tokenize. */
+  def miningStats(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "id"): (DataFrame, DataFrame) = {
+    val ix = indexFor(docs, textCol, idCol)
+    (ix.tf, ix.idf)
+  }
+
   /** BM25 score of every document containing at least one query token:
     * (id, bm25). Duplicate query tokens count twice (rank_bm25 iterates the
     * raw token list). Docs matching no token are absent (their score is 0).
@@ -156,7 +167,17 @@ object BM25 {
     * bm25_base, bm25_exp, score), top-k by (score desc, id). */
   def prfExpanded(docs: DataFrame, queryTokens: Seq[String], k: Int = 10,
                   fbDocs: Int = 10, fbTerms: Int = 5, beta: Double = 0.4,
-                  textCol: String = "text", idCol: String = "id"): DataFrame = {
+                  textCol: String = "text", idCol: String = "id"): DataFrame =
+    prfCombinedScores(docs, queryTokens, fbDocs, fbTerms, beta, textCol, idCol)
+      .orderBy(desc("score"), asc("id")).limit(k)
+
+  /** The unlimited form of [[prfExpanded]]: (id, bm25_base, bm25_exp,
+    * score) for every doc matching the original OR the mined expansion
+    * query — what the hybrid BM25 branch ranks when the sparse-query
+    * trigger fires ([[HybridSearch]] `Params.prf`). */
+  def prfCombinedScores(docs: DataFrame, queryTokens: Seq[String],
+                        fbDocs: Int = 10, fbTerms: Int = 5, beta: Double = 0.4,
+                        textCol: String = "text", idCol: String = "id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ix = indexFor(docs, textCol, idCol)
@@ -188,7 +209,24 @@ object BM25 {
         coalesce(col("bm25e"), lit(0.0)).as("bm25_exp"),
         round(coalesce(col("bm25"), lit(0.0))
           + lit(beta) * coalesce(col("bm25e"), lit(0.0)), 6).as("score"))
-      .orderBy(desc("score"), asc("id")).limit(k)
+  }
+
+  /** The PRF form of [[ranked]] — the BM25 branch [[HybridSearch]] swaps
+    * in when the sparse-query trigger fires: combined base+expansion
+    * scores over the corpus, visibility post-filter, positives,
+    * top-`oversample` by (score desc, id). Same order of operations as
+    * [[ranked]] (global index first, scope second — the engine's serving
+    * convention), so the two branches are interchangeable plan shapes. */
+  def prfRanked(memories: DataFrame, queryTokens: Seq[String], oversample: Int,
+                sourcePrefix: Option[String] = None,
+                includeArchived: Boolean = false): DataFrame = {
+    val visible = memories.filter(
+      Filters.sourcePrefix(sourcePrefix) && Filters.notArchived(includeArchived))
+    prfCombinedScores(memories, queryTokens)
+      .join(visible.select("id"), "id")
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), asc("id"))
+      .limit(oversample)
   }
 
   /** The reference's BM25 branch: score all docs, post-filter visibility

@@ -45,7 +45,16 @@ object HybridSearch {
       since: Option[String] = None,
       until: Option[String] = None,
       graphWeight: Double = 0.0,
-      nowEpoch: Long = DecayFunctions.RefNowEpoch)
+      nowEpoch: Long = DecayFunctions.RefNowEpoch,
+      // R17 composition (r9 verdict #3 — act on the ev_longmem_gap
+      // finding: sparse-keywords is the weak category): when `prf` is on
+      // AND the query is sparse (≤ prfMaxQueryTerms distinct terms — the
+      // vocabulary-mismatch regime RM3 exists for), the BM25 branch ranks
+      // by [[BM25.prfRanked]]'s base+expansion score instead of plain
+      // BM25. Rich queries are untouched: expansion costs a second
+      // scoring pass and mostly re-finds what the base query found.
+      prf: Boolean = false,
+      prfMaxQueryTerms: Int = 3)
 
   /** Effective per-signal weights (memory_engine.py:1795-1807):
     * clamp each to [0,1]; feedback+confidence (the "auxiliary" budget) are
@@ -122,9 +131,18 @@ object HybridSearch {
         p.sourcePrefix, p.includeArchived, p.since, p.until, p.threshold)
       .select(col("id"), contrib(w.vec, rank0(col("sim"))).as("c"))
 
-    // bm25 branch: source/archived filter only, positive scores
-    val bm = BM25.ranked(memories, p.queryTokens, oversample, p.sourcePrefix, p.includeArchived)
-      .select(col("id"), contrib(w.bm25, rank0(col("bm25"))).as("c"))
+    // bm25 branch: source/archived filter only, positive scores; under
+    // the sparse-query PRF trigger the branch ranks by the RM3-combined
+    // score (same weight, same rank discipline — only the ORDER the
+    // branch contributes changes, so fusion semantics are untouched)
+    val sparse = p.prf && p.queryTokens.distinct.size <= p.prfMaxQueryTerms
+    val bm =
+      if (sparse)
+        BM25.prfRanked(memories, p.queryTokens, oversample, p.sourcePrefix, p.includeArchived)
+          .select(col("id"), contrib(w.bm25, rank0(col("score"))).as("c"))
+      else
+        BM25.ranked(memories, p.queryTokens, oversample, p.sourcePrefix, p.includeArchived)
+          .select(col("id"), contrib(w.bm25, rank0(col("bm25"))).as("c"))
 
     val cand0 = vec.unionAll(bm).groupBy("id").agg(sum("c").as("rrf"))
     // the candidate pool fans out to the core row plus every active extra

@@ -101,6 +101,54 @@ class BM25IndexSpec extends SparkSpec {
     BM25.clearCache()
   }
 
+  test("hybrid search with the sparse-query trigger recovers via PRF; rich queries untouched") {
+    import graft.search.HybridSearch
+    // the espresso corpus wearing the engine's memory schema; embeddings
+    // from the deterministic hashing provider (no token overlap between
+    // "espresso" and doc 9, so the vector branch can't find it). The
+    // mismatch doc takes a HIGH id: zero-sim vector ties break by id, so
+    // without PRF it sits deep in the tail — any lift is PRF's alone
+    val corpus = (Seq(
+      (1L, "espresso espresso crema"),
+      (2L, "espresso crema portafilter"),
+      (9L, "crema portafilter tamp")) ++
+      (3L to 8L).map(i => (i, s"filler$i other$i noise$i")) ++
+      (10L to 15L).map(i => (i, s"filler$i other$i noise$i")))
+      .toDF("id", "text")
+    val mem = graft.embed.HashingEmbedder(64).embed(corpus)
+      .select(col("id"), col("text"), concat(lit("s/"), col("id")).as("source"),
+        lit("detail").as("category"), lit(false).as("archived"),
+        lit(false).as("pinned"),
+        lit(null).cast("timestamp").as("document_at"),
+        lit(null).cast("timestamp").as("created_at"),
+        lit(null).cast("timestamp").as("updated_at"),
+        lit(null).cast("timestamp").as("last_reinforced_at"),
+        col("embedding"))
+      .localCheckpoint(true)
+    val qvec: Seq[Float] = spark.range(1)
+      .select(graft.embed.HashingEmbedder(64).embeddingColumn(lit("espresso")).as("e"))
+      .head().getSeq[Float](0)
+    val p = HybridSearch.Params(queryTokens = Seq("espresso"), queryVec = qvec,
+      k = 15, vectorWeight = 0.3, prf = true)
+    BM25.clearCache()
+    def ranking(p: HybridSearch.Params) =
+      HybridSearch.search(mem, None, p).select("id").as[Long].collect().toSeq
+    val withPrf = ranking(p)
+    val without = ranking(p.copy(prf = false))
+    // with PRF doc 9 rides the (dominant) BM25 branch through its
+    // expansion terms → top-3 next to the genuine espresso docs; without,
+    // its only support is the 0.3-weighted zero-sim vector tie rank
+    assert(withPrf.indexOf(9L) < 3,
+      s"sparse trigger + PRF must lift the vocabulary-mismatch doc: $withPrf")
+    assert(withPrf.indexOf(9L) < without.indexOf(9L),
+      s"PRF must strictly improve doc 9's rank: $withPrf vs $without")
+    // gating: a rich query (4 distinct terms > prfMaxQueryTerms) must be
+    // byte-identical with prf on or off — expansion never fires
+    val rich = p.copy(queryTokens = Seq("espresso", "crema", "portafilter", "tamp"))
+    assert(ranking(rich) == ranking(rich.copy(prf = false)))
+    BM25.clearCache()
+  }
+
   test("PRF expansion recovers a vocabulary-mismatch doc; saturated vocab does no harm") {
     // feedback docs 1-2 match "espresso" and carry crema/portafilter;
     // doc 3 shares those but NOT the query term — only expansion finds it.

@@ -44,7 +44,11 @@ class BenchSpec extends AnyFunSuite {
         // CPU calibration scalars that make a loaded machine visible from
         // the artifact itself (r6/r8 gate numbers were contaminated)
         "\"value_min\":", "\"anchor_total_min\":",
-        "\"cal_start_ms\":", "\"cal_end_ms\":"))
+        "\"cal_start_ms\":", "\"cal_end_ms\":",
+        // round-10 (r9 verdict #2): per-rep anchor sums make the min
+        // auditable; cal_ms samples the kernel THROUGH the run, closing
+        // the endpoint blind spot BENCH_r09 demonstrated
+        "\"anchor_reps\":", "\"cal_ms\":"))
       assert(src.contains(field), s"bench line must carry $field")
   }
 
@@ -69,7 +73,9 @@ class BenchSpec extends AnyFunSuite {
     val perQuery = Bench.Headline.map(n => n.length + 2 + 1 + 8 + 1).sum
     // fixed template + the round-8 anchor/reps/stat fields (~70 chars)
     // + the round-9 min/calibration fields (~90 chars worst case)
-    val overhead = 290 + "/root/testdata/sf0.1".length
+    // + the round-10 anchor_reps (3×8+brackets ≈ 45) and cal_ms array
+    //   (⌈|headline|/8⌉+2 samples × ~6 chars ≈ 60 worst case)
+    val overhead = 290 + 45 + 60 + "/root/testdata/sf0.1".length
     val worst = perQuery + overhead
     assert(worst <= 1500, s"estimated worst-case line $worst chars; " +
       "trim Bench.Headline or shorten names — the driver window is 2000 " +

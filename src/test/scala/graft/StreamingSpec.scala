@@ -120,6 +120,56 @@ class StreamingSpec extends SparkSpec {
       rows(HybridSearch.search(mem, Some(Corpus.searchFeedback(spark, sf())), p)))
   }
 
+  test("foreachBatch index refresh: two streamed micro-batches ≡ one-shot build") {
+    implicit val sqlCtx = spark.sqlContext
+    val bm25Path = "/root/repo/target/tmp/stix_bm25"
+    val ivfPath = "/root/repo/target/tmp/stix_ivf"
+    val ckpt = "/root/repo/target/tmp/stix_ckpt"
+    Seq(bm25Path, ivfPath, ckpt).foreach(graft.sources.Store.deleteRecursive)
+    // hand corpus: 2 seed docs indexed at build, 4 more arrive as TWO
+    // micro-batches; embeddings are 2-d unit vectors in two clusters
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val all = Seq(
+      (1L, "dup merge window", v(1, 0)), (2L, "spark window agg", v(0, 1)),
+      (3L, "dup dup shuffle", v(0.8, 0.6)), (4L, "broadcast join plan", v(0.6, 0.8)),
+      (5L, "window spark dup", v(1, 0)), (6L, "merge plan spark", v(0, 1)))
+    val seed = all.take(2).toDF("id", "text", "embedding")
+    graft.search.BM25Index.build(seed, bm25Path)
+    // centroids: the two axis clusters, stored once at build (classic IVF)
+    val centroids = Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f)))
+      .toDF("label", "centroid")
+    graft.sources.Store.save(centroids, s"$ivfPath/centroids")
+    graft.sources.Store.savePartitioned(
+      graft.ann.Ann.assign(seed.select("id", "embedding"),
+        graft.sources.Store.load(spark, s"$ivfPath/centroids")),
+      s"$ivfPath/assignments", "ivf_cell")
+    val input = MemoryStream[(Long, String, Array[Float])]
+    val docs = input.toDF().toDF("id", "text", "embedding")
+    val q = EventStream.startIndexRefresh(docs, Some(bm25Path), Some(ivfPath), ckpt)
+    try {
+      input.addData(all.slice(2, 4)); q.processAllAvailable()
+      input.addData(all.slice(4, 6)); q.processAllAvailable()
+    } finally q.stop()
+    // lexical: streamed-up index ≡ from-scratch scorer over all 6 docs
+    val probe = Seq("dup", "spark", "window", "merge")
+    graft.search.BM25.clearCache()
+    val streamed = graft.search.BM25Index.scores(spark, bm25Path, probe)
+      .as[(Long, Double)].collect().toMap
+    val scratch = graft.search.BM25.scores(
+      all.toDF("id", "text", "embedding").select("id", "text"), probe)
+      .as[(Long, Double)].collect().toMap
+    assert(streamed == scratch)
+    graft.search.BM25.clearCache()
+    // vector: every doc assigned, assignments match a direct assign of all
+    val live = graft.sources.Store.load(spark, s"$ivfPath/assignments")
+      .select("id", "ivf_cell").as[(Long, Int)].collect().toMap
+    val expect = graft.ann.Ann.assign(
+      all.toDF("id", "text", "embedding").select("id", "embedding"),
+      graft.sources.Store.load(spark, s"$ivfPath/centroids"))
+      .select("id", "ivf_cell").as[(Long, Int)].collect().toMap
+    assert(live == expect && live.size == 6)
+  }
+
   test("the same transform answers identically in batch mode (oracle form)") {
     val events = Seq(
       (1L, ts("2024-01-01 10:05:00"), 1L, "view", 1.0, ""),
