@@ -694,6 +694,27 @@ object Queries {
         mem.filter(col("id") % 3 === 1).select("id"))
       graft.ann.IvfIndex.topK(s, path, queryVec(s, dir), k = 10, nprobe = 2)
     }),
+    // the full plan→execute→compact cycle: delete a third, then rewrite
+    // ONLY the cells the invalidation plan names (every other cell's
+    // files untouched — StoreGenerationsSpec pins the physical side),
+    // probe. Same oracle as the delete: targeted compaction must be
+    // semantically invisible
+    "ann_ivf_compact_cells" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_cmp_${ProcessHandle.current().pid()}"
+      reapAtExit(path)
+      val mem = Corpus.memories(s, dir)
+      graft.ann.IvfIndex.build(mem, Tables.embeddings(s, dir), path)
+      val deleted = mem.filter(col("id") % 3 === 1)
+      graft.ann.IvfIndex.deleteRefresh(s, path, deleted.select("id"))
+      // the planner names the touched cells; compact exactly those
+      val cells = graft.ops.Invalidation.plan(deleted,
+          Ann.centroidsByLabel(Tables.embeddings(s, dir)))
+        .filter(col("artifact") === "ivf_cell")
+        .select(col("key").cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      graft.ann.IvfIndex.compactCells(s, path, cells)
+      graft.ann.IvfIndex.topK(s, path, queryVec(s, dir), k = 10, nprobe = 2)
+    }),
     // unified decontamination report: every flagged (train, bench) pair
     // with WHICH gate caught it — n-gram overlap, embedding cosine, or
     // both. The attribution table a decontamination review reads: pairs
@@ -1284,6 +1305,8 @@ object Queries {
     "ann_ivf_multigen" -> ivfTopkSql,
     // reduced-corpus SQL: tombstone maintenance must equal a rebuild
     "ann_ivf_delete_refresh" -> ivfDeleteTopkSql,
+    // same SQL: targeted compaction must be semantically invisible
+    "ann_ivf_compact_cells" -> ivfDeleteTopkSql,
     "ann_ivf_recall" ->
       s"""SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10
          |FROM ($ivfTopkSql) i

@@ -83,6 +83,17 @@ object IvfIndex {
     ()
   }
 
+  /** Targeted physical maintenance: rewrite ONLY the named cells of the
+    * assignments table ([[Store.compactPartitions]]), dropping their
+    * accumulated tombstone debt — the cells come straight from the
+    * invalidation plan's `ivf_cell` worklist, closing the plan→execute→
+    * compact cycle. Untouched cells' files are not rewritten. */
+  def compactCells(spark: SparkSession, path: String, cells: Seq[Int]): Unit = {
+    Store.compactPartitions(spark, s"$path/assignments", "ivf_cell",
+      cells.map(c => c: Any))
+    ()
+  }
+
   /** The query path: rank stored centroids against the query (a scalar,
     * driver-side job over ≤ [[Ann.MaxNlist]] rows — the same bounded shape
     * as BM25Index's query-term pruning), then scan ONLY those cells.

@@ -267,6 +267,31 @@ object Store {
     (before.size, liveFiles().size, n)
   }
 
+  /** Targeted compaction — the physical-maintenance half of the
+    * invalidation story ([[graft.ops.Invalidation.plan]]'s (artifact,
+    * key) worklist names EXACTLY the partitions whose row groups carry
+    * tombstoned/superseded rows): rewrite ONLY the named partitions of a
+    * hive-partitioned table, leaving every other partition's files (and
+    * their page cache / object-store entries) untouched. Implementation
+    * is one [[upsertBatch]] generation whose tombstone keys are the
+    * PARTITION VALUES: the mask evicts the named partitions' rows from
+    * every prior dir, and the batch dir carries their live view rewritten
+    * — older row-key tombstones inside those partitions become dead
+    * weight the next full [[compact]] drops, but the rewritten rows never
+    * re-join them (the batch is built from the live view, the fold
+    * applies prior tombstones only to prior dirs). O(touched partitions)
+    * I/O, one pointer swap, same reader atomicity as every publish. */
+  def compactPartitions(spark: SparkSession, path: String,
+                        partitionCol: String, values: Seq[Any]): Long = {
+    require(values.nonEmpty, "compactPartitions: no partition values given")
+    val live = load(spark, path).filter(col(partitionCol).isin(values: _*))
+    val keys = spark.createDataFrame(
+      values.map(v => org.apache.spark.sql.Row(v)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        load(spark, path).schema(partitionCol))))
+    upsertBatch(live, path, keys, partitionCol)
+  }
+
   /** Data files of a parquet directory (part files only, no markers).
     * Files.walk holds open directory streams: drain under try/finally. */
   private def parquetFiles(path: String): Seq[String] = {

@@ -115,7 +115,21 @@ class JobCountSpec extends SparkSpec {
     "gr_landmark_bfs" -> 57,
     "gr_components_incremental" -> 35,
     "tc_decontam_report" -> 23,
-    "r17_prf_expansion" -> 13
+    "r17_prf_expansion" -> 13,
+    // round-10 maintenance family (measured in-suite at sf0.001:
+    // 15/33/89/217/162 + ~15%): each of these is a FIXED number of
+    // generation publishes (write + read-back verify + prune) plus the
+    // vocabulary-stats recompute per BM25 refresh — the counts are
+    // plan constants, not corpus functions, so a regression here means
+    // an extra pass over stored state, exactly what O(batch)
+    // maintenance must never grow
+    "ann_ivf_skew_split" -> 18,
+    "ann_ivf_delete_refresh" -> 38,
+    // delete + plan + targeted rewrite of the planned cells (measured 56)
+    "ann_ivf_compact_cells" -> 65,
+    "r2_bm25_delete_refresh" -> 103,
+    "op_invalidation_apply" -> 250,
+    "st_index_refresh" -> 187
   )
 
   private val counter = new AtomicInteger(0)

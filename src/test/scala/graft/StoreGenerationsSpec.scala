@@ -132,6 +132,31 @@ class StoreGenerationsSpec extends SparkSpec {
     assert(cell2 == Set(3L))
   }
 
+  test("compactPartitions rewrites only the named partitions, dropping their tombstone debt") {
+    import spark.implicits._
+    val path = tmp("cmpparts")
+    Store.savePartitioned(
+      Seq((1L, 0), (2L, 1), (3L, 0), (4L, 2)).toDF("id", "cell"), path, "cell")
+    Store.deleteBatch(spark, path, Seq(3L).toDF("id"))
+    val untouched = Paths.get(s"$path/data/b1/cell=1")
+    val stamp = Files.getLastModifiedTime(untouched)
+    Store.compactPartitions(spark, path, "cell", Seq(0))
+    // semantics unchanged
+    assert(Store.load(spark, path).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L))
+    // the untouched partition's files were not rewritten
+    assert(Files.getLastModifiedTime(untouched) == stamp,
+      "cell=1 must not be rewritten by a cell-0 compaction")
+    // the rewrite is PHYSICAL: the new batch dir's cell-0 partition no
+    // longer contains the tombstoned row (read it raw, no mask applied)
+    val Some((_, lines)) = Store.currentManifest(path)
+    val newData = lines.last
+    assert(!newData.startsWith("-"))
+    val raw = spark.read.parquet(s"$path/data/$newData")
+      .select("id").as[Long].collect().toSet
+    assert(raw == Set(1L), s"rewritten cell 0 must hold only the live row: $raw")
+  }
+
   test("partitioned batches keep the partition column across multi-dir reads") {
     import spark.implicits._
     val path = tmp("parts")
