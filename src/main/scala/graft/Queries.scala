@@ -1032,10 +1032,11 @@ object Queries {
   val MixtureTargets: Seq[(String, Long)] =
     Seq(("en", 1L), ("de", 6L), ("fr", 2L), ("es", 1L))
 
-  /** IVF CTE chain: cent0/centn/cent (centroids), asg (cell assignment),
-    * probe (the nprobe=2 query-nearest cells) — shared by the IVF and
-    * IVF×SQ8 oracles. */
-  private[graft] def ivfCtes: String =
+  /** IVF CTE chain: cent0/centn/cent (centroids), asg (cell assignment
+    * over `from` — default the memories corpus; the CDC oracle passes its
+    * post-maintenance `live` view), probe (the nprobe=2 query-nearest
+    * cells) — shared by the IVF and IVF×SQ8 oracles. */
+  private[graft] def ivfCtesOver(from: String): String =
     s"""cent0 AS (
        |  SELECT label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
        |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
@@ -1048,7 +1049,7 @@ object Queries {
        |    SELECT m.id, c.label, row_number() OVER (PARTITION BY m.id ORDER BY
        |      list_sum(list_transform(range(1, 65), i -> CAST(m.embedding[i] AS DOUBLE) * c.centroid[i])) DESC,
        |      c.label) AS rn
-       |    FROM memories m, cent c) WHERE rn = 1),
+       |    FROM $from m, cent c) WHERE rn = 1),
        |probe AS (
        |  SELECT label FROM (
        |    SELECT c.label, row_number() OVER (ORDER BY
@@ -1056,6 +1057,8 @@ object Queries {
        |      c.label) AS rn
        |    FROM cent c, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
        |  WHERE rn <= 2)""".stripMargin
+
+  private[graft] def ivfCtes: String = ivfCtesOver("memories")
 
   private val ivfTopkSql: String =
     s"""WITH ${OracleCtes.memories},

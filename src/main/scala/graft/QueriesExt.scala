@@ -180,6 +180,41 @@ object QueriesExt {
         .select(lit("vector").as("kind"), col("id"), col("sim").as("score"))
       bm.unionByName(iv).orderBy("kind", "id")
     }),
+    // the full CDC maintenance shape, batch oracle form: build both
+    // indexes with one slice HELD OUT, then apply ONE mixed change batch
+    // — adds (the held-out slice), updates (re-crawled docs take the next
+    // doc's content), deletes — through the same dispatch foreachBatch
+    // runs per micro-batch (applyCdcBatch), then probe both indexes.
+    // Oracle = full-recompute SQL over the post-CDC corpus: every op
+    // path must land exactly on rebuild state
+    "st_cdc_maintenance" -> ((s, dir) => {
+      val bm25Path = s"${sys.props("java.io.tmpdir")}/graft_cdc_bm25_${ProcessHandle.current().pid()}"
+      val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_cdc_ivf_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(bm25Path); Queries.reapAtExit(ivfPath)
+      val mem = Corpus.memories(s, dir)
+      graft.search.BM25Index.build(mem.filter(col("id") % 50 =!= 10), bm25Path)
+      graft.ann.IvfIndex.build(mem.filter(col("id") % 50 =!= 10),
+        Tables.embeddings(s, dir), ivfPath)
+      val next = mem.select((col("id") - 1).as("id"),
+        col("text").as("_t2"), col("embedding").as("_e2"))
+      val updates = mem.select("id").filter(col("id") % 50 === 0).join(next, "id")
+        .select(col("id"), col("_t2").as("text"), col("_e2").as("embedding"),
+          lit("update").as("op"))
+      val adds = mem.filter(col("id") % 50 === 10)
+        .select(col("id"), col("text"), col("embedding"), lit("add").as("op"))
+      val dels = mem.filter(col("id") % 50 === 25)
+        .select(col("id"), col("text"), col("embedding"), lit("delete").as("op"))
+      EventStream.applyCdcBatch(adds.unionByName(updates).unionByName(dels),
+        bm25Path, ivfPath)
+      val bm = graft.search.BM25Index.scores(s, bm25Path, Queries.QueryTokens)
+        .filter(col("bm25") > 0)
+        .orderBy(desc("bm25"), asc("id")).limit(10)
+        .select(lit("bm25").as("kind"), col("id"), col("bm25").as("score"))
+      val iv = graft.ann.IvfIndex.topK(s, ivfPath, Queries.queryVec(s, dir),
+        k = 10, nprobe = 2)
+        .select(lit("vector").as("kind"), col("id"), col("sim").as("score"))
+      bm.unionByName(iv).orderBy("kind", "id")
+    }),
     "sf_feedback_nets" -> ((s, dir) =>
       EventStream.runningFeedbackNets(Corpus.searchFeedback(s, dir))
         .select(col("memoryId").as("memory_id"), col("net"), col("nEvents").as("n_events"))
@@ -684,6 +719,34 @@ object QueriesExt {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, sum(value) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // full recompute over the post-CDC corpus (adds back in, updates
+    // carrying the next doc's content, deletes gone): every op path of
+    // the mixed batch must land exactly on this state
+    "st_cdc_maintenance" ->
+      s"""WITH ${OracleCtes.memories},
+         |chg AS (
+         |  SELECT m.id, m2.text, m2.embedding FROM memories m
+         |  JOIN memories m2 ON m2.id = m.id + 1 WHERE m.id % 50 = 0),
+         |live AS MATERIALIZED (
+         |  SELECT m.id, coalesce(c.text, m.text) AS text,
+         |    coalesce(c.embedding, m.embedding) AS embedding
+         |  FROM memories m LEFT JOIN chg c USING (id)
+         |  WHERE m.id % 50 <> 25),
+         |${OracleHybrid.bm25Ctes(Queries.QueryTokens, "live")},
+         |${Queries.ivfCtesOver("live")}
+         |SELECT kind, id, score FROM (
+         |  SELECT 'bm25' AS kind, id, bm25 AS score FROM (
+         |    SELECT id, bm25 FROM bm WHERE bm25 > 0
+         |    ORDER BY bm25 DESC, id LIMIT 10)
+         |  UNION ALL
+         |  SELECT 'vector' AS kind, id, sim AS score FROM (
+         |    SELECT l.id, round(${OracleCtes.dot64("l.embedding", "q2.qv")}, 6) AS sim
+         |    FROM live l
+         |    JOIN asg a ON l.id = a.id
+         |    JOIN probe p ON a.ivf_cell = p.label
+         |    CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q2
+         |    ORDER BY sim DESC, l.id LIMIT 10))
+         |ORDER BY kind, id""".stripMargin,
     // full-corpus lexical + vector probes: what the build-half + two
     // streamed micro-batches must converge to
     "st_index_refresh" ->

@@ -254,6 +254,53 @@ object EventStream {
       }
       .start()
 
+  /** CDC-typed streaming maintenance — [[startIndexRefresh]] extended to
+    * the full change-data shape a re-crawling pipeline emits: each
+    * micro-batch row carries `op` ∈ add | update | delete (plus id, text,
+    * embedding for add/update), and the batch dispatches to the matching
+    * O(batch) maintenance path — append generations for adds, tombstone+
+    * re-index for updates ([[graft.search.BM25Index.upsertRefresh]] /
+    * [[graft.ann.IvfIndex.upsertRefresh]]), tombstones for deletes. Each
+    * path publishes through the pointer swap, so readers see the index
+    * before or after each op-slice of the micro-batch (per-slice, not
+    * per-batch, atomicity — the op slices are independent key sets, so no
+    * reader can observe a half-applied SLICE; a cross-slice-consistent
+    * view needs the generation-count check documented on
+    * [[startIndexRefresh]]). `st_cdc_maintenance` oracles the batch form
+    * against full-recompute SQL over the post-CDC corpus; StreamingSpec
+    * drives the real MemoryStream form. */
+  def startCdcMaintenance(docs: DataFrame, bm25Path: String, ivfPath: String,
+                          checkpoint: String): StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try applyCdcBatch(b, bm25Path, ivfPath)
+        finally { b.unpersist(); () }
+      }
+      .start()
+
+  /** The per-micro-batch dispatch of [[startCdcMaintenance]], also the
+    * batch/oracle form: one maintenance pass for a mixed op batch. */
+  def applyCdcBatch(batch: DataFrame, bm25Path: String, ivfPath: String): Unit = {
+    val spark = batch.sparkSession
+    val adds = batch.filter(col("op") === "add").select("id", "text", "embedding")
+    val ups = batch.filter(col("op") === "update").select("id", "text", "embedding")
+    val dels = batch.filter(col("op") === "delete").select("id")
+    if (!adds.isEmpty) {
+      graft.search.BM25Index.refresh(spark, bm25Path, adds)
+      graft.ann.IvfIndex.refresh(spark, ivfPath, adds)
+    }
+    if (!ups.isEmpty) {
+      graft.search.BM25Index.upsertRefresh(spark, bm25Path, ups)
+      graft.ann.IvfIndex.upsertRefresh(spark, ivfPath, ups)
+    }
+    if (!dels.isEmpty) {
+      graft.search.BM25Index.deleteRefresh(spark, bm25Path, dels)
+      graft.ann.IvfIndex.deleteRefresh(spark, ivfPath, dels)
+    }
+  }
+
   /** Wire a file-based event stream end-to-end (readStream → transform →
     * memory sink); used by the streaming spec and as the deployment shape. */
   def startWindowedCounts(spark: SparkSession, sourceDir: String,

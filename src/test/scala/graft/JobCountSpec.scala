@@ -129,7 +129,10 @@ class JobCountSpec extends SparkSpec {
     "ann_ivf_compact_cells" -> 65,
     "r2_bm25_delete_refresh" -> 103,
     "op_invalidation_apply" -> 250,
-    "st_index_refresh" -> 187
+    "st_index_refresh" -> 187,
+    // all three op paths (add append + update upsert + delete tombstone)
+    // across both indexes in one batch (measured 274)
+    "st_cdc_maintenance" -> 315
   )
 
   private val counter = new AtomicInteger(0)

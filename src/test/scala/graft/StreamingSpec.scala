@@ -170,6 +170,64 @@ class StreamingSpec extends SparkSpec {
     assert(live == expect && live.size == 6)
   }
 
+  test("CDC stream: add/update/delete micro-batches land exactly on rebuild state") {
+    implicit val sqlCtx = spark.sqlContext
+    val bm25Path = "/root/repo/target/tmp/cdc_bm25"
+    val ivfPath = "/root/repo/target/tmp/cdc_ivf"
+    val ckpt = "/root/repo/target/tmp/cdc_ckpt"
+    Seq(bm25Path, ivfPath, ckpt).foreach(graft.sources.Store.deleteRecursive)
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val seed = Seq(
+      (1L, "dup merge window", v(1, 0)),
+      (2L, "spark window agg", v(0, 1))).toDF("id", "text", "embedding")
+    graft.search.BM25Index.build(seed, bm25Path)
+    val centroids = Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f)))
+      .toDF("label", "centroid")
+    graft.sources.Store.save(centroids, s"$ivfPath/centroids")
+    graft.sources.Store.savePartitioned(
+      graft.ann.Ann.assign(seed.select("id", "embedding"),
+        graft.sources.Store.load(spark, s"$ivfPath/centroids")),
+      s"$ivfPath/assignments", "ivf_cell")
+    val input = MemoryStream[(Long, String, Array[Float], String)]
+    val docs = input.toDF().toDF("id", "text", "embedding", "op")
+    val q = EventStream.startCdcMaintenance(docs, bm25Path, ivfPath, ckpt)
+    try {
+      // batch 1: two adds + doc 1 re-crawled (text AND cluster change)
+      input.addData(Seq(
+        (3L, "dup dup shuffle", v(0.8, 0.6), "add"),
+        (4L, "broadcast join plan", v(0.6, 0.8), "add"),
+        (1L, "merge plan spark", v(0, 1), "update")))
+      q.processAllAvailable()
+      // batch 2: doc 2 deleted, one more add
+      input.addData(Seq(
+        (2L, "", Array.empty[Float], "delete"),
+        (5L, "window spark dup", v(1, 0), "add")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = Seq(
+      (1L, "merge plan spark", v(0, 1)),
+      (3L, "dup dup shuffle", v(0.8, 0.6)),
+      (4L, "broadcast join plan", v(0.6, 0.8)),
+      (5L, "window spark dup", v(1, 0)))
+    val probe = Seq("dup", "spark", "window", "merge")
+    graft.search.BM25.clearCache()
+    val streamed = graft.search.BM25Index.scores(spark, bm25Path, probe)
+      .as[(Long, Double)].collect().toMap
+    val scratch = graft.search.BM25.scores(
+      expected.toDF("id", "text", "embedding").select("id", "text"), probe)
+      .as[(Long, Double)].collect().toMap
+    assert(streamed == scratch)
+    graft.search.BM25.clearCache()
+    val live = graft.sources.Store.load(spark, s"$ivfPath/assignments")
+      .select("id", "ivf_cell").as[(Long, Int)].collect().toMap
+    val expect = graft.ann.Ann.assign(
+      expected.toDF("id", "text", "embedding").select("id", "embedding"),
+      graft.sources.Store.load(spark, s"$ivfPath/centroids"))
+      .select("id", "ivf_cell").as[(Long, Int)].collect().toMap
+    assert(live == expect && live.size == 4,
+      s"post-CDC assignments must equal a rebuild: $live vs $expect")
+  }
+
   test("the same transform answers identically in batch mode (oracle form)") {
     val events = Seq(
       (1L, ts("2024-01-01 10:05:00"), 1L, "view", 1.0, ""),
