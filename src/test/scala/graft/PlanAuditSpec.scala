@@ -118,6 +118,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(scanLine.nonEmpty)
   }
 
+  test("tombstoned generational read: broadcast anti-join, partition pruning preserved") {
+    // the merge-on-read contract at scale: a tombstoned table's read must
+    // (a) BROADCAST the (batch-sized) tombstone keys — never shuffle the
+    // table for the mask — and (b) keep planning-time hive pruning on
+    // partition-column predicates through the fold's union+anti-join
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val path = "/root/repo/target/tmp/audit_tomb"
+    graft.sources.Store.deleteRecursive(path)
+    graft.sources.Store.savePartitioned(
+      (0L until 100L).map(i => (i, (i % 4).toInt)).toDF("id", "cell"),
+      path, "cell")
+    graft.sources.Store.deleteBatch(spark, path, Seq(5L, 6L).toDF("id"))
+    val q = graft.sources.Store.load(spark, path)
+      .filter(col("cell") === 1).select("id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone mask must be a broadcast anti-join:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "the table side must never shuffle for the tombstone mask")
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"hive pruning must survive the tombstone fold:\n${plan.take(2000)}")
+    assert(q.as[Long].collect().toSet == (0L until 100L)
+      .filter(i => i % 4 == 1 && i != 5L).toSet)
+  }
+
   test("semantic decontamination broadcasts the bench side against the train scan") {
     // the 100 TB claim: the train corpus is never shuffled for the pair
     // join — the (tiny) assigned bench side arrives as a broadcast, so
