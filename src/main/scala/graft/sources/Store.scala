@@ -207,6 +207,22 @@ object Store {
     n
   }
 
+  /** [[load]] pinned to a SPECIFIC generation's manifest instead of the
+    * live pointer — the reader half of [[IndexManifest]]'s cross-table
+    * atomicity: a multi-table index names each table's generation in ONE
+    * index-level manifest, and readers resolve all tables at those pinned
+    * generations, so a maintenance pass mid-publish (some tables swapped,
+    * others not) can never serve a mixed quadruple. Only the live and
+    * previous generations are guaranteed resolvable ([[prune]]'s grace
+    * window) — exactly the window an index-level pointer can name. */
+  def loadAt(spark: SparkSession, path: String, gen: Int): DataFrame = {
+    val m = Paths.get(path, "manifests", s"gen-$gen")
+    require(Files.exists(m),
+      s"loadAt: $path has no manifest for generation $gen (pruned or never published)")
+    val lines = Files.readAllLines(m).asScala.map(_.trim).filter(_.nonEmpty).toSeq
+    foldManifest(spark, path, lines)
+  }
+
   def load(spark: SparkSession, path: String): DataFrame =
     currentManifest(path) match {
       case Some((_, lines)) =>
@@ -222,18 +238,23 @@ object Store {
         // (delete batches are small relative to the table; a table whose
         // tombstones outgrow broadcast is overdue for [[compact]], which
         // clears them).
-        require(!lines.head.startsWith("-"),
-          s"manifest for $path begins with a tombstone line — corrupt manifest")
-        lines.foldLeft(Option.empty[DataFrame]) {
-          case (acc, l) if l.startsWith("-") =>
-            val t = spark.read.parquet(s"$path/data/${l.stripPrefix("-")}")
-            Some(acc.get.join(broadcast(t), t.columns.toSeq, "left_anti"))
-          case (acc, l) =>
-            val d = spark.read.parquet(s"$path/data/$l")
-            Some(acc.fold(d)(_ unionByName d))
-        }.get
+        foldManifest(spark, path, lines)
       case None => spark.read.parquet(path)
     }
+
+  private def foldManifest(spark: SparkSession, path: String,
+                           lines: Seq[String]): DataFrame = {
+    require(!lines.head.startsWith("-"),
+      s"manifest for $path begins with a tombstone line — corrupt manifest")
+    lines.foldLeft(Option.empty[DataFrame]) {
+      case (acc, l) if l.startsWith("-") =>
+        val t = spark.read.parquet(s"$path/data/${l.stripPrefix("-")}")
+        Some(acc.get.join(broadcast(t), t.columns.toSeq, "left_anti"))
+      case (acc, l) =>
+        val d = spark.read.parquet(s"$path/data/$l")
+        Some(acc.fold(d)(_ unionByName d))
+    }.get
+  }
 
   /** Save partitioned by `partitionCols` (hive-style directories inside
     * the generation's data dir) with the same pointer-publish atomicity as
@@ -289,7 +310,13 @@ object Store {
       values.map(v => org.apache.spark.sql.Row(v)).asJava,
       org.apache.spark.sql.types.StructType(Seq(
         load(spark, path).schema(partitionCol))))
-    upsertBatch(live, path, keys, partitionCol)
+    // fully-tombstoned partitions have an EMPTY live view: an empty parquet
+    // write leaves no part files and the upsert's read-back count would
+    // fail on schema inference — publish the tombstone-only generation
+    // instead (same debt-clearing effect, the next full compact drops the
+    // masked rows physically)
+    if (live.isEmpty) { deleteBatch(spark, path, keys); 0L }
+    else upsertBatch(live, path, keys, partitionCol)
   }
 
   /** Data files of a parquet directory (part files only, no markers).
