@@ -236,6 +236,15 @@ object Queries {
          |SELECT b.id, b.bm25 FROM bm b JOIN livemem m USING (id)
          |WHERE b.bm25 > 0 AND NOT m.archived
          |ORDER BY b.bm25 DESC, b.id LIMIT 10""".stripMargin,
+    // the delete SQL verbatim: rewriting the touched buckets' files
+    // (compactBuckets) must be semantically invisible
+    "r2_bm25_compact" ->
+      s"""WITH ${OracleCtes.memories},
+         |livemem AS MATERIALIZED (SELECT * FROM memories WHERE id % 3 <> 1),
+         |${OracleHybrid.bm25Ctes(QueryTokens, "livemem")}
+         |SELECT b.id, b.bm25 FROM bm b JOIN livemem m USING (id)
+         |WHERE b.bm25 > 0 AND NOT m.archived
+         |ORDER BY b.bm25 DESC, b.id LIMIT 10""".stripMargin,
     "o8_snippets" -> {
       val qlist = QueryTokens.distinct.map(t => s"'$t'").mkString("[", ", ", "]")
       s"""WITH ${OracleCtes.memories},
@@ -523,6 +532,25 @@ object Queries {
     "lsh_jaccard_exact" -> ((s, dir) =>
       MinHashLsh.exactJaccardPairs(docs(s, dir), threshold = 0.2)
         .orderBy("id_a", "id_b")),
+    // the PERSISTED shingle/band index with its full maintenance
+    // lifecycle — the executor for the invalidation plan's `shingle`
+    // artifact family: build on the first half, O(batch)-refresh the
+    // rest, tombstone a slice, then answer near-dup pairs from the stored
+    // tables. Oracle = the whole MinHash pipeline recomputed in SQL over
+    // the SURVIVING corpus, so the hash-match proves incremental
+    // maintenance of the persisted artifact ≡ full recompute
+    "lsh_index_refresh" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_lsh_idx_${ProcessHandle.current().pid()}"
+      reapAtExit(path)
+      val d = docs(s, dir)
+      val half = Corpus.nDocs(s, dir) / 2
+      graft.dedup.LshIndex.build(d.filter(col("id") < half), path)
+      graft.dedup.LshIndex.refresh(s, path, d.filter(col("id") >= half))
+      graft.dedup.LshIndex.deleteRefresh(s, path,
+        d.filter(col("id") % 7 === 3).select("id"))
+      graft.dedup.LshIndex.nearDuplicates(s, path, threshold = 0.2)
+        .orderBy("id_a", "id_b")
+    }),
     "sh_simhash_fp" -> ((s, dir) =>
       SimHash.fingerprints(docs(s, dir)).orderBy("id")),
     "sh_simhash_neardup" -> ((s, dir) =>
@@ -714,6 +742,54 @@ object Queries {
         .collect().map(_.getInt(0)).toSeq
       graft.ann.IvfIndex.compactCells(s, path, cells)
       graft.ann.IvfIndex.topK(s, path, queryVec(s, dir), k = 10, nprobe = 2)
+    }),
+    // IVF drift audit: build on the first half (cellstats = the frozen
+    // baseline), O(batch)-refresh the second half against the stored
+    // centroids, then report per-cell growth and assign-sim decay vs the
+    // baseline. The oracle recomputes both states from the raw corpus in
+    // SQL (assign argmax + per-cell avgs over the half and the whole), so
+    // the hash-match proves the persisted baseline, the csim column, and
+    // the audit arithmetic all agree with first principles. Per-cell
+    // growth fluctuates around 2.0 (sampling noise of the id split), so
+    // the default growthLimit=2.0 flips `retrain` on some cells and not
+    // others — both branches live in the hashed output
+    "ann_ivf_drift" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_drift_${ProcessHandle.current().pid()}"
+      reapAtExit(path)
+      val mem = Corpus.memories(s, dir)
+      val half = Corpus.nDocs(s, dir) / 2
+      graft.ann.IvfIndex.build(
+        mem.filter(col("id") < half), Tables.embeddings(s, dir), path)
+      graft.ann.IvfIndex.refresh(s, path, mem.filter(col("id") >= half))
+      graft.ann.IvfIndex.driftAudit(s, path).orderBy("ivf_cell")
+    }),
+    // targeted BM25 physical maintenance: delete a third, then rewrite
+    // ONLY the postings/doclens buckets the deleted docs' terms and ids
+    // hash into (driver-side Murmur3 over the same worklist the
+    // invalidation plan enumerates as `bm25_term`), then score. Oracle =
+    // the delete-refresh SQL verbatim: targeted compaction must be
+    // semantically invisible. BM25IndexSpec pins the physical side
+    // (untouched buckets' files not rewritten)
+    "r2_bm25_compact" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_bm25_cmp_${ProcessHandle.current().pid()}"
+      reapAtExit(path)
+      val mem = Corpus.memories(s, dir)
+      BM25Index.build(mem, path)
+      val deleted = mem.filter(col("id") % 3 === 1)
+      BM25Index.deleteRefresh(s, path, deleted.select("id"))
+      val terms = deleted
+        .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+        .distinct().as(org.apache.spark.sql.Encoders.STRING).collect().toSeq
+      val ids = deleted.select("id").as(org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSeq
+      BM25Index.compactBuckets(s, path,
+        BM25Index.bucketsForTerms(terms), BM25Index.bucketsForIds(ids))
+      BM25Index.scores(s, path, QueryTokens)
+        .join(mem.filter(!col("archived") && col("id") % 3 =!= 1).select("id"), "id")
+        .filter(col("bm25") > 0)
+        .orderBy(desc("bm25"), asc("id"))
+        .limit(10)
+        .select("id", "bm25")
     }),
     // unified decontamination report: every flagged (train, bench) pair
     // with WHICH gate caught it — n-gram overlap, embedding cosine, or
@@ -1267,6 +1343,20 @@ object Queries {
          |      / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
          |  FROM cp JOIN sh x ON cp.id_a = x.id JOIN sh y ON cp.id_b = y.id)
          |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+    // lsh_minhash_neardup's SQL over the post-maintenance survivor set:
+    // build+refresh+delete of the persisted index ≡ this full recompute
+    "lsh_index_refresh" ->
+      s"""WITH ${OracleText.shingleCte(where = "doc_id % 7 <> 3")},
+         |${OracleText.minhashCtes},
+         |cp AS MATERIALIZED (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id)
+         |SELECT * FROM (
+         |  SELECT cp.id_a, cp.id_b,
+         |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |      / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+         |  FROM cp JOIN sh x ON cp.id_a = x.id JOIN sh y ON cp.id_b = y.id)
+         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
     "lsh_jaccard_exact" ->
       s"""WITH ${OracleText.shingleCte()}
          |SELECT * FROM (
@@ -1310,6 +1400,43 @@ object Queries {
     "ann_ivf_delete_refresh" -> ivfDeleteTopkSql,
     // same SQL: targeted compaction must be semantically invisible
     "ann_ivf_compact_cells" -> ivfDeleteTopkSql,
+    // drift audit from first principles: recompute the argmax assignment
+    // AND the assign-time similarity for every row in SQL, profile the
+    // built half (the cellstats baseline) and the whole corpus (the live
+    // state), and rebuild the report — growth, sim decay, retrain flag
+    "ann_ivf_drift" -> {
+      val csim = "list_sum(list_transform(range(1, 65), i -> CAST(m.embedding[i] AS DOUBLE) * c.centroid[i]))"
+      s"""WITH ${OracleCtes.memories},
+         |cent0 AS (
+         |  SELECT label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
+         |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+         |centn AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM cent0 GROUP BY 1),
+         |cent AS MATERIALIZED (
+         |  SELECT c.label, list(c.m / n.nrm ORDER BY c.i) AS centroid
+         |  FROM cent0 c JOIN centn n USING (label) GROUP BY c.label),
+         |asgs AS MATERIALIZED (
+         |  SELECT id, label AS ivf_cell, s AS csim FROM (
+         |    SELECT m.id, c.label, $csim AS s,
+         |      row_number() OVER (PARTITION BY m.id ORDER BY $csim DESC, c.label) AS rn
+         |    FROM memories m, cent c) WHERE rn = 1),
+         |built AS (
+         |  SELECT ivf_cell, count(*) AS nb, round(avg(csim), 6) AS msb
+         |  FROM asgs WHERE id < (SELECT count(*) FROM documents) // 2 GROUP BY 1),
+         |nowt AS (
+         |  SELECT ivf_cell, count(*) AS nn, round(avg(csim), 6) AS msn
+         |  FROM asgs GROUP BY 1)
+         |SELECT ivf_cell,
+         |  CAST(coalesce(nb, 0) AS BIGINT) AS n_built,
+         |  CAST(coalesce(nn, 0) AS BIGINT) AS n_now,
+         |  coalesce(msb, 0.0) AS mean_sim_built,
+         |  coalesce(msn, 0.0) AS mean_sim_now,
+         |  round(coalesce(nn, 0) / CAST(greatest(coalesce(nb, 0), 1) AS DOUBLE), 6) AS growth,
+         |  round(coalesce(msb, 0.0) - coalesce(msn, 0.0), 6) AS sim_drop,
+         |  (round(coalesce(nn, 0) / CAST(greatest(coalesce(nb, 0), 1) AS DOUBLE), 6) > 2.0
+         |   OR round(coalesce(msb, 0.0) - coalesce(msn, 0.0), 6) > 0.1) AS retrain
+         |FROM built FULL JOIN nowt USING (ivf_cell)
+         |ORDER BY ivf_cell""".stripMargin
+    },
     "ann_ivf_recall" ->
       s"""SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10
          |FROM ($ivfTopkSql) i

@@ -59,22 +59,65 @@ object QueriesEval {
     }))
 
   /** Shared core of the LongMemEval oracles: sessions/chunks/questions →
-    * hybrid RRF → per-question chunk ranks (lmch, lmq, lcr in scope). */
-  private def longMemCoreCtes: String = {
+    * hybrid RRF → per-question chunk ranks (lmch, lmq, lcr in scope).
+    * `probes = true` (the PRF-lift oracle only) unions in the
+    * planted-mismatch families — [[graft.eval.LongMemEval.probeChunks]]
+    * regenerated row-for-row in SQL: isolated buckets 16+g, exact
+    * 2-token chunk texts, one single-term question per group. */
+  private def longMemCoreCtes(probes: Boolean = false): String = {
     val w = HybridSearch.Weights.resolve(0.7, 0.0, 0.0, 0.0)
-    val k = graft.eval.LongMemEval.RetrievalK
+    val lme = graft.eval.LongMemEval
+    val k = lme.RetrievalK
     val over = 3 * k
-    val nb = graft.eval.LongMemEval.NumBuckets
-    val sm = graft.eval.LongMemEval.SampleMod
+    val nb = lme.NumBuckets
+    val sm = lme.SampleMod
     val t = OracleText.toks("text")
+    def gv(s: String) = s"'$s' || CAST(g.g AS VARCHAR)"
+    def gd(a: String, b: String) =
+      s"'$a' || CAST(g.g AS VARCHAR) || 'x' || CAST(d.d AS VARCHAR) || ' ' || " +
+        s"'$b' || CAST(g.g AS VARCHAR) || 'x' || CAST(d.d AS VARCHAR)"
+    val probeChunksCte =
+      s"""lmpc AS MATERIALIZED (
+         |  SELECT (${lme.ProbeBase} + g.g * 32 + t.off) * 2 + t.c AS id,
+         |    ${lme.ProbeBase} + g.g * 32 + t.off AS session,
+         |    $nb + g.g AS bucket,
+         |    CASE t.k
+         |      WHEN 0 THEN ${gv("syzygy")} || ' ' || ${gv("quorum")}
+         |      WHEN 1 THEN ${gv("bezoar")} || ' ' || ${gv("orrery")}
+         |      WHEN 2 THEN ${gv("xylograph")} || ' ' || ${gv("syzygy")}
+         |      WHEN 3 THEN ${gv("quorum")}
+         |      WHEN 4 THEN ${gv("xylograph")} || ' ' || ${gv("quorum")}
+         |      WHEN 5 THEN ${gv("syzygy")}
+         |    END AS text
+         |  FROM range(0, ${lme.ProbeGroups}) g(g),
+         |    (VALUES (0,0,0),(0,1,1),(1,0,2),(1,1,3),(2,0,4),(2,1,5)) t(off, c, k)
+         |  UNION ALL
+         |  SELECT (${lme.ProbeBase} + g.g * 32 + 3 + d.d) * 2 + c.c,
+         |    ${lme.ProbeBase} + g.g * 32 + 3 + d.d,
+         |    $nb + g.g,
+         |    CASE c.c WHEN 0 THEN ${gd("drivel", "noise")}
+         |      ELSE ${gd("blather", "prattle")} END
+         |  FROM range(0, ${lme.ProbeGroups}) g(g),
+         |    range(0, ${lme.ProbeDistractors}) d(d), (VALUES (0), (1)) c(c)),
+         |""".stripMargin
+    val chunkUnion = if (!probes) "" else
+      "\n  UNION ALL SELECT id, session, bucket, text FROM lmpc"
+    val questionUnion = if (!probes) "" else
+      s"""
+         |  UNION ALL
+         |  SELECT ${lme.ProbeBase} + g.g * 32 AS qid, $nb + g.g AS bucket,
+         |    'planted-mismatch' AS category, ${gv("xylograph")} AS qtext
+         |  FROM range(0, ${lme.ProbeGroups}) g(g)""".stripMargin
     s"""lmd AS MATERIALIZED (SELECT doc_id AS id, $t AS t FROM documents),
-       |lmch AS MATERIALIZED (
+       |${if (probes) probeChunksCte else ""}lmch AS MATERIALIZED (
+       |  SELECT * FROM (
        |  SELECT d.id * 2 + c.c AS id, d.id AS session, d.id % $nb AS bucket,
        |    array_to_string(CASE WHEN c.c = 0 THEN d.t[1:(len(d.t) + 1) // 2]
        |      ELSE d.t[(len(d.t) + 1) // 2 + 1:len(d.t)] END, ' ') AS text
        |  FROM lmd d, (VALUES (0), (1)) c(c)
-       |  WHERE len(d.t) >= 1 AND (c.c = 0 OR len(d.t) > (len(d.t) + 1) // 2)),
+       |  WHERE len(d.t) >= 1 AND (c.c = 0 OR len(d.t) > (len(d.t) + 1) // 2)$chunkUnion)),
        |lmq AS MATERIALIZED (
+       |  SELECT * FROM (
        |  SELECT id AS qid, id % $nb AS bucket,
        |    CASE id % 3 WHEN 0 THEN 'interleaved' WHEN 1 THEN 'verbatim-tail'
        |      ELSE 'sparse-keywords' END AS category,
@@ -84,7 +127,7 @@ object QueriesEval {
        |      ELSE array_to_string(list_transform(range(1, len(t) + 1, 4), i -> t[i]), ' ')
        |    END AS qtext
        |  FROM lmd WHERE id % $sm = 0 AND len(t) >= 8
-       |  ORDER BY qid LIMIT ${graft.eval.LongMemEval.MaxQuestions}),
+       |  ORDER BY qid LIMIT ${lme.MaxQuestions})$questionUnion),
        |${OracleText.embedCtesOver("lmch", 64, "lce")},
        |${OracleText.embedCtesOver("(SELECT qid AS id, qtext AS text FROM lmq) lqsrc", 64, "lqe")},
        |lvs AS MATERIALIZED (
@@ -228,7 +271,7 @@ object QueriesEval {
   }
 
   private def longMemPrfLiftSql: String =
-    s"""WITH $longMemCoreCtes,
+    s"""WITH ${longMemCoreCtes(probes = true)},
        |$longMemRecallTailCtes,
        |$longMemPrfCtes,
        |lgr AS (
@@ -248,13 +291,13 @@ object QueriesEval {
        |ORDER BY category""".stripMargin
 
   private def longMemSql: String =
-    s"""WITH $longMemCoreCtes,
+    s"""WITH ${longMemCoreCtes()},
        |$longMemRecallTailCtes
        |$longMemRecallSelect
        |ORDER BY category""".stripMargin
 
   private def longMemNdcgSql: String =
-    s"""WITH $longMemCoreCtes,
+    s"""WITH ${longMemCoreCtes()},
        |$longMemNdcgTailCtes
        |$longMemNdcgSelect
        |ORDER BY category""".stripMargin
@@ -262,7 +305,7 @@ object QueriesEval {
   /** One retrieval pass, both metrics joined per category with the
     * found-vs-ranked gap — the table that names the weak category. */
   private def longMemGapSql: String =
-    s"""WITH $longMemCoreCtes,
+    s"""WITH ${longMemCoreCtes()},
        |$longMemRecallTailCtes,
        |$longMemNdcgTailCtes,
        |lgr AS ($longMemRecallSelect),

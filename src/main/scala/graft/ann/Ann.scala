@@ -44,12 +44,20 @@ object Ann {
   /** Assign each row to its nearest centroid: adds `ivf_cell`. This is the
     * write-time partitioning job; at scale the output is written partitioned
     * by `ivf_cell` so probes prune at the file level. */
-  def assign(df: DataFrame, centroids: DataFrame): DataFrame = {
+  def assign(df: DataFrame, centroids: DataFrame): DataFrame =
+    assignWithSim(df, centroids).drop("csim")
+
+  /** [[assign]] keeping the winning similarity as `csim` — the assign-time
+    * dot the argmax already computed. [[IvfIndex]] persists it so the cell
+    * drift monitor is a 2-column scan of the stored assignments instead of
+    * a second broadcast-join+dot pass over the corpus. */
+  def assignWithSim(df: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = df.join(broadcast(centroids))
       .withColumn("_csim", dot(col("embedding"), col("centroid")))
     val w = Window.partitionBy("id").orderBy(desc("_csim"), asc("label"))
     scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .drop("_rn", "_csim", "centroid")
+      .drop("_rn", "centroid")
+      .withColumnRenamed("_csim", "csim")
       .withColumnRenamed("label", "ivf_cell")
   }
 

@@ -2,6 +2,7 @@ package graft.ann
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.SparkHash
 import graft.functions.VectorFunctions.{dot, roundScore}
 import graft.sources.{IndexManifest, Store}
 
@@ -16,35 +17,109 @@ import graft.sources.{IndexManifest, Store}
   * pins both the result (bit-equal to the in-memory [[Ann.ivfTopK]]) and
   * the pruning (files read < files stored, PartitionFilters in the scan).
   *
+  * Tables under the index root:
+  *
+  *   <path>/centroids    (label, centroid)        [[Ann.centroidsByLabel]]
+  *   <path>/assignments  (id, embedding, ivf_cell, csim)  hive-partitioned
+  *                       by ivf_cell; `csim` is the ASSIGN-TIME similarity
+  *                       to the owning centroid, persisted so the drift
+  *                       monitor reads a 2-column pruned scan instead of
+  *                       re-running the broadcast-join+dot over the corpus
+  *                       (the r11 verdict's double-pass on build)
+  *   <path>/cellstats    (ivf_cell, n, mean_sim)  BUILD-TIME per-cell
+  *                       profile — [[driftAudit]]'s baseline
+  *   <path>/ids          (id, db)  hive-partitioned by db = hash(id) mod
+  *                       [[DBuckets]] — the id-keyed presence sidecar
+  *                       (Faiss's IDMap, as a prunable table): assignments
+  *                       partition by CELL, so "is this id indexed" would
+  *                       otherwise scan every cell; maintenance reads only
+  *                       the batch ids' buckets — the fail-loud that stops
+  *                       a replayed add from leaving duplicate live rows
+  *   <path>/INDEX        the [[IndexManifest]] pointer over all four
+  *
   * Centroids come from [[Ann.centroidsByLabel]] over the embeddings table,
   * so they are a function of that table alone — which is what makes
   * [[refresh]] exact: assigning an append batch against the STORED
   * centroids (classic IVF ingestion — Faiss `add` never moves centroids)
   * yields byte-identical assignments to a full rebuild. The flip side of
   * frozen centroids is silent recall decay under heavy churn —
-  * [[driftAudit]] is the monitor (build-time per-cell stats persisted in
-  * `cellstats`, compared against the live assignments).
+  * [[driftAudit]] is the monitor (`ann_ivf_drift`'s oracle recomputes the
+  * report from the raw corpus in SQL).
   *
   * All tables publish through [[Store]] generations and resolve through
   * ONE [[IndexManifest]] pointer per index, so a reader never pairs a new
-  * assignments generation with stale centroids/cellstats mid-maintenance.
+  * assignments generation with stale centroids/cellstats mid-maintenance
+  * (pinned by IndexManifestSpec's mid-maintenance resolve case).
   */
 object IvfIndex {
 
-  private val Tables = Seq("centroids", "assignments", "cellstats")
+  /** Id-hash bucket count of the presence sidecar — the partition set a
+    * maintenance batch's presence check reads (same knob as
+    * [[graft.search.BM25Index.DBuckets]]). */
+  val DBuckets = 32
 
-  /** Build and persist: centroid table + cell-partitioned assignments +
-    * per-cell build-time stats (the drift baseline), sealed by one index
-    * manifest. */
+  private val Tables = Seq("centroids", "assignments", "cellstats", "ids")
+
+  private def collectIds(ids: DataFrame, failOnDup: Boolean,
+                         what: String): Array[Long] = {
+    val rows = ids.groupBy("id").agg(count(lit(1)).as("c")).collect()
+    if (failOnDup) {
+      val dups = rows.filter(_.getLong(1) > 1)
+      require(dups.isEmpty,
+        s"$what: batch carries duplicate ids (e.g. ${dups.take(3).map(_.get(0)).mkString(", ")}) — " +
+          "two versions of one doc would both stay live; reduce to the " +
+          "last version per id first")
+    }
+    rows.map { r =>
+      require(!r.isNullAt(0), s"$what: batch carries a null id")
+      r.getLong(0)
+    }
+  }
+
+  private def localIds(spark: SparkSession, ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.toDF("id")
+  }
+
+  private def idRows(spark: SparkSession, ids: Seq[Long]): DataFrame =
+    localIds(spark, ids)
+      .withColumn("db", pmod(hash(col("id")), lit(DBuckets)))
+
+  /** How many of `ids` are already indexed — a PRUNED read of the id
+    * sidecar's batch buckets (bucket list driver-side Murmur3, batch side
+    * a broadcast local relation); never touches assignments. */
+  private def presentCount(spark: SparkSession, path: String,
+                           ids: Seq[Long]): Long = {
+    if (ids.isEmpty) return 0L
+    val dbs = ids.map(SparkHash.bucketOfLong(_, DBuckets)).distinct
+    Store.load(spark, s"$path/ids")
+      .filter(col("db").isin(dbs: _*))
+      .join(broadcast(localIds(spark, ids)), "id")
+      .count()
+  }
+
+  /** Build and persist all four tables, sealed by one index manifest.
+    * `cellstats` (the drift baseline) aggregates the JUST-WRITTEN
+    * assignments' (ivf_cell, csim) columns — a pruned 2-column scan, not
+    * a second broadcast-join+dot pass over the corpus (r11 verdict #7). */
   def build(memories: DataFrame, embeddings: DataFrame, path: String,
-            idCol: String = "id"): Unit = {
-    val cents = Ann.centroidsByLabel(embeddings)
-    Store.save(cents, s"$path/centroids")
-    Store.savePartitioned(
-      Ann.assign(memories.select(col(idCol).as("id"), col("embedding")), cents),
-      s"$path/assignments", "ivf_cell")
+            idCol: String = "id"): Unit =
+    buildWithCentroids(memories, Ann.centroidsByLabel(embeddings), path, idCol)
+
+  /** [[build]] against a caller-supplied centroid table (the spec/fixture
+    * entry point; also the re-train path — new centroids, same corpus). */
+  def buildWithCentroids(memories: DataFrame, centroids: DataFrame,
+                         path: String, idCol: String = "id"): Unit = {
     val spark = memories.sparkSession
+    Store.save(centroids, s"$path/centroids")
+    val rows = memories.select(col(idCol).as("id"), col("embedding"))
+    Store.savePartitioned(
+      Ann.assignWithSim(rows, Store.load(spark, s"$path/centroids")),
+      s"$path/assignments", "ivf_cell")
     Store.save(cellStatsOf(spark, path), s"$path/cellstats")
+    Store.savePartitioned(
+      rows.select("id").withColumn("db", pmod(hash(col("id")), lit(DBuckets))),
+      s"$path/ids", "db")
     IndexManifest.capture(path, Tables)
   }
 
@@ -54,56 +129,93 @@ object IvfIndex {
     * cell-partitioned data dir, invisible to readers until the generation
     * pointer swaps — so a concurrent probe sees exactly the old or the new
     * index, and a crash mid-refresh leaves only an unreferenced dir,
-    * never a partially-visible batch. The probed `ivf_cell IN` filter
-    * prunes hive dirs inside every batch dir alike. */
+    * never a partially-visible batch. Fail-loud: every added id must be
+    * NEW to the index (the pruned sidecar read) — a replayed add would
+    * otherwise leave two live assignment rows; route re-crawls through
+    * [[upsertRefresh]] and replays through the batch-id guard
+    * ([[graft.streaming.EventStream.refreshBatch]]). */
   def refresh(spark: SparkSession, path: String, addedMemories: DataFrame,
               idCol: String = "id", batchId: Option[Long] = None): Unit = {
+    val rows = addedMemories.select(col(idCol).as("id"), col("embedding"))
+    val ids = collectIds(rows.select("id"), failOnDup = true, "refresh")
+    if (ids.isEmpty) { IndexManifest.capture(path, Tables, batchId); return }
+    val already = presentCount(spark, path, ids.toSeq)
+    require(already == 0,
+      s"refresh: $already of ${ids.length} ids are ALREADY indexed — " +
+        "re-adding would leave duplicate live assignment rows; route " +
+        "re-crawls through upsertRefresh (or dedupe the replayed batch)")
     val cents = Store.load(spark, s"$path/centroids")
-    Store.appendBatch(
-      Ann.assign(addedMemories.select(col(idCol).as("id"), col("embedding")), cents),
+    Store.appendBatch(Ann.assignWithSim(rows, cents),
       s"$path/assignments", "ivf_cell")
+    Store.appendBatch(idRows(spark, ids.toSeq), s"$path/ids", "db")
     IndexManifest.capture(path, Tables, batchId)
   }
 
-  /** O(batch) delete (the r9 verdict's invalidation EXECUTOR, vector
-    * side): tombstone the deleted ids out of the assignments table —
-    * [[Store.deleteBatch]] writes one key dir + one pointer swap; no cell
-    * is rewritten, no corpus row is read. Centroids are untouched (classic
+  /** O(batch) delete: [[applyCdc]] with an empty changed side — tombstone
+    * the deleted ids out of the assignments and sidecar tables; no cell is
+    * rewritten, no corpus row is read. Centroids are untouched (classic
     * IVF — Faiss `remove_ids` never moves centroids), which is exactly
     * what makes the result byte-identical to a rebuild over the surviving
     * rows against the SAME stored centroids (`ann_ivf_delete_refresh`'s
     * oracle; AnnSpec pins delete→refresh ≡ reduced-corpus rebuild). */
   def deleteRefresh(spark: SparkSession, path: String, deletedIds: DataFrame,
-                    idCol: String = "id", batchId: Option[Long] = None): Unit = {
-    Store.deleteBatch(spark, s"$path/assignments",
-      deletedIds.select(col(idCol).as("id")))
-    IndexManifest.capture(path, Tables, batchId)
-  }
+                    idCol: String = "id", batchId: Option[Long] = None): Unit =
+    applyCdc(spark, path, changed = null,
+      deletedIds = deletedIds.select(col(idCol).as("id")), batchId = batchId)
 
-  /** O(batch) update for re-crawled/changed documents: ONE generation
-    * that tombstones the changed ids and appends their re-assignment
-    * against the STORED centroids ([[Store.upsertBatch]] — a concurrent
-    * probe sees the old or the new assignment, never both). One row per
-    * id (fail-loud on duplicates — two versions of a doc in one batch
-    * would leave two live assignment rows; CDC feeds reduce to the last
-    * event per key first). The invalidation plan's `ivf_cell` rows for
-    * the batch name exactly the cells whose partitions this generation's
-    * batch dir adds rows to. */
+  /** O(batch) update for re-crawled/changed documents: [[applyCdc]] with
+    * an empty deleted side — ONE generation per table that tombstones the
+    * batch ids and appends their re-assignment against the STORED
+    * centroids. */
   def upsertRefresh(spark: SparkSession, path: String, changedMemories: DataFrame,
-                    idCol: String = "id", batchId: Option[Long] = None): Unit = {
-    val rows = changedMemories.select(col(idCol).as("id"), col("embedding"))
-      .localCheckpoint(true)
-    val nBatch = rows.count()
-    require(rows.select("id").distinct().count() == nBatch,
-      s"upsertRefresh: batch carries duplicate ids ($nBatch rows) — two " +
-        "versions of one doc would both stay live; reduce to the last " +
-        "version per id first")
-    val cents = Store.load(spark, s"$path/centroids")
-    Store.upsertBatch(
-      Ann.assign(rows, cents),
-      s"$path/assignments",
-      rows.select("id"),
-      "ivf_cell")
+                    idCol: String = "id", batchId: Option[Long] = None): Unit =
+    applyCdc(spark, path, changed = changedMemories, deletedIds = null,
+      idCol = idCol, batchId = batchId)
+
+  /** The general O(batch) maintenance pass — a mixed CDC batch applied in
+    * ONE generation per table (the [[graft.search.BM25Index.applyCdc]]
+    * shape, vector side): assignments and the id sidecar each get a single
+    * [[Store.upsertBatch]] whose tombstone keys are ALL batch ids and
+    * whose data dir carries the changed docs' fresh rows; one manifest
+    * swap seals the batch. Duplicate changed ids raise; an id in both
+    * slices raises; deleted ids must be indexed unless
+    * `requireDeletesPresent = false` (the seq-reduced CDC path, where an
+    * add+delete inside one batch legitimately reduces to a no-op delete). */
+  def applyCdc(spark: SparkSession, path: String,
+               changed: DataFrame, deletedIds: DataFrame,
+               idCol: String = "id", batchId: Option[Long] = None,
+               requireDeletesPresent: Boolean = true): Unit = {
+    val rows = Option(changed).map(_.select(col(idCol).as("id"), col("embedding")))
+    val chIds = rows.map(r => collectIds(r.select("id"), failOnDup = true, "applyCdc"))
+      .getOrElse(Array.empty[Long])
+    val delIds = Option(deletedIds)
+      .map(x => collectIds(x.select(col("id")), failOnDup = false, "applyCdc deletes"))
+      .getOrElse(Array.empty[Long])
+    val overlap = chIds.toSet.intersect(delIds.toSet)
+    require(overlap.isEmpty,
+      s"applyCdc: ids ${overlap.take(3).mkString(", ")} appear in BOTH the " +
+        "changed and deleted slices — reduce the batch to its last event per key")
+    if (chIds.isEmpty && delIds.isEmpty) {
+      IndexManifest.capture(path, Tables, batchId); return
+    }
+    if (requireDeletesPresent && delIds.nonEmpty) {
+      val delPresent = presentCount(spark, path, delIds.toSeq)
+      require(delPresent == delIds.length,
+        s"applyCdc: only $delPresent of ${delIds.length} deleted ids are " +
+          "indexed — deleting unknown ids usually means a mis-routed batch; " +
+          "pass requireDeletesPresent=false for seq-reduced CDC feeds")
+    }
+    val allIds = (chIds ++ delIds).toSeq
+    val keys = localIds(spark, allIds)
+    if (chIds.nonEmpty) {
+      val cents = Store.load(spark, s"$path/centroids")
+      Store.upsertBatch(Ann.assignWithSim(rows.get, cents),
+        s"$path/assignments", keys, "ivf_cell")
+      Store.upsertBatch(idRows(spark, chIds.toSeq), s"$path/ids", keys, "db")
+    } else {
+      Store.deleteBatch(spark, s"$path/assignments", keys)
+      Store.deleteBatch(spark, s"$path/ids", keys)
+    }
     IndexManifest.capture(path, Tables, batchId)
   }
 
@@ -118,19 +230,15 @@ object IvfIndex {
     IndexManifest.capture(path, Tables)
   }
 
-  /** Per-cell profile of the LIVE assignments against the stored
-    * centroids: (ivf_cell, n, mean_sim) with mean assign-similarity
-    * 6dp-rounded — one broadcast join + one aggregation, the same shape
-    * at build time (the baseline) and audit time (the current state). */
-  private def cellStatsOf(spark: SparkSession, path: String): DataFrame = {
-    val cents = Store.load(spark, s"$path/centroids")
-      .select(col("label").as("ivf_cell"), col("centroid"))
+  /** Per-cell profile of the LIVE assignments: (ivf_cell, n, mean_sim)
+    * with mean assign-time similarity 6dp-rounded — a 2-column aggregation
+    * over the stored (ivf_cell, csim), no join, no dot recompute. Same
+    * shape at build time (the baseline) and audit time (the current
+    * state). */
+  private def cellStatsOf(spark: SparkSession, path: String): DataFrame =
     Store.load(spark, s"$path/assignments")
-      .join(broadcast(cents), "ivf_cell")
-      .select(col("ivf_cell"), dot(col("embedding"), col("centroid")).as("_sim"))
       .groupBy("ivf_cell")
-      .agg(count(lit(1)).as("n"), round(avg("_sim"), 6).as("mean_sim"))
-  }
+      .agg(count(lit(1)).as("n"), round(avg("csim"), 6).as("mean_sim"))
 
   /** Drift monitor (r10 verdict #7): [[refresh]]/[[upsertRefresh]] assign
     * against FROZEN build-time centroids forever (correct Faiss
@@ -145,20 +253,22 @@ object IvfIndex {
     *
     * Any `retrain` row is the re-train signal (rebuild centroids from the
     * current corpus — the operation frozen-centroid ingestion defers, not
-    * avoids). Cells that gained their FIRST rows after build (n_built=0
-    * never happens — centroids come from the build corpus — but a cell
-    * emptied by deletes shows n_now=0) stay in the report via the full
-    * outer join. Cost: one broadcast join + aggregation over the live
-    * assignments — a monitoring pass, never on the query path. */
+    * avoids; [[buildWithCentroids]] with fresh centroids IS the re-train).
+    * A cell emptied by deletes shows n_now=0 via the full outer join.
+    * Cost: one 2-column aggregation over the stored assignments — a
+    * monitoring pass, never on the query path. Oracled by `ann_ivf_drift`
+    * (planted growth flips `retrain`); AnnSpec pins the planted-shift
+    * case at unit scale. */
   def driftAudit(spark: SparkSession, path: String,
                  growthLimit: Double = 2.0,
                  simDropLimit: Double = 0.1): DataFrame = {
-    val built = IndexManifest.resolve(spark, path)("cellstats")
+    val ld = IndexManifest.resolve(spark, path)
+    val built = ld("cellstats")
       .select(col("ivf_cell"), col("n").as("n_built"),
         col("mean_sim").as("mean_sim_built"))
-    val now = cellStatsOf(spark, path)
-      .select(col("ivf_cell"), col("n").as("n_now"),
-        col("mean_sim").as("mean_sim_now"))
+    val now = ld("assignments")
+      .groupBy("ivf_cell")
+      .agg(count(lit(1)).as("n_now"), round(avg("csim"), 6).as("mean_sim_now"))
     built.join(now, Seq("ivf_cell"), "full_outer")
       .select(col("ivf_cell"),
         coalesce(col("n_built"), lit(0L)).as("n_built"),

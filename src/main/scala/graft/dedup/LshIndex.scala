@@ -1,0 +1,165 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.SparkHash
+import graft.sources.{IndexManifest, Store}
+
+/** Persisted MinHash-LSH index — the shingle-side executor the r10/r11
+  * verdicts asked for: [[graft.ops.Invalidation.plan]] enumerates `shingle`
+  * keys for a changed batch, but until now the band buckets and shingle
+  * sets recomputed in-session ([[MinHashLsh]]), so the planned keys named
+  * an artifact nothing persisted. This is that artifact as tables, the
+  * third index family next to [[graft.search.BM25Index]] (terms) and
+  * [[graft.ann.IvfIndex]] (cells):
+  *
+  *   <path>/shingles  (id, sh: array<long>, db)  per-doc DISTINCT 3-gram
+  *                    shingle hashes, hive-partitioned by db = hash(id)
+  *                    mod [[DBuckets]] — the exact-Jaccard verify side,
+  *                    and the pruned presence read maintenance uses
+  *                    (same trick as BM25Index's doclens)
+  *   <path>/bands     (id, band, key)  one row per LSH band,
+  *                    hive-partitioned by band — the candidate-generation
+  *                    side; a bucket self-join shuffles on (band, key)
+  *   <path>/INDEX     one [[IndexManifest]] pointer over both
+  *
+  * Maintenance is O(batch): an added doc contributes one shingles row and
+  * [[MinHashLsh.NumBands]] band rows, appended as one generation per table;
+  * a delete tombstones by id; an upsert does both in one generation. The
+  * stored tables are never rescanned by maintenance (the presence check
+  * reads only the batch ids' `db` partitions). Candidate generation
+  * ([[nearDuplicates]]) runs over the LIVE banded view, so incremental
+  * maintenance followed by a query is EXACTLY a full recompute over the
+  * surviving corpus — `lsh_index_refresh`'s oracle recomputes the whole
+  * MinHash pipeline in SQL from the post-maintenance corpus and
+  * hash-matches.
+  *
+  * Docs whose text yields no 3-gram shingle (under 3 tokens) never enter
+  * either table ([[MinHashLsh.shingleSets]] filters them); deleting such an
+  * id is a no-op by design — unlike BM25's N, no global scalar can go
+  * stale here, so deletes are lenient where [[graft.search.BM25Index]]
+  * fail-louds.
+  */
+object LshIndex {
+
+  /** Id-hash bucket count of the shingles layout (the maintenance-read
+    * partition knob, as [[graft.search.BM25Index.DBuckets]]). */
+  val DBuckets = 32
+
+  private val Tables = Seq("shingles", "bands")
+
+  private def withDb(df: DataFrame): DataFrame =
+    df.withColumn("db", pmod(hash(col("id")), lit(DBuckets)))
+
+  private def bandsOf(sh: DataFrame): DataFrame =
+    MinHashLsh.bands(sh.select(col("id"),
+      MinHashLsh.signature(col("sh")).as("sig")))
+
+  private def collectIds(ids: DataFrame, failOnDup: Boolean,
+                         what: String): Array[Long] = {
+    val rows = ids.groupBy("id").agg(count(lit(1)).as("c")).collect()
+    if (failOnDup) {
+      val dups = rows.filter(_.getLong(1) > 1)
+      require(dups.isEmpty,
+        s"$what: batch carries duplicate ids (e.g. ${dups.take(3).map(_.get(0)).mkString(", ")}) — " +
+          "reduce to the last version per id first")
+    }
+    rows.map { r =>
+      require(!r.isNullAt(0), s"$what: batch carries a null id")
+      r.getLong(0)
+    }
+  }
+
+  private def localIds(spark: SparkSession, ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.toDF("id")
+  }
+
+  /** Shingle + band the corpus once and publish both tables under one
+    * manifest. */
+  def build(docs: DataFrame, path: String, n: Int = 3): Unit = {
+    val sh = MinHashLsh.shingleSets(docs, n).localCheckpoint(true)
+    Store.savePartitioned(withDb(sh), s"$path/shingles", "db")
+    Store.savePartitioned(bandsOf(sh), s"$path/bands", "band")
+    IndexManifest.capture(path, Tables)
+  }
+
+  /** O(batch) ingestion: shingle ONLY the added docs, append their rows as
+    * one generation per table. Fail-loud: added ids must be new to the
+    * index (pruned `db`-bucket presence read) — a replayed add would
+    * otherwise band a doc twice and emit self-pairs. */
+  def refresh(spark: SparkSession, path: String, addedDocs: DataFrame,
+              n: Int = 3, batchId: Option[Long] = None): Unit = {
+    val sh = MinHashLsh.shingleSets(addedDocs, n).localCheckpoint(true)
+    val ids = collectIds(sh.select("id"), failOnDup = true, "refresh")
+    if (ids.isEmpty) { IndexManifest.capture(path, Tables, batchId); return }
+    val dbs = ids.map(SparkHash.bucketOfLong(_, DBuckets)).distinct.toSeq
+    val already = Store.load(spark, s"$path/shingles")
+      .filter(col("db").isin(dbs: _*))
+      .join(broadcast(localIds(spark, ids.toSeq)), "id").count()
+    require(already == 0,
+      s"refresh: $already of ${ids.length} ids are ALREADY indexed — route " +
+        "re-crawls through upsertRefresh (or dedupe the replayed batch)")
+    Store.appendBatch(withDb(sh), s"$path/shingles", "db")
+    Store.appendBatch(bandsOf(sh), s"$path/bands", "band")
+    IndexManifest.capture(path, Tables, batchId)
+  }
+
+  /** O(batch) delete: tombstone the ids out of both tables — ids that
+    * never banded (short docs, unknown ids) are anti-join no-ops; there is
+    * no global scalar here for them to corrupt. */
+  def deleteRefresh(spark: SparkSession, path: String, deletedIds: DataFrame,
+                    batchId: Option[Long] = None): Unit = {
+    val keys = deletedIds.select("id")
+    Store.deleteBatch(spark, s"$path/shingles", keys)
+    Store.deleteBatch(spark, s"$path/bands", keys)
+    IndexManifest.capture(path, Tables, batchId)
+  }
+
+  /** O(batch) re-crawl: ONE generation per table tombstoning the batch ids
+    * and appending their fresh shingles/bands. A changed doc that shrank
+    * below the shingle threshold leaves the index (tombstone only). */
+  def upsertRefresh(spark: SparkSession, path: String, changedDocs: DataFrame,
+                    n: Int = 3, batchId: Option[Long] = None): Unit = {
+    val allIds = collectIds(changedDocs.select("id"), failOnDup = true,
+      "upsertRefresh")
+    if (allIds.isEmpty) { IndexManifest.capture(path, Tables, batchId); return }
+    val keys = localIds(spark, allIds.toSeq)
+    val sh = MinHashLsh.shingleSets(changedDocs, n).localCheckpoint(true)
+    if (sh.isEmpty) {
+      Store.deleteBatch(spark, s"$path/shingles", keys)
+      Store.deleteBatch(spark, s"$path/bands", keys)
+    } else {
+      Store.upsertBatch(withDb(sh), s"$path/shingles", keys, "db")
+      Store.upsertBatch(bandsOf(sh), s"$path/bands", keys, "band")
+    }
+    IndexManifest.capture(path, Tables, batchId)
+  }
+
+  /** Near-duplicate pairs from the PERSISTED index: the
+    * [[MinHashLsh.nearDuplicates]] pipeline with candidate generation over
+    * the stored live bands (skew-guarded bucket self-join) and exact
+    * Jaccard verification over the stored shingles — both resolved through
+    * ONE manifest read. Output (id_a, id_b, jaccard rounded 6). */
+  def nearDuplicates(spark: SparkSession, path: String, threshold: Double,
+                     maxBucket: Int = 1000): DataFrame = {
+    val ld = IndexManifest.resolve(spark, path)
+    val banded = ld("bands")
+    val sized = banded.groupBy("band", "key").agg(count(lit(1)).as("cnt"))
+    val ok = banded.join(sized.filter(col("cnt") <= maxBucket), Seq("band", "key"))
+      .select("id", "band", "key")
+    val cand = ok.as("a").join(ok.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sh = ld("shingles")
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
+      .withColumn("jaccard",
+        round(graft.functions.TextFunctions.jaccardSim(col("sha"), col("shb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

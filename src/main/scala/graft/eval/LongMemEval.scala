@@ -105,11 +105,66 @@ object LongMemEval {
           .as("text"))
   }
 
+  // ---- planted vocabulary-mismatch families (r10/r11 verdict: the
+  // fixture corpus has a saturated vocabulary — ~every term in over half
+  // the docs, so idf ≤ 0 and RM3 can never mine a positive-weight
+  // expansion term from it; the lift metric was structurally 0.0). The
+  // standard IR-eval remedy is PLANTED NEEDLES: small probe haystacks in
+  // their own buckets (16+g — disjoint from the 16 real buckets, so no
+  // real question's haystack changes) whose vocabulary is unique, hence
+  // positive-idf. Each group g plants: a GOLD session whose text shares
+  // NO term with the question; two FEEDBACK sessions carrying the query
+  // term plus a gold term (the RM3 bridge); and distractor sessions with
+  // their own noise vocabulary. Base retrieval can only find gold via
+  // hash-embedding noise; PRF mines the bridge term from the feedback
+  // docs and scores gold through it — the lift the metric exists to
+  // measure. Probe chunk texts are specified EXACTLY (2 tokens per chunk)
+  // so the oracle generates identical rows without re-deriving the
+  // midpoint split.
+
+  val ProbeGroups = 12
+  val ProbeDistractors = 12
+  /** Probe session ids start far above any fixture doc id (sf1 ≈ 5·10⁵). */
+  val ProbeBase = 10000000L
+
+  /** Probe chunk rows, same shape as [[chunks]]: (id, session, bucket,
+    * text). */
+  def probeChunks(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      g <- 0 until ProbeGroups
+      (off, c, txt) <- Seq(
+        (0, 0, s"syzygy$g quorum$g"), (0, 1, s"bezoar$g orrery$g"), // gold
+        (1, 0, s"xylograph$g syzygy$g"), (1, 1, s"quorum$g"), // feedback 1
+        (2, 0, s"xylograph$g quorum$g"), (2, 1, s"syzygy$g") // feedback 2
+      ) ++ (0 until ProbeDistractors).flatMap(d => Seq(
+        (3 + d, 0, s"drivel${g}x$d noise${g}x$d"),
+        (3 + d, 1, s"blather${g}x$d prattle${g}x$d")))
+    } yield {
+      val session = ProbeBase + g * 32L + off
+      (session * 2 + c, session, NumBuckets + g, txt)
+    }
+    rows.toDF("id", "session", "bucket", "text")
+  }
+
+  /** One question per probe group: the query term alone (sparse → PRF
+    * triggers), gold = the group's needle session. */
+  def probeQuestions(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until ProbeGroups)
+      .map(g => (ProbeBase + g * 32L, NumBuckets + g,
+        "planted-mismatch", s"xylograph$g"))
+      .toDF("qid", "bucket", "category", "qtext")
+  }
+
   /** The seeded memories frame — chunks wearing the engine's corpus schema
     * (visibility columns + E1 embedding + the reference's source shape) so
     * the REAL hybrid plan runs on it unmodified. */
   def seededMemories(docs: DataFrame): DataFrame =
-    emb.embed(chunks(docs))
+    memoriesFromChunks(chunks(docs))
+
+  private def memoriesFromChunks(ch: DataFrame): DataFrame =
+    emb.embed(ch)
       .select(col("id"), col("text"),
         concat(lit("eval/lme/b"), col("bucket"), lit("/s"), col("session"),
           lit("/c"), pmod(col("id"), lit(2L))).as("source"),
@@ -278,8 +333,16 @@ object LongMemEval {
     * ride through both runs untouched — their rows double as the
     * do-no-harm control. */
   def prfRecallLift(docs: DataFrame): DataFrame = {
-    val qs = questions(docs).localCheckpoint(true)
-    val mem = seededMemories(docs).localCheckpoint(true)
+    val spark = docs.sparkSession
+    // the real question families PLUS the planted-mismatch probes: the
+    // probes live in their own buckets, so every real haystack is
+    // untouched; the global BM25 stats shift by the ~500 probe chunks
+    // (idf is corpus-global — both engines recompute identically)
+    val qs = questions(docs).unionByName(probeQuestions(spark))
+      .localCheckpoint(true)
+    val mem = memoriesFromChunks(
+        chunks(docs).unionByName(probeChunks(spark)))
+      .localCheckpoint(true)
     val hBase = hitsFrom(batchResultsFrom(mem, qs), qs)
     val hPrf = hitsFrom(batchResultsFrom(mem, qs, prf = true), qs)
     def perCat(h: DataFrame, cName: String): DataFrame = {

@@ -66,14 +66,11 @@ object Invalidation {
     * full maintenance ≡ rebuild equivalence score-for-score). */
   def execute(spark: SparkSession, changed: DataFrame, deletedIds: DataFrame,
               ivfPath: String, bm25Path: String): DataFrame = {
-    val overlap = changed.select("id").join(deletedIds.select("id"), "id").count()
-    require(overlap == 0,
-      s"execute: $overlap ids appear in BOTH the changed and deleted batches " +
-        "— an update+delete of the same document in one batch is ambiguous")
-    graft.ann.IvfIndex.upsertRefresh(spark, ivfPath, changed)
-    graft.search.BM25Index.upsertRefresh(spark, bm25Path, changed)
-    graft.ann.IvfIndex.deleteRefresh(spark, ivfPath, deletedIds)
-    graft.search.BM25Index.deleteRefresh(spark, bm25Path, deletedIds)
+    // ONE combined maintenance pass per index (updates + deletes in one
+    // generation per table, one manifest swap per index) — the overlap
+    // fail-loud lives inside applyCdc, driver-side on the collected batch
+    graft.ann.IvfIndex.applyCdc(spark, ivfPath, changed, deletedIds)
+    graft.search.BM25Index.applyCdc(spark, bm25Path, changed, deletedIds)
     val post = Store.load(spark, s"$bm25Path/postings")
     import spark.implicits._
     Seq(

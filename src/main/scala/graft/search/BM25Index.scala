@@ -3,6 +3,7 @@ package graft.search
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import graft.functions.SparkHash
 import graft.sources.{IndexManifest, Store}
 
 /** The persisted form of the BM25 "index" — the 100 TB story that
@@ -37,10 +38,12 @@ import graft.sources.{IndexManifest, Store}
   *                    postings with old scalars
   *
   * Maintenance cost contract (the r10 verdict's O(batch) item): every
-  * [[refresh]] / [[deleteRefresh]] / [[upsertRefresh]] touches
+  * [[refresh]] / [[deleteRefresh]] / [[upsertRefresh]] / [[applyCdc]]
+  * touches
   *  - O(batch) postings/doclens I/O (append/tombstone generations via
-  *    [[Store]] — stored postings are NEVER read by maintenance, pinned
-  *    by BM25IndexSpec against physically corrupted stored files),
+  *    [[Store]] — stored postings are NEVER read by maintenance: pinned by
+  *    BM25IndexSpec "maintenance succeeds with stored postings physically
+  *    corrupted"),
   *  - O(touched terms) rows of the terms table (a df-delta merge keyed by
   *    the batch's own vocabulary — the same keys
   *    [[graft.ops.Invalidation.plan]] enumerates as `bm25_term`),
@@ -51,14 +54,23 @@ import graft.sources.{IndexManifest, Store}
   * is global by definition) — that is exactly why idf lives at query time:
   * [[scores]] evaluates ln((N−df+.5)/(df+.5)) for the |query| terms only.
   *
+  * Planning-time bucket pruning never runs a Spark job: maintenance knows
+  * its batch ids and a query knows its terms on the DRIVER, so the pb/db
+  * partition filters come from [[graft.functions.SparkHash]] (pinned equal
+  * to the executor-side `hash()` by HashBridgeSpec).
+  *
   * Maintainability contract: a document is maintainable iff it has a
   * doclens row (token-less docs never enter postings/doclens — they
   * cannot be incrementally retired, and [[deleteRefresh]] fail-louds on
   * ids it cannot find rather than silently leaving N stale; the engine's
-  * corpora contain none — the chunker drops <20-char fragments).
-  * BM25IndexSpec pins build, build+refresh, build+deleteRefresh, and
-  * build+upsertRefresh bit-for-bit to the from-scratch [[BM25.scores]]
-  * over the equivalent corpus.
+  * corpora contain none — the chunker drops <20-char fragments). Every
+  * maintenance batch fail-louds on duplicate ids, [[refresh]] fail-louds
+  * on ids ALREADY indexed (a replayed add must go through the batch-id
+  * guard or [[upsertRefresh]], never silently double-append), and a null
+  * or non-numeric id raises instead of silently hashing as null.
+  * BM25IndexSpec pins build, build+refresh, build+deleteRefresh,
+  * build+upsertRefresh, and build+applyCdc bit-for-bit to the from-scratch
+  * [[BM25.scores]] over the equivalent corpus.
   */
 object BM25Index {
 
@@ -79,8 +91,17 @@ object BM25Index {
     StructField("n", LongType), StructField("total_tokens", LongType),
     StructField("avg_idf", DoubleType)))
 
-  private def norm(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+  /** (id, text) with the id cast to long and NULLS RAISED: a string id
+    * that doesn't parse (or a null id) would otherwise hash as null —
+    * collapsing all such docs into one doclens bucket row silently. */
+  private def norm(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val idc = col(idCol).cast("long")
+    docs.select(
+      when(idc.isNull, raise_error(concat(
+        lit(s"BM25Index: null or non-numeric id in column '$idCol': "),
+        coalesce(col(idCol).cast("string"), lit("NULL"))))).otherwise(idc).as("id"),
+      col(textCol).as("text"))
+  }
 
   private def withPb(tf: DataFrame): DataFrame =
     tf.withColumn("pb", pmod(hash(col("term")), lit(PBuckets)))
@@ -91,11 +112,31 @@ object BM25Index {
         sort_array(collect_list("term")).as("terms"))
       .withColumn("db", pmod(hash(col("id")), lit(DBuckets)))
 
-  /** Distinct bucket values a small keyed frame hashes into — the
-    * planning-time partition filter for a pruned batch read. */
-  private def bucketsOf(df: DataFrame, c: String, n: Int): Seq[Int] =
-    df.select(pmod(hash(col(c)), lit(n)).as("b")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+  /** Collect a maintenance batch's DISTINCT ids to the driver in ONE job,
+    * failing loud on duplicates when `failOnDup` (two versions of a doc in
+    * one batch would merge their postings). Maintenance batches are
+    * micro-batch-bounded and already broadcast by every downstream join,
+    * so the driver copy is the same order of magnitude. */
+  private def collectIds(ids: DataFrame, failOnDup: Boolean,
+                         what: String): Array[Long] = {
+    val rows = ids.groupBy("id").agg(count(lit(1)).as("c")).collect()
+    if (failOnDup) {
+      val dups = rows.filter(_.getLong(1) > 1)
+      require(dups.isEmpty,
+        s"$what: batch carries duplicate ids (e.g. ${dups.take(3).map(_.get(0)).mkString(", ")}) — " +
+          "two versions of one doc in a batch would merge their postings " +
+          "and inflate N; reduce to the last version per id first")
+    }
+    rows.map { r =>
+      require(!r.isNullAt(0), s"$what: batch carries a null id")
+      r.getLong(0)
+    }
+  }
+
+  private def localIds(spark: SparkSession, ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.toDF("id")
+  }
 
   /** Tokenize `docs` once and write all four index tables + the index
     * manifest. Build is O(corpus) by definition; everything after derives
@@ -117,109 +158,157 @@ object BM25Index {
 
   /** Incremental add: tokenize ONLY `addedDocs`, append their postings and
     * doclens rows as new generations, df-delta-merge their terms, O(1)
-    * scalars — O(batch) everywhere, no stored postings read. Added ids
-    * must be NEW to the index (use [[upsertRefresh]] for re-crawls). */
+    * scalars — O(batch) everywhere, no stored postings read, no tombstone
+    * debt (use [[upsertRefresh]] for re-crawls). Fail-loud: every added id
+    * must be NEW to the index — the check is the same pruned-bucket
+    * doclens read [[deleteRefresh]] pays, so an add of an existing id (a
+    * replayed batch that bypassed the batch-id guard, a re-crawl routed
+    * wrong) raises instead of silently double-appending postings and
+    * inflating N and df. */
   def refresh(spark: SparkSession, path: String, addedDocs: DataFrame,
               textCol: String = "text", idCol: String = "id",
               batchId: Option[Long] = None): Unit = {
     val d = norm(addedDocs, textCol, idCol)
+    val ids = collectIds(d.select("id"), failOnDup = true, "refresh")
+    if (ids.isEmpty) { IndexManifest.capture(path, Tables, batchId); return }
+    val dbs = ids.map(SparkHash.bucketOfLong(_, DBuckets)).distinct.toSeq
+    val already = Store.load(spark, s"$path/doclens")
+      .filter(col("db").isin(dbs: _*))
+      .join(broadcast(localIds(spark, ids.toSeq)), "id").count()
+    require(already == 0,
+      s"refresh: $already of ${ids.length} ids are ALREADY indexed — " +
+        "re-adding would double-append postings and inflate N/df; route " +
+        "re-crawls through upsertRefresh (or dedupe the replayed batch)")
     val (oldN, oldTotal) = readScalars(spark, path)
-    val nAdd = d.count()
     val tf = BM25.termFreqs(d).localCheckpoint(true)
-    val tokAdd =
-      if (tf.isEmpty) 0L
-      else {
-        Store.appendBatch(withPb(tf), s"$path/postings", "pb")
-        Store.appendBatch(doclensOf(tf), s"$path/doclens", "db")
-        mergeDfDelta(spark, path, tf.groupBy("term").agg(count(lit(1)).as("d")))
-        tf.agg(sum("tf")).head().getLong(0)
-      }
-    writeScalars(spark, path, oldN + nAdd, oldTotal + tokAdd)
+    val agg = tf.agg(count(lit(1)), coalesce(sum("tf"), lit(0L))).head()
+    val (tfRows, tokAdd) = (agg.getLong(0), agg.getLong(1))
+    if (tfRows > 0) {
+      Store.appendBatch(withPb(tf), s"$path/postings", "pb")
+      Store.appendBatch(doclensOf(tf), s"$path/doclens", "db")
+      mergeDfDelta(spark, path, tf.groupBy("term").agg(count(lit(1)).as("d")))
+    }
+    writeScalars(spark, path, oldN + ids.length, oldTotal + tokAdd)
     IndexManifest.capture(path, Tables, batchId)
   }
 
-  /** O(batch) delete: tombstone the deleted docs' postings and doclens
-    * rows, subtract their term list from df (read from the PRUNED doclens
-    * partitions — the batch-side shape the r10 verdict asked for; the
-    * presence check rides the same read), and O(1)-update the scalars.
-    * Fail-loud: every deleted id must have a doclens row — an unknown or
-    * token-less id would silently leave N wrong for every future score. */
+  /** O(batch) delete: [[applyCdc]] with an empty changed side — tombstone
+    * the deleted docs' postings and doclens rows, subtract their term
+    * lists from df, O(1)-update the scalars. Fail-loud: every deleted id
+    * must have a doclens row — an unknown or token-less id would silently
+    * leave N wrong for every future score. */
   def deleteRefresh(spark: SparkSession, path: String, deletedIds: DataFrame,
                     idCol: String = "id",
-                    batchId: Option[Long] = None): Unit = {
-    val ids = deletedIds.select(col(idCol).cast("long").as("id")).distinct()
-      .localCheckpoint(true)
-    val asked = ids.count()
-    val old = oldDoclens(spark, path, ids)
-    val present = old.count()
-    require(present == asked,
-      s"deleteRefresh: only $present of $asked ids are indexed — deleting " +
-        "documents unknown to the index (absent or token-less) would leave " +
-        "N stale; rebuild instead")
-    val (oldN, oldTotal) = readScalars(spark, path)
-    val tokDel = old.agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
-    Store.deleteBatch(spark, s"$path/postings", ids)
-    Store.deleteBatch(spark, s"$path/doclens", ids)
-    mergeDfDelta(spark, path, old.select(explode(col("terms")).as("term"))
-      .groupBy("term").agg((-count(lit(1))).as("d")))
-    writeScalars(spark, path, oldN - asked, oldTotal - tokDel)
-    IndexManifest.capture(path, Tables, batchId)
-  }
+                    batchId: Option[Long] = None): Unit =
+    applyCdc(spark, path,
+      changed = null, deletedIds = deletedIds, idCol = idCol, batchId = batchId)
 
-  /** O(batch) update for re-crawled/changed documents: ONE generation per
-    * table that tombstones the batch ids and appends their fresh rows
-    * ([[Store.upsertBatch]] — a reader sees a doc's old postings or its
-    * new ones, never a mix); df shifts by (new terms − old terms), with
-    * the old side read from the pruned doclens partitions. Batch ids with
-    * a doclens row are updates (N unchanged); ids without one are NEW
-    * documents (N grows). One row per id — a CDC feed carrying several
-    * versions of a doc must reduce to the last event first
-    * ([[graft.streaming.EventStream.applyCdcBatch]] does). */
+  /** O(batch) update for re-crawled/changed documents: [[applyCdc]] with
+    * an empty deleted side. Batch ids with a doclens row are updates (N
+    * unchanged); ids without one are NEW documents (N grows). */
   def upsertRefresh(spark: SparkSession, path: String, changedDocs: DataFrame,
                     textCol: String = "text", idCol: String = "id",
-                    batchId: Option[Long] = None): Unit = {
-    val d = norm(changedDocs, textCol, idCol)
-    val nBatch = d.count()
-    val ids = d.select("id").distinct().localCheckpoint(true)
-    require(ids.count() == nBatch,
-      s"upsertRefresh: batch carries duplicate ids ($nBatch rows) — two " +
-        "versions of one doc in a batch would merge their postings and " +
-        "inflate N; reduce to the last version per id first")
-    val old = oldDoclens(spark, path, ids)
-    val present = old.count()
-    val (oldN, oldTotal) = readScalars(spark, path)
-    val tokDel = old.agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
-    val tf = BM25.termFreqs(d).localCheckpoint(true)
-    val tokAdd =
-      if (tf.isEmpty) {
-        Store.deleteBatch(spark, s"$path/postings", ids)
-        Store.deleteBatch(spark, s"$path/doclens", ids)
-        0L
-      } else {
-        Store.upsertBatch(withPb(tf), s"$path/postings", ids, "pb")
-        Store.upsertBatch(doclensOf(tf), s"$path/doclens", ids, "db")
-        tf.agg(sum("tf")).head().getLong(0)
-      }
-    val dfAdd = tf.groupBy("term").agg(count(lit(1)).as("d"))
-    val dfRem = old.select(explode(col("terms")).as("term"))
-      .groupBy("term").agg((-count(lit(1))).as("d"))
-    mergeDfDelta(spark, path, dfAdd.unionByName(dfRem)
-      .groupBy("term").agg(sum("d").as("d")).filter(col("d") =!= 0))
-    writeScalars(spark, path, oldN - present + nBatch, oldTotal - tokDel + tokAdd)
-    IndexManifest.capture(path, Tables, batchId)
-  }
+                    batchId: Option[Long] = None): Unit =
+    applyCdc(spark, path, changed = changedDocs, deletedIds = null,
+      textCol = textCol, idCol = idCol, batchId = batchId)
 
-  /** The deleted/changed docs' stored doclens rows, read from ONLY the id
-    * buckets the batch hashes into (planning-time partition prune) with
-    * the batch side broadcast — the maintenance read that replaces every
-    * former full-postings scan. */
-  private def oldDoclens(spark: SparkSession, path: String,
-                         ids: DataFrame): DataFrame = {
-    val dbs = bucketsOf(ids, "id", DBuckets)
-    Store.load(spark, s"$path/doclens")
+  /** The general O(batch) maintenance pass — a mixed CDC batch (re-crawled
+    * `changed` docs + `deletedIds`) applied in ONE generation per table:
+    * each of postings/doclens gets a single [[Store.upsertBatch]] whose
+    * tombstone keys are ALL batch ids (changed ∪ deleted) and whose data
+    * dir carries only the changed docs' fresh rows; terms gets one
+    * df-delta merge for the whole batch; scalars one write; the index
+    * manifest ONE pointer swap. So a reader — and a crash — sees the
+    * whole micro-batch applied to an index or not at all, per index: the
+    * per-batch atomicity the per-op-slice dispatch of earlier rounds
+    * couldn't give (and the shape that makes the [[IndexManifest]]
+    * batch-id stamp a sound exactly-once guard — one stamp, one swap,
+    * whole batch; see [[graft.streaming.EventStream.cdcBatch]]).
+    *
+    * Semantics: a changed id present in the index is an update (its old
+    * postings/doclens are tombstoned, df shifts by new−old terms, N
+    * unchanged); a changed id absent is an add (N grows); deleted ids must
+    * all be present (fail-loud, as [[deleteRefresh]]) unless
+    * `requireDeletesPresent = false` (the seq-reduced CDC path, where an
+    * in-batch add+delete of a never-indexed id legitimately reduces to a
+    * no-op delete); an id in BOTH slices is ambiguous and raises. Duplicate ids within `changed` raise
+    * — a CDC feed reduces to the last event per key first
+    * ([[graft.streaming.EventStream.applyCdcBatch]] does exactly that,
+    * pinned by StreamingSpec's in-batch add→delete→add case). */
+  def applyCdc(spark: SparkSession, path: String,
+               changed: DataFrame, deletedIds: DataFrame,
+               textCol: String = "text", idCol: String = "id",
+               batchId: Option[Long] = None,
+               requireDeletesPresent: Boolean = true): Unit = {
+    val d = Option(changed).map(norm(_, textCol, idCol))
+    val chIds = d.map(x => collectIds(x.select("id"), failOnDup = true, "applyCdc"))
+      .getOrElse(Array.empty[Long])
+    val delIds = Option(deletedIds)
+      .map(x => collectIds(x.select(col(idCol).cast("long").as("id")),
+        failOnDup = false, "applyCdc deletes"))
+      .getOrElse(Array.empty[Long])
+    val overlap = chIds.toSet.intersect(delIds.toSet)
+    require(overlap.isEmpty,
+      s"applyCdc: ids ${overlap.take(3).mkString(", ")} appear in BOTH the " +
+        "changed and deleted slices — reduce the batch to its last event per key")
+    if (chIds.isEmpty && delIds.isEmpty) {
+      IndexManifest.capture(path, Tables, batchId); return
+    }
+    val allIds = chIds ++ delIds
+    // pruned maintenance read: ONLY the batch ids' doclens buckets, batch
+    // side a broadcast local relation, bucket list driver-side Murmur3 —
+    // stored postings are never read (pinned by the corrupted-file spec)
+    val dbs = allIds.map(SparkHash.bucketOfLong(_, DBuckets)).distinct.toSeq
+    val isDel = delIds.toSet
+    val flagged = {
+      import spark.implicits._
+      allIds.toSeq.map(i => (i, isDel(i))).toDF("id", "_is_del")
+    }
+    val old = Store.load(spark, s"$path/doclens")
       .filter(col("db").isin(dbs: _*))
-      .join(broadcast(ids), "id")
-      .localCheckpoint(true) // read 3x: presence + token sum + df-delta
+      .join(broadcast(flagged), "id")
+      .localCheckpoint(true) // read twice: the combined agg + the df-delta
+    val stats = old.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)),
+      coalesce(sum(when(col("_is_del"), 1L).otherwise(0L)), lit(0L))).head()
+    val (presentAll, tokDel, delPresent) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    // lenient mode (seq-reduced CDC): an in-batch add+delete of a
+    // never-indexed id legitimately reduces to a delete of an absent id —
+    // a no-op; the arithmetic below already counts only PRESENT deletes,
+    // so N stays exact either way
+    require(!requireDeletesPresent || delPresent == delIds.length,
+      s"applyCdc: only $delPresent of ${delIds.length} deleted ids are indexed " +
+        "— deleting documents unknown to the index (absent or token-less) " +
+        "would leave N stale; rebuild instead")
+    val presentChanged = presentAll - delPresent
+    val (oldN, oldTotal) = readScalars(spark, path)
+    val tf = d.map(BM25.termFreqs(_).localCheckpoint(true))
+    val (tfRows, tokAdd) = tf.map { t =>
+      val a = t.agg(count(lit(1)), coalesce(sum("tf"), lit(0L))).head()
+      (a.getLong(0), a.getLong(1))
+    }.getOrElse((0L, 0L))
+    val keys = localIds(spark, allIds.toSeq)
+    if (tfRows > 0) {
+      Store.upsertBatch(withPb(tf.get), s"$path/postings", keys, "pb")
+      Store.upsertBatch(doclensOf(tf.get), s"$path/doclens", keys, "db")
+    } else if (presentAll > 0) {
+      Store.deleteBatch(spark, s"$path/postings", keys)
+      Store.deleteBatch(spark, s"$path/doclens", keys)
+    }
+    val dfAdd = tf.filter(_ => tfRows > 0)
+      .map(_.groupBy("term").agg(count(lit(1)).as("d")))
+    val dfRem = if (presentAll > 0)
+      Some(old.select(explode(col("terms")).as("term"))
+        .groupBy("term").agg((-count(lit(1))).as("d")))
+    else None
+    (dfAdd ++ dfRem).reduceOption(_ unionByName _).foreach { delta =>
+      mergeDfDelta(spark, path,
+        delta.groupBy("term").agg(sum("d").as("d")).filter(col("d") =!= 0))
+    }
+    writeScalars(spark, path,
+      oldN - delPresent - presentChanged + chIds.length,
+      oldTotal - tokDel + tokAdd)
+    IndexManifest.capture(path, Tables, batchId)
   }
 
   /** df-delta merge — the r10 verdict's executor for the invalidation
@@ -272,7 +361,8 @@ object BM25Index {
     * the |query| terms only. All four tables resolve through ONE
     * [[IndexManifest]] read, so a concurrent maintenance pass can never
     * serve mixed generations; the postings scan prunes to the query
-    * terms' bucket dirs at planning time. */
+    * terms' bucket dirs at planning time — the bucket list is driver-side
+    * Murmur3 ([[graft.functions.SparkHash]]), zero planning jobs. */
   def scores(spark: SparkSession, path: String,
              queryTokens: Seq[String]): DataFrame = {
     import spark.implicits._
@@ -286,9 +376,7 @@ object BM25Index {
     val terms = ld("terms").filter(col("term").isin(qd: _*))
       .withColumn("idf",
         when(idfRaw(n) < 0, lit(BM25.Epsilon * avgIdf)).otherwise(idfRaw(n)))
-    val pbs = qd.toDF("term")
-      .select(pmod(hash(col("term")), lit(PBuckets)).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val pbs = qd.map(SparkHash.bucketOfString(_, PBuckets)).distinct
     ld("postings")
       .filter(col("pb").isin(pbs: _*) && col("term").isin(qd: _*))
       .join(broadcast(q.join(terms, "term")), "term")
@@ -306,7 +394,11 @@ object BM25Index {
     * buckets of the doclens table, clearing their accumulated tombstone
     * debt without touching any other bucket's files. The bucket lists
     * come from the invalidation plan's `bm25_term` keys (hash mod
-    * [[PBuckets]]) / the maintenance batches' ids (mod [[DBuckets]]). */
+    * [[PBuckets]]) / the maintenance batches' ids (mod [[DBuckets]]) —
+    * [[bucketsForTerms]] / [[bucketsForIds]] do the driver-side Murmur3.
+    * Semantically invisible (`r2_bm25_compact`'s oracle is the
+    * delete-refresh SQL verbatim); physically targeted (BM25IndexSpec
+    * pins untouched buckets' files byte-identical). */
   def compactBuckets(spark: SparkSession, path: String,
                      postingBuckets: Seq[Int] = Seq.empty,
                      doclenBuckets: Seq[Int] = Seq.empty): Unit = {
@@ -318,4 +410,13 @@ object BM25Index {
         doclenBuckets.map(b => b: Any))
     IndexManifest.capture(path, Tables)
   }
+
+  /** The postings buckets a term worklist (e.g. the invalidation plan's
+    * `bm25_term` keys) lives in — driver-side, no job. */
+  def bucketsForTerms(terms: Seq[String]): Seq[Int] =
+    terms.map(SparkHash.bucketOfString(_, PBuckets)).distinct
+
+  /** The doclens buckets an id batch lives in — driver-side, no job. */
+  def bucketsForIds(ids: Seq[Long]): Seq[Int] =
+    ids.map(SparkHash.bucketOfLong(_, DBuckets)).distinct
 }

@@ -228,77 +228,121 @@ object EventStream {
   /** Streaming index maintenance (r9 verdict #8 — the r6_feedback_stream
     * discipline applied to the index tier): each micro-batch of newly
     * ingested documents lands in the persisted indexes via foreachBatch →
-    * [[graft.search.BM25Index.refresh]] / [[graft.ann.IvfIndex.refresh]].
-    * Every micro-batch is one O(batch) generation publish, so a
-    * concurrent reader sees the index before or after the whole
-    * micro-batch, never mid-batch — the streaming ingest path inherits
-    * the atomicity the batch path already proves (`ann_ivf_multigen`).
-    * Exactly-once note: foreachBatch re-delivers a batch after a crash;
-    * a replayed refresh would double-append. At-least-once is acceptable
-    * for a monotone corpus only when ids are unique per batch delivery —
-    * production recovery should check the stored generation count against
-    * `batchId` before refreshing (the manifest makes that a one-file
-    * read). StreamingSpec drives two real MemoryStream micro-batches and
-    * pins stream-fed ≡ one-shot batch build. */
+    * [[refreshBatch]] → [[graft.search.BM25Index.refresh]] /
+    * [[graft.ann.IvfIndex.refresh]]. Every micro-batch is one O(batch)
+    * generation publish, so a concurrent reader sees the index before or
+    * after the whole micro-batch, never mid-batch — the streaming ingest
+    * path inherits the atomicity the batch path already proves
+    * (`ann_ivf_multigen`). EXACTLY-ONCE: foreachBatch re-delivers a batch
+    * after a crash; [[refreshBatch]] consults each index's
+    * [[graft.sources.IndexManifest.lastBatch]] stamp and SKIPS any index
+    * that already applied this batchId — per index, so a crash between
+    * the two index updates replays only the unapplied one. StreamingSpec
+    * drives two real MemoryStream micro-batches, pins stream-fed ≡
+    * one-shot batch build, and pins a re-delivered batch as a no-op. */
   def startIndexRefresh(docs: DataFrame, bm25Path: Option[String],
                         ivfPath: Option[String],
                         checkpoint: String): StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.persist()
-        try if (!b.isEmpty) {
-          bm25Path.foreach(p => graft.search.BM25Index.refresh(b.sparkSession, p, b))
-          ivfPath.foreach(p => graft.ann.IvfIndex.refresh(b.sparkSession, p, b))
-        } finally { b.unpersist(); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        refreshBatch(batch, batchId, bm25Path, ivfPath)
       }
       .start()
+
+  /** True iff the index at `path` has already applied `batchId` — the
+    * one-file read that turns foreachBatch's at-least-once re-delivery
+    * into exactly-once index maintenance. */
+  private def applied(path: String, batchId: Long): Boolean =
+    graft.sources.IndexManifest.lastBatch(path).exists(_ >= batchId)
+
+  /** The per-micro-batch body of [[startIndexRefresh]], public so the
+    * replay spec can drive it directly: refresh each index UNLESS its
+    * manifest already stamps this (or a later) batchId. */
+  def refreshBatch(batch: DataFrame, batchId: Long,
+                   bm25Path: Option[String], ivfPath: Option[String]): Unit = {
+    val b = batch.persist()
+    try if (!b.isEmpty) {
+      bm25Path.filterNot(applied(_, batchId)).foreach(p =>
+        graft.search.BM25Index.refresh(b.sparkSession, p, b,
+          batchId = Some(batchId)))
+      ivfPath.filterNot(applied(_, batchId)).foreach(p =>
+        graft.ann.IvfIndex.refresh(b.sparkSession, p, b,
+          batchId = Some(batchId)))
+    } finally { b.unpersist(); () }
+  }
 
   /** CDC-typed streaming maintenance — [[startIndexRefresh]] extended to
     * the full change-data shape a re-crawling pipeline emits: each
     * micro-batch row carries `op` ∈ add | update | delete (plus id, text,
-    * embedding for add/update), and the batch dispatches to the matching
-    * O(batch) maintenance path — append generations for adds, tombstone+
-    * re-index for updates ([[graft.search.BM25Index.upsertRefresh]] /
-    * [[graft.ann.IvfIndex.upsertRefresh]]), tombstones for deletes. Each
-    * path publishes through the pointer swap, so readers see the index
-    * before or after each op-slice of the micro-batch (per-slice, not
-    * per-batch, atomicity — the op slices are independent key sets, so no
-    * reader can observe a half-applied SLICE; a cross-slice-consistent
-    * view needs the generation-count check documented on
-    * [[startIndexRefresh]]). `st_cdc_maintenance` oracles the batch form
+    * embedding for add/update, and optionally `seq`, the CDC offset/LSN).
+    * Each micro-batch first REDUCES to the last event per id (when a seq
+    * column orders the feed — the Debezium-compaction step, so
+    * delete-then-re-add ends live and double-updates can't collide), then
+    * applies as ONE combined pass per index
+    * ([[graft.search.BM25Index.applyCdc]] /
+    * [[graft.ann.IvfIndex.applyCdc]]): one generation per table, one
+    * manifest swap per index per micro-batch — readers and crashes see a
+    * whole micro-batch applied or not at all, per index. Replayed batches
+    * skip via the same [[graft.sources.IndexManifest.lastBatch]] guard as
+    * [[refreshBatch]]. `st_cdc_maintenance` oracles the batch form
     * against full-recompute SQL over the post-CDC corpus; StreamingSpec
-    * drives the real MemoryStream form. */
+    * drives the real MemoryStream form, the replay no-op, and the
+    * in-batch add→delete→add ordering. */
   def startCdcMaintenance(docs: DataFrame, bm25Path: String, ivfPath: String,
                           checkpoint: String): StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.persist()
-        try applyCdcBatch(b, bm25Path, ivfPath)
-        finally { b.unpersist(); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cdcBatch(batch, batchId, bm25Path, ivfPath)
       }
       .start()
 
-  /** The per-micro-batch dispatch of [[startCdcMaintenance]], also the
-    * batch/oracle form: one maintenance pass for a mixed op batch. */
-  def applyCdcBatch(batch: DataFrame, bm25Path: String, ivfPath: String): Unit = {
+  /** The per-micro-batch body of [[startCdcMaintenance]], public so the
+    * replay spec can drive it directly. */
+  def cdcBatch(batch: DataFrame, batchId: Long,
+               bm25Path: String, ivfPath: String): Unit = {
+    val b = batch.persist()
+    try if (!applied(bm25Path, batchId) || !applied(ivfPath, batchId))
+      applyCdcBatch(b, bm25Path, ivfPath, batchId = Some(batchId))
+    finally { b.unpersist(); () }
+  }
+
+  /** The CDC dispatch, also the batch/oracle form: reduce the batch to
+    * its last event per id (when ordered by `seqCol`, defaulting to a
+    * `seq` column if present), split into changed (add | update — the
+    * index decides add-vs-update by presence, so a re-crawl mislabeled
+    * `add` still lands correctly) and deleted slices, and apply each index
+    * in ONE combined maintenance pass. Without a seq column, a batch
+    * carrying the same id twice fail-louds inside applyCdc (unordered
+    * duplicates are ambiguous); with one, deletes that reduce from an
+    * in-batch add+delete of a never-indexed id are legitimately absent
+    * from the index, so the delete-presence check relaxes. When `batchId`
+    * is given, an index whose manifest already stamps it is skipped — the
+    * exactly-once guard, applied per index. */
+  def applyCdcBatch(batch: DataFrame, bm25Path: String, ivfPath: String,
+                    batchId: Option[Long] = None,
+                    seqCol: Option[String] = None): Unit = {
+    import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
-    val adds = batch.filter(col("op") === "add").select("id", "text", "embedding")
-    val ups = batch.filter(col("op") === "update").select("id", "text", "embedding")
-    val dels = batch.filter(col("op") === "delete").select("id")
-    if (!adds.isEmpty) {
-      graft.search.BM25Index.refresh(spark, bm25Path, adds)
-      graft.ann.IvfIndex.refresh(spark, ivfPath, adds)
+    val ordered = seqCol.orElse(Option("seq").filter(batch.columns.contains))
+    val last = ordered match {
+      case Some(sc) =>
+        val w = Window.partitionBy("id").orderBy(desc(sc))
+        batch.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      case None => batch
     }
-    if (!ups.isEmpty) {
-      graft.search.BM25Index.upsertRefresh(spark, bm25Path, ups)
-      graft.ann.IvfIndex.upsertRefresh(spark, ivfPath, ups)
-    }
-    if (!dels.isEmpty) {
-      graft.search.BM25Index.deleteRefresh(spark, bm25Path, dels)
-      graft.ann.IvfIndex.deleteRefresh(spark, ivfPath, dels)
-    }
+    val changed = last.filter(col("op").isin("add", "update"))
+      .select("id", "text", "embedding")
+    val dels = last.filter(col("op") === "delete").select("id")
+    val strictDeletes = ordered.isEmpty
+    if (!batchId.exists(applied(bm25Path, _)))
+      graft.search.BM25Index.applyCdc(spark, bm25Path, changed, dels,
+        batchId = batchId, requireDeletesPresent = strictDeletes)
+    if (!batchId.exists(applied(ivfPath, _)))
+      graft.ann.IvfIndex.applyCdc(spark, ivfPath, changed, dels,
+        batchId = batchId, requireDeletesPresent = strictDeletes)
   }
 
   /** Wire a file-based event stream end-to-end (readStream → transform →

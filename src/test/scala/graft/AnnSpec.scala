@@ -120,6 +120,57 @@ class AnnSpec extends SparkSpec {
     got.foreach { case (id, cell) => assert(expect(id) == cell, s"id $id") }
   }
 
+  test("driftAudit flags a planted growth + sim-drop shift against the build baseline") {
+    val path = "/root/repo/target/tmp/ivf_drift_spec"
+    graft.sources.Store.deleteRecursive(path)
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    // build: 4 tight docs per axis cell — mean assign-sim ≈ 1.0 each
+    val seed = ((1L to 4L).map(i => (i, v(1, 0.01 * i))) ++
+      (5L to 8L).map(i => (i, v(0.01 * i, 1)))).toDF("id", "embedding")
+    val cents = Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f)))
+      .toDF("label", "centroid")
+    graft.ann.IvfIndex.buildWithCentroids(seed, cents, path)
+    val audit0 = graft.ann.IvfIndex.driftAudit(spark, path)
+      .select("ivf_cell", "retrain").as[(Int, Boolean)].collect().toMap
+    assert(audit0 == Map(0 -> false, 1 -> false), s"fresh build must not flag: $audit0")
+    // churn: 10 vectors near the 45° boundary flood cell 0 — its
+    // population grows 3.5× and its mean sim collapses toward 0.72
+    val flood = (20L to 29L).map(i => (i, v(0.72, 0.7))).toDF("id", "embedding")
+    graft.ann.IvfIndex.refresh(spark, path, flood)
+    val audit = graft.ann.IvfIndex.driftAudit(spark, path,
+        growthLimit = 2.0, simDropLimit = 0.1)
+      .select("ivf_cell", "n_built", "n_now", "growth", "sim_drop", "retrain")
+      .as[(Int, Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(audit(0)._3 == 14L && audit(0)._2 == 4L && audit(0)._4 == 3.5)
+    assert(audit(0)._5 > 0.1 && audit(0)._6, s"flooded cell must flag retrain: ${audit(0)}")
+    assert(!audit(1)._6, s"untouched cell must not flag: ${audit(1)}")
+  }
+
+  test("IVF refresh fail-louds on already-indexed and duplicate ids; the index never moves") {
+    val path = "/root/repo/target/tmp/ivf_guard_spec"
+    graft.sources.Store.deleteRecursive(path)
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val seed = Seq((1L, v(1, 0)), (2L, v(0, 1))).toDF("id", "embedding")
+    graft.ann.IvfIndex.buildWithCentroids(seed,
+      Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f))).toDF("label", "centroid"), path)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ann.IvfIndex.refresh(spark, path, Seq((1L, v(1, 0))).toDF("id", "embedding"))
+    }
+    assert(e1.getMessage.contains("ALREADY indexed"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ann.IvfIndex.refresh(spark, path,
+        Seq((3L, v(1, 0)), (3L, v(0, 1))).toDF("id", "embedding"))
+    }
+    assert(e2.getMessage.contains("duplicate ids"))
+    assert(graft.sources.Store.load(spark, s"$path/assignments").count() == 2L)
+    // upsertRefresh is the sanctioned re-crawl path for the same id
+    graft.ann.IvfIndex.upsertRefresh(spark, path, Seq((1L, v(0, 1))).toDF("id", "embedding"))
+    val cells = graft.sources.Store.load(spark, s"$path/assignments")
+      .select("id", "ivf_cell").as[(Long, Int)].collect().toMap
+    assert(cells == Map(1L -> 1, 2L -> 1))
+  }
+
   test("splitSkewedCells: a planted hot cell splits balanced; cold cells don't; probe unchanged") {
     val mem = Corpus.memories(spark, sf())
     val cent = Ann.centroidsByLabel(Tables.embeddings(spark, sf()))

@@ -101,6 +101,141 @@ class BM25IndexSpec extends SparkSpec {
     BM25.clearCache()
   }
 
+  test("maintenance succeeds with stored postings physically corrupted — it never reads them") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val path = "/root/repo/target/tmp/bm25idx_corrupt"
+    graft.sources.Store.deleteRecursive(path)
+    BM25Index.build(docs, path)
+    // corrupt every postings file OUTSIDE the probe terms' buckets: the
+    // probe stays answerable (bucket pruning), while any maintenance read
+    // of those files would explode on the garbage bytes
+    val probe = Seq("dup", "spark", "window")
+    val probePbs = BM25Index.bucketsForTerms(probe).toSet
+    val walked = Files.walk(Paths.get(path, "postings", "data"))
+    val corrupted = try walked.iterator().asScala.toVector
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        !probePbs.exists(b => p.toString.contains(s"pb=$b/")))
+      .map { p => Files.write(p, "NOT A PARQUET FILE".getBytes); p }
+    finally walked.close()
+    assert(corrupted.nonEmpty, "fixture must have postings outside the probe buckets")
+    // every maintenance path still runs against the corrupted store
+    BM25Index.deleteRefresh(spark, path, Seq(2L).toDF("id"))
+    BM25Index.upsertRefresh(spark, path,
+      Seq((3L, "dup dup shuffle salt")).toDF("id", "text"))
+    BM25Index.refresh(spark, path, Seq((7L, "fresh plan salt")).toDF("id", "text"))
+    // and probes over the untouched buckets still score exactly
+    val equivalent = Seq(
+      (1L, "dup merge window spark"),
+      (3L, "dup dup shuffle salt"),
+      (4L, "broadcast join plan"),
+      (5L, "window spark spark dup"),
+      (6L, ""),
+      (7L, "fresh plan salt")).toDF("id", "text")
+    BM25.clearCache()
+    assert(scoreMap(BM25Index.scores(spark, path, probe)) ==
+      scoreMap(BM25.scores(equivalent, probe)))
+    BM25.clearCache()
+  }
+
+  test("refresh fail-louds on already-indexed ids, duplicate batch ids, and null ids") {
+    val path = "/root/repo/target/tmp/bm25idx_guard"
+    graft.sources.Store.deleteRecursive(path)
+    BM25Index.build(docs, path)
+    // an add of an existing id would double-append postings: raise
+    val e1 = intercept[IllegalArgumentException] {
+      BM25Index.refresh(spark, path, Seq((1L, "replayed text")).toDF("id", "text"))
+    }
+    assert(e1.getMessage.contains("ALREADY indexed"))
+    // two versions of one doc in a single batch: raise
+    val e2 = intercept[IllegalArgumentException] {
+      BM25Index.refresh(spark, path,
+        Seq((7L, "v one"), (7L, "v two")).toDF("id", "text"))
+    }
+    assert(e2.getMessage.contains("duplicate ids"))
+    // a non-numeric id fails loud at the ANSI cast; a NULL id (which the
+    // cast passes through) trips the raise_error guard — either way it can
+    // never hash as null and silently merge documents
+    val e3 = intercept[Exception] {
+      BM25Index.refresh(spark, path,
+        Seq(("notanumber", "some text")).toDF("id", "text"))
+    }
+    assert(e3.getMessage.contains("CAST_INVALID_INPUT") ||
+      e3.getMessage.contains("null or non-numeric id"))
+    val e4 = intercept[Exception] {
+      BM25Index.refresh(spark, path,
+        Seq(Tuple2(null.asInstanceOf[java.lang.Long], "some text"))
+          .toDF("id", "text"))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e4).exists(_.contains("null or non-numeric id")), messages(e4))
+    // none of the failed calls may have moved the index
+    assert(graft.sources.Store.load(spark, s"$path/scalars").head().getLong(0) == 6L)
+  }
+
+  test("applyCdc lands a mixed update+delete batch in ONE generation per table ≡ rebuild") {
+    val path = "/root/repo/target/tmp/bm25idx_cdc"
+    graft.sources.Store.deleteRecursive(path)
+    BM25Index.build(docs, path)
+    val genBefore = graft.sources.Store.currentManifest(s"$path/postings").get._1
+    BM25Index.applyCdc(spark, path,
+      changed = Seq((1L, "espresso shuffle shuffle"),
+        (7L, "espresso merge plan")).toDF("id", "text"),
+      deletedIds = Seq(5L).toDF("id"))
+    // exactly one new postings generation for the whole mixed batch
+    assert(graft.sources.Store.currentManifest(s"$path/postings").get._1 == genBefore + 1)
+    val equivalent = Seq(
+      (1L, "espresso shuffle shuffle"),
+      (2L, "spark window agg join"),
+      (3L, "dup dup shuffle merge"),
+      (4L, "broadcast join plan"),
+      (6L, ""),
+      (7L, "espresso merge plan")).toDF("id", "text")
+    val probe = Seq("dup", "spark", "window", "shuffle", "espresso", "merge")
+    BM25.clearCache()
+    assert(scoreMap(BM25Index.scores(spark, path, probe)) ==
+      scoreMap(BM25.scores(equivalent, probe)))
+    assert(graft.sources.Store.load(spark, s"$path/scalars").head().getLong(0) == 6L)
+    BM25.clearCache()
+  }
+
+  test("compactBuckets rewrites ONLY the named buckets; scores and untouched files unchanged") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val path = "/root/repo/target/tmp/bm25idx_compact"
+    graft.sources.Store.deleteRecursive(path)
+    BM25Index.build(docs, path)
+    BM25Index.deleteRefresh(spark, path, Seq(2L).toDF("id"))
+    BM25.clearCache()
+    val pre = scoreMap(BM25Index.scores(spark, path, query))
+    def postingFiles() = {
+      val w = Files.walk(Paths.get(path, "postings", "data"))
+      try w.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(_.toString).toSet
+      finally w.close()
+    }
+    val before = postingFiles()
+    // the worklist: doc 2's terms (the invalidation plan's bm25_term keys)
+    // and its id bucket — driver-side Murmur3, no job
+    val pbs = BM25Index.bucketsForTerms(Seq("spark", "window", "agg", "join"))
+    BM25Index.compactBuckets(spark, path, pbs, BM25Index.bucketsForIds(Seq(2L)))
+    val after = postingFiles()
+    // immutability: no pre-existing file was rewritten or dropped
+    assert(before.subsetOf(after), s"missing: ${before -- after}")
+    // targeting: every NEW postings DATA file sits in a named bucket's dir
+    // (the paired tombstone dir holds only partition keys, no pb= layout)
+    val added = (after -- before).filter(_.matches(".*/data/b\\d+/.*"))
+    assert(added.nonEmpty)
+    assert(added.forall(f => pbs.exists(b => f.contains(s"pb=$b/"))),
+      s"compaction wrote outside the named buckets: ${added.filterNot(f => pbs.exists(b => f.contains(s"pb=$b/")))}")
+    // and the rewrite is semantically invisible
+    assert(scoreMap(BM25Index.scores(spark, path, query)) == pre)
+    BM25.clearCache()
+  }
+
   test("hybrid search with the sparse-query trigger recovers via PRF; rich queries untouched") {
     import graft.search.HybridSearch
     // the espresso corpus wearing the engine's memory schema; embeddings

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.SparkHash
+
+/** Pins [[graft.functions.SparkHash]]'s driver-side Murmur3 to Spark's
+  * `hash()` column bit-for-bit — the equality every planning-time bucket
+  * list (BM25Index pb/db pruning) rests on. If a Spark upgrade ever moved
+  * the hash function or seed, this is the spec that catches it before a
+  * pruned maintenance read silently misses its partitions. */
+class HashBridgeSpec extends SparkSpec {
+
+  test("driver-side hashLong equals hash() over longs, incl. negatives and extremes") {
+    val s = spark
+    import s.implicits._
+    val vs: Seq[Long] = Seq(0L, 1L, -1L, 42L, -42L, 7919L, Long.MaxValue,
+      Long.MinValue, 1234567890123L, -987654321987L) ++
+      (0 until 100).map(i => i * 2654435761L - 50L * 2654435761L)
+    val sparkSide = vs.toDF("v")
+      .select(col("v"), hash(col("v")).as("h"))
+      .as[(Long, Int)].collect().toMap
+    vs.foreach { v =>
+      assert(SparkHash.hashLong(v) == sparkSide(v),
+        s"hashLong($v): driver ${SparkHash.hashLong(v)} vs spark ${sparkSide(v)}")
+    }
+  }
+
+  test("driver-side hashString equals hash() over strings, incl. unicode and empty-ish") {
+    val s = spark
+    import s.implicits._
+    val vs = Seq("a", "term", "the", "spark window agg", "naïve café 日本語",
+      "x" * 300, "7919", " ", "\t", "a,b,c|d") ++
+      (0 until 50).map(i => s"tok_${i}_${"ab" * (i % 7)}")
+    val sparkSide = vs.toDF("v")
+      .select(col("v"), hash(col("v")).as("h"))
+      .as[(String, Int)].collect().toMap
+    vs.foreach { v =>
+      assert(SparkHash.hashString(v) == sparkSide(v),
+        s"hashString($v): driver ${SparkHash.hashString(v)} vs spark ${sparkSide(v)}")
+    }
+  }
+
+  test("bucketOf* equals pmod(hash(col), n) for the index layouts' bucket counts") {
+    val s = spark
+    import s.implicits._
+    val longs = (-20L to 20L) ++ Seq(Long.MinValue, Long.MaxValue)
+    val lb = longs.toDF("v")
+      .select(col("v"), pmod(hash(col("v")), lit(32)).as("b"))
+      .as[(Long, Int)].collect().toMap
+    longs.foreach(v => assert(SparkHash.bucketOfLong(v, 32) == lb(v)))
+    val strs = Seq("alpha", "beta", "gamma", "Δ", "")
+    val sb = strs.toDF("v")
+      .select(col("v"), pmod(hash(col("v")), lit(32)).as("b"))
+      .as[(String, Int)].collect().toMap
+    strs.foreach(v => assert(SparkHash.bucketOfString(v, 32) == sb(v)))
+  }
+}

@@ -116,23 +116,38 @@ class JobCountSpec extends SparkSpec {
     "gr_components_incremental" -> 35,
     "tc_decontam_report" -> 23,
     "r17_prf_expansion" -> 13,
-    // round-10 maintenance family (measured in-suite at sf0.001:
-    // 15/33/89/217/162 + ~15%): each of these is a FIXED number of
-    // generation publishes (write + read-back verify + prune) plus the
-    // vocabulary-stats recompute per BM25 refresh — the counts are
-    // plan constants, not corpus functions, so a regression here means
-    // an extra pass over stored state, exactly what O(batch)
-    // maintenance must never grow
+    // maintenance family, re-measured 2026-08-15 (round 12) after the
+    // combined-applyCdc / driver-side-Murmur3 rework: each of these is a
+    // FIXED number of generation publishes (write + read-back verify +
+    // prune) plus the vocabulary-stats recompute per BM25 refresh — the
+    // counts are plan constants, not corpus functions, so a regression
+    // here means an extra pass over stored state, exactly what O(batch)
+    // maintenance must never grow. Ceilings = measured + ~15%.
     "ann_ivf_skew_split" -> 18,
-    "ann_ivf_delete_refresh" -> 38,
-    // delete + plan + targeted rewrite of the planned cells (measured 56)
-    "ann_ivf_compact_cells" -> 65,
-    "r2_bm25_delete_refresh" -> 103,
-    "op_invalidation_apply" -> 250,
-    "st_index_refresh" -> 187,
-    // all three op paths (add append + update upsert + delete tombstone)
-    // across both indexes in one batch (measured 274)
-    "st_cdc_maintenance" -> 315
+    // r12: 41 → 55 measured. Bought: the id-presence sidecar (one more
+    // table per IVF publish: write + read-back), the build-time cellstats
+    // + drift baseline, and the delete-presence fail-loud — each a pinned
+    // behavior (AnnSpec guards, ann_ivf_drift), none a stored-state scan
+    "ann_ivf_delete_refresh" -> 64,
+    // delete + plan + targeted rewrite of the planned cells (measured 80
+    // — same +sidecar/+cellstats delta over its r10 56 as the delete pin)
+    "ann_ivf_compact_cells" -> 92,
+    // r12: 106 → 98 measured — the driver-side bucket lists and combined
+    // count+sum aggs paid for the new novelty fail-loud with room to spare
+    "r2_bm25_delete_refresh" -> 113,
+    // r12: 259 → 185 measured — updates + deletes now land as ONE
+    // combined applyCdc generation per table instead of sequential
+    // upsert-then-delete publishes
+    "op_invalidation_apply" -> 213,
+    // r12: 207 → 238 measured. Bought per micro-batch: the BM25 novelty
+    // presence read, the IVF sidecar presence read + publish, and the
+    // exactly-once manifest stamps — the replay/duplicate guards
+    // StreamingSpec now pins
+    "st_index_refresh" -> 274,
+    // r12: 348 → 190 measured — the whole mixed CDC batch is one
+    // applyCdc pass per index (one generation per table, one manifest
+    // swap) instead of three op-slice dispatches
+    "st_cdc_maintenance" -> 219
   )
 
   private val counter = new AtomicInteger(0)

@@ -138,11 +138,7 @@ class StreamingSpec extends SparkSpec {
     // centroids: the two axis clusters, stored once at build (classic IVF)
     val centroids = Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f)))
       .toDF("label", "centroid")
-    graft.sources.Store.save(centroids, s"$ivfPath/centroids")
-    graft.sources.Store.savePartitioned(
-      graft.ann.Ann.assign(seed.select("id", "embedding"),
-        graft.sources.Store.load(spark, s"$ivfPath/centroids")),
-      s"$ivfPath/assignments", "ivf_cell")
+    graft.ann.IvfIndex.buildWithCentroids(seed, centroids, ivfPath)
     val input = MemoryStream[(Long, String, Array[Float])]
     val docs = input.toDF().toDF("id", "text", "embedding")
     val q = EventStream.startIndexRefresh(docs, Some(bm25Path), Some(ivfPath), ckpt)
@@ -183,11 +179,7 @@ class StreamingSpec extends SparkSpec {
     graft.search.BM25Index.build(seed, bm25Path)
     val centroids = Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f)))
       .toDF("label", "centroid")
-    graft.sources.Store.save(centroids, s"$ivfPath/centroids")
-    graft.sources.Store.savePartitioned(
-      graft.ann.Ann.assign(seed.select("id", "embedding"),
-        graft.sources.Store.load(spark, s"$ivfPath/centroids")),
-      s"$ivfPath/assignments", "ivf_cell")
+    graft.ann.IvfIndex.buildWithCentroids(seed, centroids, ivfPath)
     val input = MemoryStream[(Long, String, Array[Float], String)]
     val docs = input.toDF().toDF("id", "text", "embedding", "op")
     val q = EventStream.startCdcMaintenance(docs, bm25Path, ivfPath, ckpt)
@@ -226,6 +218,83 @@ class StreamingSpec extends SparkSpec {
       .select("id", "ivf_cell").as[(Long, Int)].collect().toMap
     assert(live == expect && live.size == 4,
       s"post-CDC assignments must equal a rebuild: $live vs $expect")
+  }
+
+  test("a re-delivered micro-batch is a no-op: the manifest batch stamp makes refresh exactly-once") {
+    val bm25Path = "/root/repo/target/tmp/replay_bm25"
+    val ivfPath = "/root/repo/target/tmp/replay_ivf"
+    Seq(bm25Path, ivfPath).foreach(graft.sources.Store.deleteRecursive)
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val seed = Seq((1L, "dup merge window", v(1, 0)),
+      (2L, "spark window agg", v(0, 1))).toDF("id", "text", "embedding")
+    graft.search.BM25Index.build(seed, bm25Path)
+    graft.ann.IvfIndex.buildWithCentroids(seed,
+      Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f))).toDF("label", "centroid"),
+      ivfPath)
+    val batch = Seq((3L, "dup dup shuffle", v(0.8, 0.6))).toDF("id", "text", "embedding")
+    EventStream.refreshBatch(batch, 0L, Some(bm25Path), Some(ivfPath))
+    val n1 = graft.sources.Store.load(spark, s"$bm25Path/scalars").head().getLong(0)
+    val a1 = graft.sources.Store.load(spark, s"$ivfPath/assignments").count()
+    // crash-replay: foreachBatch re-delivers batch 0 — without the stamp
+    // guard this would fail-loud in refresh (id 3 already indexed) or,
+    // pre-guard, silently double-append; with it, a clean no-op
+    EventStream.refreshBatch(batch, 0L, Some(bm25Path), Some(ivfPath))
+    assert(graft.sources.Store.load(spark, s"$bm25Path/scalars").head().getLong(0) == n1)
+    assert(graft.sources.Store.load(spark, s"$ivfPath/assignments").count() == a1)
+    assert(n1 == 3L && a1 == 3L)
+    // a LATER batch still applies
+    EventStream.refreshBatch(
+      Seq((4L, "broadcast join plan", v(0.6, 0.8))).toDF("id", "text", "embedding"),
+      1L, Some(bm25Path), Some(ivfPath))
+    assert(graft.sources.Store.load(spark, s"$bm25Path/scalars").head().getLong(0) == 4L)
+  }
+
+  test("seq-ordered CDC batch reduces to the last event per id: add→delete→add ends live") {
+    val bm25Path = "/root/repo/target/tmp/cdcseq_bm25"
+    val ivfPath = "/root/repo/target/tmp/cdcseq_ivf"
+    Seq(bm25Path, ivfPath).foreach(graft.sources.Store.deleteRecursive)
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val seed = Seq((1L, "dup merge window", v(1, 0)),
+      (2L, "spark window agg", v(0, 1))).toDF("id", "text", "embedding")
+    graft.search.BM25Index.build(seed, bm25Path)
+    graft.ann.IvfIndex.buildWithCentroids(seed,
+      Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f))).toDF("label", "centroid"),
+      ivfPath)
+    // one micro-batch, ordered by seq:
+    //  id 10: add → delete → add(final)      — must end LIVE with the final text
+    //  id 11: add → delete                    — never-indexed no-op, must end absent
+    //  id 1:  two updates                     — last one wins, no fail-stop
+    //  id 2:  delete → (nothing)              — a plain ordered delete
+    val batch = Seq(
+      (10L, "first version text", v(1, 0), "add", 1L),
+      (10L, "", Array.empty[Float], "delete", 2L),
+      (10L, "window plan final", v(0, 1), "add", 3L),
+      (11L, "ephemeral doc", v(1, 0), "add", 1L),
+      (11L, "", Array.empty[Float], "delete", 2L),
+      (1L, "first recrawl", v(1, 0), "update", 1L),
+      (1L, "merge plan spark", v(0, 1), "update", 2L),
+      (2L, "", Array.empty[Float], "delete", 1L)
+    ).toDF("id", "text", "embedding", "op", "seq")
+    EventStream.cdcBatch(batch, 0L, bm25Path, ivfPath)
+    val expected = Seq(
+      (1L, "merge plan spark", v(0, 1)),
+      (10L, "window plan final", v(0, 1)))
+    val probe = Seq("dup", "spark", "window", "merge", "plan", "final")
+    graft.search.BM25.clearCache()
+    val streamed = graft.search.BM25Index.scores(spark, bm25Path, probe)
+      .as[(Long, Double)].collect().toMap
+    val scratch = graft.search.BM25.scores(
+      expected.toDF("id", "text", "embedding").select("id", "text"), probe)
+      .as[(Long, Double)].collect().toMap
+    assert(streamed == scratch,
+      s"seq-reduced CDC must land on last-event state: $streamed vs $scratch")
+    graft.search.BM25.clearCache()
+    val live = graft.sources.Store.load(spark, s"$ivfPath/assignments")
+      .select("id", "ivf_cell").as[(Long, Int)].collect().toMap
+    assert(live.keySet == Set(1L, 10L), s"live assignments: $live")
+    // and the whole mixed batch is replay-safe
+    EventStream.cdcBatch(batch, 0L, bm25Path, ivfPath)
+    assert(graft.sources.Store.load(spark, s"$bm25Path/scalars").head().getLong(0) == 2L)
   }
 
   test("the same transform answers identically in batch mode (oracle form)") {
