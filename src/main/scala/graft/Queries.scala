@@ -551,6 +551,24 @@ object Queries {
       graft.dedup.LshIndex.nearDuplicates(s, path, threshold = 0.2)
         .orderBy("id_a", "id_b")
     }),
+    // incremental candidate generation from the stored index: after the
+    // second half lands as a refresh batch, generate ONLY the pairs whose
+    // greater side is in the batch (old-old pairs were resolved when the
+    // old half landed). Oracle = the full-recompute pair SQL restricted
+    // to batch-side greater ids — exact because batch ids are strictly
+    // greater than every stored id (the nearDuplicatesIncremental
+    // contract)
+    "lsh_index_batch_pairs" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_lsh_bp_${ProcessHandle.current().pid()}"
+      reapAtExit(path)
+      val d = docs(s, dir)
+      val half = Corpus.nDocs(s, dir) / 2
+      graft.dedup.LshIndex.build(d.filter(col("id") < half), path)
+      graft.dedup.LshIndex.refresh(s, path, d.filter(col("id") >= half))
+      graft.dedup.LshIndex.nearDuplicatesForBatch(s, path,
+        d.filter(col("id") >= half).select("id"), threshold = 0.2)
+        .orderBy("id_a", "id_b")
+    }),
     "sh_simhash_fp" -> ((s, dir) =>
       SimHash.fingerprints(docs(s, dir)).orderBy("id")),
     "sh_simhash_neardup" -> ((s, dir) =>
@@ -1337,6 +1355,22 @@ object Queries {
          |cp AS MATERIALIZED (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |  FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id)
+         |SELECT * FROM (
+         |  SELECT cp.id_a, cp.id_b,
+         |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |      / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+         |  FROM cp JOIN sh x ON cp.id_a = x.id JOIN sh y ON cp.id_b = y.id)
+         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+    // the full-corpus pair SQL restricted to pairs whose greater side is
+    // in the refresh batch (ids >= half): what incremental candidate
+    // generation from the stored index must produce exactly
+    "lsh_index_batch_pairs" ->
+      s"""WITH ${OracleText.shingleCte()},
+         |${OracleText.minhashCtes},
+         |cp AS MATERIALIZED (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id
+         |  WHERE b.id >= (SELECT count(*) FROM documents) // 2)
          |SELECT * FROM (
          |  SELECT cp.id_a, cp.id_b,
          |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)

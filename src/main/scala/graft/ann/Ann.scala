@@ -50,15 +50,24 @@ object Ann {
   /** [[assign]] keeping the winning similarity as `csim` — the assign-time
     * dot the argmax already computed. [[IvfIndex]] persists it so the cell
     * drift monitor is a 2-column scan of the stored assignments instead of
-    * a second broadcast-join+dot pass over the corpus. */
+    * a second broadcast-join+dot pass over the corpus.
+    *
+    * The argmax is a `max_by` hash aggregation, not a rank window: partial
+    * (map-side) aggregation collapses the corpus × nlist scored rows to
+    * one row per id BEFORE the shuffle — at nlist = 4096 that is three
+    * orders of magnitude less shuffle traffic than sorting every scored
+    * row by id. Ties break exactly like the old window (csim desc, label
+    * asc) via the (csim, −label) ordering struct. */
   def assignWithSim(df: DataFrame, centroids: DataFrame): DataFrame = {
+    val others = df.columns.filterNot(_ == "id").toSeq
     val scored = df.join(broadcast(centroids))
       .withColumn("_csim", dot(col("embedding"), col("centroid")))
-    val w = Window.partitionBy("id").orderBy(desc("_csim"), asc("label"))
-    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .drop("_rn", "centroid")
-      .withColumnRenamed("_csim", "csim")
-      .withColumnRenamed("label", "ivf_cell")
+    scored.groupBy("id")
+      .agg(max_by(
+        struct(others.map(col) ++ Seq(col("label").as("_lbl"), col("_csim").as("_cs")): _*),
+        struct(col("_csim"), (-col("label")).as("_nl"))).as("_w"))
+      .select(col("id") +: (others.map(c => col(s"_w.$c").as(c)) ++
+        Seq(col("_w._lbl").as("ivf_cell"), col("_w._cs").as("csim"))): _*)
   }
 
   /** Cell-skew defense (r9 verdict #4): real embedding distributions give

@@ -81,9 +81,24 @@ object IvfIndex {
     ids.toDF("id")
   }
 
+  /** Sub-splits per cell in the assignments write layout: repartitioning
+    * by cell alone would put a hot cell's whole population in ONE task
+    * (the skew [[Ann.splitSkewedCells]] exists to fight); by (cell,
+    * hash(id) mod SubSplits) a write lands ≤ SubSplits files per cell from
+    * balanced tasks — instead of every task writing into every cell dir
+    * (tasks × nlist tiny files, the planning-time poison at 100 TB). */
+  val SubSplits = 4
+
+  private def cellLayout(assigned: DataFrame): DataFrame =
+    assigned.repartition(col("ivf_cell"),
+      pmod(hash(col("id")), lit(SubSplits)))
+
+  // repartitioned by the hive column so a write lands DBuckets files, not
+  // numPartitions × DBuckets (the small-files guard on every bucketed write)
   private def idRows(spark: SparkSession, ids: Seq[Long]): DataFrame =
     localIds(spark, ids)
       .withColumn("db", pmod(hash(col("id")), lit(DBuckets)))
+      .repartition(col("db"))
 
   /** How many of `ids` are already indexed — a PRUNED read of the id
     * sidecar's batch buckets (bucket list driver-side Murmur3, batch side
@@ -114,11 +129,12 @@ object IvfIndex {
     Store.save(centroids, s"$path/centroids")
     val rows = memories.select(col(idCol).as("id"), col("embedding"))
     Store.savePartitioned(
-      Ann.assignWithSim(rows, Store.load(spark, s"$path/centroids")),
+      cellLayout(Ann.assignWithSim(rows, Store.load(spark, s"$path/centroids"))),
       s"$path/assignments", "ivf_cell")
     Store.save(cellStatsOf(spark, path), s"$path/cellstats")
     Store.savePartitioned(
-      rows.select("id").withColumn("db", pmod(hash(col("id")), lit(DBuckets))),
+      rows.select("id").withColumn("db", pmod(hash(col("id")), lit(DBuckets)))
+        .repartition(col("db")),
       s"$path/ids", "db")
     IndexManifest.capture(path, Tables)
   }
@@ -145,7 +161,7 @@ object IvfIndex {
         "re-adding would leave duplicate live assignment rows; route " +
         "re-crawls through upsertRefresh (or dedupe the replayed batch)")
     val cents = Store.load(spark, s"$path/centroids")
-    Store.appendBatch(Ann.assignWithSim(rows, cents),
+    Store.appendBatch(cellLayout(Ann.assignWithSim(rows, cents)),
       s"$path/assignments", "ivf_cell")
     Store.appendBatch(idRows(spark, ids.toSeq), s"$path/ids", "db")
     IndexManifest.capture(path, Tables, batchId)
@@ -209,7 +225,7 @@ object IvfIndex {
     val keys = localIds(spark, allIds)
     if (chIds.nonEmpty) {
       val cents = Store.load(spark, s"$path/centroids")
-      Store.upsertBatch(Ann.assignWithSim(rows.get, cents),
+      Store.upsertBatch(cellLayout(Ann.assignWithSim(rows.get, cents)),
         s"$path/assignments", keys, "ivf_cell")
       Store.upsertBatch(idRows(spark, chIds.toSeq), s"$path/ids", keys, "db")
     } else {

@@ -48,12 +48,16 @@ object LshIndex {
 
   private val Tables = Seq("shingles", "bands")
 
+  // both writers repartition by their hive column so a write lands one
+  // file per partition dir, not numPartitions × dirs of tiny files
   private def withDb(df: DataFrame): DataFrame =
     df.withColumn("db", pmod(hash(col("id")), lit(DBuckets)))
+      .repartition(col("db"))
 
   private def bandsOf(sh: DataFrame): DataFrame =
     MinHashLsh.bands(sh.select(col("id"),
       MinHashLsh.signature(col("sh")).as("sig")))
+      .repartition(col("band"))
 
   private def collectIds(ids: DataFrame, failOnDup: Boolean,
                          what: String): Array[Long] = {
@@ -134,6 +138,74 @@ object LshIndex {
       Store.upsertBatch(bandsOf(sh), s"$path/bands", keys, "band")
     }
     IndexManifest.capture(path, Tables, batchId)
+  }
+
+  /** The general O(batch) maintenance pass — a mixed CDC batch applied in
+    * ONE generation per table (the [[graft.search.BM25Index.applyCdc]]
+    * shape, shingle side): both tables get a single [[Store.upsertBatch]]
+    * whose tombstone keys are ALL batch ids (changed ∪ deleted) and whose
+    * data dir carries the changed docs' fresh shingles/bands; one manifest
+    * swap seals the batch. Deletes are lenient (no global scalar exists to
+    * go stale); duplicate changed ids and changed∩deleted overlap raise. */
+  def applyCdc(spark: SparkSession, path: String,
+               changed: DataFrame, deletedIds: DataFrame,
+               n: Int = 3, batchId: Option[Long] = None): Unit = {
+    val chIds = Option(changed)
+      .map(c => collectIds(c.select("id"), failOnDup = true, "applyCdc"))
+      .getOrElse(Array.empty[Long])
+    val delIds = Option(deletedIds)
+      .map(c => collectIds(c.select("id"), failOnDup = false, "applyCdc deletes"))
+      .getOrElse(Array.empty[Long])
+    val overlap = chIds.toSet.intersect(delIds.toSet)
+    require(overlap.isEmpty,
+      s"applyCdc: ids ${overlap.take(3).mkString(", ")} appear in BOTH the " +
+        "changed and deleted slices — reduce the batch to its last event per key")
+    if (chIds.isEmpty && delIds.isEmpty) {
+      IndexManifest.capture(path, Tables, batchId); return
+    }
+    val keys = localIds(spark, (chIds ++ delIds).toSeq)
+    val sh = Option(changed).filter(_ => chIds.nonEmpty)
+      .map(MinHashLsh.shingleSets(_, n).localCheckpoint(true))
+    if (sh.exists(!_.isEmpty)) {
+      Store.upsertBatch(withDb(sh.get), s"$path/shingles", keys, "db")
+      Store.upsertBatch(bandsOf(sh.get), s"$path/bands", keys, "band")
+    } else {
+      Store.deleteBatch(spark, s"$path/shingles", keys)
+      Store.deleteBatch(spark, s"$path/bands", keys)
+    }
+    IndexManifest.capture(path, Tables, batchId)
+  }
+
+  /** Incremental candidate generation for a just-landed batch — the
+    * stored form of [[MinHashLsh.nearDuplicatesIncremental]]: only pairs
+    * whose GREATER side is in `batchIds` are generated and verified, so an
+    * ingest pipeline pays O(batch-side buckets), never re-deriving the
+    * old-old pairs. Same two contracts as the in-session form keep it
+    * EXACTLY the full-run pairs touching the batch: bucket skew sizing
+    * runs over the FULL live band set (admission identical), and batch
+    * ids must be strictly greater than every stored id. */
+  def nearDuplicatesForBatch(spark: SparkSession, path: String,
+                             batchIds: DataFrame, threshold: Double,
+                             maxBucket: Int = 1000): DataFrame = {
+    val ld = IndexManifest.resolve(spark, path)
+    val banded = ld("bands")
+    val sized = banded.groupBy("band", "key").agg(count(lit(1)).as("cnt"))
+    val ok = banded.join(sized.filter(col("cnt") <= maxBucket), Seq("band", "key"))
+      .select("id", "band", "key")
+    val okNew = ok.join(batchIds.select("id"), Seq("id"), "left_semi")
+    val cand = ok.as("a").join(okNew.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sh = ld("shingles")
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
+      .withColumn("jaccard",
+        round(graft.functions.TextFunctions.jaccardSim(col("sha"), col("shb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Near-duplicate pairs from the PERSISTED index: the

@@ -13,10 +13,17 @@ import graft.sources.{IndexManifest, Store}
   * (memory_engine.py:224-232); a corpus that doesn't fit one machine needs
   * the same state as tables:
   *
-  *   <path>/postings  (id, term, tf, pb)  hive-partitioned by pb =
+  *   <path>/postings  (id, term, tf, dl, pb)  hive-partitioned by pb =
   *                    hash(term) mod [[PBuckets]], term-sorted within
   *                    files: a query prunes to its terms' bucket DIRS at
-  *                    planning time, then to row groups via term min/max
+  *                    planning time, then to row groups via term min/max.
+  *                    `dl` is the owning doc's token count DENORMALIZED
+  *                    into every posting (the classic doc-norm-in-postings
+  *                    layout, e.g. Lucene's norms alongside postings): the
+  *                    scoring path needs (tf, dl) per hit, and carrying dl
+  *                    here is +8 bytes/row against NEVER scanning the
+  *                    doclens table at query time — at 100 TB that join
+  *                    was the one corpus-sized shuffle left in [[scores]]
   *   <path>/doclens   (id, dl, terms, db) per-doc token count + DISTINCT
   *                    TERM LIST, hive-partitioned by db = hash(id) mod
   *                    [[DBuckets]]: the term list is what lets a DELETE
@@ -103,14 +110,22 @@ object BM25Index {
       col(textCol).as("text"))
   }
 
-  private def withPb(tf: DataFrame): DataFrame =
-    tf.withColumn("pb", pmod(hash(col("term")), lit(PBuckets)))
+  /** The postings rows of a tokenized batch, dl denormalized in (one
+    * O(batch) id-join against the batch's own doclens frame — never the
+    * stored table). */
+  private def withPb(tf: DataFrame, dls: DataFrame): DataFrame =
+    tf.join(dls.select("id", "dl"), "id")
+      .withColumn("pb", pmod(hash(col("term")), lit(PBuckets)))
       .repartition(col("pb")).sortWithinPartitions("pb", "term")
 
+  // repartition by the hive column before a partitioned write: without it
+  // every task writes into every bucket dir (numPartitions × DBuckets tiny
+  // files — the small-files failure mode a 100 TB table cannot absorb)
   private def doclensOf(tf: DataFrame): DataFrame =
     tf.groupBy("id").agg(sum("tf").as("dl"),
         sort_array(collect_list("term")).as("terms"))
       .withColumn("db", pmod(hash(col("id")), lit(DBuckets)))
+      .repartition(col("db")).sortWithinPartitions("db", "id")
 
   /** Collect a maintenance batch's DISTINCT ids to the driver in ONE job,
     * failing loud on duplicates when `failOnDup` (two versions of a doc in
@@ -147,8 +162,9 @@ object BM25Index {
     val spark = docs.sparkSession
     val d = norm(docs, textCol, idCol)
     val tf = BM25.termFreqs(d).localCheckpoint(true) // one tokenize, read 4x
-    Store.savePartitioned(withPb(tf), s"$path/postings", "pb")
-    Store.savePartitioned(doclensOf(tf), s"$path/doclens", "db")
+    val dls = doclensOf(tf).localCheckpoint(true) // read 2x: save + dl join
+    Store.savePartitioned(withPb(tf, dls), s"$path/postings", "pb")
+    Store.savePartitioned(dls, s"$path/doclens", "db")
     Store.save(tf.groupBy("term").agg(count(lit(1)).as("df"))
       .repartition(col("term")).sortWithinPartitions("term"), s"$path/terms")
     writeScalars(spark, path, d.count(),
@@ -184,8 +200,9 @@ object BM25Index {
     val agg = tf.agg(count(lit(1)), coalesce(sum("tf"), lit(0L))).head()
     val (tfRows, tokAdd) = (agg.getLong(0), agg.getLong(1))
     if (tfRows > 0) {
-      Store.appendBatch(withPb(tf), s"$path/postings", "pb")
-      Store.appendBatch(doclensOf(tf), s"$path/doclens", "db")
+      val dls = doclensOf(tf).localCheckpoint(true)
+      Store.appendBatch(withPb(tf, dls), s"$path/postings", "pb")
+      Store.appendBatch(dls, s"$path/doclens", "db")
       mergeDfDelta(spark, path, tf.groupBy("term").agg(count(lit(1)).as("d")))
     }
     writeScalars(spark, path, oldN + ids.length, oldTotal + tokAdd)
@@ -289,8 +306,9 @@ object BM25Index {
     }.getOrElse((0L, 0L))
     val keys = localIds(spark, allIds.toSeq)
     if (tfRows > 0) {
-      Store.upsertBatch(withPb(tf.get), s"$path/postings", keys, "pb")
-      Store.upsertBatch(doclensOf(tf.get), s"$path/doclens", keys, "db")
+      val dls = doclensOf(tf.get).localCheckpoint(true)
+      Store.upsertBatch(withPb(tf.get, dls), s"$path/postings", keys, "pb")
+      Store.upsertBatch(dls, s"$path/doclens", keys, "db")
     } else if (presentAll > 0) {
       Store.deleteBatch(spark, s"$path/postings", keys)
       Store.deleteBatch(spark, s"$path/doclens", keys)
@@ -377,10 +395,12 @@ object BM25Index {
       .withColumn("idf",
         when(idfRaw(n) < 0, lit(BM25.Epsilon * avgIdf)).otherwise(idfRaw(n)))
     val pbs = qd.map(SparkHash.bucketOfString(_, PBuckets)).distinct
+    // dl rides inside the postings rows: the whole scoring plan is ONE
+    // pruned postings scan + a broadcast of |query| term rows — no
+    // corpus-sized doclens join
     ld("postings")
       .filter(col("pb").isin(pbs: _*) && col("term").isin(qd: _*))
       .join(broadcast(q.join(terms, "term")), "term")
-      .join(ld("doclens").select("id", "dl"), "id")
       .groupBy("id")
       .agg(round(sum(
         col("qn") * col("idf") * col("tf") * (lit(BM25.K1) + 1.0) /

@@ -290,21 +290,25 @@ object EventStream {
     * drives the real MemoryStream form, the replay no-op, and the
     * in-batch add→delete→add ordering. */
   def startCdcMaintenance(docs: DataFrame, bm25Path: String, ivfPath: String,
-                          checkpoint: String): StreamingQuery =
+                          checkpoint: String,
+                          lshPath: Option[String] = None): StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        cdcBatch(batch, batchId, bm25Path, ivfPath)
+        cdcBatch(batch, batchId, bm25Path, ivfPath, lshPath)
       }
       .start()
 
   /** The per-micro-batch body of [[startCdcMaintenance]], public so the
     * replay spec can drive it directly. */
   def cdcBatch(batch: DataFrame, batchId: Long,
-               bm25Path: String, ivfPath: String): Unit = {
+               bm25Path: String, ivfPath: String,
+               lshPath: Option[String] = None): Unit = {
     val b = batch.persist()
-    try if (!applied(bm25Path, batchId) || !applied(ivfPath, batchId))
-      applyCdcBatch(b, bm25Path, ivfPath, batchId = Some(batchId))
+    try if (!applied(bm25Path, batchId) || !applied(ivfPath, batchId) ||
+      lshPath.exists(!applied(_, batchId)))
+      applyCdcBatch(b, bm25Path, ivfPath, batchId = Some(batchId),
+        lshPath = lshPath)
     finally { b.unpersist(); () }
   }
 
@@ -322,7 +326,8 @@ object EventStream {
     * exactly-once guard, applied per index. */
   def applyCdcBatch(batch: DataFrame, bm25Path: String, ivfPath: String,
                     batchId: Option[Long] = None,
-                    seqCol: Option[String] = None): Unit = {
+                    seqCol: Option[String] = None,
+                    lshPath: Option[String] = None): Unit = {
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
     val ordered = seqCol.orElse(Option("seq").filter(batch.columns.contains))
@@ -343,6 +348,9 @@ object EventStream {
     if (!batchId.exists(applied(ivfPath, _)))
       graft.ann.IvfIndex.applyCdc(spark, ivfPath, changed, dels,
         batchId = batchId, requireDeletesPresent = strictDeletes)
+    lshPath.filterNot(p => batchId.exists(applied(p, _))).foreach(p =>
+      graft.dedup.LshIndex.applyCdc(spark, p,
+        changed.select("id", "text"), dels, batchId = batchId))
   }
 
   /** Wire a file-based event stream end-to-end (readStream → transform →

@@ -45,6 +45,19 @@ class LshIndexSpec extends SparkSpec {
       pairs(MinHashLsh.nearDuplicates(corpus.filter(col("id") =!= 5), 0.2)))
   }
 
+  test("incremental batch pairs == the full run's pairs whose greater side is in the batch") {
+    val path = "/root/repo/target/tmp/lsh_idx_bp"
+    graft.sources.Store.deleteRecursive(path)
+    LshIndex.build(corpus.filter(col("id") <= 3), path)
+    LshIndex.refresh(spark, path, corpus.filter(col("id") > 3))
+    val batch = pairs(LshIndex.nearDuplicatesForBatch(spark, path,
+      corpus.filter(col("id") > 3).select("id"), 0.2))
+    val full = pairs(MinHashLsh.nearDuplicates(corpus, 0.2))
+    assert(batch == full.filter(_._2 > 3L), s"batch $batch vs full $full")
+    // the fixture's 4≈5 pair IS batch-touching, so the subset is non-trivial
+    assert(batch.exists(p => p._1 == 4L && p._2 == 5L))
+  }
+
   test("upsertRefresh re-bands a re-crawled doc in one generation; refresh fail-louds on replays") {
     val path = "/root/repo/target/tmp/lsh_idx_ups"
     graft.sources.Store.deleteRecursive(path)

@@ -252,7 +252,8 @@ class StreamingSpec extends SparkSpec {
   test("seq-ordered CDC batch reduces to the last event per id: add→delete→add ends live") {
     val bm25Path = "/root/repo/target/tmp/cdcseq_bm25"
     val ivfPath = "/root/repo/target/tmp/cdcseq_ivf"
-    Seq(bm25Path, ivfPath).foreach(graft.sources.Store.deleteRecursive)
+    val lshPath = "/root/repo/target/tmp/cdcseq_lsh"
+    Seq(bm25Path, ivfPath, lshPath).foreach(graft.sources.Store.deleteRecursive)
     def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
     val seed = Seq((1L, "dup merge window", v(1, 0)),
       (2L, "spark window agg", v(0, 1))).toDF("id", "text", "embedding")
@@ -260,6 +261,7 @@ class StreamingSpec extends SparkSpec {
     graft.ann.IvfIndex.buildWithCentroids(seed,
       Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f))).toDF("label", "centroid"),
       ivfPath)
+    graft.dedup.LshIndex.build(seed.select("id", "text"), lshPath)
     // one micro-batch, ordered by seq:
     //  id 10: add → delete → add(final)      — must end LIVE with the final text
     //  id 11: add → delete                    — never-indexed no-op, must end absent
@@ -275,7 +277,7 @@ class StreamingSpec extends SparkSpec {
       (1L, "merge plan spark", v(0, 1), "update", 2L),
       (2L, "", Array.empty[Float], "delete", 1L)
     ).toDF("id", "text", "embedding", "op", "seq")
-    EventStream.cdcBatch(batch, 0L, bm25Path, ivfPath)
+    EventStream.cdcBatch(batch, 0L, bm25Path, ivfPath, Some(lshPath))
     val expected = Seq(
       (1L, "merge plan spark", v(0, 1)),
       (10L, "window plan final", v(0, 1)))
@@ -292,9 +294,15 @@ class StreamingSpec extends SparkSpec {
     val live = graft.sources.Store.load(spark, s"$ivfPath/assignments")
       .select("id", "ivf_cell").as[(Long, Int)].collect().toMap
     assert(live.keySet == Set(1L, 10L), s"live assignments: $live")
-    // and the whole mixed batch is replay-safe
-    EventStream.cdcBatch(batch, 0L, bm25Path, ivfPath)
+    // the LSH shingle index followed the same batch: doc 2 retired, doc 1
+    // re-banded, doc 10 live, the ephemeral doc 11 never entered
+    val lshLive = graft.sources.Store.load(spark, s"$lshPath/shingles")
+      .select("id").as[Long].collect().toSet
+    assert(lshLive == Set(1L, 10L), s"live shingle ids: $lshLive")
+    // and the whole mixed batch is replay-safe across all three indexes
+    EventStream.cdcBatch(batch, 0L, bm25Path, ivfPath, Some(lshPath))
     assert(graft.sources.Store.load(spark, s"$bm25Path/scalars").head().getLong(0) == 2L)
+    assert(graft.sources.IndexManifest.lastBatch(lshPath).contains(0L))
   }
 
   test("the same transform answers identically in batch mode (oracle form)") {
