@@ -135,10 +135,13 @@ class JobCountSpec extends SparkSpec {
     // r12: 106 → 98 measured — the driver-side bucket lists and combined
     // count+sum aggs paid for the new novelty fail-loud with room to spare
     "r2_bm25_delete_refresh" -> 113,
-    // r12: 259 → 185 measured — updates + deletes now land as ONE
-    // combined applyCdc generation per table instead of sequential
-    // upsert-then-delete publishes
-    "op_invalidation_apply" -> 213,
+    // r12: 259 → 185 measured (updates + deletes land as ONE combined
+    // applyCdc generation per table instead of sequential upsert-then-
+    // delete publishes), then 185 → 254: the executor now maintains the
+    // THIRD planned artifact family too — LSH shingle index build +
+    // applyCdc + two stat counts — so all of `ivf_cell`/`bm25_term`/
+    // `shingle` execute in the one call the planner feeds
+    "op_invalidation_apply" -> 280,
     // r12: 207 → 238 measured. Bought per micro-batch: the BM25 novelty
     // presence read, the IVF sidecar presence read + publish, and the
     // exactly-once manifest stamps — the replay/duplicate guards

@@ -177,6 +177,60 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("Exchange"), s"rotation added an exchange:\n${s.take(1500)}")
   }
 
+  test("BM25 scoring plans one pruned postings scan and never opens doclens") {
+    // the dl-in-postings layout's whole point: scoring is a single
+    // partition-pruned postings scan + a broadcast of |query| term rows.
+    // A regression that re-introduces the corpus-sized doclens join (the
+    // one shuffle this layout removed) must fail here, not on a cluster
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val path = "/root/repo/target/tmp/audit_bm25_scores"
+    graft.sources.Store.deleteRecursive(path)
+    graft.search.BM25Index.build(
+      Seq((1L, "dup merge window"), (2L, "spark window agg")).toDF("id", "text"),
+      path)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try graft.search.BM25Index
+      .scores(spark, path, Seq("dup", "window"))
+      .queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.count(_.contains("postings")) == 1,
+      s"expected exactly one postings scan:\n${scans.mkString("\n")}")
+    assert(!scans.exists(_.contains("doclens")),
+      s"doclens must never be opened by the query path:\n${scans.mkString("\n")}")
+    val postingsScan = scans.find(_.contains("postings")).get
+    assert(postingsScan.contains("PartitionFilters: [") &&
+      postingsScan.contains("pb"),
+      s"postings scan must prune pb dirs at planning time:\n$postingsScan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the query's term rows must broadcast into the postings scan")
+  }
+
+  test("IVF assignment argmax partially aggregates before the shuffle, no rank window") {
+    // at nlist=4096 a rank window over corpus x nlist scored rows shuffles
+    // every scored row; max_by's partial (map-side) aggregate collapses to
+    // one row per id first. Pin: two aggregate stages around one exchange,
+    // zero Window/Sort operators
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 100L).map(i => (i, Array.fill(4)(i.toFloat)))
+      .toDF("id", "embedding")
+    val cents = Seq((0, Seq(1f, 0f, 0f, 0f)), (1, Seq(0f, 1f, 0f, 0f)))
+      .toDF("label", "centroid")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try graft.ann.Ann.assignWithSim(rows, cents)
+      .queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(!plan.contains("Window"),
+      s"argmax must not plan a rank window:\n${plan.take(1500)}")
+    assert(plan.contains("partial_max_by"),
+      s"expected a map-side partial max_by stage:\n${plan.take(1500)}")
+    assert(plan.contains("max_by") && plan.contains("Exchange hashpartitioning"),
+      s"expected final max_by after one hash exchange:\n${plan.take(1500)}")
+  }
+
   test("flagship hybrid search stays within bounded exchanges") {
     val plan = planOf("r4_hybrid_rrf")
     // oversample-bounded rank windows: every window in the fused plan runs
