@@ -551,6 +551,27 @@ object Queries {
       graft.dedup.LshIndex.nearDuplicates(s, path, threshold = 0.2)
         .orderBy("id_a", "id_b")
     }),
+    // the LSH index through one MIXED CDC pass — adds (a held-out slice),
+    // updates (re-crawled docs take the next doc's text), deletes — then
+    // near-dup pairs answered from the stored tables. Oracle = the full
+    // MinHash pipeline recomputed in SQL over the POST-CDC corpus, so the
+    // hash-match proves the applyCdc path (incl. update re-banding, which
+    // lsh_index_refresh's add/delete form never exercises) lands exactly
+    // on rebuild state
+    "lsh_index_cdc" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_lsh_cdc_${ProcessHandle.current().pid()}"
+      reapAtExit(path)
+      val d = docs(s, dir)
+      graft.dedup.LshIndex.build(d.filter(col("id") % 50 =!= 10), path)
+      val next = d.select((col("id") - 1).as("id"), col("text").as("_t2"))
+      val updates = d.select("id").filter(col("id") % 50 === 0)
+        .join(next, "id").select(col("id"), col("_t2").as("text"))
+      val adds = d.filter(col("id") % 50 === 10).select("id", "text")
+      val dels = d.filter(col("id") % 50 === 25).select("id")
+      graft.dedup.LshIndex.applyCdc(s, path, adds.unionByName(updates), dels)
+      graft.dedup.LshIndex.nearDuplicates(s, path, threshold = 0.2)
+        .orderBy("id_a", "id_b")
+    }),
     // incremental candidate generation from the stored index: after the
     // second half lands as a refresh batch, generate ONLY the pairs whose
     // greater side is in the batch (old-old pairs were resolved when the
@@ -710,10 +731,12 @@ object Queries {
     "op_invalidation_apply" -> ((s, dir) => {
       val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_inv_ivf_${ProcessHandle.current().pid()}"
       val bm25Path = s"${sys.props("java.io.tmpdir")}/graft_inv_bm25_${ProcessHandle.current().pid()}"
-      reapAtExit(ivfPath); reapAtExit(bm25Path)
+      val lshPath = s"${sys.props("java.io.tmpdir")}/graft_inv_lsh_${ProcessHandle.current().pid()}"
+      reapAtExit(ivfPath); reapAtExit(bm25Path); reapAtExit(lshPath)
       val mem = Corpus.memories(s, dir)
       graft.ann.IvfIndex.build(mem, Tables.embeddings(s, dir), ivfPath)
       graft.search.BM25Index.build(mem, bm25Path)
+      graft.dedup.LshIndex.build(mem.select("id", "text"), lshPath)
       // re-crawled content = the NEXT doc's text+embedding (inner join
       // drops the max-id edge where no next doc exists)
       val next = mem.select((col("id") - 1).as("id"),
@@ -722,7 +745,8 @@ object Queries {
         .join(next, "id")
         .select(col("id"), col("_t2").as("text"), col("_e2").as("embedding"))
       val deleted = mem.filter(col("id") % 50 === 25).select("id")
-      graft.ops.Invalidation.execute(s, changed, deleted, ivfPath, bm25Path)
+      graft.ops.Invalidation.execute(s, changed, deleted, ivfPath, bm25Path,
+          lshPath = Some(lshPath))
         .orderBy("stat")
     }),
     // IVF delete maintenance in isolation: build full, tombstone a THIRD
@@ -1232,7 +1256,11 @@ object Queries {
          |  UNION ALL SELECT 'bm25_posting_rows',
          |    (SELECT count(*) FROM (SELECT DISTINCT id, term FROM lt))
          |  UNION ALL SELECT 'bm25_total_tokens', (SELECT count(*) FROM lt)
-         |  UNION ALL SELECT 'ivf_assignment_rows', (SELECT count(*) FROM live))
+         |  UNION ALL SELECT 'ivf_assignment_rows', (SELECT count(*) FROM live)
+         |  UNION ALL SELECT 'lsh_shingle_rows',
+         |    (SELECT count(*) FROM live WHERE len($t) >= 3)
+         |  UNION ALL SELECT 'lsh_band_rows',
+         |    (SELECT 8 * count(*) FROM live WHERE len($t) >= 3))
          |ORDER BY stat""".stripMargin
     },
     "tc_decontam_report" ->
@@ -1351,6 +1379,28 @@ object Queries {
          |ORDER BY 1, 2""".stripMargin,
     "lsh_minhash_neardup" ->
       s"""WITH ${OracleText.shingleCte()},
+         |${OracleText.minhashCtes},
+         |cp AS MATERIALIZED (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id)
+         |SELECT * FROM (
+         |  SELECT cp.id_a, cp.id_b,
+         |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |      / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+         |  FROM cp JOIN sh x ON cp.id_a = x.id JOIN sh y ON cp.id_b = y.id)
+         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+    // the full MinHash pair SQL over the POST-CDC corpus: doc%50==25
+    // deleted, doc%50==0 carrying the next doc's text (kept as-is at the
+    // max-id edge where no next doc exists — the inner join drops that
+    // update on the Spark side too), the %50==10 adds simply present
+    "lsh_index_cdc" ->
+      s"""WITH live AS MATERIALIZED (
+         |  SELECT d.doc_id, coalesce(n.text, d.text) AS text
+         |  FROM documents d
+         |  LEFT JOIN documents n
+         |    ON n.doc_id = d.doc_id + 1 AND d.doc_id % 50 = 0
+         |  WHERE d.doc_id % 50 <> 25),
+         |${OracleText.shingleCte(from = "live")},
          |${OracleText.minhashCtes},
          |cp AS MATERIALIZED (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b

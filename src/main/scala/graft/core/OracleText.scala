@@ -57,13 +57,15 @@ object OracleText {
   /** Distinct 3-gram shingle-hash CTE over documents: sh(id, sh).
     * `where` optionally restricts the corpus (the incremental-maintenance
     * oracles recompute over a post-CDC survivor set). */
-  def shingleCte(n: Int = 3, where: String = ""): String = {
+  /** `from` must expose (doc_id, text) — defaults to the raw documents
+    * table; CDC-shaped oracles pass a `live` CTE with post-change text. */
+  def shingleCte(n: Int = 3, where: String = "", from: String = "documents"): String = {
     val t = toks("text")
     val extra = if (where.isEmpty) "" else s" AND ($where)"
     s"""sh AS MATERIALIZED (
        |  SELECT doc_id AS id, list_distinct(list_transform(range(1, len($t) - ${n - 2}),
        |    i -> ${polyHash(s"array_to_string(list_slice($t, i, i + ${n - 1}), ' ')")})) AS sh
-       |  FROM documents WHERE len($t) >= $n$extra
+       |  FROM $from WHERE len($t) >= $n$extra
        |)""".stripMargin
   }
 

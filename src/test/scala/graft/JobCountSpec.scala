@@ -150,7 +150,10 @@ class JobCountSpec extends SparkSpec {
     // r12: 348 → 190 measured — the whole mixed CDC batch is one
     // applyCdc pass per index (one generation per table, one manifest
     // swap) instead of three op-slice dispatches
-    "st_cdc_maintenance" -> 219
+    "st_cdc_maintenance" -> 219,
+    // r12 new: LSH build + one mixed applyCdc generation per table +
+    // stored-view near-dup answer (measured 55 in-suite)
+    "lsh_index_cdc" -> 64
   )
 
   private val counter = new AtomicInteger(0)
