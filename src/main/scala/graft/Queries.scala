@@ -572,6 +572,29 @@ object Queries {
       graft.dedup.LshIndex.nearDuplicates(s, path, threshold = 0.2)
         .orderBy("id_a", "id_b")
     }),
+    // targeted LSH physical maintenance (the r2_bm25_compact discipline on
+    // the shingle side, completing the third family's lifecycle): delete a
+    // slice, rewrite ONLY the shingle buckets the deleted ids hash into
+    // plus the band partitions (a delete touches all NumBands of them —
+    // bounded at 8), then answer near-dups from the compacted tables.
+    // Oracle = the delete-survivor SQL verbatim: compaction must be
+    // semantically invisible. LshIndexSpec pins the physical side
+    // (untouched shingle buckets' files byte-identical)
+    "lsh_index_compact" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_lsh_cmp_${ProcessHandle.current().pid()}"
+      reapAtExit(path)
+      val d = docs(s, dir)
+      graft.dedup.LshIndex.build(d, path)
+      val deleted = d.filter(col("id") % 7 === 3).select("id")
+      graft.dedup.LshIndex.deleteRefresh(s, path, deleted)
+      val ids = deleted.as(org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSeq
+      graft.dedup.LshIndex.compactBuckets(s, path,
+        graft.dedup.LshIndex.bucketsForIds(ids),
+        0 until graft.dedup.MinHashLsh.NumBands)
+      graft.dedup.LshIndex.nearDuplicates(s, path, threshold = 0.2)
+        .orderBy("id_a", "id_b")
+    }),
     // incremental candidate generation from the stored index: after the
     // second half lands as a refresh batch, generate ONLY the pairs whose
     // greater side is in the batch (old-old pairs were resolved when the
@@ -749,6 +772,42 @@ object Queries {
           lshPath = Some(lshPath))
         .orderBy("stat")
     }),
+    // the plan → execute → COMPACT cycle end to end: the same mixed batch
+    // applied, then compactionSweep derives every family's touched-
+    // partition worklist from the batch's before/after images (the CDC
+    // before/after-envelope convention) and rewrites ONLY those
+    // partitions — postings by the images' term buckets, doclens/shingles/
+    // id-sidecar by the images' id buckets, IVF by the images' assigned
+    // cells, bands whole (bounded at 8). Oracle = the post-maintenance
+    // state SQL verbatim: the sweep must be semantically invisible. The
+    // per-family physical pins (untouched files byte-identical) live in
+    // BM25IndexSpec / AnnSpec / LshIndexSpec
+    "op_compaction_sweep" -> ((s, dir) => {
+      val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_swp_ivf_${ProcessHandle.current().pid()}"
+      val bm25Path = s"${sys.props("java.io.tmpdir")}/graft_swp_bm25_${ProcessHandle.current().pid()}"
+      val lshPath = s"${sys.props("java.io.tmpdir")}/graft_swp_lsh_${ProcessHandle.current().pid()}"
+      reapAtExit(ivfPath); reapAtExit(bm25Path); reapAtExit(lshPath)
+      val mem = Corpus.memories(s, dir)
+      graft.ann.IvfIndex.build(mem, Tables.embeddings(s, dir), ivfPath)
+      graft.search.BM25Index.build(mem, bm25Path)
+      graft.dedup.LshIndex.build(mem.select("id", "text"), lshPath)
+      val next = mem.select((col("id") - 1).as("id"),
+        col("text").as("_t2"), col("embedding").as("_e2"))
+      val changed = mem.select("id").filter(col("id") % 50 === 0)
+        .join(next, "id")
+        .select(col("id"), col("_t2").as("text"), col("_e2").as("embedding"))
+      val deleted = mem.filter(col("id") % 50 === 25).select("id")
+      graft.ops.Invalidation.execute(s, changed, deleted, ivfPath, bm25Path,
+        lshPath = Some(lshPath))
+      val oldImage = mem
+        .join(changed.select("id").unionByName(deleted), Seq("id"), "left_semi")
+        .select("id", "text", "embedding")
+      graft.ops.Invalidation.compactionSweep(s, oldImage, changed,
+        ivfPath, bm25Path, lshPath = Some(lshPath))
+      graft.ops.Invalidation.stateSummary(s, ivfPath, bm25Path,
+          lshPath = Some(lshPath))
+        .orderBy("stat")
+    }),
     // IVF delete maintenance in isolation: build full, tombstone a THIRD
     // of the corpus (a slice guaranteed to intersect the top-k, so a
     // dropped tombstone can't silently pass), probe. Oracle = the
@@ -804,6 +863,32 @@ object Queries {
         mem.filter(col("id") < half), Tables.embeddings(s, dir), path)
       graft.ann.IvfIndex.refresh(s, path, mem.filter(col("id") >= half))
       graft.ann.IvfIndex.driftAudit(s, path).orderBy("ivf_cell")
+    }),
+    // the drift loop CLOSED: driftAudit flags cells (growth / assign-sim
+    // decay vs the build-time baseline), retrainCells re-centers EXACTLY
+    // those cells from their current members, reassigns only the members
+    // against the updated centroid set (migration into unflagged cells
+    // allowed — that is the point of recentring), and re-seeds the flagged
+    // cells' baseline. Output = the full post-retrain live assignments;
+    // the oracle replays audit → flag → recenter → reassign → merge from
+    // the raw corpus in SQL, so the hash-match proves flag selection, the
+    // recenter math, migration, and the untouched remainder all at once
+    "ann_ivf_retrain" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_rt_${ProcessHandle.current().pid()}"
+      reapAtExit(path)
+      val mem = Corpus.memories(s, dir)
+      val half = Corpus.nDocs(s, dir) / 2
+      graft.ann.IvfIndex.build(
+        mem.filter(col("id") < half), Tables.embeddings(s, dir), path)
+      graft.ann.IvfIndex.refresh(s, path, mem.filter(col("id") >= half))
+      val flagged = graft.ann.IvfIndex.driftAudit(s, path)
+        .filter(col("retrain")).select("ivf_cell")
+        .as(org.apache.spark.sql.Encoders.scalaInt).collect().toSeq
+      graft.ann.IvfIndex.retrainCells(s, path, flagged)
+      graft.sources.IndexManifest.resolve(s, path)("assignments")
+        .select(col("id"), col("ivf_cell"),
+          round(col("csim"), 6).as("csim"))
+        .orderBy("id")
     }),
     // targeted BM25 physical maintenance: delete a third, then rewrite
     // ONLY the postings/doclens buckets the deleted docs' terms and ids
@@ -1263,6 +1348,34 @@ object Queries {
          |    (SELECT 8 * count(*) FROM live WHERE len($t) >= 3))
          |ORDER BY stat""".stripMargin
     },
+    // the post-maintenance state SQL verbatim: the targeted compaction
+    // sweep across all three families must be semantically invisible
+    "op_compaction_sweep" -> {
+      val t = OracleText.toks("live.text")
+      s"""WITH ${OracleCtes.memories},
+         |chg AS (
+         |  SELECT m.id, m2.text FROM memories m
+         |  JOIN memories m2 ON m2.id = m.id + 1 WHERE m.id % 50 = 0),
+         |live AS MATERIALIZED (
+         |  SELECT m.id, coalesce(c.text, m.text) AS text
+         |  FROM memories m LEFT JOIN chg c USING (id)
+         |  WHERE m.id % 50 <> 25),
+         |lt AS MATERIALIZED (
+         |  SELECT live.id, u.term FROM live, unnest($t) u(term))
+         |SELECT stat, value FROM (
+         |  SELECT 'bm25_doclens_rows' AS stat,
+         |    (SELECT count(DISTINCT id) FROM lt) AS value
+         |  UNION ALL SELECT 'bm25_n', (SELECT count(*) FROM live)
+         |  UNION ALL SELECT 'bm25_posting_rows',
+         |    (SELECT count(*) FROM (SELECT DISTINCT id, term FROM lt))
+         |  UNION ALL SELECT 'bm25_total_tokens', (SELECT count(*) FROM lt)
+         |  UNION ALL SELECT 'ivf_assignment_rows', (SELECT count(*) FROM live)
+         |  UNION ALL SELECT 'lsh_shingle_rows',
+         |    (SELECT count(*) FROM live WHERE len($t) >= 3)
+         |  UNION ALL SELECT 'lsh_band_rows',
+         |    (SELECT 8 * count(*) FROM live WHERE len($t) >= 3))
+         |ORDER BY stat""".stripMargin
+    },
     "tc_decontam_report" ->
       s"""WITH ${OracleCtes.memories},
          |${OracleText.shingleCte()},
@@ -1411,6 +1524,20 @@ object Queries {
          |      / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
          |  FROM cp JOIN sh x ON cp.id_a = x.id JOIN sh y ON cp.id_b = y.id)
          |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+    // the delete-survivor SQL verbatim: rewriting the touched shingle/band
+    // partitions (compactBuckets) must be semantically invisible
+    "lsh_index_compact" ->
+      s"""WITH ${OracleText.shingleCte(where = "doc_id % 7 <> 3")},
+         |${OracleText.minhashCtes},
+         |cp AS MATERIALIZED (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id)
+         |SELECT * FROM (
+         |  SELECT cp.id_a, cp.id_b,
+         |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |      / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+         |  FROM cp JOIN sh x ON cp.id_a = x.id JOIN sh y ON cp.id_b = y.id)
+         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
     // the full-corpus pair SQL restricted to pairs whose greater side is
     // in the refresh batch (ids >= half): what incremental candidate
     // generation from the stored index must produce exactly
@@ -1520,6 +1647,63 @@ object Queries {
          |   OR round(coalesce(msb, 0.0) - coalesce(msn, 0.0), 6) > 0.1) AS retrain
          |FROM built FULL JOIN nowt USING (ivf_cell)
          |ORDER BY ivf_cell""".stripMargin
+    },
+    // the retrain loop from first principles: original centroids + argmax
+    // assignments (as ann_ivf_drift), the audit arithmetic selecting the
+    // flagged cells, recentred centroids = normalized per-cell mean of the
+    // flagged members, reassignment of ONLY those members against the
+    // merged centroid set, and the final live view = untouched rows UNION
+    // reassigned rows
+    "ann_ivf_retrain" -> {
+      val csim = "list_sum(list_transform(range(1, 65), i -> CAST(m.embedding[i] AS DOUBLE) * c.centroid[i]))"
+      s"""WITH ${OracleCtes.memories},
+         |cent0 AS (
+         |  SELECT label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
+         |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+         |centn AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM cent0 GROUP BY 1),
+         |cent AS MATERIALIZED (
+         |  SELECT c.label, list(c.m / n.nrm ORDER BY c.i) AS centroid
+         |  FROM cent0 c JOIN centn n USING (label) GROUP BY c.label),
+         |asgs AS MATERIALIZED (
+         |  SELECT id, label AS ivf_cell, s AS csim FROM (
+         |    SELECT m.id, c.label, $csim AS s,
+         |      row_number() OVER (PARTITION BY m.id ORDER BY $csim DESC, c.label) AS rn
+         |    FROM memories m, cent c) WHERE rn = 1),
+         |built AS (
+         |  SELECT ivf_cell, count(*) AS nb, round(avg(csim), 6) AS msb
+         |  FROM asgs WHERE id < (SELECT count(*) FROM documents) // 2 GROUP BY 1),
+         |nowt AS (
+         |  SELECT ivf_cell, count(*) AS nn, round(avg(csim), 6) AS msn
+         |  FROM asgs GROUP BY 1),
+         |flags AS MATERIALIZED (
+         |  SELECT ivf_cell FROM built FULL JOIN nowt USING (ivf_cell)
+         |  WHERE round(coalesce(nn, 0) / CAST(greatest(coalesce(nb, 0), 1) AS DOUBLE), 6) > 2.0
+         |     OR round(coalesce(msb, 0.0) - coalesce(msn, 0.0), 6) > 0.1),
+         |mem2 AS MATERIALIZED (
+         |  SELECT a.id, a.ivf_cell, m.embedding
+         |  FROM asgs a JOIN memories m ON a.id = m.id
+         |  WHERE a.ivf_cell IN (SELECT ivf_cell FROM flags)),
+         |f0 AS (
+         |  SELECT ivf_cell AS label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
+         |  FROM mem2, range(1, 65) t(i) GROUP BY 1, 2),
+         |fn AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM f0 GROUP BY 1),
+         |fc AS (
+         |  SELECT c.label, list(c.m / n.nrm ORDER BY c.i) AS centroid
+         |  FROM f0 c JOIN fn n USING (label) GROUP BY c.label),
+         |nc AS MATERIALIZED (
+         |  SELECT label, centroid FROM cent
+         |  WHERE label NOT IN (SELECT label FROM fc)
+         |  UNION ALL SELECT label, centroid FROM fc),
+         |re AS (
+         |  SELECT id, label AS ivf_cell, s AS csim FROM (
+         |    SELECT m.id, c.label, $csim AS s,
+         |      row_number() OVER (PARTITION BY m.id ORDER BY $csim DESC, c.label) AS rn
+         |    FROM mem2 m, nc c) WHERE rn = 1)
+         |SELECT id, ivf_cell, round(csim, 6) AS csim FROM (
+         |  SELECT id, ivf_cell, csim FROM asgs
+         |  WHERE ivf_cell NOT IN (SELECT ivf_cell FROM flags)
+         |  UNION ALL SELECT id, ivf_cell, csim FROM re)
+         |ORDER BY id""".stripMargin
     },
     "ann_ivf_recall" ->
       s"""SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10

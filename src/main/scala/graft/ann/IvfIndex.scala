@@ -239,10 +239,20 @@ object IvfIndex {
     * assignments table ([[Store.compactPartitions]]), dropping their
     * accumulated tombstone debt — the cells come straight from the
     * invalidation plan's `ivf_cell` worklist, closing the plan→execute→
-    * compact cycle. Untouched cells' files are not rewritten. */
-  def compactCells(spark: SparkSession, path: String, cells: Seq[Int]): Unit = {
-    Store.compactPartitions(spark, s"$path/assignments", "ivf_cell",
-      cells.map(c => c: Any))
+    * compact cycle. `idBuckets` optionally sweeps the same batch's debt
+    * out of the id-sidecar's `db` buckets (the
+    * [[graft.ops.Invalidation.compactionSweep]] path — the sidecar is
+    * maintained row-for-row with assignments, so a batch's buckets come
+    * from the same driver-side hash). Untouched partitions' files are
+    * not rewritten. */
+  def compactCells(spark: SparkSession, path: String, cells: Seq[Int],
+                   idBuckets: Seq[Int] = Seq.empty): Unit = {
+    if (cells.nonEmpty)
+      Store.compactPartitions(spark, s"$path/assignments", "ivf_cell",
+        cells.map(c => c: Any))
+    if (idBuckets.nonEmpty)
+      Store.compactPartitions(spark, s"$path/ids", "db",
+        idBuckets.map(b => b: Any))
     IndexManifest.capture(path, Tables)
   }
 
@@ -297,6 +307,78 @@ object IvfIndex {
         round(col("mean_sim_built") - col("mean_sim_now"), 6))
       .withColumn("retrain",
         col("growth") > growthLimit || col("sim_drop") > simDropLimit)
+  }
+
+  /** Targeted retraining — the executor that closes [[driftAudit]]'s loop
+    * (audit flags `retrain` cells; this acts on them), the O(flagged)
+    * alternative to the full rebuild [[buildWithCentroids]] is:
+    *
+    *   1. re-center each flagged cell's centroid as the normalized mean of
+    *      its CURRENT live members (one Lloyd/sequential-k-means recenter
+    *      step over exactly the drifted cells — MacQueen-style, public),
+    *   2. reassign ONLY those members against the UPDATED centroid set
+    *      (members may migrate to unflagged cells — correct: the point of
+    *      recentring is that some members no longer belong),
+    *   3. re-seed the flagged cells' drift baseline from their fresh
+    *      assignments, so the next [[driftAudit]] measures from the
+    *      retrain point.
+    *
+    * Unflagged cells' members are never rescanned or reassigned, and their
+    * baselines are intentionally untouched — a migrant arriving in an
+    * unflagged cell IS real growth against that cell's unchanged centroid.
+    * Cost: one partition-pruned scan of the flagged cells + an
+    * O(members × nlist) broadcast assign — never O(corpus). Flagged cells
+    * with no live members keep their original centroid (nothing to
+    * recenter from) and simply vanish from the baseline like any empty
+    * cell. Publishes one upsert generation on assignments whose tombstone
+    * keys are the FLAGGED PARTITION VALUES (untouched cells' files stay
+    * byte-identical — pinned by AnnSpec), full rewrites of the two small
+    * tables (centroids, cellstats), and one manifest swap. Oracled end to
+    * end by `ann_ivf_retrain` (audit → flag → recenter → reassign → merged
+    * live view, all recomputed from the raw corpus in SQL). */
+  def retrainCells(spark: SparkSession, path: String, cells: Seq[Int],
+                   batchId: Option[Long] = None): Unit = {
+    if (cells.isEmpty) { IndexManifest.capture(path, Tables, batchId); return }
+    val cellVals = cells.map(c => c: Any)
+    val members = Store.load(spark, s"$path/assignments")
+      .filter(col("ivf_cell").isin(cellVals: _*))
+      .select("id", "embedding", "ivf_cell")
+      .localCheckpoint(true)
+    if (members.isEmpty) {
+      // every flagged cell is empty (deletes drained them): keep their
+      // centroids, drop their baseline rows — they re-enter the baseline
+      // if rows ever land there again
+      Store.save(
+        Store.load(spark, s"$path/cellstats")
+          .filter(!col("ivf_cell").isin(cellVals: _*)),
+        s"$path/cellstats")
+      IndexManifest.capture(path, Tables, batchId); return
+    }
+    val oldCents = Store.load(spark, s"$path/centroids")
+    val fresh = Ann.centroidsByLabel(
+      members.select(col("ivf_cell").as("label"), col("embedding")))
+    val newCents = oldCents.join(fresh, Seq("label"), "left_anti")
+      .unionByName(fresh)
+      .localCheckpoint(true)
+    val reassigned = Ann.assignWithSim(
+      members.select("id", "embedding"), newCents).localCheckpoint(true)
+    Store.save(newCents, s"$path/centroids")
+    // tombstone by partition value: evicts the flagged cells' rows from
+    // every prior dir; the batch dir carries the reassigned rows wherever
+    // they now land (incl. migrants into unflagged cells, whose old rows
+    // lived only in flagged partitions)
+    val keys = { import spark.implicits._; cells.toDF("ivf_cell") }
+    Store.upsertBatch(cellLayout(reassigned), s"$path/assignments", keys,
+      "ivf_cell")
+    val reseeded = reassigned.filter(col("ivf_cell").isin(cellVals: _*))
+      .groupBy("ivf_cell")
+      .agg(count(lit(1)).as("n"), round(avg("csim"), 6).as("mean_sim"))
+    Store.save(
+      Store.load(spark, s"$path/cellstats")
+        .filter(!col("ivf_cell").isin(cellVals: _*))
+        .unionByName(reseeded),
+      s"$path/cellstats")
+    IndexManifest.capture(path, Tables, batchId)
   }
 
   /** The query path: rank stored centroids against the query (a scalar,

@@ -176,6 +176,36 @@ object LshIndex {
     IndexManifest.capture(path, Tables, batchId)
   }
 
+  /** Targeted physical maintenance — the [[graft.search.BM25Index.compactBuckets]]
+    * discipline on the shingle side, completing the third family's
+    * lifecycle (every persisted index now supports build / refresh /
+    * deleteRefresh / upsertRefresh / applyCdc / compact): rewrite ONLY the
+    * named `db` buckets of the shingles table and `band` partitions of the
+    * bands table, folding their accumulated tombstone debt without
+    * touching any other partition's files. The shingle worklist comes from
+    * the maintenance batches' ids ([[bucketsForIds]], driver-side Murmur3
+    * — zero planning jobs); the band worklist is naturally ALL
+    * [[MinHashLsh.NumBands]] partitions (a doc's band rows spread one per
+    * band, so any delete touches every band dir — bounded at 8, each an
+    * O(partition) rewrite). Semantically invisible (`lsh_index_compact`'s
+    * oracle is the delete-survivor SQL verbatim); physically targeted
+    * (LshIndexSpec pins untouched shingle buckets' files byte-identical). */
+  def compactBuckets(spark: SparkSession, path: String,
+                     shingleBuckets: Seq[Int] = Seq.empty,
+                     bands: Seq[Int] = Seq.empty): Unit = {
+    if (shingleBuckets.nonEmpty)
+      Store.compactPartitions(spark, s"$path/shingles", "db",
+        shingleBuckets.map(b => b: Any))
+    if (bands.nonEmpty)
+      Store.compactPartitions(spark, s"$path/bands", "band",
+        bands.map(b => b: Any))
+    IndexManifest.capture(path, Tables)
+  }
+
+  /** The shingle buckets an id batch lives in — driver-side, no job. */
+  def bucketsForIds(ids: Seq[Long]): Seq[Int] =
+    ids.map(SparkHash.bucketOfLong(_, DBuckets)).distinct
+
   /** Incremental candidate generation for a just-landed batch — the
     * stored form of [[MinHashLsh.nearDuplicatesIncremental]]: only pairs
     * whose GREATER side is in `batchIds` are generated and verified, so an

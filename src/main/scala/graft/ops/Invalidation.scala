@@ -78,6 +78,15 @@ object Invalidation {
     graft.search.BM25Index.applyCdc(spark, bm25Path, changed, deletedIds)
     lshPath.foreach(p => graft.dedup.LshIndex.applyCdc(spark, p,
       changed.select("id", "text"), deletedIds))
+    stateSummary(spark, ivfPath, bm25Path, lshPath)
+  }
+
+  /** (stat, value) summary of the LIVE index state across the families —
+    * the numbers a full recompute over the current corpus must reproduce
+    * exactly, read after [[execute]] and unchanged by
+    * [[compactionSweep]]. */
+  def stateSummary(spark: SparkSession, ivfPath: String, bm25Path: String,
+                   lshPath: Option[String] = None): DataFrame = {
     val post = Store.load(spark, s"$bm25Path/postings")
     import spark.implicits._
     val base = Seq(
@@ -91,5 +100,61 @@ object Invalidation {
       ("lsh_shingle_rows", Store.load(spark, s"$p/shingles").count()),
       ("lsh_band_rows", Store.load(spark, s"$p/bands").count())))
     (base ++ lsh).toDF("stat", "value")
+  }
+
+  /** Physical debt sweep for one applied maintenance batch — the third
+    * stage of the plan → execute → compact cycle, in ONE call across all
+    * three index families. [[execute]] retires rows logically (tombstone
+    * dirs); the masked bytes still sit in exactly the partitions the
+    * batch touched. This derives each family's touched-partition worklist
+    * from the batch's BEFORE and AFTER images (the CDC convention — e.g.
+    * Debezium's before/after envelope: the old image names where masked
+    * rows sit, the new image names where fresh rows landed) and rewrites
+    * ONLY those partitions via the per-family targeted compactors:
+    *
+    *  - postings: the union of both images' distinct tokens → pb buckets
+    *    (driver-side Murmur3, zero planning jobs);
+    *  - doclens / LSH shingles / IVF id-sidecar: the union of both
+    *    images' ids → db buckets (driver-side);
+    *  - IVF cells: both images' embeddings assigned against the STORED
+    *    centroids — exact for the old image because ingestion freezes
+    *    centroids ([[graft.ann.IvfIndex.refresh]]); after a
+    *    [[graft.ann.IvfIndex.retrainCells]] pass the old rows' cells are
+    *    no longer derivable from content, so sweep BEFORE retraining (or
+    *    accept that retrained cells carry their debt to the next sweep —
+    *    they were just rewritten anyway);
+    *  - LSH bands: all [[graft.dedup.MinHashLsh.NumBands]] partitions (a
+    *    doc's band rows spread one per band — bounded at 8).
+    *
+    * `oldImage` carries the batch ids' PRE-batch rows (deleted ids' last
+    * rows, changed ids' prior rows); `newImage` the changed ids' fresh
+    * rows (empty/null for a delete-only batch). Both are O(batch).
+    * Semantically invisible end to end: `op_compaction_sweep`'s oracle is
+    * the post-maintenance state SQL verbatim. */
+  def compactionSweep(spark: SparkSession, oldImage: DataFrame,
+                      newImage: DataFrame,
+                      ivfPath: String, bm25Path: String,
+                      lshPath: Option[String] = None): Unit = {
+    val images = Option(newImage)
+      .map(n => oldImage.unionByName(n)).getOrElse(oldImage)
+      .localCheckpoint(true)
+    val ids = images.select("id").distinct()
+      .as(org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
+    if (ids.isEmpty) return
+    val terms = images
+      .select(explode(TextFunctions.tokens(col("text"))).as("t")).distinct()
+      .as(org.apache.spark.sql.Encoders.STRING).collect().toSeq
+    val cents = Store.load(spark, s"$ivfPath/centroids")
+    val cells = graft.ann.Ann
+      .assign(images.select(col("id"), col("embedding")), cents)
+      .select("ivf_cell").distinct()
+      .as(org.apache.spark.sql.Encoders.scalaInt).collect().toSeq
+    val dbs = graft.search.BM25Index.bucketsForIds(ids)
+    graft.ann.IvfIndex.compactCells(spark, ivfPath, cells, idBuckets = dbs)
+    graft.search.BM25Index.compactBuckets(spark, bm25Path,
+      graft.search.BM25Index.bucketsForTerms(terms), dbs)
+    lshPath.foreach(p => graft.dedup.LshIndex.compactBuckets(spark, p,
+      graft.dedup.LshIndex.bucketsForIds(ids),
+      0 until graft.dedup.MinHashLsh.NumBands))
   }
 }

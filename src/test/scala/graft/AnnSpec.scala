@@ -147,6 +147,66 @@ class AnnSpec extends SparkSpec {
     assert(!audit(1)._6, s"untouched cell must not flag: ${audit(1)}")
   }
 
+  test("retrainCells recenters ONLY the flagged cell, re-seeds its baseline, leaves others byte-untouched") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val path = "/root/repo/target/tmp/ivf_retrain_spec"
+    graft.sources.Store.deleteRecursive(path)
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val seed = ((1L to 4L).map(i => (i, v(1, 0.01 * i))) ++
+      (5L to 8L).map(i => (i, v(0.01 * i, 1)))).toDF("id", "embedding")
+    graft.ann.IvfIndex.buildWithCentroids(seed,
+      Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f))).toDF("label", "centroid"), path)
+    val flood = (20L to 29L).map(i => (i, v(0.72, 0.7))).toDF("id", "embedding")
+    graft.ann.IvfIndex.refresh(spark, path, flood)
+    val flagged = graft.ann.IvfIndex.driftAudit(spark, path)
+      .filter(col("retrain")).select("ivf_cell").as[Int].collect().toSeq
+    assert(flagged == Seq(0))
+    val preOther = graft.sources.Store.load(spark, s"$path/assignments")
+      .filter(col("ivf_cell") === 1)
+      .select("id", "csim").as[(Long, Double)].collect().toMap
+    def asgFiles() = {
+      val w = Files.walk(Paths.get(path, "assignments", "data"))
+      try w.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(_.toString).toSet
+      finally w.close()
+    }
+    val before = asgFiles()
+    graft.ann.IvfIndex.retrainCells(spark, path, flagged)
+    val after = asgFiles()
+    // immutability + targeting: no pre-existing file rewritten; every new
+    // data file lands in the flagged cell's dir (in this 2-D fixture no
+    // member can migrate — recentring keeps c0 inside its own cone)
+    assert(before.subsetOf(after), s"missing: ${before -- after}")
+    val added = (after -- before).filter(_.matches(".*/data/b\\d+/.*"))
+    assert(added.nonEmpty)
+    assert(added.forall(_.contains("ivf_cell=0/")),
+      s"retrain wrote outside the flagged cell: ${added.filterNot(_.contains("ivf_cell=0/"))}")
+    // row count preserved; the unflagged cell's rows are identical
+    val post = graft.sources.Store.load(spark, s"$path/assignments")
+    assert(post.count() == 18L)
+    assert(post.filter(col("ivf_cell") === 1)
+      .select("id", "csim").as[(Long, Double)].collect().toMap == preOther)
+    // the recentred centroid moved toward the flood; the other is untouched
+    val cents = graft.sources.Store.load(spark, s"$path/centroids")
+      .select("label", "centroid").as[(Int, Seq[Double])].collect().toMap
+    assert(math.abs(cents(1)(0)) < 1e-12 && math.abs(cents(1)(1) - 1.0) < 1e-12)
+    assert(cents(0)(1) > 0.3, s"c0 must tilt toward the flood: ${cents(0)}")
+    assert(math.abs(cents(0).map(x => x * x).sum - 1.0) < 1e-9, "c0 must stay unit-norm")
+    // baseline re-seeded: the audit measured from the retrain point is clean
+    val audit = graft.ann.IvfIndex.driftAudit(spark, path)
+      .select("ivf_cell", "n_built", "n_now", "growth", "sim_drop", "retrain")
+      .as[(Int, Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(audit(0)._2 == 14L && audit(0)._3 == 14L && audit(0)._4 == 1.0 &&
+      audit(0)._5 == 0.0 && !audit(0)._6, s"re-seeded cell must read clean: ${audit(0)}")
+    assert(!audit(1)._6)
+    // mean assign-sim of the flagged cell IMPROVED against its own centroid
+    val msNow = post.filter(col("ivf_cell") === 0).agg(avg("csim")).head().getDouble(0)
+    assert(msNow > 0.9, s"recentring must lift the flooded cell's mean sim: $msNow")
+  }
+
   test("IVF refresh fail-louds on already-indexed and duplicate ids; the index never moves") {
     val path = "/root/repo/target/tmp/ivf_guard_spec"
     graft.sources.Store.deleteRecursive(path)

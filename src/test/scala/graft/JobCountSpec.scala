@@ -153,7 +153,20 @@ class JobCountSpec extends SparkSpec {
     "st_cdc_maintenance" -> 219,
     // r12 new: LSH build + one mixed applyCdc generation per table +
     // stored-view near-dup answer (measured 55 in-suite)
-    "lsh_index_cdc" -> 64
+    "lsh_index_cdc" -> 64,
+    // r12 new: LSH build + delete + compactPartitions over the named
+    // shingle buckets and all 8 band partitions + stored-view near-dup
+    // answer (measured 71 in-suite)
+    "lsh_index_compact" -> 82,
+    // r12 new: IVF build-half + refresh-rest + driftAudit + the retrain
+    // pass (pruned member scan, recenter, reassign, three-table publish)
+    // + the full-assignments dump (measured 99 in-suite)
+    "ann_ivf_retrain" -> 114,
+    // r12 new: three index builds + the combined invalidation apply +
+    // the all-family targeted compaction sweep + the state summary
+    // (measured 416 in-suite — the cost of exercising every family's
+    // full lifecycle in one query, not of any single operator)
+    "op_compaction_sweep" -> 470
   )
 
   private val counter = new AtomicInteger(0)

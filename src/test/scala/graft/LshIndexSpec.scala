@@ -79,4 +79,45 @@ class LshIndexSpec extends SparkSpec {
       pairs(MinHashLsh.nearDuplicates(
         equivalent.filter(col("id") =!= 4), 0.2)))
   }
+
+  test("compactBuckets rewrites ONLY the named partitions; pairs unchanged") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val path = "/root/repo/target/tmp/lsh_idx_compact"
+    graft.sources.Store.deleteRecursive(path)
+    LshIndex.build(corpus, path)
+    LshIndex.deleteRefresh(spark, path, Seq(5L).toDF("id"))
+    val pre = pairs(LshIndex.nearDuplicates(spark, path, 0.2))
+    def files(table: String) = {
+      val w = Files.walk(Paths.get(path, table, "data"))
+      try w.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(_.toString).toSet
+      finally w.close()
+    }
+    val (shBefore, bdBefore) = (files("shingles"), files("bands"))
+    val dbs = LshIndex.bucketsForIds(Seq(5L))
+    LshIndex.compactBuckets(spark, path, dbs,
+      0 until MinHashLsh.NumBands)
+    val (shAfter, bdAfter) = (files("shingles"), files("bands"))
+    // immutability: no pre-existing file of either table was rewritten
+    assert(shBefore.subsetOf(shAfter), s"missing: ${shBefore -- shAfter}")
+    assert(bdBefore.subsetOf(bdAfter), s"missing: ${bdBefore -- bdAfter}")
+    // targeting: every new shingles DATA file sits in a named db bucket —
+    // and whether any exists is itself deterministic: survivors share doc
+    // 5's bucket iff their driver-side hash says so (a fully-tombstoned
+    // bucket compacts to a tombstone-only generation, no data files)
+    val added = (shAfter -- shBefore).filter(_.matches(".*/data/b\\d+/.*"))
+    assert(added.forall(f => dbs.exists(b => f.contains(s"db=$b/"))),
+      s"compaction wrote outside the named buckets: $added")
+    val survivorsShareBucket = corpus.filter(col("id") =!= 5)
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= 3)
+      .select("id").as[Long].collect()
+      .exists(id => dbs.contains(graft.functions.SparkHash.bucketOfLong(id, LshIndex.DBuckets)))
+    assert(added.nonEmpty == survivorsShareBucket)
+    // the bands side always rewrites (every partition holds survivors)
+    assert((bdAfter -- bdBefore).exists(_.matches(".*/data/b\\d+/.*band=.*")))
+    // and the rewrite is semantically invisible
+    assert(pairs(LshIndex.nearDuplicates(spark, path, 0.2)) == pre)
+  }
 }
