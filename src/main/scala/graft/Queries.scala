@@ -890,6 +890,29 @@ object Queries {
           round(col("csim"), 6).as("csim"))
         .orderBy("id")
     }),
+    // the drift loop UNATTENDED: the second half arrives as a streamed
+    // micro-batch (refreshBatch, the foreachBatch body) with auditEvery=1,
+    // so the cadence hook runs driftAudit right after the apply and
+    // retrainIfDrifted dispatches the targeted retrain on whatever
+    // flagged. Oracle = the SAME first-principles replay as
+    // ann_ivf_retrain (one SQL adjudicates the explicit and the
+    // streaming-triggered path); StreamingSpec drives the real
+    // MemoryStream form and the replay no-op
+    "st_drift_retrain" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_sdr_${ProcessHandle.current().pid()}"
+      reapAtExit(path)
+      val mem = Corpus.memories(s, dir)
+      val half = Corpus.nDocs(s, dir) / 2
+      graft.ann.IvfIndex.build(
+        mem.filter(col("id") < half), Tables.embeddings(s, dir), path)
+      graft.streaming.EventStream.refreshBatch(
+        mem.filter(col("id") >= half), batchId = 0L,
+        bm25Path = None, ivfPath = Some(path), auditEvery = 1)
+      graft.sources.IndexManifest.resolve(s, path)("assignments")
+        .select(col("id"), col("ivf_cell"),
+          round(col("csim"), 6).as("csim"))
+        .orderBy("id")
+    }),
     // targeted BM25 physical maintenance: delete a third, then rewrite
     // ONLY the postings/doclens buckets the deleted docs' terms and ids
     // hash into (driver-side Murmur3 over the same worklist the
@@ -1289,6 +1312,68 @@ object Queries {
          |WHERE m.id % 3 <> 1
          |ORDER BY sim DESC, m.id LIMIT 10""".stripMargin
 
+  /** The retrain loop from first principles: original centroids + argmax
+    * assignments, the audit arithmetic selecting the flagged cells,
+    * recentred centroids = normalized per-cell mean of the flagged
+    * members, reassignment of ONLY those members against the merged
+    * centroid set, final live view = untouched rows UNION reassigned
+    * rows. Shared by `ann_ivf_retrain` (explicit audit→collect→retrain)
+    * and `st_drift_retrain` (the streaming cadence trigger,
+    * [[graft.ann.IvfIndex.retrainIfDrifted]]) — the build-half +
+    * stream-batch-rest split lands on the same live corpus, so one SQL
+    * adjudicates both paths. */
+  private val ivfRetrainSql: String = {
+    val csim = "list_sum(list_transform(range(1, 65), i -> CAST(m.embedding[i] AS DOUBLE) * c.centroid[i]))"
+    s"""WITH ${OracleCtes.memories},
+       |cent0 AS (
+       |  SELECT label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
+       |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+       |centn AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM cent0 GROUP BY 1),
+       |cent AS MATERIALIZED (
+       |  SELECT c.label, list(c.m / n.nrm ORDER BY c.i) AS centroid
+       |  FROM cent0 c JOIN centn n USING (label) GROUP BY c.label),
+       |asgs AS MATERIALIZED (
+       |  SELECT id, label AS ivf_cell, s AS csim FROM (
+       |    SELECT m.id, c.label, $csim AS s,
+       |      row_number() OVER (PARTITION BY m.id ORDER BY $csim DESC, c.label) AS rn
+       |    FROM memories m, cent c) WHERE rn = 1),
+       |built AS (
+       |  SELECT ivf_cell, count(*) AS nb, round(avg(csim), 6) AS msb
+       |  FROM asgs WHERE id < (SELECT count(*) FROM documents) // 2 GROUP BY 1),
+       |nowt AS (
+       |  SELECT ivf_cell, count(*) AS nn, round(avg(csim), 6) AS msn
+       |  FROM asgs GROUP BY 1),
+       |flags AS MATERIALIZED (
+       |  SELECT ivf_cell FROM built FULL JOIN nowt USING (ivf_cell)
+       |  WHERE round(coalesce(nn, 0) / CAST(greatest(coalesce(nb, 0), 1) AS DOUBLE), 6) > 2.0
+       |     OR round(coalesce(msb, 0.0) - coalesce(msn, 0.0), 6) > 0.1),
+       |mem2 AS MATERIALIZED (
+       |  SELECT a.id, a.ivf_cell, m.embedding
+       |  FROM asgs a JOIN memories m ON a.id = m.id
+       |  WHERE a.ivf_cell IN (SELECT ivf_cell FROM flags)),
+       |f0 AS (
+       |  SELECT ivf_cell AS label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
+       |  FROM mem2, range(1, 65) t(i) GROUP BY 1, 2),
+       |fn AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM f0 GROUP BY 1),
+       |fc AS (
+       |  SELECT c.label, list(c.m / n.nrm ORDER BY c.i) AS centroid
+       |  FROM f0 c JOIN fn n USING (label) GROUP BY c.label),
+       |nc AS MATERIALIZED (
+       |  SELECT label, centroid FROM cent
+       |  WHERE label NOT IN (SELECT label FROM fc)
+       |  UNION ALL SELECT label, centroid FROM fc),
+       |re AS (
+       |  SELECT id, label AS ivf_cell, s AS csim FROM (
+       |    SELECT m.id, c.label, $csim AS s,
+       |      row_number() OVER (PARTITION BY m.id ORDER BY $csim DESC, c.label) AS rn
+       |    FROM mem2 m, nc c) WHERE rn = 1)
+       |SELECT id, ivf_cell, round(csim, 6) AS csim FROM (
+       |  SELECT id, ivf_cell, csim FROM asgs
+       |  WHERE ivf_cell NOT IN (SELECT ivf_cell FROM flags)
+       |  UNION ALL SELECT id, ivf_cell, csim FROM re)
+       |ORDER BY id""".stripMargin
+  }
+
   private val dedupOracles: Map[String, String] = Map(
     "tc_semantic_dedup" ->
       s"""WITH ${OracleCtes.memories},
@@ -1648,63 +1733,12 @@ object Queries {
          |FROM built FULL JOIN nowt USING (ivf_cell)
          |ORDER BY ivf_cell""".stripMargin
     },
-    // the retrain loop from first principles: original centroids + argmax
-    // assignments (as ann_ivf_drift), the audit arithmetic selecting the
-    // flagged cells, recentred centroids = normalized per-cell mean of the
-    // flagged members, reassignment of ONLY those members against the
-    // merged centroid set, and the final live view = untouched rows UNION
-    // reassigned rows
-    "ann_ivf_retrain" -> {
-      val csim = "list_sum(list_transform(range(1, 65), i -> CAST(m.embedding[i] AS DOUBLE) * c.centroid[i]))"
-      s"""WITH ${OracleCtes.memories},
-         |cent0 AS (
-         |  SELECT label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
-         |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
-         |centn AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM cent0 GROUP BY 1),
-         |cent AS MATERIALIZED (
-         |  SELECT c.label, list(c.m / n.nrm ORDER BY c.i) AS centroid
-         |  FROM cent0 c JOIN centn n USING (label) GROUP BY c.label),
-         |asgs AS MATERIALIZED (
-         |  SELECT id, label AS ivf_cell, s AS csim FROM (
-         |    SELECT m.id, c.label, $csim AS s,
-         |      row_number() OVER (PARTITION BY m.id ORDER BY $csim DESC, c.label) AS rn
-         |    FROM memories m, cent c) WHERE rn = 1),
-         |built AS (
-         |  SELECT ivf_cell, count(*) AS nb, round(avg(csim), 6) AS msb
-         |  FROM asgs WHERE id < (SELECT count(*) FROM documents) // 2 GROUP BY 1),
-         |nowt AS (
-         |  SELECT ivf_cell, count(*) AS nn, round(avg(csim), 6) AS msn
-         |  FROM asgs GROUP BY 1),
-         |flags AS MATERIALIZED (
-         |  SELECT ivf_cell FROM built FULL JOIN nowt USING (ivf_cell)
-         |  WHERE round(coalesce(nn, 0) / CAST(greatest(coalesce(nb, 0), 1) AS DOUBLE), 6) > 2.0
-         |     OR round(coalesce(msb, 0.0) - coalesce(msn, 0.0), 6) > 0.1),
-         |mem2 AS MATERIALIZED (
-         |  SELECT a.id, a.ivf_cell, m.embedding
-         |  FROM asgs a JOIN memories m ON a.id = m.id
-         |  WHERE a.ivf_cell IN (SELECT ivf_cell FROM flags)),
-         |f0 AS (
-         |  SELECT ivf_cell AS label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
-         |  FROM mem2, range(1, 65) t(i) GROUP BY 1, 2),
-         |fn AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM f0 GROUP BY 1),
-         |fc AS (
-         |  SELECT c.label, list(c.m / n.nrm ORDER BY c.i) AS centroid
-         |  FROM f0 c JOIN fn n USING (label) GROUP BY c.label),
-         |nc AS MATERIALIZED (
-         |  SELECT label, centroid FROM cent
-         |  WHERE label NOT IN (SELECT label FROM fc)
-         |  UNION ALL SELECT label, centroid FROM fc),
-         |re AS (
-         |  SELECT id, label AS ivf_cell, s AS csim FROM (
-         |    SELECT m.id, c.label, $csim AS s,
-         |      row_number() OVER (PARTITION BY m.id ORDER BY $csim DESC, c.label) AS rn
-         |    FROM mem2 m, nc c) WHERE rn = 1)
-         |SELECT id, ivf_cell, round(csim, 6) AS csim FROM (
-         |  SELECT id, ivf_cell, csim FROM asgs
-         |  WHERE ivf_cell NOT IN (SELECT ivf_cell FROM flags)
-         |  UNION ALL SELECT id, ivf_cell, csim FROM re)
-         |ORDER BY id""".stripMargin
-    },
+    // both map to the shared first-principles replay [[ivfRetrainSql]]:
+    // ann_ivf_retrain drives audit -> collect -> retrainCells explicitly,
+    // st_drift_retrain the streaming cadence trigger (retrainIfDrifted
+    // inside refreshBatch) -- same live corpus, same adjudicating SQL
+    "ann_ivf_retrain" -> ivfRetrainSql,
+    "st_drift_retrain" -> ivfRetrainSql,
     "ann_ivf_recall" ->
       s"""SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10
          |FROM ($ivfTopkSql) i

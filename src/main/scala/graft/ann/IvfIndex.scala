@@ -309,6 +309,30 @@ object IvfIndex {
         col("growth") > growthLimit || col("sim_drop") > simDropLimit)
   }
 
+  /** The audit → retrain trigger in ONE call: run [[driftAudit]], collect
+    * the flagged cells (bounded by nlist ≤ [[Ann.MaxNlist]] — a
+    * planning-time list, same shape as the probe's centroid ranking) and
+    * dispatch [[retrainCells]] when any flag. This is the cadence hook the
+    * streaming maintenance paths call every `auditEvery` micro-batches
+    * ([[graft.streaming.EventStream.refreshBatch]] / `cdcBatch`), closing
+    * the drift loop UNATTENDED: churn lands O(batch), the audit reads a
+    * 2-column pruned scan on a schedule, and retraining touches only the
+    * flagged members. Replay-idempotent WITHOUT a batch stamp: a re-run
+    * straight after a retrain reads the just re-seeded baseline, flags
+    * nothing, and no-ops — so a crash between an index apply and its
+    * retrain costs a deferred retrain (the next cadence firing), never a
+    * double one. Returns the retrained cells (empty = audit was clean). */
+  def retrainIfDrifted(spark: SparkSession, path: String,
+                       growthLimit: Double = 2.0,
+                       simDropLimit: Double = 0.1,
+                       batchId: Option[Long] = None): Seq[Int] = {
+    val flagged = driftAudit(spark, path, growthLimit, simDropLimit)
+      .filter(col("retrain")).select("ivf_cell")
+      .collect().map(_.getInt(0)).toSeq
+    if (flagged.nonEmpty) retrainCells(spark, path, flagged, batchId)
+    flagged
+  }
+
   /** Targeted retraining — the executor that closes [[driftAudit]]'s loop
     * (audit flags `retrain` cells; this acts on them), the O(flagged)
     * alternative to the full rebuild [[buildWithCentroids]] is:

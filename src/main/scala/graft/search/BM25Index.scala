@@ -364,7 +364,15 @@ object BM25Index {
     * the caller's batch arithmetic) + avg raw idf over the terms table —
     * the epsilon base rank_bm25 defines over the WHOLE vocabulary, and
     * the single O(vocab) aggregation a maintenance call pays (the terms
-    * table, never the postings). */
+    * table, never the postings). Deliberately NOT maintained
+    * incrementally: idf(df, n) is global in n, so any batch that adds or
+    * deletes a document shifts EVERY term's idf — an exact Σidf update
+    * would touch the whole vocabulary anyway, and an approximate one
+    * (delta-correcting only the batch's touched terms) silently biases
+    * the epsilon floor. The recompute is the honest O(vocab) bound:
+    * terms ≈ 10⁸ rows at 100 TB against ~10¹³ postings — per micro-batch
+    * it is one narrow columnar agg over a table five orders of magnitude
+    * smaller than the index it guards. */
   private def writeScalars(spark: SparkSession, path: String,
                            n: Long, totalTokens: Long): Unit = {
     val avgIdf = Store.load(spark, s"$path/terms")

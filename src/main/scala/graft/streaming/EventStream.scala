@@ -242,11 +242,12 @@ object EventStream {
     * one-shot batch build, and pins a re-delivered batch as a no-op. */
   def startIndexRefresh(docs: DataFrame, bm25Path: Option[String],
                         ivfPath: Option[String],
-                        checkpoint: String): StreamingQuery =
+                        checkpoint: String,
+                        auditEvery: Int = 0): StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        refreshBatch(batch, batchId, bm25Path, ivfPath)
+        refreshBatch(batch, batchId, bm25Path, ivfPath, auditEvery)
       }
       .start()
 
@@ -258,17 +259,29 @@ object EventStream {
 
   /** The per-micro-batch body of [[startIndexRefresh]], public so the
     * replay spec can drive it directly: refresh each index UNLESS its
-    * manifest already stamps this (or a later) batchId. */
+    * manifest already stamps this (or a later) batchId. `auditEvery` > 0
+    * runs [[graft.ann.IvfIndex.retrainIfDrifted]] every that-many
+    * micro-batches AFTER the apply — the unattended drift loop (cheap
+    * 2-column audit scan on a cadence, O(flagged) retrain when it fires).
+    * The trigger deliberately ignores the replay guard: right after a
+    * retrain the re-seeded baseline reads clean, so a replayed cadence
+    * firing no-ops instead of double-retraining. */
   def refreshBatch(batch: DataFrame, batchId: Long,
-                   bm25Path: Option[String], ivfPath: Option[String]): Unit = {
+                   bm25Path: Option[String], ivfPath: Option[String],
+                   auditEvery: Int = 0): Unit = {
     val b = batch.persist()
-    try if (!b.isEmpty) {
-      bm25Path.filterNot(applied(_, batchId)).foreach(p =>
-        graft.search.BM25Index.refresh(b.sparkSession, p, b,
-          batchId = Some(batchId)))
-      ivfPath.filterNot(applied(_, batchId)).foreach(p =>
-        graft.ann.IvfIndex.refresh(b.sparkSession, p, b,
-          batchId = Some(batchId)))
+    try {
+      if (!b.isEmpty) {
+        bm25Path.filterNot(applied(_, batchId)).foreach(p =>
+          graft.search.BM25Index.refresh(b.sparkSession, p, b,
+            batchId = Some(batchId)))
+        ivfPath.filterNot(applied(_, batchId)).foreach(p =>
+          graft.ann.IvfIndex.refresh(b.sparkSession, p, b,
+            batchId = Some(batchId)))
+      }
+      if (auditEvery > 0 && (batchId + 1) % auditEvery == 0)
+        ivfPath.foreach(p =>
+          graft.ann.IvfIndex.retrainIfDrifted(b.sparkSession, p))
     } finally { b.unpersist(); () }
   }
 
@@ -291,25 +304,32 @@ object EventStream {
     * in-batch add→delete→add ordering. */
   def startCdcMaintenance(docs: DataFrame, bm25Path: String, ivfPath: String,
                           checkpoint: String,
-                          lshPath: Option[String] = None): StreamingQuery =
+                          lshPath: Option[String] = None,
+                          auditEvery: Int = 0): StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        cdcBatch(batch, batchId, bm25Path, ivfPath, lshPath)
+        cdcBatch(batch, batchId, bm25Path, ivfPath, lshPath, auditEvery)
       }
       .start()
 
   /** The per-micro-batch body of [[startCdcMaintenance]], public so the
-    * replay spec can drive it directly. */
+    * replay spec can drive it directly. `auditEvery` as in
+    * [[refreshBatch]]: the IVF drift audit + targeted retrain runs every
+    * that-many micro-batches after the CDC apply. */
   def cdcBatch(batch: DataFrame, batchId: Long,
                bm25Path: String, ivfPath: String,
-               lshPath: Option[String] = None): Unit = {
+               lshPath: Option[String] = None,
+               auditEvery: Int = 0): Unit = {
     val b = batch.persist()
-    try if (!applied(bm25Path, batchId) || !applied(ivfPath, batchId) ||
-      lshPath.exists(!applied(_, batchId)))
-      applyCdcBatch(b, bm25Path, ivfPath, batchId = Some(batchId),
-        lshPath = lshPath)
-    finally { b.unpersist(); () }
+    try {
+      if (!applied(bm25Path, batchId) || !applied(ivfPath, batchId) ||
+        lshPath.exists(!applied(_, batchId)))
+        applyCdcBatch(b, bm25Path, ivfPath, batchId = Some(batchId),
+          lshPath = lshPath)
+      if (auditEvery > 0 && (batchId + 1) % auditEvery == 0)
+        graft.ann.IvfIndex.retrainIfDrifted(b.sparkSession, ivfPath)
+    } finally { b.unpersist(); () }
   }
 
   /** The CDC dispatch, also the batch/oracle form: reduce the batch to

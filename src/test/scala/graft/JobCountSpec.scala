@@ -166,7 +166,12 @@ class JobCountSpec extends SparkSpec {
     // the all-family targeted compaction sweep + the state summary
     // (measured 416 in-suite — the cost of exercising every family's
     // full lifecycle in one query, not of any single operator)
-    "op_compaction_sweep" -> 470
+    "op_compaction_sweep" -> 470,
+    // r12 new: same work as ann_ivf_retrain routed through the streaming
+    // cadence hook — build-half + refreshBatch(rest, auditEvery=1) whose
+    // trigger runs the audit + targeted retrain (measured 99 in-suite,
+    // identical to the explicit path: the trigger adds zero extra jobs)
+    "st_drift_retrain" -> 114
   )
 
   private val counter = new AtomicInteger(0)

@@ -166,6 +166,48 @@ class StreamingSpec extends SparkSpec {
     assert(live == expect && live.size == 6)
   }
 
+  test("streamed flood trips the drift audit and the cadence hook auto-retrains the flagged cell") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ivfPath = "/root/repo/target/tmp/stix_retrain_ivf"
+    val ckpt = "/root/repo/target/tmp/stix_retrain_ckpt"
+    Seq(ivfPath, ckpt).foreach(graft.sources.Store.deleteRecursive)
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val seed = ((1L to 4L).map(i => (i, s"d$i", v(1, 0.01 * i))) ++
+      (5L to 8L).map(i => (i, s"d$i", v(0.01 * i, 1))))
+      .toDF("id", "text", "embedding")
+    graft.ann.IvfIndex.buildWithCentroids(seed,
+      Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f))).toDF("label", "centroid"),
+      ivfPath)
+    val input = MemoryStream[(Long, String, Array[Float])]
+    val docs = input.toDF().toDF("id", "text", "embedding")
+    val q = EventStream.startIndexRefresh(docs, bm25Path = None,
+      ivfPath = Some(ivfPath), ckpt, auditEvery = 1)
+    try {
+      input.addData((20L to 29L).map(i => (i, s"f$i", v(0.72, 0.7))))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the flood flagged cell 0 and the cadence hook retrained it IN-STREAM:
+    // the re-seeded baseline reads clean from a fresh audit, and the
+    // recentred centroid tilted toward the flood (still unit-norm)
+    val audit = graft.ann.IvfIndex.driftAudit(spark, ivfPath)
+      .select("ivf_cell", "growth", "sim_drop", "retrain")
+      .as[(Int, Double, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(audit(0) == ((0, 1.0, 0.0, false)),
+      s"flooded cell must read clean post-retrain: ${audit(0)}")
+    assert(!audit(1)._4, s"untouched cell must not flag: ${audit(1)}")
+    val cents = graft.sources.Store.load(spark, s"$ivfPath/centroids")
+      .select("label", "centroid").as[(Int, Seq[Double])].collect().toMap
+    assert(cents(0)(1) > 0.3, s"c0 must tilt toward the flood: ${cents(0)}")
+    assert(math.abs(cents(1)(0)) < 1e-12 && math.abs(cents(1)(1) - 1.0) < 1e-12)
+    assert(graft.sources.Store.load(spark, s"$ivfPath/assignments").count() == 18L)
+    // replay-idempotence without a batch stamp: a second cadence firing
+    // reads the clean baseline and no-ops
+    assert(graft.ann.IvfIndex.retrainIfDrifted(spark, ivfPath).isEmpty)
+    assert(graft.sources.Store.load(spark, s"$ivfPath/assignments")
+      .filter(col("ivf_cell") === 0).count() == 14L)
+  }
+
   test("CDC stream: add/update/delete micro-batches land exactly on rebuild state") {
     implicit val sqlCtx = spark.sqlContext
     val bm25Path = "/root/repo/target/tmp/cdc_bm25"
