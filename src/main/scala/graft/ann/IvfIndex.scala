@@ -309,6 +309,18 @@ object IvfIndex {
         col("growth") > growthLimit || col("sim_drop") > simDropLimit)
   }
 
+  /** [[retrainCells]]' member read — the scan that makes retraining
+    * O(flagged members), never O(corpus): the `ivf_cell IN (flagged)`
+    * predicate is a PARTITION filter on the cell-partitioned assignments
+    * table, so planning lists only the flagged cells' dirs (pinned by
+    * PlanAuditSpec — a regression to a full-table scan must fail there,
+    * not on a cluster). */
+  private[graft] def flaggedMembers(spark: SparkSession, path: String,
+                                    cellVals: Seq[Any]): DataFrame =
+    Store.load(spark, s"$path/assignments")
+      .filter(col("ivf_cell").isin(cellVals: _*))
+      .select("id", "embedding", "ivf_cell")
+
   /** The audit → retrain trigger in ONE call: run [[driftAudit]], collect
     * the flagged cells (bounded by nlist ≤ [[Ann.MaxNlist]] — a
     * planning-time list, same shape as the probe's centroid ranking) and
@@ -364,10 +376,7 @@ object IvfIndex {
                    batchId: Option[Long] = None): Unit = {
     if (cells.isEmpty) { IndexManifest.capture(path, Tables, batchId); return }
     val cellVals = cells.map(c => c: Any)
-    val members = Store.load(spark, s"$path/assignments")
-      .filter(col("ivf_cell").isin(cellVals: _*))
-      .select("id", "embedding", "ivf_cell")
-      .localCheckpoint(true)
+    val members = flaggedMembers(spark, path, cellVals).localCheckpoint(true)
     if (members.isEmpty) {
       // every flagged cell is empty (deletes drained them): keep their
       // centroids, drop their baseline rows — they re-enter the baseline

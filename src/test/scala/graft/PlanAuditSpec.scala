@@ -208,6 +208,32 @@ class PlanAuditSpec extends SparkSpec {
       "the query's term rows must broadcast into the postings scan")
   }
 
+  test("retrainCells' member read prunes to the flagged cells' partitions") {
+    // the claim retraining is O(flagged members), never O(corpus), rests
+    // on this scan: `ivf_cell IN (flagged)` must prune at PLANNING time
+    // on the cell-partitioned assignments table — a regression to a
+    // post-scan filter would read every cell of a 100 TB index to retrain
+    // one drifted cell
+    val s = spark
+    import s.implicits._
+    val path = "/root/repo/target/tmp/audit_ivf_retrain"
+    graft.sources.Store.deleteRecursive(path)
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    graft.ann.IvfIndex.buildWithCentroids(
+      Seq((1L, v(1, 0)), (2L, v(0, 1))).toDF("id", "embedding"),
+      Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f))).toDF("label", "centroid"),
+      path)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try graft.ann.IvfIndex
+      .flaggedMembers(spark, path, Seq(0))
+      .queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val scan = plan.linesIterator
+      .filter(_.contains("FileScan parquet")).mkString("\n")
+    assert(scan.contains("PartitionFilters: [") && scan.contains("ivf_cell"),
+      s"member read must prune flagged-cell dirs at planning time:\n$scan")
+  }
+
   test("IVF assignment argmax partially aggregates before the shuffle, no rank window") {
     // at nlist=4096 a rank window over corpus x nlist scored rows shuffles
     // every scored row; max_by's partial (map-side) aggregate collapses to
