@@ -141,6 +141,25 @@ object Queries {
         Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
         hybridParams(s, dir))
     }),
+    // the flagship hybrid answered ENTIRELY from the persisted indexes —
+    // the 100 TB query path: the BM25 leg is one pb-pruned postings scan
+    // (scores pinned equal to the in-session scorer), the vector leg is
+    // the nprobe probed cell dirs instead of a full corpus scan; fusion
+    // and all extra rank signals are the SAME code (fuseContribs). The
+    // oracle is the hybrid SQL with the vector CTE restricted to the
+    // probed cells, so the hash-match adjudicates the whole indexed path
+    // end to end — including the one semantic difference, IVF's bounded
+    // candidate pool
+    "r4_hybrid_indexed" -> ((s, dir) => {
+      val bm25Path = s"${sys.props("java.io.tmpdir")}/graft_hyb_bm25_${ProcessHandle.current().pid()}"
+      val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_hyb_ivf_${ProcessHandle.current().pid()}"
+      reapAtExit(bm25Path); reapAtExit(ivfPath)
+      val mem = Corpus.memories(s, dir)
+      graft.search.BM25Index.build(mem, bm25Path)
+      graft.ann.IvfIndex.build(mem, Tables.embeddings(s, dir), ivfPath)
+      HybridSearch.searchIndexed(s, bm25Path, ivfPath, mem,
+        Some(Corpus.searchFeedback(s, dir)), hybridParams(s, dir))
+    }),
     // the R6 signal fed by the STREAM-maintained net table instead of the
     // raw log: runningFeedbackNets (mapGroupsWithState — identical code
     // path on a batch frame) feeds HybridSearch.search directly; the
@@ -292,6 +311,12 @@ object Queries {
          |ORDER BY score DESC, id LIMIT 10""".stripMargin,
     "r4_hybrid_rrf" ->
       OracleHybrid.hybridSql(oracleHybridParams, n = 1000000, withFeedback = true),
+    // r4's SQL with the vector CTE restricted to the IVF-probed cells:
+    // what the index-backed hybrid must reproduce exactly
+    "r4_hybrid_indexed" ->
+      OracleHybrid.hybridSql(oracleHybridParams, n = 1000000,
+        withFeedback = true, extraCtes = ivfCtes,
+        vecJoin = "JOIN asg ia ON m.id = ia.id JOIN probe ip ON ia.ivf_cell = ip.label"),
     // identical SQL to r4: the stream-maintained net table must reproduce
     // the batch-aggregated feedback signal exactly
     "r6_feedback_stream" ->
@@ -1262,7 +1287,7 @@ object Queries {
     * over `from` — default the memories corpus; the CDC oracle passes its
     * post-maintenance `live` view), probe (the nprobe=2 query-nearest
     * cells) — shared by the IVF and IVF×SQ8 oracles. */
-  private[graft] def ivfCtesOver(from: String): String =
+  private[graft] def ivfCtesOver(from: String, vecId: Long = 0): String =
     s"""cent0 AS (
        |  SELECT label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
        |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
@@ -1281,7 +1306,7 @@ object Queries {
        |    SELECT c.label, row_number() OVER (ORDER BY
        |      list_sum(list_transform(range(1, 65), i -> c.centroid[i] * CAST(q.qv[i] AS DOUBLE))) DESC,
        |      c.label) AS rn
-       |    FROM cent c, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
+       |    FROM cent c, (SELECT embedding AS qv FROM embeddings WHERE vec_id = $vecId) q)
        |  WHERE rn <= 2)""".stripMargin
 
   private[graft] def ivfCtes: String = ivfCtesOver("memories")

@@ -252,6 +252,23 @@ object QueriesExt {
       HybridSearch.batchSearch(
         Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)), Seq(p0, p1))
     }),
+    // the batch form from the persisted indexes: N queries = N pruned
+    // postings slices + N·nprobe cell dirs, never N corpus scans; the
+    // builds amortize across the batch. Oracle = the union of the
+    // per-query indexed hybrid SQLs (each vector CTE restricted to ITS
+    // query's probed cells)
+    "r15_batch_indexed" -> ((s, dir) => {
+      val bm25Path = s"${sys.props("java.io.tmpdir")}/graft_bhyb_bm25_${ProcessHandle.current().pid()}"
+      val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_bhyb_ivf_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(bm25Path); Queries.reapAtExit(ivfPath)
+      val mem = Corpus.memories(s, dir)
+      graft.search.BM25Index.build(mem, bm25Path)
+      graft.ann.IvfIndex.build(mem, Tables.embeddings(s, dir), ivfPath)
+      val p0 = Queries.hybridParams(s, dir)
+      val p1 = p0.copy(queryVec = Queries.queryVec(s, dir, 1))
+      HybridSearch.batchSearchIndexed(s, bm25Path, ivfPath, mem,
+        Some(Corpus.searchFeedback(s, dir)), Seq(p0, p1))
+    }),
     // MLlib BRP-LSH approx join — no SQL oracle (MLlib internals); the
     // driver records a rows-only check, invariants live in AnnSpec
     "ann_lsh_brp_pairs" -> ((s, dir) => {
@@ -639,6 +656,22 @@ object QueriesExt {
          |UNION ALL
          |SELECT q1.*, 1 AS query_idx FROM (
          |$sql1
+         |) q1""".stripMargin
+    },
+    // per-query indexed hybrid SQLs unioned: each vector CTE restricted
+    // to ITS query's probed cells (the probe CTE ranks centroids against
+    // that query's vec_id)
+    "r15_batch_indexed" -> {
+      def one(v: Long) = OracleHybrid.hybridSql(oracleParams, n = 1000000,
+        withFeedback = true, vecId = v,
+        extraCtes = Queries.ivfCtesOver("memories", v),
+        vecJoin = "JOIN asg ia ON m.id = ia.id JOIN probe ip ON ia.ivf_cell = ip.label")
+      s"""SELECT q0.*, 0 AS query_idx FROM (
+         |${one(0)}
+         |) q0
+         |UNION ALL
+         |SELECT q1.*, 1 AS query_idx FROM (
+         |${one(1)}
          |) q1""".stripMargin
     },
     "s1_store_swap" ->

@@ -422,7 +422,20 @@ object IvfIndex {
     * read — a consistent pair even mid-maintenance. Output matches
     * [[Ann.ivfTopK]]: (id, ivf_cell, sim). */
   def topK(spark: SparkSession, path: String, queryVec: Seq[Float],
-           k: Int, nprobe: Int = 2): DataFrame = {
+           k: Int, nprobe: Int = 2): DataFrame =
+    probedCandidates(spark, path, queryVec, nprobe)
+      .orderBy(desc("sim"), asc("id"))
+      .limit(k)
+
+  /** The probed-cell candidate frame BEFORE the top-k cut — (id, ivf_cell,
+    * sim) over exactly the `nprobe` pruned cells, scored against the
+    * query. [[topK]] is this plus the ordered cut; an index-backed hybrid
+    * search ([[graft.search.HybridSearch.searchIndexed]]) instead joins it
+    * to the corpus attributes, applies the visibility filters, and ranks
+    * it as the vector leg — the candidate pool stays bounded by the
+    * probed cells' population either way. */
+  def probedCandidates(spark: SparkSession, path: String,
+                       queryVec: Seq[Float], nprobe: Int = 2): DataFrame = {
     val ld = IndexManifest.resolve(spark, path)
     val cells = ld("centroids")
       .withColumn("_qsim", dot(col("centroid"), typedLit(queryVec)))
@@ -432,7 +445,5 @@ object IvfIndex {
       .filter(col("ivf_cell").isin(cells: _*))
       .select(col("id"), col("ivf_cell"),
         roundScore(dot(col("embedding"), typedLit(queryVec))).as("sim"))
-      .orderBy(desc("sim"), asc("id"))
-      .limit(k)
   }
 }

@@ -97,7 +97,13 @@ object OracleHybrid {
   /** CTE chain ending in `fused(id, rrf)` — the pre-graph 5-signal RRF pool.
     * Mirrors [[graft.search.HybridSearch.rrfScores]]. Requires the
     * `memories` and (if feedbackWeight>0) `search_feedback` CTEs upstream. */
-  def fusedCtes(p: HybridSearch.Params, n: Long, vecId: Long): String = {
+  /** `vecJoin` optionally restricts the vector leg's candidate pool — the
+    * index-backed hybrid (`r4_hybrid_indexed`) passes the IVF probe join
+    * so the oracle replays exactly the probed-cell pool
+    * [[graft.search.HybridSearch.searchIndexed]] ranks; every other
+    * caller leaves it empty (full-corpus exact leg). */
+  def fusedCtes(p: HybridSearch.Params, n: Long, vecId: Long,
+                vecJoin: String = ""): String = {
     val k = math.min(math.min(p.k.toLong, n), 100L).toInt
     val oversample = math.min(3L * k, n).toInt
     val w = HybridSearch.Weights.resolve(p.vectorWeight, p.recencyWeight,
@@ -156,6 +162,7 @@ object OracleHybrid {
        |vec AS MATERIALIZED (
        |  SELECT m.id, round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) AS sim
        |  FROM memories m
+       |  $vecJoin
        |  CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = $vecId) q
        |  WHERE TRUE $archPred $prefixPred $temporalPred $thresholdPred
        |  ORDER BY sim DESC, m.id LIMIT $oversample
@@ -224,11 +231,13 @@ object OracleHybrid {
     * per-question source_prefix scope). */
   def hybridSql(p: HybridSearch.Params, n: Long, withFeedback: Boolean,
                 vecId: Long = 0,
-                memoriesCte: String = OracleCtes.memories): String = {
+                memoriesCte: String = OracleCtes.memories,
+                extraCtes: String = "", vecJoin: String = ""): String = {
     val k = math.min(p.k, 100)
     val fb = if (withFeedback) s",\n${OracleCtes.searchFeedback}" else ""
+    val extra = if (extraCtes.nonEmpty) extraCtes + ",\n" else ""
     s"""WITH $memoriesCte$fb,
-       |${fusedCtes(p, n, vecId)}
+       |$extra${fusedCtes(p, n, vecId, vecJoin)}
        |SELECT f.id, m.source, m.category, round(f.rrf, 6) AS rrf_score
        |FROM fused f JOIN memories m USING (id)
        |ORDER BY f.rrf DESC, f.id LIMIT $k""".stripMargin

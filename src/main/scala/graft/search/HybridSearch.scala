@@ -143,7 +143,58 @@ object HybridSearch {
       else
         BM25.ranked(memories, p.queryTokens, oversample, p.sourcePrefix, p.includeArchived)
           .select(col("id"), contrib(w.bm25, rank0(col("bm25"))).as("c"))
+    fuseContribs(vec, bm, memories, feedback, p)
+  }
 
+  /** The two retrieval legs answered from the PERSISTED indexes instead of
+    * corpus scans — the 100 TB form of [[signalContribs]]: the vector leg
+    * is [[graft.ann.IvfIndex.probedCandidates]] (nprobe pruned cell dirs,
+    * never the full assignments table) joined to the corpus attributes for
+    * the visibility filters; the BM25 leg is
+    * [[graft.search.BM25Index.scores]] (ONE pb-pruned postings scan — its
+    * scores are pinned equal to the in-session scorer by BM25IndexSpec).
+    * Downstream fusion is byte-identical ([[fuseContribs]] is shared), so
+    * the ONLY semantic difference from the in-session path is the vector
+    * candidate pool: probed cells instead of the whole corpus — exactly
+    * IVF's recall trade, adjudicated end-to-end by `r4_hybrid_indexed`'s
+    * oracle (the hybrid SQL with the vector CTE restricted to the probed
+    * cells). PRF re-ranking is not offered on this path (RM3 expansion
+    * needs the top docs' term vectors; compose [[BM25.prfExpanded]]
+    * upstream if needed). */
+  def signalContribsIndexed(spark: org.apache.spark.sql.SparkSession,
+                            bm25Path: String, ivfPath: String,
+                            memories: DataFrame, feedback: Option[DataFrame],
+                            p: Params, nprobe: Int = 2): DataFrame = {
+    val k = math.min(p.k, 100)
+    val oversample = 3 * k
+    val w = Weights.resolve(p.vectorWeight, p.recencyWeight, p.feedbackWeight, p.confidenceWeight)
+    val probed = graft.ann.IvfIndex
+      .probedCandidates(spark, ivfPath, p.queryVec, nprobe)
+      .select("id", "sim")
+      .join(memories.drop("embedding", "text"), "id")
+      .filter(Filters.visible(p.sourcePrefix, p.includeArchived, p.since, p.until))
+    val vecThr = p.threshold.map(t => probed.filter(col("sim") >= t)).getOrElse(probed)
+    val vec = vecThr.orderBy(desc("sim"), asc("id")).limit(oversample)
+      .select(col("id"), contrib(w.vec, rank0(col("sim"))).as("c"))
+    val visible = memories.filter(
+      Filters.sourcePrefix(p.sourcePrefix) && Filters.notArchived(p.includeArchived))
+    val bm = BM25Index.scores(spark, bm25Path, p.queryTokens)
+      .join(visible.select("id"), "id")
+      .filter(col("bm25") > 0)
+      .orderBy(desc("bm25"), asc("id")).limit(oversample)
+      .select(col("id"), contrib(w.bm25, rank0(col("bm25"))).as("c"))
+    fuseContribs(vec, bm, memories, feedback, p)
+  }
+
+  /** Everything downstream of the two retrieval legs — candidate pool,
+    * extra rank signals, labeled contributions — shared verbatim by the
+    * in-session ([[signalContribs]]) and index-backed
+    * ([[signalContribsIndexed]]) paths, so the fusion semantics cannot
+    * drift between them. `vec`/`bm` arrive as (id, c) contribution
+    * frames. */
+  private def fuseContribs(vec: DataFrame, bm: DataFrame, memories: DataFrame,
+                           feedback: Option[DataFrame], p: Params): DataFrame = {
+    val w = Weights.resolve(p.vectorWeight, p.recencyWeight, p.feedbackWeight, p.confidenceWeight)
     val cand0 = vec.unionAll(bm).groupBy("id").agg(sum("c").as("rrf"))
     // the candidate pool fans out to the core row plus every active extra
     // signal branch — without materialization each consumer re-executes the
@@ -219,8 +270,34 @@ object HybridSearch {
 
   /** Fast path (graphWeight == 0): top-k by fused score with metadata
     * attached (memory_engine.py:1867-1881). */
-  def search(memories: DataFrame, feedback: Option[DataFrame], p: Params): DataFrame = {
-    val fused = rrfScores(memories, feedback, p)
+  def search(memories: DataFrame, feedback: Option[DataFrame], p: Params): DataFrame =
+    finishSearch(memories, rrfScores(memories, feedback, p), p)
+
+  /** [[search]] answered from the persisted BM25 + IVF indexes — same
+    * params, same fusion, same graph tail; only the two retrieval legs
+    * change ([[signalContribsIndexed]]). At 100 TB this is the query path:
+    * a pb-pruned postings scan and nprobe cell dirs instead of two full
+    * corpus scans per query. */
+  def searchIndexed(spark: org.apache.spark.sql.SparkSession,
+                    bm25Path: String, ivfPath: String,
+                    memories: DataFrame, feedback: Option[DataFrame],
+                    p: Params, nprobe: Int = 2): DataFrame = {
+    val fused0 = signalContribsIndexed(spark, bm25Path, ivfPath,
+        memories, feedback, p, nprobe)
+      .groupBy("id").agg(sum("c").as("rrf"))
+    val fused =
+      if (p.since.isDefined || p.until.isDefined)
+        fused0.join(
+          memories.filter(Filters.temporal(p.since, p.until)).select("id"), "id")
+      else fused0
+    finishSearch(memories, fused, p)
+  }
+
+  /** The shared tail of [[search]]/[[searchIndexed]]: top-k by fused score
+    * with metadata attached (memory_engine.py:1867-1881), graph expansion
+    * when enabled. */
+  private def finishSearch(memories: DataFrame, fused: DataFrame,
+                           p: Params): DataFrame = {
     val base = fused
       .join(memories.select("id", "source", "category"), "id")
       .orderBy(desc("rrf"), asc("id"))
@@ -281,5 +358,19 @@ object HybridSearch {
                   queries: Seq[Params]): DataFrame =
     queries.zipWithIndex.map { case (p, i) =>
       search(memories, feedback, p).withColumn("query_idx", lit(i))
+    }.reduce(_ unionAll _)
+
+  /** [[batchSearch]] from the persisted indexes: per query the same
+    * bounded [[searchIndexed]] plan (a pb-pruned postings scan + nprobe
+    * cell dirs), unioned — so a batch of N queries reads N·nprobe cell
+    * dirs and N pruned postings slices, never N corpus scans. Index
+    * builds amortize across the whole batch (and every other caller). */
+  def batchSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                         bm25Path: String, ivfPath: String,
+                         memories: DataFrame, feedback: Option[DataFrame],
+                         queries: Seq[Params], nprobe: Int = 2): DataFrame =
+    queries.zipWithIndex.map { case (p, i) =>
+      searchIndexed(spark, bm25Path, ivfPath, memories, feedback, p, nprobe)
+        .withColumn("query_idx", lit(i))
     }.reduce(_ unionAll _)
 }

@@ -171,7 +171,17 @@ class JobCountSpec extends SparkSpec {
     // cadence hook — build-half + refreshBatch(rest, auditEvery=1) whose
     // trigger runs the audit + targeted retrain (measured 99 in-suite,
     // identical to the explicit path: the trigger adds zero extra jobs)
-    "st_drift_retrain" -> 114
+    "st_drift_retrain" -> 114,
+    // r12 new: TWO index builds (BM25 full-corpus + IVF full-corpus — the
+    // dominant share) + the indexed hybrid query itself (measured 98
+    // in-suite; the query alone is a handful of jobs — pruned postings
+    // scan, probed cells, fusion)
+    "r4_hybrid_indexed" -> 112,
+    // r12 new: the same two builds + TWO indexed hybrid queries (measured
+    // 121 in-suite — +23 over the single-query form for the second
+    // query's probe/scan/fusion, i.e. the per-query marginal cost is a
+    // fraction of one corpus scan)
+    "r15_batch_indexed" -> 139
   )
 
   private val counter = new AtomicInteger(0)

@@ -208,6 +208,41 @@ class PlanAuditSpec extends SparkSpec {
       "the query's term rows must broadcast into the postings scan")
   }
 
+  test("index-backed hybrid: pruned postings scan, probed cell dirs, no corpus-wide vector scan") {
+    // the 100 TB query-path claim behind searchIndexed: the BM25 leg is
+    // ONE pb-pruned postings scan (never doclens), the vector leg reads
+    // only the nprobe probed cell dirs of the assignments table — neither
+    // leg may regress to a full corpus scan of its index. Audited with the
+    // extra rank signals OFF: with any active, fuseContribs eagerly
+    // checkpoints the candidate pool (by design) and the leg scans vanish
+    // behind an RDDScan — the legs are identical code either way
+    val bm25Path = "/root/repo/target/tmp/audit_hyb_bm25"
+    val ivfPath = "/root/repo/target/tmp/audit_hyb_ivf"
+    Seq(bm25Path, ivfPath).foreach(graft.sources.Store.deleteRecursive)
+    val mem = Corpus.memories(spark, sf())
+    graft.search.BM25Index.build(mem, bm25Path)
+    graft.ann.IvfIndex.build(mem, Tables.embeddings(spark, sf()), ivfPath)
+    val p = Queries.hybridParams(spark, sf()).copy(
+      recencyWeight = 0.0, feedbackWeight = 0.0, confidenceWeight = 0.0,
+      confidenceProfiles = Nil)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try graft.search.HybridSearch
+      .searchIndexed(spark, bm25Path, ivfPath, mem, None, p)
+      .queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    val postings = scans.filter(_.contains("postings"))
+    assert(postings.size == 1 &&
+      postings.head.contains("PartitionFilters: [") && postings.head.contains("pb"),
+      s"BM25 leg must be one pb-pruned postings scan:\n${postings.mkString("\n")}")
+    assert(!scans.exists(_.contains("doclens")),
+      s"doclens must never be opened by the query path:\n${scans.mkString("\n")}")
+    val asg = scans.filter(_.contains("assignments"))
+    assert(asg.nonEmpty && asg.forall(s =>
+      s.contains("PartitionFilters: [") && s.contains("ivf_cell")),
+      s"vector leg must prune to the probed cell dirs:\n${asg.mkString("\n")}")
+  }
+
   test("retrainCells' member read prunes to the flagged cells' partitions") {
     // the claim retraining is O(flagged members), never O(corpus), rests
     // on this scan: `ivf_cell IN (flagged)` must prune at PLANNING time
