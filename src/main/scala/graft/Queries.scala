@@ -178,6 +178,21 @@ object Queries {
         Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
         hybridParams(s, dir, graphWeight = 0.1))
     }),
+    // the graph-expanded hybrid from the persisted indexes: seeds come
+    // from the indexed legs (probed cells + pruned postings), the PPR
+    // tail and reserved-slot merge are the same code as r10 — the full
+    // retrieval family (search/batch/explain/graph) now runs index-backed
+    "r10_graph_indexed" -> ((s, dir) => {
+      val bm25Path = s"${sys.props("java.io.tmpdir")}/graft_ghyb_bm25_${ProcessHandle.current().pid()}"
+      val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_ghyb_ivf_${ProcessHandle.current().pid()}"
+      reapAtExit(bm25Path); reapAtExit(ivfPath)
+      val mem = Corpus.memories(s, dir)
+      graft.search.BM25Index.build(mem, bm25Path)
+      graft.ann.IvfIndex.build(mem, Tables.embeddings(s, dir), ivfPath)
+      HybridSearch.searchIndexed(s, bm25Path, ivfPath, mem,
+        Some(Corpus.searchFeedback(s, dir)),
+        hybridParams(s, dir, graphWeight = 0.1))
+    }),
     // threshold+graph combination: graph-only hits reserve slots but are
     // dropped at emit (similarity unverifiable) ⇒ k-r rows, reference
     // semantics (memory_engine.py:1697-1714)
@@ -324,6 +339,11 @@ object Queries {
     "r10_graph_search" ->
       OracleHybrid.graphSql(oracleHybridParams.copy(graphWeight = 0.1),
         n = 1000000, withFeedback = true),
+    // r10's SQL with the vector CTE restricted to the IVF-probed cells
+    "r10_graph_indexed" ->
+      OracleHybrid.graphSql(oracleHybridParams.copy(graphWeight = 0.1),
+        n = 1000000, withFeedback = true, extraCtes = ivfCtes,
+        vecJoin = "JOIN asg ia ON m.id = ia.id JOIN probe ip ON ia.ivf_cell = ip.label"),
     "r12_threshold_graph" ->
       OracleHybrid.graphSql(oracleHybridParams.copy(graphWeight = 0.1, threshold = Some(0.2)),
         n = 1000000, withFeedback = true),

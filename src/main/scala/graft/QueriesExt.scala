@@ -92,6 +92,23 @@ object QueriesExt {
         Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
         Queries.hybridParams(s, dir, graphWeight = 0.1)
           .copy(sourcePrefix = Some("src1")))),
+    // explain from the persisted indexes, with the hardest param mix
+    // (source prefix → the filtered_by_source count reads BM25Index
+    // scores; graph weights → the PPR params branch): the labeled
+    // contribution rows adjudicate each indexed leg's RANKS, not just the
+    // fused top-k
+    "r14_explain_indexed" -> ((s, dir) => {
+      val bm25Path = s"${sys.props("java.io.tmpdir")}/graft_xhyb_bm25_${ProcessHandle.current().pid()}"
+      val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_xhyb_ivf_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(bm25Path); Queries.reapAtExit(ivfPath)
+      val mem = Corpus.memories(s, dir)
+      graft.search.BM25Index.build(mem, bm25Path)
+      graft.ann.IvfIndex.build(mem, Tables.embeddings(s, dir), ivfPath)
+      HybridSearch.explainIndexed(s, bm25Path, ivfPath, mem,
+        Some(Corpus.searchFeedback(s, dir)),
+        Queries.hybridParams(s, dir, graphWeight = 0.1)
+          .copy(sourcePrefix = Some("src1")))
+    }),
     // retrieval-quality eval harness: truncated self-retrieval recall@k /
     // MRR over vector (E1 hashing embedder) and BM25 modes
     "ev_self_retrieval" -> ((s, dir) =>
@@ -516,6 +533,13 @@ object QueriesExt {
       OracleHybrid.explainSql(
         oracleParams.copy(graphWeight = 0.1, sourcePrefix = Some("src1")),
         n = 1000000, withFeedback = true),
+    // r14_explain_graph's SQL with the vector CTE probed-cell-restricted
+    "r14_explain_indexed" ->
+      OracleHybrid.explainSql(
+        oracleParams.copy(graphWeight = 0.1, sourcePrefix = Some("src1")),
+        n = 1000000, withFeedback = true,
+        extraCtes = Queries.ivfCtesOver("memories"),
+        vecJoin = "JOIN asg ia ON m.id = ia.id JOIN probe ip ON ia.ivf_cell = ip.label"),
     "mm_frame_sample" -> {
       val blob = "'blob-' || repeat(CAST(id AS VARCHAR), CAST(id % 7 + 1 AS INT))"
       s"""WITH mm AS (

@@ -193,7 +193,9 @@ object OracleHybrid {
   /** R14 explain oracle: labeled per-signal contributions + fused score +
     * resolved weights + filter counts + graph/PPR params. Mirrors
     * [[graft.search.HybridSearch.explain]]. */
-  def explainSql(p: HybridSearch.Params, n: Long, withFeedback: Boolean, vecId: Long = 0): String = {
+  def explainSql(p: HybridSearch.Params, n: Long, withFeedback: Boolean,
+                 vecId: Long = 0,
+                 extraCtes: String = "", vecJoin: String = ""): String = {
     val w = HybridSearch.Weights.resolve(p.vectorWeight, p.recencyWeight,
       p.feedbackWeight, p.confidenceWeight)
     val fb = if (withFeedback) s",\n${OracleCtes.searchFeedback}" else ""
@@ -208,8 +210,9 @@ object OracleHybrid {
     val gw = if (graphOn) p.graphWeight else 0.0
     val pprAlpha = if (graphOn) s"CAST(${GraphSearch.Alpha} AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
     val pprIters = if (graphOn) s"CAST(${GraphSearch.MaxIters} AS INT)" else "CAST(NULL AS INT)"
+    val extra = if (extraCtes.nonEmpty) extraCtes + ",\n" else ""
     s"""WITH ${OracleCtes.memories}$fb,
-       |${fusedCtes(p, n, vecId)},
+       |$extra${fusedCtes(p, n, vecId, vecJoin)},
        |fused2 AS (SELECT id, sum(c) AS rrf FROM expl GROUP BY 1),
        |cc AS (SELECT count(*) AS candidates_considered FROM cand),
        |fbs AS (SELECT $fbsSql AS filtered_by_source)
@@ -248,7 +251,8 @@ object OracleHybrid {
     * [[hybridSql]]. */
   def graphSql(p: HybridSearch.Params, n: Long, withFeedback: Boolean,
                vecId: Long = 0,
-               memoriesCte: String = OracleCtes.memories): String = {
+               memoriesCte: String = OracleCtes.memories,
+               extraCtes: String = "", vecJoin: String = ""): String = {
     val k = math.min(p.k, 100)
     val alpha = GraphSearch.Alpha
     val restart = 1.0 - alpha
@@ -270,8 +274,9 @@ object OracleHybrid {
          |  ) GROUP BY 1
          |)""".stripMargin
     }
+    val extra = if (extraCtes.nonEmpty) extraCtes + ",\n" else ""
     s"""WITH $memoriesCte$fb,
-       |${fusedCtes(p, n, vecId)},
+       |$extra${fusedCtes(p, n, vecId, vecJoin)},
        |${OracleCtes.edges},
        |vis AS (SELECT id FROM memories WHERE TRUE $archPred $prefixPred),
        |ve AS MATERIALIZED (

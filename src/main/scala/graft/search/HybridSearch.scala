@@ -315,12 +315,34 @@ object HybridSearch {
     * filtered_by_source, filtered_by_auth — memory_engine.py:2042-2062) and
     * the graph/PPR parameters (:2150-2185) attached as columns. The counts
     * enter as broadcast 1-row aggregates — no driver round-trips. */
-  def explain(memories: DataFrame, feedback: Option[DataFrame], p: Params): DataFrame = {
+  def explain(memories: DataFrame, feedback: Option[DataFrame], p: Params): DataFrame =
+    explainFrom(signalContribs(memories, feedback, p),
+      BM25.scores(memories, p.queryTokens), memories, p)
+
+  /** [[explain]] from the persisted indexes — same labeled output, legs
+    * from [[signalContribsIndexed]]; the filtered_by_source count reads
+    * [[graft.search.BM25Index.scores]] (pinned equal to the in-session
+    * scorer), so the counts match the in-session explain wherever the
+    * candidate pools coincide. */
+  def explainIndexed(spark: org.apache.spark.sql.SparkSession,
+                     bm25Path: String, ivfPath: String,
+                     memories: DataFrame, feedback: Option[DataFrame],
+                     p: Params, nprobe: Int = 2): DataFrame =
+    explainFrom(
+      signalContribsIndexed(spark, bm25Path, ivfPath, memories, feedback, p, nprobe),
+      BM25Index.scores(spark, bm25Path, p.queryTokens), memories, p)
+
+  /** The shared explain tail: labeled contributions + fused score +
+    * resolved weights + filter counts + graph params. `bmScores` is the
+    * (id, bm25) frame the filtered_by_source count reads — in-session or
+    * index-backed; evaluated only when a source prefix is set. */
+  private def explainFrom(contribs0: DataFrame, bmScores: => DataFrame,
+                          memories: DataFrame, p: Params): DataFrame = {
     val w = Weights.resolve(p.vectorWeight, p.recencyWeight, p.feedbackWeight, p.confidenceWeight)
     // eager checkpoint: the contributions frame (≤ 4*2*oversample rows)
     // feeds the fused aggregate, the candidate count AND the final join —
     // without it the whole multi-branch search plan executes three times
-    val contribs = signalContribs(memories, feedback, p).localCheckpoint(true)
+    val contribs = contribs0.localCheckpoint(true)
     val fused = contribs.groupBy("id").agg(sum("c").as("rrf"))
     // distinct candidates = one 'vector+bm25' row per pooled id
     val candCount = contribs.filter(col("signal") === "vector+bm25")
@@ -328,7 +350,7 @@ object HybridSearch {
     // bm25-positive docs dropped by the source-prefix filter (:2052-2062)
     val fbs = p.sourcePrefix match {
       case Some(pre) =>
-        BM25.scores(memories, p.queryTokens).filter(col("bm25") > 0)
+        bmScores.filter(col("bm25") > 0)
           .join(memories.select(col("id"), col("source")), "id")
           .agg(coalesce(sum(when(!col("source").startsWith(pre), 1L)), lit(0L))
             .as("filtered_by_source"))

@@ -181,7 +181,14 @@ class JobCountSpec extends SparkSpec {
     // 121 in-suite — +23 over the single-query form for the second
     // query's probe/scan/fusion, i.e. the per-query marginal cost is a
     // fraction of one corpus scan)
-    "r15_batch_indexed" -> 139
+    "r15_batch_indexed" -> 139,
+    // r12 new: two builds + indexed seeds + the PPR loop's per-round
+    // checkpoints (measured 148 in-suite — the +50 over the fast path is
+    // the same graph tail r10_graph_search pays)
+    "r10_graph_indexed" -> 170,
+    // r12 new: two builds + the explain tail's checkpointed contributions
+    // + the BM25Index-backed filtered_by_source count (measured 116)
+    "r14_explain_indexed" -> 133
   )
 
   private val counter = new AtomicInteger(0)
