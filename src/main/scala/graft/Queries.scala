@@ -136,6 +136,15 @@ object Queries {
     // hand-built corpus in BM25IndexSpec
     "r17_prf_expansion" -> ((s, dir) =>
       BM25.prfExpanded(Corpus.memories(s, dir), QueryTokens)),
+    // RM3 from the persisted index (the tvecs term-vector sidecar makes
+    // the feedback-doc read a pruned scan): same oracle SQL as the
+    // in-session r17 — the index is full-corpus, so the paths must match
+    "r17_prf_indexed" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_prf_bm25_${ProcessHandle.current().pid()}"
+      reapAtExit(path)
+      graft.search.BM25Index.build(Corpus.memories(s, dir), path)
+      graft.search.BM25Index.prfExpanded(s, path, QueryTokens)
+    }),
     "r4_hybrid_rrf" -> ((s, dir) => {
       HybridSearch.search(
         Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
@@ -231,6 +240,33 @@ object Queries {
       }).orderBy("id"))
   )
 
+  /** The RM3 replay: base BM25, fbtop mining with the
+    * positive-weight discipline, expansion scoring, beta-combine.
+    * Shared by r17_prf_expansion (in-session) and r17_prf_indexed
+    * (tvecs-sidecar path) -- the index is full-corpus, so one SQL
+    * adjudicates both. */
+  private val prfExpansionSql: String =
+    s"""WITH ${OracleCtes.memories},
+       |${OracleHybrid.bm25Ctes(QueryTokens)},
+       |fbtop AS (SELECT id FROM bm WHERE bm25 > 0 ORDER BY bm25 DESC, id LIMIT 10),
+       |expw AS (
+       |  SELECT tf.term, round(sum(tf.tf * idf.idf), 6) AS w
+       |  FROM tf JOIN fbtop USING (id) JOIN idf USING (term)
+       |  WHERE tf.term NOT IN (SELECT term FROM qt)
+       |  GROUP BY 1),
+       |expt AS (SELECT term FROM expw WHERE w > 0 ORDER BY w DESC, term LIMIT 5),
+       |bmexp AS (
+       |  SELECT tf.id,
+       |    round(sum(idf.idf * tf.tf * (${graft.search.BM25.K1} + 1.0) /
+       |      (tf.tf + ${graft.search.BM25.K1} * (1.0 - ${graft.search.BM25.B} + ${graft.search.BM25.B} * dl.dl / (SELECT avgdl FROM bmstats)))), 6) AS bm25e
+       |  FROM tf JOIN expt USING (term) JOIN idf USING (term) JOIN dl USING (id)
+       |  GROUP BY 1)
+       |SELECT coalesce(b.id, e.id) AS id,
+       |  coalesce(b.bm25, 0.0) AS bm25_base, coalesce(e.bm25e, 0.0) AS bm25_exp,
+       |  round(coalesce(b.bm25, 0.0) + 0.4 * coalesce(e.bm25e, 0.0), 6) AS score
+       |FROM bm b FULL JOIN bmexp e ON b.id = e.id
+       |ORDER BY score DESC, id LIMIT 10""".stripMargin
+
   private val retrievalOracles: Map[String, String] = Map(
     "r1_vector_topk" ->
       s"""WITH ${OracleCtes.memories}
@@ -303,27 +339,10 @@ object Queries {
          |  array_to_string(list_slice(t, start_pos, start_pos + w - 1), ' ') AS snippet
          |FROM sbest WHERE rn = 1 ORDER BY id""".stripMargin
     },
-    "r17_prf_expansion" ->
-      s"""WITH ${OracleCtes.memories},
-         |${OracleHybrid.bm25Ctes(QueryTokens)},
-         |fbtop AS (SELECT id FROM bm WHERE bm25 > 0 ORDER BY bm25 DESC, id LIMIT 10),
-         |expw AS (
-         |  SELECT tf.term, round(sum(tf.tf * idf.idf), 6) AS w
-         |  FROM tf JOIN fbtop USING (id) JOIN idf USING (term)
-         |  WHERE tf.term NOT IN (SELECT term FROM qt)
-         |  GROUP BY 1),
-         |expt AS (SELECT term FROM expw WHERE w > 0 ORDER BY w DESC, term LIMIT 5),
-         |bmexp AS (
-         |  SELECT tf.id,
-         |    round(sum(idf.idf * tf.tf * (${graft.search.BM25.K1} + 1.0) /
-         |      (tf.tf + ${graft.search.BM25.K1} * (1.0 - ${graft.search.BM25.B} + ${graft.search.BM25.B} * dl.dl / (SELECT avgdl FROM bmstats)))), 6) AS bm25e
-         |  FROM tf JOIN expt USING (term) JOIN idf USING (term) JOIN dl USING (id)
-         |  GROUP BY 1)
-         |SELECT coalesce(b.id, e.id) AS id,
-         |  coalesce(b.bm25, 0.0) AS bm25_base, coalesce(e.bm25e, 0.0) AS bm25_exp,
-         |  round(coalesce(b.bm25, 0.0) + 0.4 * coalesce(e.bm25e, 0.0), 6) AS score
-         |FROM bm b FULL JOIN bmexp e ON b.id = e.id
-         |ORDER BY score DESC, id LIMIT 10""".stripMargin,
+    // shared by the in-session and index-backed RM3 (r17_prf_indexed):
+    // the index is full-corpus, so one SQL adjudicates both
+    "r17_prf_expansion" -> prfExpansionSql,
+    "r17_prf_indexed" -> prfExpansionSql,
     "r4_hybrid_rrf" ->
       OracleHybrid.hybridSql(oracleHybridParams, n = 1000000, withFeedback = true),
     // r4's SQL with the vector CTE restricted to the IVF-probed cells:

@@ -39,7 +39,15 @@ import graft.sources.{IndexManifest, Store}
   *                    (the rank_bm25 epsilon base) is the one O(vocab)
   *                    aggregation per maintenance call — over the SMALL
   *                    terms table, never the postings
-  *   <path>/INDEX     the [[IndexManifest]] pointer naming all four
+  *   <path>/tvecs     (id, term, tf, db)  TERM VECTORS — the postings
+  *                    content duplicated id-bucketed (Lucene's optional
+  *                    term-vectors files, public): what lets relevance
+  *                    feedback read the fbDocs top docs' (term, tf) rows
+  *                    as a ≤fbDocs-bucket pruned scan ([[prfExpanded]])
+  *                    instead of an O(index) postings sweep. Pure
+  *                    storage-for-latency trade, maintained with the same
+  *                    O(batch) generations as doclens
+  *   <path>/INDEX     the [[IndexManifest]] pointer naming all five
   *                    tables' generations — ONE atomic swap per
   *                    maintenance call, so a reader can never pair new
   *                    postings with old scalars
@@ -92,7 +100,7 @@ object BM25Index {
     * [[PBuckets]]. */
   val DBuckets = 32
 
-  private val Tables = Seq("postings", "doclens", "terms", "scalars")
+  private val Tables = Seq("postings", "doclens", "terms", "scalars", "tvecs")
 
   private val ScalarsSchema = StructType(Seq(
     StructField("n", LongType), StructField("total_tokens", LongType),
@@ -126,6 +134,12 @@ object BM25Index {
         sort_array(collect_list("term")).as("terms"))
       .withColumn("db", pmod(hash(col("id")), lit(DBuckets)))
       .repartition(col("db")).sortWithinPartitions("db", "id")
+
+  /** The term-vector rows of a tokenized batch — the tf frame id-bucketed
+    * (same db hash as doclens, so one worklist sweeps both). */
+  private def tvecsOf(tf: DataFrame): DataFrame =
+    tf.withColumn("db", pmod(hash(col("id")), lit(DBuckets)))
+      .repartition(col("db")).sortWithinPartitions("db", "id", "term")
 
   /** Collect a maintenance batch's DISTINCT ids to the driver in ONE job,
     * failing loud on duplicates when `failOnDup` (two versions of a doc in
@@ -165,6 +179,7 @@ object BM25Index {
     val dls = doclensOf(tf).localCheckpoint(true) // read 2x: save + dl join
     Store.savePartitioned(withPb(tf, dls), s"$path/postings", "pb")
     Store.savePartitioned(dls, s"$path/doclens", "db")
+    Store.savePartitioned(tvecsOf(tf), s"$path/tvecs", "db")
     Store.save(tf.groupBy("term").agg(count(lit(1)).as("df"))
       .repartition(col("term")).sortWithinPartitions("term"), s"$path/terms")
     writeScalars(spark, path, d.count(),
@@ -203,6 +218,7 @@ object BM25Index {
       val dls = doclensOf(tf).localCheckpoint(true)
       Store.appendBatch(withPb(tf, dls), s"$path/postings", "pb")
       Store.appendBatch(dls, s"$path/doclens", "db")
+      Store.appendBatch(tvecsOf(tf), s"$path/tvecs", "db")
       mergeDfDelta(spark, path, tf.groupBy("term").agg(count(lit(1)).as("d")))
     }
     writeScalars(spark, path, oldN + ids.length, oldTotal + tokAdd)
@@ -309,9 +325,11 @@ object BM25Index {
       val dls = doclensOf(tf.get).localCheckpoint(true)
       Store.upsertBatch(withPb(tf.get, dls), s"$path/postings", keys, "pb")
       Store.upsertBatch(dls, s"$path/doclens", keys, "db")
+      Store.upsertBatch(tvecsOf(tf.get), s"$path/tvecs", keys, "db")
     } else if (presentAll > 0) {
       Store.deleteBatch(spark, s"$path/postings", keys)
       Store.deleteBatch(spark, s"$path/doclens", keys)
+      Store.deleteBatch(spark, s"$path/tvecs", keys)
     }
     val dfAdd = tf.filter(_ => tfRows > 0)
       .map(_.groupBy("term").agg(count(lit(1)).as("d")))
@@ -416,6 +434,72 @@ object BM25Index {
         .as("bm25"))
   }
 
+  /** RM3 pseudo-relevance feedback from the persisted index — mirrors
+    * [[BM25.prfCombinedScores]] 1:1 (same fbDocs/fbTerms/beta defaults,
+    * same positive-weight stopword discipline, same rounding and
+    * tie-breaks), each read shaped for the layout:
+    *
+    *  - base + expansion scoring: [[scores]] (one pb-pruned postings scan
+    *    each);
+    *  - the fbDocs top docs' term vectors: a ≤fbDocs-bucket pruned scan of
+    *    the tvecs table — the read the sidecar exists for; without it,
+    *    fetching 10 docs' (term, tf) rows from term-partitioned postings
+    *    is an O(index) sweep;
+    *  - mined-term idf: one scan of the small terms table against the
+    *    BROADCAST candidate rows (bounded by fbDocs docs' vocabularies) —
+    *    the same O(vocab)-never-postings class as the avg-idf scalar agg.
+    *
+    * Oracled by `r17_prf_indexed` against the SAME SQL as the in-session
+    * `r17_prf_expansion`: the index is full-corpus, so the two paths must
+    * hash-match. */
+  def prfCombinedScores(spark: SparkSession, path: String,
+                        queryTokens: Seq[String], fbDocs: Int = 10,
+                        fbTerms: Int = 5, beta: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val base = scores(spark, path, queryTokens).localCheckpoint(true)
+    val fbIds = base.filter(col("bm25") > 0)
+      .orderBy(desc("bm25"), asc("id")).limit(fbDocs)
+      .select("id").as[Long].collect().toSeq // bounded ≤ fbDocs rows
+    val ld = IndexManifest.resolve(spark, path)
+    val sc = ld("scalars").head()
+    val (n, avgIdf) = (sc.getLong(0), sc.getDouble(2))
+    val qset = queryTokens.distinct
+    val expTerms: Seq[String] = if (fbIds.isEmpty) Seq.empty else {
+      val dbs = fbIds.map(SparkHash.bucketOfLong(_, DBuckets)).distinct
+      val tv = ld("tvecs")
+        .filter(col("db").isin(dbs: _*))
+        .join(broadcast(localIds(spark, fbIds)), "id")
+        .filter(!col("term").isin(qset: _*))
+        .select("term", "tf")
+      ld("terms")
+        .withColumn("idf",
+          when(idfRaw(n) < 0, lit(BM25.Epsilon * avgIdf)).otherwise(idfRaw(n)))
+        .select("term", "idf")
+        .join(broadcast(tv), "term")
+        .groupBy("term").agg(round(sum(col("tf") * col("idf")), 6).as("w"))
+        .filter(col("w") > 0)
+        .orderBy(desc("w"), asc("term")).limit(fbTerms)
+        .select("term").as[String].collect().toSeq // bounded ≤ fbTerms rows
+    }
+    val exp =
+      if (expTerms.isEmpty) base.select(col("id"), lit(0.0).as("bm25e")).limit(0)
+      else scores(spark, path, expTerms).withColumnRenamed("bm25", "bm25e")
+    base.join(exp, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("bm25"), lit(0.0)).as("bm25_base"),
+        coalesce(col("bm25e"), lit(0.0)).as("bm25_exp"),
+        round(coalesce(col("bm25"), lit(0.0))
+          + lit(beta) * coalesce(col("bm25e"), lit(0.0)), 6).as("score"))
+  }
+
+  /** Top-k of [[prfCombinedScores]] — the index-backed
+    * [[BM25.prfExpanded]]. */
+  def prfExpanded(spark: SparkSession, path: String, queryTokens: Seq[String],
+                  k: Int = 10, fbDocs: Int = 10, fbTerms: Int = 5,
+                  beta: Double = 0.4): DataFrame =
+    prfCombinedScores(spark, path, queryTokens, fbDocs, fbTerms, beta)
+      .orderBy(desc("score"), asc("id")).limit(k)
+
   /** Targeted physical maintenance (r10 verdict #8 — the
     * [[graft.ann.IvfIndex.compactCells]] discipline on the lexical side):
     * rewrite ONLY the named term buckets of the postings table and id
@@ -433,9 +517,13 @@ object BM25Index {
     if (postingBuckets.nonEmpty)
       Store.compactPartitions(spark, s"$path/postings", "pb",
         postingBuckets.map(b => b: Any))
-    if (doclenBuckets.nonEmpty)
+    if (doclenBuckets.nonEmpty) {
+      // tvecs shares the doclens id-hash layout, so one worklist sweeps both
       Store.compactPartitions(spark, s"$path/doclens", "db",
         doclenBuckets.map(b => b: Any))
+      Store.compactPartitions(spark, s"$path/tvecs", "db",
+        doclenBuckets.map(b => b: Any))
+    }
     IndexManifest.capture(path, Tables)
   }
 

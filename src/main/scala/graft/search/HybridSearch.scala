@@ -158,9 +158,10 @@ object HybridSearch {
     * candidate pool: probed cells instead of the whole corpus — exactly
     * IVF's recall trade, adjudicated end-to-end by `r4_hybrid_indexed`'s
     * oracle (the hybrid SQL with the vector CTE restricted to the probed
-    * cells). PRF re-ranking is not offered on this path (RM3 expansion
-    * needs the top docs' term vectors; compose [[BM25.prfExpanded]]
-    * upstream if needed). */
+    * cells). PRF re-ranking is not wired into this path's BM25 branch;
+    * the index-backed RM3 itself exists
+    * ([[graft.search.BM25Index.prfExpanded]], reading the tvecs
+    * term-vector sidecar) for callers that want expansion-then-search. */
   def signalContribsIndexed(spark: org.apache.spark.sql.SparkSession,
                             bm25Path: String, ivfPath: String,
                             memories: DataFrame, feedback: Option[DataFrame],

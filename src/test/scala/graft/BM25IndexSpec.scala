@@ -284,6 +284,41 @@ class BM25IndexSpec extends SparkSpec {
     BM25.clearCache()
   }
 
+  test("index-backed PRF == in-session PRF through the full maintenance lifecycle") {
+    // the tvecs sidecar's contract: RM3 from the stored index must equal
+    // the in-session pipeline over the equivalent corpus at EVERY point of
+    // the lifecycle — after build, after a delete (the feedback-doc set
+    // and idf both shift), and after an upsert (a re-crawled doc's term
+    // vector must be the fresh one, not the stale rows a lazy sidecar
+    // would serve)
+    val path = "/root/repo/target/tmp/bm25idx_prf"
+    graft.sources.Store.deleteRecursive(path)
+    val corpus = (Seq(
+      (1L, "espresso espresso crema"),
+      (2L, "espresso crema portafilter"),
+      (3L, "crema portafilter tamp")) ++
+      (4L to 15L).map(i => (i, s"filler$i other$i noise$i")))
+      .toDF("id", "text")
+    def prfOf(c: org.apache.spark.sql.DataFrame) = {
+      BM25.clearCache()
+      val r = BM25.prfExpanded(c, Seq("espresso"), k = 5)
+        .as[(Long, Double, Double, Double)].collect().toSeq
+      BM25.clearCache(); r
+    }
+    def prfIdx() = graft.search.BM25Index.prfExpanded(spark, path, Seq("espresso"), k = 5)
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    graft.search.BM25Index.build(corpus, path)
+    assert(prfIdx() == prfOf(corpus), "post-build")
+    assert(prfIdx().exists(_._1 == 3L), "fixture must exercise real recovery")
+    graft.search.BM25Index.deleteRefresh(spark, path, Seq(2L).toDF("id"))
+    assert(prfIdx() == prfOf(corpus.filter(col("id") =!= 2)), "post-delete")
+    val recrawled = Seq((1L, "espresso espresso portafilter")).toDF("id", "text")
+    graft.search.BM25Index.upsertRefresh(spark, path, recrawled)
+    val cur = corpus.filter(col("id") =!= 2).filter(col("id") =!= 1)
+      .unionByName(recrawled)
+    assert(prfIdx() == prfOf(cur), "post-upsert: stale term vectors served")
+  }
+
   test("PRF expansion recovers a vocabulary-mismatch doc; saturated vocab does no harm") {
     // feedback docs 1-2 match "espresso" and carry crema/portafilter;
     // doc 3 shares those but NOT the query term — only expansion finds it.

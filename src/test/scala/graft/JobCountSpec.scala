@@ -133,24 +133,29 @@ class JobCountSpec extends SparkSpec {
     // — same +sidecar/+cellstats delta over its r10 56 as the delete pin)
     "ann_ivf_compact_cells" -> 92,
     // r12: 106 → 98 measured — the driver-side bucket lists and combined
-    // count+sum aggs paid for the new novelty fail-loud with room to spare
-    "r2_bm25_delete_refresh" -> 113,
+    // count+sum aggs paid for the new novelty fail-loud with room to
+    // spare; 98 → 109 with the tvecs term-vector generation per
+    // maintenance call (the indexed-PRF sidecar)
+    "r2_bm25_delete_refresh" -> 125,
     // r12: 259 → 185 measured (updates + deletes land as ONE combined
     // applyCdc generation per table instead of sequential upsert-then-
     // delete publishes), then 185 → 254: the executor now maintains the
     // THIRD planned artifact family too — LSH shingle index build +
     // applyCdc + two stat counts — so all of `ivf_cell`/`bm25_term`/
     // `shingle` execute in the one call the planner feeds
-    "op_invalidation_apply" -> 280,
+    // ... and 254 → 266 with the tvecs generation riding each BM25 publish
+    "op_invalidation_apply" -> 305,
     // r12: 207 → 238 measured. Bought per micro-batch: the BM25 novelty
     // presence read, the IVF sidecar presence read + publish, and the
     // exactly-once manifest stamps — the replay/duplicate guards
     // StreamingSpec now pins
-    "st_index_refresh" -> 274,
+    // ... and 255 → 270 with the tvecs generation per refresh micro-batch
+    "st_index_refresh" -> 310,
     // r12: 348 → 190 measured — the whole mixed CDC batch is one
     // applyCdc pass per index (one generation per table, one manifest
     // swap) instead of three op-slice dispatches
-    "st_cdc_maintenance" -> 219,
+    // ... and 199 → 211 with the tvecs generation per CDC micro-batch
+    "st_cdc_maintenance" -> 242,
     // r12 new: LSH build + one mixed applyCdc generation per table +
     // stored-view near-dup answer (measured 55 in-suite)
     "lsh_index_cdc" -> 64,
@@ -166,7 +171,9 @@ class JobCountSpec extends SparkSpec {
     // the all-family targeted compaction sweep + the state summary
     // (measured 416 in-suite — the cost of exercising every family's
     // full lifecycle in one query, not of any single operator)
-    "op_compaction_sweep" -> 470,
+    // 416 → 443 measured: the tvecs table now rides every BM25 publish
+    // AND the db-bucket compaction sweep
+    "op_compaction_sweep" -> 510,
     // r12 new: same work as ann_ivf_retrain routed through the streaming
     // cadence hook — build-half + refreshBatch(rest, auditEvery=1) whose
     // trigger runs the audit + targeted retrain (measured 99 in-suite,
@@ -188,7 +195,11 @@ class JobCountSpec extends SparkSpec {
     "r10_graph_indexed" -> 170,
     // r12 new: two builds + the explain tail's checkpointed contributions
     // + the BM25Index-backed filtered_by_source count (measured 116)
-    "r14_explain_indexed" -> 133
+    "r14_explain_indexed" -> 133,
+    // r12 new: full-corpus build (now five tables) + base scoring + the
+    // pruned tvecs feedback read + terms-scan mining + expansion scoring
+    // (measured 61 in-suite)
+    "r17_prf_indexed" -> 72
   )
 
   private val counter = new AtomicInteger(0)
