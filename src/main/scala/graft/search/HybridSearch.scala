@@ -158,10 +158,9 @@ object HybridSearch {
     * candidate pool: probed cells instead of the whole corpus — exactly
     * IVF's recall trade, adjudicated end-to-end by `r4_hybrid_indexed`'s
     * oracle (the hybrid SQL with the vector CTE restricted to the probed
-    * cells). PRF re-ranking is not wired into this path's BM25 branch;
-    * the index-backed RM3 itself exists
-    * ([[graft.search.BM25Index.prfExpanded]], reading the tvecs
-    * term-vector sidecar) for callers that want expansion-then-search. */
+    * cells). The sparse-query PRF trigger fires exactly as in-session,
+    * with [[graft.search.BM25Index.prfCombinedScores]] (the tvecs
+    * term-vector sidecar) supplying the RM3-combined branch. */
   def signalContribsIndexed(spark: org.apache.spark.sql.SparkSession,
                             bm25Path: String, ivfPath: String,
                             memories: DataFrame, feedback: Option[DataFrame],
@@ -179,11 +178,24 @@ object HybridSearch {
       .select(col("id"), contrib(w.vec, rank0(col("sim"))).as("c"))
     val visible = memories.filter(
       Filters.sourcePrefix(p.sourcePrefix) && Filters.notArchived(p.includeArchived))
-    val bm = BM25Index.scores(spark, bm25Path, p.queryTokens)
-      .join(visible.select("id"), "id")
-      .filter(col("bm25") > 0)
-      .orderBy(desc("bm25"), asc("id")).limit(oversample)
-      .select(col("id"), contrib(w.bm25, rank0(col("bm25"))).as("c"))
+    // the sparse-query PRF trigger, index-backed: same gate and rank
+    // discipline as the in-session branch, combined scores from
+    // [[graft.search.BM25Index.prfCombinedScores]] (the tvecs sidecar) —
+    // pinned equal to the in-session trigger by BM25IndexSpec
+    val sparse = p.prf && p.queryTokens.distinct.size <= p.prfMaxQueryTerms
+    val bm =
+      if (sparse)
+        BM25Index.prfCombinedScores(spark, bm25Path, p.queryTokens)
+          .join(visible.select("id"), "id")
+          .filter(col("score") > 0)
+          .orderBy(desc("score"), asc("id")).limit(oversample)
+          .select(col("id"), contrib(w.bm25, rank0(col("score"))).as("c"))
+      else
+        BM25Index.scores(spark, bm25Path, p.queryTokens)
+          .join(visible.select("id"), "id")
+          .filter(col("bm25") > 0)
+          .orderBy(desc("bm25"), asc("id")).limit(oversample)
+          .select(col("id"), contrib(w.bm25, rank0(col("bm25"))).as("c"))
     fuseContribs(vec, bm, memories, feedback, p)
   }
 

@@ -236,13 +236,12 @@ class BM25IndexSpec extends SparkSpec {
     BM25.clearCache()
   }
 
-  test("hybrid search with the sparse-query trigger recovers via PRF; rich queries untouched") {
-    import graft.search.HybridSearch
-    // the espresso corpus wearing the engine's memory schema; embeddings
-    // from the deterministic hashing provider (no token overlap between
-    // "espresso" and doc 9, so the vector branch can't find it). The
-    // mismatch doc takes a HIGH id: zero-sim vector ties break by id, so
-    // without PRF it sits deep in the tail — any lift is PRF's alone
+  // the espresso corpus wearing the engine's memory schema; embeddings
+  // from the deterministic hashing provider (no token overlap between
+  // "espresso" and doc 9, so the vector branch can't find it). The
+  // mismatch doc takes a HIGH id: zero-sim vector ties break by id, so
+  // without PRF it sits deep in the tail — any lift is PRF's alone
+  private def espressoMem: org.apache.spark.sql.DataFrame = {
     val corpus = (Seq(
       (1L, "espresso espresso crema"),
       (2L, "espresso crema portafilter"),
@@ -250,7 +249,7 @@ class BM25IndexSpec extends SparkSpec {
       (3L to 8L).map(i => (i, s"filler$i other$i noise$i")) ++
       (10L to 15L).map(i => (i, s"filler$i other$i noise$i")))
       .toDF("id", "text")
-    val mem = graft.embed.HashingEmbedder(64).embed(corpus)
+    graft.embed.HashingEmbedder(64).embed(corpus)
       .select(col("id"), col("text"), concat(lit("s/"), col("id")).as("source"),
         lit("detail").as("category"), lit(false).as("archived"),
         lit(false).as("pinned"),
@@ -260,9 +259,16 @@ class BM25IndexSpec extends SparkSpec {
         lit(null).cast("timestamp").as("last_reinforced_at"),
         col("embedding"))
       .localCheckpoint(true)
-    val qvec: Seq[Float] = spark.range(1)
-      .select(graft.embed.HashingEmbedder(64).embeddingColumn(lit("espresso")).as("e"))
-      .head().getSeq[Float](0)
+  }
+
+  private def espressoQvec: Seq[Float] = spark.range(1)
+    .select(graft.embed.HashingEmbedder(64).embeddingColumn(lit("espresso")).as("e"))
+    .head().getSeq[Float](0)
+
+  test("hybrid search with the sparse-query trigger recovers via PRF; rich queries untouched") {
+    import graft.search.HybridSearch
+    val mem = espressoMem
+    val qvec = espressoQvec
     val p = HybridSearch.Params(queryTokens = Seq("espresso"), queryVec = qvec,
       k = 15, vectorWeight = 0.3, prf = true)
     BM25.clearCache()
@@ -282,6 +288,39 @@ class BM25IndexSpec extends SparkSpec {
     val rich = p.copy(queryTokens = Seq("espresso", "crema", "portafilter", "tamp"))
     assert(ranking(rich) == ranking(rich.copy(prf = false)))
     BM25.clearCache()
+  }
+
+  test("index-backed hybrid sparse-PRF trigger == in-session trigger, prf on/off and rich gate") {
+    import graft.search.HybridSearch
+    // IVF probes BOTH of its two cells, so the vector candidate pools
+    // coincide and any divergence is the indexed BM25/PRF branch's alone
+    val bm25Path = "/root/repo/target/tmp/bm25idx_prf_hyb"
+    val ivfPath = "/root/repo/target/tmp/ivf_prf_hyb"
+    Seq(bm25Path, ivfPath).foreach(graft.sources.Store.deleteRecursive)
+    val mem = espressoMem
+    val qvec = espressoQvec
+    graft.search.BM25Index.build(mem, bm25Path)
+    graft.ann.IvfIndex.buildWithCentroids(mem,
+      Seq((0, qvec), (1, qvec.map(-_))).toDF("label", "centroid"), ivfPath)
+    val p = HybridSearch.Params(queryTokens = Seq("espresso"), queryVec = qvec,
+      k = 15, vectorWeight = 0.3, prf = true)
+    def both(p: HybridSearch.Params) = {
+      BM25.clearCache()
+      val inSession = HybridSearch.search(mem, None, p)
+        .select("id").as[Long].collect().toSeq
+      val indexed = HybridSearch.searchIndexed(spark, bm25Path, ivfPath,
+          mem, None, p, nprobe = 2)
+        .select("id").as[Long].collect().toSeq
+      BM25.clearCache()
+      (inSession, indexed)
+    }
+    for (q <- Seq(p, p.copy(prf = false),
+        p.copy(queryTokens = Seq("espresso", "crema", "portafilter", "tamp")))) {
+      val (inSession, indexed) = both(q)
+      assert(indexed == inSession,
+        s"indexed hybrid diverged (prf=${q.prf}, |q|=${q.queryTokens.size}): " +
+          s"$indexed vs $inSession")
+    }
   }
 
   test("index-backed PRF == in-session PRF through the full maintenance lifecycle") {
