@@ -954,6 +954,32 @@ object Queries {
           round(col("csim"), 6).as("csim"))
         .orderBy("id")
     }),
+    // split-on-retrain: half the streamed-in rows carry ONE planted
+    // embedding (vec 0) — a point-mass second mode that floods its cell;
+    // the recenter step leaves the cell's mean csim under the floor, so
+    // retrainCells BISECTS it (seed B = farthest member, one Lloyd step,
+    // new label past the max). Oracle = the same first-principles replay
+    // extended with the bisect cascade
+    "ann_ivf_retrain_split" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_rts_${ProcessHandle.current().pid()}"
+      reapAtExit(path)
+      val half = Corpus.nDocs(s, dir) / 2
+      val planted = Corpus.memories(s, dir).withColumn("embedding",
+        when(col("id") >= half && col("id") % 2 === 1,
+          typedLit(queryVec(s, dir))).otherwise(col("embedding")))
+      graft.ann.IvfIndex.build(
+        planted.filter(col("id") < half), Tables.embeddings(s, dir), path)
+      graft.ann.IvfIndex.refresh(s, path, planted.filter(col("id") >= half))
+      val flagged = graft.ann.IvfIndex.driftAudit(s, path)
+        .filter(col("retrain")).select("ivf_cell")
+        .as(org.apache.spark.sql.Encoders.scalaInt).collect().toSeq
+      graft.ann.IvfIndex.retrainCells(s, path, flagged,
+        splitSimFloor = Some(SplitSimFloor))
+      graft.sources.IndexManifest.resolve(s, path)("assignments")
+        .select(col("id"), col("ivf_cell"),
+          round(col("csim"), 6).as("csim"))
+        .orderBy("id")
+    }),
     // the drift loop UNATTENDED: the second half arrives as a streamed
     // micro-batch (refreshBatch, the foreachBatch body) with auditEvery=1,
     // so the cadence hook runs driftAudit right after the apply and
@@ -1326,14 +1352,23 @@ object Queries {
     * over `from` — default the memories corpus; the CDC oracle passes its
     * post-maintenance `live` view), probe (the nprobe=2 query-nearest
     * cells) — shared by the IVF and IVF×SQ8 oracles. */
-  private[graft] def ivfCtesOver(from: String, vecId: Long = 0): String =
-    s"""cent0 AS (
+  /** The centroid CTEs alone (cent0/centn/cent) — the per-label normalized
+    * means of the full embeddings table, [[graft.ann.Ann.centroidsByLabel]]
+    * in SQL. Shared by [[ivfCtesOver]] and the indexed ingest-gate oracles
+    * (whose asg/probe shapes differ from the fixed-query form). */
+  // lazy: referenced (via ivfCtes) by oracle maps declared ABOVE this
+  // point — a strict val would still be null during their initialization
+  private[graft] lazy val centCtes: String =
+    """cent0 AS (
        |  SELECT label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
        |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
        |centn AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM cent0 GROUP BY 1),
        |cent AS MATERIALIZED (
        |  SELECT c.label, list(c.m / n.nrm ORDER BY c.i) AS centroid
-       |  FROM cent0 c JOIN centn n USING (label) GROUP BY c.label),
+       |  FROM cent0 c JOIN centn n USING (label) GROUP BY c.label)""".stripMargin
+
+  private[graft] def ivfCtesOver(from: String, vecId: Long = 0): String =
+    s"""$centCtes,
        |asg AS MATERIALIZED (
        |  SELECT id, label AS ivf_cell FROM (
        |    SELECT m.id, c.label, row_number() OVER (PARTITION BY m.id ORDER BY
@@ -1386,10 +1421,12 @@ object Queries {
     * [[graft.ann.IvfIndex.retrainIfDrifted]]) — the build-half +
     * stream-batch-rest split lands on the same live corpus, so one SQL
     * adjudicates both paths. */
-  private val ivfRetrainSql: String = {
+  /** The shared retrain replay core (cent0 … re) over corpus CTE `from` —
+    * [[ivfRetrainSql]] runs it on `memories` verbatim; the split oracle
+    * runs it on a planted-corpus CTE and appends the bisect replay. */
+  private def ivfRetrainCore(from: String): String = {
     val csim = "list_sum(list_transform(range(1, 65), i -> CAST(m.embedding[i] AS DOUBLE) * c.centroid[i]))"
-    s"""WITH ${OracleCtes.memories},
-       |cent0 AS (
+    s"""cent0 AS (
        |  SELECT label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
        |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
        |centn AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM cent0 GROUP BY 1),
@@ -1400,7 +1437,7 @@ object Queries {
        |  SELECT id, label AS ivf_cell, s AS csim FROM (
        |    SELECT m.id, c.label, $csim AS s,
        |      row_number() OVER (PARTITION BY m.id ORDER BY $csim DESC, c.label) AS rn
-       |    FROM memories m, cent c) WHERE rn = 1),
+       |    FROM $from m, cent c) WHERE rn = 1),
        |built AS (
        |  SELECT ivf_cell, count(*) AS nb, round(avg(csim), 6) AS msb
        |  FROM asgs WHERE id < (SELECT count(*) FROM documents) // 2 GROUP BY 1),
@@ -1413,7 +1450,7 @@ object Queries {
        |     OR round(coalesce(msb, 0.0) - coalesce(msn, 0.0), 6) > 0.1),
        |mem2 AS MATERIALIZED (
        |  SELECT a.id, a.ivf_cell, m.embedding
-       |  FROM asgs a JOIN memories m ON a.id = m.id
+       |  FROM asgs a JOIN $from m ON a.id = m.id
        |  WHERE a.ivf_cell IN (SELECT ivf_cell FROM flags)),
        |f0 AS (
        |  SELECT ivf_cell AS label, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
@@ -1426,15 +1463,81 @@ object Queries {
        |  SELECT label, centroid FROM cent
        |  WHERE label NOT IN (SELECT label FROM fc)
        |  UNION ALL SELECT label, centroid FROM fc),
-       |re AS (
+       |re AS MATERIALIZED (
        |  SELECT id, label AS ivf_cell, s AS csim FROM (
        |    SELECT m.id, c.label, $csim AS s,
        |      row_number() OVER (PARTITION BY m.id ORDER BY $csim DESC, c.label) AS rn
-       |    FROM mem2 m, nc c) WHERE rn = 1)
+       |    FROM mem2 m, nc c) WHERE rn = 1)""".stripMargin
+  }
+
+  private val ivfRetrainSql: String =
+    s"""WITH ${OracleCtes.memories},
+       |${ivfRetrainCore("memories")}
        |SELECT id, ivf_cell, round(csim, 6) AS csim FROM (
        |  SELECT id, ivf_cell, csim FROM asgs
        |  WHERE ivf_cell NOT IN (SELECT ivf_cell FROM flags)
        |  UNION ALL SELECT id, ivf_cell, csim FROM re)
+       |ORDER BY id""".stripMargin
+
+  /** Post-recenter mean-csim floor below which a flagged cell bisects
+    * (`ann_ivf_retrain_split` and its oracle share it). 0.96 sits above
+    * the planted cell's post-recenter mean (0.944 at sf0.01 — the point
+    * mass dominates the mean, so one recenter step parks the centroid ON
+    * the flood and strands the originals), so the registered query
+    * actually exercises the bisect cascade, not just its gate. */
+  val SplitSimFloor = 0.96
+
+  /** [[ivfRetrainSql]] over the planted bimodal corpus, extended with the
+    * bisect replay: reseeded means → split set → farthest-member seed →
+    * one partition step → per-half normalized-mean centroids → final live
+    * view (untouched ∪ reassigned-unsplit ∪ split halves). */
+  private val ivfRetrainSplitSql: String = {
+    val bdot = "list_sum(list_transform(range(1, 65), i -> CAST(m.embedding[i] AS DOUBLE) * CAST(b.bemb[i] AS DOUBLE)))"
+    val hdot = "list_sum(list_transform(range(1, 65), i -> CAST(h.embedding[i] AS DOUBLE) * c.centroid[i]))"
+    s"""WITH ${OracleCtes.memories},
+       |mem1 AS MATERIALIZED (
+       |  SELECT id, CASE WHEN id >= (SELECT count(*) FROM documents) // 2 AND id % 2 = 1
+       |    THEN (SELECT embedding FROM embeddings WHERE vec_id = 0)
+       |    ELSE embedding END AS embedding
+       |  FROM memories),
+       |${ivfRetrainCore("mem1")},
+       |rs AS (
+       |  SELECT ivf_cell, round(avg(csim), 6) AS ms FROM re
+       |  WHERE ivf_cell IN (SELECT ivf_cell FROM flags) GROUP BY 1),
+       |splitc AS MATERIALIZED (
+       |  SELECT ivf_cell, row_number() OVER (ORDER BY ivf_cell) AS si
+       |  FROM rs WHERE ms < $SplitSimFloor),
+       |maxl AS (SELECT max(label) AS ml FROM nc),
+       |seedb AS MATERIALIZED (
+       |  SELECT ivf_cell, bemb FROM (
+       |    SELECT r.ivf_cell, m.embedding AS bemb,
+       |      row_number() OVER (PARTITION BY r.ivf_cell ORDER BY r.csim, r.id) AS rn
+       |    FROM re r JOIN splitc USING (ivf_cell)
+       |    JOIN mem1 m ON m.id = r.id) WHERE rn = 1),
+       |halves AS MATERIALIZED (
+       |  SELECT r.ivf_cell, r.id, m.embedding,
+       |    CASE WHEN $bdot > r.csim THEN 1 ELSE 0 END AS half
+       |  FROM re r JOIN splitc USING (ivf_cell)
+       |  JOIN mem1 m ON m.id = r.id JOIN seedb b USING (ivf_cell)),
+       |h0 AS (
+       |  SELECT ivf_cell, half, t.i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
+       |  FROM halves, range(1, 65) t(i) GROUP BY 1, 2, 3),
+       |hn AS (SELECT ivf_cell, half, sqrt(sum(m * m)) AS nrm FROM h0 GROUP BY 1, 2),
+       |hcn AS MATERIALIZED (
+       |  SELECT h.ivf_cell, h.half, list(h.m / n.nrm ORDER BY h.i) AS centroid
+       |  FROM h0 h JOIN hn n USING (ivf_cell, half) GROUP BY h.ivf_cell, h.half),
+       |split_rows AS (
+       |  SELECT h.id,
+       |    CAST(CASE WHEN h.half = 1 THEN (SELECT ml FROM maxl) + s.si
+       |         ELSE h.ivf_cell END AS INTEGER) AS ivf_cell,
+       |    $hdot AS csim
+       |  FROM halves h JOIN hcn c USING (ivf_cell, half) JOIN splitc s USING (ivf_cell))
+       |SELECT id, ivf_cell, round(csim, 6) AS csim FROM (
+       |  SELECT id, ivf_cell, csim FROM asgs
+       |  WHERE ivf_cell NOT IN (SELECT ivf_cell FROM flags)
+       |  UNION ALL SELECT id, ivf_cell, csim FROM re
+       |  WHERE ivf_cell NOT IN (SELECT ivf_cell FROM splitc)
+       |  UNION ALL SELECT id, ivf_cell, csim FROM split_rows)
        |ORDER BY id""".stripMargin
   }
 
@@ -1802,6 +1905,7 @@ object Queries {
     // st_drift_retrain the streaming cadence trigger (retrainIfDrifted
     // inside refreshBatch) -- same live corpus, same adjudicating SQL
     "ann_ivf_retrain" -> ivfRetrainSql,
+    "ann_ivf_retrain_split" -> ivfRetrainSplitSql,
     "st_drift_retrain" -> ivfRetrainSql,
     "ann_ivf_recall" ->
       s"""SELECT round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10

@@ -115,6 +115,17 @@ object QueriesExt {
       graft.eval.RetrievalEval.selfRetrieval(
         Tables.documents(s, dir)
           .select(col("doc_id").as("id"), col("text")))),
+    // the IVF recall trade as a measured number (one row, continuously
+    // produced) instead of only a per-query oracle adjudication: sampled
+    // memories query THEIR OWN corpus through the probed index vs the
+    // exact top-k; recall_ppm is the nprobe-sizing signal
+    "ev_ivf_recall" -> ((s, dir) => {
+      val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_rec_ivf_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(ivfPath)
+      val mem = Corpus.memories(s, dir)
+      graft.ann.IvfIndex.build(mem, Tables.embeddings(s, dir), ivfPath)
+      graft.eval.RetrievalEval.ivfRecall(s, mem, ivfPath)
+    }),
     // 2-hop graph-lift A/B: the reference's headline graph benchmark
     // (eval/run_musique_graph_eval.py) — same queries at graph_weight 0 vs
     // 0.1 over per-question scoped corpora, recall of the linked supports
@@ -247,6 +258,38 @@ object QueriesExt {
             .otherwise(col("created_at") - expr("INTERVAL 365 DAYS")).as("created_at"))
       val existing = mem.filter(col("id") % 2 === 0)
       Dedup.smartImportActions(incoming, existing, skipThreshold = 0.95, addThreshold = 0.30)
+        .orderBy("id")
+    }),
+    // D1 as the reference's ingest path actually runs it: is_novel per add
+    // probes the persisted ANN store (memory_engine.py:548-561), never a
+    // corpus scan — the plan reads ONLY the index's probed cell dirs
+    // (pinned by PlanAuditSpec). Oracle = d1's SQL restricted to the
+    // probed cells, adjudicating the IVF recall trade end to end
+    "d1_novelty_indexed" -> ((s, dir) => {
+      val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_nov_ivf_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(ivfPath)
+      val mem = Corpus.memories(s, dir)
+      graft.ann.IvfIndex.build(mem, Tables.embeddings(s, dir), ivfPath)
+      VectorSearch.noveltyIndexed(s, ivfPath, Queries.queryVec(s, dir))
+        .select("id", "sim", "is_novel")
+    }),
+    // D8 with the best-match read from the persisted IVF index over the
+    // EXISTING store: the whole import batch's matches come from ONE
+    // partition-pruned probed scan (probedCandidatesBatch), the existing
+    // corpus' embeddings are never re-scanned. Oracle = d8's SQL with the
+    // candidate pool restricted to each incoming row's probed cells
+    "d8_smart_import_indexed" -> ((s, dir) => {
+      val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_si_ivf_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(ivfPath)
+      val mem = Corpus.memories(s, dir)
+      val incoming = mem.filter(col("id") % 2 === 1)
+        .select((col("id") + 10000).as("id"), col("embedding"),
+          when(col("id") % 3 === 1, col("created_at") + expr("INTERVAL 365 DAYS"))
+            .otherwise(col("created_at") - expr("INTERVAL 365 DAYS")).as("created_at"))
+      val existing = mem.filter(col("id") % 2 === 0)
+      graft.ann.IvfIndex.build(existing, Tables.embeddings(s, dir), ivfPath)
+      Dedup.smartImportActionsIndexed(s, incoming, existing, ivfPath,
+        skipThreshold = 0.95, addThreshold = 0.30)
         .orderBy("id")
     }),
     "m5_merge_groups" -> ((s, dir) => {
@@ -461,6 +504,50 @@ object QueriesExt {
         "FROM results r JOIN targets t USING (anchor)\n" +
         "GROUP BY 1 ORDER BY graph_weight"
     },
+    // the whole probed-vs-exact protocol replayed from the raw corpus:
+    // per-label centroids, per-memory cell assignment, per-QUERY probe
+    // (rn ≤ 2 over the sampled queries' own embeddings), both top-10 legs,
+    // overlap counted per qid, one integer-ppm row
+    "ev_ivf_recall" -> {
+      def cdot(v: String) =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * c.centroid[i]))"
+      val exSim = s"round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6)"
+      s"""WITH ${OracleCtes.memories},
+         |${Queries.centCtes},
+         |qs AS MATERIALIZED (
+         |  SELECT id AS qid, embedding AS qv FROM memories
+         |  WHERE id % ${graft.eval.RetrievalEval.SampleMod} = 0),
+         |asgm AS MATERIALIZED (
+         |  SELECT id, label AS ivf_cell FROM (
+         |    SELECT m.id, c.label, row_number() OVER (PARTITION BY m.id ORDER BY
+         |      ${cdot("m.embedding")} DESC, c.label) AS rn
+         |    FROM memories m, cent c) WHERE rn = 1),
+         |probeq AS MATERIALIZED (
+         |  SELECT qid, label FROM (
+         |    SELECT q.qid, c.label, row_number() OVER (PARTITION BY q.qid ORDER BY
+         |      ${cdot("q.qv")} DESC, c.label) AS rn
+         |    FROM qs q, cent c) WHERE rn <= 2),
+         |ex AS MATERIALIZED (
+         |  SELECT qid, id FROM (
+         |    SELECT q.qid, m.id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY $exSim DESC, m.id) AS rn
+         |    FROM memories m, qs q) WHERE rn <= 10),
+         |ix AS MATERIALIZED (
+         |  SELECT qid, id FROM (
+         |    SELECT q.qid, m.id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY $exSim DESC, m.id) AS rn
+         |    FROM qs q JOIN probeq p ON p.qid = q.qid
+         |    JOIN asgm a ON a.ivf_cell = p.label
+         |    JOIN memories m ON m.id = a.id) WHERE rn <= 10),
+         |hits AS (SELECT qid, count(*) AS h FROM ex JOIN ix USING (qid, id) GROUP BY 1),
+         |exn AS (SELECT qid, count(*) AS ne FROM ex GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(10 AS BIGINT) AS k, CAST(2 AS BIGINT) AS nprobe,
+         |  CAST(sum(ne) AS BIGINT) AS n_exact,
+         |  CAST(coalesce(sum(h), 0) AS BIGINT) AS n_hits,
+         |  CAST((2 * 1000000 * coalesce(sum(h), 0) + sum(ne)) // (2 * sum(ne)) AS BIGINT) AS recall_ppm
+         |FROM exn LEFT JOIN hits USING (qid)""".stripMargin
+    },
     "ev_self_retrieval" -> {
       val t = OracleText.toks("text")
       val dot = "list_sum(list_transform(range(1, 65), i -> d.e[i] * q.e[i]))"
@@ -503,6 +590,18 @@ object QueriesExt {
          |SELECT m.id, round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) AS sim,
          |  round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) < 0.88 AS is_novel
          |FROM memories m
+         |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY sim DESC, m.id LIMIT 1""".stripMargin,
+    // d1's SQL with the candidate pool restricted to the IVF-probed cells:
+    // exactly what the index-backed ingest gate must reproduce
+    "d1_novelty_indexed" ->
+      s"""WITH ${OracleCtes.memories},
+         |${Queries.ivfCtes}
+         |SELECT m.id, round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) AS sim,
+         |  round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) < 0.88 AS is_novel
+         |FROM memories m
+         |JOIN asg a ON m.id = a.id
+         |JOIN probe p ON a.ivf_cell = p.label
          |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          |ORDER BY sim DESC, m.id LIMIT 1""".stripMargin,
     "d5_consolidation_clusters" ->
@@ -630,6 +729,51 @@ object QueriesExt {
          |       WHEN in_ts > ex_ts THEN 'replace'
          |       ELSE 'skip_older' END AS action
          |FROM best ORDER BY id""".stripMargin,
+    // d8's SQL with the candidate pool restricted per incoming row to its
+    // nprobe=2 probed cells of the index over the EXISTING half (same
+    // full-embeddings centroids the builder uses); incoming rows whose
+    // probed cells hold no candidate resolve to 'add' via the LEFT JOIN —
+    // the indexed gate's left-join semantics exactly
+    "d8_smart_import_indexed" -> {
+      val centDot = "list_sum(list_transform(range(1, 65), i -> CAST(%s[i] AS DOUBLE) * %s[i]))"
+      s"""WITH ${OracleCtes.memories},
+         |inc AS MATERIALIZED (
+         |  SELECT id + 10000 AS id, embedding,
+         |    CASE WHEN id % 3 = 1 THEN created_at + INTERVAL 365 DAY
+         |         ELSE created_at - INTERVAL 365 DAY END AS in_ts
+         |  FROM memories WHERE id % 2 = 1),
+         |ex AS MATERIALIZED (
+         |  SELECT id AS ex_id, embedding, created_at AS ex_ts
+         |  FROM memories WHERE id % 2 = 0),
+         |${Queries.centCtes},
+         |asgex AS MATERIALIZED (
+         |  SELECT ex_id, label AS ivf_cell FROM (
+         |    SELECT e.ex_id, c.label, row_number() OVER (PARTITION BY e.ex_id ORDER BY
+         |      ${centDot.format("e.embedding", "c.centroid")} DESC, c.label) AS rn
+         |    FROM ex e, cent c) WHERE rn = 1),
+         |probei AS MATERIALIZED (
+         |  SELECT qid, label FROM (
+         |    SELECT i.id AS qid, c.label, row_number() OVER (PARTITION BY i.id ORDER BY
+         |      ${centDot.format("i.embedding", "c.centroid")} DESC, c.label) AS rn
+         |    FROM inc i, cent c) WHERE rn <= 2),
+         |sc AS (
+         |  SELECT i.id, i.in_ts, e.ex_id, e.ex_ts,
+         |    round(${OracleCtes.dot64("i.embedding", "e.embedding")}, 6) AS sim
+         |  FROM inc i JOIN probei p ON p.qid = i.id
+         |  JOIN asgex a ON a.ivf_cell = p.label
+         |  JOIN ex e ON e.ex_id = a.ex_id AND i.id <> e.ex_id),
+         |best AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, ex_id) AS rn
+         |    FROM sc) WHERE rn = 1)
+         |SELECT i.id, b.ex_id AS match_id, b.sim,
+         |  CASE WHEN b.sim >= 0.95 THEN 'skip'
+         |       WHEN b.sim IS NULL OR b.sim < 0.3 THEN 'add'
+         |       WHEN i.in_ts > b.ex_ts THEN 'replace'
+         |       ELSE 'skip_older' END AS action
+         |FROM inc i LEFT JOIN best b ON b.id = i.id
+         |ORDER BY i.id""".stripMargin
+    },
     "m5_merge_groups" ->
       s"""WITH ${OracleCtes.memories},
          |g AS (

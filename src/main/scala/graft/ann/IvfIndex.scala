@@ -61,20 +61,10 @@ object IvfIndex {
   private val Tables = Seq("centroids", "assignments", "cellstats", "ids")
 
   private def collectIds(ids: DataFrame, failOnDup: Boolean,
-                         what: String): Array[Long] = {
-    val rows = ids.groupBy("id").agg(count(lit(1)).as("c")).collect()
-    if (failOnDup) {
-      val dups = rows.filter(_.getLong(1) > 1)
-      require(dups.isEmpty,
-        s"$what: batch carries duplicate ids (e.g. ${dups.take(3).map(_.get(0)).mkString(", ")}) — " +
-          "two versions of one doc would both stay live; reduce to the " +
-          "last version per id first")
-    }
-    rows.map { r =>
-      require(!r.isNullAt(0), s"$what: batch carries a null id")
-      r.getLong(0)
-    }
-  }
+                         what: String): Array[Long] =
+    graft.sources.MaintenanceIds.collect(ids, failOnDup, what,
+      "two versions of one doc would both stay live; reduce to the " +
+        "last version per id first")
 
   private def localIds(spark: SparkSession, ids: Seq[Long]): DataFrame = {
     import spark.implicits._
@@ -161,9 +151,17 @@ object IvfIndex {
         "re-adding would leave duplicate live assignment rows; route " +
         "re-crawls through upsertRefresh (or dedupe the replayed batch)")
     val cents = Store.load(spark, s"$path/centroids")
+    // the PRESENCE sidecar (what the replay guard above reads) publishes
+    // FIRST: a crash between the two appends leaves the batch ids visible
+    // to the replay's presentCount check, so a re-delivered batch
+    // fail-louds instead of silently appending the assignments a second
+    // time — two live rows per id that topK/probedCandidates would both
+    // return (the r12 crash window, closed by ordering; pinned by the
+    // FaultPoints crash-replay spec)
+    Store.appendBatch(idRows(spark, ids.toSeq), s"$path/ids", "db")
+    graft.sources.FaultPoints.hit("ivf.refresh.afterPresence")
     Store.appendBatch(cellLayout(Ann.assignWithSim(rows, cents)),
       s"$path/assignments", "ivf_cell")
-    Store.appendBatch(idRows(spark, ids.toSeq), s"$path/ids", "db")
     IndexManifest.capture(path, Tables, batchId)
   }
 
@@ -337,11 +335,13 @@ object IvfIndex {
   def retrainIfDrifted(spark: SparkSession, path: String,
                        growthLimit: Double = 2.0,
                        simDropLimit: Double = 0.1,
-                       batchId: Option[Long] = None): Seq[Int] = {
+                       batchId: Option[Long] = None,
+                       splitSimFloor: Option[Double] = None): Seq[Int] = {
     val flagged = driftAudit(spark, path, growthLimit, simDropLimit)
       .filter(col("retrain")).select("ivf_cell")
       .collect().map(_.getInt(0)).toSeq
-    if (flagged.nonEmpty) retrainCells(spark, path, flagged, batchId)
+    if (flagged.nonEmpty)
+      retrainCells(spark, path, flagged, batchId, splitSimFloor)
     flagged
   }
 
@@ -371,9 +371,26 @@ object IvfIndex {
     * byte-identical — pinned by AnnSpec), full rewrites of the two small
     * tables (centroids, cellstats), and one manifest swap. Oracled end to
     * end by `ann_ivf_retrain` (audit → flag → recenter → reassign → merged
-    * live view, all recomputed from the raw corpus in SQL). */
+    * live view, all recomputed from the raw corpus in SQL).
+    *
+    * SPLIT-ON-RETRAIN (r12 verdict #4): one recenter step cannot fix a
+    * genuinely BIMODAL flooded cell — the mean lands between the modes and
+    * every member stays far from it. When `splitSimFloor` is set, any
+    * flagged cell whose POST-recenter mean csim (6dp) still sits below the
+    * floor is bisected (one deterministic bisecting-k-means step, public:
+    * Steinbach '00): seed A = the recentered centroid, seed B = the
+    * member FARTHEST from it (lowest csim, ties by lowest id); members
+    * strictly closer to B form a NEW cell (labels continue past the
+    * current max, in ascending split-cell order), both halves get
+    * normalized-mean centroids and fresh csims/baselines. Everything
+    * stays inside the SAME single publish (one upsert generation, one
+    * manifest swap). `ann_ivf_retrain_split` oracles the whole
+    * flag→recenter→reassign→bisect cascade from raw-corpus SQL; AnnSpec
+    * pins a planted bimodal flood splitting into a clean audit. */
   def retrainCells(spark: SparkSession, path: String, cells: Seq[Int],
-                   batchId: Option[Long] = None): Unit = {
+                   batchId: Option[Long] = None,
+                   splitSimFloor: Option[Double] = None): Unit = {
+    import spark.implicits._
     if (cells.isEmpty) { IndexManifest.capture(path, Tables, batchId); return }
     val cellVals = cells.map(c => c: Any)
     val members = flaggedMembers(spark, path, cellVals).localCheckpoint(true)
@@ -395,21 +412,70 @@ object IvfIndex {
       .localCheckpoint(true)
     val reassigned = Ann.assignWithSim(
       members.select("id", "embedding"), newCents).localCheckpoint(true)
-    Store.save(newCents, s"$path/centroids")
+    val reseeded0 = reassigned.filter(col("ivf_cell").isin(cellVals: _*))
+      .groupBy("ivf_cell")
+      .agg(count(lit(1)).as("n"), round(avg("csim"), 6).as("mean_sim"))
+      .localCheckpoint(true) // read twice: the split decision + the stats
+    val splitCells: Seq[Int] = splitSimFloor.map { floor =>
+      reseeded0.filter(col("mean_sim") < floor)
+        .select("ivf_cell").collect().map(_.getInt(0)).toSeq.sorted
+    }.getOrElse(Nil)
+    val (finalAssigned, finalCents, finalStats) =
+      if (splitCells.isEmpty) (reassigned, newCents, reseeded0)
+      else {
+        val splitVals = splitCells.map(c => c: Any)
+        val maxLabel = newCents.agg(max("label")).head().getInt(0)
+        val lm = splitCells.zipWithIndex
+          .map { case (c, i) => (c, maxLabel + 1 + i) }
+          .toDF("ivf_cell", "_newlbl")
+        val sm = reassigned.filter(col("ivf_cell").isin(splitVals: _*))
+        // seed B per cell: the member farthest from the recentered
+        // centroid — deterministic (csim asc, id asc)
+        val seedB = sm.groupBy("ivf_cell")
+          .agg(min_by(col("embedding"), struct(col("csim"), col("id"))).as("_bemb"))
+        val halves = sm.join(broadcast(seedB), "ivf_cell")
+          .withColumn("_half",
+            when(dot(col("embedding"), col("_bemb")) > col("csim"), 1).otherwise(0))
+          .localCheckpoint(true) // read twice: half centroids + final rows
+        val hc = Ann.centroidsByLabel(
+          halves.select((col("ivf_cell") * 2 + col("_half")).as("label"),
+            col("embedding")))
+          .select(expr("label div 2").cast("int").as("ivf_cell"),
+            pmod(col("label"), lit(2)).cast("int").as("_half"), col("centroid"))
+        val splitRows = halves.join(broadcast(hc), Seq("ivf_cell", "_half"))
+          .join(broadcast(lm), "ivf_cell")
+          .select(col("id"), col("embedding"),
+            when(col("_half") === 1, col("_newlbl"))
+              .otherwise(col("ivf_cell")).as("ivf_cell"),
+            dot(col("embedding"), col("centroid")).as("csim"))
+        val fa = reassigned.filter(!col("ivf_cell").isin(splitVals: _*))
+          .unionByName(splitRows)
+          .localCheckpoint(true) // read twice: the write + the stats
+        val splitCents = hc.join(broadcast(lm), "ivf_cell")
+          .select(when(col("_half") === 1, col("_newlbl"))
+            .otherwise(col("ivf_cell")).as("label"), col("centroid"))
+        val fc = newCents
+          .join(lm.select(col("ivf_cell").as("label")), Seq("label"), "left_anti")
+          .unionByName(splitCents)
+        val touched = cellVals ++ splitCells.indices.map(i => (maxLabel + 1 + i): Any)
+        val fs = fa.filter(col("ivf_cell").isin(touched: _*))
+          .groupBy("ivf_cell")
+          .agg(count(lit(1)).as("n"), round(avg("csim"), 6).as("mean_sim"))
+        (fa, fc, fs)
+      }
+    Store.save(finalCents, s"$path/centroids")
     // tombstone by partition value: evicts the flagged cells' rows from
     // every prior dir; the batch dir carries the reassigned rows wherever
     // they now land (incl. migrants into unflagged cells, whose old rows
-    // lived only in flagged partitions)
-    val keys = { import spark.implicits._; cells.toDF("ivf_cell") }
-    Store.upsertBatch(cellLayout(reassigned), s"$path/assignments", keys,
+    // lived only in flagged partitions, and split halves in brand-new
+    // label dirs, which need no tombstones)
+    val keys = cells.toDF("ivf_cell")
+    Store.upsertBatch(cellLayout(finalAssigned), s"$path/assignments", keys,
       "ivf_cell")
-    val reseeded = reassigned.filter(col("ivf_cell").isin(cellVals: _*))
-      .groupBy("ivf_cell")
-      .agg(count(lit(1)).as("n"), round(avg("csim"), 6).as("mean_sim"))
     Store.save(
       Store.load(spark, s"$path/cellstats")
         .filter(!col("ivf_cell").isin(cellVals: _*))
-        .unionByName(reseeded),
+        .unionByName(finalStats),
       s"$path/cellstats")
     IndexManifest.capture(path, Tables, batchId)
   }
@@ -445,5 +511,53 @@ object IvfIndex {
       .filter(col("ivf_cell").isin(cells: _*))
       .select(col("id"), col("ivf_cell"),
         roundScore(dot(col("embedding"), typedLit(queryVec))).as("sim"))
+  }
+
+  /** The index's live cell count (≤ [[Ann.MaxNlist]]) — the escalation
+    * ceiling for adaptive probing: once nprobe reaches it, the probed pool
+    * IS the whole index. One count over the small centroid table. */
+  def cellCount(spark: SparkSession, path: String): Int =
+    IndexManifest.resolve(spark, path)("centroids").count().toInt
+
+  /** [[probedCandidates]] for a whole BATCH of query vectors in one pass —
+    * the persisted form of [[Ann.ivfBatchTopK]] and the read the
+    * index-backed ingest gates stand on ([[graft.search.VectorSearch
+    * .noveltyIndexed]], [[graft.dedup.Dedup.smartImportActionsIndexed]]):
+    * the reference's add path probes its ANN store once per incoming
+    * document (memory_engine.py:548-561); at 100 TB a micro-batch of adds
+    * must amortize that into ONE pruned scan, not |batch| corpus scans.
+    *
+    * `queries` is (qid, qv). Per-qid probe ranking is a broadcast of the
+    * ≤[[Ann.MaxNlist]]-row centroid table crossed against the batch (a
+    * bounded |batch| × nlist frame, ranked per qid); the UNION of probed
+    * cells — collected driver-side, bounded by nlist — becomes a
+    * planning-time `ivf_cell IN (…)` partition prune, so the assignments
+    * scan lists only the probed dirs once for the whole batch. Each
+    * candidate row is then scored only against the queries probing its
+    * cell. Output: (qid, id, ivf_cell, sim) — callers rank per qid.
+    * Resolves through ONE [[IndexManifest]] read (consistent mid-
+    * maintenance, like every other reader). An optional `np` column on
+    * `queries` overrides `nprobe` PER QID — the per-query adaptive probe
+    * escalation of the shared-plan batch search. */
+  def probedCandidatesBatch(spark: SparkSession, path: String,
+                            queries: DataFrame, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ld = IndexManifest.resolve(spark, path)
+    val npCol = if (queries.columns.contains("np")) col("np") else lit(nprobe)
+    val pw = Window.partitionBy("qid").orderBy(desc("_cs"), asc("label"))
+    val probes = queries.crossJoin(broadcast(ld("centroids")))
+      .select(col("qid"), col("qv"), col("label"),
+        dot(col("centroid"), col("qv")).as("_cs"), npCol.as("_np"))
+      .withColumn("_rn", row_number().over(pw))
+      .filter(col("_rn") <= col("_np"))
+      .select(col("qid"), col("qv"), col("label").as("ivf_cell"))
+      .localCheckpoint(true) // read twice: the cell collect + the join
+    val cells = probes.select("ivf_cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    ld("assignments")
+      .filter(col("ivf_cell").isin(cells: _*))
+      .join(broadcast(probes), "ivf_cell")
+      .select(col("qid"), col("id"), col("ivf_cell"),
+        roundScore(dot(col("embedding"), col("qv"))).as("sim"))
   }
 }

@@ -164,8 +164,46 @@ object Dedup {
                          corpusRows: Option[Long] = None): DataFrame = {
     val best = corpusRows.map(topNeighborsAuto(incoming, existing, 1, _))
       .getOrElse(topNeighbors(incoming, existing, searchK = 1))
-    // left joins: an incoming row with no best match (empty/tiny `existing`)
-    // resolves to "add" (memory_engine.py:2564-2637), not silent drop
+    resolveBands(incoming, existing, best, skipThreshold, addThreshold)
+  }
+
+  /** [[smartImportActions]] with the best-match read answered from the
+    * persisted IVF index over the EXISTING store — the ingest-path gate the
+    * reference runs per import batch (memory_engine.py:2564-2637 probes its
+    * ANN store per row): the whole batch's best matches come from ONE
+    * partition-pruned scan of the probed cell dirs
+    * ([[graft.ann.IvfIndex.probedCandidatesBatch]]) instead of an
+    * in-session kernel over the full existing corpus — at 100 TB the
+    * existing store's embeddings are never re-scanned by an import. Same
+    * three-band resolution ([[resolveBands]] is shared), same top-1
+    * tie-break (sim desc, candidate id asc); the candidate pool is the
+    * probed cells — IVF's recall trade, adjudicated by
+    * `d8_smart_import_indexed`'s probed-cell-restricted oracle. */
+  def smartImportActionsIndexed(spark: org.apache.spark.sql.SparkSession,
+                                incoming: DataFrame, existing: DataFrame,
+                                ivfPath: String,
+                                skipThreshold: Double = 0.95,
+                                addThreshold: Double = 0.80,
+                                nprobe: Int = 2): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("id"))
+    val best = graft.ann.IvfIndex.probedCandidatesBatch(spark, ivfPath,
+        incoming.select(col("id").as("qid"), col("embedding").as("qv")), nprobe)
+      .filter(col("id") =!= col("qid")) // same self-exclusion as the kernel
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("qid").as("ia"), col("id").as("ib"), col("sim"))
+    resolveBands(incoming, existing, best, skipThreshold, addThreshold)
+  }
+
+  /** The D8 three-band resolution over a computed best-match frame
+    * (ia, ib, sim) — shared by the in-session kernel path and the
+    * index-backed batch probe, so the band semantics cannot drift. */
+  private def resolveBands(incoming: DataFrame, existing: DataFrame,
+                           best: DataFrame, skipThreshold: Double,
+                           addThreshold: Double): DataFrame =
+    // left joins: an incoming row with no best match (empty/tiny `existing`,
+    // or probed cells empty of candidates on the indexed path) resolves to
+    // "add" (memory_engine.py:2564-2637), not silent drop
     incoming.select(col("id").as("ia"), col("created_at").as("in_ts"))
       .join(best, Seq("ia"), "left")
       .join(existing.select(col("id").as("ib"), col("created_at").as("ex_ts")), Seq("ib"), "left")
@@ -175,6 +213,5 @@ object Dedup {
           .when(col("sim") >= skipThreshold, "skip")
           .when(col("in_ts") > col("ex_ts"), "replace")
           .otherwise("skip_older").as("action"))
-  }
 
 }

@@ -60,19 +60,9 @@ object LshIndex {
       .repartition(col("band"))
 
   private def collectIds(ids: DataFrame, failOnDup: Boolean,
-                         what: String): Array[Long] = {
-    val rows = ids.groupBy("id").agg(count(lit(1)).as("c")).collect()
-    if (failOnDup) {
-      val dups = rows.filter(_.getLong(1) > 1)
-      require(dups.isEmpty,
-        s"$what: batch carries duplicate ids (e.g. ${dups.take(3).map(_.get(0)).mkString(", ")}) — " +
-          "reduce to the last version per id first")
-    }
-    rows.map { r =>
-      require(!r.isNullAt(0), s"$what: batch carries a null id")
-      r.getLong(0)
-    }
-  }
+                         what: String): Array[Long] =
+    graft.sources.MaintenanceIds.collect(ids, failOnDup, what,
+      "reduce to the last version per id first")
 
   private def localIds(spark: SparkSession, ids: Seq[Long]): DataFrame = {
     import spark.implicits._

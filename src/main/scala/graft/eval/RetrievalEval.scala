@@ -146,4 +146,43 @@ object RetrievalEval {
         round(col("_hk").cast("double") / col("n_queries"), 6).as("recall_at_10"),
         round(col("_mrr_micro").cast("double") / 1e6 / col("n_queries"), 6)
           .as("mrr_at_10"))
+
+  /** The IVF recall trade, MEASURED (r12 verdict #8): for every
+    * `SampleMod`-th memory used as its own query vector, compare the
+    * nprobe-probed index top-k ([[graft.ann.IvfIndex
+    * .probedCandidatesBatch]] — one pruned scan for the whole query set)
+    * against the exact full-corpus top-k, and report the overlap as
+    * recall@k in ONE row — the number an operator watches to size nprobe,
+    * produced continuously instead of only adjudicated per-query by the
+    * indexed oracles. Integer ppm arithmetic (half-up), order-free.
+    *
+    * Output: (n_queries, k, nprobe, n_exact, n_hits, recall_ppm). */
+  def ivfRecall(spark: org.apache.spark.sql.SparkSession, memories: DataFrame,
+                ivfPath: String, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = memories.filter(col("id") % SampleMod === 0)
+      .select(col("id").as("qid"), col("embedding").as("qv"))
+      .localCheckpoint(true) // two consumers: the exact leg + the probe
+    val pq = Window.partitionBy("qid").orderBy(desc("sim"), asc("id"))
+    val exact = memories.select("id", "embedding").crossJoin(broadcast(queries))
+      .select(col("qid"), col("id"),
+        round(VectorFunctions.dot(col("embedding"), col("qv")), 6).as("sim"))
+      .withColumn("_rn", row_number().over(pq))
+      .filter(col("_rn") <= k).select("qid", "id")
+    val indexed = graft.ann.IvfIndex
+      .probedCandidatesBatch(spark, ivfPath, queries, nprobe)
+      .withColumn("_rn", row_number().over(pq))
+      .filter(col("_rn") <= k).select("qid", "id")
+    val hits = exact.join(indexed, Seq("qid", "id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("h"))
+    exact.groupBy("qid").agg(count(lit(1)).as("ne"))
+      .join(hits, Seq("qid"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum("ne").as("n_exact"),
+        coalesce(sum("h"), lit(0L)).as("n_hits"))
+      .select(col("n_queries"), lit(k.toLong).as("k"),
+        lit(nprobe.toLong).as("nprobe"), col("n_exact"), col("n_hits"),
+        expr("(2 * 1000000 * n_hits + n_exact) div (2 * n_exact)")
+          .as("recall_ppm"))
+  }
 }

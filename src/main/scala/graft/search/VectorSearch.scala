@@ -49,4 +49,21 @@ object VectorSearch {
   def novelty(memories: DataFrame, queryVec: Seq[Float], threshold: Double = 0.88): DataFrame =
     topK(memories, queryVec, k = 1, includeArchived = true)
       .withColumn("is_novel", col("sim") < threshold)
+
+  /** [[novelty]] answered from the persisted IVF index — the ingest-path
+    * gate as the reference runs it: `is_novel` per add probes the ANN
+    * store (memory_engine.py:548-561), never a corpus scan. The top-1
+    * comes from the nprobe probed cell dirs
+    * ([[graft.ann.IvfIndex.probedCandidates]]) — IVF's standard recall
+    * trade, adjudicated by `d1_novelty_indexed`'s probed-cell-restricted
+    * oracle; the plan reads NO corpus table at all (pinned by
+    * PlanAuditSpec). Archived rows are still visible, exactly like the
+    * in-session gate (the index carries every live doc). */
+  def noveltyIndexed(spark: org.apache.spark.sql.SparkSession, ivfPath: String,
+                     queryVec: Seq[Float], threshold: Double = 0.88,
+                     nprobe: Int = 2): DataFrame =
+    graft.ann.IvfIndex.probedCandidates(spark, ivfPath, queryVec, nprobe)
+      .orderBy(desc("sim"), asc("id"))
+      .limit(1)
+      .select(col("id"), col("sim"), (col("sim") < threshold).as("is_novel"))
 }

@@ -257,6 +257,13 @@ object EventStream {
   private def applied(path: String, batchId: Long): Boolean =
     graft.sources.IndexManifest.lastBatch(path).exists(_ >= batchId)
 
+  /** The maintenance cadence shared by the drift audit and the BM25
+    * avg-idf recompute: fires every `auditEvery` micro-batches — and on
+    * EVERY batch when no cadence is configured (auditEvery ≤ 0), so the
+    * bounded-staleness skip is strictly opt-in. */
+  private def onAuditCadence(batchId: Long, auditEvery: Int): Boolean =
+    auditEvery <= 0 || (batchId + 1) % auditEvery == 0
+
   /** The per-micro-batch body of [[startIndexRefresh]], public so the
     * replay spec can drive it directly: refresh each index UNLESS its
     * manifest already stamps this (or a later) batchId. `auditEvery` > 0
@@ -274,7 +281,8 @@ object EventStream {
       if (!b.isEmpty) {
         bm25Path.filterNot(applied(_, batchId)).foreach(p =>
           graft.search.BM25Index.refresh(b.sparkSession, p, b,
-            batchId = Some(batchId)))
+            batchId = Some(batchId),
+            recomputeAvgIdf = onAuditCadence(batchId, auditEvery)))
         ivfPath.filterNot(applied(_, batchId)).foreach(p =>
           graft.ann.IvfIndex.refresh(b.sparkSession, p, b,
             batchId = Some(batchId)))
@@ -316,7 +324,11 @@ object EventStream {
   /** The per-micro-batch body of [[startCdcMaintenance]], public so the
     * replay spec can drive it directly. `auditEvery` as in
     * [[refreshBatch]]: the IVF drift audit + targeted retrain runs every
-    * that-many micro-batches after the CDC apply. */
+    * that-many micro-batches after the CDC apply — and the BM25 avg-idf
+    * recompute (the one O(vocab) agg per maintenance call) rides the SAME
+    * cadence: off-cadence batches inside the 0.1% drift bound keep the
+    * stored epsilon base ([[graft.search.BM25Index]]'s bounded-staleness
+    * skip); with no cadence configured every batch recomputes. */
   def cdcBatch(batch: DataFrame, batchId: Long,
                bm25Path: String, ivfPath: String,
                lshPath: Option[String] = None,
@@ -326,7 +338,8 @@ object EventStream {
       if (!applied(bm25Path, batchId) || !applied(ivfPath, batchId) ||
         lshPath.exists(!applied(_, batchId)))
         applyCdcBatch(b, bm25Path, ivfPath, batchId = Some(batchId),
-          lshPath = lshPath)
+          lshPath = lshPath,
+          recomputeAvgIdf = onAuditCadence(batchId, auditEvery))
       if (auditEvery > 0 && (batchId + 1) % auditEvery == 0)
         graft.ann.IvfIndex.retrainIfDrifted(b.sparkSession, ivfPath)
     } finally { b.unpersist(); () }
@@ -339,7 +352,9 @@ object EventStream {
     * `add` still lands correctly) and deleted slices, and apply each index
     * in ONE combined maintenance pass. Without a seq column, a batch
     * carrying the same id twice fail-louds inside applyCdc (unordered
-    * duplicates are ambiguous); with one, deletes that reduce from an
+    * duplicates are ambiguous); with one, two events of an id SHARING the
+    * winning seq also fail-loud (no deterministic winner — a replay could
+    * land a different state); deletes that reduce from an
     * in-batch add+delete of a never-indexed id are legitimately absent
     * from the index, so the delete-presence check relaxes. When `batchId`
     * is given, an index whose manifest already stamps it is skipped — the
@@ -347,15 +362,32 @@ object EventStream {
   def applyCdcBatch(batch: DataFrame, bm25Path: String, ivfPath: String,
                     batchId: Option[Long] = None,
                     seqCol: Option[String] = None,
-                    lshPath: Option[String] = None): Unit = {
+                    lshPath: Option[String] = None,
+                    recomputeAvgIdf: Boolean = true): Unit = {
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
     val ordered = seqCol.orElse(Option("seq").filter(batch.columns.contains))
     val last = ordered match {
       case Some(sc) =>
+        // fail loud when the WINNING offset is duplicated: two events for
+        // one id sharing the max seq (plausible for CDC feeds that stamp a
+        // shared LSN/commit-ts) have no deterministic winner — picking one
+        // arbitrarily would let a replay land a DIFFERENT index state than
+        // the original run, breaking replay ≡ once. Ties below the winner
+        // are harmless (the reduction never reads them). The check rides
+        // the same window pass — no extra job.
         val w = Window.partitionBy("id").orderBy(desc(sc))
+        val ties = Window.partitionBy(col("id"), col(sc))
         batch.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1).drop("_rn")
+          .withColumn("_nt", count(lit(1)).over(ties))
+          .filter(col("_rn") === 1)
+          .withColumn("id", when(col("_nt") > 1, raise_error(concat(
+            lit("applyCdcBatch: duplicate (id, seq) at the winning offset for id "),
+            col("id").cast("string"),
+            lit(" — the last-event-per-id reduction is ambiguous; give the " +
+              "feed a total per-id order (unique seq) or pre-reduce it"))))
+            .otherwise(col("id")))
+          .drop("_rn", "_nt")
       case None => batch
     }
     val changed = last.filter(col("op").isin("add", "update"))
@@ -364,7 +396,17 @@ object EventStream {
     val strictDeletes = ordered.isEmpty
     if (!batchId.exists(applied(bm25Path, _)))
       graft.search.BM25Index.applyCdc(spark, bm25Path, changed, dels,
-        batchId = batchId, requireDeletesPresent = strictDeletes)
+        batchId = batchId, requireDeletesPresent = strictDeletes,
+        recomputeAvgIdf = recomputeAvgIdf)
+    // CROSS-INDEX SKEW BOUND: the indexes publish sequentially, so a query
+    // resolving both manifests mid-dispatch can pair BM25-at-batch-N with
+    // IVF-at-batch-N−1 — never more: each batch stamps every index before
+    // the next batch starts, so the stamps diverge by AT MOST one
+    // micro-batch at any instant (pinned by CrossIndexSkewSpec via this
+    // fault point). Per-index atomicity is absolute (one manifest swap per
+    // index); readers that need a perfectly aligned pair read during a
+    // quiet period or re-resolve until the stamps agree.
+    graft.sources.FaultPoints.hit("cdc.betweenIndexApplies")
     if (!batchId.exists(applied(ivfPath, _)))
       graft.ann.IvfIndex.applyCdc(spark, ivfPath, changed, dels,
         batchId = batchId, requireDeletesPresent = strictDeletes)

@@ -207,6 +207,57 @@ class AnnSpec extends SparkSpec {
     assert(msNow > 0.9, s"recentring must lift the flooded cell's mean sim: $msNow")
   }
 
+  test("split-on-retrain: a planted bimodal flood bisects into a new cell and the audit reads clean") {
+    val path = "/root/repo/target/tmp/ivf_split_spec"
+    graft.sources.Store.deleteRecursive(path)
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    // cell 0 built from 5 members AT its centroid; cell 1 has 2 bystanders
+    val seed = ((1L to 5L).map(i => (i, v(1, 0))) ++
+      Seq((6L, v(0, 1)), (7L, v(0, 1)))).toDF("id", "embedding")
+    graft.ann.IvfIndex.buildWithCentroids(seed,
+      Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f))).toDF("label", "centroid"), path)
+    // a SECOND mode floods cell 0: 11 vectors at (0.8, 0.6) — argmax keeps
+    // them in cell 0, growth 16/5 > 2 flags it
+    val flood = (10L to 20L).map(i => (i, v(0.8, 0.6))).toDF("id", "embedding")
+    graft.ann.IvfIndex.refresh(spark, path, flood)
+    val flagged = graft.ann.IvfIndex.driftAudit(spark, path)
+      .filter(col("retrain")).select("ivf_cell").as[Int].collect().toSeq
+    assert(flagged == Seq(0))
+    // one recenter step cannot fix bimodality: the recentered mean sits
+    // between the modes (post-recenter mean csim ≈ 0.956 < the 0.97
+    // floor) — the cell bisects: seed B = the farthest member (the
+    // original (1,0) mode), so the originals move to the NEW cell 2 and
+    // the flood keeps cell 0, each half at its own exact centroid
+    graft.ann.IvfIndex.retrainCells(spark, path, flagged,
+      splitSimFloor = Some(0.97))
+    val post = graft.sources.Store.load(spark, s"$path/assignments")
+      .select("id", "ivf_cell").as[(Long, Int)].collect().toMap
+    assert((1L to 5L).forall(post(_) == 2), s"originals must split out: $post")
+    assert((10L to 20L).forall(post(_) == 0), s"flood must keep the cell: $post")
+    assert(post(6L) == 1 && post(7L) == 1)
+    val cents = graft.sources.Store.load(spark, s"$path/centroids")
+      .select("label", "centroid").as[(Int, Seq[Double])].collect().toMap
+    assert(cents.keySet == Set(0, 1, 2), s"labels: ${cents.keySet}")
+    assert(math.abs(cents(2)(0) - 1.0) < 1e-9 && math.abs(cents(2)(1)) < 1e-9,
+      s"new cell centroid must be the split-out mode: ${cents(2)}")
+    assert(math.abs(cents(0)(0) - 0.8) < 1e-6 && math.abs(cents(0)(1) - 0.6) < 1e-6,
+      s"kept cell centroid must be the flood mode: ${cents(0)}")
+    // baselines re-seeded for BOTH halves: the next audit is clean
+    val audit = graft.ann.IvfIndex.driftAudit(spark, path)
+      .select("ivf_cell", "n_built", "n_now", "retrain")
+      .as[(Int, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(audit.keySet == Set(0, 1, 2))
+    assert(audit(0)._2 == 11L && audit(0)._3 == 11L && !audit(0)._4)
+    assert(audit(2)._2 == 5L && audit(2)._3 == 5L && !audit(2)._4)
+    assert(!audit(1)._4)
+    // probes serve the split layout: a (1,0) query's nearest cell is now 2
+    val top = graft.ann.IvfIndex.topK(spark, path, Seq(1.0f, 0.0f), k = 5, nprobe = 1)
+      .select("id").as[Long].collect().toSet
+    assert(top == Set(1L, 2L, 3L, 4L, 5L), s"probe must hit the split-out mode: $top")
+    // and a retrain WITHOUT the floor (default) still behaves as before:
+    // no split, one cell — pinned by the retrainCells test above
+  }
+
   test("IVF refresh fail-louds on already-indexed and duplicate ids; the index never moves") {
     val path = "/root/repo/target/tmp/ivf_guard_spec"
     graft.sources.Store.deleteRecursive(path)

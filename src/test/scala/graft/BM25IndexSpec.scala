@@ -139,6 +139,72 @@ class BM25IndexSpec extends SparkSpec {
     BM25.clearCache()
   }
 
+  test("scoresBatch per qid equals N independent scores calls") {
+    val path = "/root/repo/target/tmp/bm25idx_batch"
+    graft.sources.Store.deleteRecursive(path)
+    BM25Index.build(docs, path)
+    val qs = Seq(0 -> Seq("dup", "spark", "dup"), 1 -> Seq("window", "join"),
+      2 -> Seq("nosuchterm"))
+    val batch = BM25Index.scoresBatch(spark, path, qs)
+      .select("qid", "id", "bm25").as[(Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    qs.foreach { case (qid, toks) =>
+      assert(batch.getOrElse(qid, Map.empty) ==
+        scoreMap(BM25Index.scores(spark, path, toks)),
+        s"qid $qid diverged from the single-query scorer")
+    }
+  }
+
+  test("bounded avg-idf skip: an in-bound off-cadence batch keeps the stored epsilon base, n/vocab stay exact") {
+    val path = "/root/repo/target/tmp/bm25idx_avgidf"
+    val rebuilt = "/root/repo/target/tmp/bm25idx_avgidf_reb"
+    Seq(path, rebuilt).foreach(graft.sources.Store.deleteRecursive)
+    def text(i: Int) =
+      ("common" +: (0 until 9).map(j => s"u${i}x$j")).mkString(" ")
+    // 250 docs × (1 shared + 9 unique) terms → vocab 2251: one touched
+    // term is 1000·1 < 2251 — inside the 0.1% drift bound
+    val corpus = (0 until 250).map(i => (i.toLong, text(i))).toDF("id", "text")
+    BM25Index.build(corpus, path)
+    def scalars(p: String) = graft.sources.Store.load(spark, s"$p/scalars").head()
+    val sc0 = scalars(path)
+    assert(sc0.getLong(3) == 2251L, s"vocab: ${sc0.getLong(3)}")
+    // off-cadence CDC update ADDING one new term to doc 0: Δn=0,
+    // touched=1 → the O(vocab) agg is SKIPPED, the stored epsilon base
+    // rides; n, total_tokens and vocab stay exact
+    BM25Index.upsertRefresh(spark, path,
+      Seq((0L, text(0) + " extra0")).toDF("id", "text"),
+      recomputeAvgIdf = false)
+    val sc1 = scalars(path)
+    assert(sc1.getDouble(2) == sc0.getDouble(2), "epsilon base must ride unchanged")
+    assert(sc1.getLong(0) == 250L && sc1.getLong(3) == 2252L)
+    // the on-cadence call recomputes exactly: equals a fresh build over
+    // the fully-updated corpus (and has genuinely moved off the stale base)
+    BM25Index.upsertRefresh(spark, path,
+      Seq((1L, text(1) + " extra1")).toDF("id", "text"),
+      recomputeAvgIdf = true)
+    val sc2 = scalars(path)
+    val modified = (0 until 250).map { i =>
+      val t = if (i == 0) text(0) + " extra0"
+      else if (i == 1) text(1) + " extra1" else text(i)
+      (i.toLong, t)
+    }.toDF("id", "text")
+    BM25Index.build(modified, rebuilt)
+    val scReb = scalars(rebuilt)
+    assert(math.abs(sc2.getDouble(2) - scReb.getDouble(2)) < 1e-12,
+      s"on-cadence recompute must equal rebuild: ${sc2.getDouble(2)} vs ${scReb.getDouble(2)}")
+    assert(math.abs(sc2.getDouble(2) - sc0.getDouble(2)) > 1e-8,
+      "the recomputed base must actually move (the vocabulary changed)")
+    assert(sc2.getLong(3) == 2253L && scReb.getLong(3) == 2253L)
+    // an out-of-bound batch recomputes even when flagged skippable:
+    // deleting a doc shifts n by 1/250 = 0.4% > the 0.1% bound
+    BM25Index.deleteRefresh(spark, path, Seq(2L).toDF("id"),
+      recomputeAvgIdf = false)
+    val sc3 = scalars(path)
+    assert(sc3.getLong(0) == 249L)
+    assert(math.abs(sc3.getDouble(2) - sc2.getDouble(2)) > 1e-8,
+      "an out-of-bound delete must recompute the base (n shifted 0.4%)")
+  }
+
   test("refresh fail-louds on already-indexed ids, duplicate batch ids, and null ids") {
     val path = "/root/repo/target/tmp/bm25idx_guard"
     graft.sources.Store.deleteRecursive(path)

@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.search.HybridSearch
+
+/** Pins the index-backed hybrid's adaptive probe escalation (the r12
+  * verdict's filtered-IVF under-fill): a selective source prefix whose
+  * matches live OUTSIDE the default probed cells must still be found —
+  * the vector leg widens nprobe until the post-filter pool fills or every
+  * cell is probed, at which point the indexed search equals the in-session
+  * exact search. */
+class HybridIndexedSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 4 unit-axis cells in 4-d; ids 1-10 in cell 0, 11-20 in cell 1,
+  // 21-30 in cell 2, 31-40 in cell 3. Only id 35 (cell 3 — unprobed at
+  // nprobe=2 for a cell-0 query) carries the rare source prefix.
+  private def axis(c: Int): Array[Float] = {
+    val a = Array.fill(4)(0.0f); a(c) = 1.0f; a
+  }
+  private def emb(c: Int, i: Int): Array[Float] = {
+    // near the cell axis, tilted deterministically so sims differ per id
+    val a = Array.fill(4)(0.02f * (i % 3)); a(c) = 1.0f
+    val n = math.sqrt(a.map(x => x.toDouble * x).sum).toFloat
+    a.map(_ / n)
+  }
+  private val ts = Timestamp.valueOf("2024-06-01 00:00:00")
+
+  private lazy val mem = (1 to 40).map { i =>
+    val cell = (i - 1) / 10
+    (i.toLong, s"doc $i window spark", emb(cell, i),
+      if (i == 35) "rare/path" else s"common/$cell", "note",
+      false, false, ts, ts, ts, ts)
+  }.toDF("id", "text", "embedding", "source", "category",
+    "archived", "pinned", "created_at", "updated_at", "document_at",
+    "last_reinforced_at")
+
+  test("selective-prefix query escalates nprobe and matches the in-session exact search") {
+    val bm25Path = "/root/repo/target/tmp/esc_bm25"
+    val ivfPath = "/root/repo/target/tmp/esc_ivf"
+    Seq(bm25Path, ivfPath).foreach(graft.sources.Store.deleteRecursive)
+    graft.search.BM25Index.build(mem, bm25Path)
+    graft.ann.IvfIndex.buildWithCentroids(mem,
+      (0 to 3).map(c => (c, axis(c).toSeq)).toDF("label", "centroid"), ivfPath)
+    val p = HybridSearch.Params(
+      queryTokens = Seq("window", "spark"),
+      queryVec = axis(0).toSeq, // probes cells 0 and 1 at nprobe=2
+      k = 3, sourcePrefix = Some("rare"))
+    graft.search.BM25.clearCache()
+    val indexed = HybridSearch
+      .searchIndexed(spark, bm25Path, ivfPath, mem, None, p)
+      .as[(Long, String, String, Double)].collect().toSeq
+    val exact = HybridSearch.search(mem, None, p)
+      .as[(Long, String, String, Double)].collect().toSeq
+    graft.search.BM25.clearCache()
+    // id 35 lives in cell 3 — invisible at nprobe=2; only escalation (the
+    // under-filled pool doubles nprobe to 4 = all cells) can surface it
+    assert(indexed.map(_._1) == Seq(35L), s"indexed: $indexed")
+    assert(indexed == exact, s"escalated indexed must equal exact:\n$indexed\n$exact")
+  }
+
+  test("a filter-free query never escalates past the default probe") {
+    // sanity guard for the oracle fixtures: when the probed pool fills,
+    // the probe list stays at the default nprobe — the vector leg must
+    // NOT contain cross-cell ids that only a widened probe could admit
+    val bm25Path = "/root/repo/target/tmp/esc_bm25_noop"
+    val ivfPath = "/root/repo/target/tmp/esc_ivf_noop"
+    Seq(bm25Path, ivfPath).foreach(graft.sources.Store.deleteRecursive)
+    graft.search.BM25Index.build(mem, bm25Path)
+    graft.ann.IvfIndex.buildWithCentroids(mem,
+      (0 to 3).map(c => (c, axis(c).toSeq)).toDF("label", "centroid"), ivfPath)
+    // k=3 → oversample 9 ≤ 20 rows in the two probed cells: pool fills
+    val p = HybridSearch.Params(
+      queryTokens = Seq("nosuchterm"),
+      queryVec = axis(0).toSeq, k = 3, vectorWeight = 1.0)
+    graft.search.BM25.clearCache()
+    val got = HybridSearch
+      .searchIndexed(spark, bm25Path, ivfPath, mem, None, p)
+      .select("id").as[Long].collect().toSet
+    graft.search.BM25.clearCache()
+    // cells 0∪1 hold ids 1..20 only: a result outside them would mean the
+    // probe widened without need
+    assert(got.nonEmpty && got.forall(_ <= 20L), s"leaked past probed cells: $got")
+  }
+}

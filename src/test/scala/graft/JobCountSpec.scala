@@ -180,22 +180,41 @@ class JobCountSpec extends SparkSpec {
     // identical to the explicit path: the trigger adds zero extra jobs)
     "st_drift_retrain" -> 114,
     // r12 new: TWO index builds (BM25 full-corpus + IVF full-corpus — the
-    // dominant share) + the indexed hybrid query itself (measured 98
-    // in-suite; the query alone is a handful of jobs — pruned postings
-    // scan, probed cells, fusion)
-    "r4_hybrid_indexed" -> 112,
-    // r12 new: the same two builds + TWO indexed hybrid queries (measured
-    // 121 in-suite — +23 over the single-query form for the second
-    // query's probe/scan/fusion, i.e. the per-query marginal cost is a
-    // fraction of one corpus scan)
-    "r15_batch_indexed" -> 139,
+    // dominant share) + the indexed hybrid query itself (the query alone
+    // is a handful of jobs — pruned postings scan, probed cells, fusion).
+    // r13: 98 → 108 measured — the adaptive probe escalation's one
+    // bounded pool-count check per query (a pinned behavior,
+    // HybridIndexedSpec) plus its probe-ranking collect
+    "r4_hybrid_indexed" -> 124,
+    // r12: two builds + TWO indexed hybrid queries. r13: 121 → 123
+    // measured under the SHARED plan (one postings scan + one probed
+    // scan for the whole batch + the per-qid escalation check) — the
+    // marginal cost of the second query fell from 23 to 15 jobs
+    "r15_batch_indexed" -> 141,
     // r12 new: two builds + indexed seeds + the PPR loop's per-round
-    // checkpoints (measured 148 in-suite — the +50 over the fast path is
-    // the same graph tail r10_graph_search pays)
-    "r10_graph_indexed" -> 170,
+    // checkpoints (the +50 over the fast path is the same graph tail
+    // r10_graph_search pays). r13: 148 → 158 measured (the escalation
+    // check, as r4_hybrid_indexed)
+    "r10_graph_indexed" -> 182,
     // r12 new: two builds + the explain tail's checkpointed contributions
-    // + the BM25Index-backed filtered_by_source count (measured 116)
-    "r14_explain_indexed" -> 133,
+    // + the BM25Index-backed filtered_by_source count. r13: 116 → 126
+    // measured (the escalation check, as r4_hybrid_indexed)
+    "r14_explain_indexed" -> 145,
+    // r13 new: build-half + planted-flood refresh + audit + the retrain
+    // WITH the bisect cascade firing (102 jobs gated-but-dormant at the
+    // 0.9 floor; 118 with the bisect live at 0.96 — the +16 is the seed-B
+    // collect, the halves checkpoint, the per-half centroid agg and the
+    // merged-stats pass) + the full-assignments dump
+    "ann_ivf_retrain_split" -> 136,
+    // r13 new: one IVF build + ONE probed top-1 — the ingest novelty gate
+    // (the build dominates; the gate itself is two bounded jobs)
+    "d1_novelty_indexed" -> 44,
+    // r13 new: IVF build over the existing half + one batched probe scan
+    // for the whole import batch + the band resolution joins
+    "d8_smart_import_indexed" -> 60,
+    // r13 new: IVF build + the exact leg (broadcast crossJoin + per-qid
+    // windows) + one batched probe + the ppm aggregate
+    "ev_ivf_recall" -> 62,
     // r12 new: full-corpus build (now five tables) + base scoring + the
     // pruned tvecs feedback read + terms-scan mining + expansion scoring
     // (measured 61 in-suite)

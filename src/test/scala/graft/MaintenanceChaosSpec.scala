@@ -38,7 +38,7 @@ class MaintenanceChaosSpec extends SparkSpec {
     Array((a / n).toFloat, (b / n).toFloat)
   }
 
-  for (seedVal <- Seq(11L, 42L))
+  for (seedVal <- Seq(11L, 42L, 77L))
     test(s"chaos (seed $seedVal): random CDC / compact / retrain interleavings preserve every family's semantics") {
       val rng = new scala.util.Random(seedVal)
       val bm25Path = s"/root/repo/target/tmp/chaos_bm25_$seedVal"
@@ -91,20 +91,38 @@ class MaintenanceChaosSpec extends SparkSpec {
             0 until graft.ann.IvfIndex.DBuckets)
       }
       def retrainStep(): Unit = {
-        graft.ann.IvfIndex.retrainIfDrifted(spark, ivfPath); ()
+        // randomly exercise split-on-retrain under chaos: the end-state
+        // invariants below (csim vs CURRENT assigned centroid, id-sidecar
+        // agreement, survivor embeddings) hold whether or not cells bisect
+        val floor = if (rng.nextBoolean()) Some(0.95) else None
+        graft.ann.IvfIndex.retrainIfDrifted(spark, ivfPath,
+          splitSimFloor = floor); ()
       }
 
-      for (_ <- 0 until 8) rng.nextInt(4) match {
-        case 0 | 1 => cdcStep() // bias toward churn
-        case 2     => compactStep()
-        case 3     => retrainStep()
+      val probe = Seq("dup", "spark", "window", "merge")
+      for (i <- 0 until 8) {
+        rng.nextInt(4) match {
+          case 0 | 1 => cdcStep() // bias toward churn
+          case 2     => compactStep()
+          case 3     => retrainStep()
+        }
+        // interleaved reader: a resolve between ANY two maintenance steps
+        // must serve a complete, self-consistent generation set per index
+        // (never a mixed or dangling state) — both query paths execute
+        // end-to-end on whatever the manifest pins
+        if (i % 2 == 1) {
+          graft.search.BM25.clearCache()
+          graft.search.BM25Index.scores(spark, bm25Path, probe).count()
+          graft.search.BM25.clearCache()
+          graft.ann.IvfIndex.topK(spark, ivfPath, Seq(1.0f, 0.0f), k = 3).count()
+          ()
+        }
       }
       assert(state.nonEmpty, s"degenerate seed $seedVal: fold emptied the corpus")
       val survivors = state.toSeq.map { case (id, (t, e)) => (id, t, e) }
         .toDF("id", "text", "embedding")
 
       // lexical: scores and the scalar n both equal the rebuild view
-      val probe = Seq("dup", "spark", "window", "merge")
       graft.search.BM25.clearCache()
       val idx = graft.search.BM25Index.scores(spark, bm25Path, probe)
         .as[(Long, Double)].collect().toMap

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{MaintenanceIds, Store}
+
+/** Pins the backfill guard on the maintenance id collect (r12 verdict #5):
+  * a batch carrying more distinct ids than `graft.maintenance.maxBatchIds`
+  * fail-louds with "route through build" in ALL THREE index families —
+  * incremental maintenance materializes the batch ids on the driver, which
+  * is sound for micro-batches and a heap bomb for a mis-routed bulk
+  * backfill. */
+class MaintenanceGuardSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+
+  test("a batch past the id cap fail-louds in all three families; under it passes") {
+    val bm25Path = "/root/repo/target/tmp/guard_bm25"
+    val ivfPath = "/root/repo/target/tmp/guard_ivf"
+    val lshPath = "/root/repo/target/tmp/guard_lsh"
+    Seq(bm25Path, ivfPath, lshPath).foreach(Store.deleteRecursive)
+    val seed = Seq((1L, "dup merge window seed", v(1, 0)),
+      (2L, "spark window agg join", v(0, 1))).toDF("id", "text", "embedding")
+    graft.search.BM25Index.build(seed, bm25Path)
+    graft.ann.IvfIndex.buildWithCentroids(seed,
+      Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f))).toDF("label", "centroid"),
+      ivfPath)
+    graft.dedup.LshIndex.build(seed.select("id", "text"), lshPath)
+    val big = (10L to 13L).map(i => (i, s"text window number $i", v(0.6, 0.8)))
+      .toDF("id", "text", "embedding")
+    spark.conf.set(MaintenanceIds.MaxBatchIdsKey, "3")
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        graft.search.BM25Index.refresh(spark, bm25Path, big)
+      }
+      assert(e1.getMessage.contains("route through build"))
+      val e2 = intercept[IllegalArgumentException] {
+        graft.ann.IvfIndex.refresh(spark, ivfPath, big)
+      }
+      assert(e2.getMessage.contains("route through build"))
+      val e3 = intercept[IllegalArgumentException] {
+        graft.dedup.LshIndex.refresh(spark, lshPath, big.select("id", "text"))
+      }
+      assert(e3.getMessage.contains("route through build"))
+      // none of the failed calls moved an index
+      assert(Store.load(spark, s"$bm25Path/scalars").head().getLong(0) == 2L)
+      assert(Store.load(spark, s"$ivfPath/assignments").count() == 2L)
+      // a batch AT the cap still lands
+      graft.search.BM25Index.refresh(spark, bm25Path,
+        big.filter(col("id") <= 12L))
+      assert(Store.load(spark, s"$bm25Path/scalars").head().getLong(0) == 5L)
+    } finally spark.conf.unset(MaintenanceIds.MaxBatchIdsKey)
+  }
+}

@@ -243,6 +243,82 @@ class PlanAuditSpec extends SparkSpec {
       s"vector leg must prune to the probed cell dirs:\n${asg.mkString("\n")}")
   }
 
+  test("shared-plan batch search: ONE postings scan and ONE probed-cell scan for N queries") {
+    // the r12 verdict's batch-shape claim: N homogeneous queries must not
+    // cost N pruned postings scans — the shared plan joins one scan
+    // against a broadcast (qid, term) table and one unioned probe read
+    val bm25Path = "/root/repo/target/tmp/audit_batch_bm25"
+    val ivfPath = "/root/repo/target/tmp/audit_batch_ivf"
+    Seq(bm25Path, ivfPath).foreach(graft.sources.Store.deleteRecursive)
+    val mem = Corpus.memories(spark, sf())
+    graft.search.BM25Index.build(mem, bm25Path)
+    graft.ann.IvfIndex.build(mem, Tables.embeddings(spark, sf()), ivfPath)
+    val p0 = Queries.hybridParams(spark, sf()).copy(
+      recencyWeight = 0.0, feedbackWeight = 0.0, confidenceWeight = 0.0,
+      confidenceProfiles = Nil)
+    val qs = Seq(p0, p0.copy(queryVec = Queries.queryVec(spark, sf(), 1)),
+      p0.copy(queryVec = Queries.queryVec(spark, sf(), 2)))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try graft.search.HybridSearch
+      .batchSearchIndexed(spark, bm25Path, ivfPath, mem, None, qs)
+      .queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    val postings = scans.filter(_.contains("postings"))
+    assert(postings.size == 1,
+      s"N=3 queries must share ONE postings scan:\n${postings.mkString("\n")}")
+    val asg = scans.filter(_.contains("assignments"))
+    assert(asg.size == 1 && asg.head.contains("PartitionFilters: [") &&
+      asg.head.contains("ivf_cell"),
+      s"N=3 queries must share ONE pruned probe read:\n${asg.mkString("\n")}")
+  }
+
+  test("index-backed ingest gates: probed cell dirs only, never a corpus embedding scan") {
+    // the write-path gates (D1 novelty per add, D8 smart-import per batch)
+    // must probe the index the engine already maintains — at 100 TB an
+    // ingest that re-scans the corpus' embeddings per add is the scale
+    // killer the persisted IVF index exists to prevent
+    val ivfPath = "/root/repo/target/tmp/audit_gate_ivf"
+    graft.sources.Store.deleteRecursive(ivfPath)
+    val mem = Corpus.memories(spark, sf())
+    graft.ann.IvfIndex.build(mem, Tables.embeddings(spark, sf()), ivfPath)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // novelty: the whole plan reads ONLY the index (probed assignments
+      // dirs) — no corpus table at all
+      val novPlan = graft.search.VectorSearch
+        .noveltyIndexed(spark, ivfPath, Queries.queryVec(spark, sf()))
+        .queryExecution.executedPlan.toString
+      val novScans = novPlan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+      assert(novScans.nonEmpty && novScans.forall(_.contains("assignments")),
+        s"noveltyIndexed may read only the assignments table:\n${novScans.mkString("\n")}")
+      assert(novScans.forall(s =>
+        s.contains("PartitionFilters: [") && s.contains("ivf_cell")),
+        s"noveltyIndexed must prune to the probed cell dirs:\n${novScans.mkString("\n")}")
+      // smart-import: the batch's best matches come from the pruned index
+      // scan; the EXISTING corpus contributes metadata only (its embedding
+      // column is never read — the one corpus embedding scan is the
+      // incoming batch itself, which IS the query input)
+      val incoming = mem.filter(col("id") % 2 === 1)
+        .select((col("id") + 10000).as("id"), col("embedding"), col("created_at"))
+      val existing = mem.filter(col("id") % 2 === 0)
+      val siPlan = graft.dedup.Dedup
+        .smartImportActionsIndexed(spark, incoming, existing, ivfPath)
+        .queryExecution.executedPlan.toString
+      val siScans = siPlan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+      val asg = siScans.filter(_.contains("assignments"))
+      assert(asg.nonEmpty && asg.forall(s =>
+        s.contains("PartitionFilters: [") && s.contains("ivf_cell")),
+        s"smart-import's candidate read must prune to the probed dirs:\n${asg.mkString("\n")}")
+      val corpusEmbScans = siScans.filterNot(s =>
+        s.contains("assignments") || s.contains("centroids"))
+        .filter(_.contains("embedding"))
+      assert(corpusEmbScans.size <= 1,
+        "the only corpus embedding read may be the incoming batch itself " +
+          s"(the existing store's embeddings come from the index):\n${corpusEmbScans.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("retrainCells' member read prunes to the flagged cells' partitions") {
     // the claim retraining is O(flagged members), never O(corpus), rests
     // on this scan: `ivf_cell IN (flagged)` must prune at PLANNING time
