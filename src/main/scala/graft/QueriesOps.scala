@@ -123,9 +123,42 @@ object QueriesOps {
       val newIds = mem(s, dir).filter(col("id") >= nd - 20).select("id")
       Mutations.autoLink(mem(s, dir), newIds)
     }),
+    // M11 as the ingest path runs it: the new docs' link candidates come
+    // from ONE probed scan of the index over the PRE-add store — the
+    // existing corpus is never rescanned (the last index-backed write
+    // gate). Oracle = m11's SQL restricted per new doc to its probed cells
+    "m11_auto_link_indexed" -> ((s, dir) => {
+      val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_al_ivf_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(ivfPath)
+      val nd = Corpus.nDocs(s, dir)
+      val m = mem(s, dir)
+      graft.ann.IvfIndex.build(
+        m.filter(col("id") < nd - 20), Tables.embeddings(s, dir), ivfPath)
+      Mutations.autoLinkIndexed(s, ivfPath,
+        m.filter(col("id") >= nd - 20).select("id", "embedding"))
+    }),
     "r13_reinforce" -> ((s, dir) => {
       val ids = VectorSearch.topK(mem(s, dir), Queries.queryVec(s, dir), 10).select("id")
       Mutations.reinforce(mem(s, dir), ids)
+    }),
+    // the reference's FULL add path (is_novel → insert → auto-link)
+    // composed batch-shaped: every decision for the incoming batch from
+    // ONE probed scan of the pre-add store's IVF index. Even incoming
+    // rows clone the store's vec-0 embedding (re-crawl duplicates — top-1
+    // sim ≈ 1 ≥ 0.88 ⇒ skipped); odd rows keep their own (novel ⇒ added,
+    // with their probed link counts)
+    "op_ingest_gateway" -> ((s, dir) => {
+      val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_gw_ivf_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(ivfPath)
+      val nd = Corpus.nDocs(s, dir)
+      val m = mem(s, dir)
+      graft.ann.IvfIndex.build(
+        m.filter(col("id") < nd - 30), Tables.embeddings(s, dir), ivfPath)
+      val incoming = m.filter(col("id") >= nd - 30)
+        .select((col("id") + 10000).as("id"),
+          when(col("id") % 2 === 0, typedLit(Queries.queryVec(s, dir)))
+            .otherwise(col("embedding")).as("embedding"))
+      graft.ops.IngestGateway.gateBatch(s, ivfPath, incoming)
     }),
     // ------------------------------------------------------- version chains
     // M12: full supersede-chain reconstruction (get_memory_history);
@@ -505,6 +538,80 @@ object QueriesOps {
          |  FROM news n JOIN olds o ON n.id <> o.id)
          |SELECT id, to_id, sim FROM scored
          |WHERE rn <= 2 AND sim >= 0.2 ORDER BY id, to_id""".stripMargin,
+    // the full add-path replay: probed top-1 decides the novelty band,
+    // probed top-2 at the link threshold counts an added row's links —
+    // all candidate pools restricted per incoming row to its probed cells
+    "op_ingest_gateway" -> {
+      val centDot = "list_sum(list_transform(range(1, 65), i -> CAST(%s[i] AS DOUBLE) * c.centroid[i]))"
+      s"""WITH ${OracleCtes.memories},
+         |inc AS MATERIALIZED (
+         |  SELECT id + 10000 AS id,
+         |    CASE WHEN id % 2 = 0 THEN (SELECT embedding FROM embeddings WHERE vec_id = 0)
+         |         ELSE embedding END AS embedding
+         |  FROM memories WHERE id >= (SELECT count(*) FROM documents) - 30),
+         |ex AS MATERIALIZED (SELECT id, embedding FROM memories
+         |  WHERE id < (SELECT count(*) FROM documents) - 30),
+         |${Queries.centCtes},
+         |asgx AS MATERIALIZED (
+         |  SELECT oid, label AS ivf_cell FROM (
+         |    SELECT m.id AS oid, c.label, row_number() OVER (PARTITION BY m.id ORDER BY
+         |      ${centDot.format("m.embedding", "c.centroid")} DESC, c.label) AS rn
+         |    FROM ex m, cent c) WHERE rn = 1),
+         |probei AS MATERIALIZED (
+         |  SELECT qid, label FROM (
+         |    SELECT m.id AS qid, c.label, row_number() OVER (PARTITION BY m.id ORDER BY
+         |      ${centDot.format("m.embedding", "c.centroid")} DESC, c.label) AS rn
+         |    FROM inc m, cent c) WHERE rn <= 2),
+         |sc AS MATERIALIZED (
+         |  SELECT i.id, e.id AS cand,
+         |    round(${OracleCtes.dot64("i.embedding", "e.embedding")}, 6) AS sim,
+         |    row_number() OVER (PARTITION BY i.id
+         |      ORDER BY round(${OracleCtes.dot64("i.embedding", "e.embedding")}, 6) DESC, e.id) AS rn
+         |  FROM inc i JOIN probei p ON p.qid = i.id
+         |  JOIN asgx a ON a.ivf_cell = p.label
+         |  JOIN ex e ON e.id = a.oid),
+         |top1 AS (SELECT id, cand AS top_match_id, sim AS top_sim FROM sc WHERE rn = 1),
+         |lnk AS (SELECT id, count(*) AS n FROM sc WHERE rn <= 2 AND sim >= 0.2 GROUP BY 1)
+         |SELECT i.id,
+         |  CASE WHEN t.top_sim IS NULL OR t.top_sim < 0.88
+         |       THEN 'added' ELSE 'skipped_duplicate' END AS action,
+         |  t.top_sim, t.top_match_id,
+         |  CAST(CASE WHEN t.top_sim IS NULL OR t.top_sim < 0.88
+         |       THEN coalesce(l.n, 0) ELSE 0 END AS BIGINT) AS n_links
+         |FROM inc i LEFT JOIN top1 t ON t.id = i.id LEFT JOIN lnk l ON l.id = i.id
+         |ORDER BY i.id""".stripMargin
+    },
+    // m11's SQL with the candidate pool restricted per NEW doc to its
+    // nprobe=2 probed cells of the index over the pre-add store
+    "m11_auto_link_indexed" -> {
+      val centDot = "list_sum(list_transform(range(1, 65), i -> CAST(%s[i] AS DOUBLE) * c.centroid[i]))"
+      s"""WITH ${OracleCtes.memories},
+         |news AS MATERIALIZED (SELECT id, embedding FROM memories
+         |  WHERE id >= (SELECT count(*) FROM documents) - 20),
+         |olds AS MATERIALIZED (SELECT id, embedding FROM memories
+         |  WHERE id < (SELECT count(*) FROM documents) - 20),
+         |${Queries.centCtes},
+         |asgo AS MATERIALIZED (
+         |  SELECT oid, label AS ivf_cell FROM (
+         |    SELECT m.id AS oid, c.label, row_number() OVER (PARTITION BY m.id ORDER BY
+         |      ${centDot.format("m.embedding", "c.centroid")} DESC, c.label) AS rn
+         |    FROM olds m, cent c) WHERE rn = 1),
+         |probei AS MATERIALIZED (
+         |  SELECT qid, label FROM (
+         |    SELECT m.id AS qid, c.label, row_number() OVER (PARTITION BY m.id ORDER BY
+         |      ${centDot.format("m.embedding", "c.centroid")} DESC, c.label) AS rn
+         |    FROM news m, cent c) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT n.id, o.id AS to_id,
+         |    round(${OracleCtes.dot64("n.embedding", "o.embedding")}, 6) AS sim,
+         |    row_number() OVER (PARTITION BY n.id
+         |      ORDER BY round(${OracleCtes.dot64("n.embedding", "o.embedding")}, 6) DESC, o.id) AS rn
+         |  FROM news n JOIN probei p ON p.qid = n.id
+         |  JOIN asgo a ON a.ivf_cell = p.label
+         |  JOIN olds o ON o.id = a.oid)
+         |SELECT id, to_id, sim FROM scored
+         |WHERE rn <= 2 AND sim >= 0.2 ORDER BY id, to_id""".stripMargin
+    },
     "r13_reinforce" ->
       s"""WITH ${OracleCtes.memories},
          |$vecTopIds

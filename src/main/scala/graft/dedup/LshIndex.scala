@@ -94,7 +94,12 @@ object LshIndex {
     require(already == 0,
       s"refresh: $already of ${ids.length} ids are ALREADY indexed — route " +
         "re-crawls through upsertRefresh (or dedupe the replayed batch)")
+    // presence table (shingles — what the guard above reads) publishes
+    // FIRST, so a crash between the appends fail-louds on replay instead
+    // of double-banding (the BM25/IVF crash-window ordering, pinned by
+    // the FaultPoints crash-replay spec)
     Store.appendBatch(withDb(sh), s"$path/shingles", "db")
+    graft.sources.FaultPoints.hit("lsh.refresh.afterPresence")
     Store.appendBatch(bandsOf(sh), s"$path/bands", "band")
     IndexManifest.capture(path, Tables, batchId)
   }

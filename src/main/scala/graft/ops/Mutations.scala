@@ -225,6 +225,31 @@ object Mutations {
       .orderBy("id", "to_id")
   }
 
+  /** [[autoLink]] answered from the persisted IVF index over the existing
+    * store — the last of the index-backed ingest gates (the reference
+    * auto-links each added memory against its ANN store,
+    * memory_engine.py:548-561 + the link pass): the whole batch of new
+    * docs' link candidates come from ONE partition-pruned probed scan
+    * ([[graft.ann.IvfIndex.probedCandidatesBatch]]), the existing corpus
+    * is never scanned at all — not even for metadata (pinned by
+    * PlanAuditSpec). Same top-2 + threshold semantics as [[autoLink]];
+    * the candidate pool is the probed cells (IVF's recall trade,
+    * adjudicated by `m11_auto_link_indexed`'s probed-cell-restricted
+    * oracle). The index is over the PRE-add store, so self-matches cannot
+    * occur by construction. */
+  def autoLinkIndexed(spark: org.apache.spark.sql.SparkSession,
+                      ivfPath: String, newMemories: DataFrame,
+                      minSim: Double = 0.2, nprobe: Int = 2): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("id"))
+    graft.ann.IvfIndex.probedCandidatesBatch(spark, ivfPath,
+        newMemories.select(col("id").as("qid"), col("embedding").as("qv")),
+        nprobe)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 2 && col("sim") >= minSim)
+      .select(col("qid").as("id"), col("id").as("to_id"), col("sim"))
+      .orderBy("id", "to_id")
+  }
+
   /** R13: reinforcement as an explicit batch job — stamp
     * `last_reinforced_at` for the retrieved ids (memory_engine.py:945-950).
     * Output: (id, last_reinforced_at) for the touched rows. */

@@ -85,6 +85,28 @@ class CrashReplaySpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("LSH refresh crash between shingles and bands: the replay fail-louds") {
+    val path = "/root/repo/target/tmp/crash_lsh"
+    Store.deleteRecursive(path)
+    graft.dedup.LshIndex.build(docs.filter(col("id") <= 3).select("id", "text"), path)
+    val batch = docs.filter(col("id") > 3).select("id", "text")
+    crashAt("lsh.refresh.afterPresence")
+    try {
+      val e = intercept[RuntimeException] {
+        graft.dedup.LshIndex.refresh(spark, path, batch)
+      }
+      assert(e.getMessage.contains("injected crash"))
+    } finally FaultPoints.install(null)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.dedup.LshIndex.refresh(spark, path, batch)
+    }
+    assert(e2.getMessage.contains("ALREADY indexed"))
+    // manifest-resolved readers still see the pre-crash banding
+    val live = graft.sources.IndexManifest.resolve(spark, path)("shingles")
+      .select("id").as[Long].collect().toSet
+    assert(live == Set(1L, 2L, 3L))
+  }
+
   test("applyCdc fail-louds on a changed doc that tokenizes to zero terms") {
     val path = "/root/repo/target/tmp/crash_tokenless"
     Store.deleteRecursive(path)

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.IngestGateway
+import graft.sources.Store
+
+/** Pins the composed add path ([[graft.ops.IngestGateway]]): a mixed batch
+  * is gated against the pre-add store's IVF index (duplicate skipped,
+  * novel added with its probed link count), the novel slice lands in ALL
+  * THREE indexes as one generation each, and a replayed batch no-ops the
+  * writes via the per-index batch stamp. */
+class IngestGatewaySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+
+  test("gate + add: the duplicate is skipped, the novel row lands everywhere, the replay no-ops") {
+    val bm25Path = "/root/repo/target/tmp/gw_bm25"
+    val ivfPath = "/root/repo/target/tmp/gw_ivf"
+    val lshPath = "/root/repo/target/tmp/gw_lsh"
+    Seq(bm25Path, ivfPath, lshPath).foreach(Store.deleteRecursive)
+    val seed = Seq((1L, "dup merge window", v(1, 0)),
+      (2L, "spark window agg", v(0, 1))).toDF("id", "text", "embedding")
+    graft.search.BM25Index.build(seed, bm25Path)
+    graft.ann.IvfIndex.buildWithCentroids(seed,
+      Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f))).toDF("label", "centroid"),
+      ivfPath)
+    graft.dedup.LshIndex.build(seed.select("id", "text"), lshPath)
+    // id 10 re-crawls doc 1's exact embedding (top-1 sim 1.0 ≥ 0.88 —
+    // a duplicate); id 11 is genuinely novel (top-1 = doc 2 at 0.8),
+    // linking to both store docs at the 0.2 threshold
+    val incoming = Seq(
+      (10L, "replayed duplicate text", v(1, 0)),
+      (11L, "fresh plan shuffle", v(0.6, 0.8))
+    ).toDF("id", "text", "embedding")
+    val report = IngestGateway.ingestBatch(spark, incoming,
+        bm25Path, ivfPath, Some(lshPath), batchId = Some(0L))
+      .select("id", "action", "top_sim", "top_match_id", "n_links")
+      .as[(Long, String, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(report(10L) == ((10L, "skipped_duplicate", 1.0, 1L, 0L)),
+      s"duplicate row: ${report(10L)}")
+    assert(report(11L) == ((11L, "added", 0.8, 2L, 2L)),
+      s"novel row: ${report(11L)}")
+    // the novel row (and ONLY it) landed in every index
+    val expected = Seq((1L, "dup merge window"), (2L, "spark window agg"),
+      (11L, "fresh plan shuffle"))
+    val probe = Seq("dup", "spark", "window", "plan", "fresh")
+    graft.search.BM25.clearCache()
+    val idx = graft.search.BM25Index.scores(spark, bm25Path, probe)
+      .as[(Long, Double)].collect().toMap
+    val raw = graft.search.BM25.scores(expected.toDF("id", "text"), probe)
+      .as[(Long, Double)].collect().toMap
+    graft.search.BM25.clearCache()
+    assert(idx == raw, s"post-ingest BM25 must equal rebuild: $idx vs $raw")
+    assert(Store.load(spark, s"$ivfPath/assignments")
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 11L))
+    assert(Store.load(spark, s"$lshPath/shingles")
+      .select("id").distinct().as[Long].collect().toSet == Set(1L, 2L, 11L))
+    // replay of the same micro-batch: the batch stamps make every index
+    // write a no-op (the report itself is a per-invocation view — it now
+    // reads the POST-add store, which is why the exactly-once claim is
+    // about index state, not the returned frame)
+    IngestGateway.ingestBatch(spark, incoming,
+      bm25Path, ivfPath, Some(lshPath), batchId = Some(0L))
+    assert(Store.load(spark, s"$bm25Path/scalars").head().getLong(0) == 3L)
+    assert(Store.load(spark, s"$ivfPath/assignments").count() == 3L)
+  }
+}

@@ -212,6 +212,12 @@ class JobCountSpec extends SparkSpec {
     // r13 new: IVF build over the existing half + one batched probe scan
     // for the whole import batch + the band resolution joins
     "d8_smart_import_indexed" -> 60,
+    // r13 new: IVF build over the pre-add store + one batched probe scan
+    // for the new docs' link candidates (no other table read)
+    "m11_auto_link_indexed" -> 52,
+    // r13 new: IVF build over the pre-add store + ONE probed scan deciding
+    // novelty AND link counts for the whole incoming batch
+    "op_ingest_gateway" -> 65,
     // r13 new: IVF build + the exact leg (broadcast crossJoin + per-qid
     // windows) + one batched probe + the ppm aggregate
     "ev_ivf_recall" -> 62,

@@ -316,6 +316,19 @@ class PlanAuditSpec extends SparkSpec {
       assert(corpusEmbScans.size <= 1,
         "the only corpus embedding read may be the incoming batch itself " +
           s"(the existing store's embeddings come from the index):\n${corpusEmbScans.mkString("\n")}")
+      // auto-link: candidates AND their ids come from the index alone —
+      // the pre-add store is not scanned at all, even for metadata
+      val alPlan = graft.ops.Mutations
+        .autoLinkIndexed(spark, ivfPath, mem.limit(5).select("id", "embedding"))
+        .queryExecution.executedPlan.toString
+      val alScans = alPlan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+      val alAsg = alScans.filter(_.contains("assignments"))
+      assert(alAsg.nonEmpty && alAsg.forall(s =>
+        s.contains("PartitionFilters: [") && s.contains("ivf_cell")),
+        s"auto-link's candidate read must prune to the probed dirs:\n${alAsg.mkString("\n")}")
+      assert(alScans.filterNot(s => s.contains("assignments")).size <= 1,
+        "auto-link may read only the new batch besides the index:\n" +
+          alScans.filterNot(_.contains("assignments")).mkString("\n"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
