@@ -56,6 +56,58 @@ object QueriesExt {
        |  SELECT component, count(*) AS fsize, min(id) AS cluster FROM tight
        |  GROUP BY 1 HAVING count(*) >= 3)""".stripMargin
 
+  /** The probed-vs-exact recall replay, one rung per nprobe sharing the
+    * centroid/assignment/exact-leg CTEs — `ev_ivf_recall` is the
+    * single-rung form, `ev_ivf_recall_sweep` the operator-facing curve. */
+  private def ivfRecallSweepSql(nprobes: Seq[Int]): String = {
+    def cdot(v: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * c.centroid[i]))"
+    val exSim = s"round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6)"
+    val rungs = nprobes.map { np =>
+      s"""probeq$np AS MATERIALIZED (
+         |  SELECT qid, label FROM (
+         |    SELECT q.qid, c.label, row_number() OVER (PARTITION BY q.qid ORDER BY
+         |      ${cdot("q.qv")} DESC, c.label) AS rn
+         |    FROM qs q, cent c) WHERE rn <= $np),
+         |ix$np AS MATERIALIZED (
+         |  SELECT qid, id FROM (
+         |    SELECT q.qid, m.id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY $exSim DESC, m.id) AS rn
+         |    FROM qs q JOIN probeq$np p ON p.qid = q.qid
+         |    JOIN asgm a ON a.ivf_cell = p.label
+         |    JOIN memories m ON m.id = a.id) WHERE rn <= 10),
+         |hits$np AS (SELECT qid, count(*) AS h FROM ex JOIN ix$np USING (qid, id) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val selects = nprobes.map { np =>
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(10 AS BIGINT) AS k, CAST($np AS BIGINT) AS nprobe,
+         |  CAST(sum(ne) AS BIGINT) AS n_exact,
+         |  CAST(coalesce(sum(h), 0) AS BIGINT) AS n_hits,
+         |  CAST((2 * 1000000 * coalesce(sum(h), 0) + sum(ne)) // (2 * sum(ne)) AS BIGINT) AS recall_ppm
+         |FROM exn LEFT JOIN hits$np USING (qid)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${OracleCtes.memories},
+       |${Queries.centCtes},
+       |qs AS MATERIALIZED (
+       |  SELECT id AS qid, embedding AS qv FROM memories
+       |  WHERE id % ${graft.eval.RetrievalEval.SampleMod} = 0),
+       |asgm AS MATERIALIZED (
+       |  SELECT id, label AS ivf_cell FROM (
+       |    SELECT m.id, c.label, row_number() OVER (PARTITION BY m.id ORDER BY
+       |      ${cdot("m.embedding")} DESC, c.label) AS rn
+       |    FROM memories m, cent c) WHERE rn = 1),
+       |ex AS MATERIALIZED (
+       |  SELECT qid, id FROM (
+       |    SELECT q.qid, m.id,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY $exSim DESC, m.id) AS rn
+       |    FROM memories m, qs q) WHERE rn <= 10),
+       |exn AS (SELECT qid, count(*) AS ne FROM ex GROUP BY 1),
+       |$rungs
+       |SELECT * FROM (
+       |$selects
+       |) ORDER BY nprobe""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "d1_novelty" -> ((s, dir) =>
       VectorSearch.novelty(Corpus.memories(s, dir), Queries.queryVec(s, dir))
@@ -125,6 +177,16 @@ object QueriesExt {
       val mem = Corpus.memories(s, dir)
       graft.ann.IvfIndex.build(mem, Tables.embeddings(s, dir), ivfPath)
       graft.eval.RetrievalEval.ivfRecall(s, mem, ivfPath)
+    }),
+    // the nprobe LADDER in one pass (the Faiss-tuning curve as a standing
+    // query): shared query sample + exact leg, one pruned probe read per
+    // rung — the number an operator sizes nprobe from
+    "ev_ivf_recall_sweep" -> ((s, dir) => {
+      val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_recs_ivf_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(ivfPath)
+      val mem = Corpus.memories(s, dir)
+      graft.ann.IvfIndex.build(mem, Tables.embeddings(s, dir), ivfPath)
+      graft.eval.RetrievalEval.ivfRecallSweep(s, mem, ivfPath)
     }),
     // 2-hop graph-lift A/B: the reference's headline graph benchmark
     // (eval/run_musique_graph_eval.py) — same queries at graph_weight 0 vs
@@ -505,49 +567,11 @@ object QueriesExt {
         "GROUP BY 1 ORDER BY graph_weight"
     },
     // the whole probed-vs-exact protocol replayed from the raw corpus:
-    // per-label centroids, per-memory cell assignment, per-QUERY probe
-    // (rn ≤ 2 over the sampled queries' own embeddings), both top-10 legs,
-    // overlap counted per qid, one integer-ppm row
-    "ev_ivf_recall" -> {
-      def cdot(v: String) =
-        s"list_sum(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * c.centroid[i]))"
-      val exSim = s"round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6)"
-      s"""WITH ${OracleCtes.memories},
-         |${Queries.centCtes},
-         |qs AS MATERIALIZED (
-         |  SELECT id AS qid, embedding AS qv FROM memories
-         |  WHERE id % ${graft.eval.RetrievalEval.SampleMod} = 0),
-         |asgm AS MATERIALIZED (
-         |  SELECT id, label AS ivf_cell FROM (
-         |    SELECT m.id, c.label, row_number() OVER (PARTITION BY m.id ORDER BY
-         |      ${cdot("m.embedding")} DESC, c.label) AS rn
-         |    FROM memories m, cent c) WHERE rn = 1),
-         |probeq AS MATERIALIZED (
-         |  SELECT qid, label FROM (
-         |    SELECT q.qid, c.label, row_number() OVER (PARTITION BY q.qid ORDER BY
-         |      ${cdot("q.qv")} DESC, c.label) AS rn
-         |    FROM qs q, cent c) WHERE rn <= 2),
-         |ex AS MATERIALIZED (
-         |  SELECT qid, id FROM (
-         |    SELECT q.qid, m.id,
-         |      row_number() OVER (PARTITION BY q.qid ORDER BY $exSim DESC, m.id) AS rn
-         |    FROM memories m, qs q) WHERE rn <= 10),
-         |ix AS MATERIALIZED (
-         |  SELECT qid, id FROM (
-         |    SELECT q.qid, m.id,
-         |      row_number() OVER (PARTITION BY q.qid ORDER BY $exSim DESC, m.id) AS rn
-         |    FROM qs q JOIN probeq p ON p.qid = q.qid
-         |    JOIN asgm a ON a.ivf_cell = p.label
-         |    JOIN memories m ON m.id = a.id) WHERE rn <= 10),
-         |hits AS (SELECT qid, count(*) AS h FROM ex JOIN ix USING (qid, id) GROUP BY 1),
-         |exn AS (SELECT qid, count(*) AS ne FROM ex GROUP BY 1)
-         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
-         |  CAST(10 AS BIGINT) AS k, CAST(2 AS BIGINT) AS nprobe,
-         |  CAST(sum(ne) AS BIGINT) AS n_exact,
-         |  CAST(coalesce(sum(h), 0) AS BIGINT) AS n_hits,
-         |  CAST((2 * 1000000 * coalesce(sum(h), 0) + sum(ne)) // (2 * sum(ne)) AS BIGINT) AS recall_ppm
-         |FROM exn LEFT JOIN hits USING (qid)""".stripMargin
-    },
+    // per-label centroids, per-memory cell assignment, per-QUERY probes
+    // (one rung per nprobe over the sampled queries' own embeddings), both
+    // top-10 legs, overlap counted per qid, one integer-ppm row per rung
+    "ev_ivf_recall" -> ivfRecallSweepSql(Seq(2)),
+    "ev_ivf_recall_sweep" -> ivfRecallSweepSql(Seq(1, 2, 4)),
     "ev_self_retrieval" -> {
       val t = OracleText.toks("text")
       val dot = "list_sum(list_transform(range(1, 65), i -> d.e[i] * q.e[i]))"

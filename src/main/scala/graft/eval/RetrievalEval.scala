@@ -158,31 +158,44 @@ object RetrievalEval {
     *
     * Output: (n_queries, k, nprobe, n_exact, n_hits, recall_ppm). */
   def ivfRecall(spark: org.apache.spark.sql.SparkSession, memories: DataFrame,
-                ivfPath: String, k: Int = 10, nprobe: Int = 2): DataFrame = {
+                ivfPath: String, k: Int = 10, nprobe: Int = 2): DataFrame =
+    ivfRecallSweep(spark, memories, ivfPath, k, Seq(nprobe))
+
+  /** [[ivfRecall]] across a WHOLE nprobe ladder in one pass — the recall
+    * curve an operator sizes nprobe from (the Faiss-tuning workflow as a
+    * standing query). The sampled query set and the EXACT top-k leg are
+    * computed once and shared by every rung; each rung adds only its own
+    * pruned probe read. Output: one row per nprobe, ascending. */
+  def ivfRecallSweep(spark: org.apache.spark.sql.SparkSession,
+                     memories: DataFrame, ivfPath: String, k: Int = 10,
+                     nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val queries = memories.filter(col("id") % SampleMod === 0)
       .select(col("id").as("qid"), col("embedding").as("qv"))
-      .localCheckpoint(true) // two consumers: the exact leg + the probe
+      .localCheckpoint(true) // shared by the exact leg + every probe rung
     val pq = Window.partitionBy("qid").orderBy(desc("sim"), asc("id"))
     val exact = memories.select("id", "embedding").crossJoin(broadcast(queries))
       .select(col("qid"), col("id"),
         round(VectorFunctions.dot(col("embedding"), col("qv")), 6).as("sim"))
       .withColumn("_rn", row_number().over(pq))
       .filter(col("_rn") <= k).select("qid", "id")
-    val indexed = graft.ann.IvfIndex
-      .probedCandidatesBatch(spark, ivfPath, queries, nprobe)
-      .withColumn("_rn", row_number().over(pq))
-      .filter(col("_rn") <= k).select("qid", "id")
-    val hits = exact.join(indexed, Seq("qid", "id"), "left_semi")
-      .groupBy("qid").agg(count(lit(1)).as("h"))
-    exact.groupBy("qid").agg(count(lit(1)).as("ne"))
-      .join(hits, Seq("qid"), "left")
-      .agg(count(lit(1)).as("n_queries"),
-        sum("ne").as("n_exact"),
-        coalesce(sum("h"), lit(0L)).as("n_hits"))
-      .select(col("n_queries"), lit(k.toLong).as("k"),
-        lit(nprobe.toLong).as("nprobe"), col("n_exact"), col("n_hits"),
-        expr("(2 * 1000000 * n_hits + n_exact) div (2 * n_exact)")
-          .as("recall_ppm"))
+      .localCheckpoint(true) // shared by every rung's overlap join
+    val exn = exact.groupBy("qid").agg(count(lit(1)).as("ne"))
+    nprobes.map { np =>
+      val indexed = graft.ann.IvfIndex
+        .probedCandidatesBatch(spark, ivfPath, queries, np)
+        .withColumn("_rn", row_number().over(pq))
+        .filter(col("_rn") <= k).select("qid", "id")
+      val hits = exact.join(indexed, Seq("qid", "id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("h"))
+      exn.join(hits, Seq("qid"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          sum("ne").as("n_exact"),
+          coalesce(sum("h"), lit(0L)).as("n_hits"))
+        .select(col("n_queries"), lit(k.toLong).as("k"),
+          lit(np.toLong).as("nprobe"), col("n_exact"), col("n_hits"),
+          expr("(2 * 1000000 * n_hits + n_exact) div (2 * n_exact)")
+            .as("recall_ppm"))
+    }.reduce(_ unionAll _).orderBy("nprobe")
   }
 }

@@ -293,6 +293,49 @@ object EventStream {
     } finally { b.unpersist(); () }
   }
 
+  /** The streaming form of the composed add path
+    * ([[graft.ops.IngestGateway]]): each micro-batch of incoming documents
+    * is GATED against the pre-add store's IVF index (novelty per row from
+    * one probed scan — the reference's is_novel-per-add, batch-shaped) and
+    * only the passing rows land in the indexes, one refresh generation per
+    * index per micro-batch under the same exactly-once batch stamp as
+    * [[startIndexRefresh]]. This is the live deployment shape of the
+    * reference's `add_memories` service loop: crawl feed in, deduplicated
+    * indexed store out, no corpus rescans anywhere on the path. */
+  def startGatedIngest(docs: DataFrame, bm25Path: String, ivfPath: String,
+                       checkpoint: String,
+                       lshPath: Option[String] = None,
+                       noveltyThreshold: Double = 0.88,
+                       auditEvery: Int = 0): StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gatedIngestBatch(batch, batchId, bm25Path, ivfPath, lshPath,
+          noveltyThreshold, auditEvery)
+      }
+      .start()
+
+  /** The per-micro-batch body of [[startGatedIngest]], public so the
+    * replay spec can drive it directly. The per-index batch stamps inside
+    * [[graft.ops.IngestGateway.ingestBatch]] make a re-delivered batch's
+    * writes no-ops; `auditEvery` runs the drift loop as in
+    * [[refreshBatch]]. */
+  def gatedIngestBatch(batch: DataFrame, batchId: Long,
+                       bm25Path: String, ivfPath: String,
+                       lshPath: Option[String] = None,
+                       noveltyThreshold: Double = 0.88,
+                       auditEvery: Int = 0): Unit = {
+    val b = batch.persist()
+    try {
+      if (!b.isEmpty)
+        graft.ops.IngestGateway.ingestBatch(b.sparkSession, b,
+          bm25Path, ivfPath, lshPath, noveltyThreshold,
+          batchId = Some(batchId))
+      if (auditEvery > 0 && (batchId + 1) % auditEvery == 0)
+        graft.ann.IvfIndex.retrainIfDrifted(b.sparkSession, ivfPath)
+    } finally { b.unpersist(); () }
+  }
+
   /** CDC-typed streaming maintenance — [[startIndexRefresh]] extended to
     * the full change-data shape a re-crawling pipeline emits: each
     * micro-batch row carries `op` ∈ add | update | delete (plus id, text,

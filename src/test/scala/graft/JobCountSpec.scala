@@ -221,6 +221,8 @@ class JobCountSpec extends SparkSpec {
     // r13 new: IVF build + the exact leg (broadcast crossJoin + per-qid
     // windows) + one batched probe + the ppm aggregate
     "ev_ivf_recall" -> 62,
+    // r13 new: same shared exact leg + THREE probe rungs (nprobe 1/2/4)
+    "ev_ivf_recall_sweep" -> 94,
     // r12 new: full-corpus build (now five tables) + base scoring + the
     // pruned tvecs feedback read + terms-scan mining + expansion scoring
     // (measured 61 in-suite)

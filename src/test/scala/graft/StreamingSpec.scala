@@ -291,6 +291,65 @@ class StreamingSpec extends SparkSpec {
     assert(graft.sources.Store.load(spark, s"$bm25Path/scalars").head().getLong(0) == 4L)
   }
 
+  test("gated ingest stream: duplicates never enter, novel rows land per micro-batch, replay no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    val bm25Path = "/root/repo/target/tmp/gwst_bm25"
+    val ivfPath = "/root/repo/target/tmp/gwst_ivf"
+    val lshPath = "/root/repo/target/tmp/gwst_lsh"
+    val ckpt = "/root/repo/target/tmp/gwst_ckpt"
+    Seq(bm25Path, ivfPath, lshPath, ckpt).foreach(graft.sources.Store.deleteRecursive)
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val seed = Seq((1L, "dup merge window", v(1, 0)),
+      (2L, "spark window agg", v(0, 1))).toDF("id", "text", "embedding")
+    graft.search.BM25Index.build(seed, bm25Path)
+    graft.ann.IvfIndex.buildWithCentroids(seed,
+      Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f))).toDF("label", "centroid"),
+      ivfPath)
+    graft.dedup.LshIndex.build(seed.select("id", "text"), lshPath)
+    val input = MemoryStream[(Long, String, Array[Float])]
+    val docs = input.toDF().toDF("id", "text", "embedding")
+    val q = EventStream.startGatedIngest(docs, bm25Path, ivfPath, ckpt,
+      Some(lshPath))
+    try {
+      // batch 0: a re-crawl of doc 1's exact embedding (gated OUT) plus a
+      // genuinely novel doc (gated IN)
+      input.addData((10L, "replayed duplicate", v(1, 0)),
+        (11L, "fresh plan shuffle", v(0.6, 0.8)))
+      q.processAllAvailable()
+      // batch 1: the live store now CONTAINS 11 — a re-crawl of ITS
+      // embedding is gated out against the post-batch-0 index
+      input.addData((12L, "near copy of eleven", v(0.6, 0.8)),
+        (13L, "broadcast join plan", v(-0.6, 0.8)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = Seq(
+      (1L, "dup merge window", v(1, 0)),
+      (2L, "spark window agg", v(0, 1)),
+      (11L, "fresh plan shuffle", v(0.6, 0.8)),
+      (13L, "broadcast join plan", v(-0.6, 0.8)))
+    graft.search.BM25.clearCache()
+    val probe = Seq("dup", "spark", "window", "plan", "fresh", "broadcast")
+    val streamed = graft.search.BM25Index.scores(spark, bm25Path, probe)
+      .as[(Long, Double)].collect().toMap
+    val scratch = graft.search.BM25.scores(
+      expected.toDF("id", "text", "embedding").select("id", "text"), probe)
+      .as[(Long, Double)].collect().toMap
+    graft.search.BM25.clearCache()
+    assert(streamed == scratch,
+      s"gated stream must land exactly the novel rows: $streamed vs $scratch")
+    assert(graft.sources.Store.load(spark, s"$ivfPath/assignments")
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 11L, 13L))
+    assert(graft.sources.Store.load(spark, s"$lshPath/shingles")
+      .select("id").distinct().as[Long].collect().toSet == Set(1L, 2L, 11L, 13L))
+    // a re-delivered micro-batch no-ops every index write
+    EventStream.gatedIngestBatch(
+      Seq((10L, "replayed duplicate", v(1, 0)),
+        (11L, "fresh plan shuffle", v(0.6, 0.8))).toDF("id", "text", "embedding"),
+      0L, bm25Path, ivfPath, Some(lshPath))
+    assert(graft.sources.Store.load(spark, s"$bm25Path/scalars").head().getLong(0) == 4L)
+    assert(graft.sources.Store.load(spark, s"$ivfPath/assignments").count() == 4L)
+  }
+
   test("seq-ordered CDC batch reduces to the last event per id: add→delete→add ends live") {
     val bm25Path = "/root/repo/target/tmp/cdcseq_bm25"
     val ivfPath = "/root/repo/target/tmp/cdcseq_ivf"
