@@ -423,6 +423,15 @@ object IvfIndex {
     val (finalAssigned, finalCents, finalStats) =
       if (splitCells.isEmpty) (reassigned, newCents, reseeded0)
       else {
+        // [[Ann.centroidsByLabel]] caps at MaxNlist rows; the composite
+        // half labels below need 2 rows per split cell — past the cap
+        // half-centroids would silently drop and their members vanish
+        // from the inner join. A retrain splitting thousands of cells at
+        // once is a rebuild-sized event anyway: fail loud.
+        require(splitCells.size * 2 <= Ann.MaxNlist,
+          s"retrainCells: ${splitCells.size} cells flagged for bisection " +
+            s"(> ${Ann.MaxNlist / 2}) — drift this broad means the whole " +
+            "partitioning is stale; rebuild with buildWithCentroids instead")
         val splitVals = splitCells.map(c => c: Any)
         val maxLabel = newCents.agg(max("label")).head().getInt(0)
         val lm = splitCells.zipWithIndex

@@ -506,7 +506,11 @@ object HybridSearch {
     while (!done) {
       val counts = pool.groupBy("qid").agg(count(lit(1)).as("c"))
         .as[(Int, Long)].collect().toMap
-      val nlist = if (counts.valuesIterator.forall(_ >= oversample)) 0
+      // getOrElse(0): a qid whose pool is COMPLETELY empty has no counts
+      // row at all — it must escalate exactly like the single-query path
+      val allFull = queries.indices.forall(i =>
+        counts.getOrElse(i, 0L) >= oversample)
+      val nlist = if (allFull) 0
         else graft.ann.IvfIndex.cellCount(spark, ivfPath)
       val under = queries.indices.filter(i =>
         counts.getOrElse(i, 0L) < oversample && npMap(i) < nlist)

@@ -61,6 +61,33 @@ class HybridIndexedSpec extends SparkSpec {
     assert(indexed == exact, s"escalated indexed must equal exact:\n$indexed\n$exact")
   }
 
+  test("shared-plan batch: a qid with an EMPTY probed pool escalates like the single-query path") {
+    // the empty-pool corner: a qid absent from the per-qid pool counts
+    // entirely (zero survivors in its probed cells) must still widen its
+    // probe — both queries here filter to the one 'rare' row in cell 3,
+    // with q0 probing cells {0,1} (pool empty) and q1 probing {3,2}
+    // (pool = 1 row, under-filled) at the default nprobe
+    val bm25Path = "/root/repo/target/tmp/esc_bm25_batch"
+    val ivfPath = "/root/repo/target/tmp/esc_ivf_batch"
+    Seq(bm25Path, ivfPath).foreach(graft.sources.Store.deleteRecursive)
+    graft.search.BM25Index.build(mem, bm25Path)
+    graft.ann.IvfIndex.buildWithCentroids(mem,
+      (0 to 3).map(c => (c, axis(c).toSeq)).toDF("label", "centroid"), ivfPath)
+    val p0 = HybridSearch.Params(
+      queryTokens = Seq("window", "spark"),
+      queryVec = axis(0).toSeq, k = 3, sourcePrefix = Some("rare"))
+    val qs = Seq(p0, p0.copy(queryVec = axis(3).toSeq))
+    graft.search.BM25.clearCache()
+    val shared = HybridSearch
+      .batchSearchIndexed(spark, bm25Path, ivfPath, mem, None, qs)
+      .as[(Long, String, String, Double, Int)].collect().toSet
+    val exact = HybridSearch.batchSearch(mem, None, qs)
+      .as[(Long, String, String, Double, Int)].collect().toSet
+    graft.search.BM25.clearCache()
+    assert(shared.map(_._1) == Set(35L), s"shared: $shared")
+    assert(shared == exact, s"escalated shared batch must equal in-session:\n$shared\n$exact")
+  }
+
   test("a filter-free query never escalates past the default probe") {
     // sanity guard for the oracle fixtures: when the probed pool fills,
     // the probe list stays at the default nprobe — the vector leg must
