@@ -167,6 +167,19 @@ object QueriesExt {
       graft.eval.RetrievalEval.selfRetrieval(
         Tables.documents(s, dir)
           .select(col("doc_id").as("id"), col("text")))),
+    // the END-TO-END indexed leg (r13 verdict #4): the same protocol run
+    // through the FUSED hybrid pipeline, exact vs persisted-index legs in
+    // one row — measures what RRF fusion does with the vector leg's IVF
+    // recall loss. The fixture fills at the default nprobe at sf ≥ 0.01
+    // (probed cells ≫ oversample), so no escalation widens the probe list
+    // the oracle replays
+    "ev_self_retrieval_indexed" -> ((s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_sri_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(base)
+      graft.eval.RetrievalEval.selfRetrievalIndexed(s,
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
+        s"$base/bm25", s"$base/ivf")
+    }),
     // the IVF recall trade as a measured number (one row, continuously
     // produced) instead of only a per-query oracle adjudication: sampled
     // memories query THEIR OWN corpus through the probed index vs the
@@ -608,6 +621,80 @@ object QueriesExt {
          |UNION ALL
          |${met("bm25", "brank")}
          |ORDER BY mode""".stripMargin
+    },
+    // the fused two-leg replay: hash embeds (ef/qef), the id-mod-8 seeded
+    // centroids + assignment + per-qid probes, BOTH vector branch pools
+    // (full vs probed-restricted), the shared BM25 branch, RRF fusion with
+    // the resolved weights (0.7 / (1.0 − 0.7) — the EXPRESSION, not 0.3:
+    // the engine computes the bm25 weight as 1−vectorWeight in doubles),
+    // per-qid fused top-10, self position, one metrics row
+    "ev_self_retrieval_indexed" -> {
+      val dot = "list_sum(list_transform(range(1, 65), i -> d.e[i] * q.e[i]))"
+      s"""WITH corpus AS MATERIALIZED (SELECT doc_id AS id, text FROM documents),
+         |qdoc AS MATERIALIZED (
+         |  SELECT id AS qid, array_to_string(t[1:greatest(len(t) // 2, 1)], ' ') AS text
+         |  FROM (SELECT id, ${OracleText.toks("text")} AS t FROM corpus)
+         |  WHERE id % ${graft.eval.RetrievalEval.SampleMod} = 0 AND len(t) >= 4
+         |  ORDER BY qid LIMIT ${graft.eval.RetrievalEval.MaxQueries}),
+         |${OracleText.embedCtesOver("corpus", 64)},
+         |${OracleText.embedCtesOver("(SELECT qid AS id, text FROM qdoc) qsrc", 64, "qe")},
+         |scent0 AS (SELECT id % 8 AS label, t.i, avg(e[t.i]) AS m
+         |  FROM ef, range(1, 65) t(i) GROUP BY 1, 2),
+         |scentn AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM scent0 GROUP BY 1),
+         |scent AS MATERIALIZED (
+         |  SELECT c.label, list(c.m / n.nrm ORDER BY c.i) AS centroid
+         |  FROM scent0 c JOIN scentn n USING (label) GROUP BY c.label),
+         |sasg AS MATERIALIZED (
+         |  SELECT id, label AS cell FROM (
+         |    SELECT d.id, c.label, row_number() OVER (PARTITION BY d.id ORDER BY
+         |      list_sum(list_transform(range(1, 65), i -> d.e[i] * c.centroid[i])) DESC, c.label) AS rn
+         |    FROM ef d, scent c) WHERE rn = 1),
+         |sprobe AS MATERIALIZED (
+         |  SELECT qid, label FROM (
+         |    SELECT q.id AS qid, c.label, row_number() OVER (PARTITION BY q.id ORDER BY
+         |      list_sum(list_transform(range(1, 65), i -> q.e[i] * c.centroid[i])) DESC, c.label) AS rn
+         |    FROM qef q, scent c) WHERE rn <= 2),
+         |vs AS MATERIALIZED (
+         |  SELECT q.id AS qid, d.id, round($dot, 6) AS sim FROM ef d CROSS JOIN qef q),
+         |vre AS MATERIALIZED (SELECT qid, id, rn - 1 AS r FROM (
+         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+         |  FROM vs) WHERE rn <= 30),
+         |vri AS MATERIALIZED (SELECT qid, id, rn - 1 AS r FROM (
+         |  SELECT v.qid, v.id, row_number() OVER (PARTITION BY v.qid ORDER BY v.sim DESC, v.id) AS rn
+         |  FROM vs v JOIN sasg a ON v.id = a.id
+         |  JOIN sprobe p ON p.qid = v.qid AND a.cell = p.label) WHERE rn <= 30),
+         |${OracleHybrid.bm25BatchCtes("corpus", "qdoc")},
+         |brk AS MATERIALIZED (SELECT qid, id, rn - 1 AS r FROM (
+         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, id) AS rn
+         |  FROM bm WHERE bm25 > 0) WHERE rn <= 30),
+         |fe AS (SELECT coalesce(v.qid, b.qid) AS qid, coalesce(v.id, b.id) AS id,
+         |  coalesce(0.7 / (v.r + 60), 0.0) + coalesce((1.0 - 0.7) / (b.r + 60), 0.0) AS f
+         |  FROM vre v FULL OUTER JOIN brk b ON v.qid = b.qid AND v.id = b.id),
+         |fi AS (SELECT coalesce(v.qid, b.qid) AS qid, coalesce(v.id, b.id) AS id,
+         |  coalesce(0.7 / (v.r + 60), 0.0) + coalesce((1.0 - 0.7) / (b.r + 60), 0.0) AS f
+         |  FROM vri v FULL OUTER JOIN brk b ON v.qid = b.qid AND v.id = b.id),
+         |tke AS (SELECT qid, id, f FROM (SELECT qid, id, f,
+         |  row_number() OVER (PARTITION BY qid ORDER BY f DESC, id) AS rn FROM fe) WHERE rn <= 10),
+         |tki AS (SELECT qid, id, f FROM (SELECT qid, id, f,
+         |  row_number() OVER (PARTITION BY qid ORDER BY f DESC, id) AS rn FROM fi) WHERE rn <= 10),
+         |sre AS (SELECT qid, rnk FROM (SELECT qid, id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY round(f, 6) DESC, id) AS rnk FROM tke)
+         |  WHERE id = qid),
+         |sri AS (SELECT qid, rnk FROM (SELECT qid, id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY round(f, 6) DESC, id) AS rnk FROM tki)
+         |  WHERE id = qid),
+         |nq AS (SELECT count(*) AS n FROM qdoc),
+         |me AS (SELECT count(*) AS h, coalesce(sum(1000000 // rnk), 0) AS mrr FROM sre),
+         |mi AS (SELECT count(*) AS h, coalesce(sum(1000000 // rnk), 0) AS mrr FROM sri)
+         |SELECT CAST(nq.n AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+         |  CAST(2 AS BIGINT) AS nprobe,
+         |  round(CAST(me.h AS DOUBLE) / nq.n, 6) AS recall_at_k_exact,
+         |  round(CAST(mi.h AS DOUBLE) / nq.n, 6) AS recall_at_k_indexed,
+         |  round(CAST(me.mrr AS DOUBLE) / 1000000.0 / nq.n, 6) AS mrr_at_k_exact,
+         |  round(CAST(mi.mrr AS DOUBLE) / 1000000.0 / nq.n, 6) AS mrr_at_k_indexed,
+         |  round(round(CAST(mi.h AS DOUBLE) / nq.n, 6)
+         |    - round(CAST(me.h AS DOUBLE) / nq.n, 6), 6) AS recall_delta
+         |FROM nq, me, mi""".stripMargin
     },
     "d1_novelty" ->
       s"""WITH ${OracleCtes.memories}

@@ -160,6 +160,24 @@ object QueriesOps {
             .otherwise(col("embedding")).as("embedding"))
       graft.ops.IngestGateway.gateBatch(s, ivfPath, incoming)
     }),
+    // the opt-in within-batch D3 pass in FRONT of the store gate: the even
+    // incoming rows all clone vec-0 — near-dups of EACH OTHER, which the
+    // store-only gate admits independently; with dedupWithinBatch only the
+    // lowest-id clone reaches the probe, the rest report skipped_in_batch
+    "op_ingest_gateway_dedup" -> ((s, dir) => {
+      val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_gwd_ivf_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(ivfPath)
+      val nd = Corpus.nDocs(s, dir)
+      val m = mem(s, dir)
+      graft.ann.IvfIndex.build(
+        m.filter(col("id") < nd - 30), Tables.embeddings(s, dir), ivfPath)
+      val incoming = m.filter(col("id") >= nd - 30)
+        .select((col("id") + 10000).as("id"),
+          when(col("id") % 2 === 0, typedLit(Queries.queryVec(s, dir)))
+            .otherwise(col("embedding")).as("embedding"))
+      graft.ops.IngestGateway.gateBatch(s, ivfPath, incoming,
+        dedupWithinBatch = true)
+    }),
     // ------------------------------------------------------- version chains
     // M12: full supersede-chain reconstruction (get_memory_history);
     // O7: the corpus as-of 2024-01-01 + 200 days (time travel)
@@ -580,6 +598,57 @@ object QueriesOps {
          |       THEN coalesce(l.n, 0) ELSE 0 END AS BIGINT) AS n_links
          |FROM inc i LEFT JOIN top1 t ON t.id = i.id LEFT JOIN lnk l ON l.id = i.id
          |ORDER BY i.id""".stripMargin
+    },
+    // the gateway SQL with the in-batch D3 pass in front: the dup-pair CTE
+    // (top-5-neighbor semantics, the d3 oracle's) runs over the INCOMING
+    // batch at the novelty band; dropped ids report skipped_in_batch and
+    // only survivors enter the probe/top-1/link replay
+    "op_ingest_gateway_dedup" -> {
+      val centDot = "list_sum(list_transform(range(1, 65), i -> CAST(%s[i] AS DOUBLE) * c.centroid[i]))"
+      s"""WITH ${OracleCtes.memories},
+         |inc AS MATERIALIZED (
+         |  SELECT id + 10000 AS id,
+         |    CASE WHEN id % 2 = 0 THEN (SELECT embedding FROM embeddings WHERE vec_id = 0)
+         |         ELSE embedding END AS embedding
+         |  FROM memories WHERE id >= (SELECT count(*) FROM documents) - 30),
+         |${graft.core.OracleText.dupPairsCte(0.88, table = "inc")},
+         |surv AS MATERIALIZED (
+         |  SELECT id, embedding FROM inc WHERE id NOT IN (SELECT id_b FROM pr)),
+         |ex AS MATERIALIZED (SELECT id, embedding FROM memories
+         |  WHERE id < (SELECT count(*) FROM documents) - 30),
+         |${Queries.centCtes},
+         |asgx AS MATERIALIZED (
+         |  SELECT oid, label AS ivf_cell FROM (
+         |    SELECT m.id AS oid, c.label, row_number() OVER (PARTITION BY m.id ORDER BY
+         |      ${centDot.format("m.embedding", "c.centroid")} DESC, c.label) AS rn
+         |    FROM ex m, cent c) WHERE rn = 1),
+         |probei AS MATERIALIZED (
+         |  SELECT qid, label FROM (
+         |    SELECT m.id AS qid, c.label, row_number() OVER (PARTITION BY m.id ORDER BY
+         |      ${centDot.format("m.embedding", "c.centroid")} DESC, c.label) AS rn
+         |    FROM surv m, cent c) WHERE rn <= 2),
+         |sc AS MATERIALIZED (
+         |  SELECT i.id, e.id AS cand,
+         |    round(${OracleCtes.dot64("i.embedding", "e.embedding")}, 6) AS sim,
+         |    row_number() OVER (PARTITION BY i.id
+         |      ORDER BY round(${OracleCtes.dot64("i.embedding", "e.embedding")}, 6) DESC, e.id) AS rn
+         |  FROM surv i JOIN probei p ON p.qid = i.id
+         |  JOIN asgx a ON a.ivf_cell = p.label
+         |  JOIN ex e ON e.id = a.oid),
+         |top1 AS (SELECT id, cand AS top_match_id, sim AS top_sim FROM sc WHERE rn = 1),
+         |lnk AS (SELECT id, count(*) AS n FROM sc WHERE rn <= 2 AND sim >= 0.2 GROUP BY 1)
+         |SELECT i.id,
+         |  CASE WHEN t.top_sim IS NULL OR t.top_sim < 0.88
+         |       THEN 'added' ELSE 'skipped_duplicate' END AS action,
+         |  t.top_sim, t.top_match_id,
+         |  CAST(CASE WHEN t.top_sim IS NULL OR t.top_sim < 0.88
+         |       THEN coalesce(l.n, 0) ELSE 0 END AS BIGINT) AS n_links
+         |FROM surv i LEFT JOIN top1 t ON t.id = i.id LEFT JOIN lnk l ON l.id = i.id
+         |UNION ALL
+         |SELECT id, 'skipped_in_batch' AS action, CAST(NULL AS DOUBLE) AS top_sim,
+         |  CAST(NULL AS BIGINT) AS top_match_id, CAST(0 AS BIGINT) AS n_links
+         |FROM inc WHERE id IN (SELECT id_b FROM pr)
+         |ORDER BY id""".stripMargin
     },
     // m11's SQL with the candidate pool restricted per NEW doc to its
     // nprobe=2 probed cells of the index over the pre-add store

@@ -58,6 +58,20 @@ object IvfIndex {
     * [[graft.search.BM25Index.DBuckets]]). */
   val DBuckets = 32
 
+  /** Conf key bounding the (qid, qv, ivf_cell) probe frame
+    * [[probedCandidatesBatch]] may BROADCAST: each probe row carries the
+    * full query vector, so a bulk import mis-routed through the indexed
+    * gates (|batch| ≈ 10⁶ × nprobe rows ≈ 0.5–1 GB) would otherwise land
+    * on the driver and every executor — the same failure class
+    * [[graft.sources.MaintenanceIds]]' id cap stops on the write side,
+    * except the gates probe BEFORE any refresh so that cap never fires.
+    * Past the cap the join degrades gracefully to a shuffle on `ivf_cell`
+    * (both sides repartitioned — no driver materialization, no broadcast),
+    * so output is identical either way; the conf lets a deployment with a
+    * bigger driver raise it deliberately. */
+  val GateMaxProbeRowsKey = "graft.gate.maxProbeRows"
+  val GateMaxProbeRowsDefault: Long = 1000000L
+
   private val Tables = Seq("centroids", "assignments", "cellstats", "ids")
 
   private def collectIds(ids: DataFrame, failOnDup: Boolean,
@@ -432,6 +446,17 @@ object IvfIndex {
           s"retrainCells: ${splitCells.size} cells flagged for bisection " +
             s"(> ${Ann.MaxNlist / 2}) — drift this broad means the whole " +
             "partitioning is stale; rebuild with buildWithCentroids instead")
+        // the TOTAL live cell count is bounded too: every centroid
+        // broadcast, the probe's driver-side cell collect and the
+        // plan-audit boundedness reasoning all size against nlist ≤
+        // MaxNlist — repeated split retrains must not creep past it
+        val liveCells = newCents.count()
+        require(liveCells + splitCells.size <= Ann.MaxNlist,
+          s"retrainCells: bisecting ${splitCells.size} cells would grow the " +
+            s"live cell count to ${liveCells + splitCells.size} > " +
+            s"${Ann.MaxNlist} (Ann.MaxNlist) — the centroid-broadcast sizing " +
+            "and probe boundedness rely on that cap; rebuild with " +
+            "buildWithCentroids (fresh nlist) instead")
         val splitVals = splitCells.map(c => c: Any)
         val maxLabel = newCents.agg(max("label")).head().getInt(0)
         val lm = splitCells.zipWithIndex
@@ -508,14 +533,23 @@ object IvfIndex {
     * search ([[graft.search.HybridSearch.searchIndexed]]) instead joins it
     * to the corpus attributes, applies the visibility filters, and ranks
     * it as the vector leg — the candidate pool stays bounded by the
-    * probed cells' population either way. */
+    * probed cells' population either way.
+    *
+    * `fromRank` is the DELTA form for adaptive probe escalation: only the
+    * cells ranked (fromRank, nprobe] are scanned — a widening round reads
+    * the newly-probed dirs ONLY, never re-reads the dirs an earlier round
+    * already scanned (the cell ranking is deterministic over the static
+    * centroid table, so probe(0, a) ∪ probe(a, b) ≡ probe(0, b)). */
   def probedCandidates(spark: SparkSession, path: String,
-                       queryVec: Seq[Float], nprobe: Int = 2): DataFrame = {
-    val ld = IndexManifest.resolve(spark, path)
+                       queryVec: Seq[Float], nprobe: Int = 2,
+                       fromRank: Int = 0,
+                       resolver: Option[String => DataFrame] = None): DataFrame = {
+    val ld = resolver.getOrElse(IndexManifest.resolve(spark, path))
     val cells = ld("centroids")
       .withColumn("_qsim", dot(col("centroid"), typedLit(queryVec)))
       .orderBy(desc("_qsim"), asc("label")).limit(nprobe)
       .select("label").collect().map(_.getInt(0)).toSeq
+      .drop(fromRank) // delta probing: the first fromRank cells are kept
     ld("assignments")
       .filter(col("ivf_cell").isin(cells: _*))
       .select(col("id"), col("ivf_cell"),
@@ -525,8 +559,10 @@ object IvfIndex {
   /** The index's live cell count (≤ [[Ann.MaxNlist]]) — the escalation
     * ceiling for adaptive probing: once nprobe reaches it, the probed pool
     * IS the whole index. One count over the small centroid table. */
-  def cellCount(spark: SparkSession, path: String): Int =
-    IndexManifest.resolve(spark, path)("centroids").count().toInt
+  def cellCount(spark: SparkSession, path: String,
+                resolver: Option[String => DataFrame] = None): Int =
+    resolver.getOrElse(IndexManifest.resolve(spark, path))("centroids")
+      .count().toInt
 
   /** [[probedCandidates]] for a whole BATCH of query vectors in one pass —
     * the persisted form of [[Ann.ivfBatchTopK]] and the read the
@@ -547,26 +583,45 @@ object IvfIndex {
     * Resolves through ONE [[IndexManifest]] read (consistent mid-
     * maintenance, like every other reader). An optional `np` column on
     * `queries` overrides `nprobe` PER QID — the per-query adaptive probe
-    * escalation of the shared-plan batch search. */
+    * escalation of the shared-plan batch search; an optional `np_from`
+    * column drops each qid's first np_from cells — the DELTA form (a
+    * widening round scans only the newly-probed dirs, as
+    * [[probedCandidates]]' fromRank). The probe frame is
+    * broadcast only while ≤ [[GateMaxProbeRowsKey]] rows — past that cap
+    * (a bulk batch) the join falls back to a shuffle on `ivf_cell`,
+    * identical output without the driver/broadcast pressure. */
   def probedCandidatesBatch(spark: SparkSession, path: String,
-                            queries: DataFrame, nprobe: Int = 2): DataFrame = {
+                            queries: DataFrame, nprobe: Int = 2,
+                            resolver: Option[String => DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ld = IndexManifest.resolve(spark, path)
+    val ld = resolver.getOrElse(IndexManifest.resolve(spark, path))
     val npCol = if (queries.columns.contains("np")) col("np") else lit(nprobe)
+    val npFromCol =
+      if (queries.columns.contains("np_from")) col("np_from") else lit(0)
     val pw = Window.partitionBy("qid").orderBy(desc("_cs"), asc("label"))
     val probes = queries.crossJoin(broadcast(ld("centroids")))
       .select(col("qid"), col("qv"), col("label"),
-        dot(col("centroid"), col("qv")).as("_cs"), npCol.as("_np"))
+        dot(col("centroid"), col("qv")).as("_cs"),
+        npCol.as("_np"), npFromCol.as("_npf"))
       .withColumn("_rn", row_number().over(pw))
-      .filter(col("_rn") <= col("_np"))
+      .filter(col("_rn") <= col("_np") && col("_rn") > col("_npf"))
       .select(col("qid"), col("qv"), col("label").as("ivf_cell"))
       .localCheckpoint(true) // read twice: the cell collect + the join
     val cells = probes.select("ivf_cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    ld("assignments")
-      .filter(col("ivf_cell").isin(cells: _*))
-      .join(broadcast(probes), "ivf_cell")
-      .select(col("qid"), col("id"), col("ivf_cell"),
-        roundScore(dot(col("embedding"), col("qv"))).as("sim"))
+      .collect().map(_.getInt(0)).toSeq // bounded by nlist, cap-independent
+    val pruned = ld("assignments").filter(col("ivf_cell").isin(cells: _*))
+    // broadcast only under the conf-keyed cap: each probe row carries the
+    // query vector, so a bulk batch would pressure the driver and blow the
+    // broadcast comfort zone — past the cap, shuffle both sides on the
+    // cell key instead (same output, no driver materialization). The
+    // count is one cheap job over the just-checkpointed probe frame.
+    val cap = spark.conf.get(GateMaxProbeRowsKey,
+      GateMaxProbeRowsDefault.toString).toLong
+    val joined =
+      if (probes.count() <= cap) pruned.join(broadcast(probes), "ivf_cell")
+      else pruned.repartition(col("ivf_cell"))
+        .join(probes.repartition(col("ivf_cell")), "ivf_cell")
+    joined.select(col("qid"), col("id"), col("ivf_cell"),
+      roundScore(dot(col("embedding"), col("qv"))).as("sim"))
   }
 }

@@ -365,7 +365,8 @@ object OracleText {
 
   /** Top-5-neighbor cosine dup-pair CTE over memories: pr(id_a,id_b,similarity).
     * Mirrors [[graft.dedup.Dedup.findDuplicates]]. */
-  def dupPairsCte(threshold: Double, searchK: Int = 5): String =
+  def dupPairsCte(threshold: Double, searchK: Int = 5,
+                  table: String = "memories"): String =
     s"""pr AS MATERIALIZED (
        |  SELECT DISTINCT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, round(sim, 4) AS similarity
        |  FROM (
@@ -373,7 +374,7 @@ object OracleText {
        |    FROM (
        |      SELECT a.id AS ia, b.id AS ib,
        |        round(${OracleCtes.dot64("a.embedding", "b.embedding")}, 6) AS sim
-       |      FROM memories a JOIN memories b ON a.id <> b.id))
+       |      FROM $table a JOIN $table b ON a.id <> b.id))
        |  WHERE rn <= $searchK AND sim >= $threshold
        |)""".stripMargin
 }

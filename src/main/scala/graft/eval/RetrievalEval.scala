@@ -198,4 +198,119 @@ object RetrievalEval {
             .as("recall_ppm"))
     }.reduce(_ unionAll _).orderBy("nprobe")
   }
+
+  /** The END-TO-END indexed eval leg (r13 verdict #4 / the r12 #8
+    * residue): the truncated self-retrieval protocol run through the FUSED
+    * hybrid pipeline twice — once in-session exact
+    * ([[graft.search.HybridSearch.batchSearch]]) and once through the
+    * persisted indexes ([[graft.search.HybridSearch.batchSearchIndexed]],
+    * the shared-plan batch) — reporting both legs' fused recall@k and
+    * MRR@k side by side in ONE row. The vector-leg ladder
+    * ([[ivfRecallSweep]]) measures the leg that loses recall; THIS
+    * instrument measures what fusion does with that loss (fusion can
+    * amplify a vector miss — the BM25 leg no longer ranks it — or mask it
+    * when the lexical evidence alone carries the doc).
+    *
+    * Builds both indexes over the hash-embedded corpus (IVF cells = the
+    * deterministic id-mod-`nlist` label seeding — the fixture-style
+    * centroid construction, so the oracle can replay cell assignment from
+    * the raw corpus). Query set bounded by [[MaxQueries]] as every other
+    * protocol here; the exact leg is a per-query plan union, sized for an
+    * eval cadence, never the query path.
+    *
+    * Output (one row): (n_queries, k, nprobe, recall_at_k_exact,
+    * recall_at_k_indexed, mrr_at_k_exact, mrr_at_k_indexed,
+    * recall_delta_ppm = indexed − exact in integer ppm). */
+  def selfRetrievalIndexed(spark: org.apache.spark.sql.SparkSession,
+                           docs: DataFrame, bm25Path: String, ivfPath: String,
+                           dim: Int = 64, nprobe: Int = 2, nlist: Int = 8,
+                           k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.search.HybridSearch
+    val emb = HashingEmbedder(dim)
+    val ts = lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    val mem = emb.embed(docs.select(col("id"), col("text")))
+      .select(col("id"), col("text"), col("embedding"))
+      .withColumn("source", lit("doc")).withColumn("category", lit("note"))
+      .withColumn("archived", lit(false)).withColumn("pinned", lit(false))
+      .withColumn("created_at", ts).withColumn("updated_at", ts)
+      .withColumn("document_at", ts).withColumn("last_reinforced_at", ts)
+      .localCheckpoint(true) // feeds both index builds + both search legs
+    graft.search.BM25Index.build(mem.select("id", "text"), bm25Path)
+    graft.ann.IvfIndex.buildWithCentroids(mem,
+      graft.ann.Ann.centroidsByLabel(
+        mem.select(pmod(col("id"), lit(nlist)).cast("int").as("label"),
+          col("embedding"))),
+      ivfPath)
+    // bounded query set, collected once: (qid, tokens, qvec)
+    val qRows = querySet(docs)
+      .select(col("qid"), TextFunctions.tokens(col("qtext")).as("toks"),
+        emb.embeddingColumn(col("qtext")).as("qvec"))
+      .collect()
+    val params = qRows.map { r =>
+      HybridSearch.Params(
+        queryTokens = r.getSeq[String](1),
+        queryVec = r.getSeq[Float](2), k = k)
+    }.toSeq
+    val qidOf = {
+      import spark.implicits._
+      qRows.zipWithIndex.map { case (r, i) => (i, r.getLong(0)) }
+        .toSeq.toDF("query_idx", "qid")
+    }
+    // self rank within each query's fused top-k (rounded-score ordering,
+    // the output contract's order); absent ⇒ a miss at every cutoff
+    def selfRanks(res: DataFrame): DataFrame =
+      res.withColumn("_rn", row_number().over(
+          Window.partitionBy("query_idx").orderBy(desc("rrf_score"), asc("id"))))
+        .join(broadcast(qidOf), "query_idx")
+        .filter(col("id") === col("qid"))
+        .select(col("qid"), col("_rn").as("rank"))
+    def met(ranks: DataFrame, tag: String): DataFrame = {
+      import spark.implicits._
+      qidOf.select("qid").join(ranks, Seq("qid"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          coalesce(sum(when(col("rank") <= k, 1L)), lit(0L)).as(s"_h_$tag"),
+          coalesce(sum(when(col("rank") <= k,
+            floor(lit(1000000L) / col("rank")).cast("long"))), lit(0L))
+            .as(s"_mrr_$tag"))
+    }
+    val exact = met(selfRanks(
+      HybridSearch.batchSearch(mem, None, params)), "e")
+    val indexed = met(selfRanks(
+      HybridSearch.batchSearchIndexed(spark, bm25Path, ivfPath, mem, None,
+        params, nprobe)), "i")
+    exact.crossJoin(indexed.drop("n_queries"))
+      .select(col("n_queries"), lit(k.toLong).as("k"),
+        lit(nprobe.toLong).as("nprobe"),
+        round(col("_h_e").cast("double") / col("n_queries"), 6)
+          .as("recall_at_k_exact"),
+        round(col("_h_i").cast("double") / col("n_queries"), 6)
+          .as("recall_at_k_indexed"),
+        round(col("_mrr_e").cast("double") / 1e6 / col("n_queries"), 6)
+          .as("mrr_at_k_exact"),
+        round(col("_mrr_i").cast("double") / 1e6 / col("n_queries"), 6)
+          .as("mrr_at_k_indexed"))
+      .withColumn("recall_delta",
+        round(col("recall_at_k_indexed") - col("recall_at_k_exact"), 6))
+  }
+
+  /** The Faiss-tuning workflow as code (r13 verdict #5): the smallest
+    * nprobe in `ladder` whose [[ivfRecallSweep]] rung clears
+    * `targetRecallPpm`, falling back to the index's full cell count when
+    * none does (probing every cell IS the exact search, recall 10⁶ ppm by
+    * construction). One sweep — the exact leg is computed once and shared
+    * across rungs — sized for a maintenance cadence, never the query path:
+    * callers size nprobe here after drift/retrain events and pass the
+    * result to `searchIndexed`/the ingest gates as a plain int. */
+  def autoNprobe(spark: org.apache.spark.sql.SparkSession, memories: DataFrame,
+                 ivfPath: String, targetRecallPpm: Long, k: Int = 10,
+                 ladder: Seq[Int] = Seq(1, 2, 4)): Int = {
+    require(ladder.nonEmpty && ladder == ladder.sorted,
+      s"autoNprobe: ladder must be ascending, got $ladder")
+    val rungs = ivfRecallSweep(spark, memories, ivfPath, k, ladder)
+      .select("nprobe", "recall_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    rungs.find(_._2 >= targetRecallPpm).map(_._1.toInt)
+      .getOrElse(graft.ann.IvfIndex.cellCount(spark, ivfPath))
+  }
 }

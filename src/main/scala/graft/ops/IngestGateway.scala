@@ -28,12 +28,33 @@ object IngestGateway {
     * (memory_engine.py's link pass, [[Mutations.autoLinkIndexed]]'s
     * semantics). Pure — the decision report a dry-run/audit consumes.
     *
+    * `dedupWithinBatch` (opt-in, default matches the reference) composes
+    * the in-batch D3 pass in FRONT of the store gate: two near-identical
+    * rows arriving in ONE micro-batch (which the store-only gate would
+    * both admit — the reference's is_novel consults the store, not the
+    * in-flight batch) first dedup against each other at the SAME novelty
+    * band ([[graft.dedup.Dedup.deduplicate]] — higher id of each ≥
+    * threshold pair dropped, reported as `skipped_in_batch` with no store
+    * match); only the in-batch survivors are probed against the store.
+    *
     * Output, one row per incoming doc:
-    * (id, action 'added'|'skipped_duplicate', top_sim, top_match_id,
-    * n_links — 0 for skipped rows: a duplicate writes nothing). */
+    * (id, action 'added'|'skipped_duplicate'|'skipped_in_batch', top_sim,
+    * top_match_id, n_links — 0 for skipped rows: a skip writes nothing). */
   def gateBatch(spark: SparkSession, ivfPath: String, incoming: DataFrame,
                 noveltyThreshold: Double = 0.88, minLinkSim: Double = 0.2,
-                nprobe: Int = 2): DataFrame = {
+                nprobe: Int = 2, dedupWithinBatch: Boolean = false): DataFrame = {
+    if (dedupWithinBatch) {
+      val survivors = graft.dedup.Dedup.deduplicate(
+        incoming.select("id", "embedding"), noveltyThreshold).select("id")
+      val gated = gateBatch(spark, ivfPath,
+        incoming.join(survivors, Seq("id"), "left_semi"),
+        noveltyThreshold, minLinkSim, nprobe)
+      val dropped = incoming.join(survivors, Seq("id"), "left_anti")
+        .select(col("id"), lit("skipped_in_batch").as("action"),
+          lit(null).cast("double").as("top_sim"),
+          lit(null).cast("long").as("top_match_id"), lit(0L).as("n_links"))
+      return gated.unionByName(dropped).orderBy("id")
+    }
     val probed = IvfIndex.probedCandidatesBatch(spark, ivfPath,
         incoming.select(col("id").as("qid"), col("embedding").as("qv")), nprobe)
       .withColumn("_rn", row_number().over(
@@ -58,33 +79,72 @@ object IngestGateway {
   }
 
   /** [[gateBatch]] + the add itself: the rows that pass the gate land in
-    * the BM25 / IVF / (optionally) LSH indexes as ONE refresh generation
+    * the BM25 / (optionally) LSH / IVF indexes as ONE refresh generation
     * each, sealed per index by the exactly-once `batchId` stamp (the same
     * guard as [[graft.streaming.EventStream.refreshBatch]] — a replayed
-    * micro-batch no-ops). Returns the gate report (computed BEFORE the
-    * writes, against the pre-add store). Exactly-once applies to the
-    * INDEX STATE: a replayed batch recomputes its report against the
-    * post-add store (the added rows now match themselves), so consumers
-    * that need the original decisions persist the first report — the
-    * indexes themselves cannot double-apply either way. */
+    * micro-batch no-ops). Returns the gate report (computed against the
+    * pre-add store).
+    *
+    * Replay correctness rests on TWO independent mechanisms:
+    *
+    *  1. ORDERING — the IVF index (the gate's probe source) refreshes
+    *     LAST. The gate is deterministic given the IVF store it probes, so
+    *     a crash anywhere BEFORE the IVF refresh completes leaves the probe
+    *     source pre-add and the replay recomputes the IDENTICAL report —
+    *     every still-unstamped index refreshes with the original novel
+    *     slice. (The old BM25→IVF→LSH order had a window where a crash
+    *     between the IVF and LSH refreshes made the replayed gate see the
+    *     post-add store, match every row against itself, and seal the LSH
+    *     index with ZERO rows — a silent permanent under-apply.)
+    *  2. REPORT PERSISTENCE (`reportPath` + `batchId` set) — the FIRST
+    *     report is written under the batch stamp before any index write,
+    *     and a replay whose stamp matches reuses it verbatim: the returned
+    *     frame is byte-equal across replays even AFTER a fully-successful
+    *     run (where a recomputed report would read the post-add store and
+    *     say `skipped_duplicate` for its own rows), so consumers may
+    *     persist decisions straight off the return value.
+    *
+    * Without `reportPath`, exactly-once still holds for the INDEX STATE
+    * (mechanism 1); only the report returned by a post-success replay
+    * diverges — documented, and discarded by the streaming caller. */
   def ingestBatch(spark: SparkSession, incoming: DataFrame,
                   bm25Path: String, ivfPath: String,
                   lshPath: Option[String] = None,
                   noveltyThreshold: Double = 0.88, minLinkSim: Double = 0.2,
-                  nprobe: Int = 2, batchId: Option[Long] = None): DataFrame = {
-    val report = gateBatch(spark, ivfPath, incoming,
-      noveltyThreshold, minLinkSim, nprobe).localCheckpoint(true)
+                  nprobe: Int = 2, batchId: Option[Long] = None,
+                  reportPath: Option[String] = None,
+                  dedupWithinBatch: Boolean = false): DataFrame = {
+    import graft.sources.{IndexManifest, Store}
+    // a persisted report whose stamp matches THIS batch id is the original
+    // gate decision — reuse it (foreachBatch replays only the last
+    // uncommitted batch, so an exact stamp match is the only reuse case;
+    // an older stamp means this batch never gated, so compute fresh)
+    val persisted = for {
+      b <- batchId; rp <- reportPath
+      if IndexManifest.lastBatch(rp).contains(b)
+    } yield IndexManifest.resolve(spark, rp)("report").orderBy("id")
+    val report = persisted.getOrElse {
+      val r = gateBatch(spark, ivfPath, incoming,
+        noveltyThreshold, minLinkSim, nprobe, dedupWithinBatch)
+        .localCheckpoint(true)
+      for { b <- batchId; rp <- reportPath } {
+        Store.save(r, s"$rp/report")
+        IndexManifest.capture(rp, Seq("report"), Some(b))
+      }
+      r
+    }
     val novel = incoming.join(
       report.filter(col("action") === "added").select("id"), Seq("id"), "left_semi")
     def fresh(p: String) = !batchId.exists(b =>
-      graft.sources.IndexManifest.lastBatch(p).exists(_ >= b))
+      IndexManifest.lastBatch(p).exists(_ >= b))
     if (fresh(bm25Path))
       graft.search.BM25Index.refresh(spark, bm25Path, novel, batchId = batchId)
-    if (fresh(ivfPath))
-      IvfIndex.refresh(spark, ivfPath, novel, batchId = batchId)
     lshPath.filter(fresh).foreach(p =>
       graft.dedup.LshIndex.refresh(spark, p, novel.select("id", "text"),
         batchId = batchId))
+    graft.sources.FaultPoints.hit("gateway.beforeIvf")
+    if (fresh(ivfPath)) // LAST — see ordering note above
+      IvfIndex.refresh(spark, ivfPath, novel, batchId = batchId)
     report
   }
 }

@@ -106,13 +106,21 @@ object BM25Index {
 
   private val ScalarsSchema = StructType(Seq(
     StructField("n", LongType), StructField("total_tokens", LongType),
-    StructField("avg_idf", DoubleType), StructField("vocab", LongType)))
+    StructField("avg_idf", DoubleType), StructField("vocab", LongType),
+    StructField("n_base", LongType), StructField("vocab_base", LongType),
+    StructField("touched_acc", LongType)))
 
   /** The scalars row: exact integers n / total_tokens / vocab (all O(1)
     * maintained), plus avg_idf — the rank_bm25 epsilon base, the one
-    * O(vocab) aggregation in the maintenance path. */
+    * O(vocab) aggregation in the maintenance path. The last three fields
+    * are the RECOMPUTE SNAPSHOT the bounded-staleness skip measures drift
+    * from: n and vocab as of the last full avg-idf recompute, plus the
+    * cumulative touched-term count since — gating each batch against the
+    * immediately-previous scalars instead would let ~auditEvery × 0.1%
+    * drift compound silently between on-cadence recomputes. */
   private case class Scalars(n: Long, totalTokens: Long, avgIdf: Double,
-                             vocab: Long)
+                             vocab: Long, nBase: Long, vocabBase: Long,
+                             touchedAcc: Long)
 
   /** (id, text) with the id cast to long and NULLS RAISED: a string id
     * that doesn't parse (or a null id) would otherwise hash as null —
@@ -210,8 +218,19 @@ object BM25Index {
         "re-crawls through upsertRefresh (or dedupe the replayed batch)")
     val oldSc = readScalars(spark, path)
     val tf = BM25.termFreqs(d).localCheckpoint(true)
-    val agg = tf.agg(count(lit(1)), coalesce(sum("tf"), lit(0L))).head()
-    val (tfRows, tokAdd) = (agg.getLong(0), agg.getLong(1))
+    val agg = tf.agg(count(lit(1)), coalesce(sum("tf"), lit(0L)),
+      count_distinct(col("id"))).head()
+    val (tfRows, tokAdd, idsIndexed) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    // every ADDED doc must tokenize to ≥1 term — same fail-loud as
+    // applyCdc's changed-side check: a token-less add never gets a
+    // doclens/postings row, so counting it into N would inflate N by one
+    // FOREVER (no doclens row to retire; deleteRefresh fail-louds on it),
+    // and the gated-ingest path now routes raw crawl-feed docs here
+    require(idsIndexed == ids.length,
+      s"refresh: ${ids.length - idsIndexed} of ${ids.length} added docs " +
+        "tokenize to ZERO terms — a token-less doc cannot be incrementally " +
+        "maintained (no doclens row to retire), so admitting it would leave " +
+        "N permanently inflated; filter empty-text rows out of the feed")
     var dfStats = (0L, 0L)
     if (tfRows > 0) {
       val dls = doclensOf(tf).localCheckpoint(true)
@@ -410,19 +429,24 @@ object BM25Index {
 
   private def readScalars(spark: SparkSession, path: String): Scalars = {
     val r = Store.load(spark, s"$path/scalars").head()
-    Scalars(r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    Scalars(r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6))
   }
 
   private def idfRaw(n: Long): org.apache.spark.sql.Column =
     log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
 
   /** Per-mille drift bounds under which a maintenance call flagged
-    * `recomputeAvgIdf = false` may keep the stored avg_idf: the batch's
-    * |Δn|/n and touched-terms/vocab must BOTH stay under 0.1%. avg_idf
-    * feeds ONLY the epsilon floor for negative-idf (ultra-common) terms —
-    * under these bounds its relative staleness is ≲0.2%, scores of every
-    * positive-idf term are exact, and the next on-cadence call recomputes
-    * it exactly. */
+    * `recomputeAvgIdf = false` may keep the stored avg_idf: CUMULATIVE
+    * |n − n_base|/n_base and cumulative touched-terms/vocab_base since the
+    * LAST FULL RECOMPUTE must BOTH stay under 0.1% — measured from the
+    * recompute snapshot persisted in the scalars row, not the
+    * immediately-previous batch, so drift cannot compound across an
+    * auditEvery window (any off-cadence batch that would cross either
+    * bound recomputes immediately). avg_idf feeds ONLY the epsilon floor
+    * for negative-idf (ultra-common) terms — under these bounds its
+    * relative staleness is ≲0.2%, scores of every positive-idf term are
+    * exact, and the next on-cadence call recomputes it exactly. */
   val AvgIdfDriftPerMille = 1L
 
   /** Write the one-row scalars: exact integer n / total_tokens / vocab
@@ -442,22 +466,27 @@ object BM25Index {
   private def writeScalars(spark: SparkSession, path: String,
                            n: Long, totalTokens: Long,
                            stale: Option[(Scalars, Long, Long)] = None): Unit = {
+    // cumulative gate: drift is measured from the last-recompute snapshot
+    // (n_base, vocab_base) with the touched count ACCUMULATED across every
+    // skipped batch since — per-batch gating would compound to
+    // ~auditEvery × 0.1% between on-cadence recomputes
     val skip = stale.exists { case (old, _, touched) =>
-      old.vocab > 0 && old.n > 0 &&
-        math.abs(n - old.n) * 1000 < old.n * AvgIdfDriftPerMille &&
-        touched * 1000 < old.vocab * AvgIdfDriftPerMille
+      old.vocabBase > 0 && old.nBase > 0 &&
+        math.abs(n - old.nBase) * 1000 < old.nBase * AvgIdfDriftPerMille &&
+        (old.touchedAcc + touched) * 1000 < old.vocabBase * AvgIdfDriftPerMille
     }
-    val (avgIdf, vocab) = if (skip) {
-      val (old, vocabDelta, _) = stale.get
-      (old.avgIdf, old.vocab + vocabDelta)
+    val row = if (skip) {
+      val (old, vocabDelta, touched) = stale.get
+      Row(n, totalTokens, old.avgIdf, old.vocab + vocabDelta,
+        old.nBase, old.vocabBase, old.touchedAcc + touched)
     } else {
       val r = Store.load(spark, s"$path/terms")
         .agg(coalesce(avg(idfRaw(n)), lit(0.0)), count(lit(1))).head()
-      (r.getDouble(0), r.getLong(1))
+      // a full recompute re-seeds the snapshot: drift measures from here
+      Row(n, totalTokens, r.getDouble(0), r.getLong(1), n, r.getLong(1), 0L)
     }
     Store.save(spark.createDataFrame(
-      java.util.Arrays.asList(Row(n, totalTokens, avgIdf, vocab)), ScalarsSchema),
-      s"$path/scalars")
+      java.util.Arrays.asList(row), ScalarsSchema), s"$path/scalars")
   }
 
   /** BM25 scores from the persisted index — the same Okapi formula as
@@ -468,9 +497,10 @@ object BM25Index {
     * terms' bucket dirs at planning time — the bucket list is driver-side
     * Murmur3 ([[graft.functions.SparkHash]]), zero planning jobs. */
   def scores(spark: SparkSession, path: String,
-             queryTokens: Seq[String]): DataFrame = {
+             queryTokens: Seq[String],
+             resolver: Option[String => DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val ld = IndexManifest.resolve(spark, path)
+    val ld = resolver.getOrElse(IndexManifest.resolve(spark, path))
     val sc = ld("scalars").head()
     val (n, total, avgIdf) = (sc.getLong(0), sc.getLong(1), sc.getDouble(2))
     val avgdl = if (n > 0) total.toDouble / n else 0.0
@@ -503,9 +533,10 @@ object BM25Index {
     * Per-qid output is pinned equal to N independent [[scores]] calls by
     * BM25IndexSpec. Output: (qid, id, bm25). */
   def scoresBatch(spark: SparkSession, path: String,
-                  queries: Seq[(Int, Seq[String])]): DataFrame = {
+                  queries: Seq[(Int, Seq[String])],
+                  resolver: Option[String => DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val ld = IndexManifest.resolve(spark, path)
+    val ld = resolver.getOrElse(IndexManifest.resolve(spark, path))
     val sc = ld("scalars").head()
     val (n, total, avgIdf) = (sc.getLong(0), sc.getLong(1), sc.getDouble(2))
     val avgdl = if (n > 0) total.toDouble / n else 0.0
@@ -548,13 +579,14 @@ object BM25Index {
     * hash-match. */
   def prfCombinedScores(spark: SparkSession, path: String,
                         queryTokens: Seq[String], fbDocs: Int = 10,
-                        fbTerms: Int = 5, beta: Double = 0.4): DataFrame = {
+                        fbTerms: Int = 5, beta: Double = 0.4,
+                        resolver: Option[String => DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val base = scores(spark, path, queryTokens).localCheckpoint(true)
+    val base = scores(spark, path, queryTokens, resolver).localCheckpoint(true)
     val fbIds = base.filter(col("bm25") > 0)
       .orderBy(desc("bm25"), asc("id")).limit(fbDocs)
       .select("id").as[Long].collect().toSeq // bounded ≤ fbDocs rows
-    val ld = IndexManifest.resolve(spark, path)
+    val ld = resolver.getOrElse(IndexManifest.resolve(spark, path))
     val sc = ld("scalars").head()
     val (n, avgIdf) = (sc.getLong(0), sc.getDouble(2))
     val qset = queryTokens.distinct
@@ -577,7 +609,7 @@ object BM25Index {
     }
     val exp =
       if (expTerms.isEmpty) base.select(col("id"), lit(0.0).as("bm25e")).limit(0)
-      else scores(spark, path, expTerms).withColumnRenamed("bm25", "bm25e")
+      else scores(spark, path, expTerms, resolver).withColumnRenamed("bm25", "bm25e")
     base.join(exp, Seq("id"), "full_outer")
       .select(col("id"),
         coalesce(col("bm25"), lit(0.0)).as("bm25_base"),

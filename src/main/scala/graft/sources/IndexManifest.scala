@@ -112,12 +112,53 @@ object IndexManifest {
     * back to live per-table loads for pre-manifest layouts. */
   def resolve(spark: org.apache.spark.sql.SparkSession,
               path: String): String => org.apache.spark.sql.DataFrame =
-    current(path) match {
-      case Some(st) => t =>
-        st.tables.get(t) match {
+    loaderOf(spark, path, current(path))
+
+  private def loaderOf(spark: org.apache.spark.sql.SparkSession, path: String,
+                       st: Option[State]): String => org.apache.spark.sql.DataFrame =
+    st match {
+      case Some(s) => t =>
+        s.tables.get(t) match {
           case Some(0) | None => Store.load(spark, s"$path/$t")
           case Some(g) => Store.loadAt(spark, s"$path/$t", g)
         }
       case None => t => Store.load(spark, s"$path/$t")
     }
+
+  /** Resolve SEVERAL indexes to ONE mutually consistent epoch — the
+    * multi-index upgrade of [[resolve]] (r13 verdict #7): each index's
+    * manifest swap is atomic, but a query racing a maintenance publish
+    * could pair BM25-at-batch-N with IVF-at-batch-N−1 (the documented
+    * ≤1-micro-batch cross-index skew). This reads every index's state,
+    * and RETRIES while their batch stamps disagree — the writer stamps
+    * every index before the next batch starts (CrossIndexSkewSpec), so a
+    * mid-publish read converges within one publish window. The returned
+    * loaders are FROZEN at the agreeing states: a publish happening after
+    * resolveAll returns cannot be observed through them, so a reader can
+    * never see mixed stamps. Unstamped indexes (no streaming batch ever
+    * applied — the batch-build case) are exempt from the agreement check:
+    * they carry no epoch to disagree about. Fail-louds after `maxRetries`
+    * (stamps that never converge mean a stalled or dead writer mid-batch
+    * — retrying forever would hang the query instead of surfacing it). */
+  def resolveAll(spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+                 maxRetries: Int = 20)
+      : Map[String, String => org.apache.spark.sql.DataFrame] = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val states = paths.map(p => p -> current(p))
+      val stamps = states.flatMap(_._2.flatMap(_.lastBatch)).distinct
+      if (stamps.size <= 1)
+        return states.map { case (p, st) => p -> loaderOf(spark, p, st) }.toMap
+      attempt += 1
+      Thread.sleep(math.min(25L * attempt, 250L))
+    }
+    throw new IllegalStateException(
+      s"resolveAll: index batch stamps still disagree after $maxRetries " +
+        "retries — " +
+        paths.map(p => s"$p=${lastBatch(p).getOrElse("unstamped")}")
+          .mkString(", ") +
+        "; the cross-index skew is bounded by one micro-batch only while " +
+        "the maintenance writer is live — a permanent disagreement means " +
+        "it died mid-batch: replay the batch before serving queries")
+  }
 }

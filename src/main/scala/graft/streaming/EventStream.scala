@@ -306,31 +306,39 @@ object EventStream {
                        checkpoint: String,
                        lshPath: Option[String] = None,
                        noveltyThreshold: Double = 0.88,
-                       auditEvery: Int = 0): StreamingQuery =
+                       auditEvery: Int = 0,
+                       reportPath: Option[String] = None,
+                       dedupWithinBatch: Boolean = false): StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         gatedIngestBatch(batch, batchId, bm25Path, ivfPath, lshPath,
-          noveltyThreshold, auditEvery)
+          noveltyThreshold, auditEvery, reportPath, dedupWithinBatch)
       }
       .start()
 
   /** The per-micro-batch body of [[startGatedIngest]], public so the
     * replay spec can drive it directly. The per-index batch stamps inside
     * [[graft.ops.IngestGateway.ingestBatch]] make a re-delivered batch's
-    * writes no-ops; `auditEvery` runs the drift loop as in
-    * [[refreshBatch]]. */
+    * writes no-ops (the IVF probe source refreshes LAST, so a mid-crash
+    * replay recomputes the identical gate); `reportPath` optionally
+    * persists each batch's FIRST gate report under its stamp for
+    * downstream decision consumers; `auditEvery` runs the drift loop as
+    * in [[refreshBatch]]. */
   def gatedIngestBatch(batch: DataFrame, batchId: Long,
                        bm25Path: String, ivfPath: String,
                        lshPath: Option[String] = None,
                        noveltyThreshold: Double = 0.88,
-                       auditEvery: Int = 0): Unit = {
+                       auditEvery: Int = 0,
+                       reportPath: Option[String] = None,
+                       dedupWithinBatch: Boolean = false): Unit = {
     val b = batch.persist()
     try {
       if (!b.isEmpty)
         graft.ops.IngestGateway.ingestBatch(b.sparkSession, b,
           bm25Path, ivfPath, lshPath, noveltyThreshold,
-          batchId = Some(batchId))
+          batchId = Some(batchId), reportPath = reportPath,
+          dedupWithinBatch = dedupWithinBatch)
       if (auditEvery > 0 && (batchId + 1) % auditEvery == 0)
         graft.ann.IvfIndex.retrainIfDrifted(b.sparkSession, ivfPath)
     } finally { b.unpersist(); () }

@@ -61,6 +61,55 @@ class AnnSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("delta probing (fromRank) scans only the newly-ranked cells and composes to the full probe") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = "/root/repo/target/tmp/ivf_delta_spec"
+    graft.sources.Store.deleteRecursive(path)
+    def emb(c: Int, i: Int): Array[Float] = {
+      val a = Array.fill(4)(0.02f * (i % 3)); a(c) = 1.0f
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum).toFloat
+      a.map(_ / n)
+    }
+    def axis(c: Int): Seq[Float] = {
+      val a = Array.fill(4)(0.0f); a(c) = 1.0f; a.toSeq
+    }
+    val mem = (1 to 40).map(i => (i.toLong, emb((i - 1) / 10, i)))
+      .toDF("id", "embedding")
+    graft.ann.IvfIndex.buildWithCentroids(mem,
+      (0 to 3).map(c => (c, axis(c))).toDF("label", "centroid"), path)
+    val qv = axis(0) // cell ranking: 0, then 1/2/3 by label tie-break
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "ivf_cell", "sim").as[(Long, Int, Double)]
+        .collect().sortBy(_._1).toSeq
+    // range composition: probe(0,2] ∪ probe(2,4] ≡ probe(0,4] — what makes
+    // the widened escalation round semantically a no-op vs a full re-probe
+    val full = rows(graft.ann.IvfIndex.probedCandidates(spark, path, qv, 4))
+    val kept = rows(graft.ann.IvfIndex.probedCandidates(spark, path, qv, 2))
+    val delta = graft.ann.IvfIndex.probedCandidates(spark, path, qv, 4, fromRank = 2)
+    assert((kept ++ rows(delta)).sortBy(_._1) == full,
+      "range probes must compose to the full probe")
+    // the delta frame carries ONLY the newly-ranked cells...
+    assert(rows(delta).map(_._2).toSet == Set(2, 3),
+      s"delta cells: ${rows(delta).map(_._2).toSet}")
+    // ...and its SCAN lists only their dirs (planning-time prune, AQE off
+    // so the physical tree is walkable)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan
+          .collect { case f: FileSourceScanExec => f }
+          .map(_.metrics("numFiles").value).sum
+      }
+      val fFull = filesRead(
+        graft.ann.IvfIndex.probedCandidates(spark, path, qv, 4))
+      val fDelta = filesRead(
+        graft.ann.IvfIndex.probedCandidates(spark, path, qv, 4, fromRank = 2))
+      assert(fDelta > 0 && fDelta < fFull,
+        s"delta read $fDelta of the full probe's $fFull files — no delta prune?")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("IVF refresh against stored centroids reproduces the full rebuild") {
     val pathA = "/root/repo/target/tmp/ivf_index_full"
     val pathB = "/root/repo/target/tmp/ivf_index_inc"
@@ -256,6 +305,34 @@ class AnnSpec extends SparkSpec {
     assert(top == Set(1L, 2L, 3L, 4L, 5L), s"probe must hit the split-out mode: $top")
     // and a retrain WITHOUT the floor (default) still behaves as before:
     // no split, one cell — pinned by the retrainCells test above
+  }
+
+  test("split-on-retrain fail-louds when bisection would grow the live cell count past MaxNlist") {
+    val path = "/root/repo/target/tmp/ivf_split_cap_spec"
+    graft.sources.Store.deleteRecursive(path)
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    // a centroid table already AT MaxNlist: cell 0 is live with a planted
+    // bimodal population; the other MaxNlist−1 centroids point away from
+    // every member, so nothing migrates on recenter
+    val cents = (0 until graft.ann.Ann.MaxNlist).map(i =>
+      if (i == 0) (i, Seq(0.7071f, 0.7071f)) else (i, Seq(-1.0f, 0.0f)))
+      .toDF("label", "centroid")
+    val members = ((1L to 10L).map(i => (i, v(1, 0))) ++
+      (11L to 20L).map(i => (i, v(0, 1)))).toDF("id", "embedding")
+    graft.ann.IvfIndex.buildWithCentroids(members, cents, path)
+    // post-recenter mean csim ≈ 0.707 < the floor ⇒ cell 0 wants to
+    // bisect — but a new label would make MaxNlist+1 live cells, past the
+    // bound every centroid broadcast and probe-boundedness argument sizes
+    // against: fail loud instead of silently creeping
+    val e = intercept[IllegalArgumentException] {
+      graft.ann.IvfIndex.retrainCells(spark, path, Seq(0),
+        splitSimFloor = Some(0.9))
+    }
+    assert(e.getMessage.contains("MaxNlist"), e.getMessage)
+    // the failed call never published: assignments and centroids untouched
+    assert(graft.sources.Store.load(spark, s"$path/assignments").count() == 20L)
+    assert(graft.sources.Store.load(spark, s"$path/centroids").count() ==
+      graft.ann.Ann.MaxNlist.toLong)
   }
 
   test("IVF refresh fail-louds on already-indexed and duplicate ids; the index never moves") {

@@ -36,11 +36,33 @@ class BM25IndexSpec extends SparkSpec {
   test("build-half then incremental refresh equals build-all") {
     val path = "/root/repo/target/tmp/bm25idx_incr"
     graft.sources.Store.deleteRecursive(path)
-    BM25Index.build(docs.filter(col("id") <= 3), path)
-    BM25Index.refresh(spark, path, docs.filter(col("id") > 3))
+    // the token-less doc 6 rides the BUILD half: build counts it into n
+    // (rank_bm25 semantics over the full frame); refresh REJECTS token-less
+    // adds — they could never be incrementally retired (guard pinned below)
+    BM25Index.build(docs.filter(col("id") <= 3 || col("id") === 6), path)
+    BM25Index.refresh(spark, path, docs.filter(col("id").isin(4L, 5L)))
     assert(scoreMap(BM25Index.scores(spark, path, query)) ==
       scoreMap(BM25.scores(docs, query)))
     // n must count token-less docs too (id=6 has no tokens)
+    assert(graft.sources.Store.load(spark, s"$path/scalars").head().getLong(0) == 6L)
+  }
+
+  test("refresh fail-louds on a token-less added doc (N would inflate forever)") {
+    val path = "/root/repo/target/tmp/bm25idx_tokenless_add"
+    graft.sources.Store.deleteRecursive(path)
+    BM25Index.build(docs.filter(col("id") <= 5), path)
+    // same discipline as applyCdc's changed-side guard: a token-less add
+    // never gets a doclens row, so counting it into N leaves N inflated
+    // with nothing to retire — and the gated-ingest path routes raw
+    // crawl-feed docs through refresh, so the guard must live HERE too
+    val e = intercept[IllegalArgumentException] {
+      BM25Index.refresh(spark, path,
+        Seq((7L, "fresh plan salt"), (8L, "")).toDF("id", "text"))
+    }
+    assert(e.getMessage.contains("ZERO terms"))
+    // the failed call never moved the index; a clean batch still lands
+    assert(graft.sources.Store.load(spark, s"$path/scalars").head().getLong(0) == 5L)
+    BM25Index.refresh(spark, path, Seq((7L, "fresh plan salt")).toDF("id", "text"))
     assert(graft.sources.Store.load(spark, s"$path/scalars").head().getLong(0) == 6L)
   }
 
@@ -203,6 +225,37 @@ class BM25IndexSpec extends SparkSpec {
     assert(sc3.getLong(0) == 249L)
     assert(math.abs(sc3.getDouble(2) - sc2.getDouble(2)) > 1e-8,
       "an out-of-bound delete must recompute the base (n shifted 0.4%)")
+  }
+
+  test("cumulative avg-idf drift gates on the last-recompute snapshot, not the previous batch") {
+    val path = "/root/repo/target/tmp/bm25idx_avgidf_cum"
+    graft.sources.Store.deleteRecursive(path)
+    def text(i: Int) =
+      ("common" +: (0 until 9).map(j => s"u${i}x$j")).mkString(" ")
+    // vocab 2251 ⇒ the 0.1% bound allows 2 cumulative touched terms; a
+    // per-batch gate would skip 1-term batches FOREVER (each is 1000 <
+    // 2251), compounding to ~auditEvery × 0.1% staleness — the snapshot
+    // fields force a recompute once the ACCUMULATED drift crosses
+    val corpus = (0 until 250).map(i => (i.toLong, text(i))).toDF("id", "text")
+    BM25Index.build(corpus, path)
+    def scalars() = graft.sources.Store.load(spark, s"$path/scalars").head()
+    val sc0 = scalars()
+    assert((sc0.getLong(4), sc0.getLong(5), sc0.getLong(6)) == ((250L, 2251L, 0L)),
+      "build must seed the recompute snapshot")
+    // three consecutive off-cadence 1-new-term batches: skip, skip, recompute
+    for (i <- 0 until 3)
+      BM25Index.upsertRefresh(spark, path,
+        Seq((i.toLong, text(i) + s" extra$i")).toDF("id", "text"),
+        recomputeAvgIdf = false)
+    val sc = scalars()
+    // batch 1: acc 0+1 → skip; batch 2: acc 1+1=2, 2000 < 2251 → skip;
+    // batch 3: acc 2+1=3, 3000 ≥ 2251 → recompute despite the flag
+    assert(math.abs(sc.getDouble(2) - sc0.getDouble(2)) > 1e-8,
+      "the third in-per-batch-bound batch must trip the cumulative gate")
+    assert((sc.getLong(4), sc.getLong(5), sc.getLong(6)) == ((250L, 2254L, 0L)),
+      s"the recompute must re-seed the snapshot: ${(sc.getLong(4), sc.getLong(5), sc.getLong(6))}")
+    assert(sc.getLong(0) == 250L && sc.getLong(3) == 2254L,
+      "n and vocab stay exact throughout")
   }
 
   test("refresh fail-louds on already-indexed ids, duplicate batch ids, and null ids") {

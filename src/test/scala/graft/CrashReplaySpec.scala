@@ -124,6 +124,80 @@ class CrashReplaySpec extends SparkSpec {
     assert(Store.load(spark, s"$path/scalars").head().getLong(0) == 5L)
   }
 
+  private def gatewayFixture(tag: String): (String, String, String) = {
+    val bm25Path = s"/root/repo/target/tmp/crash_gw_${tag}_bm25"
+    val ivfPath = s"/root/repo/target/tmp/crash_gw_${tag}_ivf"
+    val lshPath = s"/root/repo/target/tmp/crash_gw_${tag}_lsh"
+    Seq(bm25Path, ivfPath, lshPath).foreach(Store.deleteRecursive)
+    val seed = Seq((1L, "dup merge window", v(1, 0)),
+      (2L, "spark window agg", v(0, 1))).toDF("id", "text", "embedding")
+    BM25Index.build(seed, bm25Path)
+    graft.ann.IvfIndex.buildWithCentroids(seed,
+      Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f))).toDF("label", "centroid"),
+      ivfPath)
+    graft.dedup.LshIndex.build(seed.select("id", "text"), lshPath)
+    (bm25Path, ivfPath, lshPath)
+  }
+
+  private lazy val gwIncoming = Seq(
+    (10L, "replayed duplicate text", v(1, 0)), // clone of doc 1 ⇒ skipped
+    (11L, "fresh plan shuffle", v(0.6, 0.8)) // novel ⇒ added
+  ).toDF("id", "text", "embedding")
+
+  test("gateway crash before the IVF refresh: the replay re-gates identically and completes every index") {
+    val (bm25Path, ivfPath, lshPath) = gatewayFixture("order")
+    // the gate's probe source (IVF) refreshes LAST, so a crash after the
+    // BM25+LSH refreshes leaves the probe source pre-add: the replayed
+    // gate recomputes the IDENTICAL report and the IVF refresh lands with
+    // the original novel slice (the r13-ADVICE under-apply window: with
+    // IVF refreshed before LSH, the replayed gate saw the post-add store,
+    // matched every row against itself, and sealed LSH with ZERO rows)
+    crashAt("gateway.beforeIvf")
+    try {
+      val e = intercept[RuntimeException] {
+        graft.ops.IngestGateway.ingestBatch(spark, gwIncoming,
+          bm25Path, ivfPath, Some(lshPath), batchId = Some(0L))
+      }
+      assert(e.getMessage.contains("injected crash"))
+    } finally FaultPoints.install(null)
+    // mid-crash state: BM25 + LSH carry the novel row (stamped), IVF not yet
+    assert(Store.load(spark, s"$bm25Path/scalars").head().getLong(0) == 3L)
+    assert(Store.load(spark, s"$ivfPath/assignments").count() == 2L)
+    // the foreachBatch re-delivery: same batch id
+    val replay = graft.ops.IngestGateway.ingestBatch(spark, gwIncoming,
+        bm25Path, ivfPath, Some(lshPath), batchId = Some(0L))
+      .select("id", "action").as[(Long, String)].collect().toMap
+    assert(replay == Map(10L -> "skipped_duplicate", 11L -> "added"),
+      s"replayed gate must equal the original decisions: $replay")
+    // every index now carries exactly the original novel slice
+    assert(Store.load(spark, s"$ivfPath/assignments")
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 11L))
+    assert(Store.load(spark, s"$lshPath/shingles")
+      .select("id").distinct().as[Long].collect().toSet == Set(1L, 2L, 11L))
+    assert(Store.load(spark, s"$bm25Path/scalars").head().getLong(0) == 3L)
+  }
+
+  test("persisted gate report: every replay serves the ORIGINAL decisions, even after full success") {
+    val (bm25Path, ivfPath, lshPath) = gatewayFixture("report")
+    val reportPath = "/root/repo/target/tmp/crash_gw_report_log"
+    Store.deleteRecursive(reportPath)
+    def run() = graft.ops.IngestGateway.ingestBatch(spark, gwIncoming,
+        bm25Path, ivfPath, Some(lshPath), batchId = Some(0L),
+        reportPath = Some(reportPath))
+      .select("id", "action", "top_sim", "top_match_id", "n_links")
+      .as[(Long, String, Double, Long, Long)].collect().sortBy(_._1).toSeq
+    val original = run()
+    assert(original.map(r => r._1 -> r._2) ==
+      Seq(10L -> "skipped_duplicate", 11L -> "added"))
+    // post-success replay: WITHOUT the persisted report a recomputed gate
+    // would read the post-add store and call id 11 a duplicate of itself —
+    // the stamped report serves the original decisions byte-equal instead
+    assert(run() == original, "replayed report diverged from the original")
+    // and the index state never double-applied
+    assert(Store.load(spark, s"$bm25Path/scalars").head().getLong(0) == 3L)
+    assert(Store.load(spark, s"$ivfPath/assignments").count() == 3L)
+  }
+
   test("CDC reduction fail-louds on duplicate (id, seq) at the winning offset") {
     val bm25Path = "/root/repo/target/tmp/crash_tie_bm25"
     val ivfPath = "/root/repo/target/tmp/crash_tie_ivf"

@@ -101,4 +101,51 @@ class GatewayFoldPropertySpec extends SparkSpec {
         .select("id").distinct().as[Long].collect().toSet == store.keySet,
         s"seed $seedVal: LSH ids diverged from the fold")
     }
+
+  test("gateway fold with dedupWithinBatch: in-batch D3 drops precede the store gate") {
+    val rng = new scala.util.Random(91L)
+    val bm25Path = "/root/repo/target/tmp/gwfold_bm25_dedup"
+    val ivfPath = "/root/repo/target/tmp/gwfold_ivf_dedup"
+    Seq(bm25Path, ivfPath).foreach(Store.deleteRecursive)
+    var store = Map[Long, (String, Array[Float])](
+      1L -> (("dup merge window", modes(0))),
+      2L -> (("spark window agg", modes(4))))
+    val seedDf = store.toSeq.map { case (id, (t, e)) => (id, t, e) }
+      .toDF("id", "text", "embedding")
+    graft.search.BM25Index.build(seedDf, bm25Path)
+    graft.ann.IvfIndex.buildWithCentroids(seedDf,
+      Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f))).toDF("label", "centroid"),
+      ivfPath)
+    var nextId = 10L
+    for (b <- 0L until 4L) {
+      val rows = (0 until (1 + rng.nextInt(5))).map { _ =>
+        val id = nextId; nextId += 1
+        (id, textOf(rng), modes(rng.nextInt(modes.size)))
+      }
+      def sim(a: Array[Float], c: Array[Float]): Double =
+        round6(a.zip(c).map { case (x, y) => x.toDouble * y.toDouble }.sum)
+      // fold layer 1 — the in-batch D3 pass: a row drops when ANY
+      // lower-id row of the SAME batch sits at ≥ 0.88 (batches are ≤ 5
+      // rows, so the kernel's top-5 neighbor truncation is vacuous and
+      // the all-pairs rule is exact; adjacent modes at cos 22.5° ≈ 0.924
+      // DO gate each other, not just identical re-draws)
+      val inBatch = rows.filter { case (id, _, e) =>
+        !rows.exists { case (id2, _, e2) => id2 < id && sim(e2, e) >= 0.88 }
+      }
+      // fold layer 2 — the store gate over the survivors (pre-batch store)
+      val preStore = store
+      inBatch.foreach { case (id, t, e) =>
+        val maxSim = preStore.values.map { case (_, se) => sim(se, e) }
+          .foldLeft(Double.NegativeInfinity)(math.max)
+        if (preStore.isEmpty || maxSim < 0.88) store += id -> ((t, e))
+      }
+      EventStream.gatedIngestBatch(
+        rows.toDF("id", "text", "embedding"), b, bm25Path, ivfPath,
+        dedupWithinBatch = true)
+    }
+    assert(store.size > 2, "degenerate seed: nothing accepted")
+    assert(Store.load(spark, s"$ivfPath/assignments")
+      .select("id").as[Long].collect().sorted.toSeq == store.keys.toSeq.sorted,
+      "dedup-gated IVF state diverged from the two-layer fold")
+  }
 }

@@ -67,4 +67,33 @@ class IngestGatewaySpec extends SparkSpec {
     assert(Store.load(spark, s"$bm25Path/scalars").head().getLong(0) == 3L)
     assert(Store.load(spark, s"$ivfPath/assignments").count() == 3L)
   }
+
+  test("dedupWithinBatch: an in-batch near-dup is dropped before the store gate and never lands") {
+    val bm25Path = "/root/repo/target/tmp/gw_dedup_bm25"
+    val ivfPath = "/root/repo/target/tmp/gw_dedup_ivf"
+    Seq(bm25Path, ivfPath).foreach(Store.deleteRecursive)
+    val seed = Seq((1L, "dup merge window", v(1, 0)),
+      (2L, "spark window agg", v(0, 1))).toDF("id", "text", "embedding")
+    graft.search.BM25Index.build(seed, bm25Path)
+    graft.ann.IvfIndex.buildWithCentroids(seed,
+      Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f))).toDF("label", "centroid"),
+      ivfPath)
+    // 10 clones the STORE's doc 1 (store gate: skipped_duplicate); 11 and
+    // 12 clone EACH OTHER (sim 1.0, both novel vs the store) — the default
+    // gate admits both, the opt-in in-batch D3 pass drops the higher id
+    val incoming = Seq(
+      (10L, "replayed duplicate text", v(1, 0)),
+      (11L, "fresh plan shuffle", v(0.6, 0.8)),
+      (12L, "fresh plan shuffle again", v(0.6, 0.8))
+    ).toDF("id", "text", "embedding")
+    val report = IngestGateway.ingestBatch(spark, incoming,
+        bm25Path, ivfPath, batchId = Some(0L), dedupWithinBatch = true)
+      .select("id", "action").as[(Long, String)].collect().toMap
+    assert(report == Map(10L -> "skipped_duplicate", 11L -> "added",
+      12L -> "skipped_in_batch"), s"report: $report")
+    // only the in-batch survivor landed
+    assert(Store.load(spark, s"$ivfPath/assignments")
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 11L))
+    assert(Store.load(spark, s"$bm25Path/scalars").head().getLong(0) == 3L)
+  }
 }

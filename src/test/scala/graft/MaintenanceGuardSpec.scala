@@ -52,4 +52,29 @@ class MaintenanceGuardSpec extends SparkSpec {
       assert(Store.load(spark, s"$bm25Path/scalars").head().getLong(0) == 5L)
     } finally spark.conf.unset(MaintenanceIds.MaxBatchIdsKey)
   }
+
+  test("the ingest-gate probe frame past the broadcast cap falls back to a shuffle join with identical output") {
+    val ivfPath = "/root/repo/target/tmp/guard_probecap_ivf"
+    Store.deleteRecursive(ivfPath)
+    val seed = (1L to 8L).map(i =>
+        (i, if (i % 2 == 0) v(1, 0.1 * i) else v(0.1 * i, 1)))
+      .toDF("id", "embedding")
+    graft.ann.IvfIndex.buildWithCentroids(seed,
+      Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f))).toDF("label", "centroid"),
+      ivfPath)
+    val queries = Seq((100, v(0.9, 0.3)), (101, v(0.2, 0.95)), (102, v(0.7, 0.7)))
+      .toDF("qid", "qv")
+    def run() = graft.ann.IvfIndex
+      .probedCandidatesBatch(spark, ivfPath, queries, nprobe = 2)
+      .select("qid", "id", "ivf_cell", "sim")
+      .as[(Int, Long, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    val broadcasted = run()
+    // 3 qids × nprobe 2 = 6 probe rows > cap 1 ⇒ the shuffle-join path;
+    // output must be row-identical (the cap is a plan-shape guard, never
+    // a semantic one)
+    spark.conf.set(graft.ann.IvfIndex.GateMaxProbeRowsKey, "1")
+    try assert(run().sameElements(broadcasted),
+      "shuffle-join fallback diverged from the broadcast plan")
+    finally spark.conf.unset(graft.ann.IvfIndex.GateMaxProbeRowsKey)
+  }
 }

@@ -93,6 +93,33 @@ class RetrievalEvalSpec extends SparkSpec {
       .withColumn("last_reinforced_at", lit(null).cast("timestamp"))
   }
 
+  test("autoNprobe picks the smallest rung clearing the target recall") {
+    val s = spark
+    import s.implicits._
+    val path = "/root/repo/target/tmp/eval_autonprobe_ivf"
+    graft.sources.Store.deleteRecursive(path)
+    def v4(a: Double, b: Double) = Array(a.toFloat, b.toFloat, 0.0f, 0.0f)
+    // the sampled query (id 37, the only id % 37 == 0) sits in cell 0 at
+    // (0.8, 0.6): its exact top-10 spans BOTH cells (self 1.0 + five cell-0
+    // rows at 0.8 + four cell-1 rows at 0.6), so nprobe=1 probes cell 0
+    // only (6 of 10 hits — recall 600000 ppm) while nprobe=2 is exhaustive
+    val mem = ((1L to 5L).map(i => (i, v4(1, 0))) ++
+      (20L to 40L).map(i => (i, if (i == 37L) v4(0.8, 0.6) else v4(0, 1))))
+      .toDF("id", "embedding")
+    graft.ann.IvfIndex.buildWithCentroids(mem,
+      Seq((0, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (1, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+        .toDF("label", "centroid"), path)
+    val sweep = RetrievalEval.ivfRecallSweep(spark, mem, path, nprobes = Seq(1, 2))
+      .select("nprobe", "recall_ppm").as[(Long, Long)].collect().toMap
+    assert(sweep == Map(1L -> 600000L, 2L -> 1000000L), s"sweep: $sweep")
+    // rung 1 fails a 0.9 target, rung 2 clears it; a lax target takes 1;
+    // an unreachable target falls back to probing every cell (= exact)
+    assert(RetrievalEval.autoNprobe(spark, mem, path, 900000L, ladder = Seq(1, 2)) == 2)
+    assert(RetrievalEval.autoNprobe(spark, mem, path, 500000L, ladder = Seq(1, 2)) == 1)
+    assert(RetrievalEval.autoNprobe(spark, mem, path, 1000001L, ladder = Seq(1)) == 2,
+      "an unreachable target must fall back to the full cell count")
+  }
+
   test("graph expansion lifts the linked support into the top k") {
     import graft.search.HybridSearch
     val qv = Seq(1f, 0f, 0f, 0f)
