@@ -117,7 +117,12 @@ object Bench {
     // a per-hop job regression multiplies, worth timing) replaces
     // ann_bq_topk (a plain TakeOrdered scan whose packed-Hamming kernel
     // stays timed inside the bq recall/indexed oracle gates)
-    "gr_landmark_bfs", "gr_communities")
+    // round-14 budget swap (funding the vmax rep-variance scalar):
+    // gr_communities (1.9 s, the cheapest non-anchor entry — LPA's
+    // iterative-join shape stays covered by gr_pagerank's loop and the
+    // query stays oracle-gated in the correctness run) retires from the
+    // TIMED line
+    "gr_landmark_bfs")
   /** The rotation-proof comparison set: the 32 queries timed in EVERY
     * round since r4 (intersection of BENCH_r04..r07's timed dicts). The
     * emitted line carries their sum as `anchor_total`, so round-over-round
@@ -244,7 +249,17 @@ object Bench {
     val anchorReps = (0 until reps)
       .map(r => f3(anchorFull.map(_._4(r)).sum)).mkString("[", ",", "]")
     val calArr = calSamples.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"reps":$reps,"stat":"median","value_min":${f3(totalMin)},"anchor_total":${f3(anchorTotal)},"anchor_total_min":${f3(anchorMin)},"anchor_reps":$anchorReps,"anchor_n":${anchorRows.length},"cal_start_ms":$calStart,"cal_end_ms":$calEnd,"cal_ms":$calArr,"queries":$qs,"sf":"$sfDir"}"""
+    // worst per-query rep spread (max rep / min rep over fully-measured
+    // rows, ≤16 chars on the line): the one scalar that separates genuine
+    // round-over-round drift from run-to-run contention noise — the r12/r13
+    // ann_ivfsq8_topk "drift" adjudication took two rounds because rep
+    // variance wasn't visible in the artifact (r13 verdict #10). The
+    // offending query is identifiable locally by re-running with names.
+    val fullRows = results.filter(r => r._4.length == reps && r._3 > 0)
+    val varFields = fullRows.map(r => r._4.max / r._4.min)
+      .sortBy(-_).headOption
+      .map(v => s""","vmax":${f3(v)}""").getOrElse("")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"reps":$reps,"stat":"median","value_min":${f3(totalMin)},"anchor_total":${f3(anchorTotal)},"anchor_total_min":${f3(anchorMin)},"anchor_reps":$anchorReps,"anchor_n":${anchorRows.length},"cal_start_ms":$calStart,"cal_end_ms":$calEnd,"cal_ms":$calArr$varFields,"queries":$qs,"sf":"$sfDir"}"""
     // tail hygiene: the driver reads the LAST 2000 chars, so the headline
     // must be the FINAL line with nothing logged after it. Silence logging
     // entirely, stop Spark (its shutdown chatter lands before the line),

@@ -404,6 +404,23 @@ object QueriesExt {
       HybridSearch.batchSearchIndexed(s, bm25Path, ivfPath, mem,
         Some(Corpus.searchFeedback(s, dir)), Seq(p0, p1))
     }),
+    // the GRAPH tail of the shared batch plan (r13 verdict #8): a
+    // homogeneous graph-expanded batch runs ONE visible-edge frame + one
+    // qid-keyed PPR loop + per-qid reserved-slot merges instead of N
+    // per-query graph plans. Oracle = the per-query indexed graph SQLs
+    // unioned — the hash-match IS the shared ≡ union proof
+    "r15_batch_graph_indexed" -> ((s, dir) => {
+      val bm25Path = s"${sys.props("java.io.tmpdir")}/graft_bgr_bm25_${ProcessHandle.current().pid()}"
+      val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_bgr_ivf_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(bm25Path); Queries.reapAtExit(ivfPath)
+      val mem = Corpus.memories(s, dir)
+      graft.search.BM25Index.build(mem, bm25Path)
+      graft.ann.IvfIndex.build(mem, Tables.embeddings(s, dir), ivfPath)
+      val p0 = Queries.hybridParams(s, dir, graphWeight = 0.1)
+      val p1 = p0.copy(queryVec = Queries.queryVec(s, dir, 1))
+      HybridSearch.batchSearchIndexed(s, bm25Path, ivfPath, mem,
+        Some(Corpus.searchFeedback(s, dir)), Seq(p0, p1))
+    }),
     // MLlib BRP-LSH approx join — no SQL oracle (MLlib internals); the
     // driver records a rows-only check, invariants live in AnnSpec
     "ann_lsh_brp_pairs" -> ((s, dir) => {
@@ -942,6 +959,23 @@ object QueriesExt {
     // that query's vec_id)
     "r15_batch_indexed" -> {
       def one(v: Long) = OracleHybrid.hybridSql(oracleParams, n = 1000000,
+        withFeedback = true, vecId = v,
+        extraCtes = Queries.ivfCtesOver("memories", v),
+        vecJoin = "JOIN asg ia ON m.id = ia.id JOIN probe ip ON ia.ivf_cell = ip.label")
+      s"""SELECT q0.*, 0 AS query_idx FROM (
+         |${one(0)}
+         |) q0
+         |UNION ALL
+         |SELECT q1.*, 1 AS query_idx FROM (
+         |${one(1)}
+         |) q1""".stripMargin
+    },
+    // per-query indexed GRAPH SQLs unioned: each query's full graph tail
+    // (probed vector CTE, 3 unrolled PPR rounds, reserved-slot merge)
+    // replayed independently — the shared-plan batch must hash-match it
+    "r15_batch_graph_indexed" -> {
+      def one(v: Long) = OracleHybrid.graphSql(
+        oracleParams.copy(graphWeight = 0.1), n = 1000000,
         withFeedback = true, vecId = v,
         extraCtes = Queries.ivfCtesOver("memories", v),
         vecJoin = "JOIN asg ia ON m.id = ia.id JOIN probe ip ON ia.ivf_cell = ip.label")

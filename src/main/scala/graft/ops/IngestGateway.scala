@@ -40,6 +40,27 @@ object IngestGateway {
     * Output, one row per incoming doc:
     * (id, action 'added'|'skipped_duplicate'|'skipped_in_batch', top_sim,
     * top_match_id, n_links — 0 for skipped rows: a skip writes nothing). */
+  /** [[gateBatch]] sized by a TARGET RECALL instead of a raw nprobe (the
+    * r13 verdict #5 overload, gateway side): the measured recall ladder
+    * over the CURRENT store picks the smallest nprobe clearing
+    * `targetRecallPpm`, then the gate runs at it. The sweep reads the
+    * store once (the exact leg) — a TUNING call for a maintenance
+    * cadence (size after drift/retrain events, pass the resulting nprobe
+    * to the per-batch [[gateBatch]]/[[ingestBatch]] calls); it is NOT the
+    * per-batch path, which never rescans the corpus. */
+  def gateBatchAtRecall(spark: SparkSession, ivfPath: String,
+                        incoming: DataFrame, store: DataFrame,
+                        targetRecallPpm: Long,
+                        noveltyThreshold: Double = 0.88,
+                        minLinkSim: Double = 0.2,
+                        ladder: Seq[Int] = Seq(1, 2, 4),
+                        dedupWithinBatch: Boolean = false): DataFrame = {
+    val np = graft.eval.RetrievalEval.autoNprobe(spark, store, ivfPath,
+      targetRecallPpm, ladder = ladder)
+    gateBatch(spark, ivfPath, incoming, noveltyThreshold, minLinkSim, np,
+      dedupWithinBatch)
+  }
+
   def gateBatch(spark: SparkSession, ivfPath: String, incoming: DataFrame,
                 noveltyThreshold: Double = 0.88, minLinkSim: Double = 0.2,
                 nprobe: Int = 2, dedupWithinBatch: Boolean = false): DataFrame = {

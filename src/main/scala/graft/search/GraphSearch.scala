@@ -170,6 +170,57 @@ object GraphSearch {
     cur.select(col("id"), col("score").as("ppr"))
   }
 
+  /** [[ppr]] for a BATCH of seed sets in one shared loop (the r13 verdict
+    * #8 graph tail of the shared-plan batch search): `seeds` is
+    * (qid, id, p) and `pTotals` a small (qid, pt) frame of the per-qid
+    * seed-mass totals (the caller knows them driver-side, as the
+    * single-query path does). The edge frame — the O(E) side — is
+    * persisted ONCE and every round is ONE join of the combined
+    * (qid, id, score) frontier against it: N queries cost one edge scan
+    * per round, not N. Per-(qid, id) arithmetic is the single-query
+    * formula verbatim (same operation tree, per-qid dangling mass joined
+    * by qid instead of a 1-row broadcast), so per-qid output equals N
+    * independent [[ppr]] runs — pinned by the `r15_batch_graph_indexed`
+    * per-query-union oracle. Output: (qid, id, ppr). */
+  def pprBatch(edgesDf: DataFrame, seeds: DataFrame, pTotals: DataFrame,
+               iters: Int = MaxIters, alpha: Double = Alpha): DataFrame = {
+    val e = edgesDf.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "id")
+    val e3 = e
+      .join(deg.select(col("id").as("dst"), col("deg").as("deg_dst")), Seq("dst"), "left")
+      .select(col("src"), col("dst"), col("deg_dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val s = seeds.join(deg, Seq("id"), "left")
+      .join(broadcast(pTotals), "qid")
+      .select(col("qid"), col("id"), col("p"), col("deg"), col("pt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val restart = 1.0 - alpha
+
+    var cur = s.select(col("qid"), col("id"), col("p").as("score"), col("deg"))
+    for (_ <- 1 to iters) {
+      // per-qid dangling mass: the batch form of the 1-row broadcast —
+      // a ≤|batch|-row aggregate joined back by qid (absent ⇒ 0.0)
+      val dang = cur.filter(col("deg").isNull)
+        .groupBy("qid").agg(coalesce(sum("score"), lit(0.0)).as("dm"))
+      val teleport = s.join(broadcast(dang), Seq("qid"), "left").select(
+        col("qid"), col("id"),
+        (lit(restart) * col("p") +
+          lit(alpha) * coalesce(col("dm"), lit(0.0)) * col("p") / col("pt")).as("c"),
+        col("deg"))
+      val prop = cur.filter(col("deg").isNotNull)
+        .join(e3, col("id") === col("src"))
+        .select(col("qid"), col("dst").as("id"),
+          (lit(alpha) * col("score") / col("deg")).as("c"),
+          col("deg_dst").as("deg"))
+      val agged = teleport.unionAll(prop).groupBy("qid", "id")
+        .agg(sum("c").as("score"), max("deg").as("deg"))
+      cur = roundCheckpoint(agged)
+    }
+    e.unpersist(); e3.unpersist(); s.unpersist()
+    cur.select(col("qid"), col("id"), col("score").as("ppr"))
+  }
+
   /** Global (non-personalized) PageRank over the link graph — the corpus-
     * level companion to the per-query truncated [[ppr]]: a static authority
     * score per memory for analytics/ranking priors (Page et al. '99,
@@ -552,6 +603,129 @@ object GraphSearch {
   /** R10 candidate build + R12 reserved-slot merge, given the fused RRF pool
     * (memory_engine.py:1614-1723). Returns the final top-k with
     * id/source/category/rrf_score/base_rrf_score/match_type/graph_support. */
+  /** [[expandAndMerge]] for the SHARED-PLAN batch (r13 verdict #8):
+    * `fused` is (qid, id, rrf); every step of the single-query tail —
+    * top-rrf normalization, PPR, the gain/inject candidate filter, the
+    * reserved-slot merge — runs per qid over ONE visible-edge frame and
+    * ONE batched PPR loop ([[pprBatch]]), instead of N per-query plans
+    * each rescanning the edges. Per-qid scalars (topRrf, posSum) collect
+    * in one ≤|batch|-row job; qids with no positive seed short-circuit to
+    * the direct-only emit exactly like the single path. Output:
+    * (id, source, category, rrf_score, base_rrf_score, match_type,
+    * graph_support, query_idx) — pinned equal to the per-query union by
+    * `r15_batch_graph_indexed`'s oracle. */
+  def expandAndMergeBatch(memories: DataFrame, fused: DataFrame,
+                          p: HybridSearch.Params): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = memories.sparkSession
+    import spark.implicits._
+    val f = fused.localCheckpoint(true)
+    val k = math.min(p.k, 100)
+    // one ≤|batch|-row collect for both per-qid scalars
+    val stats = f.groupBy("qid").agg(
+        coalesce(max("rrf"), lit(0.0)).as("t"),
+        coalesce(sum(when(col("rrf") > 0, col("rrf"))), lit(0.0)).as("ps"))
+      .as[(Int, Double, Double)].collect()
+      .map { case (q, t, ps) => q -> ((t, ps)) }.toMap
+    val direct = f.select(col("qid"), col("id"), col("rrf"))
+    val directOut = direct
+      .join(memories.select("id", "source", "category"), "id")
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("rrf"), asc("id"))))
+      .filter(col("_rn") <= k)
+      .select(col("id"), col("source"), col("category"),
+        roundScore(col("rrf")).as("rrf_score"),
+        roundScore(col("rrf")).as("base_rrf_score"),
+        lit("direct").as("match_type"), lit(0.0).as("graph_support"),
+        col("qid").cast("int").as("query_idx"))
+    val posQids = stats.filter(_._2._1 > 0.0).keys.toSeq.sorted
+    // no positive seeds anywhere: the whole batch is the direct emit
+    if (posQids.isEmpty) return directOut
+
+    val trrf = broadcast(
+      posQids.map(q => (q, stats(q)._1)).toDF("qid", "_trrf"))
+    val fp = f.join(trrf, "qid") // the graph-participating qids' pools
+    val seeds = fp.filter(col("rrf") > 0)
+      .select(col("qid"), col("id"), (col("rrf") / col("_trrf")).as("p"))
+    val e = visibleEdges(memories, p.sourcePrefix, p.includeArchived)
+    // per-qid seed mass, known driver-side exactly as the single path
+    val pTotals = posQids.map(q => (q, stats(q)._2 / stats(q)._1))
+      .toDF("qid", "pt")
+    val scores = pprBatch(e, seeds, pTotals)
+
+    val maxPprF = scores.groupBy("qid").agg(
+      when(coalesce(max("ppr"), lit(1.0)) > 0, coalesce(max("ppr"), lit(1.0)))
+        .otherwise(1.0).as("_maxppr"))
+    val maxPpr = col("_maxppr")
+    val cand = scores
+      .join(seeds, Seq("qid", "id"), "left")
+      .join(direct.select(col("qid"), col("id"), lit(true).as("is_direct")),
+        Seq("qid", "id"), "left")
+      .join(broadcast(maxPprF), "qid")
+      .join(trrf, "qid")
+      .withColumn("orig", coalesce(col("p"), lit(0.0)))
+      .withColumn("gain", col("ppr") - col("orig"))
+      .withColumn("is_direct", coalesce(col("is_direct"), lit(false)))
+      .filter(
+        (col("is_direct") && col("gain") > 0) ||
+          (!col("is_direct") && col("ppr") / maxPpr >= MinRelative))
+      .select(
+        col("qid"), col("id"), col("is_direct"),
+        roundScore(least(col("gain") / maxPpr * col("_trrf") * lit(p.graphWeight),
+          lit(SupportCap) * col("_trrf"))).as("graph_support"),
+        roundScore(least(col("ppr") / maxPpr * col("_trrf"),
+          lit(SupportCap) * col("_trrf"))).as("inject_score"))
+      .localCheckpoint(true)
+
+    val boosted = direct.join(trrf.select("qid"), "qid") // graph qids only
+      .join(cand.filter(col("is_direct")).select("qid", "id", "graph_support"),
+        Seq("qid", "id"), "left")
+      .select(
+        col("qid"), col("id"),
+        (col("rrf") + coalesce(col("graph_support"), lit(0.0))).as("score"),
+        col("rrf").as("base"),
+        when(col("graph_support").isNotNull, "direct+graph")
+          .otherwise("direct").as("match_type"),
+        coalesce(col("graph_support"), lit(0.0)).as("graph_support"))
+    val graphOnly = cand.filter(!col("is_direct"))
+      .select(
+        col("qid"), col("id"), col("inject_score").as("score"),
+        lit(0.0).as("base"), lit("graph").as("match_type"), col("graph_support"))
+
+    // per-qid reserved slots: r(qid) = min(2, |graphOnly(qid)|, k) — the
+    // single path's limit(2)-count, as one small aggregate over the
+    // bounded candidate frame (absent qid ⇒ 0 reserved)
+    val resv = graphOnly.groupBy("qid")
+      .agg(least(lit(ReservedSlots.toLong), count(lit(1)), lit(k.toLong))
+        .cast("int").as("_resv"))
+    val bw = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
+    val direct0 = boosted.withColumn("_rn", row_number().over(bw))
+      .join(broadcast(resv), Seq("qid"), "left")
+      .filter(col("_rn") <= lit(k) - coalesce(col("_resv"), lit(0)))
+      .drop("_rn", "_resv")
+    val picked =
+      if (p.threshold.isDefined) direct0
+      else direct0.unionAll(
+        graphOnly.withColumn("_rn", row_number().over(bw))
+          .join(broadcast(resv), Seq("qid"), "left")
+          .filter(col("_rn") <= coalesce(col("_resv"), lit(0)))
+          .drop("_rn", "_resv"))
+
+    val graphOut = picked
+      .join(memories.select("id", "source", "category"), "id")
+      .withColumn("_rn", row_number().over(bw))
+      .filter(col("_rn") <= k)
+      .select(col("id"), col("source"), col("category"),
+        roundScore(col("score")).as("rrf_score"),
+        roundScore(col("base")).as("base_rrf_score"),
+        col("match_type"), col("graph_support"),
+        col("qid").cast("int").as("query_idx"))
+    // zero-seed qids keep the direct-only emit
+    val zeroQids = stats.keys.toSeq.diff(posQids)
+    if (zeroQids.isEmpty) graphOut
+    else graphOut.unionAll(directOut.filter(col("query_idx").isin(zeroQids: _*)))
+  }
+
   def expandAndMerge(memories: DataFrame, fused: DataFrame,
                      p: HybridSearch.Params): DataFrame = {
     // eager checkpoint, not persist: the ≤2*oversample-row pool is read by

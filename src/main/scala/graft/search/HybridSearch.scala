@@ -493,16 +493,19 @@ object HybridSearch {
     * windows downstream (fusion code SHARED with the single-query path via
     * the qid-partitioned [[fuseContribs]] — semantics cannot drift, and
     * `r15_batch_indexed`'s per-query-union oracle pins the equality).
+    * Graph-expanded homogeneous batches share the tail too (r13 verdict
+    * #8 — [[GraphSearch.expandAndMergeBatch]]: ONE visible-edge frame and
+    * one qid-keyed PPR loop for the whole batch, pinned equal to the
+    * per-query union by `r15_batch_graph_indexed`'s oracle).
     * Heterogeneous batches (different filters/weights/thresholds per
-    * query), PRF-triggered or graph-expanded ones fall back to the
-    * per-query plan union — correct, just N pruned scans instead of one. */
+    * query) or PRF-triggered ones fall back to the per-query plan union —
+    * correct, just N pruned scans instead of one. */
   def batchSearchIndexed(spark: org.apache.spark.sql.SparkSession,
                          bm25Path: String, ivfPath: String,
                          memories: DataFrame, feedback: Option[DataFrame],
                          queries: Seq[Params], nprobe: Int = 2): DataFrame = {
     def scrub(p: Params) = p.copy(queryTokens = Nil, queryVec = Nil)
     val sharable = queries.size > 1 && !queries.head.prf &&
-      queries.head.graphWeight <= 0 &&
       queries.forall(q => scrub(q) == scrub(queries.head))
     if (sharable)
       batchSearchIndexedShared(spark, bm25Path, ivfPath, memories, feedback,
@@ -605,12 +608,16 @@ object HybridSearch {
         fused0.join(
           memories.filter(Filters.temporal(p.since, p.until)).select("id"), "id")
       else fused0
-    fused.join(memories.select("id", "source", "category"), "id")
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("rrf"), asc("id"))))
-      .filter(col("_rn") <= k)
-      .select(col("id"), col("source"), col("category"),
-        roundScore(col("rrf")).as("rrf_score"),
-        col("qid").cast("int").as("query_idx"))
+    if (p.graphWeight > 0)
+      // the shared graph tail: one edge frame + one qid-keyed PPR loop
+      GraphSearch.expandAndMergeBatch(memories, fused, p)
+    else
+      fused.join(memories.select("id", "source", "category"), "id")
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("rrf"), asc("id"))))
+        .filter(col("_rn") <= k)
+        .select(col("id"), col("source"), col("category"),
+          roundScore(col("rrf")).as("rrf_score"),
+          col("qid").cast("int").as("query_idx"))
   }
 }

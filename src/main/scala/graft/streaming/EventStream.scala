@@ -308,12 +308,13 @@ object EventStream {
                        noveltyThreshold: Double = 0.88,
                        auditEvery: Int = 0,
                        reportPath: Option[String] = None,
-                       dedupWithinBatch: Boolean = false): StreamingQuery =
+                       dedupWithinBatch: Boolean = false,
+                       nprobe: Int = 2): StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         gatedIngestBatch(batch, batchId, bm25Path, ivfPath, lshPath,
-          noveltyThreshold, auditEvery, reportPath, dedupWithinBatch)
+          noveltyThreshold, auditEvery, reportPath, dedupWithinBatch, nprobe)
       }
       .start()
 
@@ -331,13 +332,14 @@ object EventStream {
                        noveltyThreshold: Double = 0.88,
                        auditEvery: Int = 0,
                        reportPath: Option[String] = None,
-                       dedupWithinBatch: Boolean = false): Unit = {
+                       dedupWithinBatch: Boolean = false,
+                       nprobe: Int = 2): Unit = {
     val b = batch.persist()
     try {
       if (!b.isEmpty)
         graft.ops.IngestGateway.ingestBatch(b.sparkSession, b,
           bm25Path, ivfPath, lshPath, noveltyThreshold,
-          batchId = Some(batchId), reportPath = reportPath,
+          nprobe = nprobe, batchId = Some(batchId), reportPath = reportPath,
           dedupWithinBatch = dedupWithinBatch)
       if (auditEvery > 0 && (batchId + 1) % auditEvery == 0)
         graft.ann.IvfIndex.retrainIfDrifted(b.sparkSession, ivfPath)

@@ -75,7 +75,9 @@ class BenchSpec extends AnyFunSuite {
     // + the round-9 min/calibration fields (~90 chars worst case)
     // + the round-10 anchor_reps (3×8+brackets ≈ 45) and cal_ms array
     //   (⌈|headline|/8⌉+2 samples × ~6 chars ≈ 60 worst case)
-    val overhead = 290 + 45 + 60 + "/root/testdata/sf0.1".length
+    // + the round-14 vmax rep-variance scalar (ratio at 3 decimals,
+    //   16 worst case)
+    val overhead = 290 + 45 + 60 + 16 + "/root/testdata/sf0.1".length
     val worst = perQuery + overhead
     assert(worst <= 1500, s"estimated worst-case line $worst chars; " +
       "trim Bench.Headline or shorten names — the driver window is 2000 " +

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
+import graft.core.{Corpus, Tables}
 import graft.search.HybridSearch
 
 /** Pins the index-backed hybrid's adaptive probe escalation (the r12
@@ -86,6 +87,37 @@ class HybridIndexedSpec extends SparkSpec {
     graft.search.BM25.clearCache()
     assert(shared.map(_._1) == Set(35L), s"shared: $shared")
     assert(shared == exact, s"escalated shared batch must equal in-session:\n$shared\n$exact")
+  }
+
+  test("shared graph batch equals the per-query union (one edge frame, one PPR loop)") {
+    // the r13 verdict #8 tail: a homogeneous graph-expanded batch routes
+    // through expandAndMergeBatch — per-qid output must equal N
+    // independent searchIndexed plans (the file-scan plan pin doesn't
+    // apply here: the edge frame is in-memory and the PPR loop runs
+    // behind eager checkpoints, so the equality + the construction's
+    // single visibleEdges call are the pins; the sf0.01 oracle
+    // `r15_batch_graph_indexed` hash-matches the per-query SQL union)
+    val bm25Path = "/root/repo/target/tmp/esc_bm25_graph"
+    val ivfPath = "/root/repo/target/tmp/esc_ivf_graph"
+    Seq(bm25Path, ivfPath).foreach(graft.sources.Store.deleteRecursive)
+    val m = Corpus.memories(spark, sf())
+    graft.search.BM25Index.build(m, bm25Path)
+    graft.ann.IvfIndex.build(m, Tables.embeddings(spark, sf()), ivfPath)
+    val p0 = Queries.hybridParams(spark, sf(), graphWeight = 0.1)
+    val qs = Seq(p0, p0.copy(queryVec = Queries.queryVec(spark, sf(), 1)))
+    graft.search.BM25.clearCache()
+    val shared = HybridSearch
+      .batchSearchIndexed(spark, bm25Path, ivfPath, m,
+        Some(Corpus.searchFeedback(spark, sf())), qs)
+      .collect().map(_.toSeq).toSet
+    val union = qs.zipWithIndex.map { case (p, i) =>
+      HybridSearch.searchIndexed(spark, bm25Path, ivfPath, m,
+          Some(Corpus.searchFeedback(spark, sf())), p)
+        .withColumn("query_idx", lit(i))
+    }.reduce(_ unionAll _).collect().map(_.toSeq).toSet
+    graft.search.BM25.clearCache()
+    assert(shared == union,
+      s"shared graph batch diverged from the per-query union:\n$shared\nvs\n$union")
   }
 
   test("a filter-free query never escalates past the default probe") {

@@ -68,6 +68,29 @@ class IngestGatewaySpec extends SparkSpec {
     assert(Store.load(spark, s"$ivfPath/assignments").count() == 3L)
   }
 
+  test("gateBatchAtRecall sizes nprobe from the measured ladder, then gates at it") {
+    val ivfPath = "/root/repo/target/tmp/gw_atrecall_ivf"
+    Store.deleteRecursive(ivfPath)
+    def v4(a: Double, b: Double) = Array(a.toFloat, b.toFloat, 0.0f, 0.0f)
+    // the RetrievalEvalSpec autoNprobe fixture: the sampled query (id 37)
+    // straddles both cells, so nprobe=1 reads recall 0.6 and nprobe=2 is
+    // exhaustive — a 0.9 target must size the gate to nprobe 2
+    val store = ((1L to 5L).map(i => (i, v4(1, 0))) ++
+      (20L to 40L).map(i => (i, if (i == 37L) v4(0.8, 0.6) else v4(0, 1))))
+      .toDF("id", "embedding")
+    graft.ann.IvfIndex.buildWithCentroids(store,
+      Seq((0, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (1, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+        .toDF("label", "centroid"), ivfPath)
+    val incoming = Seq((100L, v4(0.6, 0.8))).toDF("id", "embedding")
+    val sized = IngestGateway.gateBatchAtRecall(spark, ivfPath, incoming,
+        store, targetRecallPpm = 900000L, ladder = Seq(1, 2))
+      .select("id", "action").as[(Long, String)].collect().toSeq
+    val atTwo = IngestGateway.gateBatch(spark, ivfPath, incoming, nprobe = 2)
+      .select("id", "action").as[(Long, String)].collect().toSeq
+    assert(sized == atTwo,
+      s"recall-sized gate must equal the nprobe-2 gate: $sized vs $atTwo")
+  }
+
   test("dedupWithinBatch: an in-batch near-dup is dropped before the store gate and never lands") {
     val bm25Path = "/root/repo/target/tmp/gw_dedup_bm25"
     val ivfPath = "/root/repo/target/tmp/gw_dedup_ivf"

@@ -209,6 +209,19 @@ class JobCountSpec extends SparkSpec {
     // r13 new: one IVF build + ONE probed top-1 — the ingest novelty gate
     // (the build dominates; the gate itself is two bounded jobs)
     "d1_novelty_indexed" -> 44,
+    // r14 new: two builds + the SHARED graph batch — one edge frame, one
+    // qid-keyed 3-round PPR loop, per-qid reserved merges. Measured 181:
+    // the SECOND graph query costs +23 jobs over r10_graph_indexed's 158
+    // single-query total, vs ~+50 for an independent graph tail
+    "r15_batch_graph_indexed" -> 208,
+    // r14 new: IVF build + the in-batch D3 kernel pass + ONE probed scan
+    // over the surviving rows (measured 77 — the +19 over op_ingest_
+    // gateway's 58 is the dedup kernel + the survivor anti-join)
+    "op_ingest_gateway_dedup" -> 89,
+    // r14 new: two index builds + N per-query in-session hybrid plans
+    // (the exact leg — an EVAL instrument, not the query path) + ONE
+    // shared-plan indexed batch + the metrics row (measured 195)
+    "ev_self_retrieval_indexed" -> 224,
     // r13 new: IVF build over the existing half + one batched probe scan
     // for the whole import batch + the band resolution joins
     "d8_smart_import_indexed" -> 60,
