@@ -264,15 +264,18 @@ class JobCountSpec extends SparkSpec {
     counter.get
   }
 
-  private def countJobs(name: String): Int = {
+  private def countJobsThunk(tag: String)(thunk: => Unit): Int = {
     listener // install once
     counter.set(0)
-    group.set(s"jobcount_$name")
-    spark.sparkContext.setJobGroup(s"jobcount_$name", name)
-    try Queries.all(name)(spark, sf()).collect()
+    group.set(s"jobcount_$tag")
+    spark.sparkContext.setJobGroup(s"jobcount_$tag", tag)
+    try thunk
     finally spark.sparkContext.clearJobGroup()
     settled()
   }
+
+  private def countJobs(name: String): Int =
+    countJobsThunk(name) { Queries.all(name)(spark, sf()).collect(); () }
 
   test("graph/hybrid/cluster family job counts stay at their pinned ceilings") {
     // warm the file-status cache so listing jobs don't depend on suite
@@ -285,5 +288,56 @@ class JobCountSpec extends SparkSpec {
       if (n > max) Some(s"$name ran $n jobs > ceiling $max") else None
     }
     assert(over.isEmpty, over.mkString("; "))
+  }
+
+  test("delta-probe escalation: the widening query's job count stays pinned") {
+    // the r13 verdict #2 done-criterion: escalation rounds scan only the
+    // delta dirs — a regression back to full re-probes per round shows
+    // here as +jobs (each extra round would re-run the whole probed scan
+    // instead of one bounded delta + checkpoint). Fixture = the
+    // HybridIndexedSpec selective-prefix case: the rare source lives in
+    // cell 3, invisible at nprobe=2, so the query escalates 2→4.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    def emb(c: Int, i: Int): Array[Float] = {
+      val a = Array.fill(4)(0.02f * (i % 3)); a(c) = 1.0f
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum).toFloat
+      a.map(_ / n)
+    }
+    def axis(c: Int): Seq[Float] = {
+      val a = Array.fill(4)(0.0f); a(c) = 1.0f; a.toSeq
+    }
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val mem = (1 to 40).map { i =>
+      val cell = (i - 1) / 10
+      (i.toLong, s"doc $i window spark", emb(cell, i),
+        if (i == 35) "rare/path" else s"common/$cell", "note",
+        false, false, ts, ts, ts, ts)
+    }.toDF("id", "text", "embedding", "source", "category",
+      "archived", "pinned", "created_at", "updated_at", "document_at",
+      "last_reinforced_at")
+    val bm25Path = "/root/repo/target/tmp/jobcount_esc_bm25"
+    val ivfPath = "/root/repo/target/tmp/jobcount_esc_ivf"
+    Seq(bm25Path, ivfPath).foreach(graft.sources.Store.deleteRecursive)
+    // index builds OUTSIDE the measured span (pinned by their own entries)
+    graft.search.BM25Index.build(mem, bm25Path)
+    graft.ann.IvfIndex.buildWithCentroids(mem,
+      (0 to 3).map(c => (c, axis(c))).toDF("label", "centroid"), ivfPath)
+    val p = graft.search.HybridSearch.Params(
+      queryTokens = Seq("window", "spark"),
+      queryVec = axis(0), k = 3, sourcePrefix = Some("rare"))
+    graft.search.BM25.clearCache()
+    val n = countJobsThunk("esc_delta") {
+      graft.search.HybridSearch
+        .searchIndexed(spark, bm25Path, ivfPath, mem, None, p).collect(); ()
+    }
+    graft.search.BM25.clearCache()
+    // measured 31 at HEAD (probe-rank collect + round-1 pool count +
+    // kept-pool checkpoint + ONE delta probe/checkpoint/count for the
+    // 2→4 widening + the fused tail); a full re-probe per round would
+    // re-run the round-1 scan inside every widening — pinned at +15%
+    info(s"escalated searchIndexed: $n jobs (ceiling 36)")
+    assert(n <= 36, s"escalated query ran $n jobs > ceiling 36")
   }
 }
