@@ -1367,7 +1367,11 @@ object Queries {
        |  SELECT c.label, list(c.m / n.nrm ORDER BY c.i) AS centroid
        |  FROM cent0 c JOIN centn n USING (label) GROUP BY c.label)""".stripMargin
 
-  private[graft] def ivfCtesOver(from: String, vecId: Long = 0): String =
+  /** [[ivfCtesOver]] with the probe ranked against an arbitrary
+    * query-vector relation `qSrc` (must expose one row with a `qv` list)
+    * instead of a fixed embeddings-table row — the text-query indexed
+    * legs (e.g. `r18_maxsim_indexed`) probe with a hash-embedded query. */
+  private[graft] def ivfCtesOverQ(from: String, qSrc: String): String =
     s"""$centCtes,
        |asg AS MATERIALIZED (
        |  SELECT id, label AS ivf_cell FROM (
@@ -1380,8 +1384,12 @@ object Queries {
        |    SELECT c.label, row_number() OVER (ORDER BY
        |      list_sum(list_transform(range(1, 65), i -> c.centroid[i] * CAST(q.qv[i] AS DOUBLE))) DESC,
        |      c.label) AS rn
-       |    FROM cent c, (SELECT embedding AS qv FROM embeddings WHERE vec_id = $vecId) q)
+       |    FROM cent c, $qSrc q)
        |  WHERE rn <= 2)""".stripMargin
+
+  private[graft] def ivfCtesOver(from: String, vecId: Long = 0): String =
+    ivfCtesOverQ(from,
+      s"(SELECT embedding AS qv FROM embeddings WHERE vec_id = $vecId)")
 
   private[graft] def ivfCtes: String = ivfCtesOver("memories")
 

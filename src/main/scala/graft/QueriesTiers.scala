@@ -215,7 +215,31 @@ object QueriesTiers {
       val pairs = dupPairs(s, dir)
       GraphSearch.modularity(pairs,
         GraphSearch.labelPropagation(pairs, rounds = LpaRounds))
-    }))
+    }),
+    // ColBERT-shape late interaction: the doc-embedding top-20 pool
+    // re-scored by per-query-token MaxSim over subword (char-trigram)
+    // hashing token embeddings — exact token evidence re-ranks what one
+    // pooled vector blurs
+    "r18_maxsim_rerank" -> ((s, dir) =>
+      graft.search.LateInteraction.rerank(Corpus.memories(s, dir),
+        Queries.QueryTokens.mkString(" "), n = 5, candidates = 20)),
+    // the same MaxSim stage with the candidate pool read from the
+    // persisted IVF index (one probed-cell scan; the corpus is touched
+    // only for the probed candidates' text/visibility by id-join)
+    "r18_maxsim_indexed" -> ((s, dir) => {
+      val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_li_ivf_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(ivfPath)
+      val mem = Corpus.memories(s, dir)
+      graft.ann.IvfIndex.build(mem, Tables.embeddings(s, dir), ivfPath)
+      graft.search.LateInteraction.rerankIndexed(s, ivfPath, mem,
+        Queries.QueryTokens.mkString(" "), n = 5, candidates = 20)
+    }),
+    // passage-level MaxP: line passages of the synthesized c4 pages,
+    // each hash-embedded and scored, documents ranked by their BEST
+    // passage (max-over-passages, earliest passage wins ties)
+    "r19_passage_maxp" -> ((s, dir) =>
+      graft.search.Passage.maxP(Queries.c4Pages(s, dir),
+        Queries.queryVec(s, dir), k = 10)))
 
   private val bqQ =
     "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
@@ -291,6 +315,32 @@ object QueriesTiers {
        |  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
        |  FROM pr WHERE id_a <> id_b),
        |${lpaChain(LpaRounds)}""".stripMargin
+
+  private val liQText = Queries.QueryTokens.mkString(" ")
+
+  /** The MaxSim oracle tail over a pool CTE `lpool(id, rel, text)` and the
+    * query-embed chain `lq*` — shared by the in-session and indexed r18
+    * oracles so the scoring replay cannot drift between the two legs. */
+  private lazy val maxSimTailSql: String = {
+    val qVals = Queries.QueryTokens.map(t => s"('$t')").mkString(", ")
+    s"""ldt AS MATERIALIZED (
+       |  SELECT p.id, t.term
+       |  FROM lpool p, unnest(list_distinct(${OracleText.toks("p.text")})) AS t(term)),
+       |${OracleText.embedCtesOver(s"(SELECT term AS id, ${OracleText.gramSql("term")} AS text FROM (SELECT DISTINCT term FROM ldt)) ldsrc", 64, "ld")},
+       |${OracleText.embedCtesOver(s"(SELECT term AS id, ${OracleText.gramSql("term")} AS text FROM (VALUES $qVals) v(term)) lesrc", 64, "le")},
+       |lms AS MATERIALIZED (
+       |  SELECT d.id, qe.id AS qterm,
+       |    max(CAST(round(${OracleCtes.dot64("de.e", "qe.e")} * 1e6, 0) AS BIGINT)) AS ms
+       |  FROM ldt d JOIN ldf de ON de.id = d.term CROSS JOIN lef qe
+       |  GROUP BY 1, 2),
+       |lsc AS (SELECT id, CAST(sum(ms) AS BIGINT) AS smicro FROM lms GROUP BY 1)
+       |SELECT * FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY smicro DESC, id) AS INTEGER) AS rank,
+       |    id, rel, round(smicro / 1e6, 6) AS maxsim
+       |  FROM (SELECT p.id, p.rel, coalesce(s.smicro, CAST(0 AS BIGINT)) AS smicro
+       |        FROM lpool p LEFT JOIN lsc s USING (id)))
+       |WHERE rank <= 5 ORDER BY rank""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "ann_bq_topk" ->
@@ -613,5 +663,56 @@ object QueriesTiers {
          |       THEN round((4.0 * m * sum(coalesce(e_c, 0)) - sum(d_c * d_c))
          |         / (4.0 * m * m), 6)
          |       ELSE 0.0 END AS modularity
-         |FROM ldc LEFT JOIN lec USING (lab) CROSS JOIN lm GROUP BY m""".stripMargin)
+         |FROM ldc LEFT JOIN lec USING (lab) CROSS JOIN lm GROUP BY m""".stripMargin,
+    // late-interaction MaxSim: query doc-vector → top-20 pool → per
+    // (doc token, query token) subword-embedding dots in integer
+    // micro-units → max per query token, summed per doc
+    "r18_maxsim_rerank" ->
+      s"""WITH ${OracleCtes.memories},
+         |${OracleText.embedCtesOver(s"(SELECT 0 AS id, '$liQText' AS text) lqsrc", 64, "lq")},
+         |lpool AS MATERIALIZED (
+         |  SELECT m.id, round(${OracleCtes.dot64("m.embedding", "q.e")}, 6) AS rel, m.text
+         |  FROM memories m CROSS JOIN lqf q WHERE NOT m.archived
+         |  ORDER BY rel DESC, m.id LIMIT 20),
+         |$maxSimTailSql""".stripMargin,
+    // the same MaxSim stage over the IVF-probed pool: the oracle's pool is
+    // r18's SQL restricted to the probed cells (asg/probe replayed from
+    // first principles, probe ranked against the hash-embedded query) —
+    // exactly the recall trade the indexed leg makes
+    "r18_maxsim_indexed" ->
+      s"""WITH ${OracleCtes.memories},
+         |${OracleText.embedCtesOver(s"(SELECT 0 AS id, '$liQText' AS text) lqsrc", 64, "lq")},
+         |${Queries.ivfCtesOverQ("memories", "(SELECT e AS qv FROM lqf)")},
+         |lpool AS MATERIALIZED (
+         |  SELECT m.id, round(${OracleCtes.dot64("m.embedding", "q.e")}, 6) AS rel, m.text
+         |  FROM memories m
+         |  JOIN asg a ON m.id = a.id
+         |  JOIN probe p ON a.ivf_cell = p.label
+         |  CROSS JOIN lqf q WHERE NOT m.archived
+         |  ORDER BY rel DESC, m.id LIMIT 20),
+         |$maxSimTailSql""".stripMargin,
+    // passage MaxP: the c4split line decomposition posexploded, each
+    // passage hash-embedded and dot-scored in micro-units, per-doc argmax
+    // by (score desc, pos asc), docs ranked by best passage
+    "r19_passage_maxp" ->
+      s"""WITH ${OracleText.c4Ctes()},
+         |ppas0 AS (
+         |  SELECT id, unnest(range(0, len(lines))) AS pos0, unnest(lines) AS para
+         |  FROM c4split),
+         |ppas AS MATERIALIZED (
+         |  SELECT id, CAST(pos0 AS INT) AS pos, para FROM ppas0),
+         |${OracleText.embedCtesOver("(SELECT CAST(id AS VARCHAR) || '#' || CAST(pos AS VARCHAR) AS id, para AS text FROM ppas) ppsrc", 64, "pp")},
+         |pq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |psc AS MATERIALIZED (
+         |  SELECT p.id, p.pos,
+         |    CAST(round(${OracleCtes.dot64("f.e", "q.qv")} * 1e6, 0) AS BIGINT) AS sm
+         |  FROM ppas p JOIN ppf f
+         |    ON f.id = CAST(p.id AS VARCHAR) || '#' || CAST(p.pos AS VARCHAR)
+         |  CROSS JOIN pq q)
+         |SELECT id, n_passages, best_pos, round(sm / 1e6, 6) AS score FROM (
+         |  SELECT id, pos AS best_pos, sm,
+         |    CAST(count(*) OVER (PARTITION BY id) AS BIGINT) AS n_passages,
+         |    row_number() OVER (PARTITION BY id ORDER BY sm DESC, pos) AS rn
+         |  FROM psc) WHERE rn = 1
+         |ORDER BY sm DESC, id LIMIT 10""".stripMargin)
 }

@@ -197,6 +197,13 @@ object OracleText {
        |  SELECT * FROM cex WHERE id NOT IN (SELECT id_b FROM cpairs))""".stripMargin
   }
 
+  /** Subword gram text of a (lowercased, whitespace-free) token expression
+    * `t` — the token plus its character trigrams, space-joined; tokens
+    * shorter than 3 chars pass through alone. Kept in lockstep with
+    * [[graft.search.LateInteraction.gramText]]. */
+  def gramSql(t: String): String =
+    s"CASE WHEN len($t) >= 3 THEN $t || ' ' || array_to_string(list_transform(range(1, len($t) - 1), i -> substr($t, CAST(i AS INT), 3)), ' ') ELSE $t END"
+
   /** Hashing-embedder CTE chain: ef(id, e) with FLOAT-rounded components. */
   def embedCtes(dim: Int = 64): String =
     embedCtesOver("(SELECT doc_id AS id, text FROM documents) dsrc", dim)

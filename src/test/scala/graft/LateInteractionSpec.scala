@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.core.Corpus
+import graft.embed.DeterministicFakeSession
+import graft.search.{LateInteraction, VectorSearch}
+
+/** Late-interaction (MaxSim) rerank invariants: the subword token
+  * embedding soft-matches morphological variants, and the full distributed
+  * rerank reproduces a driver-side re-derivation of the MaxSim fold
+  * (pool → distinct doc tokens → per-query-token micro-unit max → sum)
+  * computed independently through the raw kernel. */
+class LateInteractionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dim = 64
+
+  /** Driver-side mirror of [[LateInteraction.gramText]]. */
+  private def gram(tok: String): String =
+    if (tok.length >= 3)
+      (tok +: (0 to tok.length - 3).map(i => tok.substring(i, i + 3))).mkString(" ")
+    else tok
+
+  /** Driver-side token embedding through the raw hashing kernel. */
+  private def tokEmbed(tok: String): Array[Float] =
+    graft.expressions.TextKernels
+      .hashEmbed(UTF8String.fromString(gram(tok)), dim).toFloatArray()
+
+  private def dot(a: Array[Float], b: Array[Float]): Double =
+    a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+
+  test("subword token embeddings soft-match morphological variants") {
+    val retrieval = tokEmbed("retrieval")
+    // shared trigrams (ret, etr, tri, rie, iev) pull the variant close;
+    // an unrelated token shares none
+    assert(dot(retrieval, tokEmbed("retrieving")) > dot(retrieval, tokEmbed("spark")))
+    assert(dot(retrieval, tokEmbed("retrieving")) > 0.3)
+  }
+
+  test("the column-expression token embedding IS the kernel over the gram text") {
+    val toks = Seq("retrieval", "ab", "x", "window")
+    val fromCol = toks.toDF("t")
+      .select(LateInteraction.tokenEmbedding(col("t"), dim))
+      .as[Array[Float]].collect()
+    toks.zip(fromCol).foreach { case (t, e) =>
+      assert(e.sameElements(tokEmbed(t)), s"mismatch for '$t'")
+    }
+  }
+
+  test("rerank reproduces a driver-side MaxSim fold over the candidate pool") {
+    val mem = Corpus.memories(spark, sf())
+    val queryText = Queries.QueryTokens.mkString(" ")
+    val qv = DeterministicFakeSession(dim).encode(Seq(queryText)).head.toSeq
+    val pool = VectorSearch.topK(mem, qv, k = 20)
+      .select(col("id"), col("sim"), col("text"))
+      .as[(Long, Double, String)].collect()
+    val qEmb = Queries.QueryTokens.distinct.map(tokEmbed)
+    val expected = pool.map { case (id, rel, text) =>
+      val docToks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+      val smicro = qEmb.map { qe =>
+        if (docToks.isEmpty) 0L
+        else docToks.map(t =>
+          BigDecimal(dot(tokEmbed(t), qe) * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).max
+      }.sum
+      (id, rel, smicro)
+    }.sortBy { case (id, _, sm) => (-sm, id) }
+      .take(5).zipWithIndex
+      .map { case ((id, rel, sm), i) =>
+        (i + 1, id, rel, BigDecimal(sm / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq
+    val got = LateInteraction.rerank(mem, queryText, n = 5, candidates = 20)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("indexed rerank with an exhaustive probe IS the in-session rerank") {
+    // nprobe = cellCount ⇒ the probed pool is the whole index, so the
+    // indexed leg must reproduce the corpus-scan leg bit for bit
+    val mem = Corpus.memories(spark, sf())
+    val queryText = Queries.QueryTokens.mkString(" ")
+    val ivfPath = "/root/repo/target/tmp/li_spec_ivf"
+    graft.sources.Store.deleteRecursive(ivfPath)
+    graft.ann.IvfIndex.build(mem, graft.core.Tables.embeddings(spark, sf()), ivfPath)
+    val nCells = graft.ann.IvfIndex.cellCount(spark, ivfPath)
+    val exhaustive = LateInteraction.rerankIndexed(spark, ivfPath, mem,
+      queryText, n = 5, candidates = 20, nprobe = nCells)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    val inSession = LateInteraction.rerank(mem, queryText, n = 5, candidates = 20)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(exhaustive == inSession)
+    graft.sources.Store.deleteRecursive(ivfPath)
+  }
+
+  test("a token-less candidate keeps its pool slot with maxsim 0") {
+    // two docs: one carries a query token, one is whitespace-only text;
+    // both must surface, the empty one with maxsim exactly 0
+    val mem = Corpus.memories(spark, sf())
+      .filter(!col("archived")).limit(2)
+      .withColumn("text",
+        when(row_number().over(org.apache.spark.sql.expressions.Window.orderBy("id")) === 1,
+          lit("spark window")).otherwise(lit("   ")))
+    val out = LateInteraction.rerank(mem, Queries.QueryTokens.mkString(" "),
+      n = 2, candidates = 2)
+      .select("rank", "maxsim").as[(Int, Double)].collect().toSeq
+    assert(out.size == 2)
+    assert(out.map(_._1) == Seq(1, 2))
+    assert(out.last._2 == 0.0)
+    assert(out.head._2 > 0.0)
+  }
+}

@@ -332,6 +332,33 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("indexed MaxSim rerank: probed cell dirs for the pool, corpus read without vectors") {
+    // the rerank's vector leg must come from the pruned index scan; the
+    // corpus contributes text + visibility ONLY — at 100 TB re-scanning
+    // the corpus' embedding column for a 20-candidate rerank is the same
+    // scale killer the ingest-gate pin guards against
+    val ivfPath = "/root/repo/target/tmp/audit_li_ivf"
+    graft.sources.Store.deleteRecursive(ivfPath)
+    val mem = Corpus.memories(spark, sf())
+    graft.ann.IvfIndex.build(mem, Tables.embeddings(spark, sf()), ivfPath)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.search.LateInteraction
+        .rerankIndexed(spark, ivfPath, mem, Queries.QueryTokens.mkString(" "))
+        .queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+      val asg = scans.filter(_.contains("assignments"))
+      assert(asg.nonEmpty && asg.forall(s =>
+        s.contains("PartitionFilters: [") && s.contains("ivf_cell")),
+        s"the pool read must prune to the probed cell dirs:\n${asg.mkString("\n")}")
+      val nonIndex = scans.filterNot(s =>
+        s.contains("assignments") || s.contains("centroids"))
+      assert(nonIndex.forall(!_.contains("embedding:array")),
+        "corpus-side scans must not read the vector column (the pool's " +
+          s"scores come from the index):\n${nonIndex.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("retrainCells' member read prunes to the flagged cells' partitions") {
     // the claim retraining is O(flagged members), never O(corpus), rests
     // on this scan: `ivf_cell IN (flagged)` must prune at PLANNING time
