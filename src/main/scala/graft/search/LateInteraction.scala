@@ -71,13 +71,16 @@ object LateInteraction {
   }
 
   /** [[rerank]] with the candidate pool read from the persisted IVF index
-    * instead of a corpus scan: the vector leg is ONE partition-pruned
-    * probed-cell scan ([[graft.ann.IvfIndex.probedCandidates]]); the
-    * corpus is touched only to fetch the text payload and visibility flag
-    * of the probed candidates (an id-equi-join against the probed frame —
-    * at any corpus size the scan side is the probed cells' population,
-    * never the table). Same IVF recall trade as every other indexed leg,
-    * adjudicated by the probed-cell-restricted oracle. */
+    * instead of a corpus vector scan: the scored leg is ONE
+    * partition-pruned probed-cell scan
+    * ([[graft.ann.IvfIndex.probedCandidates]]), joined to the corpus
+    * attributes for the text payload and visibility flag — the same
+    * attribute-join shape as
+    * [[HybridSearch.signalContribsIndexed searchIndexed]]'s vector leg:
+    * the corpus read is column-pruned to (id, text, archived) and never
+    * touches the vector column (pinned by PlanAuditSpec). Same IVF recall
+    * trade as every other indexed leg, adjudicated by the
+    * probed-cell-restricted oracle. */
   def rerankIndexed(spark: org.apache.spark.sql.SparkSession, ivfPath: String,
                     memories: DataFrame, queryText: String, n: Int = 5,
                     candidates: Int = 20, nprobe: Int = 2,
