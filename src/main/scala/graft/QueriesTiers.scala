@@ -239,7 +239,12 @@ object QueriesTiers {
     // passage (max-over-passages, earliest passage wins ties)
     "r19_passage_maxp" -> ((s, dir) =>
       graft.search.Passage.maxP(Queries.c4Pages(s, dir),
-        Queries.queryVec(s, dir), k = 10)))
+        Queries.queryVec(s, dir), k = 10)),
+    // the r18 instrument: does MaxSim reranking the vector pool BUY
+    // retrieval quality on this corpus? self-retrieval recall/MRR under
+    // the pool order vs the MaxSim order, one row per mode
+    "ev_maxsim_rerank" -> ((s, dir) =>
+      graft.eval.RetrievalEval.maxSimSelfRetrieval(Queries.docs(s, dir))))
 
   private val bqQ =
     "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
@@ -714,5 +719,70 @@ object QueriesTiers {
          |    CAST(count(*) OVER (PARTITION BY id) AS BIGINT) AS n_passages,
          |    row_number() OVER (PARTITION BY id ORDER BY sm DESC, pos) AS rn
          |  FROM psc) WHERE rn = 1
-         |ORDER BY sm DESC, id LIMIT 10""".stripMargin)
+         |ORDER BY sm DESC, id LIMIT 10""".stripMargin,
+    // the MaxSim instrument: self-retrieval queries, per-qid top-20 vector
+    // pool, ONE term-embed chain over the union of doc+query terms, the
+    // micro-unit MaxSim fold per (qid, id), gold ranks counted within the
+    // pool under both orderings, the standard metrics row per mode
+    "ev_maxsim_rerank" -> {
+      val ev = graft.eval.RetrievalEval
+      def met(mode: String, rel: String) =
+        s"""SELECT '$mode' AS mode, CAST(count(*) AS BIGINT) AS n_queries,
+           |  round(CAST(count(*) FILTER (WHERE rnk <= 1) AS DOUBLE) / count(*), 6) AS recall_at_1,
+           |  round(CAST(count(*) FILTER (WHERE rnk <= 5) AS DOUBLE) / count(*), 6) AS recall_at_5,
+           |  round(CAST(count(*) FILTER (WHERE rnk <= 10) AS DOUBLE) / count(*), 6) AS recall_at_10,
+           |  round(CAST(sum(CASE WHEN rnk <= 10 THEN 1000000 // rnk ELSE 0 END) AS DOUBLE) / 1000000.0 / count(*), 6) AS mrr_at_10
+           |FROM $rel""".stripMargin
+      val t = OracleText.toks("text")
+      s"""WITH corpus AS MATERIALIZED (SELECT doc_id AS id, text FROM documents),
+         |qdoc AS MATERIALIZED (
+         |  SELECT id AS qid, array_to_string(t[1:greatest(len(t) // 2, 1)], ' ') AS text
+         |  FROM (SELECT id, $t AS t FROM corpus)
+         |  WHERE id % ${ev.SampleMod} = 0 AND len(t) >= 4
+         |  ORDER BY qid LIMIT ${ev.MaxQueries}),
+         |${OracleText.embedCtesOver("corpus", 64)},
+         |${OracleText.embedCtesOver("(SELECT qid AS id, text FROM qdoc) qsrc", 64, "qe")},
+         |mvs AS (
+         |  SELECT q.id AS qid, d.id,
+         |    round(list_sum(list_transform(range(1, 65), i -> d.e[i] * q.e[i])), 6) AS sim
+         |  FROM ef d CROSS JOIN qef q),
+         |mpool AS MATERIALIZED (
+         |  SELECT qid, id, sim FROM (
+         |    SELECT qid, id, sim,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+         |    FROM mvs) WHERE rn <= 20),
+         |mdt AS MATERIALIZED (
+         |  SELECT p.qid, p.id, t.term
+         |  FROM mpool p JOIN corpus c ON c.id = p.id,
+         |    unnest(list_distinct(${t})) AS t(term)),
+         |mqt AS MATERIALIZED (
+         |  SELECT q.qid, t.term AS qterm
+         |  FROM qdoc q, unnest(list_distinct(${OracleText.toks("q.text")})) AS t(term)),
+         |${OracleText.embedCtesOver(s"(SELECT term AS id, ${OracleText.gramSql("term")} AS text FROM (SELECT DISTINCT term FROM (SELECT term FROM mdt UNION SELECT qterm FROM mqt))) mtsrc", 64, "mt")},
+         |mms AS MATERIALIZED (
+         |  SELECT d.qid, d.id, q.qterm,
+         |    max(CAST(round(${OracleCtes.dot64("de.e", "qe.e")} * 1e6, 0) AS BIGINT)) AS ms
+         |  FROM mdt d JOIN mqt q ON q.qid = d.qid
+         |  JOIN mtf de ON de.id = d.term JOIN mtf qe ON qe.id = q.qterm
+         |  GROUP BY 1, 2, 3),
+         |msc AS (SELECT qid, id, CAST(sum(ms) AS BIGINT) AS smicro FROM mms GROUP BY 1, 2),
+         |mfin AS MATERIALIZED (
+         |  SELECT p.qid, p.id, p.sim, coalesce(s.smicro, CAST(0 AS BIGINT)) AS smicro
+         |  FROM mpool p LEFT JOIN msc s ON s.qid = p.qid AND s.id = p.id),
+         |mgold AS (SELECT qid, sim AS gs, smicro AS gm FROM mfin WHERE id = qid),
+         |mprank AS (
+         |  SELECT f.qid, CASE WHEN g.gs IS NULL THEN ${ev.UnrankedSentinel}
+         |    ELSE 1 + count(*) FILTER (
+         |      WHERE f.sim > g.gs OR (f.sim = g.gs AND f.id < f.qid)) END AS rnk
+         |  FROM mfin f LEFT JOIN mgold g USING (qid) GROUP BY f.qid, g.gs),
+         |mmrank AS (
+         |  SELECT f.qid, CASE WHEN g.gm IS NULL THEN ${ev.UnrankedSentinel}
+         |    ELSE 1 + count(*) FILTER (
+         |      WHERE f.smicro > g.gm OR (f.smicro = g.gm AND f.id < f.qid)) END AS rnk
+         |  FROM mfin f LEFT JOIN mgold g USING (qid) GROUP BY f.qid, g.gm)
+         |${met("maxsim", "mmrank")}
+         |UNION ALL
+         |${met("pool", "mprank")}
+         |ORDER BY mode""".stripMargin
+    })
 }

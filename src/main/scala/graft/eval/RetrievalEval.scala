@@ -313,4 +313,84 @@ object RetrievalEval {
     rungs.find(_._2 >= targetRecallPpm).map(_._1.toInt)
       .getOrElse(graft.ann.IvfIndex.cellCount(spark, ivfPath))
   }
+
+  /** Rank sentinel for a query whose gold document misses the candidate
+    * pool — larger than any real in-pool rank, so the query counts as a
+    * miss at every k. */
+  val UnrankedSentinel = 1000000L
+
+  /** What the late-interaction rerank BUYS, measured — the r18
+    * instrument: every self-retrieval query's vector-mode
+    * top-`candidates` pool is re-ranked by the
+    * [[graft.search.LateInteraction]] MaxSim fold, and the gold
+    * document's rank under the POOL order vs the MAXSIM order feeds the
+    * same recall@k / MRR metrics. Two rows: mode `pool` (the doc-vector
+    * ordering — within the pool this IS the global vector rank) and
+    * `maxsim`. A query whose gold misses the pool counts as unranked in
+    * BOTH modes (a rerank cannot recover what the pool lost), so the
+    * delta isolates the rerank stage itself.
+    *
+    * Scale shape: one broadcast-query map-only scoring pass over the
+    * corpus, the per-qid pool cut through the bounded
+    * [[graft.expressions.TopKScored]] aggregate (only Q·candidates rows
+    * emerge), text fetched by id-join for the pool rows only, and the
+    * MaxSim fold over Q·candidates·doc_len·|q| bounded rows — the eval
+    * never materializes a per-query ranking of the corpus. */
+  def maxSimSelfRetrieval(docs: DataFrame, candidates: Int = 20,
+                          dim: Int = 64): DataFrame = {
+    val emb = HashingEmbedder(dim)
+    val queries = querySet(docs).localCheckpoint(true)
+    val corpusVecs = emb.embed(docs.select(col("id"), col("text")))
+      .select("id", "embedding")
+    val qVecs = queries.select(col("qid"),
+      emb.embeddingColumn(col("qtext")).as("qvec"))
+    val pool = corpusVecs.crossJoin(broadcast(qVecs))
+      .select(col("qid"), col("id"),
+        round(VectorFunctions.dot(col("embedding"), col("qvec")), 6).as("sim"))
+      .groupBy("qid")
+      .agg(graft.expressions.TopKScored.topK(col("sim"), col("id"), candidates).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e.id").as("id"), col("e.score").as("sim"))
+      .localCheckpoint(true) // feeds the text join AND both rank passes
+    // MaxSim stage, the LateInteraction fold shapes: distinct doc tokens
+    // of the pool rows × the OWNING query's distinct tokens, token
+    // embeddings recomputed per row by the codegen'd subword kernel,
+    // integer micro-unit max/sum so the fold is order-free
+    val docTok = pool.join(docs.select(col("id"), col("text")), Seq("id"))
+      .select(col("qid"), col("id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+      .withColumn("de", graft.search.LateInteraction.tokenEmbedding(col("term"), dim))
+    val qTok = queries
+      .select(col("qid"),
+        explode(array_distinct(TextFunctions.tokens(col("qtext")))).as("qterm"))
+      .withColumn("qe", graft.search.LateInteraction.tokenEmbedding(col("qterm"), dim))
+    val maxSim = docTok.join(broadcast(qTok), Seq("qid"))
+      .select(col("qid"), col("id"), col("qterm"),
+        round(VectorFunctions.dot(col("de"), col("qe")) * lit(1e6), 0)
+          .cast("long").as("s"))
+      .groupBy("qid", "id", "qterm").agg(max("s").as("ms"))
+      .groupBy("qid", "id").agg(sum("ms").as("smicro"))
+    val scored = pool.join(maxSim, Seq("qid", "id"), "left_outer")
+      .withColumn("smicro", coalesce(col("smicro"), lit(0L)))
+      .localCheckpoint(true) // both rank passes read it
+    // gold rank WITHIN the pool under an ordering, by counting beaten
+    // rows (score desc, id asc) — no sort; sentinel when gold missed
+    def ranksBy(score: org.apache.spark.sql.Column): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      scored
+        .withColumn("_g", max(when(col("id") === col("qid"), score)).over(w))
+        .groupBy("qid")
+        .agg(
+          max(when(col("id") === col("qid"), 1L)).as("_in"),
+          (sum(when(score > col("_g") ||
+            (score === col("_g") && col("id") < col("qid")), 1L)
+            .otherwise(0L)) + 1L).as("_r"))
+        .select(col("qid"),
+          when(col("_in").isNull, lit(UnrankedSentinel))
+            .otherwise(col("_r")).as("rank"))
+    }
+    metrics(ranksBy(col("sim")), "pool")
+      .unionAll(metrics(ranksBy(col("smicro")), "maxsim"))
+      .orderBy("mode")
+  }
 }

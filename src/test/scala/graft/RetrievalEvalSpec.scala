@@ -93,6 +93,34 @@ class RetrievalEvalSpec extends SparkSpec {
       .withColumn("last_reinforced_at", lit(null).cast("timestamp"))
   }
 
+  test("maxsim eval: exhaustive-candidates pool mode IS the selfRetrieval vector mode") {
+    // with the pool as wide as the corpus, the pool ordering is the global
+    // vector ordering — the 'pool' metrics row must equal selfRetrieval's
+    // 'vector' row exactly (same ranks, same metric math)
+    val corpus = disjointCorpus
+    val n = corpus.count().toInt
+    val poolRow = RetrievalEval.maxSimSelfRetrieval(corpus, candidates = n)
+      .filter(col("mode") === "pool").drop("mode").collect().toSeq
+    val vecRow = RetrievalEval.selfRetrieval(corpus)
+      .filter(col("mode") === "vector").drop("mode").collect().toSeq
+    assert(poolRow == vecRow)
+  }
+
+  test("maxsim eval: token evidence recovers a gold the pooled vector misranks") {
+    // query (id 0, first half) = "alpha beta gamma delta"; the distractor
+    // repeats three of the four query tokens, so its POOLED vector points
+    // more along the query than the gold (whose tail tokens dilute it) —
+    // but MaxSim sees the distractor has NO token matching "delta" while
+    // the gold matches all four, and flips the order back
+    val corpus = df(
+      0L -> "alpha beta gamma delta nois1 nois2 nois3 nois4",
+      1L -> "alpha beta gamma gamma beta alpha")
+    val out = RetrievalEval.maxSimSelfRetrieval(corpus).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap // mode -> recall@1
+    assert(out("pool") == 0.0, s"fixture must misrank under the pool: $out")
+    assert(out("maxsim") == 1.0, s"MaxSim must recover the gold: $out")
+  }
+
   test("autoNprobe picks the smallest rung clearing the target recall") {
     val s = spark
     import s.implicits._
