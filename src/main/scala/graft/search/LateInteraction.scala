@@ -84,25 +84,38 @@ object LateInteraction {
   def rerankIndexed(spark: org.apache.spark.sql.SparkSession, ivfPath: String,
                     memories: DataFrame, queryText: String, n: Int = 5,
                     candidates: Int = 20, nprobe: Int = 2,
-                    dim: Int = 64): DataFrame = {
+                    dim: Int = 64): DataFrame =
+    maxSimTail(indexedPool(spark, ivfPath, memories, queryText, candidates,
+      nprobe, dim), queryText, n, dim)
+
+  /** [[rerankIndexed]]'s pool construction, separated so PlanAuditSpec can
+    * pin its scan shape directly (the MaxSim tail checkpoints the
+    * ≤candidates pool rows, which truncates the visible lineage). */
+  private[graft] def indexedPool(spark: org.apache.spark.sql.SparkSession,
+                                 ivfPath: String, memories: DataFrame,
+                                 queryText: String, candidates: Int,
+                                 nprobe: Int, dim: Int): DataFrame = {
     val qv = DeterministicFakeSession(dim).encode(Seq(queryText)).head.toSeq
     val attrs = memories.select(col("id"), col("text"), col("archived"))
-    val pool = graft.ann.IvfIndex.probedCandidates(spark, ivfPath, qv, nprobe)
+    graft.ann.IvfIndex.probedCandidates(spark, ivfPath, qv, nprobe)
       .join(attrs, Seq("id"))
       .filter(!coalesce(col("archived"), lit(false)))
       .orderBy(desc("sim"), asc("id")).limit(candidates)
       .select(col("id"), col("sim").as("rel"), col("text"))
-    maxSimTail(pool, queryText, n, dim)
   }
 
   /** The late-interaction stage proper, over any bounded candidate pool
     * `(id, rel, text)`: distinct doc tokens → subword embeddings → per
     * query-token micro-unit max → per-doc sum → top-`n`. Shared by the
     * in-session and index-backed legs so the scoring cannot drift. */
-  private def maxSimTail(pool: DataFrame, queryText: String, n: Int,
+  private def maxSimTail(pool0: DataFrame, queryText: String, n: Int,
                          dim: Int): DataFrame = {
-    val spark = pool.sparkSession
+    val spark = pool0.sparkSession
     import spark.implicits._
+    // the pool feeds TWO consumers (the token explode and the final rank
+    // join) — materialize its ≤candidates rows once, or the upstream
+    // corpus/probed scan executes twice
+    val pool = pool0.localCheckpoint(true)
     // distinct doc tokens over the pool (MaxSim over duplicates of the
     // same token is the max over one of them — distinct is exact here)
     val docTok = pool

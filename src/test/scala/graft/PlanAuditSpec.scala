@@ -344,7 +344,8 @@ class PlanAuditSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val plan = graft.search.LateInteraction
-        .rerankIndexed(spark, ivfPath, mem, Queries.QueryTokens.mkString(" "))
+        .indexedPool(spark, ivfPath, mem, Queries.QueryTokens.mkString(" "),
+          candidates = 20, nprobe = 2, dim = 64)
         .queryExecution.executedPlan.toString
       val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
       val asg = scans.filter(_.contains("assignments"))
