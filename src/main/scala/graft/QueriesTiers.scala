@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ann.{Ann, BinaryQuant, Pq, Quantize}
-import graft.core.{Corpus, OracleCtes, OracleText, Tables}
+import graft.core.{Corpus, OracleCtes, OracleHybrid, OracleText, Tables}
 import graft.search.{GraphSearch, VectorSearch}
 import graft.text.TextAnalysis
 
@@ -244,7 +244,16 @@ object QueriesTiers {
     // retrieval quality on this corpus? self-retrieval recall/MRR under
     // the pool order vs the MaxSim order, one row per mode
     "ev_maxsim_rerank" -> ((s, dir) =>
-      graft.eval.RetrievalEval.maxSimSelfRetrieval(Queries.docs(s, dir))))
+      graft.eval.RetrievalEval.maxSimSelfRetrieval(Queries.docs(s, dir))),
+    // the production cascade: the FUSED hybrid top-20 (RRF over
+    // vector+BM25+recency+feedback+confidence) re-ordered by MaxSim —
+    // retrieve wide with the fused signals, re-rank narrow on token
+    // evidence
+    "r18_maxsim_hybrid" -> ((s, dir) =>
+      graft.search.LateInteraction.rerankHybrid(
+        Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
+        Queries.hybridParams(s, dir), Queries.QueryTokens.mkString(" "),
+        n = 5, candidates = 20)))
 
   private val bqQ =
     "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
@@ -784,5 +793,17 @@ object QueriesTiers {
          |UNION ALL
          |${met("pool", "mprank")}
          |ORDER BY mode""".stripMargin
-    })
+    },
+    // the cascade's pool is the fused-hybrid SQL verbatim (vector + BM25
+    // oversampled legs, RRF, recency/feedback/confidence signals) cut at
+    // 20, feeding the shared MaxSim tail
+    "r18_maxsim_hybrid" ->
+      s"""WITH ${OracleCtes.memories},
+         |${OracleCtes.searchFeedback},
+         |${OracleHybrid.fusedCtes(Queries.oracleHybridParams.copy(k = 20), n = 1000000, vecId = 0)},
+         |lpool AS MATERIALIZED (
+         |  SELECT f.id, round(f.rrf, 6) AS rel, m.text
+         |  FROM fused f JOIN memories m USING (id)
+         |  ORDER BY f.rrf DESC, f.id LIMIT 20),
+         |$maxSimTailSql""".stripMargin)
 }

@@ -88,6 +88,23 @@ object LateInteraction {
     maxSimTail(indexedPool(spark, ivfPath, memories, queryText, candidates,
       nprobe, dim), queryText, n, dim)
 
+  /** The production cascade: MaxSim as the rerank stage over the FUSED
+    * hybrid retrieval — [[HybridSearch.search]] (RRF over vector + BM25 +
+    * the extra rank signals) supplies the `candidates`-deep pool, the
+    * late interaction re-orders it on token evidence. `rel` is the fused
+    * rrf score (6dp). The pool's text rides an id-equi-join against the
+    * corpus attributes (column-pruned, ≤candidates result rows) — the
+    * rerank stage itself never touches a corpus-sized frame. */
+  def rerankHybrid(memories: DataFrame, feedback: Option[DataFrame],
+                   p: HybridSearch.Params, queryText: String, n: Int = 5,
+                   candidates: Int = 20, dim: Int = 64): DataFrame = {
+    val pool = HybridSearch.search(memories, feedback, p.copy(k = candidates))
+      .select(col("id"), col("rrf_score").as("rel"))
+      .join(memories.select(col("id"), col("text")), Seq("id"))
+      .select(col("id"), col("rel"), col("text"))
+    maxSimTail(pool, queryText, n, dim)
+  }
+
   /** [[rerankIndexed]]'s pool construction, separated so PlanAuditSpec can
     * pin its scan shape directly (the MaxSim tail checkpoints the
     * ≤candidates pool rows, which truncates the visible lineage). */

@@ -49,15 +49,11 @@ class LateInteractionSpec extends SparkSpec {
     }
   }
 
-  test("rerank reproduces a driver-side MaxSim fold over the candidate pool") {
-    val mem = Corpus.memories(spark, sf())
-    val queryText = Queries.QueryTokens.mkString(" ")
-    val qv = DeterministicFakeSession(dim).encode(Seq(queryText)).head.toSeq
-    val pool = VectorSearch.topK(mem, qv, k = 20)
-      .select(col("id"), col("sim"), col("text"))
-      .as[(Long, Double, String)].collect()
+  /** Driver-side re-derivation of the MaxSim fold over a collected pool
+    * (id, rel, text): the expected (rank, id, rel, maxsim) top-5. */
+  private def maxSimFold(pool: Seq[(Long, Double, String)]): Seq[(Int, Long, Double, Double)] = {
     val qEmb = Queries.QueryTokens.distinct.map(tokEmbed)
-    val expected = pool.map { case (id, rel, text) =>
+    pool.map { case (id, rel, text) =>
       val docToks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
       val smicro = qEmb.map { qe =>
         if (docToks.isEmpty) 0L
@@ -71,10 +67,36 @@ class LateInteractionSpec extends SparkSpec {
       .map { case ((id, rel, sm), i) =>
         (i + 1, id, rel, BigDecimal(sm / 1e6)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }.toSeq
+      }
+  }
+
+  test("rerank reproduces a driver-side MaxSim fold over the candidate pool") {
+    val mem = Corpus.memories(spark, sf())
+    val queryText = Queries.QueryTokens.mkString(" ")
+    val qv = DeterministicFakeSession(dim).encode(Seq(queryText)).head.toSeq
+    val pool = VectorSearch.topK(mem, qv, k = 20)
+      .select(col("id"), col("sim"), col("text"))
+      .as[(Long, Double, String)].collect().toSeq
     val got = LateInteraction.rerank(mem, queryText, n = 5, candidates = 20)
       .as[(Int, Long, Double, Double)].collect().toSeq
-    assert(got == expected)
+    assert(got == maxSimFold(pool))
+  }
+
+  test("hybrid cascade reproduces the fold over the FUSED pool") {
+    val mem = Corpus.memories(spark, sf())
+    val fb = Some(Corpus.searchFeedback(spark, sf()))
+    val p = Queries.hybridParams(spark, sf())
+    val queryText = Queries.QueryTokens.mkString(" ")
+    val textById = mem.select(col("id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    val pool = graft.search.HybridSearch.search(mem, fb, p.copy(k = 20))
+      .select(col("id"), col("rrf_score"))
+      .as[(Long, Double)].collect().toSeq
+      .map { case (id, rel) => (id, rel, textById(id)) }
+    val got = LateInteraction
+      .rerankHybrid(mem, fb, p, queryText, n = 5, candidates = 20)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(got == maxSimFold(pool))
   }
 
   test("indexed rerank with an exhaustive probe IS the in-session rerank") {
