@@ -116,6 +116,15 @@ class JobCountSpec extends SparkSpec {
     "gr_components_incremental" -> 35,
     "tc_decontam_report" -> 23,
     "r17_prf_expansion" -> 13,
+    // round-14 MaxSim family (measured in-suite at sf0.001: 10/33/20,
+    // + ~15%): the rerank tail is a CONSTANT number of jobs over the
+    // checkpointed ≤candidates pool (explode + bounded crossJoin + two
+    // aggs + window) — a regression that re-executes the pool scan or
+    // adds a per-token pass shows up here; the hybrid cascade = r4's
+    // fused plan + the constant tail
+    "r18_maxsim_rerank" -> 12,
+    "r18_maxsim_hybrid" -> 38,
+    "ev_maxsim_rerank" -> 23,
     // maintenance family, re-measured 2026-08-15 (round 12) after the
     // combined-applyCdc / driver-side-Murmur3 rework: each of these is a
     // FIXED number of generation publishes (write + read-back verify +
