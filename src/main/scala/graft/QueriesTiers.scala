@@ -245,6 +245,11 @@ object QueriesTiers {
     // the pool order vs the MaxSim order, one row per mode
     "ev_maxsim_rerank" -> ((s, dir) =>
       graft.eval.RetrievalEval.maxSimSelfRetrieval(Queries.docs(s, dir))),
+    // the cascade's own instrument: fused-hybrid pool (RRF of vector+BM25
+    // legs) re-ranked by MaxSim — does late interaction still help AFTER
+    // fusion has blended token evidence in through the BM25 leg?
+    "ev_maxsim_cascade" -> ((s, dir) =>
+      graft.eval.RetrievalEval.maxSimCascadeEval(Queries.docs(s, dir))),
     // the production cascade: the FUSED hybrid top-20 (RRF over
     // vector+BM25+recency+feedback+confidence) re-ordered by MaxSim —
     // retrieve wide with the fused signals, re-rank narrow on token
@@ -354,6 +359,73 @@ object QueriesTiers {
        |  FROM (SELECT p.id, p.rel, coalesce(s.smicro, CAST(0 AS BIGINT)) AS smicro
        |        FROM lpool p LEFT JOIN lsc s USING (id)))
        |WHERE rank <= 5 ORDER BY rank""".stripMargin
+  }
+
+  /** Shared head of the MaxSim instruments' oracles: corpus, the
+    * truncated-self-retrieval query set, and both embed chains
+    * (ef = corpus docs, qef = queries). */
+  private lazy val maxSimEvalHeadSql: String = {
+    val ev = graft.eval.RetrievalEval
+    val t = OracleText.toks("text")
+    s"""corpus AS MATERIALIZED (SELECT doc_id AS id, text FROM documents),
+       |qdoc AS MATERIALIZED (
+       |  SELECT id AS qid, array_to_string(t[1:greatest(len(t) // 2, 1)], ' ') AS text
+       |  FROM (SELECT id, $t AS t FROM corpus)
+       |  WHERE id % ${ev.SampleMod} = 0 AND len(t) >= 4
+       |  ORDER BY qid LIMIT ${ev.MaxQueries}),
+       |${OracleText.embedCtesOver("corpus", 64)},
+       |${OracleText.embedCtesOver("(SELECT qid AS id, text FROM qdoc) qsrc", 64, "qe")}""".stripMargin
+  }
+
+  /** Shared tail of the MaxSim instruments' oracles, over a pool CTE
+    * `mpool(qid, id, ps)` in scope: the micro-unit MaxSim fold (one
+    * term-embed chain over the union of doc+query terms), gold ranks
+    * counted within the pool under the pool order vs the MaxSim order
+    * (sentinel when the gold missed the pool), one metrics row per
+    * mode. Parameterized only by the emitted mode labels so the two
+    * instruments cannot drift. */
+  private def maxSimEvalTailSql(poolMode: String, maxMode: String): String = {
+    val ev = graft.eval.RetrievalEval
+    def met(mode: String, rel: String) =
+      s"""SELECT '$mode' AS mode, CAST(count(*) AS BIGINT) AS n_queries,
+         |  round(CAST(count(*) FILTER (WHERE rnk <= 1) AS DOUBLE) / count(*), 6) AS recall_at_1,
+         |  round(CAST(count(*) FILTER (WHERE rnk <= 5) AS DOUBLE) / count(*), 6) AS recall_at_5,
+         |  round(CAST(count(*) FILTER (WHERE rnk <= 10) AS DOUBLE) / count(*), 6) AS recall_at_10,
+         |  round(CAST(sum(CASE WHEN rnk <= 10 THEN 1000000 // rnk ELSE 0 END) AS DOUBLE) / 1000000.0 / count(*), 6) AS mrr_at_10
+         |FROM $rel""".stripMargin
+    s"""mdt AS MATERIALIZED (
+       |  SELECT p.qid, p.id, t.term
+       |  FROM mpool p JOIN corpus c ON c.id = p.id,
+       |    unnest(list_distinct(${OracleText.toks("c.text")})) AS t(term)),
+       |mqt AS MATERIALIZED (
+       |  SELECT q.qid, t.term AS qterm
+       |  FROM qdoc q, unnest(list_distinct(${OracleText.toks("q.text")})) AS t(term)),
+       |${OracleText.embedCtesOver(s"(SELECT term AS id, ${OracleText.gramSql("term")} AS text FROM (SELECT DISTINCT term FROM (SELECT term FROM mdt UNION SELECT qterm FROM mqt))) mtsrc", 64, "mt")},
+       |mms AS MATERIALIZED (
+       |  SELECT d.qid, d.id, q.qterm,
+       |    max(CAST(round(${OracleCtes.dot64("de.e", "qe.e")} * 1e6, 0) AS BIGINT)) AS ms
+       |  FROM mdt d JOIN mqt q ON q.qid = d.qid
+       |  JOIN mtf de ON de.id = d.term JOIN mtf qe ON qe.id = q.qterm
+       |  GROUP BY 1, 2, 3),
+       |msc AS (SELECT qid, id, CAST(sum(ms) AS BIGINT) AS smicro FROM mms GROUP BY 1, 2),
+       |mfin AS MATERIALIZED (
+       |  SELECT p.qid, p.id, p.ps, coalesce(s.smicro, CAST(0 AS BIGINT)) AS smicro
+       |  FROM mpool p LEFT JOIN msc s ON s.qid = p.qid AND s.id = p.id),
+       |mgold AS (SELECT qid, ps AS gs, smicro AS gm FROM mfin WHERE id = qid),
+       |mprank AS (
+       |  SELECT f.qid, CASE WHEN g.gs IS NULL THEN ${ev.UnrankedSentinel}
+       |    ELSE 1 + count(*) FILTER (
+       |      WHERE f.ps > g.gs OR (f.ps = g.gs AND f.id < f.qid)) END AS rnk
+       |  FROM mfin f LEFT JOIN mgold g USING (qid) GROUP BY f.qid, g.gs),
+       |mmrank AS (
+       |  SELECT f.qid, CASE WHEN g.gm IS NULL THEN ${ev.UnrankedSentinel}
+       |    ELSE 1 + count(*) FILTER (
+       |      WHERE f.smicro > g.gm OR (f.smicro = g.gm AND f.id < f.qid)) END AS rnk
+       |  FROM mfin f LEFT JOIN mgold g USING (qid) GROUP BY f.qid, g.gm)
+       |${met(maxMode, "mmrank")}
+       |UNION ALL
+       |${met(poolMode, "mprank")}
+       |ORDER BY mode""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -733,67 +805,44 @@ object QueriesTiers {
     // pool, ONE term-embed chain over the union of doc+query terms, the
     // micro-unit MaxSim fold per (qid, id), gold ranks counted within the
     // pool under both orderings, the standard metrics row per mode
-    "ev_maxsim_rerank" -> {
-      val ev = graft.eval.RetrievalEval
-      def met(mode: String, rel: String) =
-        s"""SELECT '$mode' AS mode, CAST(count(*) AS BIGINT) AS n_queries,
-           |  round(CAST(count(*) FILTER (WHERE rnk <= 1) AS DOUBLE) / count(*), 6) AS recall_at_1,
-           |  round(CAST(count(*) FILTER (WHERE rnk <= 5) AS DOUBLE) / count(*), 6) AS recall_at_5,
-           |  round(CAST(count(*) FILTER (WHERE rnk <= 10) AS DOUBLE) / count(*), 6) AS recall_at_10,
-           |  round(CAST(sum(CASE WHEN rnk <= 10 THEN 1000000 // rnk ELSE 0 END) AS DOUBLE) / 1000000.0 / count(*), 6) AS mrr_at_10
-           |FROM $rel""".stripMargin
-      val t = OracleText.toks("text")
-      s"""WITH corpus AS MATERIALIZED (SELECT doc_id AS id, text FROM documents),
-         |qdoc AS MATERIALIZED (
-         |  SELECT id AS qid, array_to_string(t[1:greatest(len(t) // 2, 1)], ' ') AS text
-         |  FROM (SELECT id, $t AS t FROM corpus)
-         |  WHERE id % ${ev.SampleMod} = 0 AND len(t) >= 4
-         |  ORDER BY qid LIMIT ${ev.MaxQueries}),
-         |${OracleText.embedCtesOver("corpus", 64)},
-         |${OracleText.embedCtesOver("(SELECT qid AS id, text FROM qdoc) qsrc", 64, "qe")},
+    "ev_maxsim_rerank" ->
+      s"""WITH $maxSimEvalHeadSql,
          |mvs AS (
          |  SELECT q.id AS qid, d.id,
          |    round(list_sum(list_transform(range(1, 65), i -> d.e[i] * q.e[i])), 6) AS sim
          |  FROM ef d CROSS JOIN qef q),
          |mpool AS MATERIALIZED (
-         |  SELECT qid, id, sim FROM (
+         |  SELECT qid, id, sim AS ps FROM (
          |    SELECT qid, id, sim,
          |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
          |    FROM mvs) WHERE rn <= 20),
-         |mdt AS MATERIALIZED (
-         |  SELECT p.qid, p.id, t.term
-         |  FROM mpool p JOIN corpus c ON c.id = p.id,
-         |    unnest(list_distinct(${t})) AS t(term)),
-         |mqt AS MATERIALIZED (
-         |  SELECT q.qid, t.term AS qterm
-         |  FROM qdoc q, unnest(list_distinct(${OracleText.toks("q.text")})) AS t(term)),
-         |${OracleText.embedCtesOver(s"(SELECT term AS id, ${OracleText.gramSql("term")} AS text FROM (SELECT DISTINCT term FROM (SELECT term FROM mdt UNION SELECT qterm FROM mqt))) mtsrc", 64, "mt")},
-         |mms AS MATERIALIZED (
-         |  SELECT d.qid, d.id, q.qterm,
-         |    max(CAST(round(${OracleCtes.dot64("de.e", "qe.e")} * 1e6, 0) AS BIGINT)) AS ms
-         |  FROM mdt d JOIN mqt q ON q.qid = d.qid
-         |  JOIN mtf de ON de.id = d.term JOIN mtf qe ON qe.id = q.qterm
-         |  GROUP BY 1, 2, 3),
-         |msc AS (SELECT qid, id, CAST(sum(ms) AS BIGINT) AS smicro FROM mms GROUP BY 1, 2),
-         |mfin AS MATERIALIZED (
-         |  SELECT p.qid, p.id, p.sim, coalesce(s.smicro, CAST(0 AS BIGINT)) AS smicro
-         |  FROM mpool p LEFT JOIN msc s ON s.qid = p.qid AND s.id = p.id),
-         |mgold AS (SELECT qid, sim AS gs, smicro AS gm FROM mfin WHERE id = qid),
-         |mprank AS (
-         |  SELECT f.qid, CASE WHEN g.gs IS NULL THEN ${ev.UnrankedSentinel}
-         |    ELSE 1 + count(*) FILTER (
-         |      WHERE f.sim > g.gs OR (f.sim = g.gs AND f.id < f.qid)) END AS rnk
-         |  FROM mfin f LEFT JOIN mgold g USING (qid) GROUP BY f.qid, g.gs),
-         |mmrank AS (
-         |  SELECT f.qid, CASE WHEN g.gm IS NULL THEN ${ev.UnrankedSentinel}
-         |    ELSE 1 + count(*) FILTER (
-         |      WHERE f.smicro > g.gm OR (f.smicro = g.gm AND f.id < f.qid)) END AS rnk
-         |  FROM mfin f LEFT JOIN mgold g USING (qid) GROUP BY f.qid, g.gm)
-         |${met("maxsim", "mmrank")}
-         |UNION ALL
-         |${met("pool", "mprank")}
-         |ORDER BY mode""".stripMargin
-    },
+         |${maxSimEvalTailSql("pool", "maxsim")}""".stripMargin,
+    // the cascade's own instrument: the fused-hybrid pool (vector + BM25
+    // legs oversampled 30, RRF 0.7 / 1−0.7, cut at 20 by unrounded f,
+    // ranked by round(f, 6) — the indexed-eval conventions) re-ranked by
+    // MaxSim, gold ranks under both orderings
+    "ev_maxsim_cascade" ->
+      s"""WITH $maxSimEvalHeadSql,
+         |cvs AS (
+         |  SELECT q.id AS qid, d.id,
+         |    round(list_sum(list_transform(range(1, 65), i -> d.e[i] * q.e[i])), 6) AS sim
+         |  FROM ef d CROSS JOIN qef q),
+         |cvr AS MATERIALIZED (SELECT qid, id, rn - 1 AS rv FROM (
+         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+         |  FROM cvs) WHERE rn <= 30),
+         |${OracleHybrid.bm25BatchCtes("corpus", "qdoc")},
+         |cbr AS MATERIALIZED (SELECT qid, id, rn - 1 AS rb FROM (
+         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, id) AS rn
+         |  FROM bm WHERE bm25 > 0) WHERE rn <= 30),
+         |cfu AS (SELECT coalesce(v.qid, b.qid) AS qid, coalesce(v.id, b.id) AS id,
+         |  coalesce(0.7 / (v.rv + ${graft.search.HybridSearch.RrfK}), 0.0)
+         |    + coalesce((1.0 - 0.7) / (b.rb + ${graft.search.HybridSearch.RrfK}), 0.0) AS f
+         |  FROM cvr v FULL OUTER JOIN cbr b ON v.qid = b.qid AND v.id = b.id),
+         |mpool AS MATERIALIZED (
+         |  SELECT qid, id, round(f, 6) AS ps FROM (
+         |    SELECT qid, id, f, row_number() OVER (PARTITION BY qid ORDER BY f DESC, id) AS rn
+         |    FROM cfu) WHERE rn <= 20),
+         |${maxSimEvalTailSql("hybrid_pool", "hybrid_maxsim")}""".stripMargin,
     // the cascade's pool is the fused-hybrid SQL verbatim (vector + BM25
     // oversampled legs, RRF, recency/feedback/confidence signals) cut at
     // 20, feeding the shared MaxSim tail

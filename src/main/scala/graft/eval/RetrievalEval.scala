@@ -350,8 +350,67 @@ object RetrievalEval {
       .groupBy("qid")
       .agg(graft.expressions.TopKScored.topK(col("sim"), col("id"), candidates).as("top"))
       .select(col("qid"), explode(col("top")).as("e"))
-      .select(col("qid"), col("e.id").as("id"), col("e.score").as("sim"))
-      .localCheckpoint(true) // feeds the text join AND both rank passes
+      .select(col("qid"), col("e.id").as("id"), col("e.score").as("ps"))
+    maxSimModes(pool, docs, queries, dim, "pool", "maxsim")
+  }
+
+  /** [[maxSimSelfRetrieval]] with the FUSED hybrid pool — the cascade's
+    * own instrument: the per-qid pool is the RRF fusion of the vector and
+    * BM25 legs (oversample 30 each, weights 0.7 / 1−0.7, the
+    * `ev_self_retrieval_indexed` conventions) cut at `candidates`, and
+    * the gold ranks under the fused order (`hybrid_pool`) vs the MaxSim
+    * order (`hybrid_maxsim`) feed the same metrics. Measures whether the
+    * late-interaction stage helps AFTER fusion has already blended token
+    * evidence in through the BM25 leg. */
+  def maxSimCascadeEval(docs: DataFrame, candidates: Int = 20,
+                        dim: Int = 64): DataFrame = {
+    import graft.expressions.TopKScored.topK
+    val over = 30
+    val emb = HashingEmbedder(dim)
+    val queries = querySet(docs).localCheckpoint(true)
+    val corpusVecs = emb.embed(docs.select(col("id"), col("text")))
+      .select("id", "embedding")
+    val qVecs = queries.select(col("qid"),
+      emb.embeddingColumn(col("qtext")).as("qvec"))
+    // vector leg: per-qid top-30 with 0-based rank, via the bounded agg
+    val vecRanks = corpusVecs.crossJoin(broadcast(qVecs))
+      .select(col("qid"), col("id"),
+        round(VectorFunctions.dot(col("embedding"), col("qvec")), 6).as("sim"))
+      .groupBy("qid").agg(topK(col("sim"), col("id"), over).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("id"), col("pos").as("rv"))
+    // BM25 leg: one batch term-join pass, positive scores, top-30
+    val qTerms = queries
+      .select(col("qid"), explode(TextFunctions.tokens(col("qtext"))).as("term"))
+      .groupBy("qid", "term").agg(count(lit(1)).as("qn"))
+    val bmRanks = BM25.batchScores(docs, qTerms)
+      .filter(col("bm25") > 0)
+      .groupBy("qid").agg(topK(col("bm25"), col("id"), over).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("id"), col("pos").as("rb"))
+    // RRF with the engine's weight EXPRESSIONS (bm25 weight = 1 − 0.7);
+    // cut by unrounded f, rank by round(f, 6) — the indexed-eval rules
+    val fusedAll = vecRanks.join(bmRanks, Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"),
+        (coalesce(lit(0.7) / (col("rv") + lit(graft.search.HybridSearch.RrfK)), lit(0.0)) +
+          coalesce(lit(1.0 - 0.7) / (col("rb") + lit(graft.search.HybridSearch.RrfK)), lit(0.0)))
+          .as("f"))
+    val pool = fusedAll
+      .groupBy("qid").agg(topK(col("f"), col("id"), candidates).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e.id").as("id"), round(col("e.score"), 6).as("ps"))
+    maxSimModes(pool, docs, queries, dim, "hybrid_pool", "hybrid_maxsim")
+  }
+
+  /** The shared measurement tail: given a per-qid candidate pool
+    * (qid, id, ps) and the query set, compute each pool row's MaxSim
+    * micro-score, rank the gold under the pool order and the MaxSim
+    * order (sentinel when the gold missed the pool), and emit one
+    * metrics row per mode. */
+  private def maxSimModes(pool0: DataFrame, docs: DataFrame,
+                          queries: DataFrame, dim: Int,
+                          poolMode: String, maxSimMode: String): DataFrame = {
+    val pool = pool0.localCheckpoint(true) // feeds the text join AND both rank passes
     // MaxSim stage, the LateInteraction fold shapes: distinct doc tokens
     // of the pool rows × the OWNING query's distinct tokens, token
     // embeddings recomputed per row by the codegen'd subword kernel,
@@ -389,8 +448,8 @@ object RetrievalEval {
           when(col("_in").isNull, lit(UnrankedSentinel))
             .otherwise(col("_r")).as("rank"))
     }
-    metrics(ranksBy(col("sim")), "pool")
-      .unionAll(metrics(ranksBy(col("smicro")), "maxsim"))
+    metrics(ranksBy(col("ps")), poolMode)
+      .unionAll(metrics(ranksBy(col("smicro")), maxSimMode))
       .orderBy("mode")
   }
 }

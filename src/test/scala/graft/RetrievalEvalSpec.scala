@@ -121,6 +121,31 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(out("maxsim") == 1.0, s"MaxSim must recover the gold: $out")
   }
 
+  test("maxsim cascade eval: perfect corpus scores 1.0 under both fused orderings") {
+    // on the disjoint-vocabulary corpus each doc is its own best match in
+    // BOTH legs, so fusion and the MaxSim rerank must both keep it at 1
+    val out = RetrievalEval.maxSimCascadeEval(disjointCorpus).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("hybrid_maxsim", "hybrid_pool"))
+    out.foreach { r =>
+      assert(r.getLong(1) == 2)
+      assert(r.getDouble(2) == 1.0 && r.getDouble(5) == 1.0, r.toString)
+    }
+  }
+
+  test("maxsim cascade eval: the rerank never loses a gold the pool carries") {
+    // the vector-pool flip fixture, through the CASCADE: whatever order
+    // fusion lands on (the two-doc corpus gives the BM25 leg almost no
+    // idf signal), the gold is IN the pool and carries all four query
+    // tokens, so the MaxSim pass must rank it first
+    val corpus = df(
+      0L -> "alpha beta gamma delta nois1 nois2 nois3 nois4",
+      1L -> "alpha beta gamma gamma beta alpha")
+    val out = RetrievalEval.maxSimCascadeEval(corpus).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("hybrid_maxsim") == 1.0, s"MaxSim must recover the gold: $out")
+    assert(out("hybrid_maxsim") >= out("hybrid_pool"), out.toString)
+  }
+
   test("autoNprobe picks the smallest rung clearing the target recall") {
     val s = spark
     import s.implicits._
