@@ -125,6 +125,9 @@ class JobCountSpec extends SparkSpec {
     "r18_maxsim_rerank" -> 12,
     "r18_maxsim_hybrid" -> 38,
     "ev_maxsim_rerank" -> 23,
+    // cascade eval measured 40 in-suite (two leg rank passes + fusion +
+    // the constant tail)
+    "ev_maxsim_cascade" -> 46,
     // maintenance family, re-measured 2026-08-15 (round 12) after the
     // combined-applyCdc / driver-side-Murmur3 rework: each of these is a
     // FIXED number of generation publishes (write + read-back verify +
