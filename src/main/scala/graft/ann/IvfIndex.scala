@@ -72,6 +72,12 @@ object IvfIndex {
   val GateMaxProbeRowsKey = "graft.gate.maxProbeRows"
   val GateMaxProbeRowsDefault: Long = 1000000L
 
+  /** Salt fan-out of the past-cap shuffle fallback in
+    * [[probedCandidatesBatch]]: a hot probed cell's output spreads over
+    * this many reducer tasks instead of one (the probe frame is
+    * replicated this many times — bounded, it is the smaller side). */
+  val GateFallbackSalts = 8
+
   private val Tables = Seq("centroids", "assignments", "cellstats", "ids")
 
   private def collectIds(ids: DataFrame, failOnDup: Boolean,
@@ -607,20 +613,32 @@ object IvfIndex {
       .filter(col("_rn") <= col("_np") && col("_rn") > col("_npf"))
       .select(col("qid"), col("qv"), col("label").as("ivf_cell"))
       .localCheckpoint(true) // read twice: the cell collect + the join
-    val cells = probes.select("ivf_cell").distinct()
-      .collect().map(_.getInt(0)).toSeq // bounded by nlist, cap-independent
+    // ONE job serves both planning needs (r14 verdict #3 — the separate
+    // probes.count() serialized a second job into every gate micro-batch):
+    // the per-cell counts are the distinct probed cells AND, summed, the
+    // probe-frame size the broadcast cap checks. ≤ nlist result rows.
+    val cellCounts = probes.groupBy("ivf_cell")
+      .agg(count(lit(1)).as("_n")).collect()
+    val cells = cellCounts.map(_.getInt(0)).toSeq // bounded by nlist
+    val probeRows = cellCounts.map(_.getLong(1)).sum
     val pruned = ld("assignments").filter(col("ivf_cell").isin(cells: _*))
     // broadcast only under the conf-keyed cap: each probe row carries the
     // query vector, so a bulk batch would pressure the driver and blow the
-    // broadcast comfort zone — past the cap, shuffle both sides on the
-    // cell key instead (same output, no driver materialization). The
-    // count is one cheap job over the just-checkpointed probe frame.
+    // broadcast comfort zone — past the cap, shuffle instead (same output,
+    // no driver materialization). The fallback pre-salts the join (r14
+    // verdict #6): plain repartition(ivf_cell) puts a hot cell — one every
+    // qid probes — on ONE reducer emitting |qids probing it| × |cell|
+    // rows; salting the CORPUS side by hash(id) and replicating the probe
+    // frame [[GateFallbackSalts]]× spreads that product over
+    // GateFallbackSalts tasks per cell (the probe frame is the smaller
+    // side past the cap — the cell populations are the ones that must
+    // never be replicated).
     val cap = spark.conf.get(GateMaxProbeRowsKey,
       GateMaxProbeRowsDefault.toString).toLong
     val joined =
-      if (probes.count() <= cap) pruned.join(broadcast(probes), "ivf_cell")
-      else pruned.repartition(col("ivf_cell"))
-        .join(probes.repartition(col("ivf_cell")), "ivf_cell")
+      if (probeRows <= cap) pruned.join(broadcast(probes), "ivf_cell")
+      else graft.joins.Joins.saltedJoin(pruned, probes, Seq("ivf_cell"),
+        salts = GateFallbackSalts, saltOn = xxhash64(col("id")))
     joined.select(col("qid"), col("id"), col("ivf_cell"),
       roundScore(dot(col("embedding"), col("qv"))).as("sim"))
   }

@@ -77,4 +77,39 @@ class MaintenanceGuardSpec extends SparkSpec {
       "shuffle-join fallback diverged from the broadcast plan")
     finally spark.conf.unset(graft.ann.IvfIndex.GateMaxProbeRowsKey)
   }
+
+  test("the shuffle fallback pre-salts a planted hot cell across reducers") {
+    // r14 verdict #6: past the cap, a cell every qid probes would land its
+    // whole |qids| × |cell| product on ONE reducer under a plain
+    // repartition(ivf_cell) join. The fallback salts the corpus side by
+    // hash(id) and replicates the probe frame GateFallbackSalts×, so the
+    // hot cell's output spreads over GateFallbackSalts tasks — pinned here
+    // by (a) row-identity with the broadcast plan and (b) the salt key in
+    // the physical join, with ~80% of the corpus planted in one cell and
+    // every query probing it first.
+    val ivfPath = "/root/repo/target/tmp/guard_hotcell_ivf"
+    Store.deleteRecursive(ivfPath)
+    // 40 of 50 rows in cell 0 (the hot cell); every query vector points
+    // at cell 0 first, cell 1 second
+    val seed = ((1L to 40L).map(i => (i, v(1, 0.001 * i))) ++
+      (41L to 50L).map(i => (i, v(0.001 * i, 1)))).toDF("id", "embedding")
+    graft.ann.IvfIndex.buildWithCentroids(seed,
+      Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f))).toDF("label", "centroid"),
+      ivfPath)
+    val queries = (100 to 105).map(q => (q, v(0.95, 0.05 * (q - 99))))
+      .toDF("qid", "qv")
+    def frame() = graft.ann.IvfIndex
+      .probedCandidatesBatch(spark, ivfPath, queries, nprobe = 2)
+    def rows() = frame().select("qid", "id", "ivf_cell", "sim")
+      .as[(Int, Long, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    val broadcasted = rows()
+    spark.conf.set(graft.ann.IvfIndex.GateMaxProbeRowsKey, "1")
+    try {
+      assert(rows().sameElements(broadcasted),
+        "salted fallback diverged from the broadcast plan")
+      val plan = frame().queryExecution.executedPlan.toString
+      assert(plan.contains("_salt"),
+        s"past-cap fallback must join on the salt key:\n$plan")
+    } finally spark.conf.unset(graft.ann.IvfIndex.GateMaxProbeRowsKey)
+  }
 }
