@@ -44,7 +44,13 @@ object LateInteraction {
   /** Subword gram text for one (already lowercased, whitespace-free)
     * token: the token itself plus its character trigrams, space-joined —
     * the input the hashing embedder turns into a bag-of-subwords vector.
-    * Tokens shorter than 3 chars embed as themselves alone. */
+    * Tokens shorter than 3 chars embed as themselves alone. A length-3
+    * token's single trigram IS the token, so that feature appears twice
+    * in the bag — INTENTIONAL double weighting (the fastText formulation
+    * keeps the whole-word feature alongside every n-gram without
+    * special-casing boundary lengths; Bojanowski '17 §3.2 uses <>-marked
+    * boundaries for the same effect), mirrored exactly by the oracle's
+    * gramSql and pinned by LateInteractionSpec. */
   def gramText(tok: Column): Column = {
     val tris = when(length(tok) >= 3,
       transform(sequence(lit(1), length(tok) - lit(2)), i => tok.substr(i, lit(3))))
@@ -97,13 +103,51 @@ object LateInteraction {
     * rerank stage itself never touches a corpus-sized frame. */
   def rerankHybrid(memories: DataFrame, feedback: Option[DataFrame],
                    p: HybridSearch.Params, queryText: String, n: Int = 5,
-                   candidates: Int = 20, dim: Int = 64): DataFrame = {
+                   candidates: Int = 20, dim: Int = 64,
+                   mode: String = ModeMaxSim): DataFrame = {
     val pool = HybridSearch.search(memories, feedback, p.copy(k = candidates))
       .select(col("id"), col("rrf_score").as("rel"))
       .join(memories.select(col("id"), col("text")), Seq("id"))
       .select(col("id"), col("rel"), col("text"))
-    maxSimTail(pool, queryText, n, dim)
+    maxSimTail(pool, queryText, n, dim, mode)
   }
+
+  /** Final-ranking modes of the MaxSim tail (r14 verdict #2 — the eval
+    * instruments showed pure-MaxSim ordering losing recall@1 to the pool
+    * order while winning the deep tail, so the cascade should BLEND the
+    * fused and token signals, not replace one with the other):
+    *
+    *  - [[ModeMaxSim]]  rank by the MaxSim micro-score alone (the ColBERT
+    *    rerank shape; the original r14 behavior and the default).
+    *  - [[ModeBlendRrf]] rank by RRF of the pool rank and the MaxSim rank
+    *    (0-based ranks, the engine's [[HybridSearch.RrfK]] constant,
+    *    blend 6dp-rounded, ties by id) — keeps the pool's top-1 signal
+    *    while letting token evidence repair the tail; measured by
+    *    `ev_maxsim_blend`.
+    *  - [[ModeBlendTie]] rank by the pool score FIRST, MaxSim only as the
+    *    tiebreaker (rel desc, maxsim desc, id) — the conservative blend:
+    *    identical to the pool order wherever the fused score
+    *    discriminates. */
+  val ModeMaxSim = "maxsim"
+  val ModeBlendRrf = "blend_rrf"
+  val ModeBlendTie = "blend_tie"
+
+  /** [[ModeBlendWrrf]]: pool-weighted steep-k RRF —
+    * blend = 2w/(k₀+pool_rank) + 2(1−w)/(k₀+maxsim_rank), 0-based ranks,
+    * w = [[BlendPoolWeight]], k₀ = [[BlendRrfK]] (the 2× scale makes
+    * w = 0.5 at k₀ = RrfK coincide with [[ModeBlendRrf]]'s unweighted
+    * form — one formula serves both modes). The standard RrfK = 60
+    * curve is too flat to protect the pool's top-1 (any maxsim-rank-0
+    * competitor outscores a pool-rank-0 gold whose maxsim rank is deep);
+    * at k₀ = 1 a pool-rank-0 gold survives any single-rank deficit
+    * whenever w > (k₀+1)·(C−1) / ((k₀+1)·(C−1) + (k₀+C−1)) ≈ 0.655 for a
+    * 20-candidate pool, while a pool-tail gold with strong token evidence
+    * still clears the top-10 bar. Measured against the other modes by
+    * `ev_maxsim_blend` — the sf0.01 table shows this mode alone keeping
+    * BOTH the pool's recall@1 and MaxSim's recall@10 win. */
+  val ModeBlendWrrf = "blend_wrrf"
+  val BlendPoolWeight = 0.7
+  val BlendRrfK = 1
 
   /** [[rerankIndexed]]'s pool construction, separated so PlanAuditSpec can
     * pin its scan shape directly (the MaxSim tail checkpoints the
@@ -123,10 +167,12 @@ object LateInteraction {
 
   /** The late-interaction stage proper, over any bounded candidate pool
     * `(id, rel, text)`: distinct doc tokens → subword embeddings → per
-    * query-token micro-unit max → per-doc sum → top-`n`. Shared by the
-    * in-session and index-backed legs so the scoring cannot drift. */
+    * query-token micro-unit max → per-doc sum → top-`n` under `mode`'s
+    * final ordering (see [[ModeMaxSim]]/[[ModeBlendRrf]]/[[ModeBlendTie]]).
+    * Shared by the in-session and index-backed legs so the scoring cannot
+    * drift. */
   private def maxSimTail(pool0: DataFrame, queryText: String, n: Int,
-                         dim: Int): DataFrame = {
+                         dim: Int, mode: String = ModeMaxSim): DataFrame = {
     val spark = pool0.sparkSession
     import spark.implicits._
     // the pool feeds TWO consumers (the token explode and the final rank
@@ -153,13 +199,36 @@ object LateInteraction {
     // left join: a token-less pool doc keeps rank with maxsim 0
     val fused = pool.join(score, Seq("id"), "left_outer")
       .withColumn("smicro", coalesce(col("smicro"), lit(0L)))
-    // unpartitioned window is bounded: ≤ `candidates` rows reach it
-    fused
-      .withColumn("rank",
-        row_number().over(Window.orderBy(desc("smicro"), asc("id"))).cast("int"))
-      .filter(col("rank") <= n)
-      .select(col("rank"), col("id"), col("rel"),
-        round(col("smicro") / lit(1e6), 6).as("maxsim"))
-      .orderBy("rank")
+    // unpartitioned windows are bounded: ≤ `candidates` rows reach them
+    val base = Seq(col("rank"), col("id"), col("rel"),
+      round(col("smicro") / lit(1e6), 6).as("maxsim"))
+    val ranked = mode match {
+      case ModeMaxSim =>
+        fused.withColumn("rank", row_number()
+            .over(Window.orderBy(desc("smicro"), asc("id"))).cast("int"))
+          .select(base: _*)
+      case ModeBlendRrf | ModeBlendWrrf =>
+        val (k, w) =
+          if (mode == ModeBlendRrf) (lit(HybridSearch.RrfK), lit(0.5))
+          else (lit(BlendRrfK), lit(BlendPoolWeight))
+        fused
+          .withColumn("_pr",
+            row_number().over(Window.orderBy(desc("rel"), asc("id"))) - 1)
+          .withColumn("_mr",
+            row_number().over(Window.orderBy(desc("smicro"), asc("id"))) - 1)
+          .withColumn("blend", round(
+            w * lit(2.0) / (k + col("_pr")) +
+              (lit(1.0) - w) * lit(2.0) / (k + col("_mr")), 6))
+          .withColumn("rank", row_number()
+            .over(Window.orderBy(desc("blend"), asc("id"))).cast("int"))
+          .select(base :+ col("blend"): _*)
+      case ModeBlendTie =>
+        fused.withColumn("rank", row_number()
+            .over(Window.orderBy(desc("rel"), desc("smicro"), asc("id"))).cast("int"))
+          .select(base: _*)
+      case other => throw new IllegalArgumentException(
+        s"maxSimTail: unknown mode '$other' (maxsim | blend_rrf | blend_tie)")
+    }
+    ranked.filter(col("rank") <= n).orderBy("rank")
   }
 }

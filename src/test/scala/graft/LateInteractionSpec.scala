@@ -117,6 +117,60 @@ class LateInteractionSpec extends SparkSpec {
     graft.sources.Store.deleteRecursive(ivfPath)
   }
 
+  test("blend modes reproduce a driver-side fusion of the two rank lists") {
+    // the cascade's blend stage (r14 verdict #2): collect the fused pool
+    // and its MaxSim micro-scores, re-derive all three blend orderings
+    // driver-side, and demand the distributed modes agree rank for rank
+    val mem = Corpus.memories(spark, sf())
+    val fb = Some(Corpus.searchFeedback(spark, sf()))
+    val p = Queries.hybridParams(spark, sf())
+    val queryText = Queries.QueryTokens.mkString(" ")
+    val textById = mem.select(col("id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    val pool = graft.search.HybridSearch.search(mem, fb, p.copy(k = 20))
+      .select(col("id"), col("rrf_score"))
+      .as[(Long, Double)].collect().toSeq
+      .map { case (id, rel) => (id, rel, textById(id)) }
+    // (id, rel, smicro) driver-side
+    val qEmb = Queries.QueryTokens.distinct.map(tokEmbed)
+    val scored = pool.map { case (id, rel, text) =>
+      val docToks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+      val sm = qEmb.map { qe =>
+        if (docToks.isEmpty) 0L
+        else docToks.map(t => BigDecimal(dot(tokEmbed(t), qe) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).max
+      }.sum
+      (id, rel, sm)
+    }
+    val pr = scored.sortBy { case (id, rel, _) => (-rel, id) }
+      .zipWithIndex.map { case ((id, _, _), i) => id -> i }.toMap
+    val mr = scored.sortBy { case (id, _, sm) => (-sm, id) }
+      .zipWithIndex.map { case ((id, _, _), i) => id -> i }.toMap
+    def run(mode: String) = LateInteraction
+      .rerankHybrid(mem, fb, p, queryText, n = 5, candidates = 20, mode = mode)
+      .select("rank", "id").as[(Int, Long)].collect().toSeq
+    def expect(order: ((Long, Double, Long)) => (Double, Long)) =
+      scored.sortBy(order).take(5).zipWithIndex
+        .map { case ((id, _, _), i) => (i + 1, id) }
+    def blend(w: Double, k0: Int)(r: (Long, Double, Long)): (Double, Long) = {
+      val b = BigDecimal(2 * w / (k0 + pr(r._1)) + 2 * (1 - w) / (k0 + mr(r._1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (-b, r._1)
+    }
+    assert(run(LateInteraction.ModeBlendRrf) ==
+      expect(blend(0.5, graft.search.HybridSearch.RrfK)))
+    assert(run(LateInteraction.ModeBlendWrrf) ==
+      expect(blend(LateInteraction.BlendPoolWeight, LateInteraction.BlendRrfK)))
+    assert(run(LateInteraction.ModeBlendTie) ==
+      scored.sortBy { case (id, rel, sm) => (-rel, -sm, id) }.take(5)
+        .zipWithIndex.map { case ((id, _, _), i) => (i + 1, id) },
+      "blend_tie must be the (rel desc, maxsim desc, id) order")
+    val unknown = intercept[IllegalArgumentException] {
+      run("nope")
+    }
+    assert(unknown.getMessage.contains("unknown mode"))
+  }
+
   test("a token-less candidate keeps its pool slot with maxsim 0") {
     // two docs: one carries a query token, one is whitespace-only text;
     // both must surface, the empty one with maxsim exactly 0
