@@ -83,14 +83,15 @@ object QueriesExt {
          |  CAST(10 AS BIGINT) AS k, CAST($np AS BIGINT) AS nprobe,
          |  CAST(sum(ne) AS BIGINT) AS n_exact,
          |  CAST(coalesce(sum(h), 0) AS BIGINT) AS n_hits,
-         |  CAST((2 * 1000000 * coalesce(sum(h), 0) + sum(ne)) // (2 * sum(ne)) AS BIGINT) AS recall_ppm
+         |  CAST(coalesce((2 * 1000000 * coalesce(sum(h), 0) + sum(ne)) // (2 * sum(ne)), 0) AS BIGINT) AS recall_ppm
          |FROM exn LEFT JOIN hits$np USING (qid)""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH ${OracleCtes.memories},
        |${Queries.centCtes},
        |qs AS MATERIALIZED (
        |  SELECT id AS qid, embedding AS qv FROM memories
-       |  WHERE id % ${graft.eval.RetrievalEval.SampleMod} = 0),
+       |  WHERE id % ${graft.eval.RetrievalEval.SampleMod} = 0
+       |  ORDER BY qid LIMIT ${graft.eval.RetrievalEval.MaxQueries}),
        |asgm AS MATERIALIZED (
        |  SELECT id, label AS ivf_cell FROM (
        |    SELECT m.id, c.label, row_number() OVER (PARTITION BY m.id ORDER BY

@@ -161,20 +161,49 @@ object RetrievalEval {
                 ivfPath: String, k: Int = 10, nprobe: Int = 2): DataFrame =
     ivfRecallSweep(spark, memories, ivfPath, k, Seq(nprobe))
 
+  /** Default corpus bound for the RUNTIME tuning overloads
+    * ([[autoNprobe]] callers `searchIndexedAtRecall` /
+    * `gateBatchAtRecall`): the exact leg of a sweep is an
+    * O(corpus × queries) similarity join, fine on an eval cadence over a
+    * fixture but a scale-killer when a tuning call points it at a 10⁹-row
+    * store — so those overloads sample the corpus (order-stable, the
+    * consolidator's bounded-candidate precedent, consolidator.py:73-78)
+    * before sweeping. Recall is then measured WITHIN the sample (the
+    * indexed leg's candidates are restricted to the sampled ids too), an
+    * unbiased estimate of the rung curve at a bounded cost. */
+  val TuneMaxCorpusRows = 100000
+
   /** [[ivfRecall]] across a WHOLE nprobe ladder in one pass — the recall
     * curve an operator sizes nprobe from (the Faiss-tuning workflow as a
     * standing query). The sampled query set and the EXACT top-k leg are
     * computed once and shared by every rung; each rung adds only its own
-    * pruned probe read. Output: one row per nprobe, ascending. */
+    * pruned probe read. Output: one row per nprobe, ascending.
+    *
+    * Boundedness (r14 verdict #1): the `SampleMod` query sample is capped
+    * at `maxQueries` with the same order-stable limit as [[querySet]], so
+    * the broadcast query frame and the exact-leg join are O(maxQueries),
+    * never O(corpus/SampleMod). `maxCorpusRows` additionally bounds the
+    * CORPUS side for runtime tuning calls (see [[TuneMaxCorpusRows]]);
+    * `None` (the eval-cadence default) sweeps the full corpus. */
   def ivfRecallSweep(spark: org.apache.spark.sql.SparkSession,
                      memories: DataFrame, ivfPath: String, k: Int = 10,
-                     nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+                     nprobes: Seq[Int] = Seq(1, 2, 4),
+                     maxQueries: Int = MaxQueries,
+                     maxCorpusRows: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val queries = memories.filter(col("id") % SampleMod === 0)
+    // order-stable corpus sample (TakeOrdered — each task ships ≤ n rows);
+    // checkpointed: it feeds the query sample, the exact leg AND the
+    // per-rung candidate restriction
+    val corpus = maxCorpusRows
+      .map(n => memories.select("id", "embedding").orderBy("id").limit(n)
+        .localCheckpoint(true))
+      .getOrElse(memories.select("id", "embedding"))
+    val queries = corpus.filter(col("id") % SampleMod === 0)
       .select(col("id").as("qid"), col("embedding").as("qv"))
+      .orderBy("qid").limit(maxQueries)
       .localCheckpoint(true) // shared by the exact leg + every probe rung
     val pq = Window.partitionBy("qid").orderBy(desc("sim"), asc("id"))
-    val exact = memories.select("id", "embedding").crossJoin(broadcast(queries))
+    val exact = corpus.crossJoin(broadcast(queries))
       .select(col("qid"), col("id"),
         round(VectorFunctions.dot(col("embedding"), col("qv")), 6).as("sim"))
       .withColumn("_rn", row_number().over(pq))
@@ -182,8 +211,14 @@ object RetrievalEval {
       .localCheckpoint(true) // shared by every rung's overlap join
     val exn = exact.groupBy("qid").agg(count(lit(1)).as("ne"))
     nprobes.map { np =>
-      val indexed = graft.ann.IvfIndex
+      val probed = graft.ann.IvfIndex
         .probedCandidatesBatch(spark, ivfPath, queries, np)
+      // sampled corpus ⇒ the rung competes on the same restricted universe
+      // as the exact leg (recall stays an overlap of like-for-like top-ks)
+      val restricted = maxCorpusRows
+        .map(_ => probed.join(corpus.select("id"), Seq("id"), "left_semi"))
+        .getOrElse(probed)
+      val indexed = restricted
         .withColumn("_rn", row_number().over(pq))
         .filter(col("_rn") <= k).select("qid", "id")
       val hits = exact.join(indexed, Seq("qid", "id"), "left_semi")
@@ -194,8 +229,12 @@ object RetrievalEval {
           coalesce(sum("h"), lit(0L)).as("n_hits"))
         .select(col("n_queries"), lit(k.toLong).as("k"),
           lit(np.toLong).as("nprobe"), col("n_exact"), col("n_hits"),
-          expr("(2 * 1000000 * n_hits + n_exact) div (2 * n_exact)")
-            .as("recall_ppm"))
+          // coalesce: an empty query sample (no id % SampleMod rows) must
+          // yield recall 0 — the conservative answer (autoNprobe then
+          // falls back to probing every cell) — not a null NPE
+          coalesce(
+            expr("(2 * 1000000 * n_hits + n_exact) div (2 * n_exact)"),
+            lit(0L)).as("recall_ppm"))
     }.reduce(_ unionAll _).orderBy("nprobe")
   }
 
@@ -304,10 +343,13 @@ object RetrievalEval {
     * result to `searchIndexed`/the ingest gates as a plain int. */
   def autoNprobe(spark: org.apache.spark.sql.SparkSession, memories: DataFrame,
                  ivfPath: String, targetRecallPpm: Long, k: Int = 10,
-                 ladder: Seq[Int] = Seq(1, 2, 4)): Int = {
+                 ladder: Seq[Int] = Seq(1, 2, 4),
+                 maxQueries: Int = MaxQueries,
+                 maxCorpusRows: Option[Int] = None): Int = {
     require(ladder.nonEmpty && ladder == ladder.sorted,
       s"autoNprobe: ladder must be ascending, got $ladder")
-    val rungs = ivfRecallSweep(spark, memories, ivfPath, k, ladder)
+    val rungs = ivfRecallSweep(spark, memories, ivfPath, k, ladder,
+        maxQueries, maxCorpusRows)
       .select("nprobe", "recall_ppm").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     rungs.find(_._2 >= targetRecallPpm).map(_._1.toInt)
@@ -338,20 +380,82 @@ object RetrievalEval {
     * never materializes a per-query ranking of the corpus. */
   def maxSimSelfRetrieval(docs: DataFrame, candidates: Int = 20,
                           dim: Int = 64): DataFrame = {
-    val emb = HashingEmbedder(dim)
     val queries = querySet(docs).localCheckpoint(true)
+    maxSimModes(vectorPool(docs, queries, candidates, dim), docs, queries,
+      dim, "pool", "maxsim")
+  }
+
+  /** The vector-mode candidate pool of the MaxSim instruments: per-qid
+    * top-`candidates` of the hashing-embedded corpus under each query's
+    * pooled vector, through the bounded TopKScored aggregate —
+    * (qid, id, ps). */
+  private def vectorPool(docs: DataFrame, queries: DataFrame,
+                         candidates: Int, dim: Int): DataFrame = {
+    val emb = HashingEmbedder(dim)
     val corpusVecs = emb.embed(docs.select(col("id"), col("text")))
       .select("id", "embedding")
     val qVecs = queries.select(col("qid"),
       emb.embeddingColumn(col("qtext")).as("qvec"))
-    val pool = corpusVecs.crossJoin(broadcast(qVecs))
+    corpusVecs.crossJoin(broadcast(qVecs))
       .select(col("qid"), col("id"),
         round(VectorFunctions.dot(col("embedding"), col("qvec")), 6).as("sim"))
       .groupBy("qid")
       .agg(graft.expressions.TopKScored.topK(col("sim"), col("id"), candidates).as("top"))
       .select(col("qid"), explode(col("top")).as("e"))
       .select(col("qid"), col("e.id").as("id"), col("e.score").as("ps"))
-    maxSimModes(pool, docs, queries, dim, "pool", "maxsim")
+  }
+
+  /** The blend instrument (r14 verdict #2): the [[maxSimSelfRetrieval]]
+    * protocol measured under FOUR final orderings of the same pool —
+    * `pool` (doc-vector order), `maxsim` (pure late-interaction), and the
+    * two cascade blend modes of [[graft.search.LateInteraction]]:
+    * `blend_rrf` (RRF of the pool rank and the MaxSim rank, 0-based,
+    * RrfK = [[graft.search.HybridSearch.RrfK]], 6dp, ties by id),
+    * `blend_tie` (pool score first, MaxSim as tiebreaker) and
+    * `blend_wrrf` (the pool-weighted steep-k RRF of
+    * [[graft.search.LateInteraction.ModeBlendWrrf]]). The r14
+    * instruments showed pure MaxSim losing recall@1 to the pool order
+    * while fixing the deep tail; this table is the measurement that picks
+    * the production cascade mode. One metrics row per mode; the
+    * pool/maxsim rows coincide with `ev_maxsim_rerank` by construction. */
+  def maxSimBlendEval(docs: DataFrame, candidates: Int = 20,
+                      dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.search.LateInteraction.{BlendPoolWeight, BlendRrfK}
+    val queries = querySet(docs).localCheckpoint(true)
+    // pool + smicro feed five rank windows: materialize once
+    val pool = vectorPool(docs, queries, candidates, dim).localCheckpoint(true)
+    val k = lit(graft.search.HybridSearch.RrfK)
+    val wq = Window.partitionBy("qid")
+    def wrrf(w: Double, k0: org.apache.spark.sql.Column): org.apache.spark.sql.Column = round(
+      lit(2.0 * w) / (k0 + col("_pr") - 1) +
+        lit(2.0 * (1 - w)) / (k0 + col("_mr") - 1), 6)
+    val ranked = maxSimScored(pool, docs, queries, dim)
+      .withColumn("_pr", row_number().over(wq.orderBy(desc("ps"), asc("id"))))
+      .withColumn("_mr", row_number().over(wq.orderBy(desc("smicro"), asc("id"))))
+      .withColumn("_tr", row_number().over(
+        wq.orderBy(desc("ps"), desc("smicro"), asc("id"))))
+      .withColumn("_bl", wrrf(0.5, k))
+      .withColumn("_br", row_number().over(wq.orderBy(desc("_bl"), asc("id"))))
+      .withColumn("_wl", wrrf(BlendPoolWeight, lit(BlendRrfK)))
+      .withColumn("_wr", row_number().over(wq.orderBy(desc("_wl"), asc("id"))))
+      .localCheckpoint(true) // five gold-rank reads
+    // gold rank under one ordering: the gold row's window position when it
+    // made the pool, the miss sentinel otherwise (a rerank cannot recover
+    // what the pool lost — identical convention to maxSimModes)
+    def goldRanks(rankCol: String): DataFrame =
+      queries.select("qid").join(
+        ranked.filter(col("id") === col("qid"))
+          .select(col("qid"), col(rankCol).cast("long").as("_r")),
+        Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("_r"), lit(UnrankedSentinel)).as("rank"))
+    metrics(goldRanks("_pr"), "pool")
+      .unionAll(metrics(goldRanks("_mr"), "maxsim"))
+      .unionAll(metrics(goldRanks("_br"), "blend_rrf"))
+      .unionAll(metrics(goldRanks("_tr"), "blend_tie"))
+      .unionAll(metrics(goldRanks("_wr"), "blend_wrrf"))
+      .orderBy("mode")
   }
 
   /** [[maxSimSelfRetrieval]] with the FUSED hybrid pool — the cascade's
@@ -407,14 +511,13 @@ object RetrievalEval {
     * micro-score, rank the gold under the pool order and the MaxSim
     * order (sentinel when the gold missed the pool), and emit one
     * metrics row per mode. */
-  private def maxSimModes(pool0: DataFrame, docs: DataFrame,
-                          queries: DataFrame, dim: Int,
-                          poolMode: String, maxSimMode: String): DataFrame = {
-    val pool = pool0.localCheckpoint(true) // feeds the text join AND both rank passes
-    // MaxSim stage, the LateInteraction fold shapes: distinct doc tokens
-    // of the pool rows × the OWNING query's distinct tokens, token
-    // embeddings recomputed per row by the codegen'd subword kernel,
-    // integer micro-unit max/sum so the fold is order-free
+  /** The MaxSim scoring stage over a per-qid pool (qid, id, ps), the
+    * LateInteraction fold shapes: distinct doc tokens of the pool rows ×
+    * the OWNING query's distinct tokens, token embeddings recomputed per
+    * row by the codegen'd subword kernel, integer micro-unit max/sum so
+    * the fold is order-free. Adds `smicro` (0 for token-less docs). */
+  private def maxSimScored(pool: DataFrame, docs: DataFrame,
+                           queries: DataFrame, dim: Int): DataFrame = {
     val docTok = pool.join(docs.select(col("id"), col("text")), Seq("id"))
       .select(col("qid"), col("id"),
         explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
@@ -429,8 +532,15 @@ object RetrievalEval {
           .cast("long").as("s"))
       .groupBy("qid", "id", "qterm").agg(max("s").as("ms"))
       .groupBy("qid", "id").agg(sum("ms").as("smicro"))
-    val scored = pool.join(maxSim, Seq("qid", "id"), "left_outer")
+    pool.join(maxSim, Seq("qid", "id"), "left_outer")
       .withColumn("smicro", coalesce(col("smicro"), lit(0L)))
+  }
+
+  private def maxSimModes(pool0: DataFrame, docs: DataFrame,
+                          queries: DataFrame, dim: Int,
+                          poolMode: String, maxSimMode: String): DataFrame = {
+    val pool = pool0.localCheckpoint(true) // feeds the text join AND both rank passes
+    val scored = maxSimScored(pool, docs, queries, dim)
       .localCheckpoint(true) // both rank passes read it
     // gold rank WITHIN the pool under an ordering, by counting beaten
     // rows (score desc, id asc) — no sort; sentinel when gold missed

@@ -43,10 +43,12 @@ object IngestGateway {
   /** [[gateBatch]] sized by a TARGET RECALL instead of a raw nprobe (the
     * r13 verdict #5 overload, gateway side): the measured recall ladder
     * over the CURRENT store picks the smallest nprobe clearing
-    * `targetRecallPpm`, then the gate runs at it. The sweep reads the
-    * store once (the exact leg) — a TUNING call for a maintenance
-    * cadence (size after drift/retrain events, pass the resulting nprobe
-    * to the per-batch [[gateBatch]]/[[ingestBatch]] calls); it is NOT the
+    * `targetRecallPpm`, then the gate runs at it. The sweep's exact leg
+    * is BOUNDED both ways (r14 verdict #1): queries cap at
+    * `RetrievalEval.MaxQueries`, the store side at `tuneMaxCorpusRows`
+    * (order-stable samples) — a TUNING call for a maintenance cadence
+    * (size after drift/retrain events, pass the resulting nprobe to the
+    * per-batch [[gateBatch]]/[[ingestBatch]] calls); it is NOT the
     * per-batch path, which never rescans the corpus. */
   def gateBatchAtRecall(spark: SparkSession, ivfPath: String,
                         incoming: DataFrame, store: DataFrame,
@@ -54,9 +56,12 @@ object IngestGateway {
                         noveltyThreshold: Double = 0.88,
                         minLinkSim: Double = 0.2,
                         ladder: Seq[Int] = Seq(1, 2, 4),
-                        dedupWithinBatch: Boolean = false): DataFrame = {
+                        dedupWithinBatch: Boolean = false,
+                        tuneMaxCorpusRows: Int =
+                          graft.eval.RetrievalEval.TuneMaxCorpusRows): DataFrame = {
     val np = graft.eval.RetrievalEval.autoNprobe(spark, store, ivfPath,
-      targetRecallPpm, ladder = ladder)
+      targetRecallPpm, ladder = ladder,
+      maxCorpusRows = Some(tuneMaxCorpusRows))
     gateBatch(spark, ivfPath, incoming, noveltyThreshold, minLinkSim, np,
       dedupWithinBatch)
   }

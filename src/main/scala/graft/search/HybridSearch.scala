@@ -381,16 +381,23 @@ object HybridSearch {
     * (r13 verdict #5 — the Faiss-tuning workflow as an overload): the
     * measured recall ladder ([[graft.eval.RetrievalEval.autoNprobe]])
     * picks the smallest rung clearing `targetRecallPpm` and the search
-    * runs at it. The sweep reads the corpus once (the exact leg) — a
-    * TUNING call for a maintenance cadence; latency-sensitive callers
-    * size once and reuse the returned nprobe via [[searchIndexed]]. */
+    * runs at it. The sweep's exact leg is BOUNDED both ways (r14 verdict
+    * #1): the query sample caps at `RetrievalEval.MaxQueries` and the
+    * corpus side at `tuneMaxCorpusRows` (order-stable samples), so sizing
+    * nprobe against a 10⁹-row store never broadcasts an O(corpus) frame
+    * or runs an O(n²) similarity join — a TUNING call for a maintenance
+    * cadence; latency-sensitive callers size once and reuse the returned
+    * nprobe via [[searchIndexed]]. */
   def searchIndexedAtRecall(spark: org.apache.spark.sql.SparkSession,
                             bm25Path: String, ivfPath: String,
                             memories: DataFrame, feedback: Option[DataFrame],
                             p: Params, targetRecallPpm: Long,
-                            ladder: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+                            ladder: Seq[Int] = Seq(1, 2, 4),
+                            tuneMaxCorpusRows: Int =
+                              graft.eval.RetrievalEval.TuneMaxCorpusRows): DataFrame = {
     val np = graft.eval.RetrievalEval.autoNprobe(spark, memories, ivfPath,
-      targetRecallPpm, ladder = ladder)
+      targetRecallPpm, ladder = ladder,
+      maxCorpusRows = Some(tuneMaxCorpusRows))
     searchIndexed(spark, bm25Path, ivfPath, memories, feedback, p, np)
   }
 

@@ -173,6 +173,72 @@ class RetrievalEvalSpec extends SparkSpec {
       "an unreachable target must fall back to the full cell count")
   }
 
+  test("the recall ladder's query sample is bounded by maxQueries (r14 #1)") {
+    val s = spark
+    import s.implicits._
+    val path = "/root/repo/target/tmp/eval_qcap_ivf"
+    graft.sources.Store.deleteRecursive(path)
+    def v4(a: Double, b: Double) = Array(a.toFloat, b.toFloat, 0.0f, 0.0f)
+    // THREE sampled query ids (0, 37, 74 — all % 37 == 0) + filler rows
+    val mem = (Seq(0L, 37L, 74L).map(i => (i, v4(1, 0))) ++
+      (100L to 110L).map(i => (i, v4(0, 1)))).toDF("id", "embedding")
+    graft.ann.IvfIndex.buildWithCentroids(mem,
+      Seq((0, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (1, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+        .toDF("label", "centroid"), path)
+    def nq(cap: Int) = RetrievalEval.ivfRecallSweep(spark, mem, path,
+      nprobes = Seq(2), maxQueries = cap).select("n_queries").head.getLong(0)
+    assert(nq(2) == 2L, "a >cap sample must be cut to maxQueries")
+    assert(nq(1024) == 3L, "an under-cap sample must be untouched")
+  }
+
+  test("a corpus-bounded tuning sweep stays within one rung of the full sweep") {
+    val s = spark
+    import s.implicits._
+    val path = "/root/repo/target/tmp/eval_ccap_ivf"
+    graft.sources.Store.deleteRecursive(path)
+    def v4(a: Double, b: Double) = Array(a.toFloat, b.toFloat, 0.0f, 0.0f)
+    // query id 0 at (0.8, 0.6): exact top-10 spans both cells; nprobe=1
+    // probes cell 0 only (6/10) in BOTH the full corpus and the first-10
+    // order-stable sample, so the tuned rung must agree
+    val mem = (Seq((0L, v4(0.8, 0.6))) ++
+      (1L to 5L).map(i => (i, v4(1, 0))) ++
+      (20L to 30L).map(i => (i, v4(0, 1)))).toDF("id", "embedding")
+    graft.ann.IvfIndex.buildWithCentroids(mem,
+      Seq((0, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (1, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+        .toDF("label", "centroid"), path)
+    val full = RetrievalEval.autoNprobe(spark, mem, path, 900000L,
+      ladder = Seq(1, 2))
+    val covering = RetrievalEval.autoNprobe(spark, mem, path, 900000L,
+      ladder = Seq(1, 2), maxCorpusRows = Some(1000))
+    val sampled = RetrievalEval.autoNprobe(spark, mem, path, 900000L,
+      ladder = Seq(1, 2), maxCorpusRows = Some(10))
+    assert(full == 2 && covering == full,
+      s"a sample covering the corpus must reproduce the full sweep: $covering vs $full")
+    assert(math.abs(sampled - full) <= 1, s"sampled=$sampled full=$full")
+    assert(sampled == full, s"this fixture's rung survives the sample: $sampled")
+  }
+
+  test("an empty query sample yields recall 0 and a conservative fallback") {
+    val s = spark
+    import s.implicits._
+    val path = "/root/repo/target/tmp/eval_ecap_ivf"
+    graft.sources.Store.deleteRecursive(path)
+    def v4(a: Double, b: Double) = Array(a.toFloat, b.toFloat, 0.0f, 0.0f)
+    // no id % 37 == 0 row survives a 5-row order-stable corpus sample
+    val mem = ((1L to 5L).map(i => (i, v4(1, 0))) ++
+      (20L to 30L).map(i => (i, v4(0, 1)))).toDF("id", "embedding")
+    graft.ann.IvfIndex.buildWithCentroids(mem,
+      Seq((0, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (1, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+        .toDF("label", "centroid"), path)
+    val row = RetrievalEval.ivfRecallSweep(spark, mem, path,
+      nprobes = Seq(1), maxCorpusRows = Some(5)).head()
+    assert(row.getLong(0) == 0L && row.getLong(row.fieldIndex("recall_ppm")) == 0L,
+      s"empty sample must report recall 0, got $row")
+    // recall 0 clears no target -> fall back to probing every cell (exact)
+    assert(RetrievalEval.autoNprobe(spark, mem, path, 900000L,
+      ladder = Seq(1), maxCorpusRows = Some(5)) == 2)
+  }
+
   test("graph expansion lifts the linked support into the top k") {
     import graft.search.HybridSearch
     val qv = Seq(1f, 0f, 0f, 0f)
