@@ -258,7 +258,35 @@ object QueriesTiers {
       graft.search.LateInteraction.rerankHybrid(
         Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
         Queries.hybridParams(s, dir), Queries.QueryTokens.mkString(" "),
-        n = 5, candidates = 20)))
+        n = 5, candidates = 20)),
+    // passage retrieval through the persisted passage IVF index (r14
+    // verdict next-round #3): build the index over exploded c4-page
+    // passages (pid = id·2²⁰ + pos, cells = pid mod 8), answer MaxP from
+    // ONE probed-cell scan — no passage re-embedded at query time
+    "r19_passage_indexed" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_pix_ivf_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(path)
+      graft.search.Passage.buildIndex(Queries.c4Pages(s, dir), path)
+      graft.search.Passage.maxPIndexed(s, path, Queries.queryVec(s, dir),
+        k = 10)
+    }),
+    // the blend instrument (r14 verdict #2): the same vector pool measured
+    // under pool / maxsim / blend_rrf / blend_tie final orderings — the
+    // table that picks the production cascade mode instead of assuming it
+    "ev_maxsim_blend" -> ((s, dir) =>
+      graft.eval.RetrievalEval.maxSimBlendEval(Queries.docs(s, dir))),
+    // the production cascade in the mode ev_maxsim_blend MEASURES as
+    // dominant (sf0.01: recall@1 0.857 = pool, recall@10 1.0 = maxsim's
+    // win, MRR 0.917 > both): the fused hybrid pool re-ordered by the
+    // pool-weighted steep-k RRF of (pool rank, MaxSim rank) — the fused
+    // top-1 signal survives while token evidence repairs the tail,
+    // instead of MaxSim replacing the fused order outright
+    "r18_maxsim_blend" -> ((s, dir) =>
+      graft.search.LateInteraction.rerankHybrid(
+        Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
+        Queries.hybridParams(s, dir), Queries.QueryTokens.mkString(" "),
+        n = 5, candidates = 20,
+        mode = graft.search.LateInteraction.ModeBlendWrrf)))
 
   private val bqQ =
     "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
@@ -335,13 +363,19 @@ object QueriesTiers {
        |  FROM pr WHERE id_a <> id_b),
        |${lpaChain(LpaRounds)}""".stripMargin
 
-  private val liQText = Queries.QueryTokens.mkString(" ")
+  /** Single-quote escape for string values interpolated into oracle SQL
+    * literals (r14 ADVICE: a quote or SQL-significant character in a
+    * query token would otherwise silently break the oracle text). */
+  private def sqlLit(s: String): String = s.replace("'", "''")
 
-  /** The MaxSim oracle tail over a pool CTE `lpool(id, rel, text)` and the
-    * query-embed chain `lq*` — shared by the in-session and indexed r18
-    * oracles so the scoring replay cannot drift between the two legs. */
-  private lazy val maxSimTailSql: String = {
-    val qVals = Queries.QueryTokens.map(t => s"('$t')").mkString(", ")
+  private val liQText = sqlLit(Queries.QueryTokens.mkString(" "))
+
+  /** The MaxSim score CTEs over a pool CTE `lpool(id, rel, text)` and the
+    * query-embed chain `lq*` — shared by every r18 oracle tail so the
+    * scoring replay cannot drift between legs/modes. Ends with
+    * lfin(id, rel, smicro). */
+  private lazy val maxSimScoreCtesSql: String = {
+    val qVals = Queries.QueryTokens.map(t => s"('${sqlLit(t)}')").mkString(", ")
     s"""ldt AS MATERIALIZED (
        |  SELECT p.id, t.term
        |  FROM lpool p, unnest(list_distinct(${OracleText.toks("p.text")})) AS t(term)),
@@ -352,12 +386,40 @@ object QueriesTiers {
        |    max(CAST(round(${OracleCtes.dot64("de.e", "qe.e")} * 1e6, 0) AS BIGINT)) AS ms
        |  FROM ldt d JOIN ldf de ON de.id = d.term CROSS JOIN lef qe
        |  GROUP BY 1, 2),
-       |lsc AS (SELECT id, CAST(sum(ms) AS BIGINT) AS smicro FROM lms GROUP BY 1)
+       |lsc AS (SELECT id, CAST(sum(ms) AS BIGINT) AS smicro FROM lms GROUP BY 1),
+       |lfin AS MATERIALIZED (
+       |  SELECT p.id, p.rel, coalesce(s.smicro, CAST(0 AS BIGINT)) AS smicro
+       |  FROM lpool p LEFT JOIN lsc s USING (id))""".stripMargin
+  }
+
+  /** Pure-MaxSim final ordering (the original r18 tail). */
+  private lazy val maxSimTailSql: String =
+    s"""$maxSimScoreCtesSql
        |SELECT * FROM (
        |  SELECT CAST(row_number() OVER (ORDER BY smicro DESC, id) AS INTEGER) AS rank,
        |    id, rel, round(smicro / 1e6, 6) AS maxsim
-       |  FROM (SELECT p.id, p.rel, coalesce(s.smicro, CAST(0 AS BIGINT)) AS smicro
-       |        FROM lpool p LEFT JOIN lsc s USING (id)))
+       |  FROM lfin)
+       |WHERE rank <= 5 ORDER BY rank""".stripMargin
+
+  /** Weighted-RRF blend final ordering (r14 verdict #2, LateInteraction
+    * ModeBlendWrrf — the mode ev_maxsim_blend measures as dominant):
+    * 0-based pool and MaxSim ranks fused as 2w/(k₀+pr) + 2(1−w)/(k₀+mr),
+    * blend 6dp, ties by id. */
+  private lazy val maxSimBlendTailSql: String = {
+    val li = graft.search.LateInteraction
+    val (w, k0) = (li.BlendPoolWeight, li.BlendRrfK)
+    s"""$maxSimScoreCtesSql,
+       |lrk AS (
+       |  SELECT id, rel, smicro,
+       |    row_number() OVER (ORDER BY rel DESC, id) AS pr,
+       |    row_number() OVER (ORDER BY smicro DESC, id) AS mr
+       |  FROM lfin)
+       |SELECT * FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY bl DESC, id) AS INTEGER) AS rank,
+       |    id, rel, round(smicro / 1e6, 6) AS maxsim, bl AS blend
+       |  FROM (SELECT id, rel, smicro,
+       |          round(${2 * w}/($k0 + pr - 1) + ${2 * (1 - w)}/($k0 + mr - 1), 6) AS bl
+       |        FROM lrk))
        |WHERE rank <= 5 ORDER BY rank""".stripMargin
   }
 
@@ -384,15 +446,21 @@ object QueriesTiers {
     * (sentinel when the gold missed the pool), one metrics row per
     * mode. Parameterized only by the emitted mode labels so the two
     * instruments cannot drift. */
-  private def maxSimEvalTailSql(poolMode: String, maxMode: String): String = {
-    val ev = graft.eval.RetrievalEval
-    def met(mode: String, rel: String) =
-      s"""SELECT '$mode' AS mode, CAST(count(*) AS BIGINT) AS n_queries,
-         |  round(CAST(count(*) FILTER (WHERE rnk <= 1) AS DOUBLE) / count(*), 6) AS recall_at_1,
-         |  round(CAST(count(*) FILTER (WHERE rnk <= 5) AS DOUBLE) / count(*), 6) AS recall_at_5,
-         |  round(CAST(count(*) FILTER (WHERE rnk <= 10) AS DOUBLE) / count(*), 6) AS recall_at_10,
-         |  round(CAST(sum(CASE WHEN rnk <= 10 THEN 1000000 // rnk ELSE 0 END) AS DOUBLE) / 1000000.0 / count(*), 6) AS mrr_at_10
-         |FROM $rel""".stripMargin
+  /** One metrics row over a rank relation `rel(qid, rnk)`. */
+  private def maxSimEvalMetSql(mode: String, rel: String): String =
+    s"""SELECT '$mode' AS mode, CAST(count(*) AS BIGINT) AS n_queries,
+       |  round(CAST(count(*) FILTER (WHERE rnk <= 1) AS DOUBLE) / count(*), 6) AS recall_at_1,
+       |  round(CAST(count(*) FILTER (WHERE rnk <= 5) AS DOUBLE) / count(*), 6) AS recall_at_5,
+       |  round(CAST(count(*) FILTER (WHERE rnk <= 10) AS DOUBLE) / count(*), 6) AS recall_at_10,
+       |  round(CAST(sum(CASE WHEN rnk <= 10 THEN 1000000 // rnk ELSE 0 END) AS DOUBLE) / 1000000.0 / count(*), 6) AS mrr_at_10
+       |FROM $rel""".stripMargin
+
+  /** The MaxSim-instrument score CTEs over a pool CTE `mpool(qid, id, ps)`
+    * — one term-embed chain over the union of doc+query terms, the
+    * micro-unit MaxSim fold per (qid, id). Ends with
+    * mfin(qid, id, ps, smicro); shared by every instrument tail so the
+    * replay cannot drift between them. */
+  private lazy val maxSimEvalScoreCtesSql: String =
     s"""mdt AS MATERIALIZED (
        |  SELECT p.qid, p.id, t.term
        |  FROM mpool p JOIN corpus c ON c.id = p.id,
@@ -410,7 +478,11 @@ object QueriesTiers {
        |msc AS (SELECT qid, id, CAST(sum(ms) AS BIGINT) AS smicro FROM mms GROUP BY 1, 2),
        |mfin AS MATERIALIZED (
        |  SELECT p.qid, p.id, p.ps, coalesce(s.smicro, CAST(0 AS BIGINT)) AS smicro
-       |  FROM mpool p LEFT JOIN msc s ON s.qid = p.qid AND s.id = p.id),
+       |  FROM mpool p LEFT JOIN msc s ON s.qid = p.qid AND s.id = p.id)""".stripMargin
+
+  private def maxSimEvalTailSql(poolMode: String, maxMode: String): String = {
+    val ev = graft.eval.RetrievalEval
+    s"""$maxSimEvalScoreCtesSql,
        |mgold AS (SELECT qid, ps AS gs, smicro AS gm FROM mfin WHERE id = qid),
        |mprank AS (
        |  SELECT f.qid, CASE WHEN g.gs IS NULL THEN ${ev.UnrankedSentinel}
@@ -422,9 +494,67 @@ object QueriesTiers {
        |    ELSE 1 + count(*) FILTER (
        |      WHERE f.smicro > g.gm OR (f.smicro = g.gm AND f.id < f.qid)) END AS rnk
        |  FROM mfin f LEFT JOIN mgold g USING (qid) GROUP BY f.qid, g.gm)
-       |${met(maxMode, "mmrank")}
+       |${maxSimEvalMetSql(maxMode, "mmrank")}
        |UNION ALL
-       |${met(poolMode, "mprank")}
+       |${maxSimEvalMetSql(poolMode, "mprank")}
+       |ORDER BY mode""".stripMargin
+  }
+
+  /** The vector-mode pool of the MaxSim instruments (per-qid top-20 of
+    * the hash-embedded corpus), shared by ev_maxsim_rerank and
+    * ev_maxsim_blend: mpool(qid, id, ps). */
+  private lazy val maxSimVectorPoolCtes: String =
+    """mvs AS (
+      |  SELECT q.id AS qid, d.id,
+      |    round(list_sum(list_transform(range(1, 65), i -> d.e[i] * q.e[i])), 6) AS sim
+      |  FROM ef d CROSS JOIN qef q),
+      |mpool AS MATERIALIZED (
+      |  SELECT qid, id, sim AS ps FROM (
+      |    SELECT qid, id, sim,
+      |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+      |    FROM mvs) WHERE rn <= 20)""".stripMargin
+
+  /** The four-mode blend-instrument tail (r14 verdict #2): per-qid window
+    * ranks under the pool, MaxSim, RRF-blend and pool-first-tiebreak
+    * orderings of the SAME mfin rows, the gold's position (miss sentinel
+    * when absent) through the shared metrics row per mode. */
+  private lazy val maxSimBlendEvalTailSql: String = {
+    val ev = graft.eval.RetrievalEval
+    val k = graft.search.HybridSearch.RrfK
+    val li = graft.search.LateInteraction
+    val (w, k0) = (li.BlendPoolWeight, li.BlendRrfK)
+    s"""$maxSimEvalScoreCtesSql,
+       |mrk AS (
+       |  SELECT qid, id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ps DESC, id) AS pr,
+       |    row_number() OVER (PARTITION BY qid ORDER BY smicro DESC, id) AS mr,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ps DESC, smicro DESC, id) AS tr
+       |  FROM mfin),
+       |mbl AS MATERIALIZED (
+       |  SELECT qid, id, pr, mr, tr,
+       |    row_number() OVER (PARTITION BY qid ORDER BY
+       |      round(1.0/($k + pr - 1) + 1.0/($k + mr - 1), 6) DESC, id) AS br,
+       |    row_number() OVER (PARTITION BY qid ORDER BY
+       |      round(${2 * w}/($k0 + pr - 1) + ${2 * (1 - w)}/($k0 + mr - 1), 6) DESC, id) AS wr
+       |  FROM mrk),
+       |mg AS MATERIALIZED (
+       |  SELECT q.qid, b.pr, b.mr, b.tr, b.br, b.wr
+       |  FROM qdoc q LEFT JOIN mbl b ON b.qid = q.qid AND b.id = q.qid),
+       |mgp AS (SELECT qid, coalesce(pr, ${ev.UnrankedSentinel}) AS rnk FROM mg),
+       |mgm AS (SELECT qid, coalesce(mr, ${ev.UnrankedSentinel}) AS rnk FROM mg),
+       |mgb AS (SELECT qid, coalesce(br, ${ev.UnrankedSentinel}) AS rnk FROM mg),
+       |mgt AS (SELECT qid, coalesce(tr, ${ev.UnrankedSentinel}) AS rnk FROM mg),
+       |mgw AS (SELECT qid, coalesce(wr, ${ev.UnrankedSentinel}) AS rnk FROM mg)
+       |SELECT * FROM (
+       |${maxSimEvalMetSql("pool", "mgp")}
+       |UNION ALL
+       |${maxSimEvalMetSql("maxsim", "mgm")}
+       |UNION ALL
+       |${maxSimEvalMetSql("blend_rrf", "mgb")}
+       |UNION ALL
+       |${maxSimEvalMetSql("blend_tie", "mgt")}
+       |UNION ALL
+       |${maxSimEvalMetSql("blend_wrrf", "mgw")})
        |ORDER BY mode""".stripMargin
   }
 
@@ -801,22 +931,86 @@ object QueriesTiers {
          |    row_number() OVER (PARTITION BY id ORDER BY sm DESC, pos) AS rn
          |  FROM psc) WHERE rn = 1
          |ORDER BY sm DESC, id LIMIT 10""".stripMargin,
+    // the indexed passage leg: the SAME passage/embed replay as
+    // r19_passage_maxp, then the passage-index construction from first
+    // principles — pid-mod-8 label seeding, per-label normalized-mean
+    // centroids, nearest-centroid assignment, top-2 probe against the
+    // query — and the MaxP fold restricted to the probed cells (the
+    // established probed-cell-restriction oracle pattern)
+    "r19_passage_indexed" -> {
+      val stride = graft.search.Passage.PosStride
+      val nlist = 8
+      def pdot(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      s"""WITH ${OracleText.c4Ctes()},
+         |ppas0 AS (
+         |  SELECT id, unnest(range(0, len(lines))) AS pos0, unnest(lines) AS para
+         |  FROM c4split),
+         |ppas AS MATERIALIZED (
+         |  SELECT id, CAST(pos0 AS INT) AS pos, para FROM ppas0),
+         |${OracleText.embedCtesOver("(SELECT CAST(id AS VARCHAR) || '#' || CAST(pos AS VARCHAR) AS id, para AS text FROM ppas) ppsrc", 64, "pp")},
+         |pq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |pemb AS MATERIALIZED (
+         |  SELECT p.id * $stride + p.pos AS pid,
+         |    CAST((p.id * $stride + p.pos) % $nlist AS INT) AS label,
+         |    f.e AS emb
+         |  FROM ppas p JOIN ppf f
+         |    ON f.id = CAST(p.id AS VARCHAR) || '#' || CAST(p.pos AS VARCHAR)),
+         |pc0 AS (
+         |  SELECT label, t.i, avg(emb[t.i]) AS m
+         |  FROM pemb, range(1, 65) t(i) GROUP BY 1, 2),
+         |pcn AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM pc0 GROUP BY 1),
+         |pcent AS MATERIALIZED (
+         |  SELECT c.label, list(c.m / n.nrm ORDER BY c.i) AS centroid
+         |  FROM pc0 c JOIN pcn n USING (label) GROUP BY c.label),
+         |pasg AS MATERIALIZED (
+         |  SELECT pid, label AS cell FROM (
+         |    SELECT e.pid, c.label, row_number() OVER (PARTITION BY e.pid ORDER BY
+         |      ${pdot("e.emb", "c.centroid")} DESC, c.label) AS rn
+         |    FROM pemb e, pcent c) WHERE rn = 1),
+         |pprobe AS (
+         |  SELECT label FROM (
+         |    SELECT c.label, row_number() OVER (ORDER BY
+         |      ${pdot("c.centroid", "q.qv")} DESC, c.label) AS rn
+         |    FROM pcent c, pq q) WHERE rn <= 2),
+         |pisc AS MATERIALIZED (
+         |  SELECT CAST(e.pid // $stride AS BIGINT) AS id,
+         |    CAST(e.pid % $stride AS INT) AS pos,
+         |    CAST(round(round(${pdot("e.emb", "q.qv")}, 6) * 1e6, 0) AS BIGINT) AS sm
+         |  FROM pemb e JOIN pasg a USING (pid)
+         |  JOIN pprobe p ON a.cell = p.label CROSS JOIN pq q)
+         |SELECT id, n_passages, best_pos, round(sm / 1e6, 6) AS score FROM (
+         |  SELECT id, pos AS best_pos, sm,
+         |    CAST(count(*) OVER (PARTITION BY id) AS BIGINT) AS n_passages,
+         |    row_number() OVER (PARTITION BY id ORDER BY sm DESC, pos) AS rn
+         |  FROM pisc) WHERE rn = 1
+         |ORDER BY sm DESC, id LIMIT 10""".stripMargin
+    },
     // the MaxSim instrument: self-retrieval queries, per-qid top-20 vector
     // pool, ONE term-embed chain over the union of doc+query terms, the
     // micro-unit MaxSim fold per (qid, id), gold ranks counted within the
     // pool under both orderings, the standard metrics row per mode
     "ev_maxsim_rerank" ->
       s"""WITH $maxSimEvalHeadSql,
-         |mvs AS (
-         |  SELECT q.id AS qid, d.id,
-         |    round(list_sum(list_transform(range(1, 65), i -> d.e[i] * q.e[i])), 6) AS sim
-         |  FROM ef d CROSS JOIN qef q),
-         |mpool AS MATERIALIZED (
-         |  SELECT qid, id, sim AS ps FROM (
-         |    SELECT qid, id, sim,
-         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
-         |    FROM mvs) WHERE rn <= 20),
+         |$maxSimVectorPoolCtes,
          |${maxSimEvalTailSql("pool", "maxsim")}""".stripMargin,
+    // the blend instrument: the SAME vector pool + MaxSim fold, the gold
+    // ranked under all four final orderings by per-qid windows
+    "ev_maxsim_blend" ->
+      s"""WITH $maxSimEvalHeadSql,
+         |$maxSimVectorPoolCtes,
+         |$maxSimBlendEvalTailSql""".stripMargin,
+    // the cascade in blend mode: the fused-hybrid pool SQL verbatim, the
+    // RRF-of-ranks blend tail instead of the pure-MaxSim ordering
+    "r18_maxsim_blend" ->
+      s"""WITH ${OracleCtes.memories},
+         |${OracleCtes.searchFeedback},
+         |${OracleHybrid.fusedCtes(Queries.oracleHybridParams.copy(k = 20), n = 1000000, vecId = 0)},
+         |lpool AS MATERIALIZED (
+         |  SELECT f.id, round(f.rrf, 6) AS rel, m.text
+         |  FROM fused f JOIN memories m USING (id)
+         |  ORDER BY f.rrf DESC, f.id LIMIT 20),
+         |$maxSimBlendTailSql""".stripMargin,
     // the cascade's own instrument: the fused-hybrid pool (vector + BM25
     // legs oversampled 30, RRF 0.7 / 1−0.7, cut at 20 by unrounded f,
     // ranked by round(f, 6) — the indexed-eval conventions) re-ranked by

@@ -36,6 +36,63 @@ class PassageSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 0)))
   }
 
+  test("indexed MaxP with an exhaustive probe IS the brute maxP") {
+    // nprobe = cellCount ⇒ the probed pool is every passage, so the
+    // index-backed leg must reproduce the corpus-scan leg bit for bit
+    // (including n_passages: all passages of every doc are in-pool)
+    val pages = Queries.c4Pages(spark, sf())
+    val qv = Queries.queryVec(spark, sf())
+    val path = "/root/repo/target/tmp/passage_spec_ivf"
+    graft.sources.Store.deleteRecursive(path)
+    Passage.buildIndex(pages, path)
+    val nCells = graft.ann.IvfIndex.cellCount(spark, path)
+    val exhaustive = Passage.maxPIndexed(spark, path, qv, k = 10, nprobe = nCells)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    val brute = Passage.maxP(pages, qv, k = 10)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(exhaustive == brute)
+    graft.sources.Store.deleteRecursive(path)
+  }
+
+  test("passage index rides the shared O(batch) refresh lifecycle") {
+    // build over half the pages, refresh with the other half's passage
+    // embeddings (classic IVF add against the STORED centroids), then an
+    // exhaustive probe must reproduce brute MaxP over the FULL corpus —
+    // every refreshed passage landed, none duplicated, the maintenance
+    // machinery is the one IvfIndex lifecycle with no passage special case
+    val pages = Queries.c4Pages(spark, sf())
+    val qv = Queries.queryVec(spark, sf())
+    val path = "/root/repo/target/tmp/passage_refresh_ivf"
+    graft.sources.Store.deleteRecursive(path)
+    Passage.buildIndex(pages.filter(col("id") % 2 === 0), path)
+    graft.ann.IvfIndex.refresh(spark, path,
+      Passage.passageEmbeddings(pages.filter(col("id") % 2 === 1)))
+    val nCells = graft.ann.IvfIndex.cellCount(spark, path)
+    val refreshed = Passage.maxPIndexed(spark, path, qv, k = 10, nprobe = nCells)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    val brute = Passage.maxP(pages, qv, k = 10)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(refreshed == brute)
+    graft.sources.Store.deleteRecursive(path)
+  }
+
+  test("the composite pid bound fail-louds past PosStride passages") {
+    // a pos >= PosStride must raise, not wrap into a colliding pid; the
+    // guard lives inside the pid expression itself, driven here with a
+    // faked pos (a real page that size is ~10⁶ lines — the guard is the
+    // point, not the fixture). An in-bound pos passes through unchanged.
+    val ok = Seq((7L, 3L)).toDF("id", "pos")
+      .select(Passage.pidCol.as("pid")).head.getLong(0)
+    assert(ok == 7L * Passage.PosStride + 3L)
+    val err = intercept[Exception] {
+      Seq((7L, Passage.PosStride + 5L)).toDF("id", "pos")
+        .select(Passage.pidCol.as("pid")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(err).exists(_.contains("overflows the composite pid")), err.toString)
+  }
+
   test("maxP reproduces a driver-side best-passage fold over the c4 pages") {
     val pages = Queries.c4Pages(spark, sf())
     val qv = Queries.queryVec(spark, sf())
