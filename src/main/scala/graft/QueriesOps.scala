@@ -60,6 +60,19 @@ object QueriesOps {
       Presentation.timeline(withTranscriptMarkers(mem(s, dir)),
         Seq(Queries.queryVec(s, dir, 0), Queries.queryVec(s, dir, 1)),
         userFactsOnly = true)),
+    // the timeline's variant fan-out routed through the persisted IVF
+    // index: ONE probed-cell scan serves BOTH query variants (r14 verdict
+    // next-round #4 — the last multi-scan read path), same markers +
+    // user-facts filter as o3_timeline
+    "o3_timeline_indexed" -> ((s, dir) => {
+      val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_o3_ivf_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(ivfPath)
+      val m = mem(s, dir)
+      graft.ann.IvfIndex.build(m, graft.core.Tables.embeddings(s, dir), ivfPath)
+      Presentation.timelineIndexed(s, ivfPath, withTranscriptMarkers(m),
+        Seq(Queries.queryVec(s, dir, 0), Queries.queryVec(s, dir, 1)),
+        userFactsOnly = true)
+    }),
     "o4_evidence_packet" -> ((s, dir) =>
       Presentation.evidencePacket(mem(s, dir), Queries.queryVec(s, dir),
         queryText = "dedup merge window")),
@@ -439,6 +452,44 @@ object QueriesOps {
          |  ORDER BY round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id LIMIT 20),
          |u AS (SELECT DISTINCT id, source, text, date FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1))
          |SELECT id, source, date FROM u
+         |WHERE trim(text) <> '' AND (regexp_matches(text, '(?im)^\\s*user\\s*:')
+         |  OR NOT regexp_matches(text, '(?im)^\\s*assistant\\s*:'))
+         |ORDER BY date NULLS FIRST, id""".stripMargin,
+    // the o3 replay restricted to the probed cells: asg/cent replayed from
+    // first principles, one probe CTE per variant vector, each variant's
+    // top-20 ranked WITHIN its probed cells — the established
+    // probed-cell-restriction oracle pattern, markers/filter/sort verbatim
+    "o3_timeline_indexed" ->
+      s"""WITH ${OracleCtes.memories},
+         |mm AS MATERIALIZED (
+         |  SELECT id, source, embedding, document_at, created_at, archived,
+         |    CASE WHEN id % 3 = 0 THEN 'user: ' || text
+         |         WHEN id % 3 = 1 THEN 'assistant: ' || text
+         |         ELSE text END AS text
+         |  FROM memories),
+         |${Queries.ivfCtesOverQ("memories",
+             "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)")},
+         |probe1 AS (
+         |  SELECT label FROM (
+         |    SELECT c.label, row_number() OVER (ORDER BY
+         |      list_sum(list_transform(range(1, 65), i -> c.centroid[i] * CAST(q.qv[i] AS DOUBLE))) DESC,
+         |      c.label) AS rn
+         |    FROM cent c, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1) q)
+         |  WHERE rn <= 2),
+         |tv0 AS (
+         |  SELECT m.id, m.source, m.text, coalesce(m.document_at, m.created_at) AS date
+         |  FROM mm m JOIN asg a ON m.id = a.id JOIN probe p ON a.ivf_cell = p.label
+         |  CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |  WHERE NOT m.archived
+         |  ORDER BY round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id LIMIT 20),
+         |tv1 AS (
+         |  SELECT m.id, m.source, m.text, coalesce(m.document_at, m.created_at) AS date
+         |  FROM mm m JOIN asg a ON m.id = a.id JOIN probe1 p ON a.ivf_cell = p.label
+         |  CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1) q
+         |  WHERE NOT m.archived
+         |  ORDER BY round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) DESC, m.id LIMIT 20),
+         |tu AS (SELECT DISTINCT id, source, text, date FROM (SELECT * FROM tv0 UNION ALL SELECT * FROM tv1))
+         |SELECT id, source, date FROM tu
          |WHERE trim(text) <> '' AND (regexp_matches(text, '(?im)^\\s*user\\s*:')
          |  OR NOT regexp_matches(text, '(?im)^\\s*assistant\\s*:'))
          |ORDER BY date NULLS FIRST, id""".stripMargin,

@@ -36,6 +36,44 @@ object Presentation {
     kept.select("id", "source", "date").orderBy(asc_nulls_first("date"), asc("id"))
   }
 
+  /** [[timeline]] answered from the persisted IVF index (r14 verdict
+    * next-round #4 — the variant fan-out was the last multi-scan read
+    * path not routed through the indexes): ALL query variants probe in
+    * ONE [[graft.ann.IvfIndex.probedCandidatesBatch]] pass — one
+    * partition-pruned assignments scan for the whole fan-out, never one
+    * corpus scan per variant — then each variant's probed candidates rank
+    * to its per-variant top-k (a bounded per-qid window over probed rows
+    * only), the corpus contributes text/date/visibility by id-equi-join
+    * (column-pruned: the vector column is never read — PlanAuditSpec),
+    * and the union-dedupe-sort tail is [[timeline]]'s verbatim. Same IVF
+    * recall trade as every indexed leg, adjudicated by the
+    * probed-cell-restricted oracle; nprobe = cell count reproduces the
+    * in-session timeline exactly (PresentationSpec). */
+  def timelineIndexed(spark: org.apache.spark.sql.SparkSession,
+                      ivfPath: String, memories: DataFrame,
+                      queryVecs: Seq[Seq[Float]], perQueryK: Int = 20,
+                      userFactsOnly: Boolean = false,
+                      nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qdf = queryVecs.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("qid", "qv")
+    val attrs = memories
+      .filter(graft.search.Filters.visible(None, includeArchived = false,
+        None, None))
+      .select(col("id"), col("source"), col("text"),
+        coalesce(col("document_at"), col("created_at")).as("date"))
+    val ranked = graft.ann.IvfIndex
+      .probedCandidatesBatch(spark, ivfPath, qdf, nprobe)
+      .join(attrs, Seq("id"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("id"))))
+      .filter(col("_rn") <= perQueryK)
+    val merged = ranked.dropDuplicates("id", "source", "date")
+    val kept = if (userFactsOnly) merged.filter(userFact(col("text"))) else merged
+    kept.select("id", "source", "date").orderBy(asc_nulls_first("date"), asc("id"))
+  }
+
   /** Query regex that flips the evidence ranking to recency-first
     * (evidence_packet.py:53-56). */
   val RecencyQueryRe: String =

@@ -360,6 +360,62 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("indexed MaxP: one probed-cell scan, no passage re-embed") {
+    // the indexed passage leg's whole point (r14 next-round #3): the
+    // query path reads the PASSAGE INDEX alone — probed cell dirs pruned
+    // at planning time, no pages scan, no per-passage HashEmbed in the
+    // plan (the brute maxP re-embeds every passage per query; a
+    // regression back to that shape must fail here, not on a cluster)
+    val path = "/root/repo/target/tmp/audit_passage_ivf"
+    graft.sources.Store.deleteRecursive(path)
+    graft.search.Passage.buildIndex(Queries.c4Pages(spark, sf()), path)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.search.Passage
+        .maxPIndexed(spark, path, Queries.queryVec(spark, sf()), k = 10)
+        .queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+      val asg = scans.filter(_.contains("assignments"))
+      assert(asg.nonEmpty && asg.forall(s =>
+        s.contains("PartitionFilters: [") && s.contains("ivf_cell")),
+        s"the passage read must prune to the probed cell dirs:\n${asg.mkString("\n")}")
+      assert(scans.forall(s =>
+        s.contains("assignments") || s.contains("centroids")),
+        s"the query path may read nothing but the index:\n${scans.mkString("\n")}")
+      assert(!plan.contains("hash_embed"),
+        "the indexed leg must score stored embeddings, never re-embed")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("indexed timeline: ONE probed scan serves every variant, no vector read") {
+    // the variant fan-out must NOT multiply scans: both query variants
+    // ride one probedCandidatesBatch pass (a single pruned assignments
+    // scan), and the corpus contributes text/date/visibility only — the
+    // embedding column is never read (the scores come from the index)
+    val ivfPath = "/root/repo/target/tmp/audit_o3_ivf"
+    graft.sources.Store.deleteRecursive(ivfPath)
+    val mem = Corpus.memories(spark, sf())
+    graft.ann.IvfIndex.build(mem, Tables.embeddings(spark, sf()), ivfPath)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.ops.Presentation
+        .timelineIndexed(spark, ivfPath, mem,
+          Seq(Queries.queryVec(spark, sf(), 0), Queries.queryVec(spark, sf(), 1)))
+        .queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+      val asg = scans.filter(_.contains("assignments"))
+      assert(asg.size == 1, s"both variants must share ONE probed scan:\n${asg.mkString("\n")}")
+      assert(asg.forall(s =>
+        s.contains("PartitionFilters: [") && s.contains("ivf_cell")),
+        s"the shared scan must prune to the probed dirs:\n${asg.mkString("\n")}")
+      val corpusScans = scans.filterNot(s =>
+        s.contains("assignments") || s.contains("centroids"))
+      assert(corpusScans.forall(!_.contains("embedding:array")),
+        "corpus-side scans must not read the vector column:\n" +
+          corpusScans.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("retrainCells' member read prunes to the flagged cells' partitions") {
     // the claim retraining is O(flagged members), never O(corpus), rests
     // on this scan: `ivf_cell IN (flagged)` must prune at PLANNING time

@@ -11,6 +11,29 @@ class PresentationSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("indexed timeline with an exhaustive probe IS the in-session timeline") {
+    // nprobe = cellCount ⇒ every variant's probed pool is the whole
+    // index, so the shared-scan leg must reproduce the per-variant
+    // corpus-scan leg row for row (markers + user-facts filter included)
+    val mem = graft.core.Corpus.memories(spark, sf())
+      .withColumn("text",
+        when(col("id") % 3 === 0, concat(lit("user: "), col("text")))
+          .when(col("id") % 3 === 1, concat(lit("assistant: "), col("text")))
+          .otherwise(col("text")))
+    val vecs = Seq(Queries.queryVec(spark, sf(), 0), Queries.queryVec(spark, sf(), 1))
+    val ivfPath = "/root/repo/target/tmp/pres_o3_ivf"
+    graft.sources.Store.deleteRecursive(ivfPath)
+    graft.ann.IvfIndex.build(mem, graft.core.Tables.embeddings(spark, sf()), ivfPath)
+    val nCells = graft.ann.IvfIndex.cellCount(spark, ivfPath)
+    val exhaustive = Presentation.timelineIndexed(spark, ivfPath, mem, vecs,
+        userFactsOnly = true, nprobe = nCells)
+      .as[(Long, String, Option[java.sql.Timestamp])].collect().toSeq
+    val inSession = Presentation.timeline(mem, vecs, userFactsOnly = true)
+      .as[(Long, String, Option[java.sql.Timestamp])].collect().toSeq
+    assert(exhaustive == inSession)
+    graft.sources.Store.deleteRecursive(ivfPath)
+  }
+
   test("snippets: densest window wins, earliest start on ties, short docs emit whole") {
     val hits = Seq(
       // two hits early, three hits clustered late -> late window wins
