@@ -105,7 +105,12 @@ object Bench {
     // line census, and the degree-ordered triangle join — the new plans
     // with genuine shuffle shapes (mrl/pq recalls and the weighted top-n
     // are cheap rescans of already-timed plans, left to the oracle run)
-    "ann_ivfpq_topk", "gr_triangles",
+    // round-15 budget swap (funding r18_maxsim_rerank below, r14 verdict
+    // #7): gr_triangles (2.2 s, the cheapest non-anchor entry) retires
+    // from the TIMED line — its degree-ordered wedge-join shape stays
+    // job-count-pinned (JobCountSpec ceiling 37) and oracle-gated in the
+    // correctness run
+    "ann_ivfpq_topk",
     // round-8 tiers budget swap: ann_bq_topk (packed-long Hamming scan)
     // and gr_communities (iterative LPA join) enter — the two genuinely
     // new plan shapes (ppl buckets reuse the unigram-NLL plan, modularity
@@ -122,7 +127,17 @@ object Bench {
     // iterative-join shape stays covered by gr_pagerank's loop and the
     // query stays oracle-gated in the correctness run) retires from the
     // TIMED line
-    "gr_landmark_bfs")
+    "gr_landmark_bfs",
+    // round-15 budget add (r14 verdict #7 — the MaxSim family had zero
+    // wall-clock coverage): the in-session late-interaction rerank —
+    // corpus pool scan + the constant token-fold tail (~0.7 s shape at
+    // sf0.1, job-count-pinned at 12). The indexed/hybrid/blend variants
+    // stay off the line (they build indexes in-query — the adjudicated
+    // ann_ivf_indexed pattern — or re-run r4's already-timed fused plan)
+    // and stay oracle- and job-count-gated instead. Funded from the
+    // line's existing slack (BenchSpec's 1500-char worst-case budget
+    // still clears); the anchor set is untouched.
+    "r18_maxsim_rerank")
   /** The rotation-proof comparison set: the 32 queries timed in EVERY
     * round since r4 (intersection of BENCH_r04..r07's timed dicts). The
     * emitted line carries their sum as `anchor_total`, so round-over-round

@@ -227,9 +227,9 @@ class JobCountSpec extends SparkSpec {
     // single-query total, vs ~+50 for an independent graph tail
     "r15_batch_graph_indexed" -> 208,
     // r14 new: IVF build + the in-batch D3 kernel pass + ONE probed scan
-    // over the surviving rows (measured 77 — the +19 over op_ingest_
-    // gateway's 58 is the dedup kernel + the survivor anti-join)
-    "op_ingest_gateway_dedup" -> 89,
+    // over the surviving rows (r15: 77 → 75 measured — the probe-cap
+    // check now rides the cell-count collect instead of its own job)
+    "op_ingest_gateway_dedup" -> 86,
     // r14 new: two index builds + N per-query in-session hybrid plans
     // (the exact leg — an EVAL instrument, not the query path) + ONE
     // shared-plan indexed batch + the metrics row (measured 195)
@@ -241,8 +241,10 @@ class JobCountSpec extends SparkSpec {
     // for the new docs' link candidates (no other table read)
     "m11_auto_link_indexed" -> 52,
     // r13 new: IVF build over the pre-add store + ONE probed scan deciding
-    // novelty AND link counts for the whole incoming batch
-    "op_ingest_gateway" -> 65,
+    // novelty AND link counts for the whole incoming batch (r15: 58 → 56
+    // measured — the probe-cap count folded into the cell collect, r14
+    // verdict #3)
+    "op_ingest_gateway" -> 64,
     // r13 new: IVF build + the exact leg (broadcast crossJoin + per-qid
     // windows) + one batched probe + the ppm aggregate
     "ev_ivf_recall" -> 62,
@@ -251,7 +253,24 @@ class JobCountSpec extends SparkSpec {
     // r12 new: full-corpus build (now five tables) + base scoring + the
     // pruned tvecs feedback read + terms-scan mining + expansion scoring
     // (measured 61 in-suite)
-    "r17_prf_indexed" -> 72
+    "r17_prf_indexed" -> 72,
+    // r15 additions, measured 2026-08-16 in-suite at sf0.001, +~15%:
+    // r19_passage_maxp=5 (the r14-ADVICE missing pin — one explode +
+    // embed scan, the struct-max fold, TakeOrdered: map-shaped, so a
+    // shuffle creeping in shows as +jobs immediately);
+    // r19_passage_indexed=38 (passage IVF build dominates; the query
+    // itself is the probe collect + one pruned scan + the fold);
+    // ev_maxsim_blend=33 (ev_maxsim_rerank's pool/fold 20 + the five
+    // rank windows off ONE checkpointed frame + three extra metric rows);
+    // r18_maxsim_blend=34 (r18_maxsim_hybrid's fused plan + the constant
+    // blend tail — +1 over the pure-MaxSim tail's 33);
+    // o3_timeline_indexed=53 (IVF build + ONE shared probed scan for
+    // both variants + the dedupe/sort tail)
+    "r19_passage_maxp" -> 6,
+    "r19_passage_indexed" -> 44,
+    "ev_maxsim_blend" -> 38,
+    "r18_maxsim_blend" -> 39,
+    "o3_timeline_indexed" -> 61
   )
 
   private val counter = new AtomicInteger(0)
