@@ -270,11 +270,29 @@ object QueriesTiers {
       graft.search.Passage.maxPIndexed(s, path, Queries.queryVec(s, dir),
         k = 10)
     }),
+    // the passage index on the measured-recall ladder: ivfRecallSweep runs
+    // UNCHANGED over passage embeddings + the passage index (it is the
+    // same IvfIndex lifecycle) — probed-vs-exact top-10 overlap per rung,
+    // and autoNprobe therefore sizes the passage nprobe for free
+    "ev_passage_recall" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_prec_ivf_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(path)
+      val pages = Queries.c4Pages(s, dir)
+      graft.search.Passage.buildIndex(pages, path)
+      graft.eval.RetrievalEval.ivfRecallSweep(s,
+        graft.search.Passage.passageEmbeddings(pages), path,
+        nprobes = Seq(1, 2, 4))
+    }),
     // the blend instrument (r14 verdict #2): the same vector pool measured
     // under pool / maxsim / blend_rrf / blend_tie final orderings — the
     // table that picks the production cascade mode instead of assuming it
     "ev_maxsim_blend" -> ((s, dir) =>
       graft.eval.RetrievalEval.maxSimBlendEval(Queries.docs(s, dir))),
+    // the cascade-side blend instrument: the SAME five orderings over the
+    // FUSED hybrid pool — r18_maxsim_blend reranks that pool, so the
+    // production mode is validated on its own candidate distribution
+    "ev_maxsim_cascade_blend" -> ((s, dir) =>
+      graft.eval.RetrievalEval.maxSimCascadeBlendEval(Queries.docs(s, dir))),
     // the production cascade in the mode ev_maxsim_blend MEASURES as
     // dominant (sf0.01: recall@1 0.857 = pool, recall@10 1.0 = maxsim's
     // win, MRR 0.917 > both): the fused hybrid pool re-ordered by the
@@ -500,6 +518,91 @@ object QueriesTiers {
        |ORDER BY mode""".stripMargin
   }
 
+  private def pdot(a: String, b: String) =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** The passage-index replay shared by the r19 indexed oracles: the c4
+    * page chain, exploded passages, the passage embed chain, composite
+    * pids with pid-mod-8 labels, per-label normalized-mean centroids, and
+    * the nearest-centroid assignment. Ends with pemb(pid, label, emb),
+    * pcent(label, centroid), pasg(pid, cell). Kept in lockstep with
+    * [[graft.search.Passage.buildIndex]]. */
+  private lazy val passageIndexCtes: String = {
+    val stride = graft.search.Passage.PosStride
+    val nlist = 8
+    s"""${OracleText.c4Ctes()},
+       |ppas0 AS (
+       |  SELECT id, unnest(range(0, len(lines))) AS pos0, unnest(lines) AS para
+       |  FROM c4split),
+       |ppas AS MATERIALIZED (
+       |  SELECT id, CAST(pos0 AS INT) AS pos, para FROM ppas0),
+       |${OracleText.embedCtesOver("(SELECT CAST(id AS VARCHAR) || '#' || CAST(pos AS VARCHAR) AS id, para AS text FROM ppas) ppsrc", 64, "pp")},
+       |pemb AS MATERIALIZED (
+       |  SELECT p.id * $stride + p.pos AS pid,
+       |    CAST((p.id * $stride + p.pos) % $nlist AS INT) AS label,
+       |    f.e AS emb
+       |  FROM ppas p JOIN ppf f
+       |    ON f.id = CAST(p.id AS VARCHAR) || '#' || CAST(p.pos AS VARCHAR)),
+       |pc0 AS (
+       |  SELECT label, t.i, avg(emb[t.i]) AS m
+       |  FROM pemb, range(1, 65) t(i) GROUP BY 1, 2),
+       |pcn AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM pc0 GROUP BY 1),
+       |pcent AS MATERIALIZED (
+       |  SELECT c.label, list(c.m / n.nrm ORDER BY c.i) AS centroid
+       |  FROM pc0 c JOIN pcn n USING (label) GROUP BY c.label),
+       |pasg AS MATERIALIZED (
+       |  SELECT pid, label AS cell FROM (
+       |    SELECT e.pid, c.label, row_number() OVER (PARTITION BY e.pid ORDER BY
+       |      ${pdot("e.emb", "c.centroid")} DESC, c.label) AS rn
+       |    FROM pemb e, pcent c) WHERE rn = 1)""".stripMargin
+  }
+
+  /** [[graft.eval.RetrievalEval.ivfRecallSweep]] replayed over the
+    * passage index — the probed-vs-exact overlap per rung, qs capped with
+    * the same order-stable LIMIT as the memories-side sweep oracle. */
+  private def passageRecallSweepSql(nprobes: Seq[Int]): String = {
+    val ev = graft.eval.RetrievalEval
+    val exSim = s"round(${pdot("e.emb", "q.qv")}, 6)"
+    val rungs = nprobes.map { np =>
+      s"""prq$np AS MATERIALIZED (
+         |  SELECT qid, label FROM (
+         |    SELECT q.qid, c.label, row_number() OVER (PARTITION BY q.qid ORDER BY
+         |      ${pdot("c.centroid", "q.qv")} DESC, c.label) AS rn
+         |    FROM pqs q, pcent c) WHERE rn <= $np),
+         |pix$np AS MATERIALIZED (
+         |  SELECT qid, pid FROM (
+         |    SELECT q.qid, e.pid,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY $exSim DESC, e.pid) AS rn
+         |    FROM pqs q JOIN prq$np p ON p.qid = q.qid
+         |    JOIN pasg a ON a.cell = p.label
+         |    JOIN pemb e ON e.pid = a.pid) WHERE rn <= 10),
+         |phits$np AS (SELECT qid, count(*) AS h FROM pex JOIN pix$np USING (qid, pid) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val selects = nprobes.map { np =>
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(10 AS BIGINT) AS k, CAST($np AS BIGINT) AS nprobe,
+         |  CAST(sum(ne) AS BIGINT) AS n_exact,
+         |  CAST(coalesce(sum(h), 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce((2 * 1000000 * coalesce(sum(h), 0) + sum(ne)) // (2 * sum(ne)), 0) AS BIGINT) AS recall_ppm
+         |FROM pexn LEFT JOIN phits$np USING (qid)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $passageIndexCtes,
+       |pqs AS MATERIALIZED (
+       |  SELECT pid AS qid, emb AS qv FROM pemb
+       |  WHERE pid % ${ev.SampleMod} = 0
+       |  ORDER BY qid LIMIT ${ev.MaxQueries}),
+       |pex AS MATERIALIZED (
+       |  SELECT qid, pid FROM (
+       |    SELECT q.qid, e.pid,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY $exSim DESC, e.pid) AS rn
+       |    FROM pemb e, pqs q) WHERE rn <= 10),
+       |pexn AS (SELECT qid, count(*) AS ne FROM pex GROUP BY 1),
+       |$rungs
+       |SELECT * FROM (
+       |$selects
+       |) ORDER BY nprobe""".stripMargin
+  }
+
   /** The vector-mode pool of the MaxSim instruments (per-qid top-20 of
     * the hash-embedded corpus), shared by ev_maxsim_rerank and
     * ev_maxsim_blend: mpool(qid, id, ps). */
@@ -514,11 +617,36 @@ object QueriesTiers {
       |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
       |    FROM mvs) WHERE rn <= 20)""".stripMargin
 
+  /** The fused-hybrid pool of the cascade instruments (vector + BM25 legs
+    * oversampled 30, RRF 0.7 / 1−0.7, cut at 20 by unrounded f, ranked by
+    * round(f, 6)), shared by ev_maxsim_cascade and
+    * ev_maxsim_cascade_blend: mpool(qid, id, ps). */
+  private lazy val maxSimHybridPoolCtes: String =
+    s"""cvs AS (
+       |  SELECT q.id AS qid, d.id,
+       |    round(list_sum(list_transform(range(1, 65), i -> d.e[i] * q.e[i])), 6) AS sim
+       |  FROM ef d CROSS JOIN qef q),
+       |cvr AS MATERIALIZED (SELECT qid, id, rn - 1 AS rv FROM (
+       |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+       |  FROM cvs) WHERE rn <= 30),
+       |${OracleHybrid.bm25BatchCtes("corpus", "qdoc")},
+       |cbr AS MATERIALIZED (SELECT qid, id, rn - 1 AS rb FROM (
+       |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, id) AS rn
+       |  FROM bm WHERE bm25 > 0) WHERE rn <= 30),
+       |cfu AS (SELECT coalesce(v.qid, b.qid) AS qid, coalesce(v.id, b.id) AS id,
+       |  coalesce(0.7 / (v.rv + ${graft.search.HybridSearch.RrfK}), 0.0)
+       |    + coalesce((1.0 - 0.7) / (b.rb + ${graft.search.HybridSearch.RrfK}), 0.0) AS f
+       |  FROM cvr v FULL OUTER JOIN cbr b ON v.qid = b.qid AND v.id = b.id),
+       |mpool AS MATERIALIZED (
+       |  SELECT qid, id, round(f, 6) AS ps FROM (
+       |    SELECT qid, id, f, row_number() OVER (PARTITION BY qid ORDER BY f DESC, id) AS rn
+       |    FROM cfu) WHERE rn <= 20)""".stripMargin
+
   /** The four-mode blend-instrument tail (r14 verdict #2): per-qid window
     * ranks under the pool, MaxSim, RRF-blend and pool-first-tiebreak
     * orderings of the SAME mfin rows, the gold's position (miss sentinel
     * when absent) through the shared metrics row per mode. */
-  private lazy val maxSimBlendEvalTailSql: String = {
+  private def maxSimBlendEvalTailSql(prefix: String = ""): String = {
     val ev = graft.eval.RetrievalEval
     val k = graft.search.HybridSearch.RrfK
     val li = graft.search.LateInteraction
@@ -546,15 +674,15 @@ object QueriesTiers {
        |mgt AS (SELECT qid, coalesce(tr, ${ev.UnrankedSentinel}) AS rnk FROM mg),
        |mgw AS (SELECT qid, coalesce(wr, ${ev.UnrankedSentinel}) AS rnk FROM mg)
        |SELECT * FROM (
-       |${maxSimEvalMetSql("pool", "mgp")}
+       |${maxSimEvalMetSql(s"${prefix}pool", "mgp")}
        |UNION ALL
-       |${maxSimEvalMetSql("maxsim", "mgm")}
+       |${maxSimEvalMetSql(s"${prefix}maxsim", "mgm")}
        |UNION ALL
-       |${maxSimEvalMetSql("blend_rrf", "mgb")}
+       |${maxSimEvalMetSql(s"${prefix}blend_rrf", "mgb")}
        |UNION ALL
-       |${maxSimEvalMetSql("blend_tie", "mgt")}
+       |${maxSimEvalMetSql(s"${prefix}blend_tie", "mgt")}
        |UNION ALL
-       |${maxSimEvalMetSql("blend_wrrf", "mgw")})
+       |${maxSimEvalMetSql(s"${prefix}blend_wrrf", "mgw")})
        |ORDER BY mode""".stripMargin
   }
 
@@ -937,45 +1065,17 @@ object QueriesTiers {
     // centroids, nearest-centroid assignment, top-2 probe against the
     // query — and the MaxP fold restricted to the probed cells (the
     // established probed-cell-restriction oracle pattern)
-    "r19_passage_indexed" -> {
-      val stride = graft.search.Passage.PosStride
-      val nlist = 8
-      def pdot(a: String, b: String) =
-        s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-      s"""WITH ${OracleText.c4Ctes()},
-         |ppas0 AS (
-         |  SELECT id, unnest(range(0, len(lines))) AS pos0, unnest(lines) AS para
-         |  FROM c4split),
-         |ppas AS MATERIALIZED (
-         |  SELECT id, CAST(pos0 AS INT) AS pos, para FROM ppas0),
-         |${OracleText.embedCtesOver("(SELECT CAST(id AS VARCHAR) || '#' || CAST(pos AS VARCHAR) AS id, para AS text FROM ppas) ppsrc", 64, "pp")},
+    "r19_passage_indexed" ->
+      s"""WITH $passageIndexCtes,
          |pq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |pemb AS MATERIALIZED (
-         |  SELECT p.id * $stride + p.pos AS pid,
-         |    CAST((p.id * $stride + p.pos) % $nlist AS INT) AS label,
-         |    f.e AS emb
-         |  FROM ppas p JOIN ppf f
-         |    ON f.id = CAST(p.id AS VARCHAR) || '#' || CAST(p.pos AS VARCHAR)),
-         |pc0 AS (
-         |  SELECT label, t.i, avg(emb[t.i]) AS m
-         |  FROM pemb, range(1, 65) t(i) GROUP BY 1, 2),
-         |pcn AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM pc0 GROUP BY 1),
-         |pcent AS MATERIALIZED (
-         |  SELECT c.label, list(c.m / n.nrm ORDER BY c.i) AS centroid
-         |  FROM pc0 c JOIN pcn n USING (label) GROUP BY c.label),
-         |pasg AS MATERIALIZED (
-         |  SELECT pid, label AS cell FROM (
-         |    SELECT e.pid, c.label, row_number() OVER (PARTITION BY e.pid ORDER BY
-         |      ${pdot("e.emb", "c.centroid")} DESC, c.label) AS rn
-         |    FROM pemb e, pcent c) WHERE rn = 1),
          |pprobe AS (
          |  SELECT label FROM (
          |    SELECT c.label, row_number() OVER (ORDER BY
          |      ${pdot("c.centroid", "q.qv")} DESC, c.label) AS rn
          |    FROM pcent c, pq q) WHERE rn <= 2),
          |pisc AS MATERIALIZED (
-         |  SELECT CAST(e.pid // $stride AS BIGINT) AS id,
-         |    CAST(e.pid % $stride AS INT) AS pos,
+         |  SELECT CAST(e.pid // ${graft.search.Passage.PosStride} AS BIGINT) AS id,
+         |    CAST(e.pid % ${graft.search.Passage.PosStride} AS INT) AS pos,
          |    CAST(round(round(${pdot("e.emb", "q.qv")}, 6) * 1e6, 0) AS BIGINT) AS sm
          |  FROM pemb e JOIN pasg a USING (pid)
          |  JOIN pprobe p ON a.cell = p.label CROSS JOIN pq q)
@@ -984,8 +1084,12 @@ object QueriesTiers {
          |    CAST(count(*) OVER (PARTITION BY id) AS BIGINT) AS n_passages,
          |    row_number() OVER (PARTITION BY id ORDER BY sm DESC, pos) AS rn
          |  FROM pisc) WHERE rn = 1
-         |ORDER BY sm DESC, id LIMIT 10""".stripMargin
-    },
+         |ORDER BY sm DESC, id LIMIT 10""".stripMargin,
+    // the passage index on the measured-recall ladder: probed-vs-exact
+    // top-10 overlap per nprobe rung, the same sweep semantics (and the
+    // same query/corpus bounds) as ev_ivf_recall_sweep, replayed over the
+    // passage chain — the number an operator sizes the passage nprobe from
+    "ev_passage_recall" -> passageRecallSweepSql(Seq(1, 2, 4)),
     // the MaxSim instrument: self-retrieval queries, per-qid top-20 vector
     // pool, ONE term-embed chain over the union of doc+query terms, the
     // micro-unit MaxSim fold per (qid, id), gold ranks counted within the
@@ -995,11 +1099,18 @@ object QueriesTiers {
          |$maxSimVectorPoolCtes,
          |${maxSimEvalTailSql("pool", "maxsim")}""".stripMargin,
     // the blend instrument: the SAME vector pool + MaxSim fold, the gold
-    // ranked under all four final orderings by per-qid windows
+    // ranked under all five final orderings by per-qid windows
     "ev_maxsim_blend" ->
       s"""WITH $maxSimEvalHeadSql,
          |$maxSimVectorPoolCtes,
-         |$maxSimBlendEvalTailSql""".stripMargin,
+         |${maxSimBlendEvalTailSql()}""".stripMargin,
+    // the cascade-side blend instrument: the fused-hybrid pool (the
+    // ev_maxsim_cascade CTEs verbatim) under the same five orderings —
+    // validates the production r18_maxsim_blend mode on its own pool
+    "ev_maxsim_cascade_blend" ->
+      s"""WITH $maxSimEvalHeadSql,
+         |$maxSimHybridPoolCtes,
+         |${maxSimBlendEvalTailSql("hybrid_")}""".stripMargin,
     // the cascade in blend mode: the fused-hybrid pool SQL verbatim, the
     // RRF-of-ranks blend tail instead of the pure-MaxSim ordering
     "r18_maxsim_blend" ->
@@ -1017,25 +1128,7 @@ object QueriesTiers {
     // MaxSim, gold ranks under both orderings
     "ev_maxsim_cascade" ->
       s"""WITH $maxSimEvalHeadSql,
-         |cvs AS (
-         |  SELECT q.id AS qid, d.id,
-         |    round(list_sum(list_transform(range(1, 65), i -> d.e[i] * q.e[i])), 6) AS sim
-         |  FROM ef d CROSS JOIN qef q),
-         |cvr AS MATERIALIZED (SELECT qid, id, rn - 1 AS rv FROM (
-         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
-         |  FROM cvs) WHERE rn <= 30),
-         |${OracleHybrid.bm25BatchCtes("corpus", "qdoc")},
-         |cbr AS MATERIALIZED (SELECT qid, id, rn - 1 AS rb FROM (
-         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, id) AS rn
-         |  FROM bm WHERE bm25 > 0) WHERE rn <= 30),
-         |cfu AS (SELECT coalesce(v.qid, b.qid) AS qid, coalesce(v.id, b.id) AS id,
-         |  coalesce(0.7 / (v.rv + ${graft.search.HybridSearch.RrfK}), 0.0)
-         |    + coalesce((1.0 - 0.7) / (b.rb + ${graft.search.HybridSearch.RrfK}), 0.0) AS f
-         |  FROM cvr v FULL OUTER JOIN cbr b ON v.qid = b.qid AND v.id = b.id),
-         |mpool AS MATERIALIZED (
-         |  SELECT qid, id, round(f, 6) AS ps FROM (
-         |    SELECT qid, id, f, row_number() OVER (PARTITION BY qid ORDER BY f DESC, id) AS rn
-         |    FROM cfu) WHERE rn <= 20),
+         |$maxSimHybridPoolCtes,
          |${maxSimEvalTailSql("hybrid_pool", "hybrid_maxsim")}""".stripMargin,
     // the cascade's pool is the fused-hybrid SQL verbatim (vector + BM25
     // oversampled legs, RRF, recency/feedback/confidence signals) cut at

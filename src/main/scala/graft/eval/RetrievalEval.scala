@@ -420,11 +420,30 @@ object RetrievalEval {
     * pool/maxsim rows coincide with `ev_maxsim_rerank` by construction. */
   def maxSimBlendEval(docs: DataFrame, candidates: Int = 20,
                       dim: Int = 64): DataFrame = {
+    val queries = querySet(docs).localCheckpoint(true)
+    maxSimBlendModes(vectorPool(docs, queries, candidates, dim),
+      docs, queries, dim, prefix = "")
+  }
+
+  /** [[maxSimBlendEval]] over the FUSED hybrid pool — the production
+    * cascade's own blend measurement: `r18_maxsim_blend` reranks the
+    * fused pool, so the mode choice must be validated on that pool, not
+    * only the vector one. Same five orderings, mode labels prefixed
+    * `hybrid_` (the `ev_maxsim_cascade` convention). */
+  def maxSimCascadeBlendEval(docs: DataFrame, candidates: Int = 20,
+                             dim: Int = 64): DataFrame = {
+    val queries = querySet(docs).localCheckpoint(true)
+    maxSimBlendModes(hybridPool(docs, queries, candidates, dim),
+      docs, queries, dim, prefix = "hybrid_")
+  }
+
+  private def maxSimBlendModes(pool0: DataFrame, docs: DataFrame,
+                               queries: DataFrame, dim: Int,
+                               prefix: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.search.LateInteraction.{BlendPoolWeight, BlendRrfK}
-    val queries = querySet(docs).localCheckpoint(true)
     // pool + smicro feed five rank windows: materialize once
-    val pool = vectorPool(docs, queries, candidates, dim).localCheckpoint(true)
+    val pool = pool0.localCheckpoint(true)
     val k = lit(graft.search.HybridSearch.RrfK)
     val wq = Window.partitionBy("qid")
     def wrrf(w: Double, k0: org.apache.spark.sql.Column): org.apache.spark.sql.Column = round(
@@ -450,11 +469,11 @@ object RetrievalEval {
         Seq("qid"), "left")
         .select(col("qid"),
           coalesce(col("_r"), lit(UnrankedSentinel)).as("rank"))
-    metrics(goldRanks("_pr"), "pool")
-      .unionAll(metrics(goldRanks("_mr"), "maxsim"))
-      .unionAll(metrics(goldRanks("_br"), "blend_rrf"))
-      .unionAll(metrics(goldRanks("_tr"), "blend_tie"))
-      .unionAll(metrics(goldRanks("_wr"), "blend_wrrf"))
+    metrics(goldRanks("_pr"), s"${prefix}pool")
+      .unionAll(metrics(goldRanks("_mr"), s"${prefix}maxsim"))
+      .unionAll(metrics(goldRanks("_br"), s"${prefix}blend_rrf"))
+      .unionAll(metrics(goldRanks("_tr"), s"${prefix}blend_tie"))
+      .unionAll(metrics(goldRanks("_wr"), s"${prefix}blend_wrrf"))
       .orderBy("mode")
   }
 
@@ -468,10 +487,20 @@ object RetrievalEval {
     * evidence in through the BM25 leg. */
   def maxSimCascadeEval(docs: DataFrame, candidates: Int = 20,
                         dim: Int = 64): DataFrame = {
+    val queries = querySet(docs).localCheckpoint(true)
+    maxSimModes(hybridPool(docs, queries, candidates, dim), docs, queries,
+      dim, "hybrid_pool", "hybrid_maxsim")
+  }
+
+  /** The fused-hybrid candidate pool of the cascade instruments: RRF of
+    * the vector and BM25 legs (oversample 30 each, weights 0.7 / 1−0.7,
+    * the `ev_self_retrieval_indexed` conventions — cut by unrounded f,
+    * rank by round(f, 6)) cut at `candidates` — (qid, id, ps). */
+  private def hybridPool(docs: DataFrame, queries: DataFrame,
+                         candidates: Int, dim: Int): DataFrame = {
     import graft.expressions.TopKScored.topK
     val over = 30
     val emb = HashingEmbedder(dim)
-    val queries = querySet(docs).localCheckpoint(true)
     val corpusVecs = emb.embed(docs.select(col("id"), col("text")))
       .select("id", "embedding")
     val qVecs = queries.select(col("qid"),
@@ -492,18 +521,16 @@ object RetrievalEval {
       .groupBy("qid").agg(topK(col("bm25"), col("id"), over).as("top"))
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col.id").as("id"), col("pos").as("rb"))
-    // RRF with the engine's weight EXPRESSIONS (bm25 weight = 1 − 0.7);
-    // cut by unrounded f, rank by round(f, 6) — the indexed-eval rules
+    // RRF with the engine's weight EXPRESSIONS (bm25 weight = 1 − 0.7)
     val fusedAll = vecRanks.join(bmRanks, Seq("qid", "id"), "full_outer")
       .select(col("qid"), col("id"),
         (coalesce(lit(0.7) / (col("rv") + lit(graft.search.HybridSearch.RrfK)), lit(0.0)) +
           coalesce(lit(1.0 - 0.7) / (col("rb") + lit(graft.search.HybridSearch.RrfK)), lit(0.0)))
           .as("f"))
-    val pool = fusedAll
+    fusedAll
       .groupBy("qid").agg(topK(col("f"), col("id"), candidates).as("top"))
       .select(col("qid"), explode(col("top")).as("e"))
       .select(col("qid"), col("e.id").as("id"), round(col("e.score"), 6).as("ps"))
-    maxSimModes(pool, docs, queries, dim, "hybrid_pool", "hybrid_maxsim")
   }
 
   /** The shared measurement tail: given a per-qid candidate pool

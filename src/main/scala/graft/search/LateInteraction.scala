@@ -67,13 +67,14 @@ object LateInteraction {
     * for `queryText`: (rank, id, rel, maxsim). `rel` is the pool's
     * doc-level similarity (6dp), `maxsim` the late-interaction score. */
   def rerank(memories: DataFrame, queryText: String, n: Int = 5,
-             candidates: Int = 20, dim: Int = 64): DataFrame = {
+             candidates: Int = 20, dim: Int = 64,
+             mode: String = ModeMaxSim): DataFrame = {
     // pool: doc-level retrieval for the query text's hashing embedding —
     // one corpus scan; text rides along so the rerank never rescans
     val qv = DeterministicFakeSession(dim).encode(Seq(queryText)).head.toSeq
     val pool = VectorSearch.topK(memories, qv, k = candidates)
       .select(col("id"), col("sim").as("rel"), col("text"))
-    maxSimTail(pool, queryText, n, dim)
+    maxSimTail(pool, queryText, n, dim, mode)
   }
 
   /** [[rerank]] with the candidate pool read from the persisted IVF index
@@ -90,9 +91,9 @@ object LateInteraction {
   def rerankIndexed(spark: org.apache.spark.sql.SparkSession, ivfPath: String,
                     memories: DataFrame, queryText: String, n: Int = 5,
                     candidates: Int = 20, nprobe: Int = 2,
-                    dim: Int = 64): DataFrame =
+                    dim: Int = 64, mode: String = ModeMaxSim): DataFrame =
     maxSimTail(indexedPool(spark, ivfPath, memories, queryText, candidates,
-      nprobe, dim), queryText, n, dim)
+      nprobe, dim), queryText, n, dim, mode)
 
   /** The production cascade: MaxSim as the rerank stage over the FUSED
     * hybrid retrieval — [[HybridSearch.search]] (RRF over vector + BM25 +

@@ -267,6 +267,13 @@ class JobCountSpec extends SparkSpec {
     // o3_timeline_indexed=53 (IVF build + ONE shared probed scan for
     // both variants + the dedupe/sort tail)
     "r19_passage_maxp" -> 6,
+    // passage index build + the shared exact leg + three probe rungs
+    // (measured 79 — the passage analog of ev_ivf_recall_sweep's 82)
+    "ev_passage_recall" -> 91,
+    // same 40 as ev_maxsim_cascade: the five-ordering tail reads ONE
+    // checkpointed scored frame — the extra modes are windows + bounded
+    // metric rows, not passes over the pool construction
+    "ev_maxsim_cascade_blend" -> 46,
     "r19_passage_indexed" -> 44,
     "ev_maxsim_blend" -> 38,
     "r18_maxsim_blend" -> 39,
