@@ -51,7 +51,14 @@ class DeterminismSpec extends SparkSpec {
       "ann_bq_topk", "tc_ppl_buckets", "gr_communities", "gr_modularity",
       "ann_tier_sweep", "gr_components_stars", "tc_lang_share",
       "st_click_attribution", "gr_local_clustering", "s10_snapshot_diff",
-      "ann_ivfbq_topk", "tp_pack_efficiency", "ann_ivf_batch")
+      "ann_ivfbq_topk", "tp_pack_efficiency", "ann_ivf_batch",
+      // round 15: the MaxSim blend tails (rank windows over checkpointed
+      // bounded pools), the passage index legs (composite-pid fold +
+      // probed-cell scan), the shared-probe timeline, and the two new
+      // eval instruments (per-qid window ranks + integer-ppm sweep)
+      "r19_passage_maxp", "r19_passage_indexed", "ev_maxsim_blend",
+      "r18_maxsim_blend", "o3_timeline_indexed", "ev_passage_recall",
+      "ev_maxsim_cascade_blend")
 
   private def rowsAt(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)
