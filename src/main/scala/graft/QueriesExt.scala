@@ -91,7 +91,7 @@ object QueriesExt {
        |qs AS MATERIALIZED (
        |  SELECT id AS qid, embedding AS qv FROM memories
        |  WHERE id % ${graft.eval.RetrievalEval.SampleMod} = 0
-       |  ORDER BY qid LIMIT ${graft.eval.RetrievalEval.MaxQueries}),
+       |  ORDER BY ${graft.eval.RetrievalEval.spreadSql("qid")}, qid LIMIT ${graft.eval.RetrievalEval.MaxQueries}),
        |asgm AS MATERIALIZED (
        |  SELECT id, label AS ivf_cell FROM (
        |    SELECT m.id, c.label, row_number() OVER (PARTITION BY m.id ORDER BY
@@ -618,7 +618,7 @@ object QueriesExt {
          |  SELECT id AS qid, array_to_string(t[1:greatest(len(t) // 2, 1)], ' ') AS text
          |  FROM (SELECT id, $t AS t FROM corpus)
          |  WHERE id % ${graft.eval.RetrievalEval.SampleMod} = 0 AND len(t) >= 4
-         |  ORDER BY qid LIMIT ${graft.eval.RetrievalEval.MaxQueries}),
+         |  ORDER BY ${graft.eval.RetrievalEval.spreadSql("qid")}, qid LIMIT ${graft.eval.RetrievalEval.MaxQueries}),
          |${OracleText.embedCtesOver("corpus", 64)},
          |${OracleText.embedCtesOver("(SELECT qid AS id, text FROM qdoc) qsrc", 64, "qe")},
          |vs AS MATERIALIZED (
@@ -653,7 +653,7 @@ object QueriesExt {
          |  SELECT id AS qid, array_to_string(t[1:greatest(len(t) // 2, 1)], ' ') AS text
          |  FROM (SELECT id, ${OracleText.toks("text")} AS t FROM corpus)
          |  WHERE id % ${graft.eval.RetrievalEval.SampleMod} = 0 AND len(t) >= 4
-         |  ORDER BY qid LIMIT ${graft.eval.RetrievalEval.MaxQueries}),
+         |  ORDER BY ${graft.eval.RetrievalEval.spreadSql("qid")}, qid LIMIT ${graft.eval.RetrievalEval.MaxQueries}),
          |${OracleText.embedCtesOver("corpus", 64)},
          |${OracleText.embedCtesOver("(SELECT qid AS id, text FROM qdoc) qsrc", 64, "qe")},
          |scent0 AS (SELECT id % 8 AS label, t.i, avg(e[t.i]) AS m

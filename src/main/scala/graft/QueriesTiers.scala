@@ -221,8 +221,12 @@ object QueriesTiers {
     // hashing token embeddings — exact token evidence re-ranks what one
     // pooled vector blurs
     "r18_maxsim_rerank" -> ((s, dir) =>
+      // mode pinned: this is the pure-rerank INSTRUMENT (the ColBERT
+      // ordering the blend is measured against); the production default
+      // is ModeBlendWrrf since the r15 instruments measured it dominant
       graft.search.LateInteraction.rerank(Corpus.memories(s, dir),
-        Queries.QueryTokens.mkString(" "), n = 5, candidates = 20)),
+        Queries.QueryTokens.mkString(" "), n = 5, candidates = 20,
+        mode = graft.search.LateInteraction.ModeMaxSim)),
     // the same MaxSim stage with the candidate pool read from the
     // persisted IVF index (one probed-cell scan; the corpus is touched
     // only for the probed candidates' text/visibility by id-join)
@@ -232,7 +236,8 @@ object QueriesTiers {
       val mem = Corpus.memories(s, dir)
       graft.ann.IvfIndex.build(mem, Tables.embeddings(s, dir), ivfPath)
       graft.search.LateInteraction.rerankIndexed(s, ivfPath, mem,
-        Queries.QueryTokens.mkString(" "), n = 5, candidates = 20)
+        Queries.QueryTokens.mkString(" "), n = 5, candidates = 20,
+        mode = graft.search.LateInteraction.ModeMaxSim)
     }),
     // passage-level MaxP: line passages of the synthesized c4 pages,
     // each hash-embedded and scored, documents ranked by their BEST
@@ -258,7 +263,8 @@ object QueriesTiers {
       graft.search.LateInteraction.rerankHybrid(
         Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
         Queries.hybridParams(s, dir), Queries.QueryTokens.mkString(" "),
-        n = 5, candidates = 20)),
+        n = 5, candidates = 20,
+        mode = graft.search.LateInteraction.ModeMaxSim)),
     // passage retrieval through the persisted passage IVF index (r14
     // verdict next-round #3): build the index over exploded c4-page
     // passages (pid = id·2²⁰ + pos, cells = pid mod 8), answer MaxP from
@@ -304,12 +310,14 @@ object QueriesTiers {
     // pool-weighted steep-k RRF of (pool rank, MaxSim rank) — the fused
     // top-1 signal survives while token evidence repairs the tail,
     // instead of MaxSim replacing the fused order outright
+    // NO explicit mode: the production cascade runs on the API DEFAULT,
+    // which IS ModeBlendWrrf since r16 (r15 verdict #1) — this oracle gate
+    // therefore pins the default itself, not just the mode constant
     "r18_maxsim_blend" -> ((s, dir) =>
       graft.search.LateInteraction.rerankHybrid(
         Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
         Queries.hybridParams(s, dir), Queries.QueryTokens.mkString(" "),
-        n = 5, candidates = 20,
-        mode = graft.search.LateInteraction.ModeBlendWrrf)))
+        n = 5, candidates = 20)))
 
   private val bqQ =
     "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
@@ -457,7 +465,7 @@ object QueriesTiers {
        |  SELECT id AS qid, array_to_string(t[1:greatest(len(t) // 2, 1)], ' ') AS text
        |  FROM (SELECT id, $t AS t FROM corpus)
        |  WHERE id % ${ev.SampleMod} = 0 AND len(t) >= 4
-       |  ORDER BY qid LIMIT ${ev.MaxQueries}),
+       |  ORDER BY ${ev.spreadSql("qid")}, qid LIMIT ${ev.MaxQueries}),
        |${OracleText.embedCtesOver("corpus", 64)},
        |${OracleText.embedCtesOver("(SELECT qid AS id, text FROM qdoc) qsrc", 64, "qe")}""".stripMargin
   }
@@ -595,7 +603,7 @@ object QueriesTiers {
        |pqs AS MATERIALIZED (
        |  SELECT pid AS qid, emb AS qv FROM pemb
        |  WHERE pid % ${ev.SampleMod} = 0
-       |  ORDER BY qid LIMIT ${ev.MaxQueries}),
+       |  ORDER BY ${ev.spreadSql("qid")}, qid LIMIT ${ev.MaxQueries}),
        |pex AS MATERIALIZED (
        |  SELECT qid, pid FROM (
        |    SELECT q.qid, e.pid,

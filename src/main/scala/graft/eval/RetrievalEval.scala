@@ -40,8 +40,28 @@ object RetrievalEval {
   val MaxQueries = 1024
   val K = 10
 
+  /** Order-stable HASH-SPREAD ordering for bounded samples (r15 verdict
+    * #2 / driver-ADVICE low): in a real store ids correlate with ingest
+    * time, so a first-N-by-id cap reads only the OLDEST slice — cells
+    * holding newer (drifted) content are never probed by the exact leg
+    * and a tuned nprobe goes silently stale-optimistic. Ordering by an
+    * LCG permutation of the 31-bit id residue spreads the capped sample
+    * across the whole id range instead (ties broken by id, so the cut
+    * stays deterministic at any corpus size). Pure integer arithmetic —
+    * residue < 2³¹ times 1103515245 < 2⁶² never overflows — and exactly
+    * replayable in ANSI SQL ([[spreadSql]]; the `tp_fim_transform`
+    * oracle's established LCG pattern). */
+  def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(pmod(c, lit(2147483648L)) * lit(1103515245L) + lit(12345L),
+      lit(2147483648L))
+
+  /** The exact SQL replay of [[spread]] for the oracle CTEs. */
+  def spreadSql(id: String): String =
+    s"((($id % 2147483648) * 1103515245 + 12345) % 2147483648)"
+
   /** The bounded, deterministic query set: (qid, qtext) with qtext = the
-    * first max(len/2, 1) tokens of the source document. */
+    * first max(len/2, 1) tokens of the source document. The cap cuts a
+    * [[spread hash-spread]] sample, not the head of the id range. */
   def querySet(docs: DataFrame, textCol: String = "text",
                idCol: String = "id"): DataFrame = {
     val t = TextFunctions.tokens(col(textCol))
@@ -51,7 +71,7 @@ object RetrievalEval {
         array_join(
           slice(t, lit(1), greatest((size(t) / 2).cast("int"), lit(1))), " ")
           .as("qtext"))
-      .orderBy("qid")
+      .orderBy(spread(col("qid")), col("qid"))
       .limit(MaxQueries)
   }
 
@@ -168,9 +188,13 @@ object RetrievalEval {
     * fixture but a scale-killer when a tuning call points it at a 10⁹-row
     * store — so those overloads sample the corpus (order-stable, the
     * consolidator's bounded-candidate precedent, consolidator.py:73-78)
-    * before sweeping. Recall is then measured WITHIN the sample (the
-    * indexed leg's candidates are restricted to the sampled ids too), an
-    * unbiased estimate of the rung curve at a bounded cost. */
+    * before sweeping. The sample is [[spread hash-spread]] across the id
+    * range — NOT first-N-by-id, which in an ingest-ordered store would
+    * read only the oldest slice and skew the recall estimate away from
+    * exactly the drifted (newest) rows the tuning exists for. Recall is
+    * then measured WITHIN the sample (the indexed leg's candidates are
+    * restricted to the sampled ids too) — an estimate of the rung curve
+    * at a bounded cost, unbiased w.r.t. ingest order. */
   val TuneMaxCorpusRows = 100000
 
   /** [[ivfRecall]] across a WHOLE nprobe ladder in one pass — the recall
@@ -191,16 +215,18 @@ object RetrievalEval {
                      maxQueries: Int = MaxQueries,
                      maxCorpusRows: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // order-stable corpus sample (TakeOrdered — each task ships ≤ n rows);
+    // order-stable HASH-SPREAD corpus sample (TakeOrdered — each task
+    // ships ≤ n rows; spread across the id range, not first-N-by-id);
     // checkpointed: it feeds the query sample, the exact leg AND the
     // per-rung candidate restriction
     val corpus = maxCorpusRows
-      .map(n => memories.select("id", "embedding").orderBy("id").limit(n)
+      .map(n => memories.select("id", "embedding")
+        .orderBy(spread(col("id")), col("id")).limit(n)
         .localCheckpoint(true))
       .getOrElse(memories.select("id", "embedding"))
     val queries = corpus.filter(col("id") % SampleMod === 0)
       .select(col("id").as("qid"), col("embedding").as("qv"))
-      .orderBy("qid").limit(maxQueries)
+      .orderBy(spread(col("qid")), col("qid")).limit(maxQueries)
       .localCheckpoint(true) // shared by the exact leg + every probe rung
     val pq = Window.partitionBy("qid").orderBy(desc("sim"), asc("id"))
     val exact = corpus.crossJoin(broadcast(queries))

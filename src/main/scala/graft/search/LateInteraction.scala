@@ -68,7 +68,7 @@ object LateInteraction {
     * doc-level similarity (6dp), `maxsim` the late-interaction score. */
   def rerank(memories: DataFrame, queryText: String, n: Int = 5,
              candidates: Int = 20, dim: Int = 64,
-             mode: String = ModeMaxSim): DataFrame = {
+             mode: String = ModeBlendWrrf): DataFrame = {
     // pool: doc-level retrieval for the query text's hashing embedding —
     // one corpus scan; text rides along so the rerank never rescans
     val qv = DeterministicFakeSession(dim).encode(Seq(queryText)).head.toSeq
@@ -91,7 +91,7 @@ object LateInteraction {
   def rerankIndexed(spark: org.apache.spark.sql.SparkSession, ivfPath: String,
                     memories: DataFrame, queryText: String, n: Int = 5,
                     candidates: Int = 20, nprobe: Int = 2,
-                    dim: Int = 64, mode: String = ModeMaxSim): DataFrame =
+                    dim: Int = 64, mode: String = ModeBlendWrrf): DataFrame =
     maxSimTail(indexedPool(spark, ivfPath, memories, queryText, candidates,
       nprobe, dim), queryText, n, dim, mode)
 
@@ -105,7 +105,7 @@ object LateInteraction {
   def rerankHybrid(memories: DataFrame, feedback: Option[DataFrame],
                    p: HybridSearch.Params, queryText: String, n: Int = 5,
                    candidates: Int = 20, dim: Int = 64,
-                   mode: String = ModeMaxSim): DataFrame = {
+                   mode: String = ModeBlendWrrf): DataFrame = {
     val pool = HybridSearch.search(memories, feedback, p.copy(k = candidates))
       .select(col("id"), col("rrf_score").as("rel"))
       .join(memories.select(col("id"), col("text")), Seq("id"))
@@ -119,7 +119,8 @@ object LateInteraction {
     * fused and token signals, not replace one with the other):
     *
     *  - [[ModeMaxSim]]  rank by the MaxSim micro-score alone (the ColBERT
-    *    rerank shape; the original r14 behavior and the default).
+    *    rerank shape; the original r14 behavior — kept for the pure-rerank
+    *    instruments, no longer the default).
     *  - [[ModeBlendRrf]] rank by RRF of the pool rank and the MaxSim rank
     *    (0-based ranks, the engine's [[HybridSearch.RrfK]] constant,
     *    blend 6dp-rounded, ties by id) — keeps the pool's top-1 signal
@@ -141,11 +142,20 @@ object LateInteraction {
     * curve is too flat to protect the pool's top-1 (any maxsim-rank-0
     * competitor outscores a pool-rank-0 gold whose maxsim rank is deep);
     * at k₀ = 1 a pool-rank-0 gold survives any single-rank deficit
-    * whenever w > (k₀+1)·(C−1) / ((k₀+1)·(C−1) + (k₀+C−1)) ≈ 0.655 for a
-    * 20-candidate pool, while a pool-tail gold with strong token evidence
-    * still clears the top-10 bar. Measured against the other modes by
+    * whenever w > (k₀+1)·(C−1) / ((k₀+1)·(C−1) + (k₀+C−1)) — ≈ 0.655 for a
+    * 20-candidate pool, and MONOTONE INCREASING in C with supremum
+    * (k₀+1)/(k₀+2) = 2/3 as C → ∞ (divide through by C), so w = 0.7 > 2/3
+    * protects the pool's top-1 at EVERY candidate-pool size, not just the
+    * measured C = 20 (spec-pinned at C = 100 by LateInteractionSpec);
+    * [[maxSimTail]] `require`s the constants stay on the protected side of
+    * that supremum. A pool-tail gold with strong token evidence still
+    * clears the top-10 bar. Measured against the other modes by
     * `ev_maxsim_blend` — the sf0.01 table shows this mode alone keeping
-    * BOTH the pool's recall@1 and MaxSim's recall@10 win. */
+    * BOTH the pool's recall@1 and MaxSim's recall@10 win. The production
+    * DEFAULT of [[rerank]]/[[rerankIndexed]]/[[rerankHybrid]] since the
+    * r15 instruments (`ev_maxsim_blend`, `ev_maxsim_cascade_blend`,
+    * `ev_maxsim_blend_sweep`) measured it dominant: recall@1 0.857 vs pure
+    * MaxSim's 0.286 at equal recall@10 1.0. */
   val ModeBlendWrrf = "blend_wrrf"
   val BlendPoolWeight = 0.7
   val BlendRrfK = 1
@@ -172,8 +182,8 @@ object LateInteraction {
     * final ordering (see [[ModeMaxSim]]/[[ModeBlendRrf]]/[[ModeBlendTie]]).
     * Shared by the in-session and index-backed legs so the scoring cannot
     * drift. */
-  private def maxSimTail(pool0: DataFrame, queryText: String, n: Int,
-                         dim: Int, mode: String = ModeMaxSim): DataFrame = {
+  private[graft] def maxSimTail(pool0: DataFrame, queryText: String, n: Int,
+                                dim: Int, mode: String = ModeBlendWrrf): DataFrame = {
     val spark = pool0.sparkSession
     import spark.implicits._
     // the pool feeds TWO consumers (the token explode and the final rank
@@ -209,6 +219,14 @@ object LateInteraction {
             .over(Window.orderBy(desc("smicro"), asc("id"))).cast("int"))
           .select(base: _*)
       case ModeBlendRrf | ModeBlendWrrf =>
+        // the top-1-protection bound is monotone in the pool size with
+        // supremum (k₀+1)/(k₀+2); keeping the weight strictly above it
+        // makes the guarantee pool-size-independent (see [[ModeBlendWrrf]])
+        if (mode == ModeBlendWrrf)
+          require(BlendPoolWeight > (BlendRrfK + 1.0) / (BlendRrfK + 2.0),
+            s"blend_wrrf: BlendPoolWeight = $BlendPoolWeight must exceed " +
+              s"(k0+1)/(k0+2) = ${(BlendRrfK + 1.0) / (BlendRrfK + 2.0)} or " +
+              "a large candidate pool loses the pool-top-1 protection")
         val (k, w) =
           if (mode == ModeBlendRrf) (lit(HybridSearch.RrfK), lit(0.5))
           else (lit(BlendRrfK), lit(BlendPoolWeight))
@@ -228,7 +246,8 @@ object LateInteraction {
             .over(Window.orderBy(desc("rel"), desc("smicro"), asc("id"))).cast("int"))
           .select(base: _*)
       case other => throw new IllegalArgumentException(
-        s"maxSimTail: unknown mode '$other' (maxsim | blend_rrf | blend_tie)")
+        s"maxSimTail: unknown mode '$other' " +
+          "(maxsim | blend_rrf | blend_tie | blend_wrrf)")
     }
     ranked.filter(col("rank") <= n).orderBy("rank")
   }

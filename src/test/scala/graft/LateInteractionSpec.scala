@@ -77,7 +77,8 @@ class LateInteractionSpec extends SparkSpec {
     val pool = VectorSearch.topK(mem, qv, k = 20)
       .select(col("id"), col("sim"), col("text"))
       .as[(Long, Double, String)].collect().toSeq
-    val got = LateInteraction.rerank(mem, queryText, n = 5, candidates = 20)
+    val got = LateInteraction.rerank(mem, queryText, n = 5, candidates = 20,
+      mode = LateInteraction.ModeMaxSim)
       .as[(Int, Long, Double, Double)].collect().toSeq
     assert(got == maxSimFold(pool))
   }
@@ -94,7 +95,8 @@ class LateInteractionSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
       .map { case (id, rel) => (id, rel, textById(id)) }
     val got = LateInteraction
-      .rerankHybrid(mem, fb, p, queryText, n = 5, candidates = 20)
+      .rerankHybrid(mem, fb, p, queryText, n = 5, candidates = 20,
+        mode = LateInteraction.ModeMaxSim)
       .as[(Int, Long, Double, Double)].collect().toSeq
     assert(got == maxSimFold(pool))
   }
@@ -109,9 +111,11 @@ class LateInteractionSpec extends SparkSpec {
     graft.ann.IvfIndex.build(mem, graft.core.Tables.embeddings(spark, sf()), ivfPath)
     val nCells = graft.ann.IvfIndex.cellCount(spark, ivfPath)
     val exhaustive = LateInteraction.rerankIndexed(spark, ivfPath, mem,
-      queryText, n = 5, candidates = 20, nprobe = nCells)
+      queryText, n = 5, candidates = 20, nprobe = nCells,
+      mode = LateInteraction.ModeMaxSim)
       .as[(Int, Long, Double, Double)].collect().toSeq
-    val inSession = LateInteraction.rerank(mem, queryText, n = 5, candidates = 20)
+    val inSession = LateInteraction.rerank(mem, queryText, n = 5,
+      candidates = 20, mode = LateInteraction.ModeMaxSim)
       .as[(Int, Long, Double, Double)].collect().toSeq
     assert(exhaustive == inSession)
     graft.sources.Store.deleteRecursive(ivfPath)
@@ -171,6 +175,43 @@ class LateInteractionSpec extends SparkSpec {
     assert(unknown.getMessage.contains("unknown mode"))
   }
 
+  test("the no-arg cascade IS the blend_wrrf ordering (r15 verdict #1)") {
+    // the production default flipped to the measured winner: a caller
+    // taking the API defaults must get the pool-weighted steep-k RRF
+    // blend, bit for bit — including the blend column in the schema
+    val mem = Corpus.memories(spark, sf())
+    val fb = Some(Corpus.searchFeedback(spark, sf()))
+    val p = Queries.hybridParams(spark, sf())
+    val queryText = Queries.QueryTokens.mkString(" ")
+    val noArgHybrid = LateInteraction
+      .rerankHybrid(mem, fb, p, queryText, n = 5, candidates = 20)
+    assert(noArgHybrid.columns.toSeq ==
+      Seq("rank", "id", "rel", "maxsim", "blend"))
+    assert(noArgHybrid.collect().toSeq == LateInteraction
+      .rerankHybrid(mem, fb, p, queryText, n = 5, candidates = 20,
+        mode = LateInteraction.ModeBlendWrrf).collect().toSeq)
+    assert(LateInteraction.rerank(mem, queryText, n = 5, candidates = 20)
+      .collect().toSeq ==
+      LateInteraction.rerank(mem, queryText, n = 5, candidates = 20,
+        mode = LateInteraction.ModeBlendWrrf).collect().toSeq)
+  }
+
+  test("blend_wrrf protects the pool-rank-0 gold at C = 100") {
+    // the analytic bound (C−1)(k₀+1)/((k₀+C−1)+(C−1)(k₀+1)) is monotone in
+    // C with supremum (k₀+1)/(k₀+2) = 2/3 < 0.7, so the pool's top-1 must
+    // survive even a 100-candidate pool where EVERY other candidate beats
+    // it on token evidence (gold text shares no query token → worst-case
+    // maxsim rank; the 99 competitors carry the exact query tokens)
+    val queryText = Queries.QueryTokens.mkString(" ")
+    val pool = (1L to 100L).map(i =>
+        (i, 1.0 - i * 0.001, if (i == 1L) "zzzz" else queryText))
+      .toDF("id", "rel", "text")
+    val got = LateInteraction.maxSimTail(pool, queryText, n = 1, dim = dim,
+      mode = LateInteraction.ModeBlendWrrf)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L), "the pool-rank-0 gold must keep rank 1")
+  }
+
   test("a token-less candidate keeps its pool slot with maxsim 0") {
     // two docs: one carries a query token, one is whitespace-only text;
     // both must surface, the empty one with maxsim exactly 0
@@ -180,7 +221,7 @@ class LateInteractionSpec extends SparkSpec {
         when(row_number().over(org.apache.spark.sql.expressions.Window.orderBy("id")) === 1,
           lit("spark window")).otherwise(lit("   ")))
     val out = LateInteraction.rerank(mem, Queries.QueryTokens.mkString(" "),
-      n = 2, candidates = 2)
+      n = 2, candidates = 2, mode = LateInteraction.ModeMaxSim)
       .select("rank", "maxsim").as[(Int, Double)].collect().toSeq
     assert(out.size == 2)
     assert(out.map(_._1) == Seq(1, 2))

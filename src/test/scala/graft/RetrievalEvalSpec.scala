@@ -218,6 +218,40 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(sampled == full, s"this fixture's rung survives the sample: $sampled")
   }
 
+  test("the tuning corpus sample is hash-spread, not first-N-by-id (r15 #2)") {
+    val s = spark
+    import s.implicits._
+    val path = "/root/repo/target/tmp/eval_spread_ivf"
+    graft.sources.Store.deleteRecursive(path)
+    def v4(a: Double, b: Double) = Array(a.toFloat, b.toFloat, 0.0f, 0.0f)
+    // ids 1..20 are the "oldest" ingest slice; the five query ids
+    // (% 37 == 0) sit at the HIGH end of the id range — the drifted-newest
+    // shape the tuning overloads exist for. A first-10-by-id cut samples
+    // ZERO queries (the old bias); the hash-spread cut reaches the tail.
+    val qids = Seq(37L, 74L, 111L, 148L, 185L)
+    val ids = (1L to 20L) ++ qids
+    val mem = ids.map(i =>
+        (i, if (qids.contains(i)) v4(1, 0) else v4(0, 1)))
+      .toDF("id", "embedding")
+    graft.ann.IvfIndex.buildWithCentroids(mem,
+      Seq((0, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (1, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+        .toDF("label", "centroid"), path)
+    // driver-side replay of the LCG spread predicts the engine's sample:
+    // all five query ids rank inside the 10-row cut (and would be cut to
+    // zero by an id-ordered head — the fixture discriminates)
+    def lcg(i: Long) = ((i % 2147483648L) * 1103515245L + 12345L) % 2147483648L
+    val predicted = ids.sortBy(i => (lcg(i), i)).take(10)
+    assert(predicted.count(_ % 37L == 0L) == 5 &&
+      ids.sorted.take(10).count(_ % 37L == 0L) == 0,
+      s"fixture must discriminate spread vs head order: $predicted")
+    val row = RetrievalEval.ivfRecallSweep(spark, mem, path,
+      nprobes = Seq(2), maxCorpusRows = Some(10)).head()
+    assert(row.getLong(0) == 5L,
+      s"the spread sample must reach all 5 tail-end query ids, got $row")
+    assert(row.getLong(row.fieldIndex("recall_ppm")) == 1000000L,
+      s"nprobe = cellCount within the sample is exhaustive, got $row")
+  }
+
   test("an empty query sample yields recall 0 and a conservative fallback") {
     val s = spark
     import s.implicits._
