@@ -80,6 +80,18 @@ object QueriesOps {
     "o4_evidence_recency" -> ((s, dir) =>
       Presentation.evidencePacket(mem(s, dir), Queries.queryVec(s, dir),
         queryText = "latest dedup merge window")),
+    // the evidence packet's candidate stage through the persisted IVF
+    // index (r15 verdict next-round #5 — the last presentation read path
+    // whose vector leg brute-scanned the corpus per query): ONE probed-cell
+    // scan, corpus attrs by id-join, the rank/relation/trail tail verbatim
+    "o4_evidence_indexed" -> ((s, dir) => {
+      val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_o4_ivf_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(ivfPath)
+      val m = mem(s, dir)
+      graft.ann.IvfIndex.build(m, graft.core.Tables.embeddings(s, dir), ivfPath)
+      Presentation.evidencePacketIndexed(s, ivfPath, m,
+        Queries.queryVec(s, dir), queryText = "dedup merge window")
+    }),
     "o4_followups" -> ((s, dir) => {
       import s.implicits._
       Presentation.followUpQueries("What Changed about the dedup   window")
@@ -263,15 +275,28 @@ object QueriesOps {
       |         + CASE WHEN event_id % 9 = 0 THEN 1 ELSE 0 END AS INT) AS extracted
       |  FROM events WHERE event_type = 'signup')""".stripMargin
 
-  /** O4 oracle body shared by the score-first and recency-first variants —
-    * only the rank-key ORDER BY differs (evidence_packet.py:59-64). */
-  private def evidenceOracle(orderSql: String): String =
+  /** O4 oracle body shared by the score-first, recency-first and
+    * index-backed variants — only the rank-key ORDER BY differs
+    * (evidence_packet.py:59-64), plus for the indexed leg the candidate
+    * CTE is restricted to the probed cells (asg/cent/probe replayed from
+    * first principles — the established probed-cell-restriction pattern).
+    * NO archived filter in either leg: the packet classifies archived
+    * evidence rather than hiding it (includeArchived = true). */
+  private def evidenceOracle(orderSql: String, probed: Boolean = false): String = {
+    val ivf =
+      if (probed)
+        Queries.ivfCtesOverQ("memories",
+          "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)") + ",\n"
+      else ""
+    val probeJoin =
+      if (probed) "JOIN asg a ON m.id = a.id JOIN probe p ON a.ivf_cell = p.label\n  "
+      else ""
     s"""WITH ${OracleCtes.memories},
-       |v AS MATERIALIZED (
+       |${ivf}v AS MATERIALIZED (
        |  SELECT m.id, m.source, round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6) AS sim,
        |    coalesce(m.document_at, m.updated_at, m.created_at) AS date,
        |    m.archived, m.is_latest
-       |  FROM memories m CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       |  FROM memories m ${probeJoin}CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
        |  ORDER BY sim DESC, m.id LIMIT 20),
        |r AS MATERIALIZED (SELECT *, row_number() OVER (ORDER BY $orderSql) AS rank FROM v),
        |cur AS (SELECT date AS cur_date FROM r WHERE rank = 1),
@@ -292,6 +317,7 @@ object QueriesOps {
        |         WHEN (SELECT n FROM n_old) > 0 THEN 'medium' ELSE 'high' END AS confidence_level
        |  FROM rel)
        |SELECT * FROM trail WHERE trail_pos <= 10 ORDER BY trail_pos""".stripMargin
+  }
 
   private val vecTopIds =
     s"""vtop AS (
@@ -497,6 +523,12 @@ object QueriesOps {
       "sim DESC, (date IS NOT NULL) DESC, date DESC, is_latest DESC, id"),
     "o4_evidence_recency" -> evidenceOracle(
       "(date IS NOT NULL) DESC, date DESC, sim DESC, is_latest DESC, id"),
+    // the o4 replay with the candidate CTE restricted to the probed cells
+    // (asg/cent/probe replayed from first principles — the established
+    // probed-cell-restriction pattern); rank key and tail verbatim
+    "o4_evidence_indexed" -> evidenceOracle(
+      "sim DESC, (date IS NOT NULL) DESC, date DESC, is_latest DESC, id",
+      probed = true),
     "o4_followups" ->
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), 'What Changed about the dedup window'),

@@ -39,6 +39,39 @@ object IndexBuild {
     (assigned, centroids)
   }
 
+  /** TRAINED centroid table for the production IVF builds (r15 verdict
+    * #3 — [[kmeansIvf]] existed, was spec-tested and was wired to
+    * NOTHING: the fixture-style label seedings the oracle-gated queries
+    * replay — pid-mod-nlist, id-mod-nlist — are SQL-replayable but are
+    * not semantic clustering, and the recall ladder shows the cost:
+    * `ev_passage_recall` reads 585714 ppm at nprobe 1 on positional
+    * cells; the trained seeding measures 725850 ppm on the same corpus
+    * and rung at sf0.01 (868027 vs 749660 at nprobe 2, 941497 vs 901361
+    * at nprobe 4) — see [[graft.search.Passage.buildIndexTrained]]).
+    *
+    * Output matches [[Ann.centroidsByLabel]]'s (label, centroid) contract
+    * exactly — L2-NORMALIZED centers (spherical-k-means style, MacQueen
+    * '67 + Dhillon & Modha '01, public), because everything downstream
+    * (probe ordering, [[Ann.assignWithSim]]'s argmax, the drift monitor's
+    * csim) scores by dot product: normalizing keeps one centroid's cell
+    * from swallowing rows merely because its center vector is longer.
+    * Same fixed seed ⇒ reproducible for a fixed input partitioning; not
+    * SQL-oracle-able (MLlib internals) — correctness gates are invariant
+    * specs (exhaustive-probe ≡ brute, recall ≥ positional on a clustered
+    * fixture), the standing kmeans adjudication. */
+  def trainedCentroids(embeddings: DataFrame, nlist: Int, seed: Long = 42L,
+                       maxIter: Int = 20): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (_, raw) = kmeansIvf(embeddings.select("embedding"), nlist, seed, maxIter)
+    raw.as[(Int, Array[Double])]
+      .map { case (label, c) =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        (label, if (n == 0.0) c else c.map(_ / n))
+      }
+      .toDF("label", "centroid")
+  }
+
   /** Random-hyperplane LSH near-dup join over the embedding column —
     * MLlib's BucketedRandomProjectionLSH `approxSimilarityJoin`. Returns
     * (id_a, id_b, dist) with id_a < id_b; `maxL2Dist` relates to cosine via

@@ -58,7 +58,10 @@ class DeterminismSpec extends SparkSpec {
       // eval instruments (per-qid window ranks + integer-ppm sweep)
       "r19_passage_maxp", "r19_passage_indexed", "ev_maxsim_blend",
       "r18_maxsim_blend", "o3_timeline_indexed", "ev_passage_recall",
-      "ev_maxsim_cascade_blend", "ev_maxsim_blend_sweep")
+      "ev_maxsim_cascade_blend", "ev_maxsim_blend_sweep",
+      // round 16: the index-backed evidence packet (probed-cell candidate
+      // stage + the rank-key/relation/trail tail over a checkpointed pool)
+      "o4_evidence_indexed")
 
   private def rowsAt(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)

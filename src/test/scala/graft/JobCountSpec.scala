@@ -280,7 +280,11 @@ class JobCountSpec extends SparkSpec {
     "r19_passage_indexed" -> 44,
     "ev_maxsim_blend" -> 38,
     "r18_maxsim_blend" -> 39,
-    "o3_timeline_indexed" -> 61
+    "o3_timeline_indexed" -> 61,
+    // r16 new: IVF build + the probed candidate stage (cell collect + ONE
+    // pruned scan + attrs join, checkpointed ≤k rows) + the packet tail's
+    // bounded windows/aggregates (measured 45 in-suite at sf0.001, +~15%)
+    "o4_evidence_indexed" -> 52
   )
 
   private val counter = new AtomicInteger(0)

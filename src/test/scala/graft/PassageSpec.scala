@@ -76,6 +76,24 @@ class PassageSpec extends SparkSpec {
     graft.sources.Store.deleteRecursive(path)
   }
 
+  test("trained passage index with an exhaustive probe IS brute MaxP") {
+    // the trained-centroid production build (r15 verdict #3) rides the
+    // same lifecycle: probing every cell must reproduce the brute leg bit
+    // for bit regardless of how the cells were seeded
+    val pages = Queries.c4Pages(spark, sf())
+    val qv = Queries.queryVec(spark, sf())
+    val path = "/root/repo/target/tmp/passage_trained_ivf"
+    graft.sources.Store.deleteRecursive(path)
+    Passage.buildIndexTrained(pages, path)
+    val nCells = graft.ann.IvfIndex.cellCount(spark, path)
+    val trained = Passage.maxPIndexed(spark, path, qv, k = 10, nprobe = nCells)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    val brute = Passage.maxP(pages, qv, k = 10)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(trained == brute)
+    graft.sources.Store.deleteRecursive(path)
+  }
+
   test("the composite pid bound fail-louds past PosStride passages") {
     // a pos >= PosStride must raise, not wrap into a colliding pid; the
     // guard lives inside the pid expression itself, driven here with a
@@ -91,6 +109,25 @@ class PassageSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(err).exists(_.contains("overflows the composite pid")), err.toString)
+  }
+
+  test("the composite pid bound fail-louds on out-of-range doc ids") {
+    // a doc id >= 2^43 (or a negative one) would silently overflow/corrupt
+    // the composite pid and the div/mod decode — both must raise instead
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // the boundary id passes (MaxDocId - 1 is the largest legal id)
+    val ok = Seq((Passage.MaxDocId - 1L, 3L)).toDF("id", "pos")
+      .select(Passage.pidCol.as("pid")).head.getLong(0)
+    assert(ok == (Passage.MaxDocId - 1L) * Passage.PosStride + 3L)
+    Seq(Passage.MaxDocId, -1L).foreach { badId =>
+      val err = intercept[Exception] {
+        Seq((badId, 3L)).toDF("id", "pos")
+          .select(Passage.pidCol.as("pid")).collect()
+      }
+      assert(msgs(err).exists(_.contains("overflows/corrupts the composite pid")),
+        s"id = $badId: ${err.toString}")
+    }
   }
 
   test("maxP reproduces a driver-side best-passage fold over the c4 pages") {

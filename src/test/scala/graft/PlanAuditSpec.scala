@@ -416,6 +416,36 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("indexed evidence packet: pruned probed scan, no vector read, no re-embed") {
+    // the packet's candidate stage must read the probed cell dirs only;
+    // the corpus contributes source/dates/flags by id-join — the embedding
+    // column is never read and nothing is re-embedded at query time
+    val ivfPath = "/root/repo/target/tmp/audit_o4_ivf"
+    graft.sources.Store.deleteRecursive(ivfPath)
+    val mem = Corpus.memories(spark, sf())
+    graft.ann.IvfIndex.build(mem, Tables.embeddings(spark, sf()), ivfPath)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.ops.Presentation
+        .evidenceHitsIndexed(spark, ivfPath, mem,
+          Queries.queryVec(spark, sf()), k = 20, nprobe = 2)
+        .queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+      val asg = scans.filter(_.contains("assignments"))
+      assert(asg.size == 1, s"ONE probed scan:\n${asg.mkString("\n")}")
+      assert(asg.forall(s =>
+        s.contains("PartitionFilters: [") && s.contains("ivf_cell")),
+        s"the probed scan must prune to the probed dirs:\n${asg.mkString("\n")}")
+      val corpusScans = scans.filterNot(s =>
+        s.contains("assignments") || s.contains("centroids"))
+      assert(corpusScans.nonEmpty && corpusScans.forall(!_.contains("embedding:array")),
+        "corpus-side scans must not read the vector column:\n" +
+          corpusScans.mkString("\n"))
+      assert(!plan.contains("hash_embed"),
+        "the indexed packet must score stored embeddings, never re-embed")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("retrainCells' member read prunes to the flagged cells' partitions") {
     // the claim retraining is O(flagged members), never O(corpus), rests
     // on this scan: `ivf_cell IN (flagged)` must prune at PLANNING time

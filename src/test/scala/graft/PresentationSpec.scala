@@ -34,6 +34,29 @@ class PresentationSpec extends SparkSpec {
     graft.sources.Store.deleteRecursive(ivfPath)
   }
 
+  test("indexed evidence packet with an exhaustive probe IS the in-session packet") {
+    // nprobe = cellCount ⇒ the probed candidate pool is the whole index,
+    // so the index-backed packet must reproduce the corpus-scan packet
+    // row for row — for BOTH rank-key branches (score-first and the
+    // recency-preferring regex match)
+    val mem = graft.core.Corpus.memories(spark, sf())
+    val qv = Queries.queryVec(spark, sf())
+    val ivfPath = "/root/repo/target/tmp/pres_o4_ivf"
+    graft.sources.Store.deleteRecursive(ivfPath)
+    graft.ann.IvfIndex.build(mem, graft.core.Tables.embeddings(spark, sf()), ivfPath)
+    val nCells = graft.ann.IvfIndex.cellCount(spark, ivfPath)
+    Seq("dedup merge window", "latest dedup merge window").foreach { qt =>
+      val exhaustive = Presentation
+        .evidencePacketIndexed(spark, ivfPath, mem, qv, queryText = qt,
+          nprobe = nCells)
+        .as[(Int, Long, String, String, Double, String)].collect().toSeq
+      val inSession = Presentation.evidencePacket(mem, qv, queryText = qt)
+        .as[(Int, Long, String, String, Double, String)].collect().toSeq
+      assert(exhaustive == inSession, s"queryText = '$qt'")
+    }
+    graft.sources.Store.deleteRecursive(ivfPath)
+  }
+
   test("snippets: densest window wins, earliest start on ties, short docs emit whole") {
     val hits = Seq(
       // two hits early, three hits clustered late -> late window wins
