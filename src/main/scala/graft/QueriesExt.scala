@@ -20,7 +20,8 @@ object QueriesExt {
     * surviving clusters (tight, surv). */
   private lazy val consolidationCtes: String =
     s"""WITH RECURSIVE ${OracleCtes.memories},
-       |bounded AS MATERIALIZED (SELECT * FROM memories ORDER BY id LIMIT 500),
+       |bounded AS MATERIALIZED (SELECT * FROM memories
+       |  ORDER BY ${graft.functions.SparkHash.spreadSql("id")}, id LIMIT 500),
        |pr AS MATERIALIZED (
        |  SELECT DISTINCT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, round(sim, 4) AS similarity
        |  FROM (
@@ -91,7 +92,7 @@ object QueriesExt {
        |qs AS MATERIALIZED (
        |  SELECT id AS qid, embedding AS qv FROM memories
        |  WHERE id % ${graft.eval.RetrievalEval.SampleMod} = 0
-       |  ORDER BY ${graft.eval.RetrievalEval.spreadSql("qid")}, qid LIMIT ${graft.eval.RetrievalEval.MaxQueries}),
+       |  ORDER BY ${graft.functions.SparkHash.spreadSql("qid")}, qid LIMIT ${graft.eval.RetrievalEval.MaxQueries}),
        |asgm AS MATERIALIZED (
        |  SELECT id, label AS ivf_cell FROM (
        |    SELECT m.id, c.label, row_number() OVER (PARTITION BY m.id ORDER BY
@@ -618,7 +619,7 @@ object QueriesExt {
          |  SELECT id AS qid, array_to_string(t[1:greatest(len(t) // 2, 1)], ' ') AS text
          |  FROM (SELECT id, $t AS t FROM corpus)
          |  WHERE id % ${graft.eval.RetrievalEval.SampleMod} = 0 AND len(t) >= 4
-         |  ORDER BY ${graft.eval.RetrievalEval.spreadSql("qid")}, qid LIMIT ${graft.eval.RetrievalEval.MaxQueries}),
+         |  ORDER BY ${graft.functions.SparkHash.spreadSql("qid")}, qid LIMIT ${graft.eval.RetrievalEval.MaxQueries}),
          |${OracleText.embedCtesOver("corpus", 64)},
          |${OracleText.embedCtesOver("(SELECT qid AS id, text FROM qdoc) qsrc", 64, "qe")},
          |vs AS MATERIALIZED (
@@ -653,7 +654,7 @@ object QueriesExt {
          |  SELECT id AS qid, array_to_string(t[1:greatest(len(t) // 2, 1)], ' ') AS text
          |  FROM (SELECT id, ${OracleText.toks("text")} AS t FROM corpus)
          |  WHERE id % ${graft.eval.RetrievalEval.SampleMod} = 0 AND len(t) >= 4
-         |  ORDER BY ${graft.eval.RetrievalEval.spreadSql("qid")}, qid LIMIT ${graft.eval.RetrievalEval.MaxQueries}),
+         |  ORDER BY ${graft.functions.SparkHash.spreadSql("qid")}, qid LIMIT ${graft.eval.RetrievalEval.MaxQueries}),
          |${OracleText.embedCtesOver("corpus", 64)},
          |${OracleText.embedCtesOver("(SELECT qid AS id, text FROM qdoc) qsrc", 64, "qe")},
          |scent0 AS (SELECT id % 8 AS label, t.i, avg(e[t.i]) AS m

@@ -611,7 +611,7 @@ object QueriesScale {
          |  SELECT id AS qid, array_to_string(t[1:greatest(len(t) // 2, 1)], ' ') AS text
          |  FROM (SELECT id, $t AS t FROM corpus)
          |  WHERE id % ${graft.eval.RetrievalEval.SampleMod} = 0 AND len(t) >= 4
-         |  ORDER BY ${graft.eval.RetrievalEval.spreadSql("qid")}, qid LIMIT ${graft.eval.RetrievalEval.MaxQueries}),
+         |  ORDER BY ${graft.functions.SparkHash.spreadSql("qid")}, qid LIMIT ${graft.eval.RetrievalEval.MaxQueries}),
          |${OracleText.embedCtesOver("corpus", 64)},
          |${OracleText.embedCtesOver("(SELECT qid AS id, text FROM qdoc) qsrc", 64, "qe")},
          |hvs AS MATERIALIZED (

@@ -465,7 +465,7 @@ object QueriesTiers {
        |  SELECT id AS qid, array_to_string(t[1:greatest(len(t) // 2, 1)], ' ') AS text
        |  FROM (SELECT id, $t AS t FROM corpus)
        |  WHERE id % ${ev.SampleMod} = 0 AND len(t) >= 4
-       |  ORDER BY ${ev.spreadSql("qid")}, qid LIMIT ${ev.MaxQueries}),
+       |  ORDER BY ${graft.functions.SparkHash.spreadSql("qid")}, qid LIMIT ${ev.MaxQueries}),
        |${OracleText.embedCtesOver("corpus", 64)},
        |${OracleText.embedCtesOver("(SELECT qid AS id, text FROM qdoc) qsrc", 64, "qe")}""".stripMargin
   }
@@ -603,7 +603,7 @@ object QueriesTiers {
        |pqs AS MATERIALIZED (
        |  SELECT pid AS qid, emb AS qv FROM pemb
        |  WHERE pid % ${ev.SampleMod} = 0
-       |  ORDER BY ${ev.spreadSql("qid")}, qid LIMIT ${ev.MaxQueries}),
+       |  ORDER BY ${graft.functions.SparkHash.spreadSql("qid")}, qid LIMIT ${ev.MaxQueries}),
        |pex AS MATERIALIZED (
        |  SELECT qid, pid FROM (
        |    SELECT q.qid, e.pid,

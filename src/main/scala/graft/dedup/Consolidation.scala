@@ -22,9 +22,14 @@ object Consolidation {
     * = 3 (consolidator.py:96-124's grouping rule, set-based). */
   def consolidationClusters(memories: DataFrame, threshold: Double = 0.75,
                             maxCandidates: Int = 500): DataFrame = {
-    // bounded work: the reference samples ≤500 candidates; deterministic
-    // bound here = lowest ids (a seeded sample at scale)
-    val bounded = memories.orderBy("id").limit(maxCandidates)
+    // bounded work: the reference caps candidates with random.sample
+    // (consolidator.py:78) — an id-ordered head cut would consolidate
+    // only the OLDEST memories forever; the deterministic analogue of a
+    // random sample is the hash-spread cut (the r15-verdict sample-bias
+    // fix, [[graft.functions.SparkHash.spread]]), ties by id
+    val bounded = memories
+      .orderBy(graft.functions.SparkHash.spread(col("id")), col("id"))
+      .limit(maxCandidates)
     val pairs = Dedup.findDuplicates(bounded, threshold)
     Clusters.similarClusters(pairs, threshold, minClusterSize = 3)
   }

@@ -40,28 +40,20 @@ object RetrievalEval {
   val MaxQueries = 1024
   val K = 10
 
-  /** Order-stable HASH-SPREAD ordering for bounded samples (r15 verdict
-    * #2 / driver-ADVICE low): in a real store ids correlate with ingest
-    * time, so a first-N-by-id cap reads only the OLDEST slice — cells
-    * holding newer (drifted) content are never probed by the exact leg
-    * and a tuned nprobe goes silently stale-optimistic. Ordering by an
-    * LCG permutation of the 31-bit id residue spreads the capped sample
-    * across the whole id range instead (ties broken by id, so the cut
-    * stays deterministic at any corpus size). Pure integer arithmetic —
-    * residue < 2³¹ times 1103515245 < 2⁶² never overflows — and exactly
-    * replayable in ANSI SQL ([[spreadSql]]; the `tp_fim_transform`
-    * oracle's established LCG pattern). */
-  def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(pmod(c, lit(2147483648L)) * lit(1103515245L) + lit(12345L),
-      lit(2147483648L))
-
-  /** The exact SQL replay of [[spread]] for the oracle CTEs. */
-  def spreadSql(id: String): String =
-    s"((($id % 2147483648) * 1103515245 + 12345) % 2147483648)"
+  /** The sample-cap ordering (r15 verdict #2 / driver-ADVICE low): a
+    * first-N-by-id cap would read only the OLDEST ingest slice — cells
+    * holding newer (drifted) content would never be probed by the exact
+    * leg and a tuned nprobe would go silently stale-optimistic. The
+    * hash-spread cut fixes that; shared with the consolidation candidate
+    * bound — see [[graft.functions.SparkHash.spread]] for the LCG
+    * construction and its SQL replay. */
+  private def spread(c: org.apache.spark.sql.Column) =
+    graft.functions.SparkHash.spread(c)
 
   /** The bounded, deterministic query set: (qid, qtext) with qtext = the
     * first max(len/2, 1) tokens of the source document. The cap cuts a
-    * [[spread hash-spread]] sample, not the head of the id range. */
+    * [[graft.functions.SparkHash.spread hash-spread]] sample, not the
+    * head of the id range. */
   def querySet(docs: DataFrame, textCol: String = "text",
                idCol: String = "id"): DataFrame = {
     val t = TextFunctions.tokens(col(textCol))

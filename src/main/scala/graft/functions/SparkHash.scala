@@ -30,4 +30,29 @@ object SparkHash {
   def bucketOfLong(v: Long, n: Int): Int = pmod(hashLong(v), n)
 
   def bucketOfString(s: String, n: Int): Int = pmod(hashString(s), n)
+
+  /** Order-stable HASH-SPREAD ordering key for bounded samples (r15
+    * verdict #2 / driver-ADVICE low): in a real store ids correlate with
+    * ingest time, so a first-N-by-id cap reads only the OLDEST slice —
+    * recall tuning misses exactly the drifted (newest) rows it exists
+    * for, and a consolidation bound never revisits recent memories.
+    * Ordering by an LCG permutation of the 31-bit id residue spreads the
+    * capped sample across the whole id range instead (callers add the id
+    * itself as the tiebreaker so the cut stays deterministic at any
+    * corpus size) — the engine's deterministic analogue of the
+    * reference's `random.sample` candidate cap (consolidator.py:78).
+    * Pure integer arithmetic — residue < 2³¹ times 1103515245 < 2⁶² never
+    * overflows — and exactly replayable in ANSI SQL ([[spreadSql]]; the
+    * `tp_fim_transform` oracle's established LCG pattern). */
+  def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.pmod(c, lit(2147483648L)) *
+        lit(1103515245L) + lit(12345L),
+      lit(2147483648L))
+  }
+
+  /** The exact SQL replay of [[spread]] for the oracle CTEs. */
+  def spreadSql(id: String): String =
+    s"((($id % 2147483648) * 1103515245 + 12345) % 2147483648)"
 }

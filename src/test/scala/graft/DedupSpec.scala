@@ -174,4 +174,28 @@ class DedupSpec extends SparkSpec {
         maxBatchEdges = 1L)
     }
   }
+
+  test("consolidation candidate bound is hash-spread, not first-N-by-id") {
+    // the reference caps candidates with random.sample
+    // (consolidator.py:78); an id-ordered head cut would consolidate only
+    // the OLDEST memories forever. Two tight clusters: ids 1-6 on axis 0,
+    // ids 101-106 on axis 1. The 6-row hash-spread cut keeps
+    // {2, 4, 6, 102, 104, 106} — three members from EACH cluster, so BOTH
+    // consolidate (minClusterSize 3); a head cut {1..6} would only ever
+    // find the low cluster. The driver-side LCG replay pins the cut.
+    val mem = ((1L to 6L).map(i => (i, unit(1, 0, 0, 0))) ++
+      (101L to 106L).map(i => (i, unit(0, 1, 0, 0))))
+      .toDF("id", "embedding")
+    def lcg(i: Long) = ((i % 2147483648L) * 1103515245L + 12345L) % 2147483648L
+    val predicted = ((1L to 6L) ++ (101L to 106L))
+      .sortBy(i => (lcg(i), i)).take(6).sorted
+    assert(predicted == Seq(2L, 4L, 6L, 102L, 104L, 106L),
+      s"fixture must discriminate spread vs head order: $predicted")
+    val got = graft.dedup.Consolidation
+      .consolidationClusters(mem, threshold = 0.75, maxCandidates = 6)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((2L, 2L), (2L, 4L), (2L, 6L),
+      (102L, 102L), (102L, 104L), (102L, 106L)),
+      s"both id-range extremes must consolidate from the spread cut: $got")
+  }
 }
