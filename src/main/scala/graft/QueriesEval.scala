@@ -127,7 +127,7 @@ object QueriesEval {
        |      ELSE array_to_string(list_transform(range(1, len(t) + 1, 4), i -> t[i]), ' ')
        |    END AS qtext
        |  FROM lmd WHERE id % $sm = 0 AND len(t) >= 8
-       |  ORDER BY qid LIMIT ${lme.MaxQuestions})$questionUnion),
+       |  ORDER BY ${graft.functions.SparkHash.spreadSql("qid")}, qid LIMIT ${lme.MaxQuestions})$questionUnion),
        |${OracleText.embedCtesOver("lmch", 64, "lce")},
        |${OracleText.embedCtesOver("(SELECT qid AS id, qtext AS text FROM lmq) lqsrc", 64, "lqe")},
        |lvs AS MATERIALIZED (

@@ -192,7 +192,10 @@ object LongMemEval {
           .when(col("qid") % 3 === 1,
             pick(1, ((size(col("_t")) + 1) / 2).cast("int") + 1))
           .otherwise(pick(4, lit(1))).as("qtext"))
-      .orderBy("qid")
+      // hash-spread cut, not first-N-by-id (the r15-verdict sample-bias
+      // fix): at a binding cap the question sample spans the whole id
+      // range instead of the oldest ingest slice
+      .orderBy(graft.functions.SparkHash.spread(col("qid")), col("qid"))
       .limit(MaxQuestions)
   }
 
