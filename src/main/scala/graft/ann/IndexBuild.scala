@@ -59,6 +59,21 @@ object IndexBuild {
     * SQL-oracle-able (MLlib internals) — correctness gates are invariant
     * specs (exhaustive-probe ≡ brute, recall ≥ positional on a clustered
     * fixture), the standing kmeans adjudication. */
+  /** Cell-count sizing for a trained build — the published Faiss
+    * guideline (nlist ≈ 4·√N for IVF; larger nlist = finer pruning but
+    * more centroid comparisons and smaller, less-trainable cells), capped
+    * by [[Ann.MaxNlist]] (the engine's split/retrain bound), by the row
+    * count itself (k-means cannot train more centers than points), and
+    * floored at 1. A build-time helper for callers that don't have a
+    * tuned nlist: at 10⁶ rows it suggests 4000 cells, at 10⁹ the 4096
+    * cap — the ladder ([[graft.eval.RetrievalEval.ivfRecallSweep]])
+    * remains the instrument that validates whatever this suggests. */
+  def suggestNlist(rows: Long): Int = {
+    require(rows >= 0, s"suggestNlist: negative row count $rows")
+    math.max(1, Seq(Ann.MaxNlist.toLong, rows,
+      math.round(4.0 * math.sqrt(rows.toDouble))).min.toInt)
+  }
+
   def trainedCentroids(embeddings: DataFrame, nlist: Int, seed: Long = 42L,
                        maxIter: Int = 20): DataFrame = {
     val spark = embeddings.sparkSession

@@ -447,6 +447,15 @@ class AnnSpec extends SparkSpec {
     Seq(trainedPath, posPath).foreach(graft.sources.Store.deleteRecursive)
   }
 
+  test("suggestNlist follows the 4·sqrt(N) guideline, bounded both ways") {
+    assert(IndexBuild.suggestNlist(0L) == 1)
+    assert(IndexBuild.suggestNlist(1L) == 1)      // never more cells than rows
+    assert(IndexBuild.suggestNlist(100L) == 40)   // 4·sqrt(100)
+    assert(IndexBuild.suggestNlist(1000000L) == 4000)
+    assert(IndexBuild.suggestNlist(1000000000L) == Ann.MaxNlist)
+    intercept[IllegalArgumentException](IndexBuild.suggestNlist(-1L))
+  }
+
   test("BRP-LSH near-dup pairs carry correct L2 distances") {
     val emb = Tables.embeddings(spark, sf()).select(col("vec_id").as("id"), col("embedding"))
       .limit(150)
