@@ -64,8 +64,10 @@ object LateInteraction {
     HashingEmbedder(dim).embeddingColumn(gramText(tok))
 
   /** Top-`n` MaxSim rerank of the `candidates`-deep doc-embedding pool
-    * for `queryText`: (rank, id, rel, maxsim). `rel` is the pool's
-    * doc-level similarity (6dp), `maxsim` the late-interaction score. */
+    * for `queryText`: (rank, id, rel, maxsim) — plus a `blend` column
+    * under the blend modes (including the [[ModeBlendWrrf]] default).
+    * `rel` is the pool's doc-level similarity (6dp), `maxsim` the
+    * late-interaction score. */
   def rerank(memories: DataFrame, queryText: String, n: Int = 5,
              candidates: Int = 20, dim: Int = 64,
              mode: String = ModeBlendWrrf): DataFrame = {
