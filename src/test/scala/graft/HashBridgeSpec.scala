@@ -40,6 +40,30 @@ class HashBridgeSpec extends SparkSpec {
     }
   }
 
+  test("spread is a bijection on the 31-bit residue domain (and matches its SQL form)") {
+    // the sample-cap cut's determinism rests on this: an LCG with an odd
+    // multiplier is a bijection mod 2^31, so ids within one residue class
+    // width never collide on the spread key and the cut boundary is a
+    // strict order (the id tiebreaker only arbitrates ids exactly 2^31
+    // apart). Verified by pigeonhole on a driver-side sample plus the
+    // column/driver parity the oracles replay.
+    val s = spark
+    import s.implicits._
+    def lcg(i: Long) = ((i % 2147483648L) * 1103515245L + 12345L) % 2147483648L
+    // driver-side: distinct residues -> distinct spread keys
+    val ids = (0L until 4096L) ++ Seq(2147483647L, 1L << 30, 7919L) ++
+      (0 until 512).map(i => (i * 4194301L) % 2147483648L)
+    val distinctIds = ids.distinct
+    assert(distinctIds.map(lcg).distinct.size == distinctIds.size,
+      "LCG spread keys must not collide within one residue class")
+    // column-side equals the driver-side formula (and thus the SQL replay)
+    val sample = distinctIds.take(600)
+    val colSide = sample.toDF("id")
+      .select(col("id"), SparkHash.spread(col("id")).as("k"))
+      .as[(Long, Long)].collect().toMap
+    sample.foreach(i => assert(colSide(i) == lcg(i), s"spread($i)"))
+  }
+
   test("bucketOf* equals pmod(hash(col), n) for the index layouts' bucket counts") {
     val s = spark
     import s.implicits._
