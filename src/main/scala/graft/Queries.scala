@@ -169,6 +169,21 @@ object Queries {
       HybridSearch.searchIndexed(s, bm25Path, ivfPath, mem,
         Some(Corpus.searchFeedback(s, dir)), hybridParams(s, dir))
     }),
+    // the indexed hybrid against a PREBUILT index pair (r15 verdict #7 —
+    // the timed line had no warm indexed READ: every *_indexed entry
+    // rebuilds its index in-query, so their timings are build-dominated,
+    // the adjudicated ann_ivf_indexed pattern). The per-JVM memo builds
+    // once; bench reps 2-3 (and so the median of 3) time the pruned
+    // postings scan + probed-cell read — the production steady-state
+    // shape at 100 TB, where indexes persist across queries. Same plan,
+    // same rows, same oracle SQL as r4_hybrid_indexed (HybridIndexedSpec
+    // pins the row-for-row equality). NOT job-count-pinned: the memo
+    // makes in-suite counts order-dependent by design.
+    "r4_hybrid_prebuilt" -> ((s, dir) => {
+      val (bm25Path, ivfPath) = prebuiltHybridIndexes(s, dir)
+      HybridSearch.searchIndexed(s, bm25Path, ivfPath, Corpus.memories(s, dir),
+        Some(Corpus.searchFeedback(s, dir)), hybridParams(s, dir))
+    }),
     // the R6 signal fed by the STREAM-maintained net table instead of the
     // raw log: runningFeedbackNets (mapGroupsWithState — identical code
     // path on a batch frame) feeds HybridSearch.search directly; the
@@ -351,6 +366,13 @@ object Queries {
       OracleHybrid.hybridSql(oracleHybridParams, n = 1000000,
         withFeedback = true, extraCtes = ivfCtes,
         vecJoin = "JOIN asg ia ON m.id = ia.id JOIN probe ip ON ia.ivf_cell = ip.label"),
+    // identical SQL to r4_hybrid_indexed: the prebuilt pair is the SAME
+    // full-corpus build, only memoized across executions — the hash-match
+    // proves warm reads return exactly what a fresh build-and-probe does
+    "r4_hybrid_prebuilt" ->
+      OracleHybrid.hybridSql(oracleHybridParams, n = 1000000,
+        withFeedback = true, extraCtes = ivfCtes,
+        vecJoin = "JOIN asg ia ON m.id = ia.id JOIN probe ip ON ia.ivf_cell = ip.label"),
     // identical SQL to r4: the stream-maintained net table must reproduce
     // the batch-aggregated feedback signal exactly
     "r6_feedback_stream" ->
@@ -521,6 +543,30 @@ object Queries {
 
   private[graft] def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).withColumnRenamed("doc_id", "id")
+
+  /** Per-JVM memoized BM25+IVF index pair over a fixture dir's memories —
+    * the prebuilt-read timing fixture (r15 verdict #7): built ONCE per
+    * (process, dir) so repeated executions of `r4_hybrid_prebuilt` time
+    * the warm probe path instead of re-paying the build. Same builds as
+    * `r4_hybrid_indexed` (full corpus, label-seeded centroids), so the
+    * two queries share one oracle. Synchronized: queries run sequentially
+    * in Verify/Bench, but suite code may race. */
+  private val prebuiltMemo =
+    scala.collection.mutable.Map.empty[String, (String, String)]
+  private[graft] def prebuiltHybridIndexes(s: SparkSession,
+                                           dir: String): (String, String) =
+    prebuiltMemo.synchronized {
+      prebuiltMemo.getOrElseUpdate(dir, {
+        val tag = s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+        val bm25Path = s"${sys.props("java.io.tmpdir")}/graft_pre_bm25_$tag"
+        val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_pre_ivf_$tag"
+        reapAtExit(bm25Path); reapAtExit(ivfPath)
+        val mem = Corpus.memories(s, dir)
+        graft.search.BM25Index.build(mem, bm25Path)
+        graft.ann.IvfIndex.build(mem, Tables.embeddings(s, dir), ivfPath)
+        (bm25Path, ivfPath)
+      })
+    }
 
   /** Register a JVM-exit delete for a per-process tmp tree, once per path. */
   private val reaped = scala.collection.concurrent.TrieMap.empty[String, Boolean]

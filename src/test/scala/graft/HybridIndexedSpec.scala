@@ -143,4 +143,19 @@ class HybridIndexedSpec extends SparkSpec {
     // probe widened without need
     assert(got.nonEmpty && got.forall(_ <= 20L), s"leaked past probed cells: $got")
   }
+
+  test("prebuilt-index hybrid equals the in-query-build indexed hybrid, warm and cold") {
+    // r4_hybrid_prebuilt memoizes its index pair per JVM so the bench
+    // median times the warm probe; correctness demands the memoized reads
+    // return EXACTLY what a fresh build-and-probe does — on the first
+    // (building) execution and again on a warm re-execution
+    val fresh = Queries.all("r4_hybrid_indexed")(spark, sf())
+      .collect().toSeq
+    val cold = Queries.all("r4_hybrid_prebuilt")(spark, sf())
+      .collect().toSeq
+    val warm = Queries.all("r4_hybrid_prebuilt")(spark, sf())
+      .collect().toSeq
+    assert(cold == fresh, "first prebuilt execution must equal the fresh build")
+    assert(warm == fresh, "warm memoized reads must equal the fresh build")
+  }
 }
