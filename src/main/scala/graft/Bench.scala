@@ -129,10 +129,12 @@ object Bench {
     // ann_bq_topk (a plain TakeOrdered scan whose packed-Hamming kernel
     // stays timed inside the bq recall/indexed oracle gates)
     // round-14 budget swap (funding the vmax rep-variance scalar):
-    // gr_communities (1.9 s, the cheapest non-anchor entry — LPA's
-    // iterative-join shape stays covered by gr_pagerank's loop and the
-    // query stays oracle-gated in the correctness run) retires from the
-    // TIMED line
+    // gr_communities (1.9 s, the cheapest non-anchor entry) retires from
+    // the TIMED line; the query stays oracle-gated in the correctness
+    // run. Its iterative-join shape was covered by gr_pagerank's loop
+    // until that query retired too (round-16 swap above) — the shape is
+    // now carried by the anchor r10_graph_search PPR loop and
+    // gr_landmark_bfs's per-hop jobs, both still timed below
     "gr_landmark_bfs",
     // round-15 budget add (r14 verdict #7 — the MaxSim family had zero
     // wall-clock coverage): the in-session late-interaction rerank —

@@ -39,6 +39,12 @@ object Queries {
     * non-degenerate (rank_bm25 drops docs whose score sums ≤ 0). */
   val QueryTokens: Seq[String] = Seq("dup", "merge", "window", "spark")
 
+  /** Second fixed query text for the BATCH queries' qid 1 — in-vocabulary
+    * (df ≈ 900/1000 each at sf0.001) and disjoint from [[QueryTokens]], so
+    * a batch implementation that leaked one qid's query tokens into the
+    * other's MaxSim fold cannot hash-match the per-query-union oracle. */
+  val QueryTokens2: Seq[String] = Seq("join", "filter", "stream", "batch")
+
   /** R7 per-prefix confidence half-life fixture: "src1" (also the longest
     * match for src10..src19) decays at 30d, every other source at 150d;
     * the 90d default is the fallback for unmatched prefixes. */
@@ -549,24 +555,40 @@ object Queries {
     * (process, dir) so repeated executions of `r4_hybrid_prebuilt` time
     * the warm probe path instead of re-paying the build. Same builds as
     * `r4_hybrid_indexed` (full corpus, label-seeded centroids), so the
-    * two queries share one oracle. Synchronized: queries run sequentially
-    * in Verify/Bench, but suite code may race. */
-  private val prebuiltMemo =
-    scala.collection.mutable.Map.empty[String, (String, String)]
+    * two queries share one oracle. Concurrency (driver ADVICE r16):
+    * the memo holds a per-dir future installed under the map's own
+    * atomicity, the multi-second builds run OUTSIDE any lock — only
+    * same-dir callers wait on a build, and the tmp-path tag is a
+    * process-wide counter (collision-safe by construction, unlike the
+    * old dir.hashCode tag). A failed build evicts its future so a later
+    * caller can retry. Queries still run sequentially in Verify/Bench;
+    * this only matters to racing suite code. */
+  private val prebuiltMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[(String, String)]]()
+  private val prebuiltTag = new java.util.concurrent.atomic.AtomicInteger(0)
   private[graft] def prebuiltHybridIndexes(s: SparkSession,
-                                           dir: String): (String, String) =
-    prebuiltMemo.synchronized {
-      prebuiltMemo.getOrElseUpdate(dir, {
-        val tag = s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+                                           dir: String): (String, String) = {
+    val installed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val fut = prebuiltMemo.computeIfAbsent(dir, _ => {
+      installed.set(true)
+      new java.util.concurrent.CompletableFuture[(String, String)]()
+    })
+    if (installed.get())
+      try {
+        val tag = s"${ProcessHandle.current().pid()}_${prebuiltTag.getAndIncrement()}"
         val bm25Path = s"${sys.props("java.io.tmpdir")}/graft_pre_bm25_$tag"
         val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_pre_ivf_$tag"
         reapAtExit(bm25Path); reapAtExit(ivfPath)
         val mem = Corpus.memories(s, dir)
         graft.search.BM25Index.build(mem, bm25Path)
         graft.ann.IvfIndex.build(mem, Tables.embeddings(s, dir), ivfPath)
-        (bm25Path, ivfPath)
-      })
-    }
+        fut.complete((bm25Path, ivfPath))
+      } catch {
+        case t: Throwable =>
+          prebuiltMemo.remove(dir, fut); fut.completeExceptionally(t); throw t
+      }
+    fut.join()
+  }
 
   /** Register a JVM-exit delete for a per-process tmp tree, once per path. */
   private val reaped = scala.collection.concurrent.TrieMap.empty[String, Boolean]

@@ -52,7 +52,12 @@ object SparkHash {
       lit(2147483648L))
   }
 
-  /** The exact SQL replay of [[spread]] for the oracle CTEs. */
+  /** The exact SQL replay of [[spread]] for the oracle CTEs. The inner
+    * residue wraps ANSI `%` (sign of the dividend) into a positive
+    * modulus so a NEGATIVE id replays [[spread]]'s `pmod` exactly
+    * (driver ADVICE r16: all current id domains are non-negative, but
+    * nothing enforces that at new call sites); the outer `%` needs no
+    * wrap — its left side is a product+offset of non-negatives. */
   def spreadSql(id: String): String =
-    s"((($id % 2147483648) * 1103515245 + 12345) % 2147483648)"
+    s"((((($id % 2147483648) + 2147483648) % 2147483648) * 1103515245 + 12345) % 2147483648)"
 }

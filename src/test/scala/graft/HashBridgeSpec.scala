@@ -64,6 +64,26 @@ class HashBridgeSpec extends SparkSpec {
     sample.foreach(i => assert(colSide(i) == lcg(i), s"spread($i)"))
   }
 
+  test("spreadSql replays spread() for NEGATIVE ids too (pmod wrap, r16 ADVICE)") {
+    // ANSI `%` keeps the dividend's sign (Spark and DuckDB agree), so the
+    // SQL replay must wrap the inner residue into a positive modulus or a
+    // negative id diverges from the column side's pmod. Evaluating the
+    // generated SQL text through Spark's own parser exercises exactly the
+    // semantics DuckDB gives the oracle.
+    val s = spark
+    import s.implicits._
+    val ids = Seq(-1L, -42L, -2147483648L, -2147483649L, Long.MinValue,
+      Long.MaxValue, 0L, 7919L, -7919L)
+    val both = ids.toDF("id")
+      .select(col("id"), SparkHash.spread(col("id")).as("k"),
+        expr(SparkHash.spreadSql("id")).as("ksql"))
+      .as[(Long, Long, Long)].collect()
+    both.foreach { case (i, k, ksql) =>
+      assert(k == ksql, s"spreadSql($i) = $ksql but spread = $k")
+      assert(k >= 0L, s"spread($i) must be non-negative, got $k")
+    }
+  }
+
   test("bucketOf* equals pmod(hash(col), n) for the index layouts' bucket counts") {
     val s = spark
     import s.implicits._
