@@ -317,7 +317,24 @@ object QueriesTiers {
       graft.search.LateInteraction.rerankHybrid(
         Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
         Queries.hybridParams(s, dir), Queries.QueryTokens.mkString(" "),
-        n = 5, candidates = 20)))
+        n = 5, candidates = 20)),
+    // the BATCH cascade (r16 verdict #1 — the last per-query production
+    // loop): two hybrid retrievals (vec_id 0/1, each with its own rerank
+    // text) pooled by batchSearch, re-ranked in ONE token-explode pass +
+    // one per-qid windowed fold on the API-default blend. Oracle = the
+    // per-qid union of the two single-query r18_maxsim_blend replays —
+    // the hash-match IS the batch ≡ N-independent-runs proof (the
+    // r15_batch_* precedent), and the disjoint qid-1 token set means a
+    // cross-qid token leak cannot match
+    "r18_maxsim_batch" -> ((s, dir) => {
+      val p0 = Queries.hybridParams(s, dir)
+      val p1 = p0.copy(queryVec = Queries.queryVec(s, dir, 1))
+      graft.search.LateInteraction.rerankHybridBatch(
+        Corpus.memories(s, dir), Some(Corpus.searchFeedback(s, dir)),
+        Seq((p0, Queries.QueryTokens.mkString(" ")),
+          (p1, Queries.QueryTokens2.mkString(" "))),
+        n = 5, candidates = 20)
+    }))
 
   private val bqQ =
     "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
@@ -404,9 +421,11 @@ object QueriesTiers {
   /** The MaxSim score CTEs over a pool CTE `lpool(id, rel, text)` and the
     * query-embed chain `lq*` — shared by every r18 oracle tail so the
     * scoring replay cannot drift between legs/modes. Ends with
-    * lfin(id, rel, smicro). */
-  private lazy val maxSimScoreCtesSql: String = {
-    val qVals = Queries.QueryTokens.map(t => s"('${sqlLit(t)}')").mkString(", ")
+    * lfin(id, rel, smicro). Parameterized by the query token set (the
+    * batch oracle replays qid 1 with [[Queries.QueryTokens2]]); the no-arg
+    * lazy vals keep every pre-existing oracle byte-identical. */
+  private def maxSimScoreCtesFor(tokens: Seq[String]): String = {
+    val qVals = tokens.map(t => s"('${sqlLit(t)}')").mkString(", ")
     s"""ldt AS MATERIALIZED (
        |  SELECT p.id, t.term
        |  FROM lpool p, unnest(list_distinct(${OracleText.toks("p.text")})) AS t(term)),
@@ -423,6 +442,9 @@ object QueriesTiers {
        |  FROM lpool p LEFT JOIN lsc s USING (id))""".stripMargin
   }
 
+  private lazy val maxSimScoreCtesSql: String =
+    maxSimScoreCtesFor(Queries.QueryTokens)
+
   /** Pure-MaxSim final ordering (the original r18 tail). */
   private lazy val maxSimTailSql: String =
     s"""$maxSimScoreCtesSql
@@ -436,10 +458,10 @@ object QueriesTiers {
     * ModeBlendWrrf — the mode ev_maxsim_blend measures as dominant):
     * 0-based pool and MaxSim ranks fused as 2w/(k₀+pr) + 2(1−w)/(k₀+mr),
     * blend 6dp, ties by id. */
-  private lazy val maxSimBlendTailSql: String = {
+  private def maxSimBlendTailSqlFor(tokens: Seq[String]): String = {
     val li = graft.search.LateInteraction
     val (w, k0) = (li.BlendPoolWeight, li.BlendRrfK)
-    s"""$maxSimScoreCtesSql,
+    s"""${maxSimScoreCtesFor(tokens)},
        |lrk AS (
        |  SELECT id, rel, smicro,
        |    row_number() OVER (ORDER BY rel DESC, id) AS pr,
@@ -453,6 +475,22 @@ object QueriesTiers {
        |        FROM lrk))
        |WHERE rank <= 5 ORDER BY rank""".stripMargin
   }
+
+  private lazy val maxSimBlendTailSql: String =
+    maxSimBlendTailSqlFor(Queries.QueryTokens)
+
+  /** One full single-query blend-cascade replay (the r18_maxsim_blend SQL
+    * parameterized over vec_id + rerank tokens) — the batch oracle unions
+    * two of these. */
+  private def maxSimBlendSqlFor(vecId: Long, tokens: Seq[String]): String =
+    s"""WITH ${OracleCtes.memories},
+       |${OracleCtes.searchFeedback},
+       |${OracleHybrid.fusedCtes(Queries.oracleHybridParams.copy(k = 20), n = 1000000, vecId = vecId)},
+       |lpool AS MATERIALIZED (
+       |  SELECT f.id, round(f.rrf, 6) AS rel, m.text
+       |  FROM fused f JOIN memories m USING (id)
+       |  ORDER BY f.rrf DESC, f.id LIMIT 20),
+       |${maxSimBlendTailSqlFor(tokens)}""".stripMargin
 
   /** Shared head of the MaxSim instruments' oracles: corpus, the
     * truncated-self-retrieval query set, and both embed chains
@@ -1162,16 +1200,22 @@ object QueriesTiers {
          |$maxSimVectorPoolCtes,
          |${maxSimBlendWeightSweepTailSql(Seq(0.5, 0.6, 0.7, 0.8, 0.9))}""".stripMargin,
     // the cascade in blend mode: the fused-hybrid pool SQL verbatim, the
-    // RRF-of-ranks blend tail instead of the pure-MaxSim ordering
-    "r18_maxsim_blend" ->
-      s"""WITH ${OracleCtes.memories},
-         |${OracleCtes.searchFeedback},
-         |${OracleHybrid.fusedCtes(Queries.oracleHybridParams.copy(k = 20), n = 1000000, vecId = 0)},
-         |lpool AS MATERIALIZED (
-         |  SELECT f.id, round(f.rrf, 6) AS rel, m.text
-         |  FROM fused f JOIN memories m USING (id)
-         |  ORDER BY f.rrf DESC, f.id LIMIT 20),
-         |$maxSimBlendTailSql""".stripMargin,
+    // RRF-of-ranks blend tail instead of the pure-MaxSim ordering (the
+    // shared replay text the batch oracle unions two instances of)
+    "r18_maxsim_blend" -> maxSimBlendSqlFor(0, Queries.QueryTokens),
+    // the batch cascade: the per-qid union of two INDEPENDENT single-query
+    // blend-cascade replays (vec_id 0 with QueryTokens, vec_id 1 with the
+    // disjoint QueryTokens2) — the hash-match proves the one-pass batch
+    // tail ≡ N single-query runs, including that no qid's query tokens
+    // leak into the other's fold (the r15_batch_* union precedent)
+    "r18_maxsim_batch" ->
+      s"""SELECT q0.*, 0 AS query_idx FROM (
+         |${maxSimBlendSqlFor(0, Queries.QueryTokens)}
+         |) q0
+         |UNION ALL
+         |SELECT q1.*, 1 AS query_idx FROM (
+         |${maxSimBlendSqlFor(1, Queries.QueryTokens2)}
+         |) q1""".stripMargin,
     // the cascade's own instrument: the fused-hybrid pool (vector + BM25
     // legs oversampled 30, RRF 0.7 / 1−0.7, cut at 20 by unrounded f,
     // ranked by round(f, 6) — the indexed-eval conventions) re-ranked by

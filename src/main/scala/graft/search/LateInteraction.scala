@@ -115,6 +115,29 @@ object LateInteraction {
     maxSimTail(pool, queryText, n, dim, mode)
   }
 
+  /** The BATCH production cascade (r16 verdict #1): N hybrid retrievals'
+    * pooled candidates re-ranked in ONE late-interaction pass.
+    * `queries` pairs each query's [[HybridSearch.Params]] with its rerank
+    * text; the pool is [[HybridSearch.batchSearch]]'s per-qid top-`candidates`
+    * with the text riding one id-equi-join against the corpus attributes
+    * (column-pruned, ≤N·candidates result rows). Output = the per-qid
+    * union of [[rerankHybrid]] results + `query_idx`, in one job graph —
+    * the rerank stage's token explode, broadcast query-token join and
+    * windowed folds all run once for the whole batch
+    * ([[maxSimTailBatch]]). Oracled by `r18_maxsim_batch` as the per-qid
+    * union of N single-query `r18_maxsim_blend` replays. */
+  def rerankHybridBatch(memories: DataFrame, feedback: Option[DataFrame],
+                        queries: Seq[(HybridSearch.Params, String)], n: Int = 5,
+                        candidates: Int = 20, dim: Int = 64,
+                        mode: String = ModeBlendWrrf): DataFrame = {
+    val pool = HybridSearch
+      .batchSearch(memories, feedback, queries.map(_._1.copy(k = candidates)))
+      .select(col("query_idx").as("qid"), col("id"), col("rrf_score").as("rel"))
+      .join(memories.select(col("id"), col("text")), Seq("id"))
+      .select(col("qid"), col("id"), col("rel"), col("text"))
+    maxSimTailBatch(pool, queries.map(_._2), n, dim, mode)
+  }
+
   /** Final-ranking modes of the MaxSim tail (r14 verdict #2 — the eval
     * instruments showed pure-MaxSim ordering losing recall@1 to the pool
     * order while winning the deep tail, so the cascade should BLEND the
@@ -182,44 +205,83 @@ object LateInteraction {
     * `(id, rel, text)`: distinct doc tokens → subword embeddings → per
     * query-token micro-unit max → per-doc sum → top-`n` under `mode`'s
     * final ordering (see [[ModeMaxSim]]/[[ModeBlendRrf]]/[[ModeBlendTie]]).
-    * Shared by the in-session and index-backed legs so the scoring cannot
-    * drift. */
+    * Shared by the in-session, index-backed AND batch legs (a constant-qid
+    * call into [[maxSimCore]]) so the scoring cannot drift. */
   private[graft] def maxSimTail(pool0: DataFrame, queryText: String, n: Int,
-                                dim: Int, mode: String = ModeBlendWrrf): DataFrame = {
+                                dim: Int, mode: String = ModeBlendWrrf): DataFrame =
+    maxSimCore(pool0.withColumn("qid", lit(0)), Seq(queryText), n, dim, mode,
+      emitQid = false)
+
+  /** R17 (r16 verdict #1) — the BATCH cascade tail, the last per-query
+    * production loop closed: rerank N queries' pooled candidates in ONE
+    * token-explode pass and one per-qid windowed fold, instead of N
+    * [[maxSimTail]] invocations (N token passes + N driver round-trips —
+    * the shape every eval harness scoring a query set, and the production
+    * cascade behind the reference's batch-search endpoint
+    * (app.py:2163-2209), pays without this). `pool0` is the batch
+    * search's pooled frame `(qid, id, rel, text)`; `queryTexts(qid)` is
+    * each query's rerank text. Output = the per-qid union of the
+    * single-query results plus `query_idx` (pinned equal to N independent
+    * [[maxSimTail]] runs by `r18_maxsim_batch`'s oracle and
+    * LateInteractionSpec). The token pass count is INDEPENDENT of N
+    * (JobCountSpec pins it): doc tokens explode once over the whole
+    * pooled frame, the per-query token table joins on qid as one bounded
+    * broadcast, and every window below partitions by qid. */
+  private[graft] def maxSimTailBatch(pool0: DataFrame, queryTexts: Seq[String],
+                                     n: Int, dim: Int,
+                                     mode: String = ModeBlendWrrf): DataFrame =
+    maxSimCore(pool0, queryTexts, n, dim, mode, emitQid = true)
+
+  /** The qid-keyed MaxSim fold both tails delegate to. `pool0` carries
+    * `(qid, id, rel, text)`; windows partition by qid (a single-query call
+    * passes a constant qid — same ranking; the qid-threading precedent is
+    * [[HybridSearch]]'s `fuseContribs`). `emitQid` appends `query_idx`
+    * for the batch form. */
+  private def maxSimCore(pool0: DataFrame, queryTexts: Seq[String], n: Int,
+                         dim: Int, mode: String, emitQid: Boolean): DataFrame = {
     val spark = pool0.sparkSession
     import spark.implicits._
     // the pool feeds TWO consumers (the token explode and the final rank
-    // join) — materialize its ≤candidates rows once, or the upstream
+    // join) — materialize its ≤N·candidates rows once, or the upstream
     // corpus/probed scan executes twice
-    val pool = pool0.localCheckpoint(true)
+    val pool = pool0.select("qid", "id", "rel", "text").localCheckpoint(true)
     // distinct doc tokens over the pool (MaxSim over duplicates of the
-    // same token is the max over one of them — distinct is exact here)
+    // same token is the max over one of them — distinct is exact here);
+    // per (qid, id): a doc pooled by two queries scores against each
     val docTok = pool
-      .select(col("id"),
+      .select(col("qid"), col("id"),
         explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
       .withColumn("de", tokenEmbedding(col("term"), dim))
-    // distinct query tokens: a bounded broadcast frame
-    val qTerms = queryText.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
-    val qTok = broadcast(qTerms.toDF("qterm")
+    // distinct query tokens PER QID: one bounded broadcast frame for the
+    // whole batch (Σ|query tokens| rows)
+    val qPairs = queryTexts.zipWithIndex.flatMap { case (txt, i) =>
+      txt.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.map(t => (i, t))
+    }
+    val qTok = broadcast(qPairs.toDF("qid", "qterm")
       .withColumn("qe", tokenEmbedding(col("qterm"), dim)))
-    // bounded crossJoin: |pool tokens| × |query tokens| (broadcast side)
+    // bounded broadcast join: |pool tokens| × |own query's tokens| rows —
+    // the single-query crossJoin generalized to an equi-join on qid
     val simMicro = round(VectorFunctions.dot(col("de"), col("qe")) * lit(1e6), 0)
       .cast("long")
-    val score = docTok.crossJoin(qTok)
-      .select(col("id"), col("qterm"), simMicro.as("sm"))
-      .groupBy("id", "qterm").agg(max("sm").as("ms"))
-      .groupBy("id").agg(sum("ms").as("smicro"))
-    // left join: a token-less pool doc keeps rank with maxsim 0
-    val fused = pool.join(score, Seq("id"), "left_outer")
+    val score = docTok.join(qTok, Seq("qid"))
+      .select(col("qid"), col("id"), col("qterm"), simMicro.as("sm"))
+      .groupBy("qid", "id", "qterm").agg(max("sm").as("ms"))
+      .groupBy("qid", "id").agg(sum("ms").as("smicro"))
+    // left join: a token-less pool doc keeps rank with maxsim 0 (and a
+    // qid with an empty token list scores its whole pool at 0)
+    val fused = pool.join(score, Seq("qid", "id"), "left_outer")
       .withColumn("smicro", coalesce(col("smicro"), lit(0L)))
-    // unpartitioned windows are bounded: ≤ `candidates` rows reach them
+    // qid-partitioned windows are bounded: ≤ `candidates` rows per qid
+    val byQid = Window.partitionBy("qid")
     val base = Seq(col("rank"), col("id"), col("rel"),
       round(col("smicro") / lit(1e6), 6).as("maxsim"))
+    val qidCol =
+      if (emitQid) Seq(col("qid").cast("int").as("query_idx")) else Nil
     val ranked = mode match {
       case ModeMaxSim =>
         fused.withColumn("rank", row_number()
-            .over(Window.orderBy(desc("smicro"), asc("id"))).cast("int"))
-          .select(base: _*)
+            .over(byQid.orderBy(desc("smicro"), asc("id"))).cast("int"))
+          .select(base ++ qidCol: _*)
       case ModeBlendRrf | ModeBlendWrrf =>
         // the top-1-protection bound is monotone in the pool size with
         // supremum (k₀+1)/(k₀+2); keeping the weight strictly above it
@@ -234,23 +296,24 @@ object LateInteraction {
           else (lit(BlendRrfK), lit(BlendPoolWeight))
         fused
           .withColumn("_pr",
-            row_number().over(Window.orderBy(desc("rel"), asc("id"))) - 1)
+            row_number().over(byQid.orderBy(desc("rel"), asc("id"))) - 1)
           .withColumn("_mr",
-            row_number().over(Window.orderBy(desc("smicro"), asc("id"))) - 1)
+            row_number().over(byQid.orderBy(desc("smicro"), asc("id"))) - 1)
           .withColumn("blend", round(
             w * lit(2.0) / (k + col("_pr")) +
               (lit(1.0) - w) * lit(2.0) / (k + col("_mr")), 6))
           .withColumn("rank", row_number()
-            .over(Window.orderBy(desc("blend"), asc("id"))).cast("int"))
-          .select(base :+ col("blend"): _*)
+            .over(byQid.orderBy(desc("blend"), asc("id"))).cast("int"))
+          .select(base ++ Seq(col("blend")) ++ qidCol: _*)
       case ModeBlendTie =>
         fused.withColumn("rank", row_number()
-            .over(Window.orderBy(desc("rel"), desc("smicro"), asc("id"))).cast("int"))
-          .select(base: _*)
+            .over(byQid.orderBy(desc("rel"), desc("smicro"), asc("id"))).cast("int"))
+          .select(base ++ qidCol: _*)
       case other => throw new IllegalArgumentException(
         s"maxSimTail: unknown mode '$other' " +
           "(maxsim | blend_rrf | blend_tie | blend_wrrf)")
     }
-    ranked.filter(col("rank") <= n).orderBy("rank")
+    val cut = ranked.filter(col("rank") <= n)
+    if (emitQid) cut.orderBy("query_idx", "rank") else cut.orderBy("rank")
   }
 }

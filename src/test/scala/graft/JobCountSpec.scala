@@ -116,13 +116,16 @@ class JobCountSpec extends SparkSpec {
     "gr_components_incremental" -> 35,
     "tc_decontam_report" -> 23,
     "r17_prf_expansion" -> 13,
-    // round-14 MaxSim family (measured in-suite at sf0.001: 10/33/20,
-    // + ~15%): the rerank tail is a CONSTANT number of jobs over the
-    // checkpointed ≤candidates pool (explode + bounded crossJoin + two
-    // aggs + window) — a regression that re-executes the pool scan or
-    // adds a per-token pass shows up here; the hybrid cascade = r4's
-    // fused plan + the constant tail
-    "r18_maxsim_rerank" -> 12,
+    // round-14 MaxSim family: the rerank tail is a CONSTANT number of
+    // jobs over the checkpointed ≤candidates pool (explode + bounded
+    // broadcast token join + two aggs + window) — a regression that
+    // re-executes the pool scan or adds a per-token pass shows up here;
+    // the hybrid cascade = r4's fused plan + the constant tail.
+    // r17 re-measure: the qid-keyed shared core (maxSimCore — the batch
+    // tail's single-query form) added exactly one job to the rerank
+    // (13 vs 12 in-suite; the broadcast qid-token frame materializes
+    // separately) — ceiling moved WITH that deliberate change, +~15%
+    "r18_maxsim_rerank" -> 15,
     "r18_maxsim_hybrid" -> 38,
     "ev_maxsim_rerank" -> 23,
     // cascade eval measured 40 in-suite (two leg rank passes + fusion +
@@ -284,7 +287,12 @@ class JobCountSpec extends SparkSpec {
     // r16 new: IVF build + the probed candidate stage (cell collect + ONE
     // pruned scan + attrs join, checkpointed ≤k rows) + the packet tail's
     // bounded windows/aggregates (measured 45 in-suite at sf0.001, +~15%)
-    "o4_evidence_indexed" -> 52
+    "o4_evidence_indexed" -> 52,
+    // r17 new: two in-session hybrid searches pooled (each pays its own
+    // contribs checkpoint — the pool stage is the already-pinned
+    // r15_batch_search shape) + ONE batch MaxSim tail (measured 52
+    // in-suite at sf0.001, +~15%)
+    "r18_maxsim_batch" -> 60
   )
 
   private val counter = new AtomicInteger(0)
@@ -384,5 +392,32 @@ class JobCountSpec extends SparkSpec {
     // re-run the round-1 scan inside every widening — pinned at +15%
     info(s"escalated searchIndexed: $n jobs (ceiling 36)")
     assert(n <= 36, s"escalated query ran $n jobs > ceiling 36")
+  }
+
+  test("batch MaxSim tail: job count is INDEPENDENT of the batch size (r16 verdict #1)") {
+    // the done-criterion for rerankBatch: one token-explode pass + one
+    // broadcast query-token join + qid-partitioned windows for the WHOLE
+    // batch — so the tail's scheduler round-trips must not scale with N.
+    // Pools are plain in-memory frames (the pool STAGE is pinned by the
+    // r15_batch_search / r18_maxsim_batch ceilings); this isolates the
+    // tail itself.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val texts = Seq(Queries.QueryTokens.mkString(" "),
+      Queries.QueryTokens2.mkString(" "))
+    def pool(nq: Int) = (0 until nq).flatMap(q => (1L to 20L).map(i =>
+        (q, i, 1.0 - i * 0.01, s"doc $i window spark join filter")))
+      .toDF("qid", "id", "rel", "text")
+    def run(nq: Int): Int = countJobsThunk(s"maxsim_batch_tail_$nq") {
+      graft.search.LateInteraction
+        .maxSimTailBatch(pool(nq), texts.take(nq), n = 5, dim = 64)
+        .collect(); ()
+    }
+    val j1 = run(1)
+    val j2 = run(2)
+    info(s"batch MaxSim tail jobs: N=1 -> $j1, N=2 -> $j2")
+    assert(j2 == j1,
+      s"the batch tail's job count must not scale with N (N=1: $j1, N=2: $j2)")
   }
 }

@@ -194,6 +194,43 @@ class LateInteractionSpec extends SparkSpec {
       .collect().toSeq ==
       LateInteraction.rerank(mem, queryText, n = 5, candidates = 20,
         mode = LateInteraction.ModeBlendWrrf).collect().toSeq)
+    // the INDEXED entry point's no-mode-arg default too (r16 verdict #1 —
+    // it was the one cascade entry point not pinned): nprobe = cellCount
+    // makes the probed pool deterministic (the whole index), so the only
+    // degree of freedom left is the mode default under test
+    val ivfPath = "/root/repo/target/tmp/li_spec_default_ivf"
+    graft.sources.Store.deleteRecursive(ivfPath)
+    graft.ann.IvfIndex.build(mem, graft.core.Tables.embeddings(spark, sf()), ivfPath)
+    val nCells = graft.ann.IvfIndex.cellCount(spark, ivfPath)
+    assert(LateInteraction.rerankIndexed(spark, ivfPath, mem, queryText,
+      n = 5, candidates = 20, nprobe = nCells).collect().toSeq ==
+      LateInteraction.rerankIndexed(spark, ivfPath, mem, queryText,
+        n = 5, candidates = 20, nprobe = nCells,
+        mode = LateInteraction.ModeBlendWrrf).collect().toSeq)
+    graft.sources.Store.deleteRecursive(ivfPath)
+  }
+
+  test("rerankHybridBatch IS the per-qid union of single-query cascades (r16 verdict #1)") {
+    // the batch tail (ONE token explode + qid-partitioned folds) must
+    // reproduce N independent rerankHybrid runs row for row — including
+    // that qid 1's DISJOINT token set never leaks into qid 0's fold
+    val mem = Corpus.memories(spark, sf())
+    val fb = Some(Corpus.searchFeedback(spark, sf()))
+    val p0 = Queries.hybridParams(spark, sf())
+    val p1 = p0.copy(queryVec = Queries.queryVec(spark, sf(), 1))
+    val t0 = Queries.QueryTokens.mkString(" ")
+    val t1 = Queries.QueryTokens2.mkString(" ")
+    val batch = LateInteraction.rerankHybridBatch(mem, fb,
+      Seq((p0, t0), (p1, t1)), n = 5, candidates = 20)
+    assert(batch.columns.toSeq ==
+      Seq("rank", "id", "rel", "maxsim", "blend", "query_idx"))
+    val singles = LateInteraction
+      .rerankHybrid(mem, fb, p0, t0, n = 5, candidates = 20)
+      .withColumn("query_idx", lit(0))
+      .unionAll(LateInteraction
+        .rerankHybrid(mem, fb, p1, t1, n = 5, candidates = 20)
+        .withColumn("query_idx", lit(1)))
+    assert(batch.collect().toSeq == singles.collect().toSeq)
   }
 
   test("blend_wrrf protects the pool-rank-0 gold at C = 100") {
