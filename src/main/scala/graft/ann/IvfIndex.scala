@@ -141,12 +141,19 @@ object IvfIndex {
     * refresh/delete/upsert/compact/drift/retrain, probe pruning, the
     * manifest — is the one shared lifecycle; only the centroid table
     * differs. Invariant-spec-gated (kmeans is not SQL-oracle-able): the
-    * oracle-gated queries keep the replayable label seeding. */
-  def buildTrained(memories: DataFrame, path: String, nlist: Int,
+    * oracle-gated queries keep the replayable label seeding.
+    *
+    * `nlist = None` (the default — r16 verdict #2) sizes the cell count
+    * by the Faiss 4·√N guideline ([[IndexBuild.suggestNlist]]) from one
+    * count() of the corpus at build time; pass `Some(n)` to override
+    * (tuned deployments, or comparability with a fixed-nlist build). */
+  def buildTrained(memories: DataFrame, path: String,
+                   nlist: Option[Int] = None,
                    idCol: String = "id", seed: Long = 42L): Unit =
     buildWithCentroids(memories,
       IndexBuild.trainedCentroids(
-        memories.select(col("embedding")), nlist, seed),
+        memories.select(col("embedding")),
+        nlist.getOrElse(IndexBuild.suggestNlist(memories.count())), seed),
       path, idCol)
 
   /** [[build]] against a caller-supplied centroid table (the spec/fixture

@@ -282,60 +282,27 @@ object RetrievalEval {
                            docs: DataFrame, bm25Path: String, ivfPath: String,
                            dim: Int = 64, nprobe: Int = 2, nlist: Int = 8,
                            k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.search.HybridSearch
-    val emb = HashingEmbedder(dim)
-    val ts = lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
-    val mem = emb.embed(docs.select(col("id"), col("text")))
-      .select(col("id"), col("text"), col("embedding"))
-      .withColumn("source", lit("doc")).withColumn("category", lit("note"))
-      .withColumn("archived", lit(false)).withColumn("pinned", lit(false))
-      .withColumn("created_at", ts).withColumn("updated_at", ts)
-      .withColumn("document_at", ts).withColumn("last_reinforced_at", ts)
-      .localCheckpoint(true) // feeds both index builds + both search legs
+    val mem = hybridEvalCorpus(docs, dim)
     graft.search.BM25Index.build(mem.select("id", "text"), bm25Path)
     graft.ann.IvfIndex.buildWithCentroids(mem,
       graft.ann.Ann.centroidsByLabel(
         mem.select(pmod(col("id"), lit(nlist)).cast("int").as("label"),
           col("embedding"))),
       ivfPath)
-    // bounded query set, collected once: (qid, tokens, qvec)
-    val qRows = querySet(docs)
-      .select(col("qid"), TextFunctions.tokens(col("qtext")).as("toks"),
-        emb.embeddingColumn(col("qtext")).as("qvec"))
-      .collect()
-    val params = qRows.map { r =>
-      HybridSearch.Params(
-        queryTokens = r.getSeq[String](1),
-        queryVec = r.getSeq[Float](2), k = k)
-    }.toSeq
-    val qidOf = {
-      import spark.implicits._
-      qRows.zipWithIndex.map { case (r, i) => (i, r.getLong(0)) }
-        .toSeq.toDF("query_idx", "qid")
-    }
-    // self rank within each query's fused top-k (rounded-score ordering,
-    // the output contract's order); absent ⇒ a miss at every cutoff
-    def selfRanks(res: DataFrame): DataFrame =
-      res.withColumn("_rn", row_number().over(
-          Window.partitionBy("query_idx").orderBy(desc("rrf_score"), asc("id"))))
-        .join(broadcast(qidOf), "query_idx")
-        .filter(col("id") === col("qid"))
-        .select(col("qid"), col("_rn").as("rank"))
-    def met(ranks: DataFrame, tag: String): DataFrame = {
-      import spark.implicits._
+    val (params, qidOf) = hybridEvalQueries(spark, docs, dim, k)
+    def met(ranks: DataFrame, tag: String): DataFrame =
       qidOf.select("qid").join(ranks, Seq("qid"), "left")
         .agg(count(lit(1)).as("n_queries"),
           coalesce(sum(when(col("rank") <= k, 1L)), lit(0L)).as(s"_h_$tag"),
           coalesce(sum(when(col("rank") <= k,
             floor(lit(1000000L) / col("rank")).cast("long"))), lit(0L))
             .as(s"_mrr_$tag"))
-    }
-    val exact = met(selfRanks(
-      HybridSearch.batchSearch(mem, None, params)), "e")
-    val indexed = met(selfRanks(
+    val exact = met(selfRanksOf(
+      HybridSearch.batchSearch(mem, None, params), qidOf), "e")
+    val indexed = met(selfRanksOf(
       HybridSearch.batchSearchIndexed(spark, bm25Path, ivfPath, mem, None,
-        params, nprobe)), "i")
+        params, nprobe), qidOf), "i")
     exact.crossJoin(indexed.drop("n_queries"))
       .select(col("n_queries"), lit(k.toLong).as("k"),
         lit(nprobe.toLong).as("nprobe"),
@@ -349,6 +316,105 @@ object RetrievalEval {
           .as("mrr_at_k_indexed"))
       .withColumn("recall_delta",
         round(col("recall_at_k_indexed") - col("recall_at_k_exact"), 6))
+  }
+
+  /** The hybrid-eval corpus: docs hash-embedded and widened to the memory
+    * schema, checkpointed once — it feeds index builds AND search legs.
+    * Shared by [[selfRetrievalIndexed]] and [[seedingTaskEval]] so the two
+    * instruments cannot drift on corpus construction. */
+  private def hybridEvalCorpus(docs: DataFrame, dim: Int): DataFrame = {
+    val emb = HashingEmbedder(dim)
+    val ts = lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    emb.embed(docs.select(col("id"), col("text")))
+      .select(col("id"), col("text"), col("embedding"))
+      .withColumn("source", lit("doc")).withColumn("category", lit("note"))
+      .withColumn("archived", lit(false)).withColumn("pinned", lit(false))
+      .withColumn("created_at", ts).withColumn("updated_at", ts)
+      .withColumn("document_at", ts).withColumn("last_reinforced_at", ts)
+      .localCheckpoint(true)
+  }
+
+  /** The bounded query set collected once as per-query hybrid Params plus
+    * the broadcastable (query_idx, qid) map. */
+  private def hybridEvalQueries(spark: org.apache.spark.sql.SparkSession,
+                                docs: DataFrame, dim: Int, k: Int)
+      : (Seq[graft.search.HybridSearch.Params], DataFrame) = {
+    val emb = HashingEmbedder(dim)
+    val qRows = querySet(docs)
+      .select(col("qid"), TextFunctions.tokens(col("qtext")).as("toks"),
+        emb.embeddingColumn(col("qtext")).as("qvec"))
+      .collect()
+    val params = qRows.map { r =>
+      graft.search.HybridSearch.Params(
+        queryTokens = r.getSeq[String](1),
+        queryVec = r.getSeq[Float](2), k = k)
+    }.toSeq
+    val qidOf = {
+      import spark.implicits._
+      qRows.zipWithIndex.map { case (r, i) => (i, r.getLong(0)) }
+        .toSeq.toDF("query_idx", "qid")
+    }
+    (params, qidOf)
+  }
+
+  /** Self rank within each query's fused top-k (rounded-score ordering,
+    * the output contract's order); absent ⇒ a miss at every cutoff. */
+  private def selfRanksOf(res: DataFrame, qidOf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    res.withColumn("_rn", row_number().over(
+        Window.partitionBy("query_idx").orderBy(desc("rrf_score"), asc("id"))))
+      .join(broadcast(qidOf), "query_idx")
+      .filter(col("id") === col("qid"))
+      .select(col("qid"), col("_rn").as("rank"))
+  }
+
+  /** Trained vs positional IVF seeding on the END-TASK metric (r16 verdict
+    * #2 — the r16 win was rung-ppm on the vector leg; the claim that
+    * matters is what the PRODUCTION pipeline retrieves): the truncated
+    * self-retrieval protocol run through the fused indexed hybrid
+    * ([[graft.search.HybridSearch.batchSearchIndexed]], one shared BM25
+    * index) twice — once over the positional id-mod-`nlist` seeding, once
+    * over the spherical-k-means build ([[graft.ann.IvfIndex.buildTrained]]
+    * at the SAME pinned nlist, so the comparison isolates seeding quality
+    * from cell-count pruning) — both probed at the production `nprobe`.
+    *
+    * Output: one row per seeding — (seeding, n_queries, k, nprobe,
+    * recall_at_k, mrr_at_k). Spec-gated, not oracled (the standing kmeans
+    * adjudication): RetrievalEvalSpec asserts trained ≥ positional on the
+    * fixture corpus. */
+  def seedingTaskEval(spark: org.apache.spark.sql.SparkSession,
+                      docs: DataFrame, bm25Path: String, posPath: String,
+                      trnPath: String, dim: Int = 64, nprobe: Int = 2,
+                      nlist: Int = 8, k: Int = 10): DataFrame = {
+    import graft.search.HybridSearch
+    val mem = hybridEvalCorpus(docs, dim)
+    graft.search.BM25Index.build(mem.select("id", "text"), bm25Path)
+    graft.ann.IvfIndex.buildWithCentroids(mem,
+      graft.ann.Ann.centroidsByLabel(
+        mem.select(pmod(col("id"), lit(nlist)).cast("int").as("label"),
+          col("embedding"))),
+      posPath)
+    graft.ann.IvfIndex.buildTrained(mem, trnPath, Some(nlist))
+    val (params, qidOf) = hybridEvalQueries(spark, docs, dim, k)
+    def leg(ivfPath: String, name: String): DataFrame = {
+      val ranks = selfRanksOf(
+        HybridSearch.batchSearchIndexed(spark, bm25Path, ivfPath, mem, None,
+          params, nprobe), qidOf)
+      qidOf.select("qid").join(ranks, Seq("qid"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          coalesce(sum(when(col("rank") <= k, 1L)), lit(0L)).as("_h"),
+          coalesce(sum(when(col("rank") <= k,
+            floor(lit(1000000L) / col("rank")).cast("long"))), lit(0L))
+            .as("_mrr"))
+        .select(lit(name).as("seeding"), col("n_queries"),
+          lit(k.toLong).as("k"), lit(nprobe.toLong).as("nprobe"),
+          round(col("_h").cast("double") / col("n_queries"), 6)
+            .as("recall_at_k"),
+          round(col("_mrr").cast("double") / 1e6 / col("n_queries"), 6)
+            .as("mrr_at_k"))
+    }
+    leg(posPath, "positional").unionAll(leg(trnPath, "trained"))
+      .orderBy("seeding")
   }
 
   /** The Faiss-tuning workflow as code (r13 verdict #5): the smallest

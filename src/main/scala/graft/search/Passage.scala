@@ -117,13 +117,20 @@ object Passage {
     * k-means over the exploded passage embeddings). Same index lifecycle,
     * same probe machinery, same [[maxPIndexed]] read path — only the
     * centroid table differs. Invariant-spec-gated (PassageSpec: exhaustive
-    * probe ≡ brute MaxP; clustered-fixture recall ≥ positional). */
+    * probe ≡ brute MaxP; clustered-fixture recall ≥ positional).
+    *
+    * `nlist = None` (the default — r16 verdict #2) sizes the cell count by
+    * the Faiss 4·√N guideline over the EXPLODED passage count
+    * ([[graft.ann.IndexBuild.suggestNlist]]); pass `Some(n)` to override
+    * (e.g. `Some(8)` for comparability with [[buildIndex]]'s fixture
+    * seeding). */
   def buildIndexTrained(pages: DataFrame, path: String, dim: Int = 64,
-                        nlist: Int = 8, seed: Long = 42L): Unit = {
-    val rows = passageEmbeddings(pages, dim)
+                        nlist: Option[Int] = None, seed: Long = 42L): Unit = {
+    val rows = passageEmbeddings(pages, dim).localCheckpoint(true)
     graft.ann.IvfIndex.buildWithCentroids(rows,
       graft.ann.IndexBuild.trainedCentroids(
-        rows.select(col("embedding")), nlist, seed),
+        rows.select(col("embedding")),
+        nlist.getOrElse(graft.ann.IndexBuild.suggestNlist(rows.count())), seed),
       path)
   }
 

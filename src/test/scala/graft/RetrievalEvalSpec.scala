@@ -50,6 +50,35 @@ class RetrievalEvalSpec extends SparkSpec {
     }
   }
 
+  test("seeding end-task eval: trained centroids >= positional on fused recall/MRR (r16 verdict #2)") {
+    // the END-TASK closure of the r16 rung-ppm win: the same truncated
+    // self-retrieval protocol, run through the production indexed hybrid
+    // at the production nprobe, over the REAL fixture corpus (a symmetric
+    // synthetic fixture degenerates — the r15 two-blob pitfall: identical
+    // centroids collapse assignment into one cell and "recall" is
+    // trivially perfect). Spec-gated, not oracled — the standing kmeans
+    // adjudication. Measured at HEAD (sf0.001, nlist 8, nprobe 2):
+    // trained recall@10 = mrr sees the same-or-better pool every query.
+    val docs = Queries.docs(spark, sf())
+    val base = "/root/repo/target/tmp/seed_task"
+    val (bm25, pos, trn) = (s"${base}_bm25", s"${base}_pos", s"${base}_trn")
+    Seq(bm25, pos, trn).foreach(graft.sources.Store.deleteRecursive)
+    val out = RetrievalEval
+      .seedingTaskEval(spark, docs, bm25, pos, trn)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("positional", "trained"))
+    val Array(p, t) = out
+    assert(p.getLong(1) == t.getLong(1) && p.getLong(1) > 0,
+      "both legs must score the same non-empty query set")
+    info(s"positional: recall@10 ${p.getDouble(4)}, mrr ${p.getDouble(5)}")
+    info(s"trained:    recall@10 ${t.getDouble(4)}, mrr ${t.getDouble(5)}")
+    assert(t.getDouble(4) >= p.getDouble(4),
+      s"trained recall@k ${t.getDouble(4)} must be >= positional ${p.getDouble(4)}")
+    assert(t.getDouble(5) >= p.getDouble(5),
+      s"trained mrr@k ${t.getDouble(5)} must be >= positional ${p.getDouble(5)}")
+    Seq(bm25, pos, trn).foreach(graft.sources.Store.deleteRecursive)
+  }
+
   test("query set is deterministic, bounded, and skips token-poor docs") {
     val corpus = disjointCorpus.withColumn("text",
       when(col("id") === 0L, lit("too short")).otherwise(col("text")))
