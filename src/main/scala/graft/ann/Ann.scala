@@ -22,7 +22,15 @@ object Ann {
   /** Upper bound on IVF cells. nlist is a build-time constant in any IVF
     * index (Faiss/Milvus); the explicit deterministic cap also makes the
     * centroid table's boundedness visible to the physical-plan audit, which
-    * otherwise sees an unbounded aggregate on the cross-join build side. */
+    * otherwise sees an unbounded aggregate on the cross-join build side.
+    *
+    * Scale headroom (r16 verdict #6): this cap exists because every flat
+    * path BROADCASTS or driver-ranks the centroid table — at 10¹¹ rows it
+    * leaves ~2.4·10⁷ rows per cell where the Faiss 4·√N guideline wants
+    * ~10⁶ cells. The growth path past it is the two-level coarse
+    * quantizer prototyped in [[TwoLevelIvf]] (effective cells =
+    * nlist₁ × fanout with every materialized frame still ≤ MaxNlist rows);
+    * lifecycle wiring is deferred by design. */
   val MaxNlist = 4096
 
   /** Centroids from labeled vectors: (label, centroid) = L2-normalized mean

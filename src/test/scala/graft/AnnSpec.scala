@@ -428,7 +428,10 @@ class AnnSpec extends SparkSpec {
     val trainedPath = "/root/repo/target/tmp/ann_trained_ivf"
     val posPath = "/root/repo/target/tmp/ann_pos_ivf"
     Seq(trainedPath, posPath).foreach(graft.sources.Store.deleteRecursive)
-    graft.search.Passage.buildIndexTrained(pages, trainedPath)
+    // nlist PINNED to the positional build's 8 so the rung compares
+    // seeding quality alone, not cell-count pruning (the no-arg default
+    // auto-sizes by suggestNlist — pinned end to end by its own test)
+    graft.search.Passage.buildIndexTrained(pages, trainedPath, nlist = Some(8))
     graft.search.Passage.buildIndex(pages, posPath)
     def rung1(path: String): Long = graft.eval.RetrievalEval
       .ivfRecallSweep(spark, emb, path, nprobes = Seq(1))
@@ -445,6 +448,79 @@ class AnnSpec extends SparkSpec {
     assert(cells.length == 8 && cells.max < n / 2,
       s"trained cells must spread the corpus: ${cells.toSeq.sorted} of $n")
     Seq(trainedPath, posPath).foreach(graft.sources.Store.deleteRecursive)
+  }
+
+  test("defaulted-nlist trained build: suggestNlist sizes the cells, reads stay exact (r16 verdict #2)") {
+    // the no-arg production path end to end: build with NO nlist, assert
+    // the index materialized exactly suggestNlist(rows) cells (k-means
+    // may leave a cell empty only if duplicate points collapse — the
+    // fixture's vectors are distinct), every row is assigned, and an
+    // exhaustive probe through the defaulted index reproduces brute
+    // top-k bit for bit (the read path is untouched by the sizing)
+    val mem = Corpus.memories(spark, sf())
+    val path = "/root/repo/target/tmp/ann_autonlist_ivf"
+    graft.sources.Store.deleteRecursive(path)
+    graft.ann.IvfIndex.buildTrained(mem, path)
+    val rows = mem.count()
+    val want = IndexBuild.suggestNlist(rows)
+    val asg = graft.sources.Store.load(spark, s"$path/assignments")
+    assert(asg.count() == rows, "every row must be assigned")
+    val nCells = graft.ann.IvfIndex.cellCount(spark, path)
+    assert(nCells == want,
+      s"defaulted build must size cells by suggestNlist($rows) = $want, got $nCells")
+    val qv = Queries.queryVec(spark, sf())
+    val probed = graft.ann.IvfIndex
+      .probedCandidates(spark, path, qv, nprobe = nCells)
+      .orderBy(desc("sim"), asc("id")).limit(10)
+      .select("id", "sim").as[(Long, Double)].collect().toSeq
+    val brute = graft.search.VectorSearch
+      .topK(mem, qv, k = 10, includeArchived = true)
+      .select("id", "sim").as[(Long, Double)].collect().toSeq
+    assert(probed == brute,
+      "exhaustive probe through the defaulted index must be brute top-k")
+    graft.sources.Store.deleteRecursive(path)
+  }
+
+  test("two-level coarse quantizer: exhaustive probe IS the flat exhaustive probe; partial probe prunes (r16 verdict #6)") {
+    // the MaxNlist growth-path prototype, gated the kmeans-adjudication
+    // way (invariant specs): the (cell, l2_cell) decomposition must be a
+    // pure refinement — probing EVERYTHING through both levels reproduces
+    // the flat exhaustive top-k (= brute) bit for bit, and a partial
+    // probe reads a strict subset of the corpus. Recall at the partial
+    // rung is logged for the design ledger (the flat ladder discipline).
+    val mem = Corpus.memories(spark, sf())
+    val cent = Ann.centroidsByLabel(Tables.embeddings(spark, sf()))
+    val assigned = Ann.assign(mem, cent).localCheckpoint(true)
+    val fanout = 4
+    val sub = graft.ann.TwoLevelIvf.subCentroids(assigned, fanout)
+      .localCheckpoint(true)
+    val assigned2 = graft.ann.TwoLevelIvf.assignSub(assigned, sub)
+      .localCheckpoint(true)
+    assert(assigned2.count() == mem.count(), "every row keeps a (cell, l2) slot")
+    val nlist1 = cent.count().toInt
+    val nSub = sub.count().toInt
+    assert(nSub <= nlist1 * fanout)
+    val qv = Queries.queryVec(spark, sf())
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "sim").as[(Long, Double)].collect().toSeq
+    val exhaustive = rows(graft.ann.TwoLevelIvf.probeTopK(
+      assigned2, cent, sub, qv, k = 10, nprobe1 = nlist1, nprobe2 = nSub))
+    val flat = rows(Ann.ivfTopK(assigned, cent, qv, k = 10, nprobe = nlist1))
+    val brute = rows(graft.search.VectorSearch
+      .topK(mem, qv, k = 10, includeArchived = true))
+    assert(exhaustive == flat, "two-level exhaustive must equal flat exhaustive")
+    assert(flat == brute, "flat exhaustive must equal brute top-k")
+    // partial probe: strictly fewer scanned rows than the corpus, and the
+    // scanned set is exactly the probed (cell, l2_cell) pairs' population
+    val scanned = graft.ann.TwoLevelIvf.probeTopK(
+      assigned2, cent, sub, qv, k = Int.MaxValue, nprobe1 = 2, nprobe2 = 4)
+    val nScanned = scanned.count()
+    assert(nScanned > 0 && nScanned < mem.count(),
+      s"partial two-level probe must prune: scanned $nScanned of ${mem.count()}")
+    val hit = rows(graft.ann.TwoLevelIvf.probeTopK(
+        assigned2, cent, sub, qv, k = 10, nprobe1 = 2, nprobe2 = 4))
+      .map(_._1).toSet.intersect(brute.map(_._1).toSet).size
+    info(s"two-level rung (np1=2, np2=4): scanned $nScanned/${mem.count()} rows, recall@10 = $hit/10")
   }
 
   test("suggestNlist follows the 4·sqrt(N) guideline, bounded both ways") {
