@@ -240,6 +240,18 @@ object QueriesExt {
         Tables.documents(s, dir).select(col("doc_id").as("id")))
       Multimodal.resizeImages(media).orderBy("media_id")
     }),
+    // cross-modal near-dup join (r16 verdict #7): text docs and media
+    // blobs encoded into ONE shared 8-dim space by the stub codec fold,
+    // candidates by the (argmax, argmin) joint bucket, exact cosine >=
+    // 0.985 verifies — never all-pairs. Oracle replays both folds, the
+    // bucket join and the rounded cut from the raw tables
+    "mm_crossmodal_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text"))
+      val media = Multimodal.syntheticMediaTable(docs.select("id"))
+      Multimodal.crossModalNearDup(docs, media,
+        Multimodal.DeterministicFakeCodec())
+    }),
     // gap-based sessionization of the usage log (batch form of the
     // stateful streaming session machine; 30-min gap cutoff)
     "st_sessionize" -> ((s, dir) =>
@@ -816,6 +828,37 @@ object QueriesExt {
          |    (acc, x) -> (acc * 31 + x) % 1000000007) AS patch_hash
          |FROM g WHERE len(ps) > 0
          |ORDER BY media_id, patch_row, patch_col""".stripMargin
+    },
+    // both modality folds replayed from the raw tables, the joint-bucket
+    // equi-join (list_position = array_position: first index wins ties),
+    // cosine in double over the float-cast features, the cut on the
+    // ROUNDED score — the whole candidate-generation geometry is in the
+    // hash
+    "mm_crossmodal_neardup" -> {
+      val blob = "'blob-' || repeat(CAST(id AS VARCHAR), CAST(id % 7 + 1 AS INT))"
+      def fold(src: String) =
+        s"""list_transform(range(0, 8), i ->
+           |      CAST(CAST(list_sum(list_transform(range(1, len($src) + 1),
+           |        p -> CASE WHEN (p - 1) % 8 = i THEN ascii($src[p]) ELSE 0 END))
+           |        / 255.0 / greatest(len($src), 1) AS FLOAT) AS DOUBLE))""".stripMargin
+      s"""WITH docs AS (SELECT doc_id AS id, text FROM documents),
+         |cmm AS (SELECT id, $blob AS s FROM docs),
+         |ctf AS (SELECT id, ${fold("text")} AS f FROM docs),
+         |cmf AS (SELECT id,
+         |    CASE WHEN id % 3 = 0 THEN 'image' WHEN id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    ${fold("s")} AS f FROM cmm),
+         |ctb AS (SELECT id, f, list_position(f, list_max(f)) AS bmax,
+         |    list_position(f, list_min(f)) AS bmin FROM ctf),
+         |cmb AS (SELECT id, kind, f, list_position(f, list_max(f)) AS bmax,
+         |    list_position(f, list_min(f)) AS bmin FROM cmf)
+         |SELECT doc_id, media_id, kind, sim FROM (
+         |  SELECT t.id AS doc_id, m.id AS media_id, m.kind,
+         |    round(list_sum(list_transform(range(1, 9), i -> t.f[i] * m.f[i])) /
+         |      (sqrt(list_sum(list_transform(range(1, 9), i -> t.f[i] * t.f[i]))) *
+         |       sqrt(list_sum(list_transform(range(1, 9), i -> m.f[i] * m.f[i])))), 6) AS sim
+         |  FROM ctb t JOIN cmb m USING (bmax, bmin))
+         |WHERE sim >= 0.985
+         |ORDER BY doc_id, media_id""".stripMargin
     },
     "mm_feature_checksum" -> {
       val blob = "'blob-' || repeat(CAST(id AS VARCHAR), CAST(id % 7 + 1 AS INT))"

@@ -174,6 +174,53 @@ object Multimodal {
       .toDF("media_id", "patch_row", "patch_col", "n_px", "patch_hash")
   }
 
+  /** Cross-modal near-duplicate join (r16 verdict #7 — the multimodal
+    * tier had per-modality features but no CROSS-modal operator): the
+    * CLIP-retrieval shape (Radford '21 — two modality encoders into one
+    * shared d-dim space, candidates by bucket, exact verify; public) with
+    * both encoders honestly stubbed: the text leg runs the SAME
+    * [[MediaCodec]] byte fold over the document's UTF-8 bytes that the
+    * media leg runs over the blob, so the shared space is real plumbing
+    * with fake semantics — a real CLIP text/image tower drops in at the
+    * codec seam without touching the plan.
+    *
+    * Scale shape — never all-pairs: candidates come from a JOINT BUCKET
+    * equi-join on (argmax dim, argmin dim) of the feature vector (first
+    * index wins ties — `array_position` semantics, replayed exactly by
+    * the oracle's `list_position`), ≤ d(d−1) buckets, then exact cosine
+    * verifies ≥ `minSim` on the 6dp-ROUNDED score (the cut itself is
+    * SQL-replayable). With a real signed encoder the bucket generalizes
+    * to the SimHash sign pattern (2^d buckets — [[graft.dedup.SimHash]]'s
+    * machinery); the fake fold's features are non-negative, which
+    * degenerates sign buckets, so the extrema pair stands in. Output:
+    * (doc_id, media_id, kind, sim), ordered. */
+  def crossModalNearDup(docs: DataFrame, media: DataFrame, codec: MediaCodec,
+                        minSim: Double = 0.985): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val textFeat = docs.select(col("id"), col("text")).as[(Long, String)]
+      .mapPartitions(it => codec.extractBatch(it.map { case (id, t) =>
+        (id, "text", t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }))
+      .toDF().select(col("mediaId").as("doc_id"),
+        col("feature").cast("array<double>").as("tf"))
+    val mediaFeat = extractFeatures(media, codec)
+      .toDF().select(col("mediaId").as("media_id"), col("kind"),
+        col("feature").cast("array<double>").as("mf"))
+    def bucketed(df: DataFrame, f: String): DataFrame = df
+      .withColumn("bmax", array_position(col(f), array_max(col(f))))
+      .withColumn("bmin", array_position(col(f), array_min(col(f))))
+    val sim = round(
+      graft.functions.VectorFunctions.dot(col("tf"), col("mf")) /
+        (sqrt(graft.functions.VectorFunctions.dot(col("tf"), col("tf"))) *
+          sqrt(graft.functions.VectorFunctions.dot(col("mf"), col("mf")))), 6)
+    bucketed(textFeat, "tf").join(bucketed(mediaFeat, "mf"), Seq("bmax", "bmin"))
+      .withColumn("sim", sim)
+      .filter(col("sim") >= minSim)
+      .select(col("doc_id"), col("media_id"), col("kind"), col("sim"))
+      .orderBy("doc_id", "media_id")
+  }
+
   /** Feature checksum projection (oracle-able scalar per media row);
     * rounding happens in the plan so the SQL oracle's round() matches. */
   def featureChecksums(features: Dataset[MediaFeature]): DataFrame = {
