@@ -334,6 +334,47 @@ object QueriesTiers {
         Seq((p0, Queries.QueryTokens.mkString(" ")),
           (p1, Queries.QueryTokens2.mkString(" "))),
         n = 5, candidates = 20)
+    }),
+    // the INDEXED batch cascade — the full production shape: the pool is
+    // batchSearchIndexed's shared plan (one pruned postings scan + one
+    // probed-cell scan + one index epoch for the whole batch), the rerank
+    // the one-pass batch tail. Oracle = the per-qid union of two indexed
+    // blend replays, each vector CTE restricted to ITS query's probed
+    // cells (the r15_batch_indexed restriction composed with the
+    // r18_maxsim_blend tail)
+    "r18_maxsim_batch_indexed" -> ((s, dir) => {
+      val bm25Path = s"${sys.props("java.io.tmpdir")}/graft_mbx_bm25_${ProcessHandle.current().pid()}"
+      val ivfPath = s"${sys.props("java.io.tmpdir")}/graft_mbx_ivf_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(bm25Path); Queries.reapAtExit(ivfPath)
+      val mem = Corpus.memories(s, dir)
+      graft.search.BM25Index.build(mem, bm25Path)
+      graft.ann.IvfIndex.build(mem, Tables.embeddings(s, dir), ivfPath)
+      val p0 = Queries.hybridParams(s, dir)
+      val p1 = p0.copy(queryVec = Queries.queryVec(s, dir, 1))
+      graft.search.LateInteraction.rerankIndexedBatch(s, bm25Path, ivfPath,
+        mem, Some(Corpus.searchFeedback(s, dir)),
+        Seq((p0, Queries.QueryTokens.mkString(" ")),
+          (p1, Queries.QueryTokens2.mkString(" "))),
+        n = 5, candidates = 20)
+    }),
+    // the WARM batch cascade — the production steady-state throughput
+    // shape at 100 TB: the per-JVM prebuilt index pair (bench rep 1 pays
+    // the one-time build, reps 2-3 time the warm read — the
+    // r4_hybrid_prebuilt precedent), ONE shared-plan batch pool and ONE
+    // batch tail for all N queries. Same builds, same rows, same oracle
+    // as r18_maxsim_batch_indexed (the prebuilt pair IS the same
+    // full-corpus build memoized). NOT job-count-pinned: the memo makes
+    // in-suite counts order-dependent by design.
+    "r18_batch_prebuilt" -> ((s, dir) => {
+      val (bm25Path, ivfPath) = Queries.prebuiltHybridIndexes(s, dir)
+      val mem = Corpus.memories(s, dir)
+      val p0 = Queries.hybridParams(s, dir)
+      val p1 = p0.copy(queryVec = Queries.queryVec(s, dir, 1))
+      graft.search.LateInteraction.rerankIndexedBatch(s, bm25Path, ivfPath,
+        mem, Some(Corpus.searchFeedback(s, dir)),
+        Seq((p0, Queries.QueryTokens.mkString(" ")),
+          (p1, Queries.QueryTokens2.mkString(" "))),
+        n = 5, candidates = 20)
     }))
 
   private val bqQ =
@@ -486,6 +527,22 @@ object QueriesTiers {
     s"""WITH ${OracleCtes.memories},
        |${OracleCtes.searchFeedback},
        |${OracleHybrid.fusedCtes(Queries.oracleHybridParams.copy(k = 20), n = 1000000, vecId = vecId)},
+       |lpool AS MATERIALIZED (
+       |  SELECT f.id, round(f.rrf, 6) AS rel, m.text
+       |  FROM fused f JOIN memories m USING (id)
+       |  ORDER BY f.rrf DESC, f.id LIMIT 20),
+       |${maxSimBlendTailSqlFor(tokens)}""".stripMargin
+
+  /** [[maxSimBlendSqlFor]] with the vector leg's candidate pool restricted
+    * to the query's probed cells (asg/cent/probe replayed from first
+    * principles against THIS query's vec_id — the r15_batch_indexed
+    * restriction) — one leg of the indexed batch oracle's union. */
+  private def maxSimBlendIndexedSqlFor(vecId: Long, tokens: Seq[String]): String =
+    s"""WITH ${OracleCtes.memories},
+       |${OracleCtes.searchFeedback},
+       |${Queries.ivfCtesOver("memories", vecId)},
+       |${OracleHybrid.fusedCtes(Queries.oracleHybridParams.copy(k = 20), n = 1000000, vecId = vecId,
+          vecJoin = "JOIN asg ia ON m.id = ia.id JOIN probe ip ON ia.ivf_cell = ip.label")},
        |lpool AS MATERIALIZED (
        |  SELECT f.id, round(f.rrf, 6) AS rel, m.text
        |  FROM fused f JOIN memories m USING (id)
@@ -1215,6 +1272,30 @@ object QueriesTiers {
          |UNION ALL
          |SELECT q1.*, 1 AS query_idx FROM (
          |${maxSimBlendSqlFor(1, Queries.QueryTokens2)}
+         |) q1""".stripMargin,
+    // the indexed batch cascade: the same union shape with each leg's
+    // vector CTE probed-cell-restricted against ITS query's vector — the
+    // shared-plan batch + one-pass rerank must hash-match two fully
+    // independent indexed cascades
+    "r18_maxsim_batch_indexed" ->
+      s"""SELECT q0.*, 0 AS query_idx FROM (
+         |${maxSimBlendIndexedSqlFor(0, Queries.QueryTokens)}
+         |) q0
+         |UNION ALL
+         |SELECT q1.*, 1 AS query_idx FROM (
+         |${maxSimBlendIndexedSqlFor(1, Queries.QueryTokens2)}
+         |) q1""".stripMargin,
+    // the prebuilt pair is the SAME full-corpus build memoized, so the
+    // warm batch cascade shares the indexed batch's oracle verbatim — the
+    // hash-match is exactly the proof that warm reads equal a fresh build
+    // (the r4_hybrid_prebuilt ≡ r4_hybrid_indexed precedent)
+    "r18_batch_prebuilt" ->
+      s"""SELECT q0.*, 0 AS query_idx FROM (
+         |${maxSimBlendIndexedSqlFor(0, Queries.QueryTokens)}
+         |) q0
+         |UNION ALL
+         |SELECT q1.*, 1 AS query_idx FROM (
+         |${maxSimBlendIndexedSqlFor(1, Queries.QueryTokens2)}
          |) q1""".stripMargin,
     // the cascade's own instrument: the fused-hybrid pool (vector + BM25
     // legs oversampled 30, RRF 0.7 / 1−0.7, cut at 20 by unrounded f,

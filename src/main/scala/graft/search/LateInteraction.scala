@@ -138,6 +138,31 @@ object LateInteraction {
     maxSimTailBatch(pool, queries.map(_._2), n, dim, mode)
   }
 
+  /** [[rerankHybridBatch]] from the PERSISTED indexes — the full
+    * production batch at 100 TB: the candidate pool is
+    * [[HybridSearch.batchSearchIndexed]]'s shared plan (ONE pruned
+    * postings scan + ONE probed-cell scan for the whole batch, one
+    * consistent index epoch), the text rides one id-equi-join, and the
+    * rerank stage is the one-pass batch tail — so N queries cost one
+    * scan per index plus one constant token fold, end to end. Same IVF
+    * recall trade as every indexed leg, adjudicated by
+    * `r18_maxsim_batch_indexed`'s per-qid probed-cell-restricted oracle
+    * union. */
+  def rerankIndexedBatch(spark: org.apache.spark.sql.SparkSession,
+                         bm25Path: String, ivfPath: String,
+                         memories: DataFrame, feedback: Option[DataFrame],
+                         queries: Seq[(HybridSearch.Params, String)],
+                         n: Int = 5, candidates: Int = 20, nprobe: Int = 2,
+                         dim: Int = 64, mode: String = ModeBlendWrrf): DataFrame = {
+    val pool = HybridSearch
+      .batchSearchIndexed(spark, bm25Path, ivfPath, memories, feedback,
+        queries.map(_._1.copy(k = candidates)), nprobe)
+      .select(col("query_idx").as("qid"), col("id"), col("rrf_score").as("rel"))
+      .join(memories.select(col("id"), col("text")), Seq("id"))
+      .select(col("qid"), col("id"), col("rel"), col("text"))
+    maxSimTailBatch(pool, queries.map(_._2), n, dim, mode)
+  }
+
   /** Final-ranking modes of the MaxSim tail (r14 verdict #2 — the eval
     * instruments showed pure-MaxSim ordering losing recall@1 to the pool
     * order while winning the deep tail, so the cascade should BLEND the

@@ -233,6 +233,37 @@ class LateInteractionSpec extends SparkSpec {
     assert(batch.collect().toSeq == singles.collect().toSeq)
   }
 
+  test("rerankIndexedBatch IS the per-qid union of indexed single-query cascades") {
+    // the full production batch: shared-plan indexed pool + one-pass tail
+    // must equal, row for row, the composition of per-query searchIndexed
+    // pools each reranked by the single-query tail
+    val mem = Corpus.memories(spark, sf())
+    val fb = Some(Corpus.searchFeedback(spark, sf()))
+    val p0 = Queries.hybridParams(spark, sf())
+    val p1 = p0.copy(queryVec = Queries.queryVec(spark, sf(), 1))
+    val t0 = Queries.QueryTokens.mkString(" ")
+    val t1 = Queries.QueryTokens2.mkString(" ")
+    val bm25Path = "/root/repo/target/tmp/li_batch_bm25"
+    val ivfPath = "/root/repo/target/tmp/li_batch_ivf"
+    Seq(bm25Path, ivfPath).foreach(graft.sources.Store.deleteRecursive)
+    graft.search.BM25Index.build(mem, bm25Path)
+    graft.ann.IvfIndex.build(mem, graft.core.Tables.embeddings(spark, sf()), ivfPath)
+    val batch = LateInteraction.rerankIndexedBatch(spark, bm25Path, ivfPath,
+      mem, fb, Seq((p0, t0), (p1, t1)), n = 5, candidates = 20)
+    def single(p: graft.search.HybridSearch.Params, t: String, qi: Int) = {
+      val pool = graft.search.HybridSearch
+        .searchIndexed(spark, bm25Path, ivfPath, mem, fb, p.copy(k = 20))
+        .select(col("id"), col("rrf_score").as("rel"))
+        .join(mem.select(col("id"), col("text")), Seq("id"))
+        .select(col("id"), col("rel"), col("text"))
+      LateInteraction.maxSimTail(pool, t, n = 5, dim = dim)
+        .withColumn("query_idx", lit(qi))
+    }
+    assert(batch.collect().toSeq ==
+      single(p0, t0, 0).unionAll(single(p1, t1, 1)).collect().toSeq)
+    Seq(bm25Path, ivfPath).foreach(graft.sources.Store.deleteRecursive)
+  }
+
   test("blend_wrrf protects the pool-rank-0 gold at C = 100") {
     // the analytic bound (C−1)(k₀+1)/((k₀+C−1)+(C−1)(k₀+1)) is monotone in
     // C with supremum (k₀+1)/(k₀+2) = 2/3 < 0.7, so the pool's top-1 must
