@@ -791,6 +791,36 @@ object Queries {
       Ann.ivfTopK(split, cent, queryVec(s, dir), k = 10, nprobe = 2)
         .select("id", "ivf_cell", "sim")
     }),
+    // two-level coarse quantizer on the LIVE query path (r16 verdict #6
+    // upgraded from spec-gated prototype to oracle-gated): level-1 = the
+    // flat positional centroids, level-2 = positional sub-centroids
+    // (id mod fanout) within each cell, probe prunes BOTH levels — the
+    // growth path past MaxNlist with every materialized frame bounded
+    // (TwoLevelIvf scaladoc). The oracle replays both quantizer levels
+    // from first principles at the same partial probe settings
+    "ann_ivf_twolevel" -> ((s, dir) => {
+      val cent = Ann.centroidsByLabel(Tables.embeddings(s, dir))
+      val assigned = Ann.assign(Corpus.memories(s, dir), cent)
+      val sub = graft.ann.TwoLevelIvf.subCentroids(assigned, fanout = 4)
+      val assigned2 = graft.ann.TwoLevelIvf.assignSub(assigned, sub)
+      graft.ann.TwoLevelIvf.probeTopK(assigned2, cent, sub,
+        queryVec(s, dir), k = 10, nprobe1 = 2, nprobe2 = 4)
+    }),
+    // the PERSISTED two-level index: assignments partitioned by BOTH
+    // quantizer keys, probe = planning-time partition prune on the
+    // nprobe2 winning (ivf_cell, l2_cell) pairs (PlanAuditSpec pins the
+    // PartitionFilters). Oracle = the same two-level replay: stored
+    // tables make both levels exact, so the hash-match proves the pruned
+    // read ≡ the in-session computation — ann_ivf_indexed's precedent on
+    // two keys
+    "ann_twolevel_indexed" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_2lvl_${ProcessHandle.current().pid()}"
+      reapAtExit(path)
+      graft.ann.TwoLevelIvf.buildIndex(
+        Corpus.memories(s, dir), Tables.embeddings(s, dir), path, fanout = 4)
+      graft.ann.TwoLevelIvf.topKIndexed(s, path, queryVec(s, dir),
+        k = 10, nprobe1 = 2, nprobe2 = 4)
+    }),
     // persisted IVF: build on the first half, O(batch) refresh with the
     // second — the oracle is the FULL-CORPUS IVF SQL, so the hash-match
     // proves refresh ≡ rebuild (stored centroids make assignment exact)
@@ -1472,6 +1502,58 @@ object Queries {
          |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q2
          |ORDER BY sim DESC, m.id LIMIT 10""".stripMargin
 
+  /** The two-level replay, shared by `ann_ivf_twolevel` (in-session) and
+    * `ann_twolevel_indexed` (persisted — build ≡ compute, the
+    * ann_ivf_indexed oracle-sharing precedent): level 1 verbatim from the
+    * flat chain (cent/asg/probe = the nprobe1=2 rank), sub-centroid means
+    * per (cell, id-mod-fanout) with the % wrapped pmod-style so the
+    * replay stays total off the non-negative fixture domain, the
+    * within-cell argmax re-assignment (csim DESC, l2_label tie), and the
+    * bounded level-2 probe rank (qs DESC, ivf_cell, l2_label; rn <= 4) —
+    * TwoLevelIvf.{subCentroids,assignSub,probeTopK} from first
+    * principles. */
+  /** The level-2 CTE chain (sub0/subn/subc/asg2) over `memories` joined
+    * to a level-1 assignment CTE named `asg` — TwoLevelIvf.{subCentroids,
+    * assignSub} from first principles at fanout 4. Shared by the
+    * two-level top-k oracles here and the two-level recall-ladder oracle
+    * (QueriesExt) so there is exactly ONE replay text for the level-2
+    * quantizer. */
+  private[graft] def twoLevelCtesOver(asg: String): String =
+    s"""sub0 AS (
+       |  SELECT a.ivf_cell, ((m.id % 4) + 4) % 4 AS l2_label, t.i,
+       |    avg(CAST(m.embedding[t.i] AS DOUBLE)) AS mn
+       |  FROM memories m JOIN $asg a USING (id), range(1, 65) t(i)
+       |  GROUP BY 1, 2, 3),
+       |subn AS (SELECT ivf_cell, l2_label, sqrt(sum(mn * mn)) AS nrm FROM sub0 GROUP BY 1, 2),
+       |subc AS MATERIALIZED (
+       |  SELECT s.ivf_cell, s.l2_label, list(s.mn / n.nrm ORDER BY s.i) AS centroid
+       |  FROM sub0 s JOIN subn n USING (ivf_cell, l2_label) GROUP BY 1, 2),
+       |asg2 AS MATERIALIZED (
+       |  SELECT id, ivf_cell, l2_label AS l2_cell FROM (
+       |    SELECT m.id, a.ivf_cell, c.l2_label, row_number() OVER (PARTITION BY m.id ORDER BY
+       |      ${OracleCtes.dot64("m.embedding", "c.centroid")} DESC, c.l2_label) AS rn
+       |    FROM memories m JOIN $asg a USING (id)
+       |    JOIN subc c ON a.ivf_cell = c.ivf_cell) WHERE rn = 1)""".stripMargin
+
+  private lazy val ivfTwoLevelSql: String = {
+    val qv = "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
+    s"""WITH ${OracleCtes.memories},
+       |${ivfCtesOver("memories")},
+       |${twoLevelCtesOver("asg")},
+       |probe2 AS (
+       |  SELECT ivf_cell, l2_label AS l2_cell FROM (
+       |    SELECT s.ivf_cell, s.l2_label, row_number() OVER (ORDER BY
+       |      ${OracleCtes.dot64("s.centroid", "q.qv")} DESC, s.ivf_cell, s.l2_label) AS rn
+       |    FROM subc s JOIN probe p ON s.ivf_cell = p.label, $qv q)
+       |  WHERE rn <= 4)
+       |SELECT m.id, a2.ivf_cell, a2.l2_cell,
+       |  round(${OracleCtes.dot64("m.embedding", "q2.qv")}, 6) AS sim
+       |FROM memories m JOIN asg2 a2 USING (id)
+       |JOIN probe2 p2 ON a2.ivf_cell = p2.ivf_cell AND a2.l2_cell = p2.l2_cell
+       |CROSS JOIN $qv q2
+       |ORDER BY sim DESC, m.id LIMIT 10""".stripMargin
+  }
+
   /** [[ivfTopkSql]] minus the deleted third, against the SAME full-corpus
     * centroids (deletes never move centroids) — what deleteRefresh must
     * serve from the tombstoned assignments. */
@@ -1931,6 +2013,19 @@ object Queries {
     "ann_ivf_topk" -> ivfTopkSql,
     // the split is layout-only: results must equal the unsplit plan
     "ann_ivf_skew_split" -> ivfTopkSql,
+    // two-level replay from first principles: level 1 verbatim from the
+    // flat chain (cent/asg/probe = the nprobe1=2 rank), then sub-centroid
+    // means per (cell, id-mod-fanout) — the % wrapped pmod-style so the
+    // replay stays total even off the non-negative fixture domain — the
+    // within-cell argmax re-assignment (csim DESC, l2_label tie), and the
+    // bounded level-2 probe rank (qs DESC, ivf_cell, l2_label; rn <= 4),
+    // mirroring TwoLevelIvf.{subCentroids,assignSub,probeTopK} exactly
+    "ann_ivf_twolevel" -> ivfTwoLevelSql,
+    // the PERSISTED two-level probe against the same replay: build ≡
+    // compute (stored tables make both quantizer levels exact), so the
+    // hash-match adjudicates the partition-pruned read end to end — the
+    // ann_ivf_indexed precedent, on both keys
+    "ann_twolevel_indexed" -> ivfTwoLevelSql,
     // full-corpus IVF SQL: the build+refresh split must reproduce it
     "ann_ivf_indexed" -> ivfTopkSql,
     // same full-corpus SQL: 4 generations of refresh must equal a rebuild

@@ -110,6 +110,77 @@ object QueriesExt {
        |) ORDER BY nprobe""".stripMargin
   }
 
+  /** Oracle for [[graft.eval.RetrievalEval.twoLevelRecallSweep]]: the flat
+    * sweep's protocol head (the qs sample, a level-1 assignment CTE named
+    * `asg`, the shared exact leg) plus the shared two-level CTE chain
+    * ([[Queries.twoLevelCtesOver]]), then per rung: the per-qid level-1
+    * rank (rn <= np1), the per-qid level-2 rank over ONLY the survivors'
+    * sub-cells (qs DESC, ivf_cell, l2_label; rn <= np2), the probed
+    * top-10 through asg2's (cell, sub-cell) pairs, and the overlap count
+    * — recall_ppm by the same half-up integer formula as the Scala
+    * side. */
+  private def twoLevelRecallSweepSql(rungs: Seq[(Int, Int)]): String = {
+    def cdot(v: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * c.centroid[i]))"
+    def sdot(v: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * s.centroid[i]))"
+    val exSim = s"round(${OracleCtes.dot64("m.embedding", "q.qv")}, 6)"
+    val rungCtes = rungs.map { case (np1, np2) =>
+      val t = s"${np1}_$np2"
+      s"""p1q$t AS MATERIALIZED (
+         |  SELECT qid, label FROM (
+         |    SELECT q.qid, c.label, row_number() OVER (PARTITION BY q.qid ORDER BY
+         |      ${cdot("q.qv")} DESC, c.label) AS rn
+         |    FROM qs q, cent c) WHERE rn <= $np1),
+         |p2q$t AS MATERIALIZED (
+         |  SELECT qid, ivf_cell, l2_cell FROM (
+         |    SELECT q.qid, s.ivf_cell, s.l2_label AS l2_cell, row_number() OVER (PARTITION BY q.qid ORDER BY
+         |      ${sdot("q.qv")} DESC, s.ivf_cell, s.l2_label) AS rn
+         |    FROM qs q JOIN p1q$t p ON p.qid = q.qid
+         |    JOIN subc s ON s.ivf_cell = p.label) WHERE rn <= $np2),
+         |ix$t AS MATERIALIZED (
+         |  SELECT qid, id FROM (
+         |    SELECT q.qid, m.id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY $exSim DESC, m.id) AS rn
+         |    FROM qs q JOIN p2q$t p ON p.qid = q.qid
+         |    JOIN asg2 a ON a.ivf_cell = p.ivf_cell AND a.l2_cell = p.l2_cell
+         |    JOIN memories m ON m.id = a.id) WHERE rn <= 10),
+         |hits$t AS (SELECT qid, count(*) AS h FROM ex JOIN ix$t USING (qid, id) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val selects = rungs.map { case (np1, np2) =>
+      val t = s"${np1}_$np2"
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(10 AS BIGINT) AS k, CAST($np1 AS BIGINT) AS nprobe1,
+         |  CAST($np2 AS BIGINT) AS nprobe2,
+         |  CAST(sum(ne) AS BIGINT) AS n_exact,
+         |  CAST(coalesce(sum(h), 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce((2 * 1000000 * coalesce(sum(h), 0) + sum(ne)) // (2 * sum(ne)), 0) AS BIGINT) AS recall_ppm
+         |FROM exn LEFT JOIN hits$t USING (qid)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${OracleCtes.memories},
+       |${Queries.centCtes},
+       |qs AS MATERIALIZED (
+       |  SELECT id AS qid, embedding AS qv FROM memories
+       |  WHERE id % ${graft.eval.RetrievalEval.SampleMod} = 0
+       |  ORDER BY ${graft.functions.SparkHash.spreadSql("qid")}, qid LIMIT ${graft.eval.RetrievalEval.MaxQueries}),
+       |asg AS MATERIALIZED (
+       |  SELECT id, label AS ivf_cell FROM (
+       |    SELECT m.id, c.label, row_number() OVER (PARTITION BY m.id ORDER BY
+       |      ${cdot("m.embedding")} DESC, c.label) AS rn
+       |    FROM memories m, cent c) WHERE rn = 1),
+       |${Queries.twoLevelCtesOver("asg")},
+       |ex AS MATERIALIZED (
+       |  SELECT qid, id FROM (
+       |    SELECT q.qid, m.id,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY $exSim DESC, m.id) AS rn
+       |    FROM memories m, qs q) WHERE rn <= 10),
+       |exn AS (SELECT qid, count(*) AS ne FROM ex GROUP BY 1),
+       |$rungCtes
+       |SELECT * FROM (
+       |$selects
+       |) ORDER BY nprobe1, nprobe2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "d1_novelty" -> ((s, dir) =>
       VectorSearch.novelty(Corpus.memories(s, dir), Queries.queryVec(s, dir))
@@ -202,6 +273,18 @@ object QueriesExt {
       val mem = Corpus.memories(s, dir)
       graft.ann.IvfIndex.build(mem, Tables.embeddings(s, dir), ivfPath)
       graft.eval.RetrievalEval.ivfRecallSweep(s, mem, ivfPath)
+    }),
+    // the TWO-LEVEL ladder (r17): the (nprobe1, nprobe2) recall curve
+    // over the persisted two-level index — the instrument that sizes the
+    // two-level probe the way ev_ivf_recall_sweep sizes flat nprobe, and
+    // the measured evidence for the MaxNlist growth path's recall trade
+    "ev_twolevel_recall" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_rec2l_${ProcessHandle.current().pid()}"
+      Queries.reapAtExit(path)
+      val mem = Corpus.memories(s, dir)
+      graft.ann.TwoLevelIvf.buildIndex(mem, Tables.embeddings(s, dir), path,
+        fanout = 4)
+      graft.eval.RetrievalEval.twoLevelRecallSweep(s, mem, path)
     }),
     // 2-hop graph-lift A/B: the reference's headline graph benchmark
     // (eval/run_musique_graph_eval.py) — same queries at graph_weight 0 vs
@@ -616,6 +699,10 @@ object QueriesExt {
     // top-10 legs, overlap counted per qid, one integer-ppm row per rung
     "ev_ivf_recall" -> ivfRecallSweepSql(Seq(2)),
     "ev_ivf_recall_sweep" -> ivfRecallSweepSql(Seq(1, 2, 4)),
+    // the two-level protocol replayed the same way, both quantizer levels
+    // from first principles (the shared twoLevelCtesOver chain), one
+    // integer-ppm row per (nprobe1, nprobe2) rung
+    "ev_twolevel_recall" -> twoLevelRecallSweepSql(Seq((1, 2), (2, 4), (4, 8))),
     "ev_self_retrieval" -> {
       val t = OracleText.toks("text")
       val dot = "list_sum(list_transform(range(1, 65), i -> d.e[i] * q.e[i]))"

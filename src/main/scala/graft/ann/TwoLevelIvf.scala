@@ -1,8 +1,9 @@
 package graft.ann
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions.{dot, roundScore}
+import graft.sources.Store
 
 /** Two-level coarse quantizer — the PROTOTYPE growth path past
   * [[Ann.MaxNlist]] (r16 verdict #6, design-note grade; full lifecycle
@@ -83,15 +84,17 @@ object TwoLevelIvf {
 
   /** Assign each level-1-assigned row to its nearest sub-centroid WITHIN
     * its own cell: adds `l2_cell`. The candidate set per row is its cell's
-    * ≤ fanout sub-centroids via a cell-keyed equi-join — the broadcast
-    * here ships the whole sub-centroid table at fixture scale, but the
-    * JOIN is what scales: a shuffle-on-cell co-locates each partition
-    * with exactly its own ≤ fanout centers, so no task ever holds more
-    * than one cell's sub-table. Ties break (csim desc, l2_label asc),
-    * the [[Ann.assignWithSim]] rule. */
+    * ≤ fanout sub-centroids via a cell-keyed equi-join. No broadcast hint
+    * on purpose: at fixture scale AQE broadcasts the tiny table itself,
+    * but at production nlist₁ × fanout (up to ~1.7·10⁷ rows × 64 doubles
+    * ≈ GBs) the table must NOT be forced onto the driver and every
+    * executor — the equi-join is what scales: a shuffle-on-cell
+    * co-locates each partition with exactly its own ≤ fanout centers, so
+    * no task ever holds more than one cell's sub-table. Ties break
+    * (csim desc, l2_label asc), the [[Ann.assignWithSim]] rule. */
   def assignSub(assigned: DataFrame, subcents: DataFrame): DataFrame = {
     val others = assigned.columns.filterNot(_ == "id").toSeq
-    val scored = assigned.join(broadcast(subcents), Seq("ivf_cell"))
+    val scored = assigned.join(subcents, Seq("ivf_cell"))
       .withColumn("_csim", dot(col("embedding"), col("centroid")))
     scored.groupBy("id")
       .agg(max_by(
@@ -100,6 +103,132 @@ object TwoLevelIvf {
       .select(col("id") +: (others.map(c => col(s"_w.$c").as(c)) :+
         col("_w._l2").as("l2_cell")): _*)
   }
+
+  private val Tables = Seq("centroids", "subcentroids", "assignments")
+
+  /** Build and PERSIST the two-level index (the r17 slice of the deferred
+    * lifecycle — build + read; refresh/compact/retrain still ride the flat
+    * [[IvfIndex]] until a round budgets the full two-level lifecycle):
+    * level-1 centroids and level-2 sub-centroids as small tables,
+    * assignments written partitioned by BOTH quantizer keys so a partial
+    * probe prunes directories on (ivf_cell, l2_cell) at planning time —
+    * the file-level pruning [[IvfIndex]] gets from `ivf_cell` alone,
+    * squared: at 10¹¹ rows with nlist₁ = fanout = 4096 a probe reads
+    * nprobe₂ / 1.7·10⁷ of the corpus instead of nprobe / 4096. The
+    * (cell, sub-cell) key pair also IS the write-skew split — l2_cell
+    * subdivides a hot cell's population across tasks the way
+    * [[IvfIndex.SubSplits]]' hash split does, but with probe semantics
+    * attached. Sealed by the same [[graft.sources.IndexManifest]] pointer
+    * swap as every other index (readers see old or new, never a partial
+    * build). */
+  def buildIndex(memories: DataFrame, embeddings: DataFrame, path: String,
+                 fanout: Int, idCol: String = "id"): Unit = {
+    val spark = memories.sparkSession
+    Store.save(Ann.centroidsByLabel(embeddings), s"$path/centroids")
+    val rows = memories.select(col(idCol).as("id"), col("embedding"))
+    // checkpointed: the level-1 argmax pass feeds BOTH the sub-centroid
+    // means and the re-assignment — without the cut each consumer would
+    // re-run the corpus scan + broadcast-join argmax (build-time 2×)
+    val assigned = Ann.assign(rows, Store.load(spark, s"$path/centroids"))
+      .localCheckpoint(true)
+    Store.save(subCentroids(assigned, fanout), s"$path/subcentroids")
+    Store.savePartitioned(
+      assignSub(assigned, Store.load(spark, s"$path/subcentroids"))
+        .repartition(col("ivf_cell"), col("l2_cell")),
+      s"$path/assignments", "ivf_cell", "l2_cell")
+    graft.sources.IndexManifest.capture(path, Tables)
+  }
+
+  /** The persisted two-level probe: rank the stored level-1 centroids,
+    * rank ONLY the survivors' stored sub-centroids (both frames bounded ≤
+    * MaxNlist rows, both ranks collected driver-side exactly like
+    * [[IvfIndex.probedCandidates]]' cell rank), then scan the assignments
+    * restricted to the nprobe₂ winning (ivf_cell, l2_cell) pairs — a
+    * planning-time partition prune on BOTH keys (PlanAuditSpec pins the
+    * PartitionFilters). Same ranking + tie-break rules as the in-session
+    * [[probeTopK]]; resolves through ONE manifest read. */
+  def probedCandidatesIndexed(spark: SparkSession, path: String,
+                              queryVec: Seq[Float], nprobe1: Int = 2,
+                              nprobe2: Int = 4): DataFrame = {
+    val ld = graft.sources.IndexManifest.resolve(spark, path)
+    val cells1 = ld("centroids")
+      .withColumn("_qs", dot(col("centroid"), typedLit(queryVec)))
+      .orderBy(desc("_qs"), asc("label")).limit(nprobe1)
+      .select("label").collect().map(_.getInt(0)).toSeq
+    val pairs = ld("subcentroids")
+      .filter(col("ivf_cell").isin(cells1: _*))
+      .withColumn("_qs", dot(col("centroid"), typedLit(queryVec)))
+      .orderBy(desc("_qs"), asc("ivf_cell"), asc("l2_label")).limit(nprobe2)
+      .select("ivf_cell", "l2_label")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    require(pairs.nonEmpty, s"two-level probe found no sub-cells at $path")
+    val pruned = pairs.map { case (c, l) =>
+      col("ivf_cell") === lit(c) && col("l2_cell") === lit(l)
+    }.reduce(_ || _)
+    ld("assignments").filter(pruned)
+      .select(col("id"), col("ivf_cell"), col("l2_cell"),
+        roundScore(dot(col("embedding"), typedLit(queryVec))).as("sim"))
+  }
+
+  /** [[probedCandidatesIndexed]] for a whole BATCH of query vectors in
+    * one pass — the two-level form of [[IvfIndex.probedCandidatesBatch]]
+    * (what the recall ladder and any batch gate stand on): per-qid probe
+    * ranks at BOTH levels, each a bounded window — level 1 over the
+    * ≤ MaxNlist broadcast centroid table, level 2 over ONLY the level-1
+    * survivors' sub-tables (the union of probed cells, collected
+    * driver-side ≤ nlist₁, restricts the sub-centroid read before any
+    * join) — then ONE assignments scan pruned to the union of probed
+    * (ivf_cell, l2_cell) pairs (≤ |queries|·nprobe₂, driver-bounded),
+    * each candidate row scored only against the queries probing its
+    * pair. `queries` is (qid, qv); output (qid, id, sim) — callers rank
+    * per qid. The probe frame is broadcast: bounded by
+    * |queries|·nprobe₂ rows, the eval-cadence shape (a bulk-batch
+    * fallback like the flat gate's [[IvfIndex.GateMaxProbeRowsKey]]
+    * shuffle belongs with the deferred lifecycle wiring). */
+  def probedCandidatesBatch(spark: SparkSession, path: String,
+                            queries: DataFrame, nprobe1: Int = 2,
+                            nprobe2: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ld = graft.sources.IndexManifest.resolve(spark, path)
+    val w1 = Window.partitionBy("qid").orderBy(desc("_qs"), asc("label"))
+    val probe1 = queries.crossJoin(broadcast(ld("centroids")))
+      .withColumn("_qs", dot(col("qv"), col("centroid")))
+      .withColumn("_rn", row_number().over(w1)).filter(col("_rn") <= nprobe1)
+      .select(col("qid"), col("qv"), col("label").as("ivf_cell"))
+      .localCheckpoint(true) // reused: the cell union + the level-2 rank
+    val cells = probe1.select("ivf_cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    require(cells.nonEmpty, s"two-level batch probe found no cells at $path")
+    val w2 = Window.partitionBy("qid")
+      .orderBy(desc("_qs"), asc("ivf_cell"), asc("l2_label"))
+    val probe2 = probe1
+      .join(broadcast(ld("subcentroids")
+        .filter(col("ivf_cell").isin(cells: _*))), Seq("ivf_cell"))
+      .withColumn("_qs", dot(col("qv"), col("centroid")))
+      .withColumn("_rn", row_number().over(w2)).filter(col("_rn") <= nprobe2)
+      .select(col("qid"), col("qv"), col("ivf_cell"),
+        col("l2_label").as("l2_cell"))
+      .localCheckpoint(true) // reused: the pair union + the scoring join
+    val pairs = probe2.select("ivf_cell", "l2_cell").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val pruned = pairs.map { case (c, l) =>
+      col("ivf_cell") === lit(c) && col("l2_cell") === lit(l)
+    }.reduce(_ || _)
+    ld("assignments").filter(pruned)
+      .join(broadcast(probe2), Seq("ivf_cell", "l2_cell"))
+      .select(col("qid"), col("id"),
+        roundScore(dot(col("embedding"), col("qv"))).as("sim"))
+  }
+
+  /** [[probedCandidatesIndexed]] plus the ordered cut — the persisted
+    * counterpart of [[probeTopK]] (identical output at identical probe
+    * settings; AnnSpec pins it, `ann_twolevel_indexed`'s oracle
+    * adjudicates it end to end). */
+  def topKIndexed(spark: SparkSession, path: String, queryVec: Seq[Float],
+                  k: Int, nprobe1: Int = 2, nprobe2: Int = 4): DataFrame =
+    probedCandidatesIndexed(spark, path, queryVec, nprobe1, nprobe2)
+      .orderBy(desc("sim"), asc("id"))
+      .limit(k)
 
   /** The two-level probed top-k: rank level-1 centroids (bounded ≤
     * MaxNlist), restrict the level-2 ranking to the nprobe₁ survivors

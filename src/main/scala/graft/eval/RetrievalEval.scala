@@ -256,6 +256,55 @@ object RetrievalEval {
     }.reduce(_ unionAll _).orderBy("nprobe")
   }
 
+  /** [[ivfRecallSweep]] over a persisted TWO-LEVEL index
+    * ([[graft.ann.TwoLevelIvf]]) — the (nprobe₁, nprobe₂) recall curve an
+    * operator sizes the two-level probe from, exactly as the flat ladder
+    * sizes nprobe. Same protocol head as the flat sweep (the sampled
+    * query set and the exact top-k leg computed once, shared by every
+    * rung — kept verbatim rather than factored so the flat sweep's
+    * already-adjudicated plan stays untouched); each rung adds one
+    * two-level batch probe ([[graft.ann.TwoLevelIvf
+    * .probedCandidatesBatch]]: both probe ranks bounded, ONE pair-pruned
+    * assignments scan for all queries). Output: one row per rung,
+    * ascending (nprobe1, nprobe2). */
+  def twoLevelRecallSweep(spark: org.apache.spark.sql.SparkSession,
+                          memories: DataFrame, path: String, k: Int = 10,
+                          rungs: Seq[(Int, Int)] = Seq((1, 2), (2, 4), (4, 8)),
+                          maxQueries: Int = MaxQueries): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = memories.select("id", "embedding")
+    val queries = corpus.filter(col("id") % SampleMod === 0)
+      .select(col("id").as("qid"), col("embedding").as("qv"))
+      .orderBy(spread(col("qid")), col("qid")).limit(maxQueries)
+      .localCheckpoint(true) // shared by the exact leg + every probe rung
+    val pq = Window.partitionBy("qid").orderBy(desc("sim"), asc("id"))
+    val exact = corpus.crossJoin(broadcast(queries))
+      .select(col("qid"), col("id"),
+        round(VectorFunctions.dot(col("embedding"), col("qv")), 6).as("sim"))
+      .withColumn("_rn", row_number().over(pq))
+      .filter(col("_rn") <= k).select("qid", "id")
+      .localCheckpoint(true) // shared by every rung's overlap join
+    val exn = exact.groupBy("qid").agg(count(lit(1)).as("ne"))
+    rungs.map { case (np1, np2) =>
+      val indexed = graft.ann.TwoLevelIvf
+        .probedCandidatesBatch(spark, path, queries, np1, np2)
+        .withColumn("_rn", row_number().over(pq))
+        .filter(col("_rn") <= k).select("qid", "id")
+      val hits = exact.join(indexed, Seq("qid", "id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("h"))
+      exn.join(hits, Seq("qid"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          sum("ne").as("n_exact"),
+          coalesce(sum("h"), lit(0L)).as("n_hits"))
+        .select(col("n_queries"), lit(k.toLong).as("k"),
+          lit(np1.toLong).as("nprobe1"), lit(np2.toLong).as("nprobe2"),
+          col("n_exact"), col("n_hits"),
+          coalesce(
+            expr("(2 * 1000000 * n_hits + n_exact) div (2 * n_exact)"),
+            lit(0L)).as("recall_ppm"))
+    }.reduce(_ unionAll _).orderBy("nprobe1", "nprobe2")
+  }
+
   /** The END-TO-END indexed eval leg (r13 verdict #4 / the r12 #8
     * residue): the truncated self-retrieval protocol run through the FUSED
     * hybrid pipeline twice — once in-session exact

@@ -523,6 +523,61 @@ class AnnSpec extends SparkSpec {
     info(s"two-level rung (np1=2, np2=4): scanned $nScanned/${mem.count()} rows, recall@10 = $hit/10")
   }
 
+  test("persisted two-level index: the partition-pruned probe equals the in-session probe row for row") {
+    // the r17 lifecycle slice (build + read): stored tables make both
+    // quantizer levels exact, so the pruned read must reproduce the
+    // in-session probeTopK at identical settings — the oracle gate
+    // (ann_twolevel_indexed) adjudicates the same equality against DuckDB
+    val path = "/root/repo/target/tmp/ann_2lvl_idx"
+    graft.sources.Store.deleteRecursive(path)
+    val mem = Corpus.memories(spark, sf())
+    val emb = Tables.embeddings(spark, sf())
+    graft.ann.TwoLevelIvf.buildIndex(mem, emb, path, fanout = 4)
+    val qv = Queries.queryVec(spark, sf())
+    val cent = Ann.centroidsByLabel(emb)
+    val assigned = Ann.assign(mem, cent).localCheckpoint(true)
+    val sub = graft.ann.TwoLevelIvf.subCentroids(assigned, 4).localCheckpoint(true)
+    val assigned2 = graft.ann.TwoLevelIvf.assignSub(assigned, sub)
+    val inSession = graft.ann.TwoLevelIvf
+      .probeTopK(assigned2, cent, sub, qv, k = 10, nprobe1 = 2, nprobe2 = 4)
+      .collect().toSeq
+    val indexed = graft.ann.TwoLevelIvf
+      .topKIndexed(spark, path, qv, k = 10, nprobe1 = 2, nprobe2 = 4)
+      .collect().toSeq
+    assert(indexed == inSession,
+      s"persisted two-level probe diverged:\n indexed=$indexed\n insession=$inSession")
+    graft.sources.Store.deleteRecursive(path)
+  }
+
+  test("two-level BATCH probe is the per-query probed union (one pair-pruned scan for N queries)") {
+    // the contract the recall ladder stands on: probedCandidatesBatch must
+    // read, per qid, exactly the single-query pruned probe's candidate set
+    // — the flat probedCandidatesBatch contract in two-level form
+    val path = "/root/repo/target/tmp/ann_2lvl_batch"
+    graft.sources.Store.deleteRecursive(path)
+    val mem = Corpus.memories(spark, sf())
+    graft.ann.TwoLevelIvf.buildIndex(
+      mem, Tables.embeddings(spark, sf()), path, fanout = 4)
+    val s = spark
+    import s.implicits._
+    val qids = Seq(0L, 1L)
+    val qframe = qids.map(v => (v, Queries.queryVec(spark, sf(), v)))
+      .toDF("qid", "qv")
+    val batch = graft.ann.TwoLevelIvf
+      .probedCandidatesBatch(spark, path, qframe, nprobe1 = 2, nprobe2 = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val singles = qids.flatMap { v =>
+      graft.ann.TwoLevelIvf
+        .probedCandidatesIndexed(spark, path, Queries.queryVec(spark, sf(), v),
+          nprobe1 = 2, nprobe2 = 4)
+        .select("id", "sim")
+        .collect().map(r => (v, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch == singles,
+      s"batch probe diverged from the per-query union:\n batch=$batch\n singles=$singles")
+    graft.sources.Store.deleteRecursive(path)
+  }
+
   test("suggestNlist follows the 4·sqrt(N) guideline, bounded both ways") {
     assert(IndexBuild.suggestNlist(0L) == 1)
     assert(IndexBuild.suggestNlist(1L) == 1)      // never more cells than rows

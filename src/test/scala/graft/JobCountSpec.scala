@@ -139,6 +139,19 @@ class JobCountSpec extends SparkSpec {
     // here means an extra pass over stored state, exactly what O(batch)
     // maintenance must never grow. Ceilings = measured + ~15%.
     "ann_ivf_skew_split" -> 18,
+    // r17: the flat chain + the level-2 sub-centroid agg, within-cell
+    // re-assign, and bounded probe2 rank (measured 19 in-suite at
+    // sf0.001, +~15%)
+    "ann_ivf_twolevel" -> 22,
+    // r17: the persisted two-level build (3 table publishes + manifest)
+    // + the two driver-side probe ranks + the pruned scan (measured 37
+    // in-suite at sf0.001, +~15%)
+    "ann_twolevel_indexed" -> 43,
+    // r17: the two-level recall ladder — the build + shared qs/exact
+    // checkpoints + 3 rungs x (two probe-rank checkpoints + two bounded
+    // collects + the pair-pruned overlap) (measured 97 in-suite at
+    // sf0.001, +~15%)
+    "ev_twolevel_recall" -> 112,
     // r12: 41 → 55 measured. Bought: the id-presence sidecar (one more
     // table per IVF publish: write + read-back), the build-time cellstats
     // + drift baseline, and the delete-presence fail-loud — each a pinned
@@ -292,7 +305,11 @@ class JobCountSpec extends SparkSpec {
     // contribs checkpoint — the pool stage is the already-pinned
     // r15_batch_search shape) + ONE batch MaxSim tail (measured 52
     // in-suite at sf0.001, +~15%)
-    "r18_maxsim_batch" -> 60
+    "r18_maxsim_batch" -> 60,
+    // r17 new: the r15_batch_indexed pool shape (both index builds
+    // in-query + the shared-plan batch) + the constant batch tail
+    // (measured 155 in-suite at sf0.001, +~15%)
+    "r18_maxsim_batch_indexed" -> 178
   )
 
   private val counter = new AtomicInteger(0)

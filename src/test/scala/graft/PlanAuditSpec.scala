@@ -472,6 +472,30 @@ class PlanAuditSpec extends SparkSpec {
       s"member read must prune flagged-cell dirs at planning time:\n$scan")
   }
 
+  test("persisted two-level probe prunes assignments on BOTH quantizer keys") {
+    // the MaxNlist growth path's scale claim: at 10^11 rows the probe
+    // reads nprobe2 of ~1.7e7 (cell, sub-cell) dirs — that is only true
+    // if BOTH keys reach the scan as PartitionFilters; a regression to a
+    // post-scan filter on l2_cell would read whole level-1 cells
+    val path = "/root/repo/target/tmp/audit_2lvl"
+    graft.sources.Store.deleteRecursive(path)
+    graft.ann.TwoLevelIvf.buildIndex(
+      Corpus.memories(spark, sf()), Tables.embeddings(spark, sf()),
+      path, fanout = 4)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try graft.ann.TwoLevelIvf
+      .topKIndexed(spark, path, Queries.queryVec(spark, sf()), k = 10)
+      .queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("assignments")),
+      s"the probe frame may read only the assignments table:\n${scans.mkString("\n")}")
+    assert(scans.forall(s => s.contains("PartitionFilters: [") &&
+      s.contains("ivf_cell") && s.contains("l2_cell")),
+      s"two-level probe must prune on both keys:\n${scans.mkString("\n")}")
+    graft.sources.Store.deleteRecursive(path)
+  }
+
   test("IVF assignment argmax partially aggregates before the shuffle, no rank window") {
     // at nlist=4096 a rank window over corpus x nlist scored rows shuffles
     // every scored row; max_by's partial (map-side) aggregate collapses to
