@@ -821,6 +821,24 @@ object Queries {
       graft.ann.TwoLevelIvf.topKIndexed(s, path, queryVec(s, dir),
         k = 10, nprobe1 = 2, nprobe2 = 4)
     }),
+    // O(batch) two-level refresh: build on the first half, refresh with
+    // the second. The oracle replays sub-centroid means from the BUILT
+    // half (stored quantizers never move on add) and assignment over the
+    // full corpus, so the hash-match proves refresh ≡ rebuild against
+    // the same stored quantizer levels — the ann_ivf_indexed precedent,
+    // both levels
+    "ann_twolevel_refresh" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_2lvl_rf_${ProcessHandle.current().pid()}"
+      reapAtExit(path)
+      val mem = Corpus.memories(s, dir)
+      val half = Corpus.nDocs(s, dir) / 2
+      graft.ann.TwoLevelIvf.buildIndex(
+        mem.filter(col("id") < half), Tables.embeddings(s, dir), path,
+        fanout = 4)
+      graft.ann.TwoLevelIvf.refresh(s, path, mem.filter(col("id") >= half))
+      graft.ann.TwoLevelIvf.topKIndexed(s, path, queryVec(s, dir),
+        k = 10, nprobe1 = 2, nprobe2 = 4)
+    }),
     // persisted IVF: build on the first half, O(batch) refresh with the
     // second — the oracle is the FULL-CORPUS IVF SQL, so the hash-match
     // proves refresh ≡ rebuild (stored centroids make assignment exact)
@@ -1517,12 +1535,17 @@ object Queries {
     * assignSub} from first principles at fanout 4. Shared by the
     * two-level top-k oracles here and the two-level recall-ladder oracle
     * (QueriesExt) so there is exactly ONE replay text for the level-2
-    * quantizer. */
-  private[graft] def twoLevelCtesOver(asg: String): String =
+    * quantizer. `subFrom` is the row set the sub-centroid MEANS are
+    * computed from (default: the whole corpus — the in-session and
+    * build-full oracles); the refresh oracle passes the BUILT half,
+    * because stored sub-centroids never move on add while asg2 still
+    * assigns every row. */
+  private[graft] def twoLevelCtesOver(asg: String,
+                                      subFrom: String = "memories"): String =
     s"""sub0 AS (
        |  SELECT a.ivf_cell, ((m.id % 4) + 4) % 4 AS l2_label, t.i,
        |    avg(CAST(m.embedding[t.i] AS DOUBLE)) AS mn
-       |  FROM memories m JOIN $asg a USING (id), range(1, 65) t(i)
+       |  FROM $subFrom m JOIN $asg a USING (id), range(1, 65) t(i)
        |  GROUP BY 1, 2, 3),
        |subn AS (SELECT ivf_cell, l2_label, sqrt(sum(mn * mn)) AS nrm FROM sub0 GROUP BY 1, 2),
        |subc AS MATERIALIZED (
@@ -1535,11 +1558,11 @@ object Queries {
        |    FROM memories m JOIN $asg a USING (id)
        |    JOIN subc c ON a.ivf_cell = c.ivf_cell) WHERE rn = 1)""".stripMargin
 
-  private lazy val ivfTwoLevelSql: String = {
+  private def twoLevelTopkSql(subFrom: String, pre: String = ""): String = {
     val qv = "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
     s"""WITH ${OracleCtes.memories},
-       |${ivfCtesOver("memories")},
-       |${twoLevelCtesOver("asg")},
+       |$pre${ivfCtesOver("memories")},
+       |${twoLevelCtesOver("asg", subFrom)},
        |probe2 AS (
        |  SELECT ivf_cell, l2_label AS l2_cell FROM (
        |    SELECT s.ivf_cell, s.l2_label, row_number() OVER (ORDER BY
@@ -1553,6 +1576,19 @@ object Queries {
        |CROSS JOIN $qv q2
        |ORDER BY sim DESC, m.id LIMIT 10""".stripMargin
   }
+
+  private lazy val ivfTwoLevelSql: String = twoLevelTopkSql("memories")
+
+  /** [[ivfTwoLevelSql]] with the sub-centroid means computed from the
+    * BUILT half only (stored sub-centroids never move on add) while asg2
+    * still assigns the WHOLE corpus — what build-half + O(batch) refresh
+    * must serve: refresh ≡ rebuild against the same stored quantizers.
+    * The half bound replays Scala's integer `nDocs / 2` via DuckDB's
+    * integer `//`. */
+  private lazy val ivfTwoLevelRefreshSql: String = twoLevelTopkSql(
+    "built",
+    pre = "built AS MATERIALIZED (\n" +
+      "  SELECT * FROM memories WHERE id < (SELECT count(*) // 2 FROM documents)),\n")
 
   /** [[ivfTopkSql]] minus the deleted third, against the SAME full-corpus
     * centroids (deletes never move centroids) — what deleteRefresh must
@@ -2026,6 +2062,10 @@ object Queries {
     // hash-match adjudicates the partition-pruned read end to end — the
     // ann_ivf_indexed precedent, on both keys
     "ann_twolevel_indexed" -> ivfTwoLevelSql,
+    // built-half sub-centroids + full-corpus assignment: the hash-match
+    // proves the O(batch) refresh equals a rebuild against the same
+    // stored quantizer levels
+    "ann_twolevel_refresh" -> ivfTwoLevelRefreshSql,
     // full-corpus IVF SQL: the build+refresh split must reproduce it
     "ann_ivf_indexed" -> ivfTopkSql,
     // same full-corpus SQL: 4 generations of refresh must equal a rebuild

@@ -105,7 +105,7 @@ object IvfIndex {
 
   // repartitioned by the hive column so a write lands DBuckets files, not
   // numPartitions × DBuckets (the small-files guard on every bucketed write)
-  private def idRows(spark: SparkSession, ids: Seq[Long]): DataFrame =
+  private[ann] def idRows(spark: SparkSession, ids: Seq[Long]): DataFrame =
     localIds(spark, ids)
       .withColumn("db", pmod(hash(col("id")), lit(DBuckets)))
       .repartition(col("db"))
@@ -113,8 +113,8 @@ object IvfIndex {
   /** How many of `ids` are already indexed — a PRUNED read of the id
     * sidecar's batch buckets (bucket list driver-side Murmur3, batch side
     * a broadcast local relation); never touches assignments. */
-  private def presentCount(spark: SparkSession, path: String,
-                           ids: Seq[Long]): Long = {
+  private[ann] def presentCount(spark: SparkSession, path: String,
+                                ids: Seq[Long]): Long = {
     if (ids.isEmpty) return 0L
     val dbs = ids.map(SparkHash.bucketOfLong(_, DBuckets)).distinct
     Store.load(spark, s"$path/ids")

@@ -104,7 +104,7 @@ object TwoLevelIvf {
         col("_w._l2").as("l2_cell")): _*)
   }
 
-  private val Tables = Seq("centroids", "subcentroids", "assignments")
+  private val Tables = Seq("centroids", "subcentroids", "assignments", "ids")
 
   /** Build and PERSIST the two-level index (the r17 slice of the deferred
     * lifecycle — build + read; refresh/compact/retrain still ride the flat
@@ -135,6 +135,64 @@ object TwoLevelIvf {
     Store.savePartitioned(
       assignSub(assigned, Store.load(spark, s"$path/subcentroids"))
         .repartition(col("ivf_cell"), col("l2_cell")),
+      s"$path/assignments", "ivf_cell", "l2_cell")
+    Store.savePartitioned(
+      rows.select("id")
+        .withColumn("db", pmod(hash(col("id")), lit(IvfIndex.DBuckets)))
+        .repartition(col("db")),
+      s"$path/ids", "db")
+    graft.sources.IndexManifest.capture(path, Tables)
+  }
+
+  /** O(batch) ingestion — the second lifecycle slice: assign ONLY the
+    * added rows against the STORED level-1 centroids and level-2
+    * sub-centroids (classic IVF — adds never move either quantizer
+    * level, Faiss `add` semantics) and publish them as one new
+    * generation per table, invisible until the manifest pointer swaps.
+    * Replay-guarded exactly like [[IvfIndex.refresh]]: every added id
+    * must be NEW to the index (a PRUNED read of the id sidecar's batch
+    * buckets — never an assignments scan), and the sidecar publishes
+    * FIRST so a crash-replayed batch fail-louds instead of silently
+    * double-appending. Fail-loud on coverage too: every added row must
+    * land in a level-1 cell that HAS a stored sub-table — the cell-keyed
+    * sub-assign join would otherwise silently DROP rows landing in a
+    * cell the build never populated; route those through a rebuild (or
+    * the per-cell retrain, deferred with the rest of the lifecycle).
+    * `ann_twolevel_refresh`'s oracle replays the sub-centroids from the
+    * BUILT half and the assignment over the full corpus — the hash-match
+    * proves refresh ≡ rebuild against the same stored quantizers. */
+  def refresh(spark: SparkSession, path: String, addedMemories: DataFrame,
+              idCol: String = "id"): Unit = {
+    val rows = addedMemories.select(col(idCol).as("id"), col("embedding"))
+    val ids = graft.sources.MaintenanceIds.collect(rows.select("id"),
+      failOnDup = true, "two-level refresh",
+      "two versions of one doc would both stay live; reduce to the " +
+        "last version per id first")
+    if (ids.isEmpty) { graft.sources.IndexManifest.capture(path, Tables); return }
+    val already = IvfIndex.presentCount(spark, path, ids.toSeq)
+    require(already == 0,
+      s"two-level refresh: $already of ${ids.length} ids are ALREADY " +
+        "indexed — re-adding would leave duplicate live assignment rows")
+    // coverage check BEFORE the sidecar publishes: a coverage failure
+    // must leave the index untouched (a corrected retry would otherwise
+    // hit the replay guard on ids the failed attempt never appended)
+    val assigned2 = assignSub(
+      Ann.assign(rows, Store.load(spark, s"$path/centroids")),
+      Store.load(spark, s"$path/subcentroids"))
+      .localCheckpoint(true)
+    val n = assigned2.count()
+    require(n == ids.length,
+      s"two-level refresh: ${ids.length - n} of ${ids.length} added rows " +
+        "landed in cells with no stored sub-centroids (the sub-assign " +
+        "join would silently drop them); rebuild or retrain those cells " +
+        "first")
+    // the sidecar still publishes FIRST among the appends: a crash
+    // between the two leaves the batch ids visible to the replay guard,
+    // so a re-delivered batch fail-louds instead of double-appending
+    // (the flat refresh's r12 crash-window ordering)
+    Store.appendBatch(IvfIndex.idRows(spark, ids.toSeq), s"$path/ids", "db")
+    Store.appendBatch(
+      assigned2.repartition(col("ivf_cell"), col("l2_cell")),
       s"$path/assignments", "ivf_cell", "l2_cell")
     graft.sources.IndexManifest.capture(path, Tables)
   }

@@ -549,6 +549,63 @@ class AnnSpec extends SparkSpec {
     graft.sources.Store.deleteRecursive(path)
   }
 
+  test("two-level O(batch) refresh: stored-quantizer assignment, replay-guarded") {
+    // refresh must equal assigning EVERY row against the STORED quantizer
+    // tables (adds never move either level), and a replayed batch must
+    // fail loud off the pruned id-sidecar read — the flat refresh
+    // contract, both levels (the oracle gate ann_twolevel_refresh
+    // adjudicates the same equality against the built-half replay)
+    val path = "/root/repo/target/tmp/ann_2lvl_rf"
+    graft.sources.Store.deleteRecursive(path)
+    val mem = Corpus.memories(spark, sf())
+    val half = Corpus.nDocs(spark, sf()) / 2
+    graft.ann.TwoLevelIvf.buildIndex(
+      mem.filter(col("id") < half), Tables.embeddings(spark, sf()),
+      path, fanout = 4)
+    graft.ann.TwoLevelIvf.refresh(spark, path, mem.filter(col("id") >= half))
+    val qv = Queries.queryVec(spark, sf())
+    val ld = graft.sources.IndexManifest.resolve(spark, path)
+    val assigned2 = graft.ann.TwoLevelIvf.assignSub(
+      Ann.assign(mem, ld("centroids")), ld("subcentroids"))
+    val inSession = graft.ann.TwoLevelIvf
+      .probeTopK(assigned2, ld("centroids"), ld("subcentroids"), qv,
+        k = 10, nprobe1 = 2, nprobe2 = 4)
+      .collect().toSeq
+    val refreshed = graft.ann.TwoLevelIvf
+      .topKIndexed(spark, path, qv, k = 10, nprobe1 = 2, nprobe2 = 4)
+      .collect().toSeq
+    assert(refreshed == inSession,
+      "build-half + refresh must equal whole-corpus assignment against " +
+        "the stored quantizers")
+    val replayed = intercept[IllegalArgumentException] {
+      graft.ann.TwoLevelIvf.refresh(spark, path, mem.filter(col("id") >= half))
+    }
+    assert(replayed.getMessage.contains("ALREADY"), replayed.getMessage)
+    graft.sources.Store.deleteRecursive(path)
+  }
+
+  test("two-level refresh fails loud when an added row lands in a cell with no sub-table") {
+    // a brand-new level-1 cell has no stored sub-centroids; the cell-keyed
+    // sub-assign join would silently drop its rows — refresh must refuse
+    val s = spark
+    import s.implicits._
+    val path = "/root/repo/target/tmp/ann_2lvl_rf_gap"
+    graft.sources.Store.deleteRecursive(path)
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    // two labeled centroids, but every BUILT row sits in cell 0 — cell 1
+    // gets no sub-table
+    val emb = Seq((0, v(1, 0)), (1, v(0, 1))).toDF("label", "embedding")
+    val built = Seq((1L, v(1, 0)), (2L, v(0.9, 0.1)), (3L, v(0.8, 0.2)),
+      (4L, v(0.95, 0.05))).toDF("id", "embedding")
+    graft.ann.TwoLevelIvf.buildIndex(built, emb, path, fanout = 2)
+    val gap = intercept[IllegalArgumentException] {
+      graft.ann.TwoLevelIvf.refresh(spark, path,
+        Seq((9L, v(0, 1))).toDF("id", "embedding"))
+    }
+    assert(gap.getMessage.contains("no stored sub-centroids"), gap.getMessage)
+    graft.sources.Store.deleteRecursive(path)
+  }
+
   test("two-level BATCH probe is the per-query probed union (one pair-pruned scan for N queries)") {
     // the contract the recall ladder stands on: probedCandidatesBatch must
     // read, per qid, exactly the single-query pruned probe's candidate set

@@ -143,15 +143,20 @@ class JobCountSpec extends SparkSpec {
     // re-assign, and bounded probe2 rank (measured 19 in-suite at
     // sf0.001, +~15%)
     "ann_ivf_twolevel" -> 22,
-    // r17: the persisted two-level build (3 table publishes + manifest)
-    // + the two driver-side probe ranks + the pruned scan (measured 37
-    // in-suite at sf0.001, +~15%)
-    "ann_twolevel_indexed" -> 43,
+    // r17: the persisted two-level build (now 4 table publishes incl.
+    // the id sidecar + manifest) + the two driver-side probe ranks + the
+    // pruned scan (measured 37 pre-sidecar, 44 with it — ceiling moved
+    // WITH the refresh change; +~15%)
+    "ann_twolevel_indexed" -> 51,
+    // r17: build-half + O(batch) refresh (sidecar presence read + two
+    // generation appends) + the pruned probe (measured 71 in-suite at
+    // sf0.001, +~15%)
+    "ann_twolevel_refresh" -> 82,
     // r17: the two-level recall ladder — the build + shared qs/exact
     // checkpoints + 3 rungs x (two probe-rank checkpoints + two bounded
-    // collects + the pair-pruned overlap) (measured 97 in-suite at
-    // sf0.001, +~15%)
-    "ev_twolevel_recall" -> 112,
+    // collects + the pair-pruned overlap) (measured 97 pre-sidecar, 104
+    // with the build's id sidecar; +~15%)
+    "ev_twolevel_recall" -> 120,
     // r12: 41 → 55 measured. Bought: the id-presence sidecar (one more
     // table per IVF publish: write + read-back), the build-time cellstats
     // + drift baseline, and the delete-presence fail-loud — each a pinned
