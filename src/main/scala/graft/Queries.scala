@@ -839,6 +839,22 @@ object Queries {
       graft.ann.TwoLevelIvf.topKIndexed(s, path, queryVec(s, dir),
         k = 10, nprobe1 = 2, nprobe2 = 4)
     }),
+    // O(batch) two-level delete: build on the full corpus, tombstone a
+    // third — the oracle is the full-corpus two-level replay minus the
+    // deleted rows (quantizers never move on delete), so the hash-match
+    // proves the tombstoned read ≡ a survivor rebuild against the same
+    // stored quantizer levels (the flat ann_ivf_delete_refresh pattern)
+    "ann_twolevel_delete" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_2lvl_del_${ProcessHandle.current().pid()}"
+      reapAtExit(path)
+      val mem = Corpus.memories(s, dir)
+      graft.ann.TwoLevelIvf.buildIndex(
+        mem, Tables.embeddings(s, dir), path, fanout = 4)
+      graft.ann.TwoLevelIvf.deleteRefresh(s, path,
+        mem.filter(col("id") % 3 === 1).select("id"))
+      graft.ann.TwoLevelIvf.topKIndexed(s, path, queryVec(s, dir),
+        k = 10, nprobe1 = 2, nprobe2 = 4)
+    }),
     // persisted IVF: build on the first half, O(batch) refresh with the
     // second — the oracle is the FULL-CORPUS IVF SQL, so the hash-match
     // proves refresh ≡ rebuild (stored centroids make assignment exact)
@@ -1558,7 +1574,8 @@ object Queries {
        |    FROM memories m JOIN $asg a USING (id)
        |    JOIN subc c ON a.ivf_cell = c.ivf_cell) WHERE rn = 1)""".stripMargin
 
-  private def twoLevelTopkSql(subFrom: String, pre: String = ""): String = {
+  private def twoLevelTopkSql(subFrom: String, pre: String = "",
+                              where: String = ""): String = {
     val qv = "(SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
     s"""WITH ${OracleCtes.memories},
        |$pre${ivfCtesOver("memories")},
@@ -1574,10 +1591,17 @@ object Queries {
        |FROM memories m JOIN asg2 a2 USING (id)
        |JOIN probe2 p2 ON a2.ivf_cell = p2.ivf_cell AND a2.l2_cell = p2.l2_cell
        |CROSS JOIN $qv q2
-       |ORDER BY sim DESC, m.id LIMIT 10""".stripMargin
+       |${where}ORDER BY sim DESC, m.id LIMIT 10""".stripMargin
   }
 
   private lazy val ivfTwoLevelSql: String = twoLevelTopkSql("memories")
+
+  /** [[ivfTwoLevelSql]] minus the deleted third, against the SAME
+    * full-corpus quantizers (deletes move neither level) — what the
+    * two-level deleteRefresh must serve from the tombstoned assignments
+    * (the flat [[ivfDeleteTopkSql]] pattern). */
+  private lazy val ivfTwoLevelDeleteSql: String =
+    twoLevelTopkSql("memories", where = "WHERE m.id % 3 <> 1\n")
 
   /** [[ivfTwoLevelSql]] with the sub-centroid means computed from the
     * BUILT half only (stored sub-centroids never move on add) while asg2
@@ -2066,6 +2090,9 @@ object Queries {
     // proves the O(batch) refresh equals a rebuild against the same
     // stored quantizer levels
     "ann_twolevel_refresh" -> ivfTwoLevelRefreshSql,
+    // full-corpus two-level replay minus the deleted third: tombstone
+    // maintenance must equal a survivor rebuild on both quantizer levels
+    "ann_twolevel_delete" -> ivfTwoLevelDeleteSql,
     // full-corpus IVF SQL: the build+refresh split must reproduce it
     "ann_ivf_indexed" -> ivfTopkSql,
     // same full-corpus SQL: 4 generations of refresh must equal a rebuild

@@ -197,6 +197,37 @@ object TwoLevelIvf {
     graft.sources.IndexManifest.capture(path, Tables)
   }
 
+  /** O(batch) delete — tombstone the deleted ids out of the assignments
+    * and id-sidecar tables, one generation each ([[Store.deleteBatch]]):
+    * no cell is rewritten, no corpus row is read, and neither quantizer
+    * level moves (classic IVF remove semantics — Faiss `remove_ids`
+    * never moves centroids), which is exactly what makes the result
+    * byte-identical to a rebuild over the survivors against the SAME
+    * stored quantizers (`ann_twolevel_delete`'s oracle — the flat
+    * [[IvfIndex.deleteRefresh]] contract, both levels). Fail-loud: every
+    * deleted id must be indexed (the pruned sidecar read) — deleting
+    * unknown ids usually means a mis-routed batch. Compaction of the
+    * accumulated tombstone debt stays on the flat lifecycle's
+    * [[Store.compactPartitions]] path (deferred with retrain). */
+  def deleteRefresh(spark: SparkSession, path: String,
+                    deletedIds: DataFrame, idCol: String = "id"): Unit = {
+    val ids = graft.sources.MaintenanceIds.collect(
+      deletedIds.select(col(idCol).as("id")), failOnDup = false,
+      "two-level delete", "reduce the batch to its last event per key")
+    if (ids.isEmpty) { graft.sources.IndexManifest.capture(path, Tables); return }
+    val present = IvfIndex.presentCount(spark, path, ids.toSeq)
+    require(present == ids.length,
+      s"two-level delete: only $present of ${ids.length} deleted ids are " +
+        "indexed — deleting unknown ids usually means a mis-routed batch")
+    val keys = {
+      import spark.implicits._
+      ids.toSeq.toDF("id")
+    }
+    Store.deleteBatch(spark, s"$path/assignments", keys)
+    Store.deleteBatch(spark, s"$path/ids", keys)
+    graft.sources.IndexManifest.capture(path, Tables)
+  }
+
   /** The persisted two-level probe: rank the stored level-1 centroids,
     * rank ONLY the survivors' stored sub-centroids (both frames bounded ≤
     * MaxNlist rows, both ranks collected driver-side exactly like

@@ -584,6 +584,42 @@ class AnnSpec extends SparkSpec {
     graft.sources.Store.deleteRecursive(path)
   }
 
+  test("two-level O(batch) delete: tombstoned probe equals survivor assignment, unknown ids refuse") {
+    // deletes move neither quantizer level, so the tombstoned read must
+    // equal assigning the SURVIVORS against the stored tables; deleting
+    // an id the index never held must fail loud off the sidecar read
+    val path = "/root/repo/target/tmp/ann_2lvl_del"
+    graft.sources.Store.deleteRecursive(path)
+    val mem = Corpus.memories(spark, sf())
+    graft.ann.TwoLevelIvf.buildIndex(
+      mem, Tables.embeddings(spark, sf()), path, fanout = 4)
+    graft.ann.TwoLevelIvf.deleteRefresh(spark, path,
+      mem.filter(col("id") % 3 === 1).select("id"))
+    val qv = Queries.queryVec(spark, sf())
+    val ld = graft.sources.IndexManifest.resolve(spark, path)
+    val survivors = mem.filter(col("id") % 3 =!= 1)
+    val assigned2 = graft.ann.TwoLevelIvf.assignSub(
+      Ann.assign(survivors, ld("centroids")), ld("subcentroids"))
+    val inSession = graft.ann.TwoLevelIvf
+      .probeTopK(assigned2, ld("centroids"), ld("subcentroids"), qv,
+        k = 10, nprobe1 = 2, nprobe2 = 4)
+      .collect().toSeq
+    val deleted = graft.ann.TwoLevelIvf
+      .topKIndexed(spark, path, qv, k = 10, nprobe1 = 2, nprobe2 = 4)
+      .collect().toSeq
+    assert(deleted == inSession,
+      "tombstoned probe must equal survivor assignment against the " +
+        "stored quantizers")
+    val s = spark
+    import s.implicits._
+    val unknown = intercept[IllegalArgumentException] {
+      graft.ann.TwoLevelIvf.deleteRefresh(spark, path,
+        Seq(999999L).toDF("id"))
+    }
+    assert(unknown.getMessage.contains("mis-routed"), unknown.getMessage)
+    graft.sources.Store.deleteRecursive(path)
+  }
+
   test("two-level refresh fails loud when an added row lands in a cell with no sub-table") {
     // a brand-new level-1 cell has no stored sub-centroids; the cell-keyed
     // sub-assign join would silently drop its rows — refresh must refuse

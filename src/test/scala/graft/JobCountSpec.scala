@@ -152,6 +152,10 @@ class JobCountSpec extends SparkSpec {
     // generation appends) + the pruned probe (measured 71 in-suite at
     // sf0.001, +~15%)
     "ann_twolevel_refresh" -> 82,
+    // r17: full build + tombstone delete (sidecar presence read + two
+    // deleteBatch publishes) + the pruned probe (measured 63 in-suite
+    // at sf0.001, +~15%)
+    "ann_twolevel_delete" -> 73,
     // r17: the two-level recall ladder — the build + shared qs/exact
     // checkpoints + 3 rungs x (two probe-rank checkpoints + two bounded
     // collects + the pair-pruned overlap) (measured 97 pre-sidecar, 104
