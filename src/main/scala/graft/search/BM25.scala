@@ -58,7 +58,8 @@ object BM25 {
     * same (corpus plan, textCol) — r15's branches and repeated hybrid calls
     * pay the tokenize+groupBy once. At 100 TB this is the precomputed
     * term-stats table, refreshed incrementally. */
-  private case class Index(tf: DataFrame, idf: DataFrame, dl: DataFrame, st: Stats)
+  private case class Index(tf: DataFrame, idf: DataFrame, dl: DataFrame, st: Stats,
+                           dfTbl: DataFrame)
 
   // keyed on (semantic plan hash, textCol, idCol): same-path-mutated-data
   // staleness is accepted for immutable fixture/corpus runs — callers that
@@ -68,7 +69,9 @@ object BM25 {
 
   /** Drop all memoized BM25 state and free the persisted frames. */
   def clearCache(): Unit = {
-    indexCache.values.foreach { ix => ix.tf.unpersist(); ix.idf.unpersist(); ix.dl.unpersist() }
+    indexCache.values.foreach { ix =>
+      ix.tf.unpersist(); ix.dfTbl.unpersist(); ix.dl.unpersist()
+    }
     indexCache.clear()
   }
 
@@ -81,20 +84,28 @@ object BM25 {
       // join is unaffected; only n/avgdl must still count them (below).
       val tf = termFreqs(docs, textCol, idCol).persist(lvl)
       val dl = tf.groupBy("id").agg(sum("tf").cast("double").as("dl")).persist(lvl)
+      // the df table is built ONCE and persisted: avgIdf and the idf frame
+      // both derive from it (it was previously aggregated from tf twice —
+      // at corpus scale a second full shuffle of the vocabulary, guide §2.3
+      // "aggregate before you shuffle" / §2.4 "share one exchange")
+      val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df")).persist(lvl)
       // n counts ALL docs (token-less included); avgdl = Σtf / n (exact long
       // total, one double division — same value as avg over per-doc sizes
-      // because token-less docs contribute 0) — no second tokenize pass
-      val n = docs.count()
-      val totalTokens = tf.agg(coalesce(sum("tf"), lit(0L))).head().getLong(0)
-      val avgIdf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // because token-less docs contribute 0) — no second tokenize pass.
+      // n and totalTokens ride ONE action (two 1-row aggregates crossed);
+      // only avgIdf needs a second action because its log argument embeds n.
+      val ntRow = docs.agg(count(lit(1)).as("_n"))
+        .crossJoin(tf.agg(coalesce(sum("tf"), lit(0L)).as("_tt"))).head()
+      val n = ntRow.getLong(0)
+      val totalTokens = ntRow.getLong(1)
+      val avgIdf = dfTbl
         .select(avg(log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))))
         .head().getDouble(0)
       val st = Stats(n, if (n > 0) totalTokens.toDouble / n else 0.0, avgIdf)
       val idfRaw = log((lit(st.n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
-      val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val idf = dfTbl
         .withColumn("idf", when(idfRaw < 0, lit(Epsilon * st.avgIdf)).otherwise(idfRaw))
-        .persist(lvl)
-      Index(tf, idf, dl, st)
+      Index(tf, idf, dl, st, dfTbl)
     })
 
   /** The RM3 mining view of the memoized index: (tf(id, term, tf),
