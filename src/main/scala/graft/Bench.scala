@@ -207,6 +207,17 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE sizes post-shuffle partitions by BYTES; on CPU-dense rows
+      // (token folds, shingle/minhash kernels, per-pair dots) a small
+      // shuffle coalesces to one task and the whole downstream kernel
+      // serializes onto one core (profiled r17: 1.8-3.7 s single-task
+      // stages at sf0.1). Lowering the coalesce floor below the default
+      // 1 MB only affects shuffles smaller than parallelism × 1 MB — at
+      // production scale totalBytes/parallelism dominates the target and
+      // the knob is inert, so this is not a local-only tuning constant.
+      // Env-overridable to keep the setting parameterised (round-17 rule).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "8kb"))
       .getOrCreate()
     // ERROR, not WARN: localCheckpoint unpersists log a WARN per RDD
     // ("lineage has been truncated") and the driver parses the headline
