@@ -45,8 +45,13 @@ object VectorLsh {
     * `maxBucket` rows are dropped (skew guard). */
   def candidatePairs(df: DataFrame, dim: Int, maxBucket: Int = 10000): DataFrame = {
     val keyed = withBandKeys(df.select("id", "embedding"), dim)
-    val sized = keyed.groupBy("band", "key").agg(count(lit(1)).as("cnt"))
-    val ok = keyed.join(sized.filter(col("cnt") <= maxBucket), Seq("band", "key"))
+    // count-window skew guard (same admitted buckets as the former
+    // groupBy + join back, one less shuffle — the window shares the
+    // (band, key) partitioning with the self-join below)
+    val ok = keyed
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
+      .filter(col("cnt") <= maxBucket)
       .select("id", "embedding", "band", "key")
     ok.as("a").join(ok.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -71,8 +76,12 @@ object VectorLsh {
     val ck = if (selfJoin) ck0.localCheckpoint(true) else ck0
     val qk = (if (selfJoin) ck else withBandKeys(queries.select("id", "embedding"), dim))
       .select(col("id").as("ia"), col("embedding").as("ea"), col("band"), col("key"))
-    val sized = ck.groupBy("band", "key").agg(count(lit(1)).as("cnt"))
-    val ok = ck.join(sized.filter(col("cnt") <= maxBucket), Seq("band", "key"))
+    // count-window skew guard: identical admitted buckets, one less
+    // shuffle of the keyed corpus frame
+    val ok = ck
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
+      .filter(col("cnt") <= maxBucket)
       .select(col("id").as("ib"), col("embedding").as("eb"), col("band"), col("key"))
     qk.join(ok, Seq("band", "key"))
       .filter(col("ia") =!= col("ib"))

@@ -97,11 +97,21 @@ object MinHashLsh {
     bandedPairs(sh.select(col("id"), signature(col("sh")).as("sig")), maxBucket)
 
   /** Banding + skew-guarded bucket self-join over any (id, sig) frame —
-    * shared by the k-permutation and OPH signature families. */
+    * shared by the k-permutation and OPH signature families.
+    *
+    * The skew guard is a COUNT WINDOW over (band, key) instead of the
+    * former groupBy + join back: the admitted set is identical (cnt is the
+    * same exact bucket size), but the window shares its (band, key) hash
+    * partitioning with the self-join that follows, so the guard costs no
+    * extra shuffle of the banded frame (guide §2.4: operations keyed the
+    * same way share one exchange; before, the banded frame was shuffled
+    * once for the size aggregate and again for the join back). */
   private def bandedPairs(sigs: DataFrame, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val banded = bands(sigs)
-    val sized = banded.groupBy("band", "key").agg(count(lit(1)).as("cnt"))
-    val ok = banded.join(sized.filter(col("cnt") <= maxBucket), Seq("band", "key"))
+    val ok = banded
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("band", "key")))
+      .filter(col("cnt") <= maxBucket)
       .select("id", "band", "key")
     ok.as("a").join(ok.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -161,8 +171,13 @@ object MinHashLsh {
     val allSh = oldSh.unionByName(newShCk).localCheckpoint(true)
     val sigs = allSh.select(col("id"), signature(col("sh")).as("sig"))
     val banded = bands(sigs)
-    val sized = banded.groupBy("band", "key").agg(count(lit(1)).as("cnt"))
-    val okAll = banded.join(sized.filter(col("cnt") <= maxBucket), Seq("band", "key"))
+    // same count-window skew guard as [[bandedPairs]]: identical admitted
+    // buckets (sizing still runs over the FULL merged band set), one less
+    // shuffle of the banded frame
+    val okAll = banded
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
+      .filter(col("cnt") <= maxBucket)
       .select("id", "band", "key")
     val okNew = okAll.join(newShCk.select("id"), Seq("id"), "left_semi")
     val cand = okAll.as("a").join(okNew.as("b"),
