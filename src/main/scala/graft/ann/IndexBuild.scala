@@ -94,7 +94,19 @@ object IndexBuild {
   def lshNearDuplicates(df: DataFrame, maxL2Dist: Double,
                         numHashTables: Int = 4, bucketLength: Double = 1.0,
                         seed: Long = 42L): DataFrame = {
-    val feat = df.select(col("id"), array_to_vector(col("embedding")).as("features"))
+    // CPU fan-out guard (the Tables.documents lesson): a single-row-group
+    // parquet input arrives as ONE split, MLlib's hash-explode join keeps
+    // the input's partitioning (both sides broadcast-sized), and the
+    // per-pair distance evaluation serializes onto one core — profiled as
+    // one 3.7 s single-task stage at sf0.1/local[32]. Redistribute by id
+    // once when scan parallelism is far below the cluster's; a real
+    // multi-split table takes the `else` branch untouched (the exchange is
+    // a no-op guard, not a tuning constant).
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (df.rdd.getNumPartitions * 4 <= target) df.repartition(target, col("id"))
+      else df
+    val feat = spread.select(col("id"), array_to_vector(col("embedding")).as("features"))
     val lsh = new BucketedRandomProjectionLSH()
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
       .setInputCol("features").setOutputCol("hashes")
