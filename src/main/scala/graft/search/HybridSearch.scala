@@ -286,44 +286,63 @@ object HybridSearch {
       coalesce(col("document_at"), col("created_at")).as("doc_date"),
       coalesce(col("last_reinforced_at"), col("updated_at"), col("created_at")).as("conf_anchor"))
 
+    // recency and confidence rank the SAME row set (one row per pooled
+    // candidate), so they share ONE cand⋈dates join and ONE rank-window
+    // exchange (two row_number windows over the same partitioning reuse the
+    // exchange; only the sort differs) instead of two independent branch
+    // plans — guide §2.4 "two operations keyed the same way can share one
+    // exchange". Emitted per-signal rows are IDENTICAL to the former
+    // two-branch form: same rank window per signal, same contribution, one
+    // (id, 'recency', c) and one (id, 'confidence', c) row per candidate.
+    val recOn = p.recencyWeight > 0
+    val confOn = p.confidenceWeight > 0
+    val recConf = if (!recOn && !confOn) None else Some {
+      val base = cand.join(dates, "id")
+      // per-prefix half-life: broadcast longest-prefix join over the
+      // (tiny) profile table — same shape as M9's policy resolution
+      // (Mutations.enforcePolicies); the window runs over the ≤2*oversample
+      // candidate pool, never the corpus. The rn=1 filter keeps exactly one
+      // row per candidate, so the recency rank set is unchanged by it.
+      val withHl =
+        if (!confOn || p.confidenceProfiles.isEmpty)
+          base.withColumn("_hl", lit(p.confidenceHalfLifeDays))
+        else {
+          val prof = memories.sparkSession.createDataFrame(p.confidenceProfiles)
+            .toDF("_prefix", "_phl")
+          val wp = Window.partitionBy(keyCols: _*)
+            .orderBy(length(col("_prefix")).desc, col("_prefix").asc)
+          base.join(broadcast(prof), col("source").startsWith(col("_prefix")), "left")
+            .withColumn("_rn", row_number().over(wp)).filter(col("_rn") === 1)
+            .withColumn("_hl", coalesce(col("_phl"), lit(p.confidenceHalfLifeDays)))
+            .drop("_prefix", "_phl", "_rn")
+        }
+      val rs = coalesce(
+        DecayFunctions.halfLifeDecay(col("doc_date"), lit(p.recencyHalfLifeDays), p.nowEpoch),
+        lit(0.0))
+      val conf = DecayFunctions.halfLifeDecay(col("conf_anchor"), col("_hl"), p.nowEpoch)
+      val scored = (recOn, confOn) match {
+        case (true, true) =>
+          withHl
+            .withColumn("_c_rec", contrib(w.recency, rank0(rs, qid)))
+            .withColumn("_c_conf", contrib(w.confidence, rank0(conf, qid)))
+            .select(keyCols :+
+              expr("stack(2, 'recency', _c_rec, 'confidence', _c_conf) AS (signal, c)"): _*)
+        case (true, false) =>
+          withHl.select(keyCols ++ Seq(lit("recency").as("signal"),
+            contrib(w.recency, rank0(rs, qid)).as("c")): _*)
+        case _ =>
+          withHl.select(keyCols ++ Seq(lit("confidence").as("signal"),
+            contrib(w.confidence, rank0(conf, qid)).as("c")): _*)
+      }
+      scored
+    }
     val extras = Seq(
-      if (p.recencyWeight > 0) Some {
-        cand.join(dates, "id")
-          .withColumn("rs", coalesce(
-            DecayFunctions.halfLifeDecay(col("doc_date"), lit(p.recencyHalfLifeDays), p.nowEpoch),
-            lit(0.0)))
-          .select(keyCols ++ Seq(lit("recency").as("signal"),
-            contrib(w.recency, rank0(col("rs"), qid)).as("c")): _*)
-      } else None,
+      recConf,
       if (p.feedbackWeight > 0) feedback.map { fb =>
         val net = asNets(fb)
         cand.join(net, "id").filter(col("net") > 0)
           .select(keyCols ++ Seq(lit("feedback").as("signal"),
             contrib(w.feedback, rank0(col("net"), qid)).as("c")): _*)
-      } else None,
-      if (p.confidenceWeight > 0) Some {
-        val base = cand.join(dates, "id")
-        // per-prefix half-life: broadcast longest-prefix join over the
-        // (tiny) profile table — same shape as M9's policy resolution
-        // (Mutations.enforcePolicies); the window runs over the ≤2*oversample
-        // candidate pool, never the corpus
-        val withHl =
-          if (p.confidenceProfiles.isEmpty) base.withColumn("_hl", lit(p.confidenceHalfLifeDays))
-          else {
-            val prof = memories.sparkSession.createDataFrame(p.confidenceProfiles)
-              .toDF("_prefix", "_phl")
-            val wp = Window.partitionBy(keyCols: _*)
-              .orderBy(length(col("_prefix")).desc, col("_prefix").asc)
-            base.join(broadcast(prof), col("source").startsWith(col("_prefix")), "left")
-              .withColumn("_rn", row_number().over(wp)).filter(col("_rn") === 1)
-              .withColumn("_hl", coalesce(col("_phl"), lit(p.confidenceHalfLifeDays)))
-              .drop("_prefix", "_phl", "_rn")
-          }
-        withHl
-          .withColumn("conf",
-            DecayFunctions.halfLifeDecay(col("conf_anchor"), col("_hl"), p.nowEpoch))
-          .select(keyCols ++ Seq(lit("confidence").as("signal"),
-            contrib(w.confidence, rank0(col("conf"), qid)).as("c")): _*)
       } else None
     ).flatten
 
@@ -482,13 +501,93 @@ object HybridSearch {
       .orderBy(desc("rrf_score"), asc("id"), asc("signal"))
   }
 
-  /** R15: batch search — a union of per-query plans tagged by query index
-    * (app.py:2163-2209); Spark runs the branches as one job. */
+  /** R15: batch search (app.py:2163-2209). Homogeneous batches — same
+    * parameters except each query's tokens/vector, the neighbor-mining
+    * shape — run as ONE shared plan: a single scored corpus scan for all
+    * query vectors, a single term-stats join pass for all token sets
+    * ([[BM25.batchScores]]), per-qid rank windows downstream through the
+    * SAME qid-partitioned [[fuseContribs]] the indexed batch uses, so
+    * per-qid output equals the per-query plan union (pinned by
+    * `r15_batch_search`'s per-query-union oracle — the indexed twin
+    * `r15_batch_indexed` established the window-rank ≡ TakeOrdered-rank
+    * equality). N queries cost one corpus pass, not N (guide §2.4).
+    * Heterogeneous or PRF-triggered batches fall back to the per-query
+    * plan union — correct, just N scans. */
   def batchSearch(memories: DataFrame, feedback: Option[DataFrame],
-                  queries: Seq[Params]): DataFrame =
-    queries.zipWithIndex.map { case (p, i) =>
-      search(memories, feedback, p).withColumn("query_idx", lit(i))
-    }.reduce(_ unionAll _)
+                  queries: Seq[Params]): DataFrame = {
+    def scrub(p: Params) = p.copy(queryTokens = Nil, queryVec = Nil)
+    val sharable = queries.size > 1 && !queries.head.prf &&
+      queries.forall(q => scrub(q) == scrub(queries.head))
+    if (sharable) batchSearchShared(memories, feedback, queries)
+    else
+      queries.zipWithIndex.map { case (p, i) =>
+        search(memories, feedback, p).withColumn("query_idx", lit(i))
+      }.reduce(_ unionAll _)
+  }
+
+  /** The shared-plan body of the in-session [[batchSearch]] — every
+    * per-query step of [[search]] replayed with qid-partitioned windows
+    * over ONE corpus pass per retrieval leg (the in-session twin of
+    * [[batchSearchIndexedShared]]). */
+  private def batchSearchShared(memories: DataFrame,
+                                feedback: Option[DataFrame],
+                                queries: Seq[Params]): DataFrame = {
+    val spark = memories.sparkSession
+    import spark.implicits._
+    val p = queries.head // shared params (the routing guarantees it)
+    val k = math.min(p.k, 100)
+    val oversample = 3 * k
+    val w = Weights.resolve(p.vectorWeight, p.recencyWeight, p.feedbackWeight, p.confidenceWeight)
+
+    // vector leg: one visibility-filtered corpus scan scored against the
+    // whole broadcast query-vector table; per-qid rank ≡ topK's
+    // (sim desc, id) TakeOrdered order
+    val qvecs = broadcast(
+      queries.zipWithIndex.map { case (q, i) => (i, q.queryVec) }.toDF("qid", "qv"))
+    val scored = memories
+      .filter(Filters.visible(p.sourcePrefix, p.includeArchived, p.since, p.until))
+      .crossJoin(qvecs)
+      .withColumn("sim", roundScore(graft.functions.VectorFunctions.dot(col("embedding"), col("qv"))))
+    val thresholded = p.threshold.map(t => scored.filter(col("sim") >= t)).getOrElse(scored)
+    val vec = thresholded
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("id"))))
+      .filter(col("_rn") <= oversample)
+      .select(col("qid"), col("id"), contrib(w.vec, col("_rn") - 1).as("c"))
+
+    // bm25 leg: one term-stats join pass for every query's token multiset
+    val visible = memories.filter(
+      Filters.sourcePrefix(p.sourcePrefix) && Filters.notArchived(p.includeArchived))
+    val qterms = queries.zipWithIndex.flatMap { case (q, i) =>
+      q.queryTokens.groupBy(identity).map { case (t, occ) => (i, t, occ.size) }
+    }.toDF("qid", "term", "qn")
+    val bm = BM25.batchScores(memories, qterms)
+      .join(visible.select("id"), "id")
+      .filter(col("bm25") > 0)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("bm25"), asc("id"))))
+      .filter(col("_rn") <= oversample)
+      .select(col("qid"), col("id"), contrib(w.bm25, col("_rn") - 1).as("c"))
+
+    // fusion and rank signals: the SAME fuseContribs, qid-partitioned
+    val fused0 = fuseContribs(vec, bm, memories, feedback, p, qid = Some("qid"))
+      .groupBy("qid", "id").agg(sum("c").as("rrf"))
+    val fused =
+      if (p.since.isDefined || p.until.isDefined)
+        fused0.join(
+          memories.filter(Filters.temporal(p.since, p.until)).select("id"), "id")
+      else fused0
+    if (p.graphWeight > 0)
+      GraphSearch.expandAndMergeBatch(memories, fused, p)
+    else
+      fused.join(memories.select("id", "source", "category"), "id")
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("rrf"), asc("id"))))
+        .filter(col("_rn") <= k)
+        .select(col("id"), col("source"), col("category"),
+          roundScore(col("rrf")).as("rrf_score"),
+          col("qid").cast("int").as("query_idx"))
+  }
 
   /** [[batchSearch]] from the persisted indexes. The true batch shape (the
     * r12 verdict's #4): when the queries share every parameter except
