@@ -75,7 +75,13 @@ object GraphSearch {
         .select(col("landmark"), col("dst").as("id"), lit(hop).as("dist"))
         .distinct()
         .join(settled.select("landmark", "id"), Seq("landmark", "id"), "left_anti"))
-      settled = roundCheckpoint(settled.unionByName(next))
+      // settled stays a LAZY union of the per-hop checkpointed frontiers:
+      // every member frame is already materialized, so the anti-join and
+      // the final read cost one block scan per hop-frame — the former
+      // per-hop roundCheckpoint(settled ∪ next) rewrote the ENTIRE settled
+      // set every hop, an O(V·hops) materialization at graph scale for a
+      // set that only ever grows by `next`.
+      settled = settled.unionByName(next)
       frontier = next
       hop += 1
     }
@@ -84,13 +90,26 @@ object GraphSearch {
 
   /** R8: bidirectional edge list from inline links — (src, dst), self-edges
     * and dangling targets dropped, deduped (memory_engine.py:1490-1508). */
-  def edges(memories: DataFrame, linkType: String = "related_to"): DataFrame = {
-    val fwd = memories
+  def edges(memories: DataFrame, linkType: String = "related_to"): DataFrame =
+    edgesImpl(memories, linkType, dropDangling = true)
+
+  /** [[edges]] with the dangling-target semi-join optional: a caller that
+    * immediately semi-joins BOTH endpoints against a subset of the memory
+    * ids ([[visibleEdges]]) subsumes the dangling drop — vis ⊆ ids, so
+    * (src, dst) survives (edges + endpoint filter) iff it survives
+    * (raw links + endpoint filter). One membership join instead of two
+    * per graph query (guide §2.4: remove joins the next filter implies). */
+  private def edgesImpl(memories: DataFrame, linkType: String,
+                        dropDangling: Boolean): DataFrame = {
+    val raw = memories
       .select(col("id").as("src"), explode(col("links")).as("l"))
       .filter(col("l.link_type") === linkType && col("l.to_id") =!= col("src"))
       .select(col("src"), col("l.to_id").as("dst"))
-      .join(memories.select(col("id").as("dst")), Seq("dst"), "left_semi")
-      .select("src", "dst") // re-fix column ORDER: the using-join moved dst first
+    val fwd =
+      if (!dropDangling) raw
+      else raw
+        .join(memories.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst") // re-fix column ORDER: the using-join moved dst first
     fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
@@ -102,7 +121,9 @@ object GraphSearch {
     val vis = memories
       .filter(Filters.sourcePrefix(sourcePrefix) && Filters.notArchived(includeArchived))
       .select("id")
-    edges(memories, linkType)
+    // dropDangling=false: the dst semi-join below subsumes the dangling
+    // drop (vis ⊆ memory ids) — see edgesImpl
+    edgesImpl(memories, linkType, dropDangling = false)
       .join(vis.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(vis.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
   }
@@ -577,17 +598,21 @@ object GraphSearch {
     // 1-hop: seed is a direct neighbor
     val hop1 = tn.join(seeds.select(col("id").as("n1"), col("id").as("seed_id"), col("p")), Seq("n1"))
       .select(col("id"), col("seed_id"), col("p").as("contribution"), lit(1).as("hop"))
-    // 2-hop: shared neighbor between node and seed
+    // 2-hop: shared neighbor between node and seed. No .distinct(): the
+    // min_by aggregate below collapses duplicate (id, seed_id, c, hop)
+    // path rows identically (equal rows cannot change a min), and the
+    // groupBy already shuffles once with map-side partial aggregation —
+    // the former per-hop distinct was a second full shuffle of the same
+    // rows for no semantic effect (guide §2.4: distinct on data whose
+    // duplicates the next aggregate absorbs).
     val hop2 = tn.join(sn, col("n1") === col("sn1"))
       .select(col("id"), col("seed_id"), (col("p") * 0.5).as("contribution"), lit(2).as("hop"))
-      .distinct()
     // 3-hop: a neighbor of the node has a neighbor that neighbors the seed
     val n2 = n1.select(col("n1").as("hop3_mid"), col("id").as("n1"))
     val hop3 = tn
       .join(n1.select(col("n1").as("n2"), col("id").as("n1")), Seq("n1"))
       .join(sn, col("n2") === col("sn1"))
       .select(col("id"), col("seed_id"), (col("p") * 0.25).as("contribution"), lit(3).as("hop"))
-      .distinct()
     // shortest explaining path wins (the reference's if/elif ladder)
     val best = hop1.unionByName(hop2).unionByName(hop3)
       .filter(col("id") =!= col("seed_id"))
