@@ -29,16 +29,28 @@ object Curation {
 
   /** Profile stage alone (lazy, no jobs triggered): per-row language,
     * quality, token counts. Rows whose text has no tokens are dropped
-    * (un-profileable). */
+    * (un-profileable).
+    *
+    * The heavy expression trees (langId's stopword scans, the quality
+    * components) read the text through [[graft.expressions.Opaque]] — the
+    * guide-§4.4 optimizer barrier: without it, every downstream filter on
+    * the derived columns is pushed below the CPU-fan-out repartition onto
+    * the single-split documents scan (profiled: the whole profile
+    * condition serialized on ONE core for 1.5-2.5 s per execution at
+    * sf0.1) and the trees are evaluated AGAIN in the projection above the
+    * filter. Values are bit-identical (Opaque is a runtime identity); the
+    * zero-token drop is expressed on the projected n_ws — the same
+    * size(tokens(text)) — so it stays above the projection too. */
   def profile(docs: DataFrame): DataFrame = {
-    val li = TextAnalysis.langId(col("text"))
-    val (ws, bpe) = TextAnalysis.tokenCounts(col("text"))
+    val txt = graft.expressions.Opaque(col("text"))
+    val li = TextAnalysis.langId(txt)
+    val (ws, bpe) = TextAnalysis.tokenCounts(txt)
     docs
-      .filter(size(TextFunctions.tokens(col("text"))) > 0)
       .select(col("id"), col("text"),
         li.getField("lang").as("lang"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.qualityScore(txt).as("quality"),
         ws.as("n_ws"), bpe.as("n_bpe"))
+      .filter(col("n_ws") > 0)
   }
 
   /** Signal-agreement audit: Pearson correlation between the heuristic
