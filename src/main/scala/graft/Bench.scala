@@ -216,8 +216,14 @@ object Bench {
       // production scale totalBytes/parallelism dominates the target and
       // the knob is inert, so this is not a local-only tuning constant.
       // Env-overridable to keep the setting parameterised (round-17 rule).
+      // r18 adjudication of the r17 8kb collateral (dd_exact −55%, d3
+      // −22%, d4 −27% — overhead-bound queries paying the extra tasks):
+      // interleaved A/B at 8kb/64kb/1m showed 64kb equal-or-better than
+      // 8kb on EVERY r17 win query (the CPU-dense kernels still fan out
+      // 16-way on a 1 MB shuffle) while erasing most of the trio's task
+      // overhead — 64kb is the measured sweet spot, see OPTIMIZATION_r18.md.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "8kb"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "64kb"))
       .getOrCreate()
     // ERROR, not WARN: localCheckpoint unpersists log a WARN per RDD
     // ("lineage has been truncated") and the driver parses the headline

@@ -19,7 +19,7 @@ object Verify {
       // CPU-dense kernels off single-task coalesced partitions; inert at
       // production shuffle sizes, env-overridable
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "8kb"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "64kb"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -42,7 +42,10 @@ object VectorLsh {
   }
 
   /** Candidate pairs (id_a < id_b) sharing an LSH band bucket; buckets above
-    * `maxBucket` rows are dropped (skew guard). */
+    * `maxBucket` rows are dropped (skew guard). The count window buffers
+    * each bucket in one task before the filter drops it (the former groupBy
+    * partially aggregated map-side) — same single-task exposure the keyed
+    * self-join below always had; SkewGuardSpec pins the drop behavior. */
   def candidatePairs(df: DataFrame, dim: Int, maxBucket: Int = 10000): DataFrame = {
     val keyed = withBandKeys(df.select("id", "embedding"), dim)
     // count-window skew guard (same admitted buckets as the former

@@ -105,7 +105,15 @@ object MinHashLsh {
     * partitioning with the self-join that follows, so the guard costs no
     * extra shuffle of the banded frame (guide §2.4: operations keyed the
     * same way share one exchange; before, the banded frame was shuffled
-    * once for the size aggregate and again for the join back). */
+    * once for the size aggregate and again for the join back).
+    *
+    * Buffering trade (r17 verdict #4): the window buffers each (band, key)
+    * bucket in ONE task before the cnt filter drops it — the old groupBy
+    * shrank hot buckets via map-side partial aggregation, so a degenerate
+    * bucket now spills in the window instead of being counted cheaply. Not
+    * a new asymptotic risk: the self-join that follows keys the same way,
+    * so the same bucket had the identical single-task exposure before;
+    * SkewGuardSpec pins that a pathological bucket is still dropped whole. */
   private def bandedPairs(sigs: DataFrame, maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val banded = bands(sigs)

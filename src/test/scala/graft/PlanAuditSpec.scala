@@ -519,6 +519,40 @@ class PlanAuditSpec extends SparkSpec {
       s"expected final max_by after one hash exchange:\n${plan.take(1500)}")
   }
 
+  test("curation profile: Opaque barrier keeps the heavy trees above the fan-out exchange, evaluated once") {
+    // the r17 Opaque change's pin (guide §4.4 barrier for built-in trees):
+    // without the barrier, Catalyst pushes the kept-filter (which embeds
+    // the langId/quality trees once inlined) BELOW the CPU-fan-out
+    // repartition onto the single-split documents scan — the whole
+    // predicate serializes on one core — and CollapseProject duplicates
+    // the trees into the filter AND the projection above it. Pin both
+    // properties on the curate() "kept" shape.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try graft.text.Curation
+      .profile(graft.core.Tables.documents(spark, sf())
+        .select(col("doc_id").as("id"), col("text")))
+      .filter(col("lang") === "en" && col("quality") >= 0.5 && col("n_ws") >= 10)
+      .queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val lines = plan.linesIterator.toSeq
+    // (a) single evaluation: the langId argmax (sort_array over the
+    // stopword-score structs) lives in exactly ONE operator — duplication
+    // into a pushed filter would make it two
+    val heavyOps = lines.count(_.contains("sort_array"))
+    assert(heavyOps == 1,
+      s"langId tree must appear in exactly one operator, found $heavyOps:\n${plan.take(3000)}")
+    // (b) plan strings print parents first, so the barrier's shape reads
+    // top-down as: Filter (on the PROJECTED lang/quality/n_ws attributes)
+    // → Project (the one heavy tree) → Exchange (fan-out) → scan. A
+    // regression pushes the filter below the exchange, flipping the order
+    val fIdx = lines.indexWhere(_.contains("Filter"))
+    val pIdx = lines.indexWhere(_.contains("sort_array"))
+    val eIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(fIdx >= 0 && pIdx >= 0 && eIdx >= 0 && fIdx < pIdx && pIdx < eIdx,
+      s"expected Filter above the heavy Project above the fan-out exchange " +
+        s"(filter@$fIdx, project@$pIdx, exchange@$eIdx):\n${plan.take(3000)}")
+  }
+
   test("flagship hybrid search stays within bounded exchanges") {
     val plan = planOf("r4_hybrid_rrf")
     // oversample-bounded rank windows: every window in the fused plan runs
