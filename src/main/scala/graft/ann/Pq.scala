@@ -105,18 +105,34 @@ object Pq {
     val bySub = bookRows
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (s, rs) => (s, rs.sortBy(_._2).map(r => (r._2, r._3))) }
-    val codeFor = bySub.map { case (sub, entries) =>
-      val sv = slice(col(vecCol), sub * subDim + 1, subDim)
-      // array_min over (dist, label) structs = lexicographic argmin with
-      // the ascending-label tiebreak — identical to min(struct(d, label)),
-      // and LINEAR in ks (a when/otherwise fold would duplicate the
-      // accumulator expression per step and blow up codegen)
-      val scored = entries.map { case (label, cv) =>
-        struct(subDist(sv, typedLit(cv)).as("d"), lit(label).as("l"))
-      }
-      array_min(array(scored: _*)).getField("l").cast("int")
-    }
-    df.withColumn("pq_codes", array(codeFor: _*))
+    // the codebook enters as TWO literal nested arrays indexed at runtime
+    // (labsLit(i)(j) = j-th label of the i-th subspace, vecsLit the
+    // codevec) and the per-subspace argmin is a HOF fold over them, so the
+    // expression tree is O(1) in m·ks instead of the former fully-unrolled
+    // array(struct(subDist(...literal codevec...)) per entry) — at m=8,
+    // ks=16, dim=8 that tree cost ~1 s/rep of driver analysis+codegen in
+    // ann_ivfpq_topk (profiled r18). Same map-only, shuffle-free plan;
+    // arithmetic is identical op-for-op (zip_with/aggregate/round through
+    // the same subDist, array_min over the same (d, label) structs with
+    // ascending-label tiebreak), so results stay bit-equal — pinned by
+    // ScaleOpsSpec's encode ≡ encodeJoin equality and the pq oracle gates.
+    val subsLit = typedLit(bySub.map(_._1))
+    val labsLit = typedLit(bySub.map(_._2.map(_._1)))
+    val vecsLit = typedLit(bySub.map(_._2.map(_._2)))
+    val m = bySub.length
+    val codes = transform(sequence(lit(0), lit(m - 1)), subIdx => {
+      // slice by the REAL subspace id (subsLit), not the position — the
+      // former unrolled form did, and the two differ if a subspace has no
+      // codebook entries at all
+      val sv = slice(col(vecCol),
+        element_at(subsLit, subIdx + lit(1)) * lit(subDim) + lit(1), lit(subDim))
+      val entries = element_at(vecsLit, subIdx + lit(1))
+      val labs = element_at(labsLit, subIdx + lit(1))
+      val scored = zip_with(entries, labs,
+        (cv, l) => struct(subDist(sv, cv).as("d"), l.as("l")))
+      array_min(scored).getField("l").cast("int")
+    })
+    df.withColumn("pq_codes", codes)
   }
 
   /** The broadcast-join formulation of [[encode]] — per-(id,sub) argmin as

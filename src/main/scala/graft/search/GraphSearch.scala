@@ -588,13 +588,22 @@ object GraphSearch {
     * on the edge list. Output (id, seed_id, contribution, via_rank). */
   def traceContributors(edgesDf: DataFrame, seeds: DataFrame,
                         tracedIds: DataFrame, maxVia: Int = 5): DataFrame = {
-    val e = edgesDf
-    val n1 = e.select(col("src").as("id"), col("dst").as("n1"))
+    // the edge list feeds FOUR subtrees (tn, sn, hop3's mid join — and tn
+    // itself is read by all three hop branches): left lazy, every branch
+    // of the unioned plan re-runs the explode+union+distinct edge build
+    // (exchange reuse dedupes the shuffle, not the post-shuffle aggs), and
+    // hop2/hop3 each recompute tn ⋈ … and sn ⋈ … independently (r17
+    // verdict #5). Materialize each shared intermediate ONCE: n1 = one
+    // edge build; tn/sn are bounded (|traced|·deg, |seeds|·deg — this is
+    // an explain-over-a-traced-set operator) and read 3×/2×. §2.4.
+    val n1 = edgesDf.select(col("src").as("id"), col("dst").as("n1"))
+      .localCheckpoint(true)
     val traced = tracedIds.select(col("id"))
-    val tn = traced.join(n1, "id") // neighbors of traced nodes
+    val tn = traced.join(n1, "id").localCheckpoint(true) // neighbors of traced nodes
     // seed neighbors
     val sn = seeds.select(col("id").as("seed_id"), col("p"))
       .join(n1.select(col("id").as("seed_id"), col("n1").as("sn1")), Seq("seed_id"), "left")
+      .localCheckpoint(true)
     // 1-hop: seed is a direct neighbor
     val hop1 = tn.join(seeds.select(col("id").as("n1"), col("id").as("seed_id"), col("p")), Seq("n1"))
       .select(col("id"), col("seed_id"), col("p").as("contribution"), lit(1).as("hop"))

@@ -204,20 +204,18 @@ object HybridSearch {
     // rounds 1..R−1 already scanned (the cell ranking is deterministic,
     // so the union of range probes equals one full probe at the final
     // nprobe; pinned by HybridIndexedSpec and the AnnSpec delta-dirs pin).
-    def vecPool(np: Int, fromRank: Int): DataFrame = {
-      val probed = graft.ann.IvfIndex
-        .probedCandidates(spark, ivfPath, p.queryVec, np, fromRank, ivfLd)
-        .select("id", "sim")
-        .join(memories.drop("embedding", "text"), "id")
-        .filter(Filters.visible(p.sourcePrefix, p.includeArchived, p.since, p.until))
-      p.threshold.map(t => probed.filter(col("sim") >= t)).getOrElse(probed)
-    }
+    def vecPool(np: Int, fromRank: Int): DataFrame =
+      indexedVecPool(spark, ivfPath, memories, p, np, fromRank, ivfLd)
     var np = nprobe
-    var pool = vecPool(np, 0)
+    // materialize the round-1 pool ONCE: the escalation fill-check then
+    // reads blocks instead of executing the probed-scan plan, and the
+    // common (filled) case no longer executes that plan a SECOND time in
+    // the vector leg below — one pruned scan serves both (r17 verdict #4;
+    // guide §5 driver round-trips / §2.4). The pool is ≤ probed-cells
+    // rows, bounded.
+    var pool = vecPool(np, 0).localCheckpoint(true)
     if (pool.limit(oversample).count() < oversample) {
-      // the rare escalation path: materialize what round 1 scanned, then
-      // pay only the delta dirs per widening round
-      pool = pool.localCheckpoint(true)
+      // the rare escalation path: pay only the delta dirs per widening round
       var exhausted = false
       var filled = false
       while (!exhausted && !filled) {
@@ -255,6 +253,25 @@ object HybridSearch {
           .orderBy(desc("bm25"), asc("id")).limit(oversample)
           .select(col("id"), contrib(w.bm25, rank0(col("bm25"))).as("c"))
     fuseContribs(vec, bm, memories, feedback, p)
+  }
+
+  /** The indexed vector leg's candidate-pool plan — ONE pb-pruned probed
+    * scan joined to the corpus attributes (column-pruned, never the
+    * vector/text payload) + visibility/threshold filters. Separated so
+    * PlanAuditSpec can pin its scan shape directly: [[signalContribsIndexed]]
+    * eagerly checkpoints the (bounded) pool, which truncates the visible
+    * lineage of the final plan (the [[LateInteraction.indexedPool]]
+    * precedent). */
+  private[graft] def indexedVecPool(spark: org.apache.spark.sql.SparkSession,
+      ivfPath: String, memories: DataFrame, p: Params, np: Int,
+      fromRank: Int,
+      ivfLd: Option[String => DataFrame] = None): DataFrame = {
+    val probed = graft.ann.IvfIndex
+      .probedCandidates(spark, ivfPath, p.queryVec, np, fromRank, ivfLd)
+      .select("id", "sim")
+      .join(memories.drop("embedding", "text"), "id")
+      .filter(Filters.visible(p.sourcePrefix, p.includeArchived, p.since, p.until))
+    p.threshold.map(t => probed.filter(col("sim") >= t)).getOrElse(probed)
   }
 
   /** Everything downstream of the two retrieval legs — candidate pool,
@@ -468,7 +485,13 @@ object HybridSearch {
     val w = Weights.resolve(p.vectorWeight, p.recencyWeight, p.feedbackWeight, p.confidenceWeight)
     // eager checkpoint: the contributions frame (≤ 4*2*oversample rows)
     // feeds the fused aggregate, the candidate count AND the final join —
-    // without it the whole multi-branch search plan executes three times
+    // without it the whole multi-branch search plan executes three times.
+    // (r17 verdict #8 adjudicated in r18: folding candidates_considered
+    // into the fused frame as a global count window DID drop the separate
+    // broadcast job, but the in-plan SinglePartition window breaks the
+    // id-partitioning share between `fused` and the final contribs join —
+    // +2 exchanges in the critical path — and measured 0.77×/0.87× on the
+    // r14 pair; the out-of-line 1-row broadcast is the cheaper shape.)
     val contribs = contribs0.localCheckpoint(true)
     val fused = contribs.groupBy("id").agg(sum("c").as("rrf"))
     // distinct candidates = one 'vector+bm25' row per pooled id
@@ -549,6 +572,13 @@ object HybridSearch {
       .crossJoin(qvecs)
       .withColumn("sim", roundScore(graft.functions.VectorFunctions.dot(col("embedding"), col("qv"))))
     val thresholded = p.threshold.map(t => scored.filter(col("sim") >= t)).getOrElse(scored)
+    // NOTE (r17 ADVICE adjudication, r18): the per-qid rank window does
+    // NOT serialize a scored corpus copy per qid at scale — Spark 4's
+    // InferWindowGroupLimit plans a WindowGroupLimit(Partial) BELOW the
+    // exchange for every row_number ≤ k filter (k ≤ 1000), so each map
+    // partition pre-reduces to its own top-`oversample` per qid before
+    // anything shuffles; an explicit two-level (_pid, qid) pre-rank was
+    // measured 0.88× at sf0.1 (one redundant exchange) and reverted.
     val vec = thresholded
       .withColumn("_rn", row_number().over(
         Window.partitionBy("qid").orderBy(desc("sim"), asc("id"))))
@@ -662,10 +692,14 @@ object HybridSearch {
       p.threshold.map(t => probed.filter(col("sim") >= t)).getOrElse(probed)
     }
     var npMap = queries.indices.map(_ -> nprobe).toMap
+    // materialize the round-1 pool ONCE (the single-query path's r18
+    // discipline): the per-qid escalation count then reads blocks, and the
+    // common no-escalation case no longer executes the whole probed-scan
+    // plan a SECOND time downstream — one pruned scan serves the check AND
+    // the vector leg (r17 verdict #4; guide §5 / §2.4)
     var pool = mkPool(queries.indices,
-      queries.indices.map(_ -> 0).toMap, npMap)
+      queries.indices.map(_ -> 0).toMap, npMap).localCheckpoint(true)
     var done = false
-    var checkpointed = false
     while (!done) {
       val counts = pool.groupBy("qid").agg(count(lit(1)).as("c"))
         .as[(Int, Long)].collect().toMap
@@ -681,9 +715,7 @@ object HybridSearch {
       else {
         val newNp = under.map(i => i -> math.min(npMap(i) * 2, nlist)).toMap
         val delta = mkPool(under, under.map(i => i -> npMap(i)).toMap, newNp)
-        // materialize the kept pool once (first escalation only), then
-        // each round adds one checkpointed delta
-        if (!checkpointed) { pool = pool.localCheckpoint(true); checkpointed = true }
+        // each widening round adds one checkpointed delta
         pool = pool.unionByName(delta).localCheckpoint(true)
         npMap = npMap ++ newNp
       }

@@ -226,10 +226,19 @@ class PlanAuditSpec extends SparkSpec {
       recencyWeight = 0.0, feedbackWeight = 0.0, confidenceWeight = 0.0,
       confidenceProfiles = Nil)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val plan = try graft.search.HybridSearch
-      .searchIndexed(spark, bm25Path, ivfPath, mem, None, p)
-      .queryExecution.executedPlan.toString
-    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val (plan, poolPlan) = try {
+      val full = graft.search.HybridSearch
+        .searchIndexed(spark, bm25Path, ivfPath, mem, None, p)
+        .queryExecution.executedPlan.toString
+      // the vector leg's pool is eagerly checkpointed (one pruned scan
+      // serves the escalation check AND the leg — r18), which truncates
+      // its lineage out of the final plan; its scan shape is pinned on
+      // the pool-construction frame directly (the indexedPool precedent)
+      val pool = graft.search.HybridSearch
+        .indexedVecPool(spark, ivfPath, mem, p, np = 2, fromRank = 0)
+        .queryExecution.executedPlan.toString
+      (full, pool)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
     val postings = scans.filter(_.contains("postings"))
     assert(postings.size == 1 &&
@@ -237,10 +246,18 @@ class PlanAuditSpec extends SparkSpec {
       s"BM25 leg must be one pb-pruned postings scan:\n${postings.mkString("\n")}")
     assert(!scans.exists(_.contains("doclens")),
       s"doclens must never be opened by the query path:\n${scans.mkString("\n")}")
-    val asg = scans.filter(_.contains("assignments"))
+    assert(!scans.exists(_.contains("assignments")),
+      "the vector pool must ride its checkpoint — a live assignments scan " +
+        s"in the final plan means the pool executes twice:\n${scans.mkString("\n")}")
+    val poolScans = poolPlan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    val asg = poolScans.filter(_.contains("assignments"))
     assert(asg.nonEmpty && asg.forall(s =>
       s.contains("PartitionFilters: [") && s.contains("ivf_cell")),
       s"vector leg must prune to the probed cell dirs:\n${asg.mkString("\n")}")
+    assert(poolScans.filterNot(_.contains("assignments"))
+      .forall(!_.contains("embedding:array")),
+      "the pool's corpus join must not read the vector column:\n" +
+        poolScans.mkString("\n"))
   }
 
   test("shared-plan batch search: ONE postings scan and ONE probed-cell scan for N queries") {
@@ -259,15 +276,31 @@ class PlanAuditSpec extends SparkSpec {
     val qs = Seq(p0, p0.copy(queryVec = Queries.queryVec(spark, sf(), 1)),
       p0.copy(queryVec = Queries.queryVec(spark, sf(), 2)))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val plan = try graft.search.HybridSearch
-      .batchSearchIndexed(spark, bm25Path, ivfPath, mem, None, qs)
-      .queryExecution.executedPlan.toString
-    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val (plan, poolPlan) = try {
+      val full = graft.search.HybridSearch
+        .batchSearchIndexed(spark, bm25Path, ivfPath, mem, None, qs)
+        .queryExecution.executedPlan.toString
+      // the shared vector pool is eagerly checkpointed (one pruned scan
+      // serves the per-qid escalation count AND the leg — r18), so its
+      // scan shape is pinned on the probed-batch frame directly
+      val s2 = spark
+      import s2.implicits._
+      val qvecs = qs.zipWithIndex.map { case (q, i) => (i, q.queryVec) }
+        .toDF("qid", "qv")
+      val pool = graft.ann.IvfIndex
+        .probedCandidatesBatch(spark, ivfPath, qvecs, nprobe = 2)
+        .queryExecution.executedPlan.toString
+      (full, pool)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
     val postings = scans.filter(_.contains("postings"))
     assert(postings.size == 1,
       s"N=3 queries must share ONE postings scan:\n${postings.mkString("\n")}")
-    val asg = scans.filter(_.contains("assignments"))
+    assert(!scans.exists(_.contains("assignments")),
+      "the shared vector pool must ride its checkpoint — a live " +
+        s"assignments scan means it executes twice:\n${scans.mkString("\n")}")
+    val asg = poolPlan.linesIterator
+      .filter(_.contains("FileScan parquet")).filter(_.contains("assignments")).toSeq
     assert(asg.size == 1 && asg.head.contains("PartitionFilters: [") &&
       asg.head.contains("ivf_cell"),
       s"N=3 queries must share ONE pruned probe read:\n${asg.mkString("\n")}")
