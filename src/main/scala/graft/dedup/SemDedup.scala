@@ -23,10 +23,25 @@ import graft.functions.VectorFunctions.{dot, roundScore}
   */
 object SemDedup {
 
+  /** Session-conf key for the cell self-join's salt count (default
+    * [[DefaultSalts]]): the within-cell pair join is keyed by ivf_cell
+    * alone, so the LARGEST cell otherwise rides one reducer — the one
+    * skew risk of the SemDeDup shape at corpus scale (cells are
+    * ~constant-sized by design, but real clusters are not uniform).
+    * Salting spreads each cell over `salts` reducers at the price of
+    * replicating the build side `salts`× (guide §2.5 hot-key salting;
+    * the [[graft.joins.Joins.saltedJoin]] contract keeps the pair set
+    * row-identical). */
+  val SaltsConf = "graft.semdedup.salts"
+  val DefaultSalts = 8
+
   /** Survivors (id, ivf_cell) after semantic dedup of `rows` (id,
     * embedding) against fixed `centroids` (label, centroid). Deterministic:
     * assignment ties break by label ([[Ann.assign]]), similarity is rounded
-    * to 6dp before the threshold, and the drop rule depends only on ids. */
+    * to 6dp before the threshold, and the drop rule depends only on ids —
+    * and the salted pair join is pair-set-identical to the plain cell
+    * join (each pair matches exactly once; SemDedupSpec pins equality on
+    * a planted hot cell). */
   def semanticDedup(rows: DataFrame, centroids: DataFrame,
                     eps: Double = 0.9): DataFrame = {
     val assigned = Ann.assign(rows.select(col("id"), col("embedding")), centroids)
@@ -36,7 +51,10 @@ object SemDedup {
       .select(col("id").as("id_a"), col("ivf_cell"), col("embedding").as("_ea"))
     val b = assigned
       .select(col("id").as("id_b"), col("ivf_cell"), col("embedding").as("_eb"))
-    val dropped = a.join(b, Seq("ivf_cell"))
+    val salts = rows.sparkSession.conf
+      .get(SaltsConf, DefaultSalts.toString).toInt
+    val dropped = graft.joins.Joins
+      .saltedJoin(a, b, Seq("ivf_cell"), salts, saltOn = xxhash64(col("id_a")))
       .filter(col("id_b") < col("id_a"))
       .filter(roundScore(dot(col("_ea"), col("_eb"))) >= eps)
       .select(col("id_a").as("id")).distinct()

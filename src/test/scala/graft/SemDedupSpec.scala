@@ -35,6 +35,45 @@ class SemDedupSpec extends SparkSpec {
     assert(got.length < mem.count(), "fixture must actually drop something")
   }
 
+  test("salted cell self-join: planted hot cell, result identical to the plain cell join") {
+    // 100 of 120 rows land in ONE cell (a single dominant centroid
+    // direction): the skew fixture for the salted pair join (r17 verdict
+    // #7). The shipped salted path must equal the plain ivf_cell join —
+    // every pair matches exactly once — and still actually drop rows.
+    val dim = mem.select(size(col("embedding"))).head().getInt(0)
+    def axis(c: Int) = { val a = Array.fill(dim)(0.0); a(c) = 1.0; a.toSeq }
+    val cents = Seq((0, axis(0)), (1, axis(1))).toDF("label", "centroid")
+    val skewed = mem.withColumn("embedding",
+      when(col("id") % 6 === 0, col("embedding"))
+        .otherwise(transform(sequence(lit(1), lit(dim)),
+          i => when(i === 1, lit(1.0f)).otherwise(col("embedding")(i - 1) * 0.01f))))
+    val got = SemDedup.semanticDedup(skewed, cents, eps)
+      .select("id").as[Long].collect().sorted
+    // reference: the plain (unsalted) cell join, inline
+    val assigned = graft.ann.Ann.assign(
+        skewed.select("id", "embedding"), cents)
+      .select(col("id"), col("ivf_cell"), col("embedding"))
+    val a = assigned.select(col("id").as("id_a"), col("ivf_cell"), col("embedding").as("_ea"))
+    val b = assigned.select(col("id").as("id_b"), col("ivf_cell"), col("embedding").as("_eb"))
+    val droppedIds = a.join(b, Seq("ivf_cell"))
+      .filter(col("id_b") < col("id_a"))
+      .filter(roundScore(dot(col("_ea"), col("_eb"))) >= eps)
+      .select("id_a").as[Long].collect().toSet
+    val want = assigned.select("id").as[Long].collect()
+      .filterNot(droppedIds).sorted
+    assert(got.sameElements(want))
+    assert(droppedIds.nonEmpty, "hot-cell fixture must actually drop rows")
+    // the hot cell really is hot
+    val cellSizes = assigned.groupBy("ivf_cell").count()
+      .as[(Int, Long)].collect().toMap
+    assert(cellSizes.values.max >= 90, s"fixture skew collapsed: $cellSizes")
+    // and the shipped plan keys the pair join on the salt
+    val plan = SemDedup.semanticDedup(skewed, cents, eps)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"),
+      s"pair join must carry the salt key:\n${plan.take(1500)}")
+  }
+
   test("semanticContamination flags exactly the same-cell cross-slice pairs over eps") {
     val cent = graft.ann.Ann.centroidsByLabel(Tables.embeddings(spark, sf()))
     val bench = mem.filter(col("id") % 20 === 3)
