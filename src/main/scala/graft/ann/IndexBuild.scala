@@ -102,9 +102,23 @@ object IndexBuild {
     // once when scan parallelism is far below the cluster's; a real
     // multi-split table takes the `else` branch untouched (the exchange is
     // a no-op guard, not a tuning constant).
+    //
+    // The split-count probe (`df.rdd.getNumPartitions`) finalizes the
+    // adaptive plan, which for a DERIVED input (anything past a shuffle)
+    // would EXECUTE its upstream stages once for the probe and again for
+    // the real job (r17 ADVICE). A derived input has already been
+    // re-partitioned by its shuffle and never needs the fan-out, so the
+    // probe is restricted to scan-shaped plans, where .rdd is pure
+    // planning.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, RepartitionOperation, Sort, Window => LWindow}
+    val derived = df.queryExecution.optimizedPlan.find {
+      case _: Join | _: Aggregate | _: LWindow | _: RepartitionOperation | _: Sort => true
+      case _ => false
+    }.isDefined
     val target = df.sparkSession.sparkContext.defaultParallelism
     val spread =
-      if (df.rdd.getNumPartitions * 4 <= target) df.repartition(target, col("id"))
+      if (!derived && df.rdd.getNumPartitions * 4 <= target)
+        df.repartition(target, col("id"))
       else df
     val feat = spread.select(col("id"), array_to_vector(col("embedding")).as("features"))
     val lsh = new BucketedRandomProjectionLSH()

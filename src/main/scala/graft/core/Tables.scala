@@ -30,6 +30,10 @@ object Tables {
     * memories join whose partitioning follows the documents side. The
     * split-count probe is memoized per path — `df.rdd` forces physical
     * planning, which should not rerun on every query. */
+  // NOTE: fanOut's input is always a bare `load()` parquet scan (see the
+  // two call sites), so the memoized `df.rdd` probe only plans the scan —
+  // it never executes upstream stages. Derived frames must not be routed
+  // through here (IndexBuild.lshNearDuplicates documents the trap).
   private val fanOutCache = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private def fanOut(df: DataFrame, key: String, cacheKey: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism

@@ -777,7 +777,11 @@ object GraphSearch {
 
     if (topRrf <= 0.0) {
       // no positive seeds: graph contributes nothing (memory_engine.py:1597)
-      return direct
+      // (direct ≤ pool rows — broadcast it into every corpus attribute
+      // join here and below, the HybridSearch fuseContribs hint
+      // discipline: the checkpointed pool has no size statistics, and at
+      // corpus scale the unhinted join shuffles the memories projection)
+      return broadcast(direct)
         .join(memories.select("id", "source", "category"), "id")
         .orderBy(desc("rrf"), asc("id")).limit(k)
         .select(col("id"), col("source"), col("category"),

@@ -311,10 +311,17 @@ object HybridSearch {
     // exchange". Emitted per-signal rows are IDENTICAL to the former
     // two-branch form: same rank window per signal, same contribution, one
     // (id, 'recency', c) and one (id, 'confidence', c) row per candidate.
+    // BROADCAST the bounded side of every candidate ⋈ corpus join in this
+    // tail (guide §3.1 — "use an explicit broadcast when you KNOW a side
+    // is small"): cand is ≤ 2·oversample rows BY CONSTRUCTION, but it
+    // arrives as a checkpointed RDD scan with no size statistics, so the
+    // planner assumes it huge; without the hint it broadcasts the CORPUS
+    // projection instead (fine at fixture scale, a full corpus shuffle at
+    // 100 TB once the corpus passes the auto-broadcast threshold).
     val recOn = p.recencyWeight > 0
     val confOn = p.confidenceWeight > 0
     val recConf = if (!recOn && !confOn) None else Some {
-      val base = cand.join(dates, "id")
+      val base = broadcast(cand).join(dates, "id")
       // per-prefix half-life: broadcast longest-prefix join over the
       // (tiny) profile table — same shape as M9's policy resolution
       // (Mutations.enforcePolicies); the window runs over the ≤2*oversample
@@ -357,7 +364,7 @@ object HybridSearch {
       recConf,
       if (p.feedbackWeight > 0) feedback.map { fb =>
         val net = asNets(fb)
-        cand.join(net, "id").filter(col("net") > 0)
+        broadcast(cand).join(net, "id").filter(col("net") > 0)
           .select(keyCols ++ Seq(lit("feedback").as("signal"),
             contrib(w.feedback, rank0(col("net"), qid)).as("c")): _*)
       } else None
@@ -373,9 +380,11 @@ object HybridSearch {
   def rrfScores(memories: DataFrame, feedback: Option[DataFrame], p: Params): DataFrame = {
     val fused = signalContribs(memories, feedback, p)
       .groupBy("id").agg(sum("c").as("rrf"))
-    // temporal filter on the fused pool (memory_engine.py:1860-1866)
+    // temporal filter on the fused pool (memory_engine.py:1860-1866);
+    // fused ≤ 2·oversample rows — broadcast it, never shuffle the corpus
+    // id projection (guide §3.1, the fuseContribs hint discipline)
     if (p.since.isDefined || p.until.isDefined)
-      fused.join(
+      broadcast(fused).join(
         memories.filter(Filters.temporal(p.since, p.until)).select("id"), "id")
     else fused
   }
@@ -407,7 +416,7 @@ object HybridSearch {
       .groupBy("id").agg(sum("c").as("rrf"))
     val fused =
       if (p.since.isDefined || p.until.isDefined)
-        fused0.join(
+        broadcast(fused0).join(
           memories.filter(Filters.temporal(p.since, p.until)).select("id"), "id")
       else fused0
     finishSearch(memories, fused, p)
@@ -442,7 +451,7 @@ object HybridSearch {
     * when enabled. */
   private def finishSearch(memories: DataFrame, fused: DataFrame,
                            p: Params): DataFrame = {
-    val base = fused
+    val base = broadcast(fused)
       .join(memories.select("id", "source", "category"), "id")
       .orderBy(desc("rrf"), asc("id"))
       .limit(math.min(p.k, 100))
@@ -604,13 +613,13 @@ object HybridSearch {
       .groupBy("qid", "id").agg(sum("c").as("rrf"))
     val fused =
       if (p.since.isDefined || p.until.isDefined)
-        fused0.join(
+        broadcast(fused0).join(
           memories.filter(Filters.temporal(p.since, p.until)).select("id"), "id")
       else fused0
     if (p.graphWeight > 0)
       GraphSearch.expandAndMergeBatch(memories, fused, p)
     else
-      fused.join(memories.select("id", "source", "category"), "id")
+      broadcast(fused).join(memories.select("id", "source", "category"), "id")
         .withColumn("_rn", row_number().over(
           Window.partitionBy("qid").orderBy(desc("rrf"), asc("id"))))
         .filter(col("_rn") <= k)
@@ -743,14 +752,14 @@ object HybridSearch {
       .groupBy("qid", "id").agg(sum("c").as("rrf"))
     val fused =
       if (p.since.isDefined || p.until.isDefined)
-        fused0.join(
+        broadcast(fused0).join(
           memories.filter(Filters.temporal(p.since, p.until)).select("id"), "id")
       else fused0
     if (p.graphWeight > 0)
       // the shared graph tail: one edge frame + one qid-keyed PPR loop
       GraphSearch.expandAndMergeBatch(memories, fused, p)
     else
-      fused.join(memories.select("id", "source", "category"), "id")
+      broadcast(fused).join(memories.select("id", "source", "category"), "id")
         .withColumn("_rn", row_number().over(
           Window.partitionBy("qid").orderBy(desc("rrf"), asc("id"))))
         .filter(col("_rn") <= k)

@@ -40,9 +40,16 @@ object Curation {
     * sf0.1) and the trees are evaluated AGAIN in the projection above the
     * filter. Values are bit-identical (Opaque is a runtime identity); the
     * zero-token drop is expressed on the projected n_ws — the same
-    * size(tokens(text)) — so it stays above the projection too. */
-  def profile(docs: DataFrame): DataFrame = {
-    val txt = graft.expressions.Opaque(col("text"))
+    * size(tokens(text)) — so it stays above the projection too.
+    *
+    * The barrier also blocks pushdown of DETERMINISTIC filters (id = x)
+    * and partition pruning through the projection (r17 ADVICE) — right
+    * for the curate()/funnel() pipelines, which evaluate the full profile
+    * anyway, wrong for a selective ad-hoc read: pass `barrier = false`
+    * there to trade duplicated tree evaluation for scan-level pruning. */
+  def profile(docs: DataFrame, barrier: Boolean = true): DataFrame = {
+    val txt =
+      if (barrier) graft.expressions.Opaque(col("text")) else col("text")
     val li = TextAnalysis.langId(txt)
     val (ws, bpe) = TextAnalysis.tokenCounts(txt)
     docs
